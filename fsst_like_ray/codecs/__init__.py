@@ -1,0 +1,84 @@
+"""Codec framework: per-block lightweight compression kernels.
+
+Contract (mirrors the reference's ``CompressionRunner`` surface,
+reference: sketch.cc:515-523, re-expressed for Arrow list<int32> token columns):
+
+- ``train(values, offsets) -> state: bytes`` — block-level state (symbol table /
+  dictionary / width), trained on the block's own rows exactly like the
+  reference trains a per-block FSST table (reference: src/BenchmarkDriver.cpp:100-101).
+- ``encode(values, offsets, state) -> (buf: uint8[], payload_offsets: int64[])``
+  — per-row payloads; row i's bytes are ``buf[po[i]:po[i+1]]`` and every row is
+  independently decodable given the block state + its token count
+  (reference analog: sketch.cc:770-785 selected-row decompression).
+- ``decode(buf, payload_offsets, counts, state) -> values: int32[]`` — exact
+  (bit-identical) inverse.
+- ``estimate_size(values, offsets) -> int`` — estimated encoded bytes incl.
+  state, used by the auto-selector.
+
+All kernels are pure NumPy — vectorized, no per-row Python loops on the hot
+path. ``values`` is the flattened int32 token stream; ``offsets`` the int64
+row offsets (len n_rows+1), i.e. the two buffers of a ``pa.ListArray``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Codec:
+    name: str = "abstract"
+
+    def train(self, values: np.ndarray, offsets: np.ndarray) -> bytes:
+        return b""
+
+    def encode(
+        self, values: np.ndarray, offsets: np.ndarray, state: bytes
+    ) -> tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError
+
+    def decode(
+        self,
+        buf: np.ndarray,
+        payload_offsets: np.ndarray,
+        counts: np.ndarray,
+        state: bytes,
+    ) -> np.ndarray:
+        raise NotImplementedError
+
+    def estimate_size(self, values: np.ndarray, offsets: np.ndarray) -> int:
+        """Default: actually train+encode (callers pass a sample, so cheap)."""
+        state = self.train(values, offsets)
+        buf, _ = self.encode(values, offsets, state)
+        return int(buf.size) + len(state)
+
+
+def _as_u32(values: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(values, dtype=np.int32).view(np.uint32)
+
+
+def _as_i32(values_u32: np.ndarray) -> np.ndarray:
+    return values_u32.view(np.int32)
+
+
+from .plain import PlainCodec  # noqa: E402
+from .bitpack import BitpackCodec  # noqa: E402
+from .forpack import ForCodec  # noqa: E402
+from .rle import RleCodec  # noqa: E402
+from .dictionary import DictCodec  # noqa: E402
+from .fsst import FsstCodec  # noqa: E402
+
+CODECS: dict[str, Codec] = {
+    c.name: c
+    for c in [
+        PlainCodec(),
+        BitpackCodec(),
+        ForCodec(),
+        RleCodec(),
+        DictCodec(),
+        FsstCodec(),
+    ]
+}
+
+from .auto import select_codec  # noqa: E402
+
+__all__ = ["Codec", "CODECS", "select_codec"]

@@ -1,0 +1,441 @@
+"""From-scratch FSST-style symbol-table compression over byte strings.
+
+Public-knowledge algorithm (FSST, Boncz/Neumann/Leis VLDB'20): learn ≤255
+symbols of ≤8 bytes via iterative sample→parse→count→merge generations; encode
+greedily longest-match-first with code 255 as a 2-byte escape for bytes no
+symbol covers; decode is pure table expansion. Format constants mirror the
+reference (≤255 symbols × ≤8 B, escape literal = 2 B — reference:
+sketch.cc:95, src/FsstWrapper.cpp:131-136), but the implementation here is a
+new, fully vectorized NumPy design:
+
+- match lengths for all positions at once via sliding 8-byte little-endian
+  grams + per-length sorted-key binary search;
+- the greedy parse walks all segments in lockstep (rows are split into ≤256-byte
+  segments, so the Python loop runs ≤ ~260 iterations per batch regardless of
+  batch size, with NumPy doing O(total emitted) work);
+- decode classifies escape/literal/code positions with run-parity analysis on
+  255-runs, then scatters symbol bytes with fancy indexing.
+
+Rows are independently decodable (parse state never crosses a row boundary),
+mirroring the reference's block model (src/BenchmarkDriver.cpp:100-101,
+sketch.cc:770-785).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ESCAPE = 255
+MAX_SYMBOLS = 255  # codes 0..254; 255 is the escape marker
+MAX_SYMBOL_LEN = 8
+SEGMENT = 256  # greedy parse restarts every SEGMENT bytes within a row
+
+
+class SymbolTable:
+    """A trained FSST symbol table with lookup structures for encode + decode."""
+
+    __slots__ = (
+        "symbols",
+        "sym_bytes",
+        "sym_lens",
+        "keys_by_len",
+        "codes_by_len",
+        "short_code",
+        "short_len",
+        "long_prefixes",
+        "prefix_has_len",
+    )
+
+    def __init__(self, symbols: list[bytes]):
+        assert len(symbols) <= MAX_SYMBOLS
+        self.symbols = symbols
+        # decode tables: (256, 8) byte matrix + lengths (code 255 unused)
+        self.sym_bytes = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)
+        self.sym_lens = np.zeros(256, dtype=np.int64)
+        for code, s in enumerate(symbols):
+            self.sym_bytes[code, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+            self.sym_lens[code] = len(s)
+        # encode tables: per symbol length, sorted little-endian gram keys
+        self.keys_by_len: dict[int, np.ndarray] = {}
+        self.codes_by_len: dict[int, np.ndarray] = {}
+        by_len: dict[int, list[tuple[int, int]]] = {}
+        for code, s in enumerate(symbols):
+            g = int.from_bytes(s, "little")
+            by_len.setdefault(len(s), []).append((g, code))
+        for l, pairs in by_len.items():
+            pairs.sort()
+            self.keys_by_len[l] = np.array([p[0] for p in pairs], dtype=np.uint64)
+            self.codes_by_len[l] = np.array([p[1] for p in pairs], dtype=np.uint8)
+        # O(1) short-symbol lookup on the first 2 bytes (g2 = b0 + 256*b1):
+        # len-1 symbols fill their whole [*, b0] column, len-2 overwrite exact
+        # cells → one gather resolves the longest 1-2 byte match
+        self.short_code = np.full((256, 256), ESCAPE, dtype=np.uint8)
+        self.short_len = np.zeros((256, 256), dtype=np.uint8)
+        for code, s in enumerate(symbols):
+            if len(s) == 1:
+                col = self.short_len[:, s[0]] < 1
+                self.short_code[col, s[0]] = code
+                self.short_len[col, s[0]] = 1
+        for code, s in enumerate(symbols):
+            if len(s) == 2:
+                self.short_code[s[1], s[0]] = code
+                self.short_len[s[1], s[0]] = 2
+        self.short_code = self.short_code.reshape(-1)
+        self.short_len = self.short_len.reshape(-1)
+        # sorted distinct 3-byte prefixes of symbols of length ≥3 — the
+        # candidate filter for long matches — plus, per prefix, which symbol
+        # lengths exist under it (cuts per-length search work)
+        p3 = sorted(
+            {int.from_bytes(s[:3], "little") for s in symbols if len(s) >= 3}
+        )
+        self.long_prefixes = np.array(p3, dtype=np.uint64)
+        self.prefix_has_len = np.zeros((MAX_SYMBOL_LEN + 1, len(p3)), dtype=bool)
+        pidx = {v: i for i, v in enumerate(p3)}
+        for s in symbols:
+            if len(s) >= 3:
+                self.prefix_has_len[len(s), pidx[int.from_bytes(s[:3], "little")]] = True
+
+    # -- serialization (reference analog: SerializeDecoder/DeserializeDecoder,
+    #    src/FsstWrapper.cpp:67-109) --
+    def serialize(self) -> bytes:
+        lens = bytes(len(s) for s in self.symbols)
+        return bytes([len(self.symbols)]) + lens + b"".join(self.symbols)
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "SymbolTable":
+        n = blob[0]
+        lens = blob[1 : 1 + n]
+        out, off = [], 1 + n
+        for l in lens:
+            out.append(blob[off : off + l])
+            off += l
+        return cls(out)
+
+
+def _grams8(data: np.ndarray) -> np.ndarray:
+    """Little-endian uint64 of data[p:p+8] for every position (zero-padded)."""
+    n = int(data.size)
+    padded = np.zeros(n + 8, dtype=np.uint8)
+    padded[:n] = data
+    try:
+        g = np.ndarray(shape=(n,), dtype="<u8", buffer=padded.data, strides=(1,))
+        return np.ascontiguousarray(g)
+    except Exception:
+        w = np.lib.stride_tricks.sliding_window_view(padded, 8)[:n].astype(np.uint64)
+        shifts = (np.arange(8, dtype=np.uint64) * np.uint64(8))[None, :]
+        return (w << shifts).sum(axis=1, dtype=np.uint64)
+
+
+def _lookup_long(table, g8, cand, pids, m_loc, c_loc, max_len=MAX_SYMBOL_LEN):
+    """Longest ≥3-byte symbol match at candidate positions.
+
+    ``cand`` are global positions; ``pids`` their 3-byte-prefix index in
+    ``long_prefixes`` (only lengths existing under that prefix are searched);
+    ``m_loc``/``c_loc`` are in/out arrays parallel to ``cand``."""
+    for l in sorted((x for x in table.keys_by_len if 3 <= x <= max_len), reverse=True):
+        keys = table.keys_by_len[l]
+        codes = table.codes_by_len[l]
+        sel = np.flatnonzero(table.prefix_has_len[l][pids] & (m_loc < l))
+        if sel.size == 0:
+            continue
+        mask = np.uint64((1 << (8 * l)) - 1) if l < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
+        gl = g8[cand[sel]] & mask
+        i = np.searchsorted(keys, gl)
+        np.minimum(i, len(keys) - 1, out=i)
+        hit = keys[i] == gl
+        hp = sel[hit]
+        m_loc[hp] = l
+        c_loc[hp] = codes[i[hit]]
+
+
+def _match_table(
+    data: np.ndarray,
+    table: SymbolTable,
+    seg_starts: np.ndarray,
+    seg_ends: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Longest-symbol match length + code for every position (0 = escape).
+
+    Matches never cross a segment end (segment ends include all row ends).
+    Reference analog (scalar): FindLongestSymbol, src/FsstWrapper.cpp:196-230;
+    the two-level short-code table + long-prefix filter mirrors the public
+    FSST encoder's shortCodes/hash-table split, re-expressed as NumPy gathers.
+    """
+    n = int(data.size)
+    if n == 0 or not table.symbols:
+        return np.zeros(n, dtype=np.int64), np.full(n, ESCAPE, dtype=np.uint8)
+    g8 = _grams8(data)
+    # 1-2 byte matches: one gather
+    g2 = np.bitwise_and(g8, np.uint64(0xFFFF)).astype(np.int32)
+    m = table.short_len[g2].astype(np.int64)
+    code = table.short_code[g2].copy()
+    del g2
+    # ≥3-byte matches: candidate positions share a 3-byte prefix with a symbol
+    if table.long_prefixes.size:
+        g3 = np.bitwise_and(g8, np.uint64(0xFFFFFF))
+        i = np.searchsorted(table.long_prefixes, g3)
+        np.minimum(i, len(table.long_prefixes) - 1, out=i)
+        hit = table.long_prefixes[i] == g3
+        del g3
+        cand = np.flatnonzero(hit)
+        pids = i[cand]
+        del i, hit
+        if cand.size:
+            m_loc = m[cand]
+            c_loc = code[cand]
+            _lookup_long(table, g8, cand, pids, m_loc, c_loc)
+            m[cand] = m_loc
+            code[cand] = c_loc
+    # boundary fixup: the last ≤7 bytes of each segment must not match past
+    # the segment end — recompute with the length cap there
+    seg_len = seg_ends - seg_starts
+    tail = np.minimum(seg_len, MAX_SYMBOL_LEN - 1)
+    tot = int(tail.sum())
+    if tot:
+        wi = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(tail) - tail, tail)
+        bp = np.repeat(seg_ends - tail, tail) + wi
+        rem = np.repeat(seg_ends, tail) - bp  # 1..7
+        bad = m[bp] > rem
+        fix = bp[bad]
+        if fix.size:
+            fr = rem[bad]
+            fm = np.zeros(len(fix), dtype=np.int64)
+            fc = np.full(len(fix), ESCAPE, dtype=np.uint8)
+            # short matches under the cap
+            g2f = np.bitwise_and(g8[fix], np.uint64(0xFFFF)).astype(np.int32)
+            sl = table.short_len[g2f].astype(np.int64)
+            sc = table.short_code[g2f]
+            ok = sl <= fr
+            fm[ok] = sl[ok]
+            fc[ok] = sc[ok]
+            # rem==1 but short gave len-2: check the len-1 table explicitly
+            need1 = (~ok) & (fr >= 1)
+            if need1.any() and 1 in table.keys_by_len:
+                keys = table.keys_by_len[1]
+                codes = table.codes_by_len[1]
+                b0 = np.bitwise_and(g8[fix[need1]], np.uint64(0xFF))
+                j = np.searchsorted(keys, b0)
+                np.minimum(j, len(keys) - 1, out=j)
+                hit = keys[j] == b0
+                tgt = np.flatnonzero(need1)[hit]
+                fm[tgt] = 1
+                fc[tgt] = codes[j[hit]]
+            # long matches with length ≤ rem, per distinct cap value
+            if table.long_prefixes.size:
+                g3f = np.bitwise_and(g8[fix], np.uint64(0xFFFFFF))
+                j = np.searchsorted(table.long_prefixes, g3f)
+                np.minimum(j, len(table.long_prefixes) - 1, out=j)
+                phit = table.long_prefixes[j] == g3f
+                for cap in np.unique(fr[phit]):
+                    if cap < 3:
+                        continue
+                    sel = np.flatnonzero(phit & (fr == cap))
+                    local_m = fm[sel].copy()
+                    local_c = fc[sel].copy()
+                    _lookup_long(
+                        table, g8, fix[sel], j[sel], local_m, local_c,
+                        max_len=int(cap),
+                    )
+                    fm[sel] = local_m
+                    fc[sel] = local_c
+            m[fix] = fm
+            code[fix] = fc
+    return m, code
+
+
+def _segments(offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Split rows into ≤SEGMENT-byte parse segments (row bounds always split)."""
+    counts = np.diff(offsets)
+    nseg = (counts + SEGMENT - 1) // SEGMENT
+    nseg = np.maximum(nseg, 0)
+    total = int(nseg.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    row_of_seg = np.repeat(np.arange(len(counts)), nseg)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(nseg) - nseg, nseg
+    )
+    starts = offsets[:-1][row_of_seg] + within * SEGMENT
+    ends = np.minimum(starts + SEGMENT, offsets[1:][row_of_seg])
+    return starts, ends
+
+
+def _parse(
+    data: np.ndarray, offsets: np.ndarray, table: SymbolTable
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Greedy parse of every row. Returns (emitted positions ascending, match
+    length per emitted position (0 = escape), code per emitted position)."""
+    n = int(data.size)
+    seg_starts, seg_ends = _segments(offsets)
+    m, code = _match_table(data, table, seg_starts, seg_ends)
+    jump = np.maximum(m, 1)
+
+    visited = np.zeros(n, dtype=bool)
+    cur = seg_starts.copy()
+    ends = seg_ends
+    idx = np.flatnonzero(cur < ends)
+    while idx.size:
+        p = cur[idx]
+        visited[p] = True
+        p2 = p + jump[p]
+        cur[idx] = p2
+        idx = idx[p2 < ends[idx]]
+    pos = np.flatnonzero(visited)
+    return pos, m[pos], code[pos]
+
+
+def encode(
+    data: np.ndarray, offsets: np.ndarray, table: SymbolTable
+) -> tuple[np.ndarray, np.ndarray]:
+    """Encode rows of ``data`` (uint8, rows per ``offsets``). Returns
+    (encoded buffer, per-row payload offsets)."""
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    pos, ml, code = _parse(data, offsets, table)
+    esc = ml == 0
+    out_len = np.where(esc, 2, 1).astype(np.int64)
+    out_off = np.zeros(len(pos) + 1, dtype=np.int64)
+    np.cumsum(out_len, out=out_off[1:])
+    out = np.empty(int(out_off[-1]), dtype=np.uint8)
+    out[out_off[:-1][~esc]] = code[~esc]
+    ep = out_off[:-1][esc]
+    out[ep] = ESCAPE
+    out[ep + 1] = data[pos[esc]]
+    # per-row payload sizes: emitted positions are ascending, so the cumulative
+    # output length at each row's first emitted position gives the offsets —
+    # one searchsorted over n_rows, not over positions
+    first_emit = np.searchsorted(pos, offsets)
+    po = out_off[first_emit].astype(np.int64)
+    return out, po
+
+
+def decode(
+    buf: np.ndarray, payload_offsets: np.ndarray, table: SymbolTable
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode per-row payloads back to the original bytes.
+
+    Returns (decoded buffer, per-row byte offsets). Vectorized twin of the
+    reference's streaming Iterate (src/FsstWrapper.hpp:65-161)."""
+    b = np.ascontiguousarray(buf, dtype=np.uint8)
+    n = int(b.size)
+    n_rows = len(payload_offsets) - 1
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(n_rows + 1, dtype=np.int64)
+
+    is255 = b == ESCAPE
+    row_start = np.zeros(n, dtype=bool)
+    rs = payload_offsets[:-1]
+    row_start[rs[rs < n]] = True
+    prev255 = np.zeros(n, dtype=bool)
+    prev255[1:] = is255[:-1]
+    prev255[row_start] = False
+    starts = np.flatnonzero(is255 & ~prev255)
+
+    cls = np.zeros(n, dtype=np.uint8)  # 0=code, 1=escape, 2=literal
+    if starts.size:
+        # run break = first non-255 or row start strictly after the run start
+        breaks = np.flatnonzero(~is255 | row_start)
+        j = np.searchsorted(breaks, starts, side="right")
+        run_end = np.where(j < len(breaks), breaks[np.minimum(j, len(breaks) - 1)], n)
+        L = run_end - starts
+        n_esc = (L + 1) // 2
+        n_lit = L // 2
+        # escapes at even offsets within each 255-run
+        tot = int(n_esc.sum())
+        if tot:
+            wi = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(n_esc) - n_esc, n_esc
+            )
+            esc_pos = np.repeat(starts, n_esc) + 2 * wi
+            cls[esc_pos] = 1
+        tot = int(n_lit.sum())
+        if tot:
+            wi = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(n_lit) - n_lit, n_lit
+            )
+            lit_pos = np.repeat(starts, n_lit) + 1 + 2 * wi
+            cls[lit_pos] = 2
+        # odd-length run: the non-255 byte right after the run is a literal
+        odd = (L % 2) == 1
+        after = starts[odd] + L[odd]
+        after = after[after < n]
+        cls[after] = 2
+
+    # every input byte expands to 0 (escape), 1 (literal) or sym_len (code)
+    # output bytes: one (n, 8) gather + boolean compaction yields the output
+    # already in order — no scatter index arithmetic
+    lit_mask = cls == 2
+    out_mat = table.sym_bytes[b]  # (n, 8); escape/literal rows fixed below
+    out_len = table.sym_lens[b].copy()
+    out_len[cls != 0] = 0
+    out_len[lit_mask] = 1
+    lp = np.flatnonzero(lit_mask)
+    if lp.size:
+        out_mat[lp, 0] = b[lp]
+    valid = np.arange(MAX_SYMBOL_LEN, dtype=np.int64)[None, :] < out_len[:, None]
+    out = out_mat[valid]
+
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_len, out=out_off[1:])
+    # per-row decoded sizes: cumulative output length at each row's payload
+    # boundary (out_off is indexed by input byte position)
+    ro = out_off[payload_offsets].astype(np.int64)
+    return out, ro
+
+
+def train(
+    data: np.ndarray,
+    offsets: np.ndarray,
+    generations: int = 5,
+    max_symbols: int = MAX_SYMBOLS,
+) -> SymbolTable:
+    """Iterative sample→parse→count→merge symbol-table construction.
+
+    Gain = count × length ("apparent gain", FSST paper §4). Candidates each
+    generation: symbols/literals emitted by the current parse plus concatenations
+    of adjacent emitted symbols ≤8 bytes. Fully deterministic (ties broken by
+    gram value)."""
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    table = SymbolTable([])
+    if data.size == 0:
+        return table
+    g8 = _grams8(data)
+    for _gen in range(generations):
+        pos, ml, _code = _parse(data, offsets, table)
+        eff_len = np.maximum(ml, 1)
+        mask_for = lambda l: (
+            np.uint64(0xFFFFFFFFFFFFFFFF)
+            if l >= 8
+            else np.uint64((1 << (8 * int(l))) - 1)
+        )
+        # single-symbol candidates (incl. escaped literals as 1-byte symbols)
+        lens_arr = eff_len
+        masks = np.array([mask_for(l) for l in range(0, 9)], dtype=np.uint64)
+        singles_g = g8[pos] & masks[lens_arr]
+        singles_l = lens_arr
+        # pair candidates: adjacent emitted positions in the same segment
+        nxt_pos = pos[1:]
+        cur_pos = pos[:-1]
+        contig = cur_pos + eff_len[:-1] == nxt_pos  # no segment gap between them
+        pair_len = eff_len[:-1] + eff_len[1:]
+        okp = contig & (pair_len <= MAX_SYMBOL_LEN)
+        pairs_g = g8[cur_pos[okp]] & masks[pair_len[okp]]
+        pairs_l = pair_len[okp]
+
+        all_g = np.concatenate([singles_g, pairs_g])
+        all_l = np.concatenate([singles_l, pairs_l]).astype(np.int64)
+        # count (gram, len) pairs
+        order = np.lexsort((all_g, all_l))
+        sg, sl = all_g[order], all_l[order]
+        new_grp = np.ones(len(sg), dtype=bool)
+        new_grp[1:] = (sg[1:] != sg[:-1]) | (sl[1:] != sl[:-1])
+        gidx = np.flatnonzero(new_grp)
+        ug, ul = sg[gidx], sl[gidx]
+        cnt = np.diff(np.append(gidx, len(sg)))
+        gain = cnt * ul
+        # top-N by gain, deterministic tie-break by (len, gram)
+        sel = np.lexsort((ug, ul, -gain))[:max_symbols]
+        symbols = [
+            int(ug[i]).to_bytes(8, "little")[: int(ul[i])] for i in sel
+        ]
+        table = SymbolTable(symbols)
+    return table

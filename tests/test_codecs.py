@@ -1,0 +1,144 @@
+"""Round-trip + ratio property tests for every codec (SURVEY.md §5a/§5c).
+
+Mirrors the reference's correctness philosophy: bit-identical round-trip per
+row (reference invariant: src/BenchmarkDriver.cpp:109; sketch.cc:1295) and
+compression-ratio sanity on compressible fixtures.
+No Ray needed — codecs are pure NumPy kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fsst_like_ray.codecs import CODECS, select_codec
+from fsst_like_ray.sources.tokens import tokens_table
+
+
+def _lists_to_buffers(rows):
+    offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum([len(r) for r in rows])
+    values = (
+        np.concatenate([np.asarray(r, dtype=np.int32) for r in rows if len(r)])
+        if any(len(r) for r in rows)
+        else np.zeros(0, dtype=np.int32)
+    )
+    return values.astype(np.int32), offsets
+
+
+def _roundtrip(codec, rows):
+    values, offsets = _lists_to_buffers(rows)
+    counts = np.diff(offsets)
+    state = codec.train(values, offsets)
+    buf, po = codec.encode(values, offsets, state)
+    assert len(po) == len(rows) + 1
+    out = codec.decode(buf, po, counts, state)
+    assert out.dtype == np.int32
+    np.testing.assert_array_equal(out, values)
+    # per-row independence: decode a strided subset of rows only
+    if len(rows) > 2 and codec.name != "plain":
+        sel = np.arange(0, len(rows), 2)
+        sub_counts = counts[sel]
+        nbytes = (po[sel + 1] - po[sel]).astype(np.int64)
+        so = np.zeros(len(sel) + 1, dtype=np.int64)
+        np.cumsum(nbytes, out=so[1:])
+        sub = np.empty(int(so[-1]), dtype=np.uint8)
+        for k, r in enumerate(sel):
+            sub[so[k] : so[k + 1]] = buf[po[r] : po[r + 1]]
+        out2 = codec.decode(sub, so, sub_counts, state)
+        expect = np.concatenate(
+            [values[offsets[r] : offsets[r + 1]] for r in sel]
+        ) if sub_counts.sum() else np.zeros(0, dtype=np.int32)
+        np.testing.assert_array_equal(out2, expect.astype(np.int32))
+    return buf, po, state
+
+
+EDGE_ROWS = [
+    [],
+    [0],
+    [5],
+    [2**31 - 1],
+    [-1],
+    [0] * 100,
+    [7] * 1,
+    list(range(100)),
+    [2**31 - 1] * 9,
+    [1, 1, 2, 2, 2, 3],
+    [255, 255, 255, 255],          # bytes full of the escape value
+    [0x7F7F7F7F, -0x80000000],
+    list(np.random.default_rng(7).integers(0, 2**31 - 1, 200)),
+    [1000 + i % 256 for i in range(50)],
+]
+
+
+@pytest.mark.parametrize("name", sorted(CODECS))
+def test_roundtrip_edge_cases(name):
+    _roundtrip(CODECS[name], EDGE_ROWS)
+
+
+@pytest.mark.parametrize("name", sorted(CODECS))
+def test_roundtrip_corpus(name):
+    t = tokens_table(300, seed=42)
+    tok = t["tokens"].combine_chunks()
+    values = tok.values.to_numpy().astype(np.int32)
+    offsets = tok.offsets.to_numpy().astype(np.int64)
+    rows = [
+        values[offsets[i] : offsets[i + 1]] for i in range(len(offsets) - 1)
+    ]
+    _roundtrip(CODECS[name], rows)
+
+
+def test_ratio_compressible():
+    rng = np.random.default_rng(0)
+    rows = [list(rng.integers(0, 128, 200)) for _ in range(50)]
+    values, offsets = _lists_to_buffers(rows)
+    plain = CODECS["plain"].estimate_size(values, offsets)
+    for name in ["bitpack", "for", "dict", "fsst"]:
+        codec = CODECS[name]
+        state = codec.train(values, offsets)
+        buf, _ = codec.encode(values, offsets, state)
+        assert buf.size + len(state) < plain, name
+
+
+def test_rle_wins_on_runs():
+    rows = [[7] * 100 + [31337] * 100 + [9] * 100 for _ in range(20)]
+    values, offsets = _lists_to_buffers(rows)
+    name, est = select_codec(values, offsets)
+    assert name == "rle"
+    assert est["rle"] < est["plain"]
+
+
+def test_selector_picks_sane_codecs():
+    cases = {
+        "band": [list(range(1000, 1100)) for _ in range(20)],
+        "runs": [[9] * 300 for _ in range(20)],
+        "wide": [list(np.random.default_rng(1).integers(0, 2**31 - 1, 100)) for _ in range(20)],
+    }
+    for label, rows in cases.items():
+        values, offsets = _lists_to_buffers(rows)
+        name, est = select_codec(values, offsets)
+        best = min(est.values())
+        assert est[name] == best
+        # decode must round-trip with whatever the selector picked
+        _roundtrip(CODECS[name], rows)
+
+
+def test_fsst_escape_bound():
+    # worst case: incompressible — encoded ≤ 2× plain (escape cost, reference
+    # analog src/FsstWrapper.cpp:131-136)
+    rng = np.random.default_rng(3)
+    rows = [list(rng.integers(0, 2**31 - 1, 100)) for _ in range(10)]
+    values, offsets = _lists_to_buffers(rows)
+    codec = CODECS["fsst"]
+    state = codec.train(values, offsets)
+    buf, _ = codec.encode(values, offsets, state)
+    assert buf.size <= 2 * values.size * 4 + 16
+
+
+def test_generator_deterministic_and_partition_independent():
+    a = tokens_table(100, seed=42)
+    b = tokens_table(100, seed=42)
+    assert a.equals(b)
+    c = tokens_table(40, seed=42, start_row=60)
+    assert a.slice(60, 40).to_pydict() == c.to_pydict()
