@@ -1,0 +1,164 @@
+"""The flagship pipeline: streaming encode → partitioned Parquet sink →
+lineage manifest → decode-verify. Everything is a lazy ``ray.data.Dataset``
+(reference lifecycle analog: SURVEY.md §3.1, re-expressed as a stream).
+
+Scale notes:
+- the encode stage is an actor-pool ``map_batches`` (state trained per batch);
+- fragments (input files) are the checkpoint unit; a killed job resumes by
+  skipping fragments already committed to the manifest;
+- output is hive-partitioned by fragment key → a failed run never corrupts
+  finished fragments; rewrites are idempotent per fragment;
+- nothing materializes the full dataset: stats come from a cheap column-pruned
+  re-read of the encoded output (payload bytes stay on disk).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..stages.encode import EncoderActor
+from ..stages.decode import decode_batch
+from ..stages.verify import hash_summary
+from ..stages.skew import balance as skew_balance
+from ..state.manifest import Manifest, fragment_key
+
+DEFAULT_BATCH_ROWS = 8192
+
+
+def encode_dataset(
+    ds: "ray.data.Dataset",
+    codec: str = "auto",
+    concurrency=None,
+    batch_size: int | None = DEFAULT_BATCH_ROWS,
+) -> "ray.data.Dataset":
+    if concurrency is None:
+        # autoscaling actor pool sized to the cluster (local: num_cpus)
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = (1, max(2, ncpu))
+    kwargs = {"concurrency": concurrency}
+    return ds.map_batches(
+        EncoderActor,
+        fn_constructor_kwargs={"codec": codec},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        **kwargs,
+    )
+
+
+def decode_dataset(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(decode_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def discover_fragments(path: str | list[str]) -> list[str]:
+    if isinstance(path, list):
+        return sorted(path)
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+
+
+def compress_dataset(
+    input_path: str | list[str],
+    out_dir: str,
+    codec: str = "auto",
+    resume: bool = True,
+    fragments_per_round: int = 16,
+    balance_tokens: int | None = None,
+    concurrency=None,
+) -> dict:
+    """Encode an input corpus to ``out_dir`` with per-fragment lineage.
+
+    Returns the manifest stats after this run. Safe to re-run after a kill:
+    completed fragments are skipped (FIXTURES.md §4 contract)."""
+    fragments = discover_fragments(input_path)
+    manifest = Manifest(out_dir)
+    pending = manifest.pending(fragments) if resume else fragments
+    data_dir = os.path.join(out_dir, "data")
+
+    for start in range(0, len(pending), fragments_per_round):
+        round_frags = pending[start : start + fragments_per_round]
+        path_to_key = {f: fragment_key(f) for f in round_frags}
+        ds = ray.data.read_parquet(round_frags, include_paths=True)
+
+        def tag_fragment(batch: pa.Table, _map=path_to_key) -> pa.Table:
+            paths = batch["path"].to_pylist()
+            frag = pa.array([_map[p] for p in paths], type=pa.string())
+            return batch.drop_columns(["path"]).append_column("frag", frag)
+
+        ds = ds.map_batches(tag_fragment, batch_format="pyarrow")
+        if balance_tokens:
+            ds = skew_balance(ds, balance_tokens)
+        enc = encode_dataset(ds, codec=codec, concurrency=concurrency)
+        enc.write_parquet(data_dir, partition_cols=["frag"])
+
+        # lineage stats from a column-pruned re-read of what was written
+        stats = (
+            ray.data.read_parquet(
+                data_dir, columns=["frag", "n_tok", "payload_nbytes", "codec"]
+            )
+            .groupby("frag")
+            .aggregate(
+                Count(alias_name="rows"),
+                Sum("n_tok", alias_name="tokens"),
+                Sum("payload_nbytes", alias_name="encoded_bytes"),
+            )
+            .take_all()
+        )
+        by_key = {r["frag"]: r for r in stats}
+        for f in round_frags:
+            key = path_to_key[f]
+            r = by_key.get(key)
+            if r is None:
+                continue
+            manifest.commit(
+                {
+                    "fragment": f,
+                    "frag_key": key,
+                    "codec_mode": codec,
+                    "rows": int(r["rows"]),
+                    "tokens": int(r["tokens"] or 0),
+                    "encoded_bytes": int(r["encoded_bytes"] or 0),
+                    "plain_bytes": int(r["tokens"] or 0) * 4,
+                }
+            )
+    return manifest.stats()
+
+
+def read_encoded(out_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(out_dir, "data"))
+
+
+def _sum_hash_summaries(ds: "ray.data.Dataset") -> tuple[int, int, int]:
+    rows = ds.map_batches(hash_summary, batch_format="pyarrow").take_all()
+    s = x = n = 0
+    for r in rows:
+        s = (s + int(r["hash_sum"])) % (1 << 64)
+        x ^= int(r["hash_xor"])
+        n += int(r["rows"])
+    return s, x, n
+
+
+def verify_roundtrip(
+    original: "ray.data.Dataset", decoded: "ray.data.Dataset"
+) -> dict:
+    """Order-insensitive bit-identity check: per-row (doc_id, tokens) hashes
+    aggregated as wrapping sum + xor + count on both sides."""
+    a = _sum_hash_summaries(original)
+    b = _sum_hash_summaries(decoded)
+    return {"match": a == b, "original": a, "decoded": b}

@@ -1,0 +1,80 @@
+"""Decode-verify support: order-insensitive streaming comparison of two
+datasets via per-row 64-bit hashes (wrapping-sum + xor aggregates), so the
+verify stage never materializes or joins the full data (SURVEY.md §7.2 step 6).
+
+Per-row hash covers (doc_id bytes, token values, token count) with a
+position-dependent polynomial in uint64 wrap-around arithmetic — fully
+vectorized, no Python row loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .encode import list_buffers
+
+_P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+
+
+def _poly_rowhash(values_u64: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row polynomial hash of variable-length uint64 sequences.
+
+    h_row = Σ_j (v_j + 1) * P^(j - row_start)  (mod 2^64), computed with the
+    cumulative-power trick: P^i globally, divided by P^row_start via the
+    modular inverse of P (odd → invertible mod 2^64)."""
+    n = int(values_u64.size)
+    counts = np.diff(offsets)
+    if n == 0:
+        return np.zeros(len(counts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        powers = np.empty(n, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        if n > 1:
+            np.cumprod(np.full(n - 1, _P, dtype=np.uint64), out=powers[1:])
+        terms = (values_u64 + np.uint64(1)) * powers
+        sums = np.zeros(len(counts), dtype=np.uint64)
+        nz = counts > 0
+        if nz.any():
+            starts = offsets[:-1][nz]
+            sums[nz] = np.add.reduceat(terms, starts)
+        # divide by P^row_start: multiply by inv(P)^row_start (cumulative
+        # inverse powers, one cumprod)
+        inv = np.uint64(pow(int(_P), -1, 1 << 64))
+        inv_cum = np.empty(n + 1, dtype=np.uint64)
+        inv_cum[0] = np.uint64(1)
+        np.cumprod(np.full(n, inv, dtype=np.uint64), out=inv_cum[1:])
+        return sums * inv_cum[offsets[:-1]]
+
+
+def row_hashes(batch: pa.Table) -> np.ndarray:
+    values, offsets = list_buffers(batch["tokens"])
+    tok_h = _poly_rowhash(values.view(np.uint32).astype(np.uint64), offsets)
+    # doc_id bytes hashed the same way
+    ids = batch["doc_id"].combine_chunks() if isinstance(
+        batch["doc_id"], pa.ChunkedArray
+    ) else batch["doc_id"]
+    ids = ids.cast(pa.large_binary())
+    off = np.frombuffer(ids.buffers()[1], dtype=np.int64, count=len(ids) + 1 + ids.offset)[
+        ids.offset :
+    ]
+    base = off[0]
+    dat = np.frombuffer(ids.buffers()[2], dtype=np.uint8)[base : off[-1]]
+    id_h = _poly_rowhash(dat.astype(np.uint64), (off - base).astype(np.int64))
+    with np.errstate(over="ignore"):
+        return tok_h * np.uint64(0x9E3779B97F4A7C15) + id_h
+
+
+def hash_summary(batch: pa.Table) -> pa.Table:
+    """map_batches reducer: one summary row per batch (sum/xor/count)."""
+    h = row_hashes(batch)
+    with np.errstate(over="ignore"):
+        s = np.uint64(h.sum()) if h.size else np.uint64(0)
+    x = np.uint64(np.bitwise_xor.reduce(h)) if h.size else np.uint64(0)
+    return pa.table(
+        {
+            "hash_sum": pa.array([int(s)], type=pa.uint64()),
+            "hash_xor": pa.array([int(x)], type=pa.uint64()),
+            "rows": pa.array([len(h)], type=pa.int64()),
+        }
+    )

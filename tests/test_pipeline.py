@@ -1,0 +1,119 @@
+"""End-to-end Ray Data pipeline tests: encode → parquet → decode-verify,
+manifest resume, skew planner (SURVEY.md §7.1 minimum slice + §5d)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from fsst_like_ray.sources.tokens import write_tokens_parquet, tokens_table
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    write_tokens_parquet(str(d), n_rows=4000, seed=42, rows_per_file=1000)
+    return str(d)
+
+
+def test_encode_decode_roundtrip(ray_session, corpus_dir, tmp_path):
+    import ray.data
+    from fsst_like_ray.pipelines import (
+        compress_dataset,
+        decode_dataset,
+        read_encoded,
+        verify_roundtrip,
+    )
+    from fsst_like_ray.pipelines.compress import read_encoded
+
+    out = str(tmp_path / "encoded")
+    stats = compress_dataset(corpus_dir, out, codec="auto")
+    assert stats["fragments"] == 4
+    assert stats["rows"] == 4000
+    assert stats["encoded_bytes"] > 0
+    # compression must beat plain on this corpus
+    assert stats["encoded_bytes"] < stats["plain_bytes"]
+
+    original = ray.data.read_parquet(corpus_dir)
+    decoded = decode_dataset(read_encoded(out))
+    v = verify_roundtrip(original, decoded)
+    assert v["match"], v
+
+
+def test_resume_skips_completed(ray_session, corpus_dir, tmp_path):
+    from fsst_like_ray.pipelines import compress_dataset
+    from fsst_like_ray.state.manifest import Manifest
+    from fsst_like_ray.pipelines.compress import discover_fragments
+
+    out = str(tmp_path / "enc2")
+    frags = discover_fragments(corpus_dir)
+    # simulate a prior partial run: process only the first 2 fragments
+    compress_dataset(frags[:2], out, codec="plain")
+    m = Manifest(out)
+    assert len(m.completed()) == 2
+    before = {k: v for k, v in m.completed().items()}
+
+    # resumed full run: the 2 finished fragments must be skipped (their
+    # manifest records unchanged), the other 2 encoded
+    stats = compress_dataset(corpus_dir, out, codec="plain")
+    assert stats["fragments"] == 4
+    after = m.completed()
+    for k, v in before.items():
+        assert after[k] == v
+
+
+def test_forced_codec_pipeline(ray_session, corpus_dir, tmp_path):
+    import ray.data
+    from fsst_like_ray.pipelines import (
+        compress_dataset,
+        decode_dataset,
+        verify_roundtrip,
+    )
+    from fsst_like_ray.pipelines.compress import read_encoded, discover_fragments
+
+    frags = discover_fragments(corpus_dir)[:1]
+    for codec in ["plain", "rle", "fsst"]:
+        out = str(tmp_path / f"enc_{codec}")
+        compress_dataset(frags, out, codec=codec)
+        original = ray.data.read_parquet(frags)
+        decoded = decode_dataset(read_encoded(out))
+        v = verify_roundtrip(original, decoded)
+        assert v["match"], (codec, v)
+
+
+def test_skew_planner(ray_session, corpus_dir):
+    import ray.data
+    from fsst_like_ray.stages.skew import plan_partitions, n_tok_histogram
+
+    ds = ray.data.read_parquet(corpus_dir)
+    hist = n_tok_histogram(ds)
+    total_rows = sum(c for c, _ in hist.values())
+    total_tokens = sum(t for _, t in hist.values())
+    assert total_rows == 4000
+    pdf = pq.read_table(os.path.join(corpus_dir, os.listdir(corpus_dir)[0]))
+    assert total_tokens > 0
+    nb, _ = plan_partitions(ds, target_tokens_per_block=100_000)
+    assert nb == max(1, int(np.ceil(total_tokens / 100_000)))
+
+
+def test_decode_batch_mixed_states(ray_session):
+    """Rows from different encode blocks (different symtabs) in ONE decode
+    batch must still round-trip (parquet rewrite / shuffle scenario)."""
+    import pyarrow as pa
+    from fsst_like_ray.stages.encode import encode_table
+    from fsst_like_ray.stages.decode import decode_batch
+
+    t = tokens_table(400, seed=7)
+    enc_a = encode_table(t.slice(0, 200), codec="fsst")
+    enc_b = encode_table(t.slice(200, 200), codec="dict")
+    mixed = pa.concat_tables([enc_a, enc_b]).combine_chunks()
+    # interleave rows from the two blocks
+    idx = list(range(0, 400, 2)) + list(range(1, 400, 2))
+    mixed = mixed.take(pa.array(idx))
+    dec = decode_batch(mixed)
+    expect = t.take(pa.array(idx))
+    assert dec["tokens"].to_pylist() == expect["tokens"].to_pylist()
+    assert dec["doc_id"].to_pylist() == expect["doc_id"].to_pylist()
