@@ -1,0 +1,268 @@
+"""LIKE engines over decoded and FSST-compressed text.
+
+Mirrors the reference's engine families (SURVEY.md §2.3) with vectorized
+re-designs:
+
+- decoded path       ≅ StdFind engines (src/algos/StdFind.hpp) via
+                       pyarrow.compute kernels;
+- first-code prefix  ≅ StartsWithEngine (src/algos/StartsWith.hpp:28-37):
+                       pattern ≥9 bytes ⇒ every matching row's first payload
+                       byte is fully determined by the pattern; one vectorized
+                       byte compare prunes, decode verifies survivors;
+- required-code skip ≅ SkippingEngine (src/algos/Skipping.hpp:348-449):
+                       a sound per-row byte-membership prefilter from the
+                       block's symbol table (rows lacking every code whose
+                       expansion contains a needle byte cannot match);
+- lookup-KMP         ≅ CometKmpEngine + StateMachine::precompute
+                       (src/algos/Comet.hpp:63-78, src/StateMachine.hpp:41-60):
+                       per-(pattern × symtab) (state, code)→state table, rows
+                       advanced in lockstep so the Python loop is bounded by
+                       the longest payload, not total bytes.
+
+All engines return identical row sets (oracle-tested against DuckDB LIKE).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import fsstlib
+from .pattern import LikePattern, parse_like
+
+ESCAPE = fsstlib.ESCAPE
+
+
+# ---------------------------------------------------------------- decoded path
+def match_decoded(text: pa.Array | pa.ChunkedArray, pat: LikePattern) -> np.ndarray:
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    shape = pat.shape
+    if shape == "all":
+        return np.ones(len(text), dtype=bool)
+    seg = pat.segments[0].decode() if pat.segments else ""
+    if shape == "exact":
+        m = pc.equal(text, pat.raw.replace("%", ""))
+    elif shape == "prefix":
+        m = pc.starts_with(text, seg)
+    elif shape == "suffix":
+        m = pc.ends_with(text, seg)
+    elif shape == "contains":
+        m = pc.match_substring(text, seg)
+    else:  # multi / general — SQL LIKE semantics
+        m = pc.match_like(text, pat.raw)
+    return m.to_numpy(zero_copy_only=False).astype(bool)
+
+
+# ------------------------------------------------------- compressed prefilters
+def _expansions(table: fsstlib.SymbolTable) -> list[bytes]:
+    return table.symbols
+
+
+def _payload_rows_any(hits_u8: np.ndarray, po: np.ndarray) -> np.ndarray:
+    """Per-row OR over a per-byte uint8 hit array."""
+    n_rows = len(po) - 1
+    out = np.zeros(n_rows, dtype=bool)
+    counts = np.diff(po)
+    nz = counts > 0
+    if nz.any():
+        out[nz] = np.maximum.reduceat(hits_u8, po[:-1][nz]) > 0
+    return out
+
+
+def required_code_prefilter(
+    pay: np.ndarray, po: np.ndarray, table: fsstlib.SymbolTable, needle: bytes
+) -> np.ndarray:
+    """Sound candidate mask: True ⇒ row MIGHT contain ``needle``.
+
+    Pick the needle byte appearing in the fewest symbol expansions; a match
+    requires some payload code whose expansion contains it, or that byte as an
+    escaped literal."""
+    if not needle:
+        return np.ones(len(po) - 1, dtype=bool)
+    syms = _expansions(table)
+    # rarest needle byte by symbol coverage
+    best_b, best_codes = None, None
+    for b in needle:
+        codes = [c for c, s in enumerate(syms) if b in s]
+        if best_codes is None or len(codes) < len(best_codes):
+            best_b, best_codes = b, codes
+    lut = np.zeros(256, dtype=np.uint8)
+    lut[best_codes] = 1
+    hits = lut[pay]
+    cand = _payload_rows_any(hits, po)
+    # escaped literal: 255 followed by the byte (conservative, no parity check)
+    esc = np.zeros(len(pay), dtype=np.uint8)
+    if len(pay) > 1:
+        esc[:-1] = (pay[:-1] == ESCAPE) & (pay[1:] == best_b)
+    cand |= _payload_rows_any(esc, po)
+    return cand
+
+
+def first_code_prefilter(
+    pay: np.ndarray, po: np.ndarray, table: fsstlib.SymbolTable, prefix: bytes
+) -> np.ndarray:
+    """Prefix pattern ≥ MAX_SYMBOL_LEN+1 bytes: the first payload unit of any
+    match is fully determined by greedily encoding the prefix (reference
+    argument: StartsWith.hpp:12 assert). Returns a candidate mask."""
+    assert len(prefix) > fsstlib.MAX_SYMBOL_LEN
+    data = np.frombuffer(prefix, dtype=np.uint8)
+    off = np.array([0, len(prefix)], dtype=np.int64)
+    pos, ml, code = fsstlib._parse(data, off, table)
+    n_rows = len(po) - 1
+    counts = np.diff(po)
+    first = np.full(n_rows, -1, dtype=np.int64)
+    nz = counts > 0
+    first[nz] = pay[po[:-1][nz]]
+    if ml[0] > 0:
+        return first == code[0]
+    # prefix starts with an escaped literal: payload must start 255, byte
+    second = np.full(n_rows, -1, dtype=np.int64)
+    nz2 = counts > 1
+    second[nz2] = pay[po[:-1][nz2] + 1]
+    return (first == ESCAPE) & (second == data[0])
+
+
+# ----------------------------------------------------------- lookup-KMP engine
+def _kmp_char_delta(needle: bytes) -> np.ndarray:
+    """(m+1, 256) byte-level KMP automaton; state m is absorbing accept.
+    Classic construction (public algorithm; reference analog
+    src/StateMachine.hpp:307-332 build_pi + :41-60 precompute)."""
+    m = len(needle)
+    delta = np.zeros((m + 1, 256), dtype=np.int32)
+    delta[0, needle[0]] = 1
+    # delta[s] = delta[pi] for mismatches, advance on match; pi tracks the
+    # failure state incrementally
+    pi = 0
+    for s in range(1, m):
+        delta[s] = delta[pi]
+        delta[s, needle[s]] = s + 1
+        pi = int(delta[pi, needle[s]])
+    delta[m] = m  # absorb
+    return delta
+
+
+def _kmp_code_delta(
+    char_delta: np.ndarray, table: fsstlib.SymbolTable
+) -> np.ndarray:
+    """(m+1, 256) code-level transitions: run char_delta over each symbol's
+    expansion, for all states at once."""
+    m1 = char_delta.shape[0]
+    out = np.tile(np.arange(m1, dtype=np.int32)[:, None], (1, 256))
+    for code, sym in enumerate(table.symbols):
+        states = np.arange(m1, dtype=np.int32)
+        for b in sym:
+            states = char_delta[states, b]
+        out[:, code] = states
+    return out
+
+
+def kmp_code_match(
+    pay: np.ndarray, po: np.ndarray, table: fsstlib.SymbolTable, needle: bytes
+) -> np.ndarray:
+    """Exact contains-match on compressed payloads, no decode. All rows step
+    one payload byte per iteration (lockstep), with escape handling."""
+    n_rows = len(po) - 1
+    if not needle:
+        return np.ones(n_rows, dtype=bool)
+    m = len(needle)
+    char_delta = _kmp_char_delta(needle)
+    code_delta = _kmp_code_delta(char_delta, table)
+
+    state = np.zeros(n_rows, dtype=np.int32)
+    pos = po[:-1].copy()
+    ends = po[1:]
+    pending = np.zeros(n_rows, dtype=bool)
+    idx = np.flatnonzero(pos < ends)
+    while idx.size:
+        b = pay[pos[idx]]
+        s = state[idx]
+        p = pending[idx]
+        is_esc = (b == ESCAPE) & ~p
+        # literal step for pending rows, code step otherwise
+        ns = s.copy()
+        lit = p
+        if lit.any():
+            ns[lit] = char_delta[s[lit], b[lit]]
+        codep = ~p & ~is_esc
+        if codep.any():
+            ns[codep] = code_delta[s[codep], b[codep]]
+        state[idx] = ns
+        pending[idx] = is_esc
+        pos[idx] += 1
+        alive = (ns < m) & (pos[idx] < ends[idx])
+        idx = idx[alive]
+    return state == m
+
+
+# ------------------------------------------------------------------ public API
+ENGINES = ("decoded", "prefix", "skipping", "kmp", "auto")
+
+
+def like_on_encoded(
+    batch: pa.Table, pattern: str | LikePattern, engine: str = "auto"
+) -> np.ndarray:
+    """Row mask for a LIKE pattern over an encoded text table (one or more
+    blocks; rows are grouped by symbol table)."""
+    from ..stages.decode import _binary_buffers
+    from ..stages.text import decode_text_table
+
+    pat = parse_like(pattern) if isinstance(pattern, str) else pattern
+    shape = pat.shape
+    n = batch.num_rows
+    if shape == "all":
+        return np.ones(n, dtype=bool)
+
+    pay, po = _binary_buffers(batch["payload"])
+    state_col = batch["state"]
+    if isinstance(state_col, pa.ChunkedArray):
+        state_col = state_col.combine_chunks()
+    states = pc.dictionary_encode(state_col.cast(pa.binary()))
+    if isinstance(states, pa.ChunkedArray):
+        states = states.combine_chunks()
+    si = states.indices.to_numpy().astype(np.int64)
+
+    result = np.zeros(n, dtype=bool)
+    for key in np.unique(si):
+        rows = np.flatnonzero(si == key)
+        table = fsstlib.SymbolTable.deserialize(states.dictionary[int(key)].as_py())
+        # per-group payload views (offsets into the shared buffer)
+        gpo = np.zeros(len(rows) + 1, dtype=np.int64)
+        nbytes = po[rows + 1] - po[rows]
+        np.cumsum(nbytes, out=gpo[1:])
+        tot = int(gpo[-1])
+        gpay = np.empty(tot, dtype=np.uint8)
+        if tot:
+            wi = np.arange(tot, dtype=np.int64) - np.repeat(gpo[:-1], nbytes)
+            gpay = pay[np.repeat(po[rows], nbytes) + wi]
+
+        eng = engine
+        if eng == "auto":
+            if shape == "prefix" and len(pat.segments[0]) > fsstlib.MAX_SYMBOL_LEN:
+                eng = "prefix"
+            elif shape in ("contains", "multi"):
+                eng = "skipping"
+            else:
+                eng = "decoded"
+
+        if eng == "kmp" and shape == "contains":
+            result[rows] = kmp_code_match(gpay, gpo, table, pat.segments[0])
+            continue
+
+        cand = np.ones(len(rows), dtype=bool)
+        if eng == "prefix" and shape == "prefix" and len(
+            pat.segments[0]
+        ) > fsstlib.MAX_SYMBOL_LEN:
+            cand = first_code_prefilter(gpay, gpo, table, pat.segments[0])
+        elif eng == "skipping":
+            for seg in pat.segments:
+                cand &= required_code_prefilter(gpay, gpo, table, seg)
+        # decode-verify the candidates (or everything on the decoded path)
+        cidx = np.flatnonzero(cand)
+        if cidx.size == 0:
+            continue
+        sub = batch.take(pa.array(rows[cidx]))
+        text = decode_text_table(sub)["text"]
+        result[rows[cidx]] = match_decoded(text, pat)
+    return result

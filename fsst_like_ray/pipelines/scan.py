@@ -1,0 +1,80 @@
+"""LIKE scan pipelines over encoded text datasets (reference flagship run:
+./build/main <column:file> <pattern> — src/BenchmarkDriver.cpp:54-85 — as a
+streaming Ray Data pipeline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..matchers import parse_like, like_on_encoded
+from ..stages.text import encode_text_table, decode_text_table
+
+
+def encode_text_dataset(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """String column → per-block FSST-encoded dataset (actor pool: symbol
+    tables are trained per batch inside the actor)."""
+
+    class TextEncoder:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            return encode_text_table(batch, text_col, id_col)
+
+    if concurrency is None:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = (1, max(2, ncpu))
+    return ds.map_batches(
+        TextEncoder,
+        batch_format="pyarrow",
+        batch_size=8192,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def like_scan(
+    encoded: "ray.data.Dataset",
+    pattern: str,
+    engine: str = "auto",
+    decode_matches: bool = True,
+) -> "ray.data.Dataset":
+    """Rows matching a LIKE pattern, evaluated on the compressed
+    representation (matched rows decoded — sketch.cc:787-806 analog)."""
+    pat = parse_like(pattern)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.string())})
+        mask = like_on_encoded(batch, pat, engine=engine)
+        sub = batch.take(pa.array(np.flatnonzero(mask)))
+        if decode_matches:
+            return decode_text_table(sub)
+        return sub.select(["doc_id"])
+
+    return encoded.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def like_count(
+    encoded: "ray.data.Dataset", pattern: str, engine: str = "auto"
+) -> int:
+    """Global match count (the reference's headline metric,
+    src/BenchmarkDriver.cpp:66-79): streams per-batch counts, no decode."""
+    pat = parse_like(pattern)
+
+    def count(batch: pa.Table) -> pa.Table:
+        mask = like_on_encoded(batch, pat, engine=engine)
+        return pa.table({"n": pa.array([int(mask.sum())], type=pa.int64())})
+
+    parts = encoded.map_batches(count, batch_format="pyarrow").take_all()
+    return sum(int(r["n"]) for r in parts)
