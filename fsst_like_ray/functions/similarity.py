@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute-force cosine top-k: per-batch NumPy matmul against a broadcast query
+  matrix (``ray.put`` once, fetched in each actor's __init__ — never
+  re-shipped per batch), merged driver-side from tiny per-batch top-k tables;
+- IVF variant (the scale path): coarse centroids trained once on a seeded
+  sample, rows bucketed by nearest centroid; queries probe only the nearest
+  ``nprobe`` buckets;
+- embedding near-duplicate detection: random-hyperplane LSH buckets +
+  verified cosine (same shuffle pattern as the text dedups).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    off = arr.offsets.to_numpy().astype(np.int64)
+    dim = int(off[1] - off[0]) if len(off) > 1 else 0
+    base = off[0]
+    return vals[base : off[-1]].reshape(len(arr), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """Actor for map_batches: holds the (normalized) query matrix; emits each
+    batch's local top-k per query."""
+
+    def __init__(self, query_ref, k: int, id_col: str = "vec_id"):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch))
+        sims = m @ self.q.T  # (rows, n_queries)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            top = np.argpartition(-sims[:, qi], k - 1)[:k] if k else np.array([], int)
+            out_q.extend([qi] * len(top))
+            out_id.extend(ids[top].tolist())
+            out_sim.extend(sims[top, qi].tolist())
+        return pa.table(
+            {
+                "query": pa.array(out_q, type=pa.int32()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "sim": pa.array(out_sim, type=pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(ds, query: np.ndarray, k: int = 10, id_col: str = "vec_id"):
+    """→ pandas DataFrame (query, vec_id, sim) of the global top-k per query.
+    The per-batch stage is distributed; only tiny per-batch top-k tables reach
+    the driver."""
+    query = np.atleast_2d(np.asarray(query, dtype=np.float32))
+    query_ref = ray.put(query) if ray.is_initialized() else query
+    parts = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"query_ref": query_ref, "k": k, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).to_pandas()
+    out = (
+        parts.sort_values(["query", "sim", "vec_id"], ascending=[True, False, True])
+        .groupby("query", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def train_centroids(ds, n_centroids: int = 16, sample_rows: int = 2048, iters: int = 5):
+    """Seeded mini k-means on a driver-side sample (the ONLY materialized
+    piece; ≤ sample_rows rows regardless of dataset size)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    m = _normalize(
+        np.stack([np.asarray(v, dtype=np.float32) for v in sample["embedding"]])
+    )
+    rng = np.random.default_rng(42)
+    cents = m[rng.choice(len(m), min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            sel = m[assign == c]
+            if len(sel):
+                cents[c] = sel.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(ds, query: np.ndarray, k: int = 10, n_centroids: int = 16, nprobe: int = 4):
+    """IVF-style ANN: probe only the ``nprobe`` clusters nearest each query."""
+    cents = train_centroids(ds, n_centroids)
+    query = np.atleast_2d(np.asarray(query, dtype=np.float32))
+    qn = _normalize(query)
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    probe_set = set(probe.ravel().tolist())
+
+    def in_probed(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch))
+        assign = np.argmax(m @ cents.T, axis=1)
+        keep = np.isin(assign, list(probe_set))
+        return batch.take(pa.array(np.flatnonzero(keep)))
+
+    filtered = ds.map_batches(in_probed, batch_format="pyarrow")
+    return brute_force_topk(filtered, query, k)
+
+
+def hyperplane_bucket_batch(batch: pa.Table, n_planes: int = 12) -> pa.Table:
+    """Random-hyperplane LSH bucket ids (seeded planes → deterministic)."""
+    m = _normalize(_emb_matrix(batch))
+    dim = m.shape[1]
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    bits = (m @ planes) > 0
+    bucket = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(
+        axis=1
+    )
+    return pa.table(
+        {
+            "vec_id": batch["vec_id"],
+            "bucket": pa.array(bucket.astype(np.int64)),
+            "embedding": batch["embedding"],
+        }
+    )
+
+
+def _cosine_dups(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    if len(g) < 2:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype=g["vec_id"].dtype)})
+    g = g.sort_values("vec_id")
+    m = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in g["embedding"]]))
+    sims = m[1:] @ m[0]
+    return pd.DataFrame({"vec_id": g["vec_id"].to_numpy()[1:][sims >= threshold]})
+
+
+def embedding_duplicates(ds, threshold: float = 0.98, n_planes: int = 12):
+    """Near-duplicate vec_ids (cosine ≥ threshold vs their bucket keeper)."""
+    bucketed = ds.map_batches(
+        lambda b: hyperplane_bucket_batch(b, n_planes), batch_format="pyarrow"
+    )
+    dups = bucketed.groupby("bucket").map_groups(
+        lambda g: _cosine_dups(g, threshold), batch_format="pandas"
+    )
+    return dups.groupby("vec_id").count().select_columns(["vec_id"])
