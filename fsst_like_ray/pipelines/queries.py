@@ -1,0 +1,397 @@
+"""Driver-facing query registry: every operator from SURVEY.md §2 (plus the
+training-data operators) as a callable(sf_dir) → Dataset / DataFrame / Table,
+with (where SQL-expressible) a DuckDB oracle producing identical columns.
+
+The compression queries derive the north-rule tokens table from
+``documents.text`` Unicode code points — the SAME derivation is expressed in
+the oracle SQL, so the driver's value-hash compare gates bit-identical
+round-trips through every codec.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..codecs import CODECS
+from ..functions import dedup as F_dedup
+from ..functions import similarity as F_sim
+from ..functions import textstats as F_text
+from ..functions.textstats import codepoints
+from ..stages.decode import decode_batch
+from ..stages.encode import encode_table
+from .compress import encode_dataset, decode_dataset
+from .scan import encode_text_dataset, like_scan, like_count
+
+
+# ---------------------------------------------------------------- helpers
+def _docs(sf_dir: str, columns=("doc_id", "text", "source")):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=list(columns)
+    )
+
+
+def to_tokens_batch(batch: pa.Table) -> pa.Table:
+    """documents → the north-rule tokens shape, tokens = code points of text
+    (oracle mirror: [unicode(substr(text,i,1)) FOR i IN range(...)])."""
+    vals, off = codepoints(batch["text"])
+    tok = pa.ListArray.from_arrays(
+        pa.array(off.astype(np.int32), type=pa.int32()),
+        pa.array(vals, type=pa.int32()),
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "tokens": tok,
+            "n_tok": pa.array(np.diff(off).astype(np.int32), type=pa.int32()),
+            "source": batch["source"],
+        }
+    )
+
+
+def tok_str_batch(batch: pa.Table) -> pa.Table:
+    """tokens list<int32> → comma-joined string (stable cross-system hash)."""
+    toks = batch["tokens"].to_pylist()
+    s = [",".join(map(str, t)) for t in toks]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tok": batch["n_tok"].cast(pa.int64()),
+            "tok_str": pa.array(s, type=pa.string()),
+        }
+    )
+
+
+def _tokens_ds(sf_dir: str):
+    return _docs(sf_dir).map_batches(to_tokens_batch, batch_format="pyarrow")
+
+
+ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_tok,
+       array_to_string([CAST(unicode(substr(text, i, 1)) AS INT)
+                        FOR i IN range(1, length(text) + 1)], ',') AS tok_str
+FROM documents
+"""
+
+
+def make_roundtrip(codec: str):
+    def q(sf_dir: str):
+        ds = _tokens_ds(sf_dir)
+        enc = encode_dataset(ds, codec=codec)
+        dec = decode_dataset(enc)
+        return dec.map_batches(tok_str_batch, batch_format="pyarrow")
+
+    return q
+
+
+# ------------------------------------------------------------ LIKE queries
+LIKE_PATTERNS = {
+    "like_contains": ("%scan%", "auto"),
+    "like_skipping": ("%window%", "skipping"),
+    "like_kmp": ("%filter%", "kmp"),
+    "like_multi": ("%merge%sort%", "auto"),
+    "like_suffix": ("%join", "auto"),
+    "like_prefix": ("the %", "auto"),
+    "like_prefix_long": ("the fast key %", "auto"),
+    "like_nomatch": ("%zzzqqq%", "auto"),
+}
+
+
+def make_like(pattern: str, engine: str):
+    def q(sf_dir: str):
+        enc = encode_text_dataset(_docs(sf_dir, ("doc_id", "text")))
+        return like_scan(enc, pattern, engine=engine, decode_matches=False)
+
+    return q
+
+
+def make_like_count(pattern: str, engine: str):
+    def q(sf_dir: str):
+        enc = encode_text_dataset(_docs(sf_dir, ("doc_id", "text")))
+        n = like_count(enc, pattern, engine=engine)
+        return pa.table({"n": pa.array([n], type=pa.int64())})
+
+    return q
+
+
+# ------------------------------------------------------------- aggregates
+def q_ntok_histogram(sf_dir: str):
+    from ..stages.skew import _bucketize
+
+    ds = _tokens_ds(sf_dir).select_columns(["n_tok"])
+    agg = (
+        ds.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="rows"), Sum("n_tok", alias_name="tokens"))
+    )
+
+    def fix(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": b["bucket"].cast(pa.int64()),
+                "rows": b["rows"].cast(pa.int64()),
+                "tokens": b["tokens"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fix, batch_format="pyarrow")
+
+
+def q_source_counts(sf_dir: str):
+    agg = _docs(sf_dir).groupby("source").aggregate(Count(alias_name="n_docs"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"source": b["source"], "n_docs": b["n_docs"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_compression_stats(sf_dir: str):
+    """Per-codec encoded bytes over the derived tokens table (the reference's
+    compressed-size accounting, sketch.cc:738-755). Rows-only check."""
+    t = _tokens_ds(sf_dir).take_all()
+    batch = pa.Table.from_pylist(t)
+    rows = []
+    for name in sorted(CODECS):
+        enc = encode_table(batch, codec=name)
+        payload = int(pa.compute.sum(enc["payload_nbytes"]).as_py() or 0)
+        state = len(enc["state"][0].as_py() or b"")
+        plain = int(pa.compute.sum(enc["n_tok"].cast(pa.int64())).as_py() or 0) * 4
+        rows.append(
+            {
+                "codec": name,
+                "encoded_bytes": payload + state,
+                "plain_bytes": plain,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def q_decode_selected(sf_dir: str):
+    """Selected-row decompress (sketch.cc:770-785): encode everything, decode
+    only doc_id % 10 == 0."""
+    ds = _tokens_ds(sf_dir)
+    enc = encode_dataset(ds, codec="auto")
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.take(pa.array(np.flatnonzero(ids % 10 == 0)))
+
+    sel = enc.map_batches(pick, batch_format="pyarrow")
+    dec = decode_dataset(sel)
+    return dec.map_batches(tok_str_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ dedup
+def q_dedup_exact(sf_dir: str):
+    ds = _docs(sf_dir, ("doc_id", "text"))
+    dup_rows = F_dedup.exact_duplicates(ds).take_all()
+    dropped = {r["doc_id"] for r in dup_rows}
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        mask = ~np.isin(ids, list(dropped)) if dropped else np.ones(len(ids), bool)
+        return b.select(["doc_id"]).take(pa.array(np.flatnonzero(mask)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def make_dedup(kind: str):
+    def q(sf_dir: str):
+        ds = _docs(sf_dir, ("doc_id", "text"))
+        if kind == "minhash":
+            out = F_dedup.minhash_duplicates(ds)
+        elif kind == "simhash":
+            out = F_dedup.simhash_duplicates(ds)
+        else:
+            raise ValueError(kind)
+        return out
+
+    return q
+
+
+def q_dedup_embedding(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return F_sim.embedding_duplicates(ds)
+
+
+# ------------------------------------------------------------- text stats
+def make_textstat(fn):
+    def q(sf_dir: str):
+        return _docs(sf_dir, ("doc_id", "text")).map_batches(
+            fn, batch_format="pyarrow"
+        )
+
+    return q
+
+
+# ------------------------------------------------------------- similarity
+def q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))["embedding"][0]
+        .as_py()
+    )
+    out = F_sim.brute_force_topk(ds, np.asarray(q0, dtype=np.float64), k=10)
+    return pd.DataFrame({"vec_id": out["vec_id"].astype("int64")})
+
+
+def q_ann_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))["embedding"][0]
+        .as_py()
+    )
+    out = F_sim.ivf_topk(ds, np.asarray(q0, dtype=np.float64), k=10, n_centroids=8)
+    return pd.DataFrame({"vec_id": out["vec_id"].astype("int64")})
+
+
+def q_multimodal(sf_dir: str):
+    from ..functions.multimodal import synth_media_table, decode_pipeline
+
+    ds = ray.data.from_arrow(synth_media_table(200))
+    return decode_pipeline(ds, fake=True).map_batches(
+        lambda b: b.select(["media_id", "decoded_ok"]), batch_format="pyarrow"
+    )
+
+
+def q_tokens_corpus_roundtrip(sf_dir: str):
+    """North-rule synthetic corpus (FIXTURES.md §1) through the full auto
+    pipeline; returns per-source row/token counts + the round-trip verdict."""
+    from ..sources.tokens import tokens_table
+    from ..stages.verify import row_hashes
+
+    t = tokens_table(4096, seed=42)
+    ds = ray.data.from_arrow(t)
+    enc = encode_dataset(ds, codec="auto")
+    dec = decode_dataset(enc)
+    with np.errstate(over="ignore"):
+        h_in = np.uint64(0)
+        for b in ray.data.from_arrow(t).iter_batches(
+            batch_size=4096, batch_format="pyarrow"
+        ):
+            h_in += row_hashes(b).sum()
+        h_out = np.uint64(0)
+        rows = 0
+        for b in dec.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            h_out += row_hashes(b).sum()
+            rows += b.num_rows
+    return pa.table(
+        {
+            "rows": pa.array([rows], type=pa.int64()),
+            "bit_identical": pa.array([bool(h_in == h_out)]),
+        }
+    )
+
+
+# ----------------------------------------------------------------- registry
+def build_queries() -> dict:
+    q = {}
+    for name in sorted(CODECS):
+        q[f"roundtrip_{name}"] = make_roundtrip(name)
+    q["roundtrip_auto"] = make_roundtrip("auto")
+    for name, (pattern, engine) in LIKE_PATTERNS.items():
+        q[name] = make_like(pattern, engine)
+    q["like_count_contains"] = make_like_count("%scan%", "auto")
+    q["ntok_histogram"] = q_ntok_histogram
+    q["source_counts"] = q_source_counts
+    q["compression_stats"] = q_compression_stats
+    q["decode_selected"] = q_decode_selected
+    q["dedup_exact"] = q_dedup_exact
+    q["dedup_minhash"] = make_dedup("minhash")
+    q["dedup_simhash"] = make_dedup("simhash")
+    q["dedup_embedding"] = q_dedup_embedding
+    q["token_count"] = make_textstat(F_text.token_count_batch)
+    q["quality_score"] = make_textstat(F_text.quality_batch)
+    q["lang_id"] = make_textstat(F_text.lang_id_batch)
+    q["fingerprint"] = make_textstat(F_text.fingerprint_batch)
+    q["ann_topk"] = q_ann_topk
+    q["ann_ivf"] = q_ann_ivf
+    q["multimodal_decode"] = q_multimodal
+    q["tokens_corpus_roundtrip"] = q_tokens_corpus_roundtrip
+    return q
+
+
+def build_oracle_sql() -> dict:
+    sql = {}
+    for name in list(sorted(CODECS)) + ["auto"]:
+        sql[f"roundtrip_{name}"] = ROUNDTRIP_SQL
+    for name, (pattern, _engine) in LIKE_PATTERNS.items():
+        sql[name] = (
+            f"SELECT doc_id FROM documents WHERE text LIKE '{pattern}'"
+        )
+    sql["like_count_contains"] = (
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM documents "
+        "WHERE text LIKE '%scan%'"
+    )
+    sql["ntok_histogram"] = """
+        SELECT CASE WHEN length(text) = 0 THEN 0
+                    ELSE length(format('{:b}', length(text))) END AS bucket,
+               CAST(count(*) AS BIGINT) AS rows,
+               CAST(sum(length(text)) AS BIGINT) AS tokens
+        FROM documents GROUP BY 1
+    """
+    sql["source_counts"] = (
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM documents GROUP BY source"
+    )
+    sql["decode_selected"] = """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_tok,
+               array_to_string([CAST(unicode(substr(text, i, 1)) AS INT)
+                                FOR i IN range(1, length(text) + 1)], ',') AS tok_str
+        FROM documents WHERE doc_id % 10 = 0
+    """
+    sql["dedup_exact"] = """
+        SELECT doc_id FROM documents
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+    """
+    sql["token_count"] = """
+        SELECT doc_id,
+               CAST(length(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(greatest((strlen(text) + 3) // 4, 1) AS BIGINT) AS n_subword_est
+        FROM documents
+    """
+    stop_list = ",".join(f"'{w}'" for w in F_text.STOPWORDS)
+    sql["quality_score"] = f"""
+        SELECT doc_id,
+               CAST(length(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w IN ({stop_list}))) AS BIGINT) AS n_stop,
+               CAST(length(text) - length(regexp_replace(text,
+                    '[.,;:!?''"()-]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(strlen(text) AS BIGINT) AS n_chars
+        FROM documents
+    """
+    sql["fingerprint"] = """
+        SELECT doc_id,
+               CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+                 list_reduce([CAST(unicode(substr(text, i, 1)) AS BIGINT)
+                              FOR i IN range(1, length(text) + 1)],
+                             (a, b) -> (a * 31 + b) % 2147483647)
+               END AS BIGINT) AS fp
+        FROM documents
+    """
+    sql["ann_topk"] = """
+        SELECT vec_id FROM embeddings
+        ORDER BY list_cosine_similarity(embedding,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                 vec_id
+        LIMIT 10
+    """
+    # rows-only (non-SQL-expressible) queries intentionally omitted:
+    # compression_stats, dedup_minhash/simhash/embedding, lang_id, ann_ivf,
+    # multimodal_decode, tokens_corpus_roundtrip
+    return sql

@@ -55,7 +55,7 @@ def like_scan(
 
     def scan(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], type=pa.string())})
+            return batch.select(["doc_id"])
         mask = like_on_encoded(batch, pat, engine=engine)
         sub = batch.take(pa.array(np.flatnonzero(mask)))
         if decode_matches:
