@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR at
+$RAY_GRAFT_CPUS, printing ONE JSON line.
+
+Headline = the north-rule flagship: synthetic tokens corpus (FIXTURES.md §1)
+→ skew-planned auto-codec encode → partitioned parquet + manifest; plus
+decode-verify, compressed LIKE scans, dedup, and ANN as per-query timings.
+
+--scaling runs the headline encode twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the SAME pre-generated input and reports both
+throughputs + scaling efficiency (sandbox proxy for N- vs 4N-node clusters).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "65536"))
+CORPUS_DIR = f"/tmp/fsst_like_bench/tokens_{BENCH_ROWS}"
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def _ensure_corpus():
+    from fsst_like_ray.sources.tokens import write_tokens_parquet
+
+    write_tokens_parquet(CORPUS_DIR, n_rows=BENCH_ROWS, seed=42, rows_per_file=8192)
+    return CORPUS_DIR
+
+
+def _corpus_tokens() -> int:
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in sorted(os.listdir(CORPUS_DIR)):
+        if f.endswith(".parquet"):
+            md = pq.read_metadata(os.path.join(CORPUS_DIR, f))
+            total += md.num_rows
+    return total
+
+
+def run_headline(out_dir: str) -> dict:
+    """Encode the corpus with the full pipeline (auto codec, skew plan,
+    manifest); returns timing + manifest stats."""
+    from fsst_like_ray.pipelines import compress_dataset
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    stats = compress_dataset(
+        CORPUS_DIR, out_dir, codec="auto", balance_tokens=2_000_000
+    )
+    dt = time.time() - t0
+    return {"sec": dt, **stats}
+
+
+def run_decode_verify(out_dir: str) -> dict:
+    import ray.data
+    from fsst_like_ray.pipelines import decode_dataset, read_encoded, verify_roundtrip
+
+    t0 = time.time()
+    original = ray.data.read_parquet(CORPUS_DIR)
+    decoded = decode_dataset(read_encoded(out_dir))
+    v = verify_roundtrip(original, decoded)
+    dt = time.time() - t0
+    assert v["match"], v
+    return {"sec": dt}
+
+
+def run_like(sf_dir: str) -> dict:
+    import ray.data
+    from fsst_like_ray.pipelines.scan import encode_text_dataset, like_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    enc = encode_text_dataset(ds).materialize()  # small table; scan it 4×
+    t0 = time.time()
+    counts = {}
+    for pattern in ["%scan%", "%merge%sort%", "the fast key %", "%join"]:
+        counts[pattern] = like_count(enc, pattern)
+    return {"sec": time.time() - t0, "counts": counts}
+
+
+def run_dedup(sf_dir: str) -> dict:
+    import ray.data
+    from fsst_like_ray.functions.dedup import minhash_duplicates
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    t0 = time.time()
+    n = minhash_duplicates(ds).count()
+    return {"sec": time.time() - t0, "dups": n}
+
+
+def run_ann(sf_dir: str) -> dict:
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+    from fsst_like_ray.functions.similarity import brute_force_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet")["embedding"][0].as_py(),
+        dtype=np.float32,
+    )
+    t0 = time.time()
+    out = brute_force_topk(ds, q, k=10)
+    return {"sec": time.time() - t0, "rows": len(out)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        _ensure_corpus()  # generate once, both subprocesses reuse it
+        results = {}
+        for n in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--headline-only", "--cpus", str(n)],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[n] = json.loads(line)
+        tput = {n: r["tokens_per_sec"] for n, r in results.items()}
+        eff = (tput[32] / tput[8]) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "encode_scaling_efficiency",
+                    "value": round(eff, 4),
+                    "unit": "ratio",
+                    "throughput_tokens_per_sec": {str(k): v for k, v in tput.items()},
+                    "sf": sf_dir,
+                    "cpus": [8, 32],
+                }
+            )
+        )
+        return
+
+    ray = _init_ray(num_cpus)
+    try:
+        _ensure_corpus()
+        queries: dict[str, float] = {}
+        head = run_headline(f"/tmp/fsst_like_bench/encoded_{num_cpus}")
+        queries["encode_auto"] = round(head["sec"], 3)
+        tokens = head.get("tokens", 0)
+        tput = tokens / head["sec"] if head["sec"] else 0.0
+
+        if args.headline_only:
+            print(
+                json.dumps(
+                    {
+                        "metric": "encode_throughput",
+                        "value": round(head["sec"], 3),
+                        "unit": "sec",
+                        "tokens": tokens,
+                        "tokens_per_sec": round(tput, 1),
+                        "num_cpus": num_cpus,
+                    }
+                )
+            )
+            return
+
+        queries["decode_verify"] = round(
+            run_decode_verify(f"/tmp/fsst_like_bench/encoded_{num_cpus}")["sec"], 3
+        )
+        queries["like_scan_compressed"] = round(run_like(sf_dir)["sec"], 3)
+        queries["dedup_minhash"] = round(run_dedup(sf_dir)["sec"], 3)
+        queries["ann_topk"] = round(run_ann(sf_dir)["sec"], 3)
+
+        total = sum(queries.values())
+        print(
+            json.dumps(
+                {
+                    "metric": "pipeline_suite_sec",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": sf_dir,
+                    "num_cpus": num_cpus,
+                    "tokens": tokens,
+                    "encode_tokens_per_sec": round(tput, 1),
+                    "compression_ratio": round(
+                        head.get("plain_bytes", 0)
+                        / max(head.get("encoded_bytes", 1), 1),
+                        3,
+                    ),
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
