@@ -44,6 +44,7 @@ class SymbolTable:
         "short_len",
         "long_prefixes",
         "prefix_has_len",
+        "lut3",
     )
 
     def __init__(self, symbols: list[bytes]):
@@ -82,9 +83,11 @@ class SymbolTable:
                 self.short_len[s[1], s[0]] = 2
         self.short_code = self.short_code.reshape(-1)
         self.short_len = self.short_len.reshape(-1)
-        # sorted distinct 3-byte prefixes of symbols of length ≥3 — the
-        # candidate filter for long matches — plus, per prefix, which symbol
-        # lengths exist under it (cuts per-length search work)
+        # distinct 3-byte prefixes of symbols of length ≥3 — the candidate
+        # filter for long matches. lut3 is a direct-address 2^24 byte table
+        # (prefix → prefix id + 1, 0 = no long symbol): one gather replaces a
+        # binary search over every position. prefix_has_len[l][pid] marks
+        # which symbol lengths exist under each prefix.
         p3 = sorted(
             {int.from_bytes(s[:3], "little") for s in symbols if len(s) >= 3}
         )
@@ -94,6 +97,12 @@ class SymbolTable:
         for s in symbols:
             if len(s) >= 3:
                 self.prefix_has_len[len(s), pidx[int.from_bytes(s[:3], "little")]] = True
+        self.lut3 = None
+        if p3:
+            self.lut3 = np.zeros(1 << 24, dtype=np.uint8)
+            self.lut3[np.array(p3, dtype=np.int64)] = (
+                np.arange(len(p3), dtype=np.uint8) + 1
+            )
 
     # -- serialization (reference analog: SerializeDecoder/DeserializeDecoder,
     #    src/FsstWrapper.cpp:67-109) --
@@ -163,24 +172,22 @@ def _match_table(
     """
     n = int(data.size)
     if n == 0 or not table.symbols:
-        return np.zeros(n, dtype=np.int64), np.full(n, ESCAPE, dtype=np.uint8)
+        return np.zeros(n, dtype=np.uint8), np.full(n, ESCAPE, dtype=np.uint8)
     g8 = _grams8(data)
-    # 1-2 byte matches: one gather
-    g2 = np.bitwise_and(g8, np.uint64(0xFFFF)).astype(np.int32)
-    m = table.short_len[g2].astype(np.int64)
+    # 1-2 byte matches: truncating astype IS the &0xFFFF mask (little-endian)
+    g2 = g8.astype(np.uint16)
+    m = table.short_len[g2]  # uint8 throughout — lengths are ≤8
     code = table.short_code[g2].copy()
     del g2
-    # ≥3-byte matches: candidate positions share a 3-byte prefix with a symbol
-    if table.long_prefixes.size:
-        g3 = np.bitwise_and(g8, np.uint64(0xFFFFFF))
-        i = np.searchsorted(table.long_prefixes, g3)
-        np.minimum(i, len(table.long_prefixes) - 1, out=i)
-        hit = table.long_prefixes[i] == g3
+    # ≥3-byte matches: one direct-address gather finds candidate positions
+    if table.lut3 is not None:
+        g3 = np.bitwise_and(g8, np.uint64(0xFFFFFF)).astype(np.int32)
+        pid1 = table.lut3[g3]
         del g3
-        cand = np.flatnonzero(hit)
-        pids = i[cand]
-        del i, hit
+        cand = np.flatnonzero(pid1)
         if cand.size:
+            pids = pid1[cand].astype(np.int64) - 1
+            del pid1
             m_loc = m[cand]
             c_loc = code[cand]
             _lookup_long(table, g8, cand, pids, m_loc, c_loc)
@@ -221,11 +228,11 @@ def _match_table(
                 fm[tgt] = 1
                 fc[tgt] = codes[j[hit]]
             # long matches with length ≤ rem, per distinct cap value
-            if table.long_prefixes.size:
-                g3f = np.bitwise_and(g8[fix], np.uint64(0xFFFFFF))
-                j = np.searchsorted(table.long_prefixes, g3f)
-                np.minimum(j, len(table.long_prefixes) - 1, out=j)
-                phit = table.long_prefixes[j] == g3f
+            if table.lut3 is not None:
+                g3f = np.bitwise_and(g8[fix], np.uint64(0xFFFFFF)).astype(np.int32)
+                j1 = table.lut3[g3f]
+                phit = j1 > 0
+                j = j1.astype(np.int64) - 1
                 for cap in np.unique(fr[phit]):
                     if cap < 3:
                         continue
