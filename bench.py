@@ -45,7 +45,7 @@ def _init_ray(num_cpus: int):
 def _ensure_corpus():
     from fsst_like_ray.sources.tokens import write_tokens_parquet
 
-    write_tokens_parquet(CORPUS_DIR, n_rows=BENCH_ROWS, seed=42, rows_per_file=8192)
+    write_tokens_parquet(CORPUS_DIR, n_rows=BENCH_ROWS, seed=42, rows_per_file=4096)
     return CORPUS_DIR
 
 
@@ -68,7 +68,7 @@ def run_headline(out_dir: str) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
     stats = compress_dataset(
-        CORPUS_DIR, out_dir, codec="auto", balance_tokens=2_000_000
+        CORPUS_DIR, out_dir, codec="auto", balance_tokens=1_000_000
     )
     dt = time.time() - t0
     return {"sec": dt, **stats}
@@ -142,8 +142,9 @@ def main():
 
     if args.scaling:
         _ensure_corpus()  # generate once, both subprocesses reuse it
+        n_low = int(os.environ.get("GRAFT_SCALING_N", "1"))
         results = {}
-        for n in (8, 32):
+        for n in (n_low, 4 * n_low):
             out = subprocess.run(
                 [sys.executable, __file__, "--headline-only", "--cpus", str(n)],
                 capture_output=True,
@@ -153,7 +154,7 @@ def main():
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             results[n] = json.loads(line)
         tput = {n: r["tokens_per_sec"] for n, r in results.items()}
-        eff = (tput[32] / tput[8]) / (32 / 8)
+        eff = (tput[4 * n_low] / tput[n_low]) / 4
         print(
             json.dumps(
                 {
@@ -162,7 +163,7 @@ def main():
                     "unit": "ratio",
                     "throughput_tokens_per_sec": {str(k): v for k, v in tput.items()},
                     "sf": sf_dir,
-                    "cpus": [8, 32],
+                    "cpus": [n_low, 4 * n_low],
                 }
             )
         )

@@ -44,8 +44,17 @@ class SymbolTable:
         "short_len",
         "long_prefixes",
         "prefix_has_len",
-        "lut3",
+        "_p3_positions",
     )
+
+    @property
+    def lut3(self):
+        """Direct-address 2^24 table: 3-byte prefix → prefix id + 1 (0 = no
+        long symbol). One shared process-level buffer, re-claimed per table:
+        clearing = resetting the previous owner's ≤255 entries."""
+        if self._p3_positions.size == 0:
+            return None
+        return _claim_lut3(self)
 
     def __init__(self, symbols: list[bytes]):
         assert len(symbols) <= MAX_SYMBOLS
@@ -97,12 +106,10 @@ class SymbolTable:
         for s in symbols:
             if len(s) >= 3:
                 self.prefix_has_len[len(s), pidx[int.from_bytes(s[:3], "little")]] = True
-        self.lut3 = None
-        if p3:
-            self.lut3 = np.zeros(1 << 24, dtype=np.uint8)
-            self.lut3[np.array(p3, dtype=np.int64)] = (
-                np.arange(len(p3), dtype=np.uint8) + 1
-            )
+        # lut3 itself is process-level scratch, claimed lazily on first use —
+        # a fresh 16 MB allocation per table (tables are built per training
+        # generation and per batch) would thrash the allocator
+        self._p3_positions = np.array(p3, dtype=np.int64)
 
     # -- serialization (reference analog: SerializeDecoder/DeserializeDecoder,
     #    src/FsstWrapper.cpp:67-109) --
@@ -119,6 +126,24 @@ class SymbolTable:
             out.append(blob[off : off + l])
             off += l
         return cls(out)
+
+
+_LUT3_BUF: np.ndarray | None = None
+_LUT3_OWNER_POSITIONS: np.ndarray | None = None
+
+
+def _claim_lut3(table: "SymbolTable") -> np.ndarray:
+    global _LUT3_BUF, _LUT3_OWNER_POSITIONS
+    pos = table._p3_positions
+    if _LUT3_BUF is None:
+        _LUT3_BUF = np.zeros(1 << 24, dtype=np.uint8)
+    elif _LUT3_OWNER_POSITIONS is pos:
+        return _LUT3_BUF
+    elif _LUT3_OWNER_POSITIONS is not None:
+        _LUT3_BUF[_LUT3_OWNER_POSITIONS] = 0
+    _LUT3_BUF[pos] = np.arange(len(pos), dtype=np.uint8) + 1
+    _LUT3_OWNER_POSITIONS = pos
+    return _LUT3_BUF
 
 
 def _grams8(data: np.ndarray) -> np.ndarray:

@@ -30,7 +30,7 @@ from ..stages.verify import hash_summary
 from ..stages.skew import balance as skew_balance
 from ..state.manifest import Manifest, fragment_key
 
-DEFAULT_BATCH_ROWS = 8192
+DEFAULT_BATCH_ROWS = 2048
 
 
 def encode_dataset(
@@ -39,20 +39,31 @@ def encode_dataset(
     concurrency=None,
     batch_size: int | None = DEFAULT_BATCH_ROWS,
 ) -> "ray.data.Dataset":
-    if concurrency is None:
-        # autoscaling actor pool sized to the cluster (local: num_cpus)
-        import ray
+    import ray
 
-        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = (1, max(2, ncpu))
-    kwargs = {"concurrency": concurrency}
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    if ncpu < 4 and concurrency is None:
+        # an actor pool on a 1-2 CPU node permanently holds the CPUs and
+        # starves the read/write stages; fall back to a task pool (same
+        # per-batch kernel, state still trained per batch)
+        fn = EncoderActor(codec=codec)
+        return ds.map_batches(
+            lambda b, _fn=fn: _fn(b),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+    if concurrency is None:
+        # autoscaling actor pool sized to the cluster, one CPU of headroom so
+        # read/write/reduce stages never starve
+        concurrency = (1, max(1, ncpu - 1))
     return ds.map_batches(
         EncoderActor,
         fn_constructor_kwargs={"codec": codec},
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        **kwargs,
+        concurrency=concurrency,
     )
 
 

@@ -33,7 +33,7 @@ def encode_text_dataset(
         import ray
 
         ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = (1, max(2, ncpu))
+        concurrency = (1, max(1, ncpu - 1))
     return ds.map_batches(
         TextEncoder,
         batch_format="pyarrow",
