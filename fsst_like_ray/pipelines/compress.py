@@ -118,11 +118,31 @@ def compress_dataset(
         enc = encode_dataset(ds, codec=codec, concurrency=concurrency)
         enc.write_parquet(data_dir, partition_cols=["frag"])
 
-        # lineage stats from a column-pruned re-read of what was written
+        # lineage stats from a column-pruned re-read of ONLY this round's
+        # partition directories (payload bytes stay on disk; the hive key is
+        # re-derived from the file path since the physical files omit it)
+        round_dirs = [
+            f
+            for key in path_to_key.values()
+            for f in discover_fragments(os.path.join(data_dir, f"frag={key}"))
+        ]
+
+        def tag_from_path(batch: pa.Table) -> pa.Table:
+            keys = [
+                p.split("frag=", 1)[1].split(os.sep, 1)[0]
+                for p in batch["path"].to_pylist()
+            ]
+            return batch.drop_columns(["path"]).append_column(
+                "frag", pa.array(keys, type=pa.string())
+            )
+
         stats = (
             ray.data.read_parquet(
-                data_dir, columns=["frag", "n_tok", "payload_nbytes", "codec"]
+                round_dirs,
+                columns=["n_tok", "payload_nbytes"],
+                include_paths=True,
             )
+            .map_batches(tag_from_path, batch_format="pyarrow")
             .groupby("frag")
             .aggregate(
                 Count(alias_name="rows"),
