@@ -77,9 +77,10 @@ def run_headline(out_dir: str) -> dict:
 def run_decode_verify(out_dir: str) -> dict:
     import ray.data
     from fsst_like_ray.pipelines import decode_dataset, read_encoded, verify_roundtrip
+    from fsst_like_ray.pipelines.compress import read_parquet_blocks
 
     t0 = time.time()
-    original = ray.data.read_parquet(CORPUS_DIR)
+    original = read_parquet_blocks(CORPUS_DIR)
     decoded = decode_dataset(read_encoded(out_dir))
     v = verify_roundtrip(original, decoded)
     dt = time.time() - t0
@@ -172,6 +173,13 @@ def main():
     ray = _init_ray(num_cpus)
     try:
         _ensure_corpus()
+        # untimed warmup: spin up worker processes / import the library once
+        # so timings measure steady-state throughput, not process start
+        import ray.data as _rd
+        from fsst_like_ray.pipelines.compress import read_parquet_blocks as _rpb
+        _rpb(CORPUS_DIR, columns=["n_tok"]).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ).count()
         queries: dict[str, float] = {}
         head = run_headline(f"/tmp/fsst_like_bench/encoded_{num_cpus}")
         queries["encode_auto"] = round(head["sec"], 3)

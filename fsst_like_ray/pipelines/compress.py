@@ -3,7 +3,8 @@ lineage manifest → decode-verify. Everything is a lazy ``ray.data.Dataset``
 (reference lifecycle analog: SURVEY.md §3.1, re-expressed as a stream).
 
 Scale notes:
-- the encode stage is an actor-pool ``map_batches`` (state trained per batch);
+- the encode stage is a task-pool ``map_batches`` (state trained per batch,
+  so no actor is needed; pass ``concurrency`` to pin an actor pool);
 - fragments (input files) are the checkpoint unit; a killed job resumes by
   skipping fragments already committed to the manifest;
 - output is hive-partitioned by fragment key → a failed run never corrupts
@@ -27,7 +28,7 @@ from ray.data.aggregate import Count, Sum
 from ..stages.encode import EncoderActor
 from ..stages.decode import decode_batch
 from ..stages.verify import hash_summary
-from ..stages.skew import balance as skew_balance
+from ..stages.skew import plan_batch_rows
 from ..state.manifest import Manifest, fragment_key
 
 DEFAULT_BATCH_ROWS = 2048
@@ -38,28 +39,27 @@ def encode_dataset(
     codec: str = "auto",
     concurrency=None,
     batch_size: int | None = DEFAULT_BATCH_ROWS,
+    max_tokens_per_state: int | None = None,
 ) -> "ray.data.Dataset":
-    import ray
-
-    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    if ncpu < 4 and concurrency is None:
-        # an actor pool on a 1-2 CPU node permanently holds the CPUs and
-        # starves the read/write stages; fall back to a task pool (same
-        # per-batch kernel, state still trained per batch)
-        fn = EncoderActor(codec=codec)
+    """Encode stage. Codec state is trained per batch (no cross-batch state),
+    so the default is a stateless TASK pool — it autoscales to whatever CPUs
+    the streaming executor has free, with no actor ramp-up or bundling
+    stalls. Pass ``concurrency`` to pin an actor pool instead (useful when a
+    future codec carries heavy per-process setup)."""
+    if concurrency is None:
+        fn = EncoderActor(codec=codec, max_tokens_per_state=max_tokens_per_state)
         return ds.map_batches(
             lambda b, _fn=fn: _fn(b),
             batch_format="pyarrow",
             batch_size=batch_size,
             zero_copy_batch=True,
         )
-    if concurrency is None:
-        # autoscaling actor pool sized to the cluster, one CPU of headroom so
-        # read/write/reduce stages never starve
-        concurrency = (1, max(1, ncpu - 1))
     return ds.map_batches(
         EncoderActor,
-        fn_constructor_kwargs={"codec": codec},
+        fn_constructor_kwargs={
+            "codec": codec,
+            "max_tokens_per_state": max_tokens_per_state,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
@@ -84,6 +84,23 @@ def discover_fragments(path: str | list[str]) -> list[str]:
     )
 
 
+def read_parquet_blocks(
+    path: str | list[str], min_blocks_per_cpu: int = 2, **kwargs
+) -> "ray.data.Dataset":
+    """``read_parquet`` with read parallelism pinned to
+    ``max(#files, min_blocks_per_cpu × CPUs)``. Ray sizes read tasks by
+    estimated bytes ÷ target block size, which collapses small inputs to ONE
+    block and serializes every downstream stage; at 100 TB the auto sizing is
+    fine, but per-fragment parallelism must never drop below the cluster
+    width. Files with multiple row groups can split beyond file granularity."""
+    import ray
+
+    files = discover_fragments(path)
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    onb = max(len(files), min_blocks_per_cpu * ncpu)
+    return ray.data.read_parquet(files, override_num_blocks=onb, **kwargs)
+
+
 def compress_dataset(
     input_path: str | list[str],
     out_dir: str,
@@ -105,7 +122,7 @@ def compress_dataset(
     for start in range(0, len(pending), fragments_per_round):
         round_frags = pending[start : start + fragments_per_round]
         path_to_key = {f: fragment_key(f) for f in round_frags}
-        ds = ray.data.read_parquet(round_frags, include_paths=True)
+        ds = read_parquet_blocks(round_frags, include_paths=True)
 
         def tag_fragment(batch: pa.Table, _map=path_to_key) -> pa.Table:
             paths = batch["path"].to_pylist()
@@ -113,9 +130,21 @@ def compress_dataset(
             return batch.drop_columns(["path"]).append_column("frag", frag)
 
         ds = ds.map_batches(tag_fragment, batch_format="pyarrow")
+        batch_rows = DEFAULT_BATCH_ROWS
         if balance_tokens:
-            ds = skew_balance(ds, balance_tokens)
-        enc = encode_dataset(ds, codec=codec, concurrency=concurrency)
+            # shuffle-free skew plan: a column-pruned n_tok read (tiny — one
+            # int32 column) picks the batch row count that lands
+            # ~balance_tokens per encode task; intra-batch skew is handled by
+            # token-budget state chunking inside the encoder.
+            plan_ds = read_parquet_blocks(round_frags, columns=["n_tok"])
+            batch_rows, _hist = plan_batch_rows(plan_ds, balance_tokens)
+        enc = encode_dataset(
+            ds,
+            codec=codec,
+            concurrency=concurrency,
+            batch_size=batch_rows,
+            max_tokens_per_state=balance_tokens,
+        )
         enc.write_parquet(data_dir, partition_cols=["frag"])
 
         # lineage stats from a column-pruned re-read of ONLY this round's
@@ -137,7 +166,7 @@ def compress_dataset(
             )
 
         stats = (
-            ray.data.read_parquet(
+            read_parquet_blocks(
                 round_dirs,
                 columns=["n_tok", "payload_nbytes"],
                 include_paths=True,
@@ -172,7 +201,7 @@ def compress_dataset(
 
 
 def read_encoded(out_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(out_dir, "data"))
+    return read_parquet_blocks(os.path.join(out_dir, "data"))
 
 
 def _sum_hash_summaries(ds: "ray.data.Dataset") -> tuple[int, int, int]:

@@ -121,25 +121,17 @@ def make_like_count(pattern: str, engine: str):
 
 # ------------------------------------------------------------- aggregates
 def q_ntok_histogram(sf_dir: str):
-    from ..stages.skew import _bucketize
+    from ..stages.skew import n_tok_histogram
 
-    ds = _tokens_ds(sf_dir).select_columns(["n_tok"])
-    agg = (
-        ds.map_batches(_bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Count(alias_name="rows"), Sum("n_tok", alias_name="tokens"))
+    hist = n_tok_histogram(_tokens_ds(sf_dir).select_columns(["n_tok"]))
+    buckets = sorted(hist)
+    return pa.table(
+        {
+            "bucket": pa.array(buckets, type=pa.int64()),
+            "rows": pa.array([hist[b][0] for b in buckets], type=pa.int64()),
+            "tokens": pa.array([hist[b][1] for b in buckets], type=pa.int64()),
+        }
     )
-
-    def fix(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "bucket": b["bucket"].cast(pa.int64()),
-                "rows": b["rows"].cast(pa.int64()),
-                "tokens": b["tokens"].cast(pa.int64()),
-            }
-        )
-
-    return agg.map_batches(fix, batch_format="pyarrow")
 
 
 def q_source_counts(sf_dir: str):

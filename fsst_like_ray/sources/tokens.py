@@ -108,6 +108,7 @@ def write_tokens_parquet(
     seed: int = 42,
     rows_per_file: int = 65536,
     max_tok: int = 8192,
+    row_group_size: int = 2048,
 ) -> str:
     """Write the corpus as a directory of Parquet shards (resumable layout:
     one file per fixed row range; existing shards are kept)."""
@@ -117,7 +118,11 @@ def write_tokens_parquet(
         fp = os.path.join(path, f"part-{start:010d}-{n}.parquet")
         if os.path.exists(fp):
             continue
-        pq.write_table(tokens_table(n, seed=seed, start_row=start, max_tok=max_tok), fp)
+        pq.write_table(
+            tokens_table(n, seed=seed, start_row=start, max_tok=max_tok),
+            fp,
+            row_group_size=row_group_size,
+        )
     return path
 
 

@@ -50,22 +50,59 @@ def payload_array(buf: np.ndarray, payload_offsets: np.ndarray) -> pa.Array:
     )
 
 
-def encode_table(batch: pa.Table, codec: str = "auto", codec_names=None) -> pa.Table:
+def _chunk_bounds(offsets: np.ndarray, max_tokens: int | None) -> np.ndarray:
+    """Row boundaries so each chunk carries ≤ max_tokens (≥1 row per chunk) —
+    the intra-batch skew guard: a giant document gets its own codec state
+    instead of blowing up a shared one (SURVEY.md §7.4 "skew")."""
+    n = len(offsets) - 1
+    if max_tokens is None or offsets[-1] - offsets[0] <= max_tokens:
+        return np.array([0, n], dtype=np.int64)
+    bounds = [0]
+    start = 0
+    while start < n:
+        limit = offsets[start] + max_tokens
+        end = int(np.searchsorted(offsets, limit, side="right")) - 1
+        end = min(max(end, start + 1), n)
+        bounds.append(end)
+        start = end
+    return np.array(bounds, dtype=np.int64)
+
+
+def encode_table(
+    batch: pa.Table,
+    codec: str = "auto",
+    codec_names=None,
+    max_tokens_per_state: int | None = None,
+) -> pa.Table:
     values, offsets = list_buffers(batch["tokens"])
-    if codec == "auto":
-        name, _est = select_codec(values, offsets, codec_names)
-    else:
-        name = codec
-    c = CODECS[name]
-    state = c.train(values, offsets)
-    buf, po = c.encode(values, offsets, state)
     n = batch.num_rows
-    state_col = pa.DictionaryArray.from_arrays(
-        pa.array(np.zeros(n, dtype=np.int32)), pa.array([state], type=pa.binary())
-    )
-    codec_col = pa.DictionaryArray.from_arrays(
-        pa.array(np.zeros(n, dtype=np.int32)), pa.array([name], type=pa.string())
-    )
+    bounds = _chunk_bounds(offsets, max_tokens_per_state)
+    bufs, pos, states, names = [], [], [], []
+    row_chunk = np.empty(n, dtype=np.int32)
+    base_bytes = 0
+    for ci in range(len(bounds) - 1):
+        lo, hi = int(bounds[ci]), int(bounds[ci + 1])
+        v = values[offsets[lo] : offsets[hi]]
+        o = offsets[lo : hi + 1] - offsets[lo]
+        if codec == "auto":
+            name, _est = select_codec(v, o, codec_names)
+        else:
+            name = codec
+        c = CODECS[name]
+        state = c.train(v, o)
+        buf, po = c.encode(v, o, state)
+        bufs.append(buf)
+        pos.append(po[1:] if ci else po)
+        states.append(state)
+        names.append(name)
+        row_chunk[lo:hi] = ci
+        pos[-1] = pos[-1] + base_bytes
+        base_bytes += len(buf)
+    buf = bufs[0] if len(bufs) == 1 else np.concatenate(bufs)
+    po = pos[0] if len(pos) == 1 else np.concatenate(pos)
+    idx = pa.array(row_chunk)
+    state_col = pa.DictionaryArray.from_arrays(idx, pa.array(states, type=pa.binary()))
+    codec_col = pa.DictionaryArray.from_arrays(idx, pa.array(names, type=pa.string()))
     n_tok = batch["n_tok"] if "n_tok" in batch.column_names else pa.array(
         np.diff(offsets).astype(np.int32), type=pa.int32()
     )
@@ -94,13 +131,21 @@ class EncoderActor:
     """Stateful map_batches callable: holds the codec registry + selection
     config; one instance per actor, reused across that actor's batches."""
 
-    def __init__(self, codec: str = "auto", codec_names: list[str] | None = None):
+    def __init__(
+        self,
+        codec: str = "auto",
+        codec_names: list[str] | None = None,
+        max_tokens_per_state: int | None = None,
+    ):
         self.codec = codec
         self.codec_names = codec_names
+        self.max_tokens_per_state = max_tokens_per_state
         if codec != "auto" and codec not in CODECS:
             raise ValueError(f"unknown codec {codec!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        return encode_table(batch, self.codec, self.codec_names)
+        return encode_table(
+            batch, self.codec, self.codec_names, self.max_tokens_per_state
+        )
