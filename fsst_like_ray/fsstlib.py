@@ -38,6 +38,7 @@ class SymbolTable:
         "symbols",
         "sym_bytes",
         "sym_lens",
+        "sym_lens_u8",
         "keys_by_len",
         "codes_by_len",
         "short_code",
@@ -65,6 +66,7 @@ class SymbolTable:
         for code, s in enumerate(symbols):
             self.sym_bytes[code, : len(s)] = np.frombuffer(s, dtype=np.uint8)
             self.sym_lens[code] = len(s)
+        self.sym_lens_u8 = self.sym_lens.astype(np.uint8)
         # encode tables: per symbol length, sorted little-endian gram keys
         self.keys_by_len: dict[int, np.ndarray] = {}
         self.codes_by_len: dict[int, np.ndarray] = {}
@@ -346,7 +348,13 @@ def decode(
     """Decode per-row payloads back to the original bytes.
 
     Returns (decoded buffer, per-row byte offsets). Vectorized twin of the
-    reference's streaming Iterate (src/FsstWrapper.hpp:65-161)."""
+    reference's streaming Iterate (src/FsstWrapper.hpp:65-161).
+
+    Bandwidth-lean design (the decode path saturates memory at full-node
+    concurrency): escape/literal/code classification is O(n) via a single
+    ``maximum.accumulate`` run-start sweep + parity test — no per-run repeat
+    or searchsorted — and output assembly is ≤36 per-length scatters with
+    int32 indices instead of an (n, 8) mask + boolean compaction."""
     b = np.ascontiguousarray(buf, dtype=np.uint8)
     n = int(b.size)
     n_rows = len(payload_offsets) - 1
@@ -354,62 +362,50 @@ def decode(
         return np.zeros(0, dtype=np.uint8), np.zeros(n_rows + 1, dtype=np.int64)
 
     is255 = b == ESCAPE
-    row_start = np.zeros(n, dtype=bool)
+    idx = np.arange(n, dtype=np.int32)
     rs = payload_offsets[:-1]
+    row_start = np.zeros(n, dtype=bool)
     row_start[rs[rs < n]] = True
-    prev255 = np.zeros(n, dtype=bool)
+    prev255 = np.empty(n, dtype=bool)
+    prev255[0] = False
     prev255[1:] = is255[:-1]
     prev255[row_start] = False
-    starts = np.flatnonzero(is255 & ~prev255)
+    # most recent 255-run start at or before each position (row-reset runs)
+    run_start = np.maximum.accumulate(np.where(is255 & ~prev255, idx, np.int32(-1)))
+    off_in_run = idx - run_start
+    esc = is255 & (off_in_run % 2 == 0)  # 255 at even offset → escape marker
+    prev_esc = np.empty(n, dtype=bool)
+    prev_esc[0] = False
+    prev_esc[1:] = esc[:-1]
+    lit = prev_esc  # byte right after an escape = the literal (255 or not)
+    code_mask = ~esc & ~lit
 
-    cls = np.zeros(n, dtype=np.uint8)  # 0=code, 1=escape, 2=literal
-    if starts.size:
-        # run break = first non-255 or row start strictly after the run start
-        breaks = np.flatnonzero(~is255 | row_start)
-        j = np.searchsorted(breaks, starts, side="right")
-        run_end = np.where(j < len(breaks), breaks[np.minimum(j, len(breaks) - 1)], n)
-        L = run_end - starts
-        n_esc = (L + 1) // 2
-        n_lit = L // 2
-        # escapes at even offsets within each 255-run
-        tot = int(n_esc.sum())
-        if tot:
-            wi = np.arange(tot, dtype=np.int64) - np.repeat(
-                np.cumsum(n_esc) - n_esc, n_esc
-            )
-            esc_pos = np.repeat(starts, n_esc) + 2 * wi
-            cls[esc_pos] = 1
-        tot = int(n_lit.sum())
-        if tot:
-            wi = np.arange(tot, dtype=np.int64) - np.repeat(
-                np.cumsum(n_lit) - n_lit, n_lit
-            )
-            lit_pos = np.repeat(starts, n_lit) + 1 + 2 * wi
-            cls[lit_pos] = 2
-        # odd-length run: the non-255 byte right after the run is a literal
-        odd = (L % 2) == 1
-        after = starts[odd] + L[odd]
-        after = after[after < n]
-        cls[after] = 2
-
-    # every input byte expands to 0 (escape), 1 (literal) or sym_len (code)
-    # output bytes: one (n, 8) gather + boolean compaction yields the output
-    # already in order — no scatter index arithmetic
-    lit_mask = cls == 2
-    out_mat = table.sym_bytes[b]  # (n, 8); escape/literal rows fixed below
-    out_len = table.sym_lens[b].copy()
-    out_len[cls != 0] = 0
-    out_len[lit_mask] = 1
-    lp = np.flatnonzero(lit_mask)
-    if lp.size:
-        out_mat[lp, 0] = b[lp]
-    valid = np.arange(MAX_SYMBOL_LEN, dtype=np.int64)[None, :] < out_len[:, None]
-    out = out_mat[valid]
-
-    out_off = np.zeros(n + 1, dtype=np.int64)
+    # output length per input byte: 0 escape, 1 literal, sym_len code
+    out_len = np.where(lit, np.uint8(1), np.uint8(0))
+    out_len[code_mask] = table.sym_lens_u8[b[code_mask]]
+    out_off = np.empty(n + 1, dtype=np.int32)
+    out_off[0] = 0
     np.cumsum(out_len, out=out_off[1:])
-    # per-row decoded sizes: cumulative output length at each row's payload
-    # boundary (out_off is indexed by input byte position)
+    total = int(out_off[-1])
+    out = np.empty(total, dtype=np.uint8)
+
+    lp = np.flatnonzero(lit).astype(np.int32)
+    if lp.size:
+        out[out_off[lp]] = b[lp]
+    cp = np.flatnonzero(code_mask).astype(np.int32)
+    if cp.size:
+        codes = b[cp]
+        lens = table.sym_lens_u8[codes]
+        for l in range(1, MAX_SYMBOL_LEN + 1):
+            sel = lens == l
+            if not sel.any():
+                continue
+            p = cp[sel]
+            base = out_off[p]
+            cb = codes[sel]
+            for k in range(l):
+                out[base + k] = table.sym_bytes[cb, k]
+
     ro = out_off[payload_offsets].astype(np.int64)
     return out, ro
 

@@ -34,16 +34,23 @@ def _binary_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
 
 
 def decode_batch(batch: pa.Table) -> pa.Table:
-    """Encoded table → ``(doc_id, tokens:list<int32>, n_tok, source)``."""
+    """Encoded table → ``(doc_id, tokens:list<int32>, n_tok, source)``.
+
+    Rows sharing a (codec, state) form CONTIGUOUS runs in practice (encode
+    chunks are row ranges; Parquet rewrites preserve within-file order), so
+    grouping is run-length segmentation and every payload/group access is a
+    zero-copy slice — no per-byte gather/scatter. The decode path is
+    memory-bandwidth-bound at full-node concurrency, so index-array traffic
+    matters more than instruction count here."""
     n = batch.num_rows
     counts = batch["n_tok"].to_numpy().astype(np.int64)
     out_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=out_offsets[1:])
-    values = np.zeros(int(out_offsets[-1]), dtype=np.int32)
+    values = np.empty(int(out_offsets[-1]), dtype=np.int32)
 
     pay_buf, pay_off = _binary_buffers(batch["payload"])
 
-    # group rows by (codec, state) — dictionary-encode to find the groups
+    # group rows by (codec, state) — dictionary indices give cheap run keys
     codec_d = pc.dictionary_encode(
         batch["codec"].combine_chunks()
         if isinstance(batch["codec"], pa.ChunkedArray)
@@ -60,32 +67,21 @@ def decode_batch(batch: pa.Table) -> pa.Table:
         state_d = state_d.combine_chunks()
     ci = codec_d.indices.to_numpy().astype(np.int64)
     si = state_d.indices.to_numpy().astype(np.int64)
-    group_key = ci * (si.max() + 1 if n else 1) + si
-    for key in np.unique(group_key):
-        rows = np.flatnonzero(group_key == key)
-        codec_name = codec_d.dictionary[int(ci[rows[0]])].as_py()
-        state = state_d.dictionary[int(si[rows[0]])].as_py() or b""
+    key = ci * (int(si.max()) + 1 if n else 1) + si
+    seg = np.concatenate(
+        ([0], np.flatnonzero(np.diff(key)) + 1, [n])
+    ) if n else np.array([0, 0])
+    for k in range(len(seg) - 1):
+        lo, hi = int(seg[k]), int(seg[k + 1])
+        if lo == hi:
+            continue
+        codec_name = codec_d.dictionary[int(ci[lo])].as_py()
+        state = state_d.dictionary[int(si[lo])].as_py() or b""
         c = CODECS[codec_name]
-        # gather this group's payload bytes into a contiguous sub-buffer
-        nbytes = (pay_off[rows + 1] - pay_off[rows]).astype(np.int64)
-        so = np.zeros(len(rows) + 1, dtype=np.int64)
-        np.cumsum(nbytes, out=so[1:])
-        tot = int(so[-1])
-        sub = np.empty(tot, dtype=np.uint8)
-        if tot:
-            wi = np.arange(tot, dtype=np.int64) - np.repeat(so[:-1], nbytes)
-            src = np.repeat(pay_off[rows], nbytes) + wi
-            sub = pay_buf[src]
-        dec = c.decode(sub, so, counts[rows], state)
-        # scatter decoded tokens into the output slices
-        g_counts = counts[rows]
-        tot_v = int(g_counts.sum())
-        if tot_v:
-            wi = np.arange(tot_v, dtype=np.int64) - np.repeat(
-                np.cumsum(g_counts) - g_counts, g_counts
-            )
-            dst = np.repeat(out_offsets[rows], g_counts) + wi
-            values[dst] = dec
+        sub = pay_buf[pay_off[lo] : pay_off[hi]]
+        so = pay_off[lo : hi + 1] - pay_off[lo]
+        dec = c.decode(sub, so, counts[lo:hi], state)
+        values[out_offsets[lo] : out_offsets[hi]] = dec
 
     tok_arr = pa.ListArray.from_arrays(
         pa.array(out_offsets.astype(np.int32), type=pa.int32()),
