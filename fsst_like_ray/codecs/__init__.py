@@ -51,6 +51,15 @@ class Codec:
         buf, _ = self.encode(values, offsets, state)
         return int(buf.size) + len(state)
 
+    def estimate(
+        self, values: np.ndarray, offsets: np.ndarray
+    ) -> tuple[int, bytes | None]:
+        """(estimated bytes, reusable state or None). A codec returns a state
+        only when a sample-trained state encodes the FULL block correctly
+        (true for fsst — unseen bytes escape; false for e.g. dict, whose
+        sample dictionary would miss values)."""
+        return self.estimate_size(values, offsets), None
+
 
 def _as_u32(values: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(values, dtype=np.int32).view(np.uint32)

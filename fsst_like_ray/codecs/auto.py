@@ -31,17 +31,21 @@ def select_codec(
     offsets: np.ndarray,
     codec_names: list[str] | None = None,
     sample_rows: int = 1024,
-) -> tuple[str, dict[str, int]]:
-    """Returns (winning codec name, {codec: estimated bytes on the sample})."""
+) -> tuple[str, dict[str, int], bytes | None]:
+    """Returns (winning codec name, {codec: estimated sample bytes}, and the
+    winner's sample-trained state when reusable — saves the auto path a
+    second training pass for expensive codecs like fsst)."""
     from . import CODECS
 
     names = codec_names or list(CODECS)
     sv, so = _sample(np.ascontiguousarray(values, dtype=np.int32), offsets, sample_rows)
     estimates: dict[str, int] = {}
+    states: dict[str, bytes | None] = {}
     for name in names:
         try:
-            estimates[name] = CODECS[name].estimate_size(sv, so)
+            estimates[name], states[name] = CODECS[name].estimate(sv, so)
         except Exception:
             estimates[name] = np.iinfo(np.int64).max
+            states[name] = None
     best = min(estimates, key=lambda n: (estimates[n], n))
-    return best, estimates
+    return best, estimates, states[best]

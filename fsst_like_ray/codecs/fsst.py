@@ -79,6 +79,12 @@ class FsstCodec(Codec):
         return np.ascontiguousarray(out).view(np.int32)
 
     def estimate_size(self, values, offsets):
+        return self.estimate(values, offsets)[0]
+
+    def estimate(self, values, offsets):
+        """Returns the trained state for reuse: an fsst table trained on the
+        selection sample encodes any block (unseen bytes escape), so the
+        auto path need not train twice."""
         state = self.train(values, offsets)
         # encode only a bounded sample for the estimate, extrapolate linearly
         data, bo = _byte_view(values, offsets)
@@ -94,4 +100,4 @@ class FsstCodec(Codec):
         sampled = int(so[-1])
         total = int(bo[-1])
         ratio = buf.size / sampled if sampled else 1.0
-        return int(total * ratio) + len(state)
+        return int(total * ratio) + len(state), state

@@ -84,12 +84,14 @@ def encode_table(
         lo, hi = int(bounds[ci]), int(bounds[ci + 1])
         v = values[offsets[lo] : offsets[hi]]
         o = offsets[lo : hi + 1] - offsets[lo]
+        state = None
         if codec == "auto":
-            name, _est = select_codec(v, o, codec_names)
+            name, _est, state = select_codec(v, o, codec_names)
         else:
             name = codec
         c = CODECS[name]
-        state = c.train(v, o)
+        if state is None:
+            state = c.train(v, o)
         buf, po = c.encode(v, o, state)
         bufs.append(buf)
         pos.append(po[1:] if ci else po)

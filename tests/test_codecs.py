@@ -104,7 +104,7 @@ def test_ratio_compressible():
 def test_rle_wins_on_runs():
     rows = [[7] * 100 + [31337] * 100 + [9] * 100 for _ in range(20)]
     values, offsets = _lists_to_buffers(rows)
-    name, est = select_codec(values, offsets)
+    name, est, _state = select_codec(values, offsets)
     assert name == "rle"
     assert est["rle"] < est["plain"]
 
@@ -117,7 +117,7 @@ def test_selector_picks_sane_codecs():
     }
     for label, rows in cases.items():
         values, offsets = _lists_to_buffers(rows)
-        name, est = select_codec(values, offsets)
+        name, est, _state = select_codec(values, offsets)
         best = min(est.values())
         assert est[name] == best
         # decode must round-trip with whatever the selector picked
