@@ -103,10 +103,80 @@ def lsh_band_rows(
     return pa.table(
         {
             "band": pa.array(np.tile(np.arange(bands), n).astype(np.int32)),
-            "band_hash": pa.array(band_hash.reshape(-1), type=pa.uint64()),
+            # int64 bit-view: uint64 > 2^63-1 falls back to pickled python
+            # objects in groupby outputs — same bits, arrow-native key
+            "band_hash": pa.array(band_hash.reshape(-1).view(np.int64)),
             "doc_id": batch["doc_id"].take(pa.array(doc_rep)),
             "sig": sig_col.take(pa.array(doc_rep)),
         }
+    )
+
+
+def resolve_hot_buckets(
+    exploded,
+    key_cols: list[str],
+    resolve_fn,
+    prefilter: bool = True,
+    materialize: bool = False,
+):
+    """groupby(key).map_groups pays Python overhead for EVERY bucket, and at
+    scale nearly all buckets have one member. Prefilter: a tiny
+    groupby-count finds buckets with ≥2 members, their keys broadcast once
+    (``ray.put``) and membership-checked vectorized inside ``map_batches`` —
+    only real candidate buckets ever reach the per-group Python resolver.
+
+    Assumption (documented for the 100 TB case): the HOT key set — duplicate
+    buckets only, not all buckets — fits in driver/object-store memory; with
+    a bounded duplicate rate it is orders of magnitude smaller than the data.
+    Pass ``prefilter=False`` to keep the pure-shuffle path."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    if not prefilter:
+        return exploded.groupby(key_cols).map_groups(
+            resolve_fn, batch_format="pandas"
+        )
+
+    if materialize:
+        # the prefilter consumes `exploded` twice (count + survivors); when
+        # the upstream stage is expensive (minhash signatures), pin its small
+        # output (signatures ≈ 0.3% of the text bytes) instead of recomputing
+        exploded = exploded.materialize()
+
+    def fold(cols) -> np.ndarray:
+        """Vectorized uint64 fold of the key columns (a fold collision can
+        only merge buckets, adding verified comparisons — never false dups)."""
+        with np.errstate(over="ignore"):
+            acc = cols[0].astype(np.uint64)
+            for c in cols[1:]:
+                acc = (acc * _PRIME) ^ c.astype(np.uint64)
+        return acc
+
+    counts = exploded.groupby(key_cols).aggregate(Count(alias_name="cnt"))
+    hot = counts.filter(lambda r: r["cnt"] >= 2).select_columns(key_cols)
+    hot_tbl = hot.take_all()
+    if not hot_tbl:
+        import pyarrow as _pa
+
+        return ray.data.from_arrow(
+            _pa.table({"doc_id": _pa.array([], type=_pa.large_string())})
+        )
+    hot_sorted = np.sort(
+        fold([np.array([r[k] for r in hot_tbl], dtype=np.uint64) for k in key_cols])
+    )
+    hot_ref = ray.put(hot_sorted)
+
+    def member_filter(b: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+        keys = fold([b[k].to_numpy(zero_copy_only=False) for k in key_cols])
+        idx = np.searchsorted(hs, keys)
+        np.minimum(idx, len(hs) - 1, out=idx)
+        return b.filter(pa.array(hs[idx] == keys))
+
+    survivors = exploded.map_batches(member_filter, batch_format="pyarrow")
+    return survivors.groupby(key_cols).map_groups(
+        resolve_fn, batch_format="pandas"
     )
 
 
@@ -135,8 +205,11 @@ def minhash_duplicates(
     exploded = sigs.map_batches(
         lambda b: lsh_band_rows(b, bands), batch_format="pyarrow"
     )
-    dups = exploded.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _dup_pairs_in_bucket(g, threshold), batch_format="pandas"
+    dups = resolve_hot_buckets(
+        exploded,
+        ["band", "band_hash"],
+        lambda g: _dup_pairs_in_bucket(g, threshold),
+        materialize=True,
     )
     return dups.groupby("doc_id").count().select_columns(["doc_id"])
 
@@ -220,25 +293,25 @@ def simhash_duplicates(ds, text_col: str = "text", max_dist: int = 3):
         lambda b: simhash_batch(b, text_col), batch_format="pyarrow"
     )
     exploded = fps.map_batches(simhash_band_rows, batch_format="pyarrow")
-    dups = exploded.groupby(["band", "band_val"]).map_groups(
-        lambda g: _simhash_dups(g, max_dist), batch_format="pandas"
+    dups = resolve_hot_buckets(
+        exploded,
+        ["band", "band_val"],
+        lambda g: _simhash_dups(g, max_dist),
+        materialize=True,
     )
     return dups.groupby("doc_id").count().select_columns(["doc_id"])
 
 
 def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Exact-dedup key: 64-bit FNV over the text bytes, vectorized."""
+    """Exact-dedup key: 64-bit polynomial hash over the text bytes — O(total
+    bytes) regardless of document length (no per-character Python pass)."""
+    from ..stages.verify import _poly_rowhash
+
     data, offsets = string_buffers(batch[text_col])
-    counts = np.diff(offsets)
-    n = len(counts)
-    acc = np.full(n, np.uint64(1469598103934665603), dtype=np.uint64)
-    maxlen = int(counts.max()) if n else 0
-    with np.errstate(over="ignore"):
-        for j in range(maxlen):
-            sel = counts > j
-            idx = offsets[:-1][sel] + j
-            acc[sel] = (acc[sel] ^ data[idx].astype(np.uint64)) * _PRIME
-    return batch.append_column("content_hash", pa.array(acc, type=pa.uint64()))
+    acc = _poly_rowhash(data.astype(np.uint64), offsets)
+    return batch.append_column(
+        "content_hash", pa.array(acc.view(np.int64))
+    )
 
 
 def exact_duplicates(ds, text_col: str = "text"):
@@ -257,4 +330,4 @@ def exact_duplicates(ds, text_col: str = "text"):
     hashed = ds.map_batches(
         lambda b: content_hash_batch(b, text_col), batch_format="pyarrow"
     )
-    return hashed.groupby("content_hash").map_groups(resolve, batch_format="pandas")
+    return resolve_hot_buckets(hashed, ["content_hash"], resolve)
