@@ -143,7 +143,7 @@ def main():
 
     if args.scaling:
         _ensure_corpus()  # generate once, both subprocesses reuse it
-        n_low = int(os.environ.get("GRAFT_SCALING_N", "1"))
+        n_low = int(os.environ.get("GRAFT_SCALING_N", "8"))
         results = {}
         for n in (n_low, 4 * n_low):
             out = subprocess.run(

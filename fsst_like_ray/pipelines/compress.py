@@ -106,7 +106,7 @@ def compress_dataset(
     out_dir: str,
     codec: str = "auto",
     resume: bool = True,
-    fragments_per_round: int = 16,
+    fragments_per_round: int = 64,
     balance_tokens: int | None = None,
     concurrency=None,
 ) -> dict:
@@ -119,6 +119,17 @@ def compress_dataset(
     pending = manifest.pending(fragments) if resume else fragments
     data_dir = os.path.join(out_dir, "data")
 
+    batch_rows = DEFAULT_BATCH_ROWS
+    if balance_tokens and pending:
+        # shuffle-free skew plan, ONCE per corpus: a column-pruned n_tok read
+        # over (a sample of) the pending fragments picks the batch row count
+        # that lands ~balance_tokens per encode task. Mean tokens/row is a
+        # corpus-level statistic — re-planning every round only adds fixed
+        # pipeline latency. Intra-batch skew is handled by token-budget state
+        # chunking inside the encoder.
+        plan_ds = read_parquet_blocks(pending[:64], columns=["n_tok"])
+        batch_rows, _hist = plan_batch_rows(plan_ds, balance_tokens)
+
     for start in range(0, len(pending), fragments_per_round):
         round_frags = pending[start : start + fragments_per_round]
         path_to_key = {f: fragment_key(f) for f in round_frags}
@@ -130,14 +141,6 @@ def compress_dataset(
             return batch.drop_columns(["path"]).append_column("frag", frag)
 
         ds = ds.map_batches(tag_fragment, batch_format="pyarrow")
-        batch_rows = DEFAULT_BATCH_ROWS
-        if balance_tokens:
-            # shuffle-free skew plan: a column-pruned n_tok read (tiny — one
-            # int32 column) picks the batch row count that lands
-            # ~balance_tokens per encode task; intra-batch skew is handled by
-            # token-budget state chunking inside the encoder.
-            plan_ds = read_parquet_blocks(round_frags, columns=["n_tok"])
-            batch_rows, _hist = plan_batch_rows(plan_ds, balance_tokens)
         enc = encode_dataset(
             ds,
             codec=codec,
