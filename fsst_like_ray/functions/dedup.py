@@ -11,7 +11,8 @@ group survives (deterministic).
                 Jaccard vs the group's keeper
 - simhash:      64-bit weighted word-hash fingerprint → 4×16-bit band buckets
                 (Hamming ≤3 ⇒ some band equal) → verified Hamming distance
-- n-gram Jaccard: exact shingle-set Jaccard inside LSH candidate buckets
+- n-gram Jaccard: exact (bottom-k-sketched) shingle-set Jaccard inside
+                minhash-LSH candidate buckets
 - embedding:    random-hyperplane LSH over unit vectors → verified cosine
 """
 
@@ -154,7 +155,7 @@ def resolve_hot_buckets(
         return acc
 
     counts = exploded.groupby(key_cols).aggregate(Count(alias_name="cnt"))
-    hot = counts.filter(lambda r: r["cnt"] >= 2).select_columns(key_cols)
+    hot = counts.filter(expr="cnt >= 2").select_columns(key_cols)
     hot_tbl = hot.take_all()
     if not hot_tbl:
         import pyarrow as _pa
@@ -209,6 +210,86 @@ def minhash_duplicates(
         exploded,
         ["band", "band_hash"],
         lambda g: _dup_pairs_in_bucket(g, threshold),
+        materialize=True,
+    )
+    return dups.groupby("doc_id").count().select_columns(["doc_id"])
+
+
+def shingle_sketch_batch(
+    batch: pa.Table, text_col: str = "text", k: int = 512, shingle: int = 5
+) -> pa.Table:
+    """(doc_id, sketch: list<uint64>) — bottom-k sketch of the row's unique
+    shingle-hash set. Bottom-k is a proper Jaccard estimator, deterministic,
+    and bounds per-row memory regardless of document length."""
+    g, offsets, counts, valid_counts, bad = _shingle_hashes(batch, text_col, shingle)
+    if bad.size:
+        g = g.copy()
+        g[bad] = np.iinfo(np.uint64).max
+    n_rows = len(counts)
+    sketches, lens = [], np.zeros(n_rows, dtype=np.int64)
+    for i in range(n_rows):  # per-row unique+sort; row work bounded by k after unique
+        row = np.unique(g[offsets[i] : offsets[i] + valid_counts[i]])
+        row = row[row != np.iinfo(np.uint64).max][:k]
+        sketches.append(row)
+        lens[i] = len(row)
+    flat = np.concatenate(sketches) if sketches else np.zeros(0, dtype=np.uint64)
+    off = np.zeros(n_rows + 1, dtype=np.int32)
+    np.cumsum(lens, out=off[1:])
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "sketch": pa.ListArray.from_arrays(
+                pa.array(off, type=pa.int32()), pa.array(flat.view(np.int64))
+            ),
+        }
+    )
+
+
+def _jaccard_dups_in_bucket(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Exact bottom-k-sketch Jaccard vs the bucket keeper (min doc_id)."""
+    if len(g) < 2:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=g["doc_id"].dtype)})
+    g = g.sort_values("doc_id")
+    keep = np.asarray(g["sketch"].iloc[0], dtype=np.int64)
+    out = []
+    for doc_id, sk in zip(g["doc_id"].iloc[1:], g["sketch"].iloc[1:]):
+        sk = np.asarray(sk, dtype=np.int64)
+        inter = np.intersect1d(keep, sk, assume_unique=True).size
+        union = keep.size + sk.size - inter
+        if union and inter / union >= threshold:
+            out.append(doc_id)
+    return pd.DataFrame({"doc_id": out})
+
+
+def ngram_jaccard_duplicates(
+    ds, text_col: str = "text", threshold: float = 0.8,
+    num_hashes: int = 32, bands: int = 8, sketch_k: int = 512,
+):
+    """n-gram Jaccard dedup: minhash-LSH buckets propose candidates; the
+    verdict is the (bottom-k-sketched) EXACT shingle-set Jaccard — tighter
+    than signature similarity. One shuffle, same hot-bucket prefilter."""
+
+    def sig_and_sketch(b: pa.Table) -> pa.Table:
+        sig = minhash_signature_batch(b, text_col, num_hashes)
+        sk = shingle_sketch_batch(b, text_col, sketch_k)
+        return sig.append_column("sketch", sk["sketch"])
+
+    both = ds.map_batches(sig_and_sketch, batch_format="pyarrow")
+
+    def explode(b: pa.Table) -> pa.Table:
+        rows = lsh_band_rows(b, bands)
+        n = b.num_rows
+        rep = pa.array(np.repeat(np.arange(n), bands))
+        sk = b["sketch"]
+        if isinstance(sk, pa.ChunkedArray):
+            sk = sk.combine_chunks()
+        return rows.drop_columns(["sig"]).append_column("sketch", sk.take(rep))
+
+    exploded = both.map_batches(explode, batch_format="pyarrow")
+    dups = resolve_hot_buckets(
+        exploded,
+        ["band", "band_hash"],
+        lambda g: _jaccard_dups_in_bucket(g, threshold),
         materialize=True,
     )
     return dups.groupby("doc_id").count().select_columns(["doc_id"])

@@ -201,6 +201,8 @@ def make_dedup(kind: str):
             out = F_dedup.minhash_duplicates(ds)
         elif kind == "simhash":
             out = F_dedup.simhash_duplicates(ds)
+        elif kind == "ngram_jaccard":
+            out = F_dedup.ngram_jaccard_duplicates(ds)
         else:
             raise ValueError(kind)
         return out
@@ -304,6 +306,7 @@ def build_queries() -> dict:
     q["dedup_exact"] = q_dedup_exact
     q["dedup_minhash"] = make_dedup("minhash")
     q["dedup_simhash"] = make_dedup("simhash")
+    q["dedup_ngram_jaccard"] = make_dedup("ngram_jaccard")
     q["dedup_embedding"] = q_dedup_embedding
     q["token_count"] = make_textstat(F_text.token_count_batch)
     q["quality_score"] = make_textstat(F_text.quality_batch)
