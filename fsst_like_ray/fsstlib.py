@@ -410,6 +410,38 @@ def decode(
     return out, ro
 
 
+def escaped_literal_bitmap(
+    buf: np.ndarray, payload_offsets: np.ndarray
+) -> bytes:
+    """256-bit bitmap of byte values that appear as ESCAPED LITERALS in the
+    encoded stream — the reference's ``used_chars`` block statistic
+    (src/BenchmarkDriver.cpp:128-137): a predicate byte no symbol covers can
+    only match via an escape, so a block whose bitmap lacks it is pruned
+    without touching payloads."""
+    b = np.ascontiguousarray(buf, dtype=np.uint8)
+    n = int(b.size)
+    out = np.zeros(32, dtype=np.uint8)
+    if n:
+        is255 = b == ESCAPE
+        idx = np.arange(n, dtype=np.int32)
+        rs = payload_offsets[:-1]
+        row_start = np.zeros(n, dtype=bool)
+        row_start[rs[rs < n]] = True
+        prev255 = np.empty(n, dtype=bool)
+        prev255[0] = False
+        prev255[1:] = is255[:-1]
+        prev255[row_start] = False
+        run_start = np.maximum.accumulate(
+            np.where(is255 & ~prev255, idx, np.int32(-1))
+        )
+        esc = is255 & ((idx - run_start) % 2 == 0)
+        lit = np.zeros(n, dtype=bool)
+        lit[1:] = esc[:-1]
+        vals = np.unique(b[lit])
+        np.bitwise_or.at(out, vals >> 3, np.uint8(1) << (vals & 7).astype(np.uint8))
+    return out.tobytes()
+
+
 def train(
     data: np.ndarray,
     offsets: np.ndarray,

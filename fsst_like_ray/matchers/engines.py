@@ -72,13 +72,20 @@ def _payload_rows_any(hits_u8: np.ndarray, po: np.ndarray) -> np.ndarray:
 
 
 def required_code_prefilter(
-    pay: np.ndarray, po: np.ndarray, table: fsstlib.SymbolTable, needle: bytes
+    pay: np.ndarray,
+    po: np.ndarray,
+    table: fsstlib.SymbolTable,
+    needle: bytes,
+    used_chars: bytes | None = None,
 ) -> np.ndarray:
     """Sound candidate mask: True ⇒ row MIGHT contain ``needle``.
 
     Pick the needle byte appearing in the fewest symbol expansions; a match
-    requires some payload code whose expansion contains it, or that byte as an
-    escaped literal."""
+    requires some payload code whose expansion contains it, or that byte as
+    an escaped literal. When the block's ``used_chars`` bitmap (escaped
+    literal bytes, reference src/BenchmarkDriver.cpp:128-137) is available
+    and the byte has NO covering symbol and is NOT in the bitmap, the whole
+    block is pruned without reading payloads."""
     if not needle:
         return np.ones(len(po) - 1, dtype=bool)
     syms = _expansions(table)
@@ -88,6 +95,10 @@ def required_code_prefilter(
         codes = [c for c, s in enumerate(syms) if b in s]
         if best_codes is None or len(codes) < len(best_codes):
             best_b, best_codes = b, codes
+        if used_chars is not None and not codes and not (
+            used_chars[b >> 3] & (1 << (b & 7))
+        ):
+            return np.zeros(len(po) - 1, dtype=bool)
     lut = np.zeros(256, dtype=np.uint8)
     lut[best_codes] = 1
     hits = lut[pay]
@@ -222,20 +233,31 @@ def like_on_encoded(
     if isinstance(states, pa.ChunkedArray):
         states = states.combine_chunks()
     si = states.indices.to_numpy().astype(np.int64)
+    used_col = None
+    if "used_chars" in batch.column_names:
+        uc = batch["used_chars"]
+        if isinstance(uc, pa.ChunkedArray):
+            uc = uc.combine_chunks()
+        used_col = uc.cast(pa.binary())
 
     result = np.zeros(n, dtype=bool)
-    for key in np.unique(si):
-        rows = np.flatnonzero(si == key)
-        table = fsstlib.SymbolTable.deserialize(states.dictionary[int(key)].as_py())
-        # per-group payload views (offsets into the shared buffer)
-        gpo = np.zeros(len(rows) + 1, dtype=np.int64)
-        nbytes = po[rows + 1] - po[rows]
-        np.cumsum(nbytes, out=gpo[1:])
-        tot = int(gpo[-1])
-        gpay = np.empty(tot, dtype=np.uint8)
-        if tot:
-            wi = np.arange(tot, dtype=np.int64) - np.repeat(gpo[:-1], nbytes)
-            gpay = pay[np.repeat(po[rows], nbytes) + wi]
+    # rows sharing a state are contiguous runs — zero-copy payload slices
+    seg = (
+        np.concatenate(([0], np.flatnonzero(np.diff(si)) + 1, [n]))
+        if n
+        else np.array([0, 0])
+    )
+    for k in range(len(seg) - 1):
+        lo, hi = int(seg[k]), int(seg[k + 1])
+        if lo == hi:
+            continue
+        rows = np.arange(lo, hi)
+        table = fsstlib.SymbolTable.deserialize(
+            states.dictionary[int(si[lo])].as_py()
+        )
+        used = used_col[lo].as_py() if used_col is not None else None
+        gpay = pay[po[lo] : po[hi]]
+        gpo = po[lo : hi + 1] - po[lo]
 
         eng = engine
         if eng == "auto":
@@ -256,8 +278,8 @@ def like_on_encoded(
         ) > fsstlib.MAX_SYMBOL_LEN:
             cand = first_code_prefilter(gpay, gpo, table, pat.segments[0])
         elif eng == "skipping":
-            for seg in pat.segments:
-                cand &= required_code_prefilter(gpay, gpo, table, seg)
+            for needle in pat.segments:
+                cand &= required_code_prefilter(gpay, gpo, table, needle, used)
         # decode-verify the candidates (or everything on the decoded path)
         cidx = np.flatnonzero(cand)
         if cidx.size == 0:

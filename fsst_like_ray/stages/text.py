@@ -50,8 +50,15 @@ def encode_text_table(
     buf, po = fsstlib.encode(data, offsets, table)
     n = batch.num_rows
     state = table.serialize()
+    zeros = pa.array(np.zeros(n, dtype=np.int32))
     state_col = pa.DictionaryArray.from_arrays(
-        pa.array(np.zeros(n, dtype=np.int32)), pa.array([state], type=pa.binary())
+        zeros, pa.array([state], type=pa.binary())
+    )
+    # used_chars block statistic (reference: src/BenchmarkDriver.cpp:128-137):
+    # bitmap of escaped-literal bytes, for needle-byte block pruning
+    used = fsstlib.escaped_literal_bitmap(buf, po)
+    used_col = pa.DictionaryArray.from_arrays(
+        zeros, pa.array([used], type=pa.binary())
     )
     payload = pa.Array.from_buffers(
         pa.large_binary(), n, [None, pa.py_buffer(po), pa.py_buffer(buf)]
@@ -61,6 +68,7 @@ def encode_text_table(
             "doc_id": batch[id_col],
             "n_bytes": pa.array(np.diff(offsets), type=pa.int64()),
             "state": state_col,
+            "used_chars": used_col,
             "payload": payload,
             "payload_nbytes": pa.array(np.diff(po), type=pa.int64()),
         }
@@ -84,27 +92,26 @@ def decode_text_table(batch: pa.Table) -> pa.Table:
     out_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(expected, out=out_off[1:])
     out = np.zeros(int(out_off[-1]), dtype=np.uint8)
-    for key in np.unique(si):
-        rows = np.flatnonzero(si == key)
-        table = fsstlib.SymbolTable.deserialize(states.dictionary[int(key)].as_py())
-        nbytes = (po[rows + 1] - po[rows]).astype(np.int64)
-        so = np.zeros(len(rows) + 1, dtype=np.int64)
-        np.cumsum(nbytes, out=so[1:])
-        tot = int(so[-1])
-        sub = np.empty(tot, dtype=np.uint8)
-        if tot:
-            wi = np.arange(tot, dtype=np.int64) - np.repeat(so[:-1], nbytes)
-            sub = pay[np.repeat(po[rows], nbytes) + wi]
+    # rows sharing a state form contiguous runs (encode blocks are row
+    # ranges) — zero-copy slices, no per-byte gather/scatter
+    seg = (
+        np.concatenate(([0], np.flatnonzero(np.diff(si)) + 1, [n]))
+        if n
+        else np.array([0, 0])
+    )
+    for k in range(len(seg) - 1):
+        lo, hi = int(seg[k]), int(seg[k + 1])
+        if lo == hi:
+            continue
+        table = fsstlib.SymbolTable.deserialize(
+            states.dictionary[int(si[lo])].as_py()
+        )
+        sub = pay[po[lo] : po[hi]]
+        so = po[lo : hi + 1] - po[lo]
         dec, ro = fsstlib.decode(sub, so, table)
-        g = expected[rows]
-        if not np.array_equal(np.diff(ro), g):
+        if not np.array_equal(np.diff(ro), expected[lo:hi]):
             raise ValueError("text decode: row size mismatch")
-        tot_v = int(g.sum())
-        if tot_v:
-            wi = np.arange(tot_v, dtype=np.int64) - np.repeat(
-                np.cumsum(g) - g, g
-            )
-            out[np.repeat(out_off[rows], g) + wi] = dec
+        out[out_off[lo] : out_off[hi]] = dec
     text = pa.Array.from_buffers(
         pa.large_binary(), n, [None, pa.py_buffer(out_off), pa.py_buffer(out)]
     ).cast(pa.large_string())
