@@ -22,6 +22,9 @@ import sys
 import time
 
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "65536"))
+# --scaling needs a long enough job to amortize per-process pipeline startup
+# (a 100 TB job would); default to a 4x corpus there unless overridden
+SCALING_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "262144"))
 CORPUS_DIR = f"/tmp/fsst_like_bench/tokens_{BENCH_ROWS}"
 
 
@@ -142,6 +145,9 @@ def main():
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
+        global BENCH_ROWS, CORPUS_DIR
+        BENCH_ROWS = SCALING_ROWS
+        CORPUS_DIR = f"/tmp/fsst_like_bench/tokens_{BENCH_ROWS}"
         _ensure_corpus()  # generate once, both subprocesses reuse it
         n_low = int(os.environ.get("GRAFT_SCALING_N", "8"))
         results = {}
@@ -150,7 +156,11 @@ def main():
                 [sys.executable, __file__, "--headline-only", "--cpus", str(n)],
                 capture_output=True,
                 text=True,
-                env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+                env={
+                    **os.environ,
+                    "GRAFT_SF_DIR": sf_dir,
+                    "GRAFT_BENCH_ROWS": str(BENCH_ROWS),
+                },
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             results[n] = json.loads(line)
@@ -173,12 +183,19 @@ def main():
     ray = _init_ray(num_cpus)
     try:
         _ensure_corpus()
-        # untimed warmup: spin up worker processes / import the library once
-        # so timings measure steady-state throughput, not process start
+        # untimed warmup: spin up worker processes AND import the library's
+        # kernels in each worker, so timings measure steady-state throughput
+        # rather than process start + import cost
         import ray.data as _rd
         from fsst_like_ray.pipelines.compress import read_parquet_blocks as _rpb
+
+        def _warm(b):
+            import fsst_like_ray.stages.encode  # noqa: F401
+            import fsst_like_ray.stages.decode  # noqa: F401
+            return b
+
         _rpb(CORPUS_DIR, columns=["n_tok"]).map_batches(
-            lambda b: b, batch_format="pyarrow"
+            _warm, batch_format="pyarrow"
         ).count()
         queries: dict[str, float] = {}
         head = run_headline(f"/tmp/fsst_like_bench/encoded_{num_cpus}")
