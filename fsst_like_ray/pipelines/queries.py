@@ -105,7 +105,12 @@ LIKE_PATTERNS = {
 def make_like(pattern: str, engine: str):
     def q(sf_dir: str):
         enc = encode_text_dataset(_docs(sf_dir, ("doc_id", "text")))
-        return like_scan(enc, pattern, engine=engine, decode_matches=False)
+        out = like_scan(enc, pattern, engine=engine, decode_matches=False)
+        # collect to a TYPED table: an empty Ray Dataset drops its schema,
+        # and the driver's compare treats a 0-column empty result as a
+        # schema mismatch vs the oracle's typed empty frame
+        ids = [r["doc_id"] for r in out.take_all()]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
     return q
 
