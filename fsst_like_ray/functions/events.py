@@ -1,0 +1,170 @@
+"""Windowed / sessionized aggregates over the events table — operators Ray
+Data has no built-in for, composed per SURVEY.md §2 "custom operators"
+guidance: partial aggregation inside ``map_batches`` + ONE small groupby
+merge (windows), and ``groupby(user).map_groups`` where per-key ordering is
+required (sessions).
+
+Monetary sums use integer CENTS throughout: float summation is order
+dependent, and a distributed merge cannot guarantee the reference's
+summation order — integer sums are exact and deterministic.
+
+Partitioning assumptions (documented for 100 TB):
+- tumbling windows: window partials are ≤ #windows rows per input block;
+  the merge shuffle moves partials, never events;
+- sessionization: one shuffle hash-partitions by user_id; per-user event
+  history must fit a worker (true for bounded per-user activity; a user with
+  unbounded events would need time-sliced salting).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+US_PER_S = 1_000_000
+
+
+def _ts_us(batch: pa.Table) -> np.ndarray:
+    return batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def tumbling_window_partials(batch: pa.Table, window_s: int) -> pa.Table:
+    """Per-batch partial: (window_start_s, event_type) → count, value sum."""
+    ts = _ts_us(batch)
+    win = (ts // (window_s * US_PER_S)) * window_s
+    cents = np.rint(
+        batch["value"].to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "window_start_s": win,
+            "event_type": batch["event_type"].to_pandas(),
+            "cents": cents,
+        }
+    )
+    g = (
+        df.groupby(["window_start_s", "event_type"], as_index=False)
+        .agg(n=("cents", "size"), value_cents=("cents", "sum"))
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def tumbling_window_agg(ds: "ray.data.Dataset", window_s: int = 3600):
+    """(window_start_s, event_type, n_events, value_sum) via partial-then-merge
+    — the shuffle moves ≤(#windows × #types) partial rows per block."""
+    partials = ds.map_batches(
+        lambda b, w=window_s: tumbling_window_partials(b, w),
+        batch_format="pyarrow",
+    )
+    merged = partials.groupby(["window_start_s", "event_type"]).aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("value_cents", alias_name="value_cents"),
+    )
+
+    def fix(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start_s": b["window_start_s"].cast(pa.int64()),
+                "event_type": b["event_type"],
+                "n_events": b["n_events"].cast(pa.int64()),
+                "value_cents": b["value_cents"].cast(pa.int64()),
+            }
+        )
+
+    return merged.map_batches(fix, batch_format="pyarrow")
+
+
+def _sessionize_user(g: pd.DataFrame, gap_s: int) -> pd.DataFrame:
+    """One user's events, any order in → per-session rows out."""
+    g = g.sort_values("ts_us", kind="mergesort")
+    ts = g["ts_us"].to_numpy()
+    new_sess = np.ones(len(ts), dtype=bool)
+    new_sess[1:] = (ts[1:] - ts[:-1]) > gap_s * US_PER_S
+    sid = np.cumsum(new_sess)
+    df = pd.DataFrame(
+        {
+            "user_id": g["user_id"].to_numpy(),
+            "session_id": sid,
+            "ts_us": ts,
+            "cents": g["cents"].to_numpy(),
+        }
+    )
+    out = df.groupby("session_id", as_index=False).agg(
+        user_id=("user_id", "first"),
+        session_start_us=("ts_us", "min"),
+        session_end_us=("ts_us", "max"),
+        n_events=("ts_us", "size"),
+        value_cents=("cents", "sum"),
+    )
+    return out[
+        ["user_id", "session_id", "session_start_us", "session_end_us",
+         "n_events", "value_cents"]
+    ]
+
+
+def sessionize(ds: "ray.data.Dataset", gap_s: int = 1800):
+    """Gap-based sessionization: ONE hash shuffle on user_id, per-user sort
+    + gap split inside map_groups (reference has no streaming ops — this is
+    the training-pipeline extension; semantics match SQL session windows)."""
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts_us": b["ts"].cast(pa.int64()),
+                "cents": pa.array(cents),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = prepped.groupby("user_id").map_groups(
+        lambda g, gap=gap_s: _sessionize_user(g, gap), batch_format="pandas"
+    )
+
+    def fix(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "session_id": b["session_id"].cast(pa.int64()),
+                "session_start_us": b["session_start_us"].cast(pa.int64()),
+                "session_end_us": b["session_end_us"].cast(pa.int64()),
+                "n_events": b["n_events"].cast(pa.int64()),
+                "value_cents": b["value_cents"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def topk_users_by_value(ds: "ray.data.Dataset", k: int = 10):
+    """Top-k users by Σvalue: full aggregate is small (#users), top-k on the
+    driver (reference analog: driver-side ranking, sketch.cc:1361-1363)."""
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"user_id": b["user_id"], "cents": pa.array(cents)})
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="value_cents"), Count(alias_name="n_events"))
+    )
+    rows = agg.take_all()
+    rows.sort(key=lambda r: (-r["value_cents"], r["user_id"]))
+    top = rows[:k]
+    return pa.table(
+        {
+            "user_id": pa.array([r["user_id"] for r in top], type=pa.int64()),
+            "value_cents": pa.array(
+                [int(r["value_cents"]) for r in top], type=pa.int64()
+            ),
+            "n_events": pa.array([r["n_events"] for r in top], type=pa.int64()),
+        }
+    )

@@ -19,6 +19,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..codecs import CODECS
 from ..functions import dedup as F_dedup
+from ..functions import events as F_events
 from ..functions import similarity as F_sim
 from ..functions import textstats as F_text
 from ..functions.textstats import codepoints
@@ -295,6 +296,25 @@ def q_tokens_corpus_roundtrip(sf_dir: str):
     )
 
 
+# ------------------------------------------------------------------ events
+def _events_ds(sf_dir: str):
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type", "value"]
+    )
+
+
+def q_events_window(sf_dir: str):
+    return F_events.tumbling_window_agg(_events_ds(sf_dir), window_s=3600)
+
+
+def q_events_sessionize(sf_dir: str):
+    return F_events.sessionize(_events_ds(sf_dir), gap_s=1800)
+
+
+def q_events_topk(sf_dir: str):
+    return F_events.topk_users_by_value(_events_ds(sf_dir), k=10)
+
+
 # ----------------------------------------------------------------- registry
 def build_queries() -> dict:
     q = {}
@@ -321,6 +341,9 @@ def build_queries() -> dict:
     q["ann_ivf"] = q_ann_ivf
     q["multimodal_decode"] = q_multimodal
     q["tokens_corpus_roundtrip"] = q_tokens_corpus_roundtrip
+    q["events_window_agg"] = q_events_window
+    q["events_sessionize"] = q_events_sessionize
+    q["events_topk_users"] = q_events_topk
     return q
 
 
@@ -389,6 +412,43 @@ def build_oracle_sql() -> dict:
         ORDER BY list_cosine_similarity(embedding,
                    (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
                  vec_id
+        LIMIT 10
+    """
+    sql["events_window_agg"] = """
+        SELECT CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT) AS window_start_s,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events GROUP BY 1, 2
+    """
+    sql["events_sessionize"] = """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM e
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               CAST(min(ts_us) AS BIGINT) AS session_start_us,
+               CAST(max(ts_us) AS BIGINT) AS session_end_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM s GROUP BY user_id, session_id
+    """
+    sql["events_topk_users"] = """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+        ORDER BY value_cents DESC, user_id
         LIMIT 10
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
