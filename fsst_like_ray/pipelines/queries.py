@@ -315,6 +315,117 @@ def q_events_topk(sf_dir: str):
     return F_events.topk_users_by_value(_events_ds(sf_dir), k=10)
 
 
+# ------------------------------------------------------------------- tpch
+def q_tpch_q1(sf_dir: str):
+    """TPC-H Q1 shape over lineitem (the reference's workload context table,
+    scripts/data-setup.sh): partial aggregation per batch, tiny merge.
+    Money sums as integer cents via floor(x*100+0.5) — float-op-identical to
+    the oracle SQL, summation-order independent."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = np.datetime64("1999-09-02T00:00:00", "us").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ts <= cutoff
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].to_pandas()[keep].to_numpy(),
+                "l_linestatus": b["l_linestatus"].to_pandas()[keep].to_numpy(),
+                "qty": qty.astype(np.int64),
+                "price_cents": np.floor(px * 100 + 0.5).astype(np.int64),
+                "disc_cents": np.floor(px * (1 - disc) * 100 + 0.5).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_cents=("price_cents", "sum"),
+            sum_disc_cents=("disc_cents", "sum"),
+            count_order=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+    return merged.map_batches(
+        lambda b: pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": b["sum_qty"].cast(pa.int64()),
+                "sum_base_cents": b["sum_base_cents"].cast(pa.int64()),
+                "sum_disc_cents": b["sum_disc_cents"].cast(pa.int64()),
+                "count_order": b["count_order"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_tpch_ptype_like(sf_dir: str):
+    """The reference's second flagship column (part.p_type,
+    scripts/data-setup.sh:14-18): FSST-encode it, LIKE-scan compressed."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda b: pa.table({"doc_id": b["p_partkey"], "text": b["p_name"]}),
+        batch_format="pyarrow",
+    )
+    enc = encode_text_dataset(ds)
+    out = like_scan(enc, "%blue%", engine="auto", decode_matches=False)
+    ids = [r["doc_id"] for r in out.take_all()]
+    return pa.table({"p_partkey": pa.array(ids, type=pa.int64())})
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 shape: orders-per-customer distribution with a predicate on
+    the priority text. Implemented WITHOUT a shuffle join: filtered orders
+    aggregate to ≤#customers count rows; the counts broadcast (ray.put) into
+    a streamed pass over customer; the final histogram is a tiny groupby."""
+    from ..functions.join import count_lookup
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    filt = orders.filter(expr="o_orderpriority != '1-URGENT'")
+    counts_rows = (
+        filt.groupby("o_custkey").aggregate(Count(alias_name="n")).take_all()
+    )
+    counts = {int(r["o_custkey"]): int(r["n"]) for r in counts_rows}
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    with_counts = count_lookup(cust, counts, "c_custkey", out_col="c_count")
+    hist = with_counts.groupby("c_count").aggregate(
+        Count(alias_name="custdist")
+    )
+    return hist.map_batches(
+        lambda b: pa.table(
+            {
+                "c_count": b["c_count"].cast(pa.int64()),
+                "custdist": b["custdist"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ----------------------------------------------------------------- registry
 def build_queries() -> dict:
     q = {}
@@ -344,6 +455,9 @@ def build_queries() -> dict:
     q["events_window_agg"] = q_events_window
     q["events_sessionize"] = q_events_sessionize
     q["events_topk_users"] = q_events_topk
+    q["tpch_q1"] = q_tpch_q1
+    q["tpch_ptype_like"] = q_tpch_ptype_like
+    q["tpch_q13"] = q_tpch_q13
     return q
 
 
@@ -450,6 +564,31 @@ def build_oracle_sql() -> dict:
         FROM events GROUP BY user_id
         ORDER BY value_cents DESC, user_id
         LIMIT 10
+    """
+    sql["tpch_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_disc_cents,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+    sql["tpch_ptype_like"] = """
+        SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'
+    """
+    sql["tpch_q13"] = """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) GROUP BY c_count
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # compression_stats, dedup_minhash/simhash/embedding, lang_id, ann_ivf,
