@@ -426,6 +426,52 @@ def q_tpch_q13(sf_dir: str):
     )
 
 
+def q_tpch_segment_orders(sf_dir: str):
+    """orders ⋈ customer (broadcast hash join: customer is the small side,
+    shipped once via ray.put) → order count + cents sum per market segment."""
+    import pyarrow.parquet as pq
+    from ..functions.join import broadcast_hash_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    joined = broadcast_hash_join(orders, cust, "o_custkey", "c_custkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"c_mktsegment": b["c_mktsegment"].to_pandas(), "cents": cents}
+        )
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("cents", "size"), total_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+    return merged.map_batches(
+        lambda b: pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_orders": b["n_orders"].cast(pa.int64()),
+                "total_cents": b["total_cents"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ----------------------------------------------------------------- registry
 def build_queries() -> dict:
     q = {}
@@ -458,6 +504,7 @@ def build_queries() -> dict:
     q["tpch_q1"] = q_tpch_q1
     q["tpch_ptype_like"] = q_tpch_ptype_like
     q["tpch_q13"] = q_tpch_q13
+    q["tpch_segment_orders"] = q_tpch_segment_orders
     return q
 
 
@@ -589,6 +636,14 @@ def build_oracle_sql() -> dict:
             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
           GROUP BY c_custkey
         ) GROUP BY c_count
+    """
+    sql["tpch_segment_orders"] = """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # compression_stats, dedup_minhash/simhash/embedding, lang_id, ann_ivf,
