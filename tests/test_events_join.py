@@ -1,0 +1,125 @@
+"""Unit tests for events windows/sessionization, broadcast join, and the
+newer encode internals (chunk bounds, used_chars bitmap) — edge cases the
+oracle sweep can't hit."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+def test_chunk_bounds_edges():
+    from fsst_like_ray.stages.encode import _chunk_bounds
+
+    # one giant row: its own chunk, neighbors intact
+    off = np.array([0, 5, 1000005, 1000010], dtype=np.int64)
+    b = _chunk_bounds(off, 100)
+    assert list(b) == [0, 1, 2, 3]
+    # no budget → single chunk
+    assert list(_chunk_bounds(off, None)) == [0, 3]
+    # exact fit stays together
+    off2 = np.array([0, 50, 100], dtype=np.int64)
+    assert list(_chunk_bounds(off2, 100)) == [0, 2]
+    # sliced offsets (nonzero base) respect the budget
+    off3 = np.array([1000, 1050, 1100, 1150], dtype=np.int64)
+    assert list(_chunk_bounds(off3, 100)) == [0, 2, 3]
+
+
+def test_escaped_literal_bitmap_exact():
+    from fsst_like_ray import fsstlib
+
+    tr = np.frombuffer(b"abababababababab", dtype=np.uint8).copy()
+    table = fsstlib.train(tr, np.array([0, len(tr)], dtype=np.int64))
+    data = np.frombuffer(b"abQab\xffZ", dtype=np.uint8).copy()
+    off = np.array([0, len(data)], dtype=np.int64)
+    buf, po = fsstlib.encode(data, off, table)
+    bm = fsstlib.escaped_literal_bitmap(buf, po)
+    covered = set()
+    for sym in table.symbols:
+        covered |= set(sym)
+    for byte in (ord("Q"), 0xFF, ord("Z")):
+        if byte not in covered:
+            assert bm[byte >> 3] & (1 << (byte & 7)), hex(byte)
+    # decode agrees
+    dec, _ = fsstlib.decode(buf, po, table)
+    assert bytes(dec) == bytes(data)
+
+
+def test_sessionize_matches_pandas(ray_session):
+    from fsst_like_ray.functions.events import sessionize
+
+    rng = np.random.default_rng(7)
+    n = 500
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    ts = base + np.sort(rng.integers(0, 86400_000_000, n))
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 20, n), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(["x"] * n),
+            "value": pa.array(rng.uniform(0, 100, n).round(2)),
+        }
+    )
+    out = sessionize(ray.data.from_arrow(t), gap_s=600).to_pandas()
+    # pandas oracle
+    df = t.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    df["cents"] = np.rint(df["value"] * 100).astype(np.int64)
+    rows = []
+    for uid, g in df.sort_values("ts_us").groupby("user_id"):
+        tss = g["ts_us"].to_numpy()
+        new = np.ones(len(tss), bool)
+        new[1:] = (tss[1:] - tss[:-1]) > 600 * 1_000_000
+        sid = np.cumsum(new)
+        gg = pd.DataFrame({"sid": sid, "ts": tss, "cents": g["cents"].to_numpy()})
+        for s_id, sg in gg.groupby("sid"):
+            rows.append(
+                (uid, s_id, sg["ts"].min(), sg["ts"].max(), len(sg),
+                 sg["cents"].sum())
+            )
+    exp = pd.DataFrame(
+        rows,
+        columns=["user_id", "session_id", "session_start_us",
+                 "session_end_us", "n_events", "value_cents"],
+    )
+    key = ["user_id", "session_id"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a.astype("int64"), b.astype("int64"), check_dtype=False
+    )
+
+
+def test_broadcast_join_left_and_inner(ray_session):
+    from fsst_like_ray.functions.join import broadcast_hash_join
+
+    big = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "v": pa.array([10, 20, 30, 40], type=pa.int64())})
+    )
+    small = pa.table({"sk": pa.array([2, 4], type=pa.int64()),
+                      "name": pa.array(["two", "four"])})
+    inner = broadcast_hash_join(big, small, "k", "sk", how="inner").to_pandas()
+    assert sorted(inner["k"]) == [2, 4]
+    left = broadcast_hash_join(big, small, "k", "sk", how="left").to_pandas()
+    assert len(left) == 4 and left.set_index("k")["name"].isna().sum() == 2
+    with pytest.raises(ValueError):
+        broadcast_hash_join(big, small, "k", "sk", how="outer")
+
+
+def test_ngram_jaccard_identical_docs(ray_session):
+    from fsst_like_ray.functions.dedup import ngram_jaccard_duplicates
+
+    docs = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 3, "text": "completely different content here entirely"},
+        {"doc_id": 4, "text": "the quick brown fox jumps over the lazy dog!"},
+    ]
+    ds = ray.data.from_items(docs)
+    dups = sorted(r["doc_id"] for r in ngram_jaccard_duplicates(ds).take_all())
+    assert 2 in dups and 3 not in dups
