@@ -194,9 +194,11 @@ def main():
             import fsst_like_ray.stages.decode  # noqa: F401
             return b
 
+        from ray.data.aggregate import Sum as _Sum
+
         _rpb(CORPUS_DIR, columns=["n_tok"]).map_batches(
             _warm, batch_format="pyarrow"
-        ).count()
+        ).groupby("n_tok").aggregate(_Sum("n_tok", alias_name="s")).count()
         queries: dict[str, float] = {}
         head = run_headline(f"/tmp/fsst_like_bench/encoded_{num_cpus}")
         queries["encode_auto"] = round(head["sec"], 3)
