@@ -1,0 +1,103 @@
+"""Seeded randomized property tests — the pytest-ified analog of the
+reference's de-facto property test (algorithm.ipynb cell-1: seeded random
+symbol strings, patterns of lengths 1..9, all matcher implementations must
+return identical match-id lists; SURVEY.md §5.4).
+
+No Ray needed: these exercise the kernels directly, deterministically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fsst_like_ray import fsstlib
+from fsst_like_ray.codecs import CODECS
+from fsst_like_ray.matchers.engines import like_on_encoded
+from fsst_like_ray.stages.text import encode_text_table
+
+
+def _random_corpus(seed: int, n_rows: int = 2000):
+    """Mirror of the notebook generator: strings assembled from 64 random
+    8-char 'symbols' over alphabet {a,b,c} mixed with random chars."""
+    rng = np.random.default_rng(seed)
+    symbols = [
+        "".join(rng.choice(list("abc"), 8)) for _ in range(64)
+    ]
+    rows = []
+    for _ in range(n_rows):
+        parts = []
+        for _ in range(int(rng.integers(1, 8))):
+            if rng.random() < 0.7:
+                parts.append(symbols[int(rng.integers(0, 64))])
+            else:
+                parts.append(chr(int(rng.integers(97, 123))))
+        rows.append("".join(parts))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_like_engines_agree_with_python(seed):
+    texts = _random_corpus(seed)
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    enc = encode_text_table(batch)
+    rng = np.random.default_rng(seed + 100)
+    # patterns of lengths 1..9 drawn from corpus substrings (guaranteed
+    # matches) plus random strings (mostly non-matches)
+    pats = []
+    for m in range(1, 10):
+        src = texts[int(rng.integers(0, len(texts)))]
+        if len(src) >= m:
+            start = int(rng.integers(0, len(src) - m + 1))
+            pats.append(src[start : start + m])
+        pats.append("".join(rng.choice(list("abcxyz"), m)))
+    for needle in pats:
+        oracle = np.array([needle in t for t in texts])
+        for engine in ("decoded", "skipping", "kmp"):
+            got = like_on_encoded(enc, f"%{needle}%", engine=engine)
+            assert np.array_equal(got, oracle), (needle, engine)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_codec_roundtrip_random(seed):
+    rng = np.random.default_rng(seed)
+    n_rows = 300
+    lens = rng.integers(0, 200, n_rows).astype(np.int64)
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    values = np.empty(total, dtype=np.int32)
+    # mix of regimes per row
+    for i in range(n_rows):
+        s, e = offsets[i], offsets[i + 1]
+        k = i % 4
+        if k == 0:
+            values[s:e] = rng.integers(-(2**31), 2**31 - 1, e - s)
+        elif k == 1:
+            values[s:e] = rng.integers(0, 16, e - s)
+        elif k == 2:
+            values[s:e] = int(rng.integers(0, 1000))
+        else:
+            values[s:e] = (rng.zipf(1.3, e - s) - 1) % 50000
+    counts = np.diff(offsets)
+    for name, codec in CODECS.items():
+        state = codec.train(values, offsets)
+        buf, po = codec.encode(values, offsets, state)
+        dec = codec.decode(buf, po, counts, state)
+        assert np.array_equal(dec, values), name
+
+
+def test_fsst_handles_all_byte_values():
+    # every byte value 0..255 as literal content, incl. escape runs
+    data = np.arange(256, dtype=np.uint8)
+    data = np.concatenate([data, np.full(32, 255, dtype=np.uint8), data[::-1]])
+    off = np.array([0, 256, 256 + 32, len(data)], dtype=np.int64)
+    table = fsstlib.train(data, off)
+    buf, po = fsstlib.encode(data, off, table)
+    dec, ro = fsstlib.decode(buf, po, table)
+    assert bytes(dec) == bytes(data)
+    assert list(ro) == list(off)
