@@ -24,7 +24,6 @@ from ..functions import similarity as F_sim
 from ..functions import textstats as F_text
 from ..functions.textstats import codepoints
 from ..stages.decode import decode_batch
-from ..stages.encode import encode_table
 from .compress import encode_dataset, decode_dataset
 from .scan import encode_text_dataset, like_scan, like_count
 
@@ -152,20 +151,36 @@ def q_source_counts(sf_dir: str):
 
 def q_compression_stats(sf_dir: str):
     """Per-codec encoded bytes over the derived tokens table (the reference's
-    compressed-size accounting, sketch.cc:738-755). Rows-only check."""
-    t = _tokens_ds(sf_dir).take_all()
-    batch = pa.Table.from_pylist(t)
+    compressed-size accounting, sketch.cc:738-755). Streaming: one encode
+    pipeline per codec, reduced to (Σ payload, Σ states, Σ plain) — nothing
+    materializes. Rows-only check."""
+
+    def summarize(b: pa.Table) -> pa.Table:
+        payload = int(pa.compute.sum(b["payload_nbytes"]).as_py() or 0)
+        states = b["state"].combine_chunks()
+        state_bytes = sum(
+            len(v.as_py() or b"") for v in states.dictionary
+        ) if pa.types.is_dictionary(states.type) else 0
+        plain = int(
+            pa.compute.sum(b["n_tok"].cast(pa.int64())).as_py() or 0
+        ) * 4
+        return pa.table(
+            {
+                "payload": pa.array([payload], type=pa.int64()),
+                "state": pa.array([state_bytes], type=pa.int64()),
+                "plain": pa.array([plain], type=pa.int64()),
+            }
+        )
+
     rows = []
     for name in sorted(CODECS):
-        enc = encode_table(batch, codec=name)
-        payload = int(pa.compute.sum(enc["payload_nbytes"]).as_py() or 0)
-        state = len(enc["state"][0].as_py() or b"")
-        plain = int(pa.compute.sum(enc["n_tok"].cast(pa.int64())).as_py() or 0) * 4
+        enc = encode_dataset(_tokens_ds(sf_dir), codec=name)
+        parts = enc.map_batches(summarize, batch_format="pyarrow").take_all()
         rows.append(
             {
                 "codec": name,
-                "encoded_bytes": payload + state,
-                "plain_bytes": plain,
+                "encoded_bytes": sum(r["payload"] + r["state"] for r in parts),
+                "plain_bytes": sum(r["plain"] for r in parts),
             }
         )
     return pd.DataFrame(rows)
@@ -190,11 +205,13 @@ def q_decode_selected(sf_dir: str):
 def q_dedup_exact(sf_dir: str):
     ds = _docs(sf_dir, ("doc_id", "text"))
     dup_rows = F_dedup.exact_duplicates(ds).take_all()
-    dropped = {r["doc_id"] for r in dup_rows}
+    dropped = np.array(sorted(r["doc_id"] for r in dup_rows), dtype=np.int64)
 
     def keep(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        mask = ~np.isin(ids, list(dropped)) if dropped else np.ones(len(ids), bool)
+        mask = (
+            ~np.isin(ids, dropped) if dropped.size else np.ones(len(ids), bool)
+        )
         return b.select(["doc_id"]).take(pa.array(np.flatnonzero(mask)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
