@@ -322,8 +322,15 @@ def encode(
     data: np.ndarray, offsets: np.ndarray, table: SymbolTable
 ) -> tuple[np.ndarray, np.ndarray]:
     """Encode rows of ``data`` (uint8, rows per ``offsets``). Returns
-    (encoded buffer, per-row payload offsets)."""
+    (encoded buffer, per-row payload offsets).
+
+    Dispatches to the C kernel when available (bit-identical output,
+    asserted in tests); the NumPy path below is the portable fallback."""
     data = np.ascontiguousarray(data, dtype=np.uint8)
+    from . import native
+
+    if native.lib is not None:
+        return native.encode(data, np.ascontiguousarray(offsets, np.int64), table)
     pos, ml, code = _parse(data, offsets, table)
     esc = ml == 0
     out_len = np.where(esc, 2, 1).astype(np.int64)

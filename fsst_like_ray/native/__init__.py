@@ -1,0 +1,130 @@
+"""Optional C acceleration for the FSST hot loops.
+
+Compiled at import time from ``fsstkern.c`` with the system C compiler into
+a content-addressed ``.so`` under the temp dir (no installs, no network;
+concurrent workers build to a pid-suffixed temp file and ``os.replace`` it
+atomically). When no compiler is available ``lib`` is None and
+:mod:`fsst_like_ray.fsstlib` keeps its pure-NumPy path — both paths produce
+bit-identical output (asserted in tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "fsstkern.c")
+
+
+def _build():
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    so = os.path.join(tempfile.gettempdir(), f"fsstkern_{tag}.so")
+    if not os.path.exists(so):
+        tmp = f"{so}.{os.getpid()}.tmp"
+        subprocess.run(
+            ["cc", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, so)
+    l = ctypes.CDLL(so)
+    l.fsst_encode.restype = ctypes.c_int64
+    l.fsst_encode.argtypes = (
+        [ctypes.c_void_p] * 2
+        + [ctypes.c_int64]
+        + [ctypes.c_void_p] * 3
+        + [ctypes.c_int64]
+        + [ctypes.c_void_p] * 7
+    )
+    l.fsst_decode.restype = ctypes.c_int64
+    l.fsst_decode.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                              ctypes.c_void_p, ctypes.c_void_p,
+                              ctypes.c_void_p, ctypes.c_void_p]
+    return l
+
+
+try:  # pragma: no cover - environment dependent
+    lib = _build()
+except Exception:  # no compiler / sandboxed exec — NumPy fallback
+    lib = None
+
+
+def _ptr(a: np.ndarray):
+    return ctypes.c_void_p(a.ctypes.data)
+
+
+def _prep(table):
+    """C-ready lookup arrays for a SymbolTable (cheap: ≤255 symbols)."""
+    from .. import fsstlib
+
+    len1 = np.full(256, 255, dtype=np.uint8)
+    if 1 in table.keys_by_len:
+        for k, c in zip(table.keys_by_len[1], table.codes_by_len[1]):
+            len1[int(k)] = c
+    npfx = len(table.long_prefixes)
+    has_len = np.zeros(max(npfx, 1), dtype=np.uint8)
+    for l in range(3, fsstlib.MAX_SYMBOL_LEN + 1):
+        if npfx:
+            has_len |= table.prefix_has_len[l].astype(np.uint8) << (l - 1)
+    keys_parts, codes_parts, key_off = [], [], np.zeros(10, dtype=np.int64)
+    for l in range(9):
+        k = table.keys_by_len.get(l)
+        if k is not None and l >= 3:
+            keys_parts.append(k)
+            codes_parts.append(table.codes_by_len[l])
+        key_off[l + 1] = key_off[l] + (len(k) if (k is not None and l >= 3) else 0)
+    keys = (
+        np.concatenate(keys_parts) if keys_parts else np.zeros(0, dtype=np.uint64)
+    )
+    codes = (
+        np.concatenate(codes_parts) if codes_parts else np.zeros(0, dtype=np.uint8)
+    )
+    lut3 = table.lut3
+    if lut3 is None:
+        lut3 = np.zeros(1, dtype=np.uint8)  # has_long is False ⇒ never read
+    return len1, has_len, keys, codes, key_off, lut3
+
+
+def encode(data: np.ndarray, offsets: np.ndarray, table):
+    """Native twin of fsstlib.encode: (out buffer, per-row payload offsets)."""
+    n = int(data.size)
+    n_rows = len(offsets) - 1
+    padded = np.zeros(n + 8, dtype=np.uint8)
+    padded[:n] = data
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    out = np.empty(2 * n + 8, dtype=np.uint8)
+    po = np.empty(n_rows + 1, dtype=np.int64)
+    len1, has_len, keys, codes, key_off, lut3 = _prep(table)
+    has_long = int(lut3.size > 1)
+    total = lib.fsst_encode(
+        _ptr(padded), _ptr(offsets), n_rows,
+        _ptr(table.short_code), _ptr(table.short_len), _ptr(len1),
+        has_long, _ptr(lut3), _ptr(has_len),
+        _ptr(keys), _ptr(codes), _ptr(key_off),
+        _ptr(out), _ptr(po),
+    )
+    return out[:total], po
+
+
+def decode(buf: np.ndarray, payload_offsets: np.ndarray, table):
+    """Native twin of fsstlib.decode: (decoded bytes, per-row offsets)."""
+    n = int(buf.size)
+    n_rows = len(payload_offsets) - 1
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    po = np.ascontiguousarray(payload_offsets, dtype=np.int64)
+    # reference decode bound: 8 * compressed + 32 (src/FsstWrapper.hpp:56)
+    out = np.empty(8 * n + 32, dtype=np.uint8)
+    ro = np.empty(n_rows + 1, dtype=np.int64)
+    total = lib.fsst_decode(
+        _ptr(buf), _ptr(po), n_rows,
+        _ptr(table.sym_bytes), _ptr(table.sym_lens_u8),
+        _ptr(out), _ptr(ro),
+    )
+    return out[:total], ro

@@ -1,0 +1,147 @@
+/* Scalar C kernels for the FSST hot loops (encode parse + decode expand).
+ *
+ * Semantics are EXACTLY the NumPy implementation in fsstlib.py (greedy
+ * longest-symbol match, 2-byte escape, parse restarts every SEGMENT bytes
+ * and at row bounds; reference format constants per sketch.cc:95,
+ * src/FsstWrapper.cpp:131-136). The Python wrapper asserts bit-identical
+ * output against the NumPy path in tests.
+ *
+ * Built at import time with the system cc (-O3); NumPy remains the
+ * fallback when no compiler is present.
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+#define ESCAPE 255
+#define SEGMENT 256
+
+static inline uint64_t load8(const uint8_t *p) {
+    uint64_t v;
+    memcpy(&v, p, 8); /* little-endian hosts only (x86-64/aarch64-le) */
+    return v;
+}
+
+/* Encode rows[data, offsets] with a prepared table.
+ *  short_code/short_len: 65536-entry tables on the first two bytes
+ *  len1_code: 256-entry table (code of the length-1 symbol, 255 = none)
+ *  lut3: 2^24 table, 3-byte prefix -> prefix id + 1 (0 = no long symbol)
+ *  has_len: per prefix id, bit (l-1) set if a symbol of length l exists
+ *  keys/codes: per length 3..8, sorted little-endian grams + their codes,
+ *    flattened; key_off[l] .. key_off[l+1] is length l's range
+ * data must be padded with >= 8 readable bytes past offsets[n_rows].
+ * out must hold 2 * total bytes; out_po has n_rows + 1 slots.
+ * Returns total output bytes. */
+int64_t fsst_encode(
+    const uint8_t *data, const int64_t *offsets, int64_t n_rows,
+    const uint8_t *short_code, const uint8_t *short_len,
+    const uint8_t *len1_code,
+    int64_t has_long, const uint8_t *lut3, const uint8_t *has_len,
+    const uint64_t *keys, const uint8_t *codes, const int64_t *key_off,
+    uint8_t *out, int64_t *out_po)
+{
+    int64_t o = 0;
+    out_po[0] = 0;
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t p = offsets[r];
+        const int64_t row_end = offsets[r + 1];
+        int64_t seg_end = p + SEGMENT < row_end ? p + SEGMENT : row_end;
+        while (p < row_end) {
+            if (p >= seg_end)
+                seg_end = p + SEGMENT < row_end ? p + SEGMENT : row_end;
+            const int64_t rem64 = seg_end - p;
+            const int cap = rem64 < 8 ? (int)rem64 : 8;
+            const uint64_t g8 = load8(data + p);
+            int best_len = 0;
+            int best_code = ESCAPE;
+            /* 1-2 byte match via the direct tables */
+            {
+                const uint16_t g2 = (uint16_t)g8;
+                const int sl = short_len[g2];
+                if (sl && sl <= cap) {
+                    best_len = sl;
+                    best_code = short_code[g2];
+                } else if (sl > cap && cap >= 1) {
+                    const int c1 = len1_code[(uint8_t)g8];
+                    if (c1 != ESCAPE) {
+                        best_len = 1;
+                        best_code = c1;
+                    }
+                }
+            }
+            /* >=3 byte match via prefix filter + per-length binary search */
+            if (has_long && cap >= 3) {
+                const uint32_t g3 = (uint32_t)(g8 & 0xFFFFFF);
+                const int pid1 = lut3[g3];
+                if (pid1) {
+                    const uint8_t mask = has_len[pid1 - 1];
+                    const int lmax = cap;
+                    for (int l = lmax; l >= 3; l--) {
+                        if (l <= best_len)
+                            break;
+                        if (!(mask & (uint8_t)(1u << (l - 1))))
+                            continue;
+                        const uint64_t key =
+                            l < 8 ? (g8 & ((1ULL << (8 * l)) - 1)) : g8;
+                        int64_t lo = key_off[l], hi = key_off[l + 1] - 1;
+                        while (lo <= hi) {
+                            const int64_t mid = (lo + hi) >> 1;
+                            const uint64_t k = keys[mid];
+                            if (k == key) {
+                                best_len = l;
+                                best_code = codes[mid];
+                                lo = hi + 2; /* found */
+                            } else if (k < key) {
+                                lo = mid + 1;
+                            } else {
+                                hi = mid - 1;
+                            }
+                        }
+                        if (best_len == l)
+                            break;
+                    }
+                }
+            }
+            if (best_len > 0) {
+                out[o++] = (uint8_t)best_code;
+                p += best_len;
+            } else {
+                out[o++] = ESCAPE;
+                out[o++] = data[p];
+                p += 1;
+            }
+        }
+        out_po[r + 1] = o;
+    }
+    return o;
+}
+
+/* Decode payloads back to bytes.
+ *  sym_bytes: 256 x 8 symbol byte matrix; sym_len: 256 lengths
+ * out must be padded with >= 8 writable bytes past the true size.
+ * Returns total decoded bytes, also writes per-row out offsets. */
+int64_t fsst_decode(
+    const uint8_t *in, const int64_t *po, int64_t n_rows,
+    const uint8_t *sym_bytes, const uint8_t *sym_len,
+    uint8_t *out, int64_t *out_ro)
+{
+    int64_t o = 0;
+    out_ro[0] = 0;
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t p = po[r];
+        const int64_t end = po[r + 1];
+        while (p < end) {
+            const uint8_t b = in[p];
+            if (b == ESCAPE) {
+                out[o++] = (p + 1 < end) ? in[p + 1] : 0;
+                p += 2;
+            } else {
+                memcpy(out + o, sym_bytes + ((int64_t)b << 3), 8);
+                o += sym_len[b];
+                p += 1;
+            }
+        }
+        out_ro[r + 1] = o;
+    }
+    return o;
+}

@@ -1,0 +1,67 @@
+"""The C kernels must be byte-identical twins of the NumPy FSST path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fsst_like_ray import fsstlib, native
+
+
+def _numpy_encode(data, off, table):
+    """Call the NumPy implementation directly (bypassing dispatch)."""
+    pos, ml, code = fsstlib._parse(data, off, table)
+    esc = ml == 0
+    out_len = np.where(esc, 2, 1).astype(np.int64)
+    out_off = np.zeros(len(pos) + 1, dtype=np.int64)
+    np.cumsum(out_len, out=out_off[1:])
+    out = np.empty(int(out_off[-1]), dtype=np.uint8)
+    out[out_off[:-1][~esc]] = code[~esc]
+    ep = out_off[:-1][esc]
+    out[ep] = fsstlib.ESCAPE
+    out[ep + 1] = data[pos[esc]]
+    first_emit = np.searchsorted(pos, off)
+    return out, out_off[first_emit].astype(np.int64)
+
+
+@pytest.mark.skipif(native.lib is None, reason="no C compiler")
+@pytest.mark.parametrize("seed", range(6))
+def test_native_encode_decode_bit_identical(seed):
+    rng = np.random.default_rng(seed)
+    n_rows = int(rng.integers(1, 500))
+    lens = rng.integers(0, 400, n_rows)
+    off = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    total = int(off[-1])
+    mode = seed % 3
+    if mode == 0:
+        data = rng.integers(0, 256, total).astype(np.uint8)
+    elif mode == 1:
+        data = rng.choice(
+            np.frombuffer(b"the quick brown\xff fox ", dtype=np.uint8), total
+        )
+    else:
+        data = np.full(total, 255, dtype=np.uint8)
+    data = np.ascontiguousarray(data)
+    table = fsstlib.train(data, off)
+
+    b_np, po_np = _numpy_encode(data, off, table)
+    b_c, po_c = native.encode(data, off, table)
+    assert np.array_equal(po_np, po_c)
+    assert np.array_equal(b_np, b_c)
+
+    d_c, ro_c = native.decode(b_c, po_c, table)
+    assert bytes(d_c) == bytes(data)
+    assert np.array_equal(ro_c, off)
+
+
+@pytest.mark.skipif(native.lib is None, reason="no C compiler")
+def test_native_empty_table_and_rows():
+    table = fsstlib.SymbolTable([])
+    data = np.frombuffer(b"xyz\xff", dtype=np.uint8).copy()
+    off = np.array([0, 0, 4, 4], dtype=np.int64)  # empty rows at both ends
+    buf, po = native.encode(data, off, table)
+    assert list(po) == [0, 0, 8, 8]  # all escaped: 2 bytes per input byte
+    dec, ro = native.decode(buf, po, table)
+    assert bytes(dec) == bytes(data)
+    assert list(ro) == list(off)
