@@ -72,7 +72,10 @@ class FsstCodec(Codec):
 
     def decode(self, buf, payload_offsets, counts, state):
         table = fsstlib.SymbolTable.deserialize(state)
-        out, ro = fsstlib.decode(buf, payload_offsets, table)
+        out, ro = fsstlib.decode(
+            buf, payload_offsets, table,
+            out_nbytes=int(counts.astype(np.int64).sum()) * 4,
+        )
         expected = counts.astype(np.int64) * 4
         if not np.array_equal(np.diff(ro), expected):
             raise ValueError("fsst decode: row size mismatch")

@@ -350,7 +350,10 @@ def encode(
 
 
 def decode(
-    buf: np.ndarray, payload_offsets: np.ndarray, table: SymbolTable
+    buf: np.ndarray,
+    payload_offsets: np.ndarray,
+    table: SymbolTable,
+    out_nbytes: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode per-row payloads back to the original bytes.
 

@@ -113,14 +113,20 @@ def encode(data: np.ndarray, offsets: np.ndarray, table):
     return out[:total], po
 
 
-def decode(buf: np.ndarray, payload_offsets: np.ndarray, table):
-    """Native twin of fsstlib.decode: (decoded bytes, per-row offsets)."""
+def decode(buf: np.ndarray, payload_offsets: np.ndarray, table,
+           out_nbytes: int | None = None):
+    """Native twin of fsstlib.decode: (decoded bytes, per-row offsets).
+
+    ``out_nbytes`` (exact decoded size, when the caller knows it from row
+    counts) avoids allocating the worst-case 8× bound — first-touch page
+    faults on those large buffers dominated cold decode tasks."""
     n = int(buf.size)
     n_rows = len(payload_offsets) - 1
     buf = np.ascontiguousarray(buf, dtype=np.uint8)
     po = np.ascontiguousarray(payload_offsets, dtype=np.int64)
     # reference decode bound: 8 * compressed + 32 (src/FsstWrapper.hpp:56)
-    out = np.empty(8 * n + 32, dtype=np.uint8)
+    size = (out_nbytes + 8) if out_nbytes is not None else (8 * n + 32)
+    out = np.empty(size, dtype=np.uint8)
     ro = np.empty(n_rows + 1, dtype=np.int64)
     total = lib.fsst_decode(
         _ptr(buf), _ptr(po), n_rows,

@@ -108,7 +108,9 @@ def decode_text_table(batch: pa.Table) -> pa.Table:
         )
         sub = pay[po[lo] : po[hi]]
         so = po[lo : hi + 1] - po[lo]
-        dec, ro = fsstlib.decode(sub, so, table)
+        dec, ro = fsstlib.decode(
+            sub, so, table, out_nbytes=int(expected[lo:hi].sum())
+        )
         if not np.array_equal(np.diff(ro), expected[lo:hi]):
             raise ValueError("text decode: row size mismatch")
         out[out_off[lo] : out_off[hi]] = dec
