@@ -45,6 +45,15 @@ def pack_rows(
     if width == 0 or total_bytes == 0:
         return np.zeros(total_bytes, dtype=np.uint8), payload_offsets
 
+    from .. import native
+
+    if native.lib is not None:
+        return (
+            native.pack_rows(values_u32, offsets, width, payload_offsets,
+                             total_bytes),
+            payload_offsets,
+        )
+
     n_tot = int(values_u32.size)
     # value bits: (n_tot, width), little-endian bit order
     vbits = np.unpackbits(
@@ -80,6 +89,14 @@ def unpack_rows(
     n_tot = int(counts.sum())
     if width == 0 or n_tot == 0:
         return np.zeros(n_tot, dtype=np.uint32)
+
+    from .. import native
+
+    if native.lib is not None:
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return native.unpack_rows(buf, payload_offsets, offsets, width, n_tot)
+
     bits = np.unpackbits(np.ascontiguousarray(buf), bitorder="little")
 
     n_rows = len(counts)

@@ -47,6 +47,13 @@ def _build():
     l.fsst_decode.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                               ctypes.c_void_p, ctypes.c_void_p,
                               ctypes.c_void_p, ctypes.c_void_p]
+    l.pack_rows.restype = None
+    l.pack_rows.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+    l.unpack_rows.restype = None
+    l.unpack_rows.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                              ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                              ctypes.c_void_p]
     return l
 
 
@@ -134,3 +141,24 @@ def decode(buf: np.ndarray, payload_offsets: np.ndarray, table,
         _ptr(out), _ptr(ro),
     )
     return out[:total], ro
+
+
+def pack_rows(values_u32, offsets, width, payload_offsets, total_bytes):
+    """Native bit pack; caller supplies precomputed row payload offsets."""
+    vals = np.ascontiguousarray(values_u32, dtype=np.uint32)
+    off = np.ascontiguousarray(offsets, dtype=np.int64)
+    po = np.ascontiguousarray(payload_offsets, dtype=np.int64)
+    out = np.zeros(int(total_bytes), dtype=np.uint8)
+    lib.pack_rows(_ptr(vals), _ptr(off), len(off) - 1, int(width),
+                  _ptr(out), _ptr(po))
+    return out
+
+
+def unpack_rows(buf, payload_offsets, offsets, width, n_values):
+    vals = np.empty(int(n_values), dtype=np.uint32)
+    b = np.ascontiguousarray(buf, dtype=np.uint8)
+    po = np.ascontiguousarray(payload_offsets, dtype=np.int64)
+    off = np.ascontiguousarray(offsets, dtype=np.int64)
+    lib.unpack_rows(_ptr(b), _ptr(po), _ptr(off), len(off) - 1, int(width),
+                    _ptr(vals))
+    return vals

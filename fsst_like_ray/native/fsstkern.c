@@ -145,3 +145,49 @@ int64_t fsst_decode(
     }
     return o;
 }
+
+/* Row-padded bit packing at arbitrary width 1..32, little-endian bit order
+ * (bit-identical to the NumPy unpackbits/packbits path in codecs/bitutil.py:
+ * value bits LSB-first, every row flushed to a byte boundary). */
+void pack_rows(
+    const uint32_t *vals, const int64_t *offsets, int64_t n_rows, int width,
+    uint8_t *out, const int64_t *out_po)
+{
+    for (int64_t r = 0; r < n_rows; r++) {
+        uint64_t acc = 0;
+        int nbits = 0;
+        int64_t o = out_po[r];
+        for (int64_t j = offsets[r]; j < offsets[r + 1]; j++) {
+            acc |= (uint64_t)vals[j] << nbits;
+            nbits += width;
+            while (nbits >= 8) {
+                out[o++] = (uint8_t)acc;
+                acc >>= 8;
+                nbits -= 8;
+            }
+        }
+        if (nbits > 0)
+            out[o++] = (uint8_t)acc;
+    }
+}
+
+void unpack_rows(
+    const uint8_t *in, const int64_t *po, const int64_t *offsets,
+    int64_t n_rows, int width, uint32_t *vals)
+{
+    const uint64_t mask = width < 64 ? ((1ULL << width) - 1) : ~0ULL;
+    for (int64_t r = 0; r < n_rows; r++) {
+        uint64_t acc = 0;
+        int nbits = 0;
+        int64_t p = po[r];
+        for (int64_t j = offsets[r]; j < offsets[r + 1]; j++) {
+            while (nbits < width) {
+                acc |= (uint64_t)in[p++] << nbits;
+                nbits += 8;
+            }
+            vals[j] = (uint32_t)(acc & mask);
+            acc >>= width;
+            nbits -= width;
+        }
+    }
+}
