@@ -489,6 +489,76 @@ def q_tpch_segment_orders(sf_dir: str):
     )
 
 
+def q_tpch_region_suppliers(sf_dir: str):
+    """supplier ⋈ nation ⋈ region via CHAINED broadcast joins (both lookup
+    sides are tiny dimension tables — the canonical star-schema shape where
+    broadcast beats any shuffle join)."""
+    import pyarrow.parquet as pq
+    from ..functions.join import broadcast_hash_join
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    j = broadcast_hash_join(sup, nation, "s_nationkey", "n_nationkey")
+    j = broadcast_hash_join(j, region, "n_regionkey", "r_regionkey")
+    agg = j.groupby("r_name").aggregate(Count(alias_name="n_suppliers"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"r_name": b["r_name"], "n_suppliers": b["n_suppliers"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_sliding_window(sf_dir: str):
+    """Sliding-window event counts (size 3600 s, hop 900 s): each event
+    contributes to size/hop = 4 windows — emitted as per-batch partials
+    (4 tiny rows per window per block), merged by one small groupby. The
+    oracle is a DuckDB range join against generate_series."""
+    SIZE, HOP = 3600, 900
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sec = ts // 1_000_000
+        ks = SIZE // HOP
+        wins = np.concatenate(
+            [((sec - k * HOP) // SIZE) * SIZE + k * HOP for k in range(ks)]
+        )
+        # window start w covers [w, w+SIZE); keep only windows actually
+        # covering the event (first/last hops at the range edges)
+        ev = np.tile(sec, ks)
+        keep = (wins <= ev) & (ev < wins + SIZE)
+        w, c = np.unique(wins[keep], return_counts=True)
+        return pa.table(
+            {
+                "window_start_s": pa.array(w, type=pa.int64()),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start_s")
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+    return merged.map_batches(
+        lambda b: pa.table(
+            {
+                "window_start_s": b["window_start_s"].cast(pa.int64()),
+                "n_events": b["n_events"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ----------------------------------------------------------------- registry
 def build_queries() -> dict:
     q = {}
@@ -522,6 +592,8 @@ def build_queries() -> dict:
     q["tpch_ptype_like"] = q_tpch_ptype_like
     q["tpch_q13"] = q_tpch_q13
     q["tpch_segment_orders"] = q_tpch_segment_orders
+    q["tpch_region_suppliers"] = q_tpch_region_suppliers
+    q["events_sliding_window"] = q_events_sliding_window
     return q
 
 
@@ -661,6 +733,25 @@ def build_oracle_sql() -> dict:
                     AS BIGINT) AS total_cents
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """
+    sql["tpch_region_suppliers"] = """
+        SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+    sql["events_sliding_window"] = """
+        WITH sec AS (SELECT epoch_us(ts) // 1000000 AS s FROM events),
+        w AS (
+          SELECT unnest(range(
+            (SELECT CAST(((min(s) - 3600) // 900) * 900 AS BIGINT) FROM sec),
+            (SELECT CAST(max(s) + 3600 AS BIGINT) FROM sec), 900)) AS ws
+        )
+        SELECT CAST(w.ws AS BIGINT) AS window_start_s,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sec JOIN w ON w.ws <= sec.s AND sec.s < w.ws + 3600
+        GROUP BY w.ws
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # compression_stats, dedup_minhash/simhash/embedding, lang_id, ann_ivf,
