@@ -207,6 +207,116 @@ def kmp_code_match(
     return state == m
 
 
+def _accept_offsets(char_delta: np.ndarray, table: fsstlib.SymbolTable) -> np.ndarray:
+    """(m+1, 256) first within-symbol byte index at which the automaton
+    reaches accept while consuming the symbol's expansion (-1 = never).
+    The reference's stop_pos (src/StateMachine.hpp:41-60, :137-147): a
+    segment can complete MID-symbol, and the next segment must resume from
+    the remaining bytes of the SAME symbol (MetaStateMachine.hpp:67-116)."""
+    m = char_delta.shape[0] - 1
+    out = np.full((m + 1, 256), -1, dtype=np.int32)
+    for code, sym in enumerate(table.symbols):
+        states = np.arange(m + 1, dtype=np.int32)
+        first = np.full(m + 1, -1, dtype=np.int32)
+        for t, b in enumerate(sym):
+            states = char_delta[states, b]
+            hit = (states == m) & (first < 0)
+            first[hit] = t
+        out[:, code] = first
+    return out
+
+
+def meta_kmp_code_match(
+    pay: np.ndarray,
+    po: np.ndarray,
+    table: fsstlib.SymbolTable,
+    segments: tuple[bytes, ...],
+) -> np.ndarray:
+    """Ordered multi-segment contains-match on compressed payloads
+    (≅ CometKmpMetaEngine, src/algos/Comet.hpp:80-96): one KMP machine per
+    segment; rows step one payload byte per lockstep iteration; on a
+    segment completing mid-symbol, the symbol's remaining bytes feed the
+    next machine char-by-char (rare → handled scalar, bounded ≤8 bytes)."""
+    n_rows = len(po) - 1
+    K = len(segments)
+    if K == 0:
+        return np.ones(n_rows, dtype=bool)
+    char_d = [_kmp_char_delta(seg) for seg in segments]
+    code_d = [_kmp_code_delta(cd, table) for cd in char_d]
+    acc_off = [_accept_offsets(cd, table) for cd in char_d]
+    m_of = [len(seg) for seg in segments]
+    syms = table.symbols
+
+    def advance_through(sym_bytes: bytes, start: int, k: int, st: int):
+        """Feed sym_bytes[start:] through machines k.. — returns (k, state)."""
+        if k >= K:
+            return K, 0
+        for b in sym_bytes[start:]:
+            st = int(char_d[k][st, b])
+            if st == m_of[k]:
+                k += 1
+                st = 0
+                if k == K:
+                    return K, 0
+        return k, st
+
+    state = np.zeros(n_rows, dtype=np.int32)
+    seg = np.zeros(n_rows, dtype=np.int32)
+    pos = po[:-1].copy()
+    ends = po[1:]
+    pending = np.zeros(n_rows, dtype=bool)
+    done = np.zeros(n_rows, dtype=bool)
+    idx = np.flatnonzero(pos < ends)
+    while idx.size:
+        b = pay[pos[idx]]
+        p = pending[idx]
+        is_esc = (b == ESCAPE) & ~p
+        # group rows by current segment (usually almost all in segment 0).
+        # DESCENDING order: a row promoted to segment k+1 during step k must
+        # not re-process the same byte in the k+1 group this iteration
+        for k in np.unique(seg[idx])[::-1]:
+            sel = np.flatnonzero((seg[idx] == k) & ~is_esc)
+            if sel.size == 0:
+                continue
+            rows = idx[sel]
+            bb = b[sel]
+            st = state[rows]
+            lit = p[sel]
+            # literal byte step
+            if lit.any():
+                li = np.flatnonzero(lit)
+                ns = char_d[k][st[li], bb[li]]
+                fin = ns == m_of[k]
+                st[li] = np.where(fin, 0, ns)
+                if fin.any():
+                    adv = rows[li[fin]]
+                    seg[adv] += 1
+                    done[adv] |= seg[adv] == K
+            # code step
+            ci = np.flatnonzero(~lit)
+            if ci.size:
+                t = acc_off[k][st[ci], bb[ci]]
+                ns = code_d[k][st[ci], bb[ci]]
+                plain = t < 0
+                st[ci] = np.where(plain, ns, st[ci])
+                hit = np.flatnonzero(~plain)
+                for h in hit:  # rare: segment completed inside this symbol
+                    r = rows[ci[h]]
+                    nk, nst = advance_through(
+                        syms[int(bb[ci[h]])], int(t[h]) + 1, k + 1, 0
+                    )
+                    if nk == K:
+                        done[r] = True
+                    seg[r] = nk
+                    st[ci[h]] = nst
+            state[rows] = st
+        pending[idx] = is_esc
+        pos[idx] += 1
+        alive = ~done[idx] & (pos[idx] < ends[idx])
+        idx = idx[alive]
+    return done
+
+
 # ------------------------------------------------------------------ public API
 ENGINES = ("decoded", "prefix", "skipping", "kmp", "auto")
 
@@ -270,6 +380,9 @@ def like_on_encoded(
 
         if eng == "kmp" and shape == "contains":
             result[rows] = kmp_code_match(gpay, gpo, table, pat.segments[0])
+            continue
+        if eng == "kmp" and shape == "multi":
+            result[rows] = meta_kmp_code_match(gpay, gpo, table, pat.segments)
             continue
 
         cand = np.ones(len(rows), dtype=bool)

@@ -95,6 +95,8 @@ LIKE_PATTERNS = {
     "like_skipping": ("%window%", "skipping"),
     "like_kmp": ("%filter%", "kmp"),
     "like_multi": ("%merge%sort%", "auto"),
+    "like_multi_kmp": ("%merge%sort%", "kmp"),
+    "like_multi3_kmp": ("%the%fast%key%", "kmp"),
     "like_suffix": ("%join", "auto"),
     "like_prefix": ("the %", "auto"),
     "like_prefix_long": ("the fast key %", "auto"),
