@@ -101,3 +101,38 @@ def test_fsst_handles_all_byte_values():
     dec, ro = fsstlib.decode(buf, po, table)
     assert bytes(dec) == bytes(data)
     assert list(ro) == list(off)
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_meta_kmp_multi_segment_agrees(seed):
+    """Ordered multi-segment compressed matcher vs the greedy ordered-
+    substring oracle (greedy-earliest is optimal for existence)."""
+    texts = _random_corpus(seed, 1500)
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    enc = encode_text_table(batch)
+    rng = np.random.default_rng(seed + 50)
+
+    def oracle(t, segs):
+        pos = 0
+        for s_ in segs:
+            i = t.find(s_, pos)
+            if i < 0:
+                return False
+            pos = i + len(s_)
+        return True
+
+    for _ in range(8):
+        nseg = int(rng.integers(2, 5))
+        segs = []
+        for _ in range(nseg):
+            src = texts[int(rng.integers(0, len(texts)))]
+            m = int(rng.integers(1, 7))
+            st = int(rng.integers(0, max(1, len(src) - m)))
+            segs.append(src[st : st + m] or "a")
+        pat = "%" + "%".join(segs) + "%"
+        exp = np.array([oracle(t, segs) for t in texts])
+        got = like_on_encoded(enc, pat, engine="kmp")
+        assert np.array_equal(got, exp), pat
