@@ -335,14 +335,10 @@ def like_on_encoded(
     if shape == "all":
         return np.ones(n, dtype=bool)
 
+    from ..stages.decode import _group_indices
+
     pay, po = _binary_buffers(batch["payload"])
-    state_col = batch["state"]
-    if isinstance(state_col, pa.ChunkedArray):
-        state_col = state_col.combine_chunks()
-    states = pc.dictionary_encode(state_col.cast(pa.binary()))
-    if isinstance(states, pa.ChunkedArray):
-        states = states.combine_chunks()
-    si = states.indices.to_numpy().astype(np.int64)
+    si, state_vals = _group_indices(batch["state"])
     used_col = None
     if "used_chars" in batch.column_names:
         uc = batch["used_chars"]
@@ -362,9 +358,7 @@ def like_on_encoded(
         if lo == hi:
             continue
         rows = np.arange(lo, hi)
-        table = fsstlib.SymbolTable.deserialize(
-            states.dictionary[int(si[lo])].as_py()
-        )
+        table = fsstlib.SymbolTable.deserialize(state_vals[int(si[lo])])
         used = used_col[lo].as_py() if used_col is not None else None
         gpay = pay[po[lo] : po[hi]]
         gpo = po[lo : hi + 1] - po[lo]

@@ -17,20 +17,45 @@ from .encode import list_buffers  # noqa: F401  (re-export for pipelines)
 
 
 def _binary_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
-    """(bytes buffer, int64 offsets) of a binary/large_binary array."""
+    """(bytes buffer, int64 offsets) of a binary/large_binary array —
+    zero-copy on the DATA buffer (a ``cast(large_binary)`` of a binary
+    column copies the payload bytes; only the small offsets are widened)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_dictionary(arr.type):
         arr = arr.cast(arr.type.value_type)
-    arr = arr.cast(pa.large_binary())
+    if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
     off = arr.buffers()[1]
     dat = arr.buffers()[2]
-    offsets = np.frombuffer(off, dtype=np.int64, count=len(arr) + 1 + arr.offset)[
-        arr.offset :
-    ]
+    offsets = np.frombuffer(
+        off, dtype=off_dtype, count=len(arr) + 1 + arr.offset
+    )[arr.offset :].astype(np.int64)
     base = offsets[0]
     data = np.frombuffer(dat, dtype=np.uint8)[base : offsets[-1]]
-    return data, (offsets - base).astype(np.int64)
+    return data, offsets - base
+
+
+def _group_indices(col) -> tuple[np.ndarray, list]:
+    """(per-row group index, group values) for a possibly dictionary-encoded
+    column — reuses parquet's existing dictionary instead of re-hashing
+    every row's value bytes."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_dictionary(col.type):
+        return (
+            col.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            col.dictionary.to_pylist(),
+        )
+    enc = pc.dictionary_encode(col)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    return (
+        enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+        enc.dictionary.to_pylist(),
+    )
 
 
 def decode_batch(batch: pa.Table) -> pa.Table:
@@ -50,23 +75,11 @@ def decode_batch(batch: pa.Table) -> pa.Table:
 
     pay_buf, pay_off = _binary_buffers(batch["payload"])
 
-    # group rows by (codec, state) — dictionary indices give cheap run keys
-    codec_d = pc.dictionary_encode(
-        batch["codec"].combine_chunks()
-        if isinstance(batch["codec"], pa.ChunkedArray)
-        else batch["codec"]
-    )
-    state_d = pc.dictionary_encode(
-        batch["state"].cast(pa.binary()).combine_chunks()
-        if isinstance(batch["state"], pa.ChunkedArray)
-        else batch["state"].cast(pa.binary())
-    )
-    if isinstance(codec_d, pa.ChunkedArray):
-        codec_d = codec_d.combine_chunks()
-    if isinstance(state_d, pa.ChunkedArray):
-        state_d = state_d.combine_chunks()
-    ci = codec_d.indices.to_numpy().astype(np.int64)
-    si = state_d.indices.to_numpy().astype(np.int64)
+    # group rows by (codec, state) — reuse the columns' existing dictionary
+    # encoding (parquet preserves it); re-encoding would hash every row's
+    # state bytes
+    ci, codec_vals = _group_indices(batch["codec"])
+    si, state_vals = _group_indices(batch["state"])
     key = ci * (int(si.max()) + 1 if n else 1) + si
     seg = np.concatenate(
         ([0], np.flatnonzero(np.diff(key)) + 1, [n])
@@ -75,8 +88,8 @@ def decode_batch(batch: pa.Table) -> pa.Table:
         lo, hi = int(seg[k]), int(seg[k + 1])
         if lo == hi:
             continue
-        codec_name = codec_d.dictionary[int(ci[lo])].as_py()
-        state = state_d.dictionary[int(si[lo])].as_py() or b""
+        codec_name = codec_vals[int(ci[lo])]
+        state = state_vals[int(si[lo])] or b""
         c = CODECS[codec_name]
         sub = pay_buf[pay_off[lo] : pay_off[hi]]
         so = pay_off[lo : hi + 1] - pay_off[lo]

@@ -79,14 +79,10 @@ def decode_text_table(batch: pa.Table) -> pa.Table:
     """Encoded text table → (doc_id, text)."""
     from .decode import _binary_buffers
 
+    from .decode import _group_indices
+
     pay, po = _binary_buffers(batch["payload"])
-    state_col = batch["state"]
-    if isinstance(state_col, pa.ChunkedArray):
-        state_col = state_col.combine_chunks()
-    states = pc.dictionary_encode(state_col.cast(pa.binary()))
-    if isinstance(states, pa.ChunkedArray):
-        states = states.combine_chunks()
-    si = states.indices.to_numpy().astype(np.int64)
+    si, state_vals = _group_indices(batch["state"])
     n = batch.num_rows
     expected = batch["n_bytes"].to_numpy().astype(np.int64)
     out_off = np.zeros(n + 1, dtype=np.int64)
@@ -103,9 +99,7 @@ def decode_text_table(batch: pa.Table) -> pa.Table:
         lo, hi = int(seg[k]), int(seg[k + 1])
         if lo == hi:
             continue
-        table = fsstlib.SymbolTable.deserialize(
-            states.dictionary[int(si[lo])].as_py()
-        )
+        table = fsstlib.SymbolTable.deserialize(state_vals[int(si[lo])])
         sub = pay[po[lo] : po[hi]]
         so = po[lo : hi + 1] - po[lo]
         dec, ro = fsstlib.decode(
