@@ -144,12 +144,6 @@ def resolve_hot_buckets(
         # the upstream stage is expensive (minhash signatures), pin its small
         # output (signatures ≈ 0.3% of the text bytes) instead of recomputing
         exploded = exploded.materialize()
-        if exploded.count() < 200_000:
-            # small input: the count+broadcast pipelines cost more than the
-            # per-bucket Python they would save — shuffle directly
-            return exploded.groupby(key_cols).map_groups(
-                resolve_fn, batch_format="pandas"
-            )
 
     def fold(cols) -> np.ndarray:
         """Vectorized uint64 fold of the key columns (a fold collision can
