@@ -37,8 +37,9 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class BruteForceTopK:
-    """Actor for map_batches: holds the (normalized) query matrix; emits each
-    batch's local top-k per query."""
+    """map_batches callable: holds the (normalized) query matrix (resolved
+    from an object-store ref once per worker); emits each batch's local
+    top-k per query."""
 
     def __init__(self, query_ref, k: int, id_col: str = "vec_id"):
         q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
@@ -71,12 +72,12 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10, id_col: str = "vec_id")
     The per-batch stage is distributed; only tiny per-batch top-k tables reach
     the driver."""
     query = np.atleast_2d(np.asarray(query, dtype=np.float32))
+    # broadcast ONCE via the object store; stateless task pool (no per-task
+    # state beyond the shared query ref, so an actor pool only adds spin-up)
     query_ref = ray.put(query) if ray.is_initialized() else query
+    fn = BruteForceTopK(query_ref, k, id_col)
     parts = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"query_ref": query_ref, "k": k, "id_col": id_col},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        lambda b, _fn=fn: _fn(b), batch_format="pyarrow"
     ).to_pandas()
     out = (
         parts.sort_values(["query", "sim", "vec_id"], ascending=[True, False, True])
