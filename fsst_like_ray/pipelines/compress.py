@@ -16,11 +16,8 @@ Scale notes:
 from __future__ import annotations
 
 import os
-from collections import defaultdict
 
-import numpy as np
 import pyarrow as pa
-import pyarrow.dataset as pads
 
 import ray.data
 from ray.data.aggregate import Count, Sum
