@@ -468,9 +468,14 @@ def train(
     table = SymbolTable([])
     if data.size == 0:
         return table
+    from . import native
+
     g8 = _grams8(data)
     for _gen in range(generations):
-        pos, ml, _code = _parse(data, offsets, table)
+        if native.lib is not None:
+            pos, ml = native.parse(data, offsets, table)
+        else:
+            pos, ml, _code = _parse(data, offsets, table)
         eff_len = np.maximum(ml, 1)
         mask_for = lambda l: (
             np.uint64(0xFFFFFFFFFFFFFFFF)

@@ -47,6 +47,8 @@ def _build():
     l.fsst_decode.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                               ctypes.c_void_p, ctypes.c_void_p,
                               ctypes.c_void_p, ctypes.c_void_p]
+    l.fsst_parse.restype = ctypes.c_int64
+    l.fsst_parse.argtypes = l.fsst_encode.argtypes
     l.pack_rows.restype = None
     l.pack_rows.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                             ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
@@ -162,3 +164,25 @@ def unpack_rows(buf, payload_offsets, offsets, width, n_values):
     lib.unpack_rows(_ptr(b), _ptr(po), _ptr(off), len(off) - 1, int(width),
                     _ptr(vals))
     return vals
+
+
+def parse(data: np.ndarray, offsets: np.ndarray, table):
+    """Native twin of fsstlib._parse limited to (positions, match lengths) —
+    what training needs; codes are not materialized."""
+    n = int(data.size)
+    n_rows = len(offsets) - 1
+    padded = np.zeros(n + 8, dtype=np.uint8)
+    padded[:n] = data
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    pos = np.empty(n + 1, dtype=np.int64)
+    ml = np.empty(n + 1, dtype=np.uint8)
+    len1, has_len, keys, codes, key_off, lut3 = _prep(table)
+    has_long = int(lut3.size > 1)
+    total = lib.fsst_parse(
+        _ptr(padded), _ptr(offsets), n_rows,
+        _ptr(table.short_code), _ptr(table.short_len), _ptr(len1),
+        has_long, _ptr(lut3), _ptr(has_len),
+        _ptr(keys), _ptr(codes), _ptr(key_off),
+        _ptr(pos), _ptr(ml),
+    )
+    return pos[:total], ml[:total].astype(np.int64)

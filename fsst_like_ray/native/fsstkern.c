@@ -116,6 +116,87 @@ int64_t fsst_encode(
     return o;
 }
 
+int64_t fsst_parse(
+    const uint8_t *data, const int64_t *offsets, int64_t n_rows,
+    const uint8_t *short_code, const uint8_t *short_len,
+    const uint8_t *len1_code,
+    int64_t has_long, const uint8_t *lut3, const uint8_t *has_len,
+    const uint64_t *keys, const uint8_t *codes, const int64_t *key_off,
+    int64_t *out_pos, uint8_t *out_len)
+{
+    int64_t o = 0;
+    (void)0;
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t p = offsets[r];
+        const int64_t row_end = offsets[r + 1];
+        int64_t seg_end = p + SEGMENT < row_end ? p + SEGMENT : row_end;
+        while (p < row_end) {
+            if (p >= seg_end)
+                seg_end = p + SEGMENT < row_end ? p + SEGMENT : row_end;
+            const int64_t rem64 = seg_end - p;
+            const int cap = rem64 < 8 ? (int)rem64 : 8;
+            const uint64_t g8 = load8(data + p);
+            int best_len = 0;
+            int best_code = ESCAPE;
+            /* 1-2 byte match via the direct tables */
+            {
+                const uint16_t g2 = (uint16_t)g8;
+                const int sl = short_len[g2];
+                if (sl && sl <= cap) {
+                    best_len = sl;
+                    best_code = short_code[g2];
+                } else if (sl > cap && cap >= 1) {
+                    const int c1 = len1_code[(uint8_t)g8];
+                    if (c1 != ESCAPE) {
+                        best_len = 1;
+                        best_code = c1;
+                    }
+                }
+            }
+            /* >=3 byte match via prefix filter + per-length binary search */
+            if (has_long && cap >= 3) {
+                const uint32_t g3 = (uint32_t)(g8 & 0xFFFFFF);
+                const int pid1 = lut3[g3];
+                if (pid1) {
+                    const uint8_t mask = has_len[pid1 - 1];
+                    const int lmax = cap;
+                    for (int l = lmax; l >= 3; l--) {
+                        if (l <= best_len)
+                            break;
+                        if (!(mask & (uint8_t)(1u << (l - 1))))
+                            continue;
+                        const uint64_t key =
+                            l < 8 ? (g8 & ((1ULL << (8 * l)) - 1)) : g8;
+                        int64_t lo = key_off[l], hi = key_off[l + 1] - 1;
+                        while (lo <= hi) {
+                            const int64_t mid = (lo + hi) >> 1;
+                            const uint64_t k = keys[mid];
+                            if (k == key) {
+                                best_len = l;
+                                best_code = codes[mid];
+                                lo = hi + 2; /* found */
+                            } else if (k < key) {
+                                lo = mid + 1;
+                            } else {
+                                hi = mid - 1;
+                            }
+                        }
+                        if (best_len == l)
+                            break;
+                    }
+                }
+            }
+            out_pos[o] = p;
+            out_len[o] = (uint8_t)best_len;
+            o++;
+            p += best_len > 0 ? best_len : 1;
+        }
+    }
+    return o;
+}
+
+
+
 /* Decode payloads back to bytes.
  *  sym_bytes: 256 x 8 symbol byte matrix; sym_len: 256 lengths
  * out must be padded with >= 8 writable bytes past the true size.
