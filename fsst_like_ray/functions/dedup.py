@@ -154,18 +154,43 @@ def resolve_hot_buckets(
                 acc = (acc * _PRIME) ^ c.astype(np.uint64)
         return acc
 
-    counts = exploded.groupby(key_cols).aggregate(Count(alias_name="cnt"))
-    hot = counts.filter(expr="cnt >= 2").select_columns(key_cols)
-    hot_tbl = hot.take_all()
-    if not hot_tbl:
+    n_keys = exploded.count() if materialize else None
+    if n_keys is not None and n_keys <= 2_000_000:
+        # small key set: stream ONLY the folded 8-byte keys to the driver
+        # (≤16 MB) and find duplicates with one sort — skips the
+        # groupby-count shuffle entirely. Above the cap, the distributed
+        # count path below is the scale-right route.
+        parts = [
+            fold([b[k].to_numpy(zero_copy_only=False) for k in key_cols])
+            for b in exploded.select_columns(key_cols).iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+            if b.num_rows
+        ]
+        keys = (
+            np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint64)
+        )
+        ks = np.sort(keys)
+        dup = ks[1:][ks[1:] == ks[:-1]]
+        hot_sorted = np.unique(dup)
+    else:
+        counts = exploded.groupby(key_cols).aggregate(Count(alias_name="cnt"))
+        hot = counts.filter(expr="cnt >= 2").select_columns(key_cols)
+        hot_tbl = hot.take_all()
+        hot_sorted = np.sort(
+            fold(
+                [
+                    np.array([r[k] for r in hot_tbl], dtype=np.uint64)
+                    for k in key_cols
+                ]
+            )
+        ) if hot_tbl else np.zeros(0, dtype=np.uint64)
+    if hot_sorted.size == 0:
         import pyarrow as _pa
 
         return ray.data.from_arrow(
             _pa.table({"doc_id": _pa.array([], type=_pa.large_string())})
         )
-    hot_sorted = np.sort(
-        fold([np.array([r[k] for r in hot_tbl], dtype=np.uint64) for k in key_cols])
-    )
     hot_ref = ray.put(hot_sorted)
 
     def member_filter(b: pa.Table) -> pa.Table:
