@@ -130,6 +130,13 @@ def compress_dataset(
     for start in range(0, len(pending), fragments_per_round):
         round_frags = pending[start : start + fragments_per_round]
         path_to_key = {f: fragment_key(f) for f in round_frags}
+        # a kill mid-round leaves PARTIAL files in these fragments' output
+        # dirs, and write_parquet appends rather than replaces — clear the
+        # (by definition uncommitted) dirs so the rewrite is exact
+        import shutil
+
+        for key in path_to_key.values():
+            shutil.rmtree(os.path.join(data_dir, f"frag={key}"), ignore_errors=True)
         ds = read_parquet_blocks(round_frags, include_paths=True)
 
         def tag_fragment(batch: pa.Table, _map=path_to_key) -> pa.Table:

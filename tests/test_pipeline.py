@@ -117,3 +117,51 @@ def test_decode_batch_mixed_states(ray_session):
     expect = t.take(pa.array(idx))
     assert dec["tokens"].to_pylist() == expect["tokens"].to_pylist()
     assert dec["doc_id"].to_pylist() == expect["doc_id"].to_pylist()
+
+
+def test_resume_clears_stale_partial_output(ray_session, tmp_path):
+    """A kill mid-round leaves partial parquet files in an UNCOMMITTED
+    fragment's output dir; resume must replace them, not append (regression:
+    duplicated rows after a real SIGKILL mid-write)."""
+    import pyarrow.parquet as pq
+
+    from fsst_like_ray.pipelines.compress import (
+        compress_dataset,
+        decode_dataset,
+        discover_fragments,
+        read_encoded,
+        verify_roundtrip,
+    )
+    from fsst_like_ray.sources.tokens import write_tokens_parquet
+    from fsst_like_ray.state.manifest import fragment_key
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "enc")
+    write_tokens_parquet(corpus, n_rows=1200, seed=19, rows_per_file=600)
+    frags = discover_fragments(corpus)
+
+    # complete fragment 0 only
+    stats = compress_dataset(frags[:1], out, codec="plain")
+    assert stats["fragments"] == 1
+
+    # simulate a killed round: stale partial file in fragment 1's dir,
+    # NOT committed to the manifest
+    key = fragment_key(frags[1])
+    stale_dir = tmp_path / "enc" / "data" / f"frag={key}"
+    stale_dir.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pq.read_table(
+            discover_fragments(str(tmp_path / "enc" / "data"))[0]
+        ).slice(0, 50),
+        str(stale_dir / "stale-partial.parquet"),
+    )
+
+    # resume: fragment 1 re-encodes; stale file must be gone from counts
+    stats = compress_dataset(corpus, out, codec="plain")
+    assert stats["fragments"] == 2 and stats["rows"] == 1200, stats
+    import ray.data
+
+    v = verify_roundtrip(
+        ray.data.read_parquet(corpus), decode_dataset(read_encoded(out))
+    )
+    assert v["match"], v
