@@ -1,0 +1,152 @@
+"""CLI entry points — the reference's executables re-expressed
+(``./build/main <column:file> <like-pattern>`` → ``like``; the sketch.cc
+full-decompression harness → ``compress``/``decompress``/``verify``).
+
+Usage:
+    python -m fsst_like_ray compress <input_parquet_dir> <out_dir>
+        [--codec auto] [--balance-tokens 1000000]
+    python -m fsst_like_ray decompress <out_dir> <dest_dir>
+    python -m fsst_like_ray verify <input_parquet_dir> <out_dir>
+    python -m fsst_like_ray like <documents.parquet> <pattern>
+        [--engine auto|decoded|prefix|skipping|kmp] [--text-col text]
+
+Owns its Ray session (guarded init; the library itself never inits Ray).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_compress(args) -> int:
+    ray = _ray()
+    from .pipelines.compress import compress_dataset, discover_fragments
+
+    if not discover_fragments(args.input):
+        print(f"error: no parquet fragments under {args.input!r}", file=sys.stderr)
+        ray.shutdown()
+        return 2
+    t0 = time.time()
+    stats = compress_dataset(
+        args.input,
+        args.out,
+        codec=args.codec,
+        balance_tokens=args.balance_tokens,
+    )
+    dt = time.time() - t0
+    print(json.dumps({**stats, "sec": round(dt, 2),
+                      "tokens_per_sec": round(stats["tokens"] / max(dt, 1e-9), 1)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_decompress(args) -> int:
+    ray = _ray()
+    from .pipelines.compress import decode_dataset, read_encoded
+
+    decode_dataset(read_encoded(args.out)).write_parquet(args.dest)
+    print(json.dumps({"dest": args.dest}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_verify(args) -> int:
+    ray = _ray()
+    import ray.data
+
+    from .pipelines.compress import (
+        decode_dataset,
+        read_encoded,
+        read_parquet_blocks,
+        verify_roundtrip,
+    )
+
+    v = verify_roundtrip(
+        read_parquet_blocks(args.input),
+        decode_dataset(read_encoded(args.out)),
+    )
+    print(json.dumps({"bit_identical": bool(v["match"]), "rows": v["original"][2]}))
+    ray.shutdown()
+    return 0 if v["match"] else 1
+
+
+def cmd_like(args) -> int:
+    """The reference's flagship run (src/BenchmarkDriver.cpp:54-85): encode
+    the column, scan the pattern on the compressed representation, print the
+    match count + timing."""
+    ray = _ray()
+    import ray.data
+
+    from .pipelines.scan import encode_text_dataset, like_count
+
+    ds = ray.data.read_parquet(args.file, columns=[args.id_col, args.text_col])
+    if args.text_col != "text":
+        import pyarrow as pa
+
+        def rename(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                ["doc_id" if c == args.id_col else "text" if c == args.text_col
+                 else c for c in b.column_names]
+            )
+
+        ds = ds.map_batches(rename, batch_format="pyarrow")
+    enc = encode_text_dataset(ds).materialize()
+    t0 = time.time()
+    n = like_count(enc, args.pattern, engine=args.engine)
+    dt = time.time() - t0
+    print(json.dumps({"pattern": args.pattern, "engine": args.engine,
+                      "matches": n, "scan_sec": round(dt, 4)}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m fsst_like_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compress")
+    c.add_argument("input")
+    c.add_argument("out")
+    c.add_argument("--codec", default="auto")
+    c.add_argument("--balance-tokens", type=int, default=1_000_000)
+    c.set_defaults(fn=cmd_compress)
+
+    d = sub.add_parser("decompress")
+    d.add_argument("out")
+    d.add_argument("dest")
+    d.set_defaults(fn=cmd_decompress)
+
+    v = sub.add_parser("verify")
+    v.add_argument("input")
+    v.add_argument("out")
+    v.set_defaults(fn=cmd_verify)
+
+    l = sub.add_parser("like")
+    l.add_argument("file")
+    l.add_argument("pattern")
+    l.add_argument("--engine", default="auto",
+                   choices=("auto", "decoded", "prefix", "skipping", "kmp"))
+    l.add_argument("--text-col", default="text")
+    l.add_argument("--id-col", default="doc_id")
+    l.set_defaults(fn=cmd_like)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
