@@ -20,10 +20,15 @@ import ray
 
 
 def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(n, dim) float32 view of a list/fixed_size_list embedding column."""
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+        base = arr.offset * dim
+        return vals[base : base + len(arr) * dim].reshape(len(arr), dim)
     off = arr.offsets.to_numpy().astype(np.int64)
     dim = int(off[1] - off[0]) if len(off) > 1 else 0
     base = off[0]

@@ -123,3 +123,40 @@ def test_ngram_jaccard_identical_docs(ray_session):
     ds = ray.data.from_items(docs)
     dups = sorted(r["doc_id"] for r in ngram_jaccard_duplicates(ds).take_all())
     assert 2 in dups and 3 not in dups
+
+
+def test_embedding_dedup_finds_planted_dups(ray_session):
+    """The sf testdata has no near-dup embeddings (verified vs exact
+    all-pairs truth) — plant some and check the LSH path finds them."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fsst_like_ray.functions.similarity import embedding_duplicates
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(200, 16)).astype(np.float32)
+    # rows 100..119 are jittered copies of rows 0..19 (cos > 0.999)
+    dup = base[:20] + rng.normal(scale=1e-3, size=(20, 16)).astype(np.float32)
+    m = np.concatenate([base, dup])
+    ids = np.arange(len(m), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1), type=pa.float32()), 16
+            ),
+        }
+    )
+    import ray.data
+
+    found = {
+        r["doc_id"] if "doc_id" in r else r["vec_id"]
+        for r in embedding_duplicates(
+            ray.data.from_arrow(t), threshold=0.99
+        ).take_all()
+    }
+    planted = set(range(200, 220))
+    # every planted dup must be caught (keeper = lower id survives)
+    assert planted <= found, planted - found
+    # nothing outside the planted set flagged
+    assert found <= planted, found - planted
