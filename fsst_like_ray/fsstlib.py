@@ -370,6 +370,12 @@ def decode(
     n_rows = len(payload_offsets) - 1
     if n == 0:
         return np.zeros(0, dtype=np.uint8), np.zeros(n_rows + 1, dtype=np.int64)
+    from . import native
+
+    if native.lib is not None:
+        return native.decode(
+            b, np.ascontiguousarray(payload_offsets, np.int64), table, out_nbytes
+        )
 
     is255 = b == ESCAPE
     idx = np.arange(n, dtype=np.int32)
@@ -390,10 +396,14 @@ def decode(
     lit = prev_esc  # byte right after an escape = the literal (255 or not)
     code_mask = ~esc & ~lit
 
-    # output length per input byte: 0 escape, 1 literal, sym_len code
+    # output length per input byte: 0 escape, 1 literal, sym_len code.
+    # int32 offsets are the bandwidth-lean common case; a group whose
+    # worst-case expansion (8×payload) could cross 2 GiB gets int64 — a
+    # silent cumsum wraparound would corrupt output, not error
     out_len = np.where(lit, np.uint8(1), np.uint8(0))
     out_len[code_mask] = table.sym_lens_u8[b[code_mask]]
-    out_off = np.empty(n + 1, dtype=np.int32)
+    off_dtype = np.int32 if 8 * n + 8 < 2**31 else np.int64
+    out_off = np.empty(n + 1, dtype=off_dtype)
     out_off[0] = 0
     np.cumsum(out_len, out=out_off[1:])
     total = int(out_off[-1])

@@ -40,6 +40,17 @@ def _shingle_hashes(batch: pa.Table, text_col: str, k: int = 5):
     # shingles must not cross row boundaries: a row's valid shingle
     # positions are its first max(count-k+1, 1) bytes — neutralize the rest
     # so min-reduction ignores them (signatures depend only on the row)
+    with np.errstate(over="ignore"):
+        # a row SHORTER than k keeps one gram, but the raw 8-byte gram at its
+        # start spills into the next row's bytes — re-mask it to the row's
+        # own length so identical short docs hash identically
+        short = (counts > 0) & (counts < k)
+        if short.any():
+            masks = (np.uint64(1) << (np.uint64(8) * np.arange(
+                k, dtype=np.uint64
+            ))) - np.uint64(1)
+            sp = offsets[:-1][short]
+            g[sp] = (g8[sp] & masks[counts[short]]) * _PRIME
     valid_counts = np.where(counts > 0, np.maximum(counts - k + 1, 1), 0)
     tails = counts - valid_counts
     tot = int(tails.sum())
@@ -177,10 +188,15 @@ def resolve_hot_buckets(
         counts = exploded.groupby(key_cols).aggregate(Count(alias_name="cnt"))
         hot = counts.filter(expr="cnt >= 2").select_columns(key_cols)
         hot_tbl = hot.take_all()
+        # int64 first, then bit-view: keys are stored as int64 bit-views and
+        # a direct uint64 conversion of negative values is a NumPy hard error
+        # in the future (DeprecationWarning today)
         hot_sorted = np.sort(
             fold(
                 [
-                    np.array([r[k] for r in hot_tbl], dtype=np.uint64)
+                    np.array([r[k] for r in hot_tbl], dtype=np.int64).view(
+                        np.uint64
+                    )
                     for k in key_cols
                 ]
             )

@@ -340,16 +340,24 @@ def like_on_encoded(
     pay, po = _binary_buffers(batch["payload"])
     si, state_vals = _group_indices(batch["state"])
     used_col = None
+    seg_key = si
     if "used_chars" in batch.column_names:
         uc = batch["used_chars"]
         if isinstance(uc, pa.ChunkedArray):
             uc = uc.combine_chunks()
         used_col = uc.cast(pa.binary())
+        # segment runs on (state, used_chars) JOINTLY: two encode blocks can
+        # share a serialized symbol table but differ in escaped-literal
+        # bitmaps — merging them into one run would prune rows with the
+        # first block's bitmap and miss matches in the second
+        ui, _uvals = _group_indices(batch["used_chars"])
+        seg_key = si * (int(ui.max()) + 1 if n else 1) + ui
 
     result = np.zeros(n, dtype=bool)
-    # rows sharing a state are contiguous runs — zero-copy payload slices
+    # rows sharing a (state, used_chars) are contiguous runs — zero-copy
+    # payload slices
     seg = (
-        np.concatenate(([0], np.flatnonzero(np.diff(si)) + 1, [n]))
+        np.concatenate(([0], np.flatnonzero(np.diff(seg_key)) + 1, [n]))
         if n
         else np.array([0, 0])
     )

@@ -46,7 +46,7 @@ def _build():
     l.fsst_decode.restype = ctypes.c_int64
     l.fsst_decode.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                               ctypes.c_void_p, ctypes.c_void_p,
-                              ctypes.c_void_p, ctypes.c_void_p]
+                              ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     l.fsst_parse.restype = ctypes.c_int64
     l.fsst_parse.argtypes = l.fsst_encode.argtypes
     l.pack_rows.restype = None
@@ -128,7 +128,9 @@ def decode(buf: np.ndarray, payload_offsets: np.ndarray, table,
 
     ``out_nbytes`` (exact decoded size, when the caller knows it from row
     counts) avoids allocating the worst-case 8× bound — first-touch page
-    faults on those large buffers dominated cold decode tasks."""
+    faults on those large buffers dominated cold decode tasks. The kernel
+    treats the allocation as a HARD capacity: a corrupt payload that would
+    expand past it stops with -1 instead of overflowing the heap."""
     n = int(buf.size)
     n_rows = len(payload_offsets) - 1
     buf = np.ascontiguousarray(buf, dtype=np.uint8)
@@ -140,8 +142,13 @@ def decode(buf: np.ndarray, payload_offsets: np.ndarray, table,
     total = lib.fsst_decode(
         _ptr(buf), _ptr(po), n_rows,
         _ptr(table.sym_bytes), _ptr(table.sym_lens_u8),
-        _ptr(out), _ptr(ro),
+        _ptr(out), size, _ptr(ro),
     )
+    if total < 0:
+        raise ValueError(
+            "fsst decode: payload expands past the expected output size "
+            "(corrupt payload or wrong row counts)"
+        )
     return out[:total], ro
 
 

@@ -199,19 +199,28 @@ int64_t fsst_parse(
 
 /* Decode payloads back to bytes.
  *  sym_bytes: 256 x 8 symbol byte matrix; sym_len: 256 lengths
- * out must be padded with >= 8 writable bytes past the true size.
- * Returns total decoded bytes, also writes per-row out offsets. */
+ * out_cap is the allocated size of out, which must include >= 8 writable
+ * bytes past the true decoded size (symbol copies write 8 bytes).
+ * Returns total decoded bytes (also writes per-row out offsets), or -1 if
+ * the output would exceed out_cap: a corrupt/adversarial payload read back
+ * from storage can expand up to 8x compressed size, so the caller's
+ * exact-size buffer (from trusted row counts) must be a hard bound, not a
+ * hint (the reference allocates the 8*n+32 worst case for the same reason,
+ * src/FsstWrapper.hpp:56). */
 int64_t fsst_decode(
     const uint8_t *in, const int64_t *po, int64_t n_rows,
     const uint8_t *sym_bytes, const uint8_t *sym_len,
-    uint8_t *out, int64_t *out_ro)
+    uint8_t *out, int64_t out_cap, int64_t *out_ro)
 {
     int64_t o = 0;
+    const int64_t lim = out_cap - 8; /* any single write is <= 8 bytes */
     out_ro[0] = 0;
     for (int64_t r = 0; r < n_rows; r++) {
         int64_t p = po[r];
         const int64_t end = po[r + 1];
         while (p < end) {
+            if (o > lim)
+                return -1;
             const uint8_t b = in[p];
             if (b == ESCAPE) {
                 out[o++] = (p + 1 < end) ? in[p + 1] : 0;

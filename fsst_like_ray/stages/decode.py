@@ -96,6 +96,15 @@ def decode_batch(batch: pa.Table) -> pa.Table:
         dec = c.decode(sub, so, counts[lo:hi], state)
         values[out_offsets[lo] : out_offsets[hi]] = dec
 
+    if int(out_offsets[-1]) >= 2**31:
+        # list<int32> offsets are int32; crossing 2 GiB of tokens in ONE
+        # batch would silently wrap — fail loudly instead (callers control
+        # batch_size; the encode pipeline's token-budget chunking keeps
+        # batches far below this)
+        raise ValueError(
+            f"decode_batch: {int(out_offsets[-1])} tokens in one batch "
+            "overflows list<int32> offsets; reduce batch_size"
+        )
     tok_arr = pa.ListArray.from_arrays(
         pa.array(out_offsets.astype(np.int32), type=pa.int32()),
         pa.array(values, type=pa.int32()),

@@ -217,3 +217,17 @@ def test_lang_id_runs(docs):
     out = lang_id_batch(docs)
     assert out.num_rows == docs.num_rows
     assert set(out.column_names) == {"doc_id", "lang_pred", "lang_score"}
+
+
+def test_short_row_shingles_row_local():
+    """Identical docs SHORTER than the shingle size must get identical
+    minhash signatures regardless of what row follows them in the buffer
+    (the 8-byte gram at a short row's start must not spill into the next
+    row's bytes)."""
+    from fsst_like_ray.functions.dedup import minhash_signature_batch
+
+    t1 = pa.table({"doc_id": [1, 2], "text": ["abc", "XXXXXXXXXX"]})
+    t2 = pa.table({"doc_id": [1, 2], "text": ["abc", "YYYYYYYYYY"]})
+    s1 = minhash_signature_batch(t1)["sig"].to_pylist()[0]
+    s2 = minhash_signature_batch(t2)["sig"].to_pylist()[0]
+    assert s1 == s2

@@ -65,3 +65,19 @@ def test_native_empty_table_and_rows():
     dec, ro = native.decode(buf, po, table)
     assert bytes(dec) == bytes(data)
     assert list(ro) == list(off)
+
+
+@pytest.mark.skipif(native.lib is None, reason="no C compiler")
+def test_native_decode_bounds_corrupt_payload():
+    """A payload that expands past the caller's expected output size must
+    error, not write past the buffer (a corrupted parquet payload could
+    otherwise expand to 8x compressed before any row-size check runs)."""
+    table = fsstlib.SymbolTable([b"ABCDEFGH"])  # code 0 -> 8 bytes
+    # 100 copies of code 0 decode to 800 bytes; claim only 16 expected
+    buf = np.zeros(100, dtype=np.uint8)
+    po = np.array([0, 100], dtype=np.int64)
+    with pytest.raises(ValueError, match="expand"):
+        native.decode(buf, po, table, out_nbytes=16)
+    # and with an honest bound it round-trips
+    out, ro = native.decode(buf, po, table, out_nbytes=800)
+    assert bytes(out) == b"ABCDEFGH" * 100
