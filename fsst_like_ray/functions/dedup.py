@@ -66,27 +66,48 @@ def _shingle_hashes(batch: pa.Table, text_col: str, k: int = 5):
 def minhash_signature_batch(
     batch: pa.Table, text_col: str = "text", num_hashes: int = 32, shingle: int = 5
 ) -> pa.Table:
-    """(doc_id, sig: fixed list<uint64>) minhash signatures."""
+    """(doc_id, sig: fixed list<uint64>) minhash signatures.
+
+    One-permutation hashing (Li/Owen/Zhang NIPS'12): ONE pass over the
+    shingle hashes — the hash's top bits pick a bin, each bin keeps its min —
+    instead of ``num_hashes`` independent (a·x+b) passes; empty bins are
+    filled by rotation densification (Shrivastava/Li ICML'14) so sparse rows
+    still get full signatures. ~5× less memory traffic per batch, and the
+    estimator stays unbiased."""
     g, offsets, counts, valid_counts, bad = _shingle_hashes(batch, text_col, shingle)
     n_rows = len(counts)
-    rng = np.random.default_rng(1234)  # fixed → deterministic across runs
-    a = rng.integers(1, 1 << 62, num_hashes, dtype=np.uint64) | np.uint64(1)
-    b = rng.integers(0, 1 << 62, num_hashes, dtype=np.uint64)
-    sig = np.full((n_rows, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
-    nz = valid_counts > 0
-    starts = offsets[:-1][nz]
+    B = num_hashes
+    assert B & (B - 1) == 0, "num_hashes must be a power of two (bin by bits)"
+    shift = np.uint64(64 - B.bit_length() + 1)
+    MAX = np.iinfo(np.uint64).max
+    sig = np.full(n_rows * B, MAX, dtype=np.uint64)
+    if len(g) and n_rows:
+        if bad.size:
+            g = g.copy()
+            g[bad] = MAX  # never beats a real min; a bad-only bin densifies
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        key = rows * B + (g >> shift).astype(np.int64)
+        np.minimum.at(sig, key, g)
+    sig = sig.reshape(n_rows, B)
+    # rotation densification: an empty bin borrows the value of the nearest
+    # filled bin to its right (circular), offset by the distance so borrowed
+    # values from different distances don't spuriously collide. Rows with no
+    # shingles at all stay all-MAX (the legacy "empty row" signature).
+    base = sig.copy()
+    need = (sig == MAX) & (valid_counts > 0)[:, None]
     with np.errstate(over="ignore"):
-        if len(g) and nz.any():
-            for h in range(num_hashes):
-                vals = g * a[h] + b[h]
-                if bad.size:
-                    vals[bad] = np.iinfo(np.uint64).max
-                sig[nz, h] = np.minimum.reduceat(vals, starts)
+        for j in range(1, B):
+            if not need.any():
+                break
+            cand = np.roll(base, -j, axis=1)
+            ok = need & (cand != MAX)
+            sig[ok] = cand[ok] + np.uint64(j) * _PRIME
+            need &= ~ok
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "sig": pa.FixedSizeListArray.from_arrays(
-                pa.array(sig.reshape(-1).astype(np.uint64)), num_hashes
+                pa.array(sig.reshape(-1).astype(np.uint64)), B
             ),
         }
     )
@@ -124,18 +145,56 @@ def lsh_band_rows(
     )
 
 
+DRIVER_CAP_ROWS = 2_000_000
+DRIVER_CAP_BYTES = 256 << 20
+
+
+def _unique_id_dataset(ids, id_type, col: str):
+    """Typed Dataset of sorted unique ids from a driver-side array."""
+    import ray.data
+
+    u = np.unique(np.asarray(ids))
+    return ray.data.from_arrow(pa.table({col: pa.array(u, type=id_type)}))
+
+
+def _members_keepers(
+    order: np.ndarray, bounds: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """From sorted group segmentation → parallel (member_idx, keeper_idx)
+    original-row index arrays, one entry per non-keeper group member. The
+    keeper is the group's first sorted row (sort keys must end with the id
+    column so 'first' = smallest id)."""
+    sizes = np.diff(bounds)
+    keeper = np.repeat(order[bounds[:-1]], sizes)
+    members_mask = np.ones(len(order), dtype=bool)
+    members_mask[bounds[:-1]] = False
+    return order[members_mask], keeper[members_mask]
+
+
 def resolve_hot_buckets(
     exploded,
     key_cols: list[str],
     resolve_fn,
     prefilter: bool = True,
     materialize: bool = False,
+    unique_col: str | None = None,
+    resolve_block=None,
 ):
     """groupby(key).map_groups pays Python overhead for EVERY bucket, and at
     scale nearly all buckets have one member. Prefilter: a tiny
     groupby-count finds buckets with ≥2 members, their keys broadcast once
     (``ray.put``) and membership-checked vectorized inside ``map_batches`` —
     only real candidate buckets ever reach the per-group Python resolver.
+
+    When the surviving candidate rows are SMALL (≤ DRIVER_CAP_ROWS /
+    DRIVER_CAP_BYTES — survivors are hot-bucket members only, bounded by the
+    duplicate rate, not by data size), groups are resolved on the driver
+    with one argsort instead of paying a full groupby shuffle; above the
+    caps the distributed ``groupby(key).map_groups`` path runs unchanged.
+
+    ``unique_col``: when set, the output is deduplicated to unique values of
+    that column (a doc caught in several buckets reports once) — driver-side
+    ``np.unique`` on the small path, ``groupby(col)`` on the shuffle path.
 
     Assumption (documented for the 100 TB case): the HOT key set — duplicate
     buckets only, not all buckets — fits in driver/object-store memory; with
@@ -145,9 +204,18 @@ def resolve_hot_buckets(
     import ray.data
     from ray.data.aggregate import Count
 
+    def _maybe_unique(out_ds):
+        if unique_col is None:
+            return out_ds
+        return (
+            out_ds.groupby(unique_col).count().select_columns([unique_col])
+        )
+
     if not prefilter:
-        return exploded.groupby(key_cols).map_groups(
-            resolve_fn, batch_format="pandas"
+        return _maybe_unique(
+            exploded.groupby(key_cols).map_groups(
+                resolve_fn, batch_format="pandas"
+            )
         )
 
     if materialize:
@@ -201,12 +269,13 @@ def resolve_hot_buckets(
                 ]
             )
         ) if hot_tbl else np.zeros(0, dtype=np.uint64)
+    id_col = unique_col or "doc_id"
+    schema = exploded.schema()  # ray Schema wrapper: parallel names/types
+    id_type = (
+        dict(zip(schema.names, schema.types)).get(id_col) or pa.int64()
+    )
     if hot_sorted.size == 0:
-        import pyarrow as _pa
-
-        return ray.data.from_arrow(
-            _pa.table({"doc_id": _pa.array([], type=_pa.large_string())})
-        )
+        return ray.data.from_arrow(pa.table({id_col: pa.array([], type=id_type)}))
     hot_ref = ray.put(hot_sorted)
 
     def member_filter(b: pa.Table) -> pa.Table:
@@ -217,9 +286,86 @@ def resolve_hot_buckets(
         return b.filter(pa.array(hs[idx] == keys))
 
     survivors = exploded.map_batches(member_filter, batch_format="pyarrow")
-    return survivors.groupby(key_cols).map_groups(
-        resolve_fn, batch_format="pandas"
+
+    # small-survivor fast path: stream candidate rows to the driver under
+    # hard caps; one argsort resolves every bucket without a groupby shuffle
+    if hot_sorted.size * 16 <= DRIVER_CAP_ROWS:
+        parts, rows_n, bytes_n, overflow = [], 0, 0, False
+        for b in survivors.iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            if b.num_rows == 0:
+                continue
+            parts.append(b)
+            rows_n += b.num_rows
+            bytes_n += b.nbytes
+            if rows_n > DRIVER_CAP_ROWS or bytes_n > DRIVER_CAP_BYTES:
+                overflow = True
+                break
+        if not overflow:
+            if not parts:
+                return ray.data.from_arrow(
+                    pa.table({id_col: pa.array([], type=id_type)})
+                )
+            tbl = pa.concat_tables(parts)
+            # group by the EXACT key tuple (lexsort), not the folded key — a
+            # fold collision here would merge buckets and change keepers.
+            # The id column is the sort tiebreaker so each group's first
+            # sorted row is its keeper (smallest id survives).
+            karrs = [
+                tbl[k].to_numpy(zero_copy_only=False) for k in key_cols
+            ]
+            ids = tbl[id_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids,) + tuple(reversed(karrs)))
+            diff = np.zeros(len(order) - 1, dtype=bool)
+            for ka in karrs:
+                s = ka[order]
+                diff |= s[1:] != s[:-1]
+            bounds = np.concatenate(
+                ([0], np.flatnonzero(diff) + 1, [len(order)])
+            )
+            if resolve_block is not None:
+                # vectorized all-groups resolver: ONE kernel call over
+                # parallel (member, keeper) row-index arrays — no per-group
+                # DataFrame slicing
+                members, keepers = _members_keepers(order, bounds)
+                dup_ids = resolve_block(tbl, members, keepers)
+            else:
+                df = tbl.to_pandas()
+                outs = []
+                for i in range(len(bounds) - 1):
+                    sub = df.iloc[order[bounds[i] : bounds[i + 1]]]
+                    r = resolve_fn(sub)
+                    if len(r):
+                        outs.append(r)
+                dup_ids = (
+                    pd.concat(outs, ignore_index=True)[id_col].to_numpy()
+                    if outs
+                    else np.zeros(0, dtype=np.int64)
+                )
+            if len(dup_ids) == 0:
+                return ray.data.from_arrow(
+                    pa.table({id_col: pa.array([], type=id_type)})
+                )
+            if unique_col is not None:
+                return _unique_id_dataset(dup_ids, id_type, unique_col)
+            return ray.data.from_arrow(
+                pa.table({id_col: pa.array(np.asarray(dup_ids), type=id_type)})
+            )
+
+    return _maybe_unique(
+        survivors.groupby(key_cols).map_groups(resolve_fn, batch_format="pandas")
     )
+
+
+def _fixed_list_matrix(col) -> np.ndarray:
+    """(n, k) view of a fixed_size_list column (slice-offset safe)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    k = col.type.list_size
+    vals = col.values.to_numpy(zero_copy_only=False)
+    base = col.offset * k
+    return vals[base : base + len(col) * k].reshape(len(col), k)
 
 
 def _dup_pairs_in_bucket(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
@@ -235,6 +381,16 @@ def _dup_pairs_in_bucket(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": dups})
 
 
+def _minhash_resolve_block(
+    tbl: pa.Table, members: np.ndarray, keepers: np.ndarray, threshold: float
+) -> np.ndarray:
+    """All-groups-at-once twin of _dup_pairs_in_bucket: one matrix compare."""
+    sig = _fixed_list_matrix(tbl["sig"])
+    sim = (sig[members] == sig[keepers]).mean(axis=1)
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    return ids[members[sim >= threshold]]
+
+
 def minhash_duplicates(
     ds, text_col: str = "text", num_hashes: int = 32, bands: int = 8,
     threshold: float = 0.7,
@@ -247,13 +403,14 @@ def minhash_duplicates(
     exploded = sigs.map_batches(
         lambda b: lsh_band_rows(b, bands), batch_format="pyarrow"
     )
-    dups = resolve_hot_buckets(
+    return resolve_hot_buckets(
         exploded,
         ["band", "band_hash"],
         lambda g: _dup_pairs_in_bucket(g, threshold),
         materialize=True,
+        unique_col="doc_id",
+        resolve_block=lambda t, m, k: _minhash_resolve_block(t, m, k, threshold),
     )
-    return dups.groupby("doc_id").count().select_columns(["doc_id"])
 
 
 def shingle_sketch_batch(
@@ -302,6 +459,42 @@ def _jaccard_dups_in_bucket(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": out})
 
 
+def _jaccard_resolve_block(
+    tbl: pa.Table, members: np.ndarray, keepers: np.ndarray, threshold: float
+) -> np.ndarray:
+    """Exact bottom-k-sketch Jaccard for every (member, keeper) candidate
+    pair. Sketches are sorted (np.unique output), so intersections are
+    searchsorted probes; the Python loop runs over CANDIDATE pairs only
+    (hot-bucket members), not over the data."""
+    sk = tbl["sketch"]
+    if isinstance(sk, pa.ChunkedArray):
+        sk = sk.combine_chunks()
+    off = sk.offsets.to_numpy().astype(np.int64)
+    base = off[0]
+    # sketches are int64 BIT-VIEWS of uint64 hashes sorted in uint64 order —
+    # view back to uint64 so searchsorted sees a sorted array
+    vals = (
+        sk.values.to_numpy(zero_copy_only=False)[base : off[-1]]
+        .astype(np.int64)
+        .view(np.uint64)
+    )
+    off = off - base
+    out = []
+    for mi, ki in zip(members, keepers):
+        a = vals[off[mi] : off[mi + 1]]
+        b = vals[off[ki] : off[ki + 1]]
+        if not (a.size and b.size):
+            continue
+        pos = np.searchsorted(b, a)
+        np.minimum(pos, b.size - 1, out=pos)
+        inter = int((b[pos] == a).sum())
+        union = a.size + b.size - inter
+        if union and inter / union >= threshold:
+            out.append(mi)
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    return ids[np.asarray(out, dtype=np.int64)] if out else np.zeros(0, np.int64)
+
+
 def ngram_jaccard_duplicates(
     ds, text_col: str = "text", threshold: float = 0.8,
     num_hashes: int = 32, bands: int = 8, sketch_k: int = 512,
@@ -327,13 +520,14 @@ def ngram_jaccard_duplicates(
         return rows.drop_columns(["sig"]).append_column("sketch", sk.take(rep))
 
     exploded = both.map_batches(explode, batch_format="pyarrow")
-    dups = resolve_hot_buckets(
+    return resolve_hot_buckets(
         exploded,
         ["band", "band_hash"],
         lambda g: _jaccard_dups_in_bucket(g, threshold),
         materialize=True,
+        unique_col="doc_id",
+        resolve_block=lambda t, m, k: _jaccard_resolve_block(t, m, k, threshold),
     )
-    return dups.groupby("doc_id").count().select_columns(["doc_id"])
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -410,18 +604,34 @@ def _simhash_dups(g: pd.DataFrame, max_dist: int) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": g["doc_id"].to_numpy()[1:][dist <= max_dist]})
 
 
+def _simhash_resolve_block(
+    tbl: pa.Table, members: np.ndarray, keepers: np.ndarray, max_dist: int
+) -> np.ndarray:
+    """Vectorized Hamming distance for all candidate pairs at once."""
+    fp = tbl["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    x = fp[members] ^ fp[keepers]
+    dist = (
+        np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        if len(x)
+        else np.zeros(0, dtype=np.int64)
+    )
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    return ids[members[dist <= max_dist]]
+
+
 def simhash_duplicates(ds, text_col: str = "text", max_dist: int = 3):
     fps = ds.map_batches(
         lambda b: simhash_batch(b, text_col), batch_format="pyarrow"
     )
     exploded = fps.map_batches(simhash_band_rows, batch_format="pyarrow")
-    dups = resolve_hot_buckets(
+    return resolve_hot_buckets(
         exploded,
         ["band", "band_val"],
         lambda g: _simhash_dups(g, max_dist),
         materialize=True,
+        unique_col="doc_id",
+        resolve_block=lambda t, m, k: _simhash_resolve_block(t, m, k, max_dist),
     )
-    return dups.groupby("doc_id").count().select_columns(["doc_id"])
 
 
 def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -449,7 +659,19 @@ def exact_duplicates(ds, text_col: str = "text"):
         same = dups[text_col] == keeper_text
         return pd.DataFrame({"doc_id": dups["doc_id"].to_numpy()[same.to_numpy()]})
 
+    def resolve_block(t: pa.Table, members: np.ndarray, keepers: np.ndarray):
+        import pyarrow.compute as pc
+
+        same = pc.equal(
+            t[text_col].take(pa.array(members)),
+            t[text_col].take(pa.array(keepers)),
+        ).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return ids[members[same.astype(bool)]]
+
     hashed = ds.map_batches(
         lambda b: content_hash_batch(b, text_col), batch_format="pyarrow"
     )
-    return resolve_hot_buckets(hashed, ["content_hash"], resolve)
+    return resolve_hot_buckets(
+        hashed, ["content_hash"], resolve, resolve_block=resolve_block
+    )
