@@ -420,17 +420,62 @@ def shingle_sketch_batch(
     shingle-hash set. Bottom-k is a proper Jaccard estimator, deterministic,
     and bounds per-row memory regardless of document length."""
     g, offsets, counts, valid_counts, bad = _shingle_hashes(batch, text_col, shingle)
+    MAX = np.iinfo(np.uint64).max
     if bad.size:
         g = g.copy()
-        g[bad] = np.iinfo(np.uint64).max
+        g[bad] = MAX
     n_rows = len(counts)
-    sketches, lens = [], np.zeros(n_rows, dtype=np.int64)
-    for i in range(n_rows):  # per-row unique+sort; row work bounded by k after unique
-        row = np.unique(g[offsets[i] : offsets[i] + valid_counts[i]])
-        row = row[row != np.iinfo(np.uint64).max][:k]
-        sketches.append(row)
-        lens[i] = len(row)
-    flat = np.concatenate(sketches) if sketches else np.zeros(0, dtype=np.uint64)
+    # vectorized per-row sorted-unique: scatter rows into a MAX-padded
+    # (n_rows, maxw) matrix, one axis-1 sort, dedupe+cap by matrix compare.
+    # Long outlier rows would blow the padding up (matrix is n_rows × maxw),
+    # so rows beyond a width cap take a scalar np.unique fallback — bounded
+    # by the batch's skew, not its size.
+    width_cap = max(4 * k, int(counts.mean()) * 4 if n_rows else 0)
+    is_long = counts > width_cap
+    flat_parts, len_parts = [], np.zeros(n_rows, dtype=np.int64)
+    norm = ~is_long
+    if norm.any():
+        nc = counts[norm]
+        maxw = int(nc.max()) if len(nc) else 0
+        M = np.full((int(norm.sum()), max(maxw, 1)), MAX, dtype=np.uint64)
+        rows_of = np.repeat(np.arange(len(nc)), nc)
+        within = np.arange(int(nc.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(nc) - nc, nc
+        )
+        src = np.repeat(offsets[:-1][norm], nc) + within
+        M[rows_of, within] = g[src]
+        M.sort(axis=1)
+        uniq = np.ones_like(M, dtype=bool)
+        uniq[:, 1:] = M[:, 1:] != M[:, :-1]
+        uniq &= M != MAX
+        rank = np.cumsum(uniq, axis=1)
+        keep = uniq & (rank <= k)
+        len_parts[norm] = keep.sum(axis=1)
+        flat_norm = M[keep]  # row-major: preserves row grouping + ascending
+    else:
+        flat_norm = np.zeros(0, dtype=np.uint64)
+    long_sketches = {}
+    for i in np.flatnonzero(is_long):
+        row = np.unique(g[offsets[i] : offsets[i] + counts[i]])
+        row = row[row != MAX][:k]
+        long_sketches[int(i)] = row
+        len_parts[i] = len(row)
+    if long_sketches:
+        # interleave normal-row slices and long-row sketches in row order
+        flat = np.empty(int(len_parts.sum()), dtype=np.uint64)
+        off64 = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(len_parts, out=off64[1:])
+        npos = 0
+        for i in range(n_rows):
+            L = int(len_parts[i])
+            if is_long[i]:
+                flat[off64[i] : off64[i] + L] = long_sketches[i]
+            else:
+                flat[off64[i] : off64[i] + L] = flat_norm[npos : npos + L]
+                npos += L
+    else:
+        flat = flat_norm
+    lens = len_parts
     off = np.zeros(n_rows + 1, dtype=np.int32)
     np.cumsum(lens, out=off[1:])
     return pa.table(

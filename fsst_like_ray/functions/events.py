@@ -156,9 +156,18 @@ def topk_users_by_value(ds: "ray.data.Dataset", k: int = 10):
         .groupby("user_id")
         .aggregate(Sum("cents", alias_name="value_cents"), Count(alias_name="n_events"))
     )
-    rows = agg.take_all()
-    rows.sort(key=lambda r: (-r["value_cents"], r["user_id"]))
-    top = rows[:k]
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        # per-block top-k partial: only k rows per block ever reach the
+        # driver (the full per-user aggregate is itself huge at 100 TB)
+        vc = b["value_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -vc))[:k]
+        return b.take(pa.array(order))
+
+    parts = agg.map_batches(local_topk, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: (-int(r["value_cents"]), r["user_id"]))
+    top = parts[:k]
     return pa.table(
         {
             "user_id": pa.array([r["user_id"] for r in top], type=pa.int64()),

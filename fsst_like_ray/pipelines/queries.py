@@ -54,14 +54,21 @@ def to_tokens_batch(batch: pa.Table) -> pa.Table:
 
 
 def tok_str_batch(batch: pa.Table) -> pa.Table:
-    """tokens list<int32> → comma-joined string (stable cross-system hash)."""
-    toks = batch["tokens"].to_pylist()
-    s = [",".join(map(str, t)) for t in toks]
+    """tokens list<int32> → comma-joined string (stable cross-system hash).
+    Arrow kernels end to end: list<int32> → list<utf8> cast + binary_join —
+    this runs on every decoded row of every roundtrip query, so a per-row
+    Python join here would dominate the query."""
+    import pyarrow.compute as pc
+
+    toks = batch["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    s = pc.binary_join(toks.cast(pa.list_(pa.string())), ",")
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "n_tok": batch["n_tok"].cast(pa.int64()),
-            "tok_str": pa.array(s, type=pa.string()),
+            "tok_str": s.cast(pa.string()),
         }
     )
 
@@ -108,11 +115,18 @@ def make_like(pattern: str, engine: str):
     def q(sf_dir: str):
         enc = encode_text_dataset(_docs(sf_dir, ("doc_id", "text")))
         out = like_scan(enc, pattern, engine=engine, decode_matches=False)
-        # collect to a TYPED table: an empty Ray Dataset drops its schema,
-        # and the driver's compare treats a 0-column empty result as a
-        # schema mismatch vs the oracle's typed empty frame
-        ids = [r["doc_id"] for r in out.take_all()]
-        return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+        # stream matched blocks into ONE arrow table seeded with a typed
+        # empty block (an all-empty Ray Dataset drops its schema, which the
+        # driver's compare would read as a mismatch vs the oracle's typed
+        # empty frame). No per-row Python; the driver materializes results
+        # to compare them anyway.
+        seed = pa.table({"doc_id": pa.array([], type=pa.int64())})
+        parts = [seed] + [
+            b.select(["doc_id"])
+            for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")
+            if b.num_rows
+        ]
+        return pa.concat_tables(parts).combine_chunks()
 
     return q
 
@@ -408,8 +422,13 @@ def q_tpch_ptype_like(sf_dir: str):
     )
     enc = encode_text_dataset(ds)
     out = like_scan(enc, "%blue%", engine="auto", decode_matches=False)
-    ids = [r["doc_id"] for r in out.take_all()]
-    return pa.table({"p_partkey": pa.array(ids, type=pa.int64())})
+    seed = pa.table({"p_partkey": pa.array([], type=pa.int64())})
+    parts = [seed] + [
+        b.select(["doc_id"]).rename_columns(["p_partkey"])
+        for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    return pa.concat_tables(parts).combine_chunks()
 
 
 def q_tpch_q13(sf_dir: str):
@@ -423,14 +442,23 @@ def q_tpch_q13(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
     )
     filt = orders.filter(expr="o_orderpriority != '1-URGENT'")
-    counts_rows = (
-        filt.groupby("o_custkey").aggregate(Count(alias_name="n")).take_all()
-    )
-    counts = {int(r["o_custkey"]): int(r["n"]) for r in counts_rows}
+    # stream the per-customer counts into two flat arrays (≤ #customers
+    # rows) — the broadcast side stays NumPy, never a Python dict
+    kparts, vparts = [], []
+    for b in (
+        filt.groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+    ):
+        if b.num_rows:
+            kparts.append(b["o_custkey"].to_numpy(zero_copy_only=False))
+            vparts.append(b["n"].to_numpy(zero_copy_only=False))
+    keys = np.concatenate(kparts) if kparts else np.zeros(0, dtype=np.int64)
+    vals = np.concatenate(vparts) if vparts else np.zeros(0, dtype=np.int64)
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     )
-    with_counts = count_lookup(cust, counts, "c_custkey", out_col="c_count")
+    with_counts = count_lookup(cust, keys, vals, "c_custkey", out_col="c_count")
     hist = with_counts.groupby("c_count").aggregate(
         Count(alias_name="custdist")
     )
