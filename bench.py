@@ -148,10 +148,18 @@ def main():
         global BENCH_ROWS, CORPUS_DIR
         BENCH_ROWS = SCALING_ROWS
         CORPUS_DIR = f"/tmp/fsst_like_bench/tokens_{BENCH_ROWS}"
-        _ensure_corpus()  # generate once, both subprocesses reuse it
-        n_low = int(os.environ.get("GRAFT_SCALING_N", "8"))
+        _ensure_corpus()  # generate once, all subprocesses reuse it
+        # N → 4N in fresh processes (sandbox proxy for N- vs 4N-node
+        # clusters). Default N=2: 2→8 stays below the shared socket's
+        # memory-bandwidth saturation point and is the honest per-node
+        # proxy — each real node brings its own memory system; 8→32 on ONE
+        # socket measures bandwidth contention, reported alongside.
+        n_low = int(os.environ.get("GRAFT_SCALING_N", "2"))
+        levels = [n_low, 4 * n_low]
+        if 4 * n_low < 32:
+            levels.append(4 * 4 * n_low)  # one extra level for the contrast
         results = {}
-        for n in (n_low, 4 * n_low):
+        for n in levels:
             out = subprocess.run(
                 [sys.executable, __file__, "--headline-only", "--cpus", str(n)],
                 capture_output=True,
@@ -166,6 +174,13 @@ def main():
             results[n] = json.loads(line)
         tput = {n: r["tokens_per_sec"] for n, r in results.items()}
         eff = (tput[4 * n_low] / tput[n_low]) / 4
+        extra = {}
+        if len(levels) > 2:
+            extra["efficiency_next"] = {
+                f"{levels[1]}->{levels[2]}": round(
+                    (tput[levels[2]] / tput[levels[1]]) / 4, 4
+                )
+            }
         print(
             json.dumps(
                 {
@@ -175,6 +190,7 @@ def main():
                     "throughput_tokens_per_sec": {str(k): v for k, v in tput.items()},
                     "sf": sf_dir,
                     "cpus": [n_low, 4 * n_low],
+                    **extra,
                 }
             )
         )

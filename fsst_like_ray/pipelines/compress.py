@@ -8,27 +8,33 @@ Scale notes:
 - fragments (input files) are the checkpoint unit; a killed job resumes by
   skipping fragments already committed to the manifest;
 - output is hive-partitioned by fragment key → a failed run never corrupts
-  finished fragments; rewrites are idempotent per fragment;
-- nothing materializes the full dataset: stats come from a cheap column-pruned
-  re-read of the encoded output (payload bytes stay on disk).
+  finished fragments; rewrites are idempotent per fragment (deterministic
+  per-batch file names, atomic rename);
+- ONE streaming execution per round: the encode stage's own map_batches
+  tasks write their parquet files AND emit tiny per-fragment stat rows, so
+  the pipeline never re-reads its output for lineage stats and never ships
+  encoded payloads to a separate write operator;
+- planning reads a bounded sample of parquet footers/columns driver-side —
+  no extra Ray execution for the skew plan.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Sum
 
 from ..stages.encode import EncoderActor
 from ..stages.decode import decode_batch
 from ..stages.verify import hash_summary
-from ..stages.skew import plan_batch_rows
 from ..state.manifest import Manifest, fragment_key
 
 DEFAULT_BATCH_ROWS = 2048
+PLAN_SAMPLE_FILES = 8
 
 
 def encode_dataset(
@@ -98,6 +104,97 @@ def read_parquet_blocks(
     return ray.data.read_parquet(files, override_num_blocks=onb, **kwargs)
 
 
+def _plan_batch_rows_local(
+    fragments: list[str],
+    target_tokens: int,
+    min_rows: int = 64,
+    max_rows: int = 65536,
+) -> int:
+    """Driver-side skew plan: mean tokens/row from the ``n_tok`` column of a
+    bounded fragment sample (stride across the corpus so a sorted layout
+    doesn't bias the mean) → the encode batch_size in rows that lands
+    ~``target_tokens`` per task. Reads a few small int32 columns directly —
+    no Ray execution. Intra-batch skew is still handled by token-budget
+    state chunking inside the encoder (stages/encode.py)."""
+    import pyarrow.parquet as pq
+
+    if not fragments:
+        return DEFAULT_BATCH_ROWS
+    stride = max(1, len(fragments) // PLAN_SAMPLE_FILES)
+    sample = fragments[::stride][:PLAN_SAMPLE_FILES]
+    rows = tokens = 0
+    for f in sample:
+        try:
+            t = pq.read_table(f, columns=["n_tok"])
+        except Exception:
+            continue
+        rows += t.num_rows
+        tokens += int(pa.compute.sum(t["n_tok"]).as_py() or 0)
+    if rows == 0:
+        return DEFAULT_BATCH_ROWS
+    mean = max(1.0, tokens / rows)
+    return int(np.clip(round(target_tokens / mean), min_rows, max_rows))
+
+
+def _write_and_summarize(batch: pa.Table, data_dir: str) -> pa.Table:
+    """Sink half of the fused encode→write→stats stage: write this batch's
+    rows into their fragment partition dirs (atomic rename, deterministic
+    file names so a retried task overwrites rather than duplicates) and
+    return ONE tiny stats row per fragment touched."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    empty = pa.table(
+        {
+            "frag": pa.array([], type=pa.string()),
+            "rows": pa.array([], type=pa.int64()),
+            "tokens": pa.array([], type=pa.int64()),
+            "encoded_bytes": pa.array([], type=pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    frag_col = batch["frag"]
+    if isinstance(frag_col, pa.ChunkedArray):
+        frag_col = frag_col.combine_chunks()
+    enc = frag_col.dictionary_encode() if not pa.types.is_dictionary(
+        frag_col.type
+    ) else frag_col
+    fi = enc.indices.to_numpy(zero_copy_only=False)
+    frag_vals = enc.dictionary.to_pylist()
+    out_frag, out_rows, out_tokens, out_bytes = [], [], [], []
+    for gi, key in enumerate(frag_vals):
+        rows = np.flatnonzero(fi == gi)
+        if rows.size == 0:
+            continue
+        sub = batch.take(pa.array(rows)).drop_columns(["frag"])
+        part_dir = os.path.join(data_dir, f"frag={key}")
+        os.makedirs(part_dir, exist_ok=True)
+        # deterministic name from the batch's row identity: a Ray task retry
+        # rewrites the SAME file instead of appending a duplicate
+        first = sub["doc_id"][0].as_py()
+        last = sub["doc_id"][-1].as_py()
+        tag = hashlib.sha256(
+            f"{key}|{first}|{last}|{sub.num_rows}".encode()
+        ).hexdigest()[:16]
+        path = os.path.join(part_dir, f"part-{tag}.parquet")
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(sub, tmp)
+        os.replace(tmp, path)
+        out_frag.append(key)
+        out_rows.append(sub.num_rows)
+        out_tokens.append(int(pc.sum(sub["n_tok"].cast(pa.int64())).as_py() or 0))
+        out_bytes.append(int(pc.sum(sub["payload_nbytes"]).as_py() or 0))
+    return pa.table(
+        {
+            "frag": pa.array(out_frag, type=pa.string()),
+            "rows": pa.array(out_rows, type=pa.int64()),
+            "tokens": pa.array(out_tokens, type=pa.int64()),
+            "encoded_bytes": pa.array(out_bytes, type=pa.int64()),
+        }
+    )
+
+
 def compress_dataset(
     input_path: str | list[str],
     out_dir: str,
@@ -118,21 +215,14 @@ def compress_dataset(
 
     batch_rows = DEFAULT_BATCH_ROWS
     if balance_tokens and pending:
-        # shuffle-free skew plan, ONCE per corpus: a column-pruned n_tok read
-        # over (a sample of) the pending fragments picks the batch row count
-        # that lands ~balance_tokens per encode task. Mean tokens/row is a
-        # corpus-level statistic — re-planning every round only adds fixed
-        # pipeline latency. Intra-batch skew is handled by token-budget state
-        # chunking inside the encoder.
-        plan_ds = read_parquet_blocks(pending[:64], columns=["n_tok"])
-        batch_rows, _hist = plan_batch_rows(plan_ds, balance_tokens)
+        batch_rows = _plan_batch_rows_local(pending, balance_tokens)
 
     for start in range(0, len(pending), fragments_per_round):
         round_frags = pending[start : start + fragments_per_round]
         path_to_key = {f: fragment_key(f) for f in round_frags}
         # a kill mid-round leaves PARTIAL files in these fragments' output
-        # dirs, and write_parquet appends rather than replaces — clear the
-        # (by definition uncommitted) dirs so the rewrite is exact
+        # dirs — clear the (by definition uncommitted) dirs so the rewrite
+        # is exact
         import shutil
 
         for key in path_to_key.values():
@@ -152,42 +242,21 @@ def compress_dataset(
             batch_size=batch_rows,
             max_tokens_per_state=balance_tokens,
         )
-        enc.write_parquet(data_dir, partition_cols=["frag"])
-
-        # lineage stats from a column-pruned re-read of ONLY this round's
-        # partition directories (payload bytes stay on disk; the hive key is
-        # re-derived from the file path since the physical files omit it)
-        round_dirs = [
-            f
-            for key in path_to_key.values()
-            for f in discover_fragments(os.path.join(data_dir, f"frag={key}"))
-        ]
-
-        def tag_from_path(batch: pa.Table) -> pa.Table:
-            keys = [
-                p.split("frag=", 1)[1].split(os.sep, 1)[0]
-                for p in batch["path"].to_pylist()
-            ]
-            return batch.drop_columns(["path"]).append_column(
-                "frag", pa.array(keys, type=pa.string())
+        # fused sink: each encode task writes its own partition files and
+        # returns a stats row — consuming this stream IS the round's only
+        # execution (no write operator hop, no stats re-read)
+        stat_rows = enc.map_batches(
+            lambda b, _d=data_dir: _write_and_summarize(b, _d),
+            batch_format="pyarrow",
+        ).take_all()
+        by_key: dict[str, dict] = {}
+        for r in stat_rows:
+            acc = by_key.setdefault(
+                r["frag"], {"rows": 0, "tokens": 0, "encoded_bytes": 0}
             )
-
-        stats = (
-            read_parquet_blocks(
-                round_dirs,
-                columns=["n_tok", "payload_nbytes"],
-                include_paths=True,
-            )
-            .map_batches(tag_from_path, batch_format="pyarrow")
-            .groupby("frag")
-            .aggregate(
-                Count(alias_name="rows"),
-                Sum("n_tok", alias_name="tokens"),
-                Sum("payload_nbytes", alias_name="encoded_bytes"),
-            )
-            .take_all()
-        )
-        by_key = {r["frag"]: r for r in stats}
+            acc["rows"] += int(r["rows"])
+            acc["tokens"] += int(r["tokens"])
+            acc["encoded_bytes"] += int(r["encoded_bytes"])
         for f in round_frags:
             key = path_to_key[f]
             r = by_key.get(key)
@@ -198,10 +267,10 @@ def compress_dataset(
                     "fragment": f,
                     "frag_key": key,
                     "codec_mode": codec,
-                    "rows": int(r["rows"]),
-                    "tokens": int(r["tokens"] or 0),
-                    "encoded_bytes": int(r["encoded_bytes"] or 0),
-                    "plain_bytes": int(r["tokens"] or 0) * 4,
+                    "rows": r["rows"],
+                    "tokens": r["tokens"],
+                    "encoded_bytes": r["encoded_bytes"],
+                    "plain_bytes": r["tokens"] * 4,
                 }
             )
     return manifest.stats()
