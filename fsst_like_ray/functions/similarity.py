@@ -95,8 +95,24 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10, id_col: str = "vec_id")
 
 def train_centroids(ds, n_centroids: int = 16, sample_rows: int = 2048, iters: int = 5):
     """Seeded mini k-means on a driver-side sample (the ONLY materialized
-    piece; ≤ sample_rows rows regardless of dataset size)."""
-    sample = ds.limit(sample_rows).to_pandas()
+    piece; ≈ sample_rows rows regardless of dataset size). The sample is a
+    deterministic PER-BLOCK hash-threshold draw — every block contributes
+    proportionally, unlike ``limit(n)`` which reads only the first blocks
+    (a biased sample when the layout is sorted/clustered)."""
+    _PRIME = np.uint64(0x9E3779B97F4A7C15)
+    total = ds.count()  # parquet metadata read — no execution
+    p = min(1.0, sample_rows / max(total, 1))
+    thresh = np.uint64(int(p * (1 << 32)))
+
+    def block_sample(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.int64).view(np.uint64) * _PRIME) >> np.uint64(32)
+        return b.take(pa.array(np.flatnonzero(h < thresh)))
+
+    sample = ds.map_batches(block_sample, batch_format="pyarrow").to_pandas()
+    if len(sample) == 0:
+        sample = ds.limit(max(n_centroids, 1)).to_pandas()
     m = _normalize(
         np.stack([np.asarray(v, dtype=np.float32) for v in sample["embedding"]])
     )
@@ -130,21 +146,37 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, n_centroids: int = 16, nprobe: 
     return brute_force_topk(filtered, query, k)
 
 
-def hyperplane_bucket_batch(batch: pa.Table, n_planes: int = 12) -> pa.Table:
-    """Random-hyperplane LSH bucket ids (seeded planes → deterministic)."""
+def hyperplane_band_rows(
+    batch: pa.Table, bands: int = 4, planes_per_band: int = 8
+) -> pa.Table:
+    """Banded random-hyperplane LSH (seeded planes → deterministic): each
+    row explodes into ``bands`` (band, band_val) bucket rows. Banding is the
+    recall lever a single bucket id lacks — at cosine ≥0.98 a plane agrees
+    w.p. ~0.94, so one 12-plane bucket catches only ~45% of true pairs while
+    4 bands of 8 planes catch ~97% — and the band space grows with the data
+    (2^8 per band × bands) instead of saturating 2^12 fixed buckets."""
     m = _normalize(_emb_matrix(batch))
     dim = m.shape[1]
+    n = m.shape[0]
     rng = np.random.default_rng(7)
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    planes = rng.standard_normal((dim, bands * planes_per_band)).astype(np.float32)
     bits = (m @ planes) > 0
-    bucket = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(
-        axis=1
-    )
+    weights = (np.uint64(1) << np.arange(planes_per_band, dtype=np.uint64))
+    vals = np.zeros((n, bands), dtype=np.int64)
+    for b_i in range(bands):
+        seg = bits[:, b_i * planes_per_band : (b_i + 1) * planes_per_band]
+        vals[:, b_i] = (seg.astype(np.uint64) * weights[None, :]).sum(axis=1).astype(
+            np.int64
+        )
+    rep = pa.array(np.repeat(np.arange(n), bands))
     return pa.table(
         {
-            "vec_id": batch["vec_id"],
-            "bucket": pa.array(bucket.astype(np.int64)),
-            "embedding": batch["embedding"],
+            "band": pa.array(np.tile(np.arange(bands), n).astype(np.int32)),
+            "band_val": pa.array(vals.reshape(-1)),
+            "vec_id": batch["vec_id"].take(rep),
+            "embedding": batch["embedding"].take(rep)
+            if not isinstance(batch["embedding"], pa.ChunkedArray)
+            else batch["embedding"].combine_chunks().take(rep),
         }
     )
 
@@ -158,12 +190,33 @@ def _cosine_dups(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
     return pd.DataFrame({"vec_id": g["vec_id"].to_numpy()[1:][sims >= threshold]})
 
 
-def embedding_duplicates(ds, threshold: float = 0.98, n_planes: int = 12):
-    """Near-duplicate vec_ids (cosine ≥ threshold vs their bucket keeper)."""
-    bucketed = ds.map_batches(
-        lambda b: hyperplane_bucket_batch(b, n_planes), batch_format="pyarrow"
+def _cosine_resolve_block(
+    tbl: pa.Table, members: np.ndarray, keepers: np.ndarray, threshold: float
+) -> np.ndarray:
+    """Vectorized member-vs-keeper cosine for all candidate pairs at once."""
+    m = _normalize(_emb_matrix(tbl))
+    sims = np.einsum("ij,ij->i", m[members], m[keepers])
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    return ids[members[sims >= threshold]]
+
+
+def embedding_duplicates(
+    ds, threshold: float = 0.98, bands: int = 4, planes_per_band: int = 8
+):
+    """Near-duplicate vec_ids (cosine ≥ threshold vs their bucket keeper).
+    Same scale shape as the text dedups: banded LSH explode → hot-bucket
+    prefilter (singleton buckets never reach Python) → verified cosine."""
+    from .dedup import resolve_hot_buckets
+
+    exploded = ds.map_batches(
+        lambda b: hyperplane_band_rows(b, bands, planes_per_band),
+        batch_format="pyarrow",
     )
-    dups = bucketed.groupby("bucket").map_groups(
-        lambda g: _cosine_dups(g, threshold), batch_format="pandas"
+    return resolve_hot_buckets(
+        exploded,
+        ["band", "band_val"],
+        lambda g: _cosine_dups(g, threshold),
+        materialize=True,
+        unique_col="vec_id",
+        resolve_block=lambda t, m, k: _cosine_resolve_block(t, m, k, threshold),
     )
-    return dups.groupby("vec_id").count().select_columns(["vec_id"])

@@ -71,43 +71,94 @@ def _payload_rows_any(hits_u8: np.ndarray, po: np.ndarray) -> np.ndarray:
     return out
 
 
+def _position_code_sets(
+    table: fsstlib.SymbolTable, needle: bytes
+) -> list[set[int]]:
+    """For each needle position i, the set of codes whose symbol can produce
+    needle[i] in SOME consistent alignment: symbol s placed so s[j] lands on
+    position i must agree with the needle on the whole overlap (bytes of s
+    outside the needle are unconstrained). Reference analog: the symbol-path
+    construction of SkippingEngine (src/algos/Skipping.hpp:348-449), which
+    enumerates symbols spelling the pattern including suffix-offset symbols;
+    re-expressed here as per-position alignment-consistent code sets."""
+    m = len(needle)
+    sets: list[set[int]] = [set() for _ in range(m)]
+    for code, s in enumerate(table.symbols):
+        L = len(s)
+        if L == 0:
+            continue
+        for a in range(-(L - 1), m):  # alignment: s[0] sits at needle index a
+            lo, hi = max(a, 0), min(a + L, m)
+            if lo >= hi:
+                continue
+            ok = True
+            for i in range(lo, hi):
+                if s[i - a] != needle[i]:
+                    ok = False
+                    break
+            if ok:
+                for i in range(lo, hi):
+                    sets[i].add(code)
+    return sets
+
+
 def required_code_prefilter(
     pay: np.ndarray,
     po: np.ndarray,
     table: fsstlib.SymbolTable,
     needle: bytes,
     used_chars: bytes | None = None,
+    max_positions: int = 2,
 ) -> np.ndarray:
     """Sound candidate mask: True ⇒ row MIGHT contain ``needle``.
 
-    Pick the needle byte appearing in the fewest symbol expansions; a match
-    requires some payload code whose expansion contains it, or that byte as
-    an escaped literal. When the block's ``used_chars`` bitmap (escaped
-    literal bytes, reference src/BenchmarkDriver.cpp:128-137) is available
-    and the byte has NO covering symbol and is NOT in the bitmap, the whole
-    block is pruned without reading payloads."""
+    Every needle position must be produced by either (a) a payload code
+    whose symbol covers that position in a consistent alignment
+    (_position_code_sets — strictly tighter than byte-membership: a symbol
+    merely CONTAINING the byte in an inconsistent context no longer keeps
+    the row), or (b) that byte as an escaped literal. The masks of the
+    ``max_positions`` positions with the smallest code sets are ANDed.
+
+    When the block's ``used_chars`` bitmap (escaped literal bytes, reference
+    src/BenchmarkDriver.cpp:128-137) is available and some position has NO
+    covering code and its byte is NOT in the bitmap, the whole block is
+    pruned without reading payloads."""
+    n_rows = len(po) - 1
     if not needle:
-        return np.ones(len(po) - 1, dtype=bool)
-    syms = _expansions(table)
-    # rarest needle byte by symbol coverage
-    best_b, best_codes = None, None
-    for b in needle:
-        codes = [c for c, s in enumerate(syms) if b in s]
-        if best_codes is None or len(codes) < len(best_codes):
-            best_b, best_codes = b, codes
-        if used_chars is not None and not codes and not (
-            used_chars[b >> 3] & (1 << (b & 7))
-        ):
-            return np.zeros(len(po) - 1, dtype=bool)
-    lut = np.zeros(256, dtype=np.uint8)
-    lut[best_codes] = 1
-    hits = lut[pay]
-    cand = _payload_rows_any(hits, po)
-    # escaped literal: 255 followed by the byte (conservative, no parity check)
-    esc = np.zeros(len(pay), dtype=np.uint8)
-    if len(pay) > 1:
-        esc[:-1] = (pay[:-1] == ESCAPE) & (pay[1:] == best_b)
-    cand |= _payload_rows_any(esc, po)
+        return np.ones(n_rows, dtype=bool)
+    sets = _position_code_sets(table, needle)
+    esc_ok = [
+        used_chars is None
+        or bool(used_chars[b >> 3] & (1 << (b & 7)))
+        for b in needle
+    ]
+    for i in range(len(needle)):
+        if not sets[i] and not esc_ok[i]:
+            return np.zeros(n_rows, dtype=bool)
+    order = sorted(range(len(needle)), key=lambda i: len(sets[i]))
+    cand = np.ones(n_rows, dtype=bool)
+    seen: set[tuple] = set()
+    taken = 0
+    for i in order:
+        if taken >= max_positions or not cand.any():
+            break
+        sig = (frozenset(sets[i]), needle[i] if esc_ok[i] else -1)
+        if sig in seen:
+            continue  # identical requirement adds nothing
+        seen.add(sig)
+        lut = np.zeros(256, dtype=np.uint8)
+        if sets[i]:
+            lut[list(sets[i])] = 1
+        c = _payload_rows_any(lut[pay], po)
+        if esc_ok[i]:
+            # escaped literal: 255 followed by the byte (conservative, no
+            # parity check)
+            esc = np.zeros(len(pay), dtype=np.uint8)
+            if len(pay) > 1:
+                esc[:-1] = (pay[:-1] == ESCAPE) & (pay[1:] == needle[i])
+            c |= _payload_rows_any(esc, po)
+        cand &= c
+        taken += 1
     return cand
 
 

@@ -1,11 +1,14 @@
 """LIKE pattern classification.
 
-Dialect matches the reference: ``%`` multi-char wildcard only; ``_`` is
-detected and rejected (reference: src/algos/StdFind.hpp:107); splitter drops
-empty segments (SplitPattern, src/Utility.hpp:37-51). Shapes: exact, ``p%``,
-``%p``, ``%p%``, ``%p1%p2%...%`` and the general anchored ``p1%p2`` form
-(which the reference TODO'd — src/algos/StdFind.hpp:124 — supported here via
-the decoded path).
+Dialect: ``%`` multi-char wildcard; ``_`` single-char wildcard (the
+reference REJECTS ``_`` — src/algos/StdFind.hpp:107 — but a real LIKE user
+hits it constantly, and the decoded path's ``pc.match_like`` implements full
+SQL LIKE, so patterns containing ``_`` classify as shape ``general`` and
+run decode-verify); splitter drops empty segments (SplitPattern,
+src/Utility.hpp:37-51). Shapes: exact, ``p%``, ``%p``, ``%p%``,
+``%p1%p2%...%`` and the general anchored ``p1%p2`` form (which the
+reference TODO'd — src/algos/StdFind.hpp:124 — supported here via the
+decoded path).
 """
 
 from __future__ import annotations
@@ -19,9 +22,14 @@ class LikePattern:
     segments: tuple[bytes, ...]
     anchor_start: bool  # no leading %
     anchor_end: bool  # no trailing %
+    has_underscore: bool = False
 
     @property
     def shape(self) -> str:
+        if self.has_underscore:
+            # '_' can sit inside any segment, so segments are NOT literal
+            # needles — only the full-pattern decoded matcher is sound
+            return "general"
         n = len(self.segments)
         if n == 0:
             return "all" if "%" in self.raw else "exact"
@@ -39,12 +47,10 @@ class LikePattern:
 
 
 def parse_like(pattern: str) -> LikePattern:
-    if "_" in pattern:
-        raise ValueError(
-            "'_' wildcard not supported (matches the reference's dialect)"
-        )
     parts = pattern.split("%")
     anchor_start = not pattern.startswith("%")
     anchor_end = not pattern.endswith("%")
     segments = tuple(p.encode("utf-8") for p in parts if p)
-    return LikePattern(pattern, segments, anchor_start, anchor_end)
+    return LikePattern(
+        pattern, segments, anchor_start, anchor_end, "_" in pattern
+    )

@@ -108,6 +108,12 @@ LIKE_PATTERNS = {
     "like_prefix": ("the %", "auto"),
     "like_prefix_long": ("the fast key %", "auto"),
     "like_nomatch": ("%zzzqqq%", "auto"),
+    # '_' single-char wildcard: the reference REJECTS it (StdFind.hpp:107);
+    # we route it to the decoded full-SQL-LIKE path (matchers/pattern.py)
+    "like_underscore": ("%f_st%", "auto"),
+    # needle spanning word/symbol boundaries — exercises the set-cover
+    # prefilter's alignment-consistent code sets (engines.py)
+    "like_skipping2": ("%fast key%", "skipping"),
 }
 
 
@@ -247,6 +253,84 @@ def make_dedup(kind: str):
         return out
 
     return q
+
+
+PLANT_N = 50
+PLANT_OFFSET = 10_000_000
+
+
+def make_dedup_planted(kind: str):
+    """Oracle-checkable dedup recall gate: plant EXACT copies of the first
+    PLANT_N docs at doc_id+PLANT_OFFSET, dedup the union, report the dropped
+    ids in the planted range. Exact copies have identical signatures, so
+    their detection is deterministic and the expected drop-set is plain SQL;
+    estimator-dependent near-dups among the originals stay out of the gate
+    (they remain covered by the rows-only dedup_* queries)."""
+
+    def q(sf_dir: str):
+        import pyarrow.compute as pc
+
+        ds = _docs(sf_dir, ("doc_id", "text"))
+
+        def plant(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            sel = np.flatnonzero(ids < PLANT_N)
+            sub = b.take(pa.array(sel))
+            shifted = pa.table(
+                {
+                    "doc_id": pc.add(sub["doc_id"], PLANT_OFFSET),
+                    "text": sub["text"],
+                }
+            )
+            return pa.concat_tables([b.select(["doc_id", "text"]), shifted])
+
+        full = ds.map_batches(plant, batch_format="pyarrow")
+        if kind == "minhash":
+            dups = F_dedup.minhash_duplicates(full)
+        elif kind == "ngram_jaccard":
+            dups = F_dedup.ngram_jaccard_duplicates(full)
+        else:
+            raise ValueError(kind)
+        seed = pa.table({"doc_id": pa.array([], type=pa.int64())})
+        parts = [seed]
+        for b in dups.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            if b.num_rows:
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                keep = np.flatnonzero(ids >= PLANT_OFFSET)
+                if keep.size:
+                    parts.append(
+                        pa.table(
+                            {"doc_id": pa.array(ids[keep], type=pa.int64())}
+                        )
+                    )
+        return pa.concat_tables(parts).combine_chunks()
+
+    return q
+
+
+def q_ann_ivf_recall(sf_dir: str):
+    """IVF is approximate — its exact top-k is not SQL-expressible, but its
+    RECALL against the exact brute-force scan is a deterministic gate."""
+    import pyarrow.parquet as pq
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))["embedding"][0]
+        .as_py()
+    )
+    q0 = np.asarray(q0, dtype=np.float64)
+    brute = set(F_sim.brute_force_topk(ds, q0, k=10)["vec_id"].astype("int64"))
+    # the synthetic embeddings are unclustered, so the true top-k scatters
+    # across cells — probe 6/8 cells for a stable >=0.8 recall gate (real
+    # clustered data reaches it with far fewer probes)
+    ivf = set(
+        F_sim.ivf_topk(ds, q0, k=10, n_centroids=8, nprobe=6)[
+            "vec_id"
+        ].astype("int64")
+    )
+    recall = len(brute & ivf) / max(len(brute), 1)
+    return pa.table({"recall_ge_080": pa.array([bool(recall >= 0.8)])})
 
 
 def q_dedup_embedding(sf_dir: str):
@@ -606,6 +690,8 @@ def build_queries() -> dict:
     q["dedup_minhash"] = make_dedup("minhash")
     q["dedup_simhash"] = make_dedup("simhash")
     q["dedup_ngram_jaccard"] = make_dedup("ngram_jaccard")
+    q["dedup_minhash_planted"] = make_dedup_planted("minhash")
+    q["dedup_ngram_planted"] = make_dedup_planted("ngram_jaccard")
     q["dedup_embedding"] = q_dedup_embedding
     q["token_count"] = make_textstat(F_text.token_count_batch)
     q["quality_score"] = make_textstat(F_text.quality_batch)
@@ -613,6 +699,7 @@ def build_queries() -> dict:
     q["fingerprint"] = make_textstat(F_text.fingerprint_batch)
     q["ann_topk"] = q_ann_topk
     q["ann_ivf"] = q_ann_ivf
+    q["ann_ivf_recall"] = q_ann_ivf_recall
     q["multimodal_decode"] = q_multimodal
     q["tokens_corpus_roundtrip"] = q_tokens_corpus_roundtrip
     q["events_window_agg"] = q_events_window
@@ -657,6 +744,12 @@ def build_oracle_sql() -> dict:
                                 FOR i IN range(1, length(text) + 1)], ',') AS tok_str
         FROM documents WHERE doc_id % 10 = 0
     """
+    sql["dedup_minhash_planted"] = f"""
+        SELECT doc_id + {PLANT_OFFSET} AS doc_id FROM documents
+        WHERE doc_id < {PLANT_N}
+    """
+    sql["dedup_ngram_planted"] = sql["dedup_minhash_planted"]
+    sql["ann_ivf_recall"] = "SELECT (1=1) AS recall_ge_080"
     sql["dedup_exact"] = """
         SELECT doc_id FROM documents
         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)

@@ -107,8 +107,9 @@ def test_pattern_parser():
     assert parse_like("%abc").shape == "suffix"
     assert parse_like("abc").shape == "exact"
     assert parse_like("a%b").shape == "general"
-    with pytest.raises(ValueError):
-        parse_like("a_c")
+    # '_' routes to the general (decoded, full-SQL-LIKE) path
+    assert parse_like("a_c").shape == "general"
+    assert parse_like("%a_c%").shape == "general"
 
 
 def test_prefilter_is_sound(docs, encoded_docs):
@@ -127,3 +128,33 @@ def test_prefilter_is_sound(docs, encoded_docs):
             zero_copy_only=False
         )
         assert not (truth & ~cand).any(), needle
+
+
+def test_position_code_sets_consistency(docs, encoded_docs):
+    """The set-cover prefilter must stay sound for needles only spellable
+    ACROSS symbol boundaries, and prune strictly tighter than plain
+    byte-membership on nonsense needles."""
+    import pyarrow.compute as pc
+    from fsst_like_ray.stages.decode import _binary_buffers
+    from fsst_like_ray import fsstlib
+    from fsst_like_ray.matchers.engines import required_code_prefilter
+
+    pay, po = _binary_buffers(encoded_docs["payload"])
+    table = fsstlib.SymbolTable.deserialize(encoded_docs["state"][0].as_py())
+    used = (
+        encoded_docs["used_chars"][0].as_py()
+        if "used_chars" in encoded_docs.column_names
+        else None
+    )
+    # multi-word needles span symbol boundaries; 'zzzqqq' matches nothing
+    for needle in [b"the fast key", b"fast key", b"zzzqqq"]:
+        truth = pc.match_substring(docs["text"], needle.decode()).to_numpy(
+            zero_copy_only=False
+        )
+        cand = required_code_prefilter(pay, po, table, needle, used)
+        assert not (truth & ~cand).any(), needle
+    # tighter than byte-membership: every byte of 'zzzqqq' appears in the
+    # corpus alphabet, but no symbol alignment can spell it, so candidates
+    # must be far below "rows containing a z or q anywhere"
+    cand = required_code_prefilter(pay, po, table, b"zzzqqq", used)
+    assert cand.sum() < len(cand) // 4
