@@ -108,9 +108,21 @@ def cmd_like(args) -> int:
     t0 = time.time()
     n = like_count(enc, args.pattern, engine=args.engine)
     dt = time.time() - t0
-    print(json.dumps({"pattern": args.pattern, "engine": args.engine,
-                      "matches": n, "scan_sec": round(dt, 4)}))
+    out = {"pattern": args.pattern, "engine": args.engine,
+           "matches": n, "scan_sec": round(dt, 4)}
+    if args.shadow:
+        # shadow run on the UNCOMPRESSED column (the reference's DEBUG
+        # shadow, sketch.cc:1147): every compressed-domain engine must
+        # report the same count as the decoded oracle path
+        t1 = time.time()
+        n_plain = like_count(enc, args.pattern, engine="decoded")
+        out["shadow_matches"] = n_plain
+        out["shadow_sec"] = round(time.time() - t1, 4)
+        out["shadow_agrees"] = bool(n == n_plain)
+    print(json.dumps(out))
     ray.shutdown()
+    if args.shadow and not out["shadow_agrees"]:
+        return 1
     return 0
 
 
@@ -142,6 +154,9 @@ def main(argv=None) -> int:
                    choices=("auto", "decoded", "prefix", "skipping", "kmp"))
     l.add_argument("--text-col", default="text")
     l.add_argument("--id-col", default="doc_id")
+    l.add_argument("--shadow", action="store_true",
+                   help="also run the decoded path and assert equal counts "
+                        "(the reference's DEBUG shadow run)")
     l.set_defaults(fn=cmd_like)
 
     args = ap.parse_args(argv)

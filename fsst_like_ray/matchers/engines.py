@@ -162,6 +162,42 @@ def required_code_prefilter(
     return cand
 
 
+def last_code_prefilter(
+    pay: np.ndarray, po: np.ndarray, table: fsstlib.SymbolTable, suffix: bytes
+) -> np.ndarray:
+    """Suffix pattern ``%p``: a matching row's LAST payload unit must be
+    either a code whose symbol ends consistently with ``p``'s tail (symbol
+    shorter than p ⇒ symbol == p's tail; longer ⇒ symbol's tail == p), or
+    an escaped literal equal to ``p``'s last byte. The compressed-domain
+    dual of the reference's first-code idea (StartsWith.hpp:28-37), which
+    neither the reference nor round 1 attempted for suffixes. Conservative
+    on escape parity — sound, never excludes a true match."""
+    n_rows = len(po) - 1
+    if not suffix:
+        return np.ones(n_rows, dtype=bool)
+    ok_codes = np.zeros(256, dtype=bool)
+    for code, s in enumerate(table.symbols):
+        L = len(s)
+        if L == 0:
+            continue
+        t = min(L, len(suffix))
+        if s[L - t :] == suffix[len(suffix) - t :]:
+            ok_codes[code] = True
+    counts = np.diff(po)
+    cand = np.zeros(n_rows, dtype=bool)
+    nz = counts > 0
+    last = pay[po[1:][nz] - 1]
+    c = ok_codes[last]
+    # row ending in an escaped literal: [..., 255, b] (no parity check —
+    # a code byte 255 cannot exist, and a false [x==255] only widens)
+    two = counts[nz] > 1
+    if two.any():
+        idx2 = po[1:][nz][two] - 2
+        c[two] |= (pay[idx2] == ESCAPE) & (last[two] == suffix[-1])
+    cand[nz] = c
+    return cand
+
+
 def first_code_prefilter(
     pay: np.ndarray, po: np.ndarray, table: fsstlib.SymbolTable, prefix: bytes
 ) -> np.ndarray:
@@ -426,7 +462,7 @@ def like_on_encoded(
         if eng == "auto":
             if shape == "prefix" and len(pat.segments[0]) > fsstlib.MAX_SYMBOL_LEN:
                 eng = "prefix"
-            elif shape in ("contains", "multi"):
+            elif shape in ("contains", "multi", "suffix"):
                 eng = "skipping"
             else:
                 eng = "decoded"
@@ -446,6 +482,8 @@ def like_on_encoded(
         elif eng == "skipping":
             for needle in pat.segments:
                 cand &= required_code_prefilter(gpay, gpo, table, needle, used)
+            if shape == "suffix":
+                cand &= last_code_prefilter(gpay, gpo, table, pat.segments[0])
         # decode-verify the candidates (or everything on the decoded path)
         cidx = np.flatnonzero(cand)
         if cidx.size == 0:

@@ -158,3 +158,24 @@ def test_position_code_sets_consistency(docs, encoded_docs):
     # must be far below "rows containing a z or q anywhere"
     cand = required_code_prefilter(pay, po, table, b"zzzqqq", used)
     assert cand.sum() < len(cand) // 4
+
+
+def test_last_code_suffix_prefilter(docs, encoded_docs):
+    """Suffix prefilter soundness + the auto path returning oracle rows."""
+    import pyarrow.compute as pc
+    from fsst_like_ray.stages.decode import _binary_buffers
+    from fsst_like_ray import fsstlib
+    from fsst_like_ray.matchers.engines import last_code_prefilter
+
+    pay, po = _binary_buffers(encoded_docs["payload"])
+    table = fsstlib.SymbolTable.deserialize(encoded_docs["state"][0].as_py())
+    ids = np.array(docs["doc_id"].to_pylist())
+    for suf in [b"join", b"sort", b"a", b"zzz"]:
+        truth = pc.ends_with(docs["text"], suf.decode()).to_numpy(
+            zero_copy_only=False
+        )
+        cand = last_code_prefilter(pay, po, table, suf)
+        assert not (truth & ~cand).any(), suf
+    for pattern in ["%join", "%rt", "%zzz"]:
+        mask = like_on_encoded(encoded_docs, pattern, engine="auto")
+        assert set(ids[mask].tolist()) == oracle_ids(pattern, docs), pattern
