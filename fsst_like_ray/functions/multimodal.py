@@ -70,12 +70,32 @@ class DecodeImage:
                 "image decoding requires an image library not present in this "
                 "environment; construct with fake=True for the deterministic stub"
             )
-        feats = []
-        for payload in batch["payload"].to_pylist():
-            a = np.frombuffer(payload, dtype=np.uint8)
-            chunks = np.array_split(a, self.feature_dim)
-            feats.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
-        flat = np.array(feats, dtype=np.float32).reshape(-1)
+        # vectorized fake features: per-row chunk means via one prefix-sum
+        # over the payload bytes (np.array_split semantics, no row loop)
+        col = batch["payload"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off = np.frombuffer(
+            col.buffers()[1], dtype=np.int64, count=len(col) + 1 + col.offset
+        )[col.offset :]
+        base = off[0]
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[base : off[-1]]
+        off = off - base
+        cs = np.zeros(len(data) + 1, dtype=np.int64)
+        np.cumsum(data, out=cs[1:])
+        n, d = batch.num_rows, self.feature_dim
+        lens = np.diff(off)
+        # np.array_split boundary rule: first (len % d) chunks get one extra
+        q, r = lens // d, lens % d
+        sizes = np.tile(q[:, None], (1, d))
+        sizes[np.arange(d)[None, :] < r[:, None]] += 1
+        bounds = np.concatenate(
+            [np.zeros((n, 1), dtype=np.int64), np.cumsum(sizes, axis=1)], axis=1
+        ) + off[:-1][:, None]
+        sums = cs[bounds[:, 1:]] - cs[bounds[:, :-1]]
+        with np.errstate(invalid="ignore"):
+            feats = np.where(sizes > 0, sums / np.maximum(sizes, 1), 0.0)
+        flat = feats.astype(np.float32).reshape(-1)
         return pa.table(
             {
                 "media_id": batch["media_id"],

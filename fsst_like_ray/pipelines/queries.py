@@ -289,6 +289,8 @@ def make_dedup_planted(kind: str):
             dups = F_dedup.minhash_duplicates(full)
         elif kind == "ngram_jaccard":
             dups = F_dedup.ngram_jaccard_duplicates(full)
+        elif kind == "simhash":
+            dups = F_dedup.simhash_duplicates(full)
         else:
             raise ValueError(kind)
         seed = pa.table({"doc_id": pa.array([], type=pa.int64())})
@@ -306,6 +308,43 @@ def make_dedup_planted(kind: str):
         return pa.concat_tables(parts).combine_chunks()
 
     return q
+
+
+def q_dedup_embedding_planted(sf_dir: str, n_plant: int = 10):
+    """Embedding-dedup recall gate: plant exact vector copies at
+    vec_id+PLANT_OFFSET; identical vectors agree in every LSH band and
+    verify at cosine 1.0, so the drop-set is deterministic SQL."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(ids < n_plant)
+        sub = b.take(pa.array(sel))
+        shifted = pa.table(
+            {
+                "vec_id": pc.add(sub["vec_id"], PLANT_OFFSET),
+                "embedding": sub["embedding"],
+            }
+        )
+        return pa.concat_tables(
+            [b.select(["vec_id", "embedding"]), shifted]
+        )
+
+    full = ds.map_batches(plant, batch_format="pyarrow")
+    dups = F_sim.embedding_duplicates(full)
+    seed = pa.table({"vec_id": pa.array([], type=pa.int64())})
+    parts = [seed]
+    for b in dups.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows:
+            ids = b["vec_id"].to_numpy(zero_copy_only=False)
+            keep = np.flatnonzero(ids >= PLANT_OFFSET)
+            if keep.size:
+                parts.append(
+                    pa.table({"vec_id": pa.array(ids[keep], type=pa.int64())})
+                )
+    return pa.concat_tables(parts).combine_chunks()
 
 
 def q_ann_ivf_recall(sf_dir: str):
@@ -692,6 +731,8 @@ def build_queries() -> dict:
     q["dedup_ngram_jaccard"] = make_dedup("ngram_jaccard")
     q["dedup_minhash_planted"] = make_dedup_planted("minhash")
     q["dedup_ngram_planted"] = make_dedup_planted("ngram_jaccard")
+    q["dedup_simhash_planted"] = make_dedup_planted("simhash")
+    q["dedup_embedding_planted"] = q_dedup_embedding_planted
     q["dedup_embedding"] = q_dedup_embedding
     q["token_count"] = make_textstat(F_text.token_count_batch)
     q["quality_score"] = make_textstat(F_text.quality_batch)
@@ -749,6 +790,18 @@ def build_oracle_sql() -> dict:
         WHERE doc_id < {PLANT_N}
     """
     sql["dedup_ngram_planted"] = sql["dedup_minhash_planted"]
+    sql["dedup_simhash_planted"] = sql["dedup_minhash_planted"]
+    sql["dedup_embedding_planted"] = f"""
+        SELECT vec_id + {PLANT_OFFSET} AS vec_id FROM embeddings
+        WHERE vec_id < 10
+    """
+    sql["multimodal_decode"] = """
+        SELECT format('m-{:06d}', i) AS media_id, (1=1) AS decoded_ok
+        FROM range(200) t(i)
+    """
+    sql["tokens_corpus_roundtrip"] = (
+        "SELECT CAST(4096 AS BIGINT) AS rows, (1=1) AS bit_identical"
+    )
     sql["ann_ivf_recall"] = "SELECT (1=1) AS recall_ge_080"
     sql["dedup_exact"] = """
         SELECT doc_id FROM documents
