@@ -78,14 +78,13 @@ def run_headline(out_dir: str) -> dict:
 
 
 def run_decode_verify(out_dir: str) -> dict:
-    import ray.data
-    from fsst_like_ray.pipelines import decode_dataset, read_encoded, verify_roundtrip
-    from fsst_like_ray.pipelines.compress import read_parquet_blocks
+    from fsst_like_ray.pipelines import verify_roundtrip_manifest
 
     t0 = time.time()
-    original = read_parquet_blocks(CORPUS_DIR)
-    decoded = decode_dataset(read_encoded(out_dir))
-    v = verify_roundtrip(original, decoded)
+    # manifest-based verify: ONE streaming decode+hash, checked against the
+    # input hashes the encode pass recorded — never re-reads the original
+    # corpus (the only affordable shape at 100 TB)
+    v = verify_roundtrip_manifest(out_dir)
     dt = time.time() - t0
     assert v["match"], v
     return {"sec": dt}

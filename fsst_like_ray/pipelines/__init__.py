@@ -4,6 +4,7 @@ from .compress import (
     compress_dataset,
     read_encoded,
     verify_roundtrip,
+    verify_roundtrip_manifest,
 )
 
 __all__ = [

@@ -150,6 +150,8 @@ def _write_and_summarize(batch: pa.Table, data_dir: str) -> pa.Table:
             "rows": pa.array([], type=pa.int64()),
             "tokens": pa.array([], type=pa.int64()),
             "encoded_bytes": pa.array([], type=pa.int64()),
+            "hash_sum": pa.array([], type=pa.int64()),
+            "hash_xor": pa.array([], type=pa.int64()),
         }
     )
     if batch.num_rows == 0:
@@ -163,6 +165,7 @@ def _write_and_summarize(batch: pa.Table, data_dir: str) -> pa.Table:
     fi = enc.indices.to_numpy(zero_copy_only=False)
     frag_vals = enc.dictionary.to_pylist()
     out_frag, out_rows, out_tokens, out_bytes = [], [], [], []
+    out_hsum, out_hxor = [], []
     for gi, key in enumerate(frag_vals):
         rows = np.flatnonzero(fi == gi)
         if rows.size == 0:
@@ -185,12 +188,22 @@ def _write_and_summarize(batch: pa.Table, data_dir: str) -> pa.Table:
         out_rows.append(sub.num_rows)
         out_tokens.append(int(pc.sum(sub["n_tok"].cast(pa.int64())).as_py() or 0))
         out_bytes.append(int(pc.sum(sub["payload_nbytes"]).as_py() or 0))
+        rh = (
+            sub["row_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+        with np.errstate(over="ignore"):
+            out_hsum.append(int(rh.sum(dtype=np.uint64).view(np.int64)))
+        out_hxor.append(
+            int(np.bitwise_xor.reduce(rh).view(np.int64)) if rh.size else 0
+        )
     return pa.table(
         {
             "frag": pa.array(out_frag, type=pa.string()),
             "rows": pa.array(out_rows, type=pa.int64()),
             "tokens": pa.array(out_tokens, type=pa.int64()),
             "encoded_bytes": pa.array(out_bytes, type=pa.int64()),
+            "hash_sum": pa.array(out_hsum, type=pa.int64()),
+            "hash_xor": pa.array(out_hxor, type=pa.int64()),
         }
     )
 
@@ -248,15 +261,28 @@ def compress_dataset(
         stat_rows = enc.map_batches(
             lambda b, _d=data_dir: _write_and_summarize(b, _d),
             batch_format="pyarrow",
+            batch_size=None,  # whole encode blocks: one file per block,
+            zero_copy_batch=True,  # not a re-slice to the 1024 default
         ).take_all()
         by_key: dict[str, dict] = {}
         for r in stat_rows:
             acc = by_key.setdefault(
-                r["frag"], {"rows": 0, "tokens": 0, "encoded_bytes": 0}
+                r["frag"],
+                {
+                    "rows": 0,
+                    "tokens": 0,
+                    "encoded_bytes": 0,
+                    "hash_sum": 0,
+                    "hash_xor": 0,
+                },
             )
             acc["rows"] += int(r["rows"])
             acc["tokens"] += int(r["tokens"])
             acc["encoded_bytes"] += int(r["encoded_bytes"])
+            acc["hash_sum"] = (
+                acc["hash_sum"] + (int(r["hash_sum"]) & ((1 << 64) - 1))
+            ) % (1 << 64)
+            acc["hash_xor"] ^= int(r["hash_xor"]) & ((1 << 64) - 1)
         for f in round_frags:
             key = path_to_key[f]
             r = by_key.get(key)
@@ -271,6 +297,8 @@ def compress_dataset(
                     "tokens": r["tokens"],
                     "encoded_bytes": r["encoded_bytes"],
                     "plain_bytes": r["tokens"] * 4,
+                    "hash_sum": r["hash_sum"],
+                    "hash_xor": r["hash_xor"],
                 }
             )
     return manifest.stats()
@@ -288,6 +316,30 @@ def _sum_hash_summaries(ds: "ray.data.Dataset") -> tuple[int, int, int]:
         x ^= int(r["hash_xor"])
         n += int(r["rows"])
     return s, x, n
+
+
+def verify_roundtrip_manifest(out_dir: str) -> dict:
+    """Decode-verify WITHOUT touching the original corpus: the manifest
+    recorded the input's order-insensitive (hash sum, xor, rows) during the
+    encode pass, so verification is one streaming decode + hash. At 100 TB
+    this is the only affordable verify — the original may be cold storage."""
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    exp_s = 0
+    exp_x = 0
+    exp_n = 0
+    for rec in done.values():
+        exp_s = (exp_s + (int(rec.get("hash_sum", 0)) & ((1 << 64) - 1))) % (
+            1 << 64
+        )
+        exp_x ^= int(rec.get("hash_xor", 0)) & ((1 << 64) - 1)
+        exp_n += int(rec.get("rows", 0))
+    got = _sum_hash_summaries(decode_dataset(read_encoded(out_dir)))
+    return {
+        "match": got == (exp_s, exp_x, exp_n),
+        "manifest": (exp_s, exp_x, exp_n),
+        "decoded": got,
+    }
 
 
 def verify_roundtrip(

@@ -113,6 +113,13 @@ def encode_table(
         if "source" in batch.column_names
         else pa.nulls(n, type=pa.string())
     )
+    # per-row input hash (doc_id + token values): travels with the encoded
+    # row so lineage stats can record the corpus hash WITHOUT a second read,
+    # and decode-verify can check against the manifest instead of re-reading
+    # the original corpus (at 100 TB the original may no longer be hot)
+    from .verify import row_hashes
+
+    rh = row_hashes(batch)
     out = {
         "doc_id": batch["doc_id"],
         "n_tok": n_tok,
@@ -121,6 +128,7 @@ def encode_table(
         "state": state_col,
         "payload": payload_array(buf, po),
         "payload_nbytes": pa.array(np.diff(po), type=pa.int64()),
+        "row_hash": pa.array(rh.view(np.int64)),
     }
     # pass through any extra columns (e.g. the lineage fragment key)
     for name in batch.column_names:

@@ -50,10 +50,15 @@ def _poly_rowhash(values_u64: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 def row_hashes(batch: pa.Table) -> np.ndarray:
     values, offsets = list_buffers(batch["tokens"])
     tok_h = _poly_rowhash(values.view(np.uint32).astype(np.uint64), offsets)
-    # doc_id bytes hashed the same way
+    # doc_id bytes hashed the same way (integer ids hash their 64-bit value)
     ids = batch["doc_id"].combine_chunks() if isinstance(
         batch["doc_id"], pa.ChunkedArray
     ) else batch["doc_id"]
+    if pa.types.is_integer(ids.type):
+        v = ids.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        id_h = _poly_rowhash(v, np.arange(len(v) + 1, dtype=np.int64))
+        with np.errstate(over="ignore"):
+            return tok_h * np.uint64(0x9E3779B97F4A7C15) + id_h
     ids = ids.cast(pa.large_binary())
     off = np.frombuffer(ids.buffers()[1], dtype=np.int64, count=len(ids) + 1 + ids.offset)[
         ids.offset :

@@ -165,3 +165,32 @@ def test_resume_clears_stale_partial_output(ray_session, tmp_path):
         ray.data.read_parquet(corpus), decode_dataset(read_encoded(out))
     )
     assert v["match"], v
+
+
+def test_manifest_verify_and_corruption(ray_session, tmp_path):
+    """Manifest-based decode-verify matches without re-reading the input,
+    and detects a corrupted output file."""
+    import shutil
+    from fsst_like_ray.sources.tokens import write_tokens_parquet
+    from fsst_like_ray.pipelines import compress_dataset, verify_roundtrip_manifest
+
+    corpus = str(tmp_path / "tokens")
+    out = str(tmp_path / "enc")
+    write_tokens_parquet(corpus, n_rows=2048, seed=7, rows_per_file=512)
+    compress_dataset(corpus, out, codec="auto", balance_tokens=200_000)
+    v = verify_roundtrip_manifest(out)
+    assert v["match"], v
+    # drop one output file -> rows/hash must mismatch
+    import os
+
+    victim = None
+    for root, _d, files in os.walk(os.path.join(out, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                victim = os.path.join(root, f)
+                break
+        if victim:
+            break
+    os.remove(victim)
+    v2 = verify_roundtrip_manifest(out)
+    assert not v2["match"]
