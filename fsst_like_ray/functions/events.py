@@ -12,8 +12,9 @@ Partitioning assumptions (documented for 100 TB):
 - tumbling windows: window partials are ≤ #windows rows per input block;
   the merge shuffle moves partials, never events;
 - sessionization: one shuffle hash-partitions by user_id; per-user event
-  history must fit a worker (true for bounded per-user activity; a user with
-  unbounded events would need time-sliced salting).
+  history must fit a worker. For UNBOUNDED users pass ``slice_s``: phase 1
+  partitions by (user, time-slice), phase 2 merges per-slice session
+  partials — identical output, bounded partitions.
 """
 
 from __future__ import annotations
@@ -106,10 +107,22 @@ def _sessionize_user(g: pd.DataFrame, gap_s: int) -> pd.DataFrame:
     ]
 
 
-def sessionize(ds: "ray.data.Dataset", gap_s: int = 1800):
+def sessionize(
+    ds: "ray.data.Dataset", gap_s: int = 1800, slice_s: int | None = None
+):
     """Gap-based sessionization: ONE hash shuffle on user_id, per-user sort
     + gap split inside map_groups (reference has no streaming ops — this is
-    the training-pipeline extension; semantics match SQL session windows)."""
+    the training-pipeline extension; semantics match SQL session windows).
+
+    ``slice_s``: salt for UNBOUNDED users — phase 1 groups by
+    (user_id, time-slice) so no partition ever holds more than one slice of
+    one user's events; phase 2 merges each user's per-slice session
+    PARTIALS (rows ∝ sessions, not events) across slice boundaries when the
+    inter-session gap ≤ ``gap_s``. Output is exactly equal to the unsalted
+    path for any ``slice_s`` (merging uses actual first/last event times)."""
+    if slice_s is not None:
+        return _sessionize_sliced(ds, gap_s, slice_s)
+
     def prep(b: pa.Table) -> pa.Table:
         cents = np.rint(
             b["value"].to_numpy(zero_copy_only=False) * 100
@@ -125,6 +138,82 @@ def sessionize(ds: "ray.data.Dataset", gap_s: int = 1800):
     prepped = ds.map_batches(prep, batch_format="pyarrow")
     out = prepped.groupby("user_id").map_groups(
         lambda g, gap=gap_s: _sessionize_user(g, gap), batch_format="pandas"
+    )
+
+    def fix(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "session_id": b["session_id"].cast(pa.int64()),
+                "session_start_us": b["session_start_us"].cast(pa.int64()),
+                "session_end_us": b["session_end_us"].cast(pa.int64()),
+                "n_events": b["n_events"].cast(pa.int64()),
+                "value_cents": b["value_cents"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def _sessionize_sliced(ds: "ray.data.Dataset", gap_s: int, slice_s: int):
+    """Two-phase sessionize (see sessionize docstring)."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts_us": pa.array(ts),
+                "cents": pa.array(cents),
+                "slice": pa.array(ts // (slice_s * US_PER_S)),
+            }
+        )
+
+    def slice_sessions(g: pd.DataFrame, gap: int) -> pd.DataFrame:
+        out = _sessionize_user(g, gap)
+        return out.drop(columns=["session_id"])
+
+    partials = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "slice"])
+        .map_groups(lambda g, gap=gap_s: slice_sessions(g, gap),
+                    batch_format="pandas")
+    )
+
+    def merge_user(g: pd.DataFrame, gap: int) -> pd.DataFrame:
+        g = g.sort_values("session_start_us", kind="mergesort")
+        start = g["session_start_us"].to_numpy()
+        end = g["session_end_us"].to_numpy()
+        new_sess = np.ones(len(g), dtype=bool)
+        new_sess[1:] = (start[1:] - end[:-1]) > gap * US_PER_S
+        sid = np.cumsum(new_sess)
+        df = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "session_id": sid,
+                "start": start,
+                "end": end,
+                "n": g["n_events"].to_numpy(),
+                "cents": g["value_cents"].to_numpy(),
+            }
+        )
+        out = df.groupby("session_id", as_index=False).agg(
+            user_id=("user_id", "first"),
+            session_start_us=("start", "min"),
+            session_end_us=("end", "max"),
+            n_events=("n", "sum"),
+            value_cents=("cents", "sum"),
+        )
+        return out[
+            ["user_id", "session_id", "session_start_us", "session_end_us",
+             "n_events", "value_cents"]
+        ]
+
+    out = partials.groupby("user_id").map_groups(
+        lambda g, gap=gap_s: merge_user(g, gap), batch_format="pandas"
     )
 
     def fix(b: pa.Table) -> pa.Table:

@@ -162,6 +162,34 @@ def required_code_prefilter(
     return cand
 
 
+def exact_payload_match(
+    pay: np.ndarray, po: np.ndarray, table: fsstlib.SymbolTable, const: bytes
+) -> np.ndarray:
+    """Exact-shape pattern (no wildcards): re-encode the constant with the
+    block's table (reference: constant re-encode, FsstWrapper.cpp:124-144)
+    and compare payloads byte-for-byte. Because our encoder is a
+    deterministic greedy parse, a row equal to the constant encodes
+    IDENTICALLY — payload equality is exact, no decode-verify needed."""
+    n_rows = len(po) - 1
+    data = np.frombuffer(const, dtype=np.uint8)
+    buf, cpo = fsstlib.encode(
+        np.ascontiguousarray(data), np.array([0, len(const)], dtype=np.int64),
+        table,
+    )
+    L = int(cpo[1])
+    cand = np.flatnonzero(np.diff(po) == L)
+    if cand.size == 0 or L == 0:
+        out = np.zeros(n_rows, dtype=bool)
+        if L == 0:
+            out[np.diff(po) == 0] = True
+        return out
+    idx = po[cand][:, None] + np.arange(L, dtype=np.int64)[None, :]
+    eq = (pay[idx] == buf[None, :L]).all(axis=1)
+    out = np.zeros(n_rows, dtype=bool)
+    out[cand[eq]] = True
+    return out
+
+
 def last_code_prefilter(
     pay: np.ndarray, po: np.ndarray, table: fsstlib.SymbolTable, suffix: bytes
 ) -> np.ndarray:
@@ -460,6 +488,14 @@ def like_on_encoded(
 
         eng = engine
         if eng == "auto":
+            if shape == "exact":
+                # compressed-domain equality: deterministic encoder ⇒ the
+                # re-encoded constant IS the payload of any equal row
+                result[rows] = exact_payload_match(
+                    gpay, gpo, table,
+                    pat.segments[0] if pat.segments else b"",
+                )
+                continue
             if shape == "prefix" and len(pat.segments[0]) > fsstlib.MAX_SYMBOL_LEN:
                 eng = "prefix"
             elif shape in ("contains", "multi", "suffix"):

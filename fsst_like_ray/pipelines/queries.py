@@ -255,6 +255,29 @@ def make_dedup(kind: str):
     return q
 
 
+def q_like_exact(sf_dir: str):
+    """Exact-shape LIKE (a constant, no wildcards) answered by payload
+    equality in the compressed domain — the constant is doc 0's own text so
+    the oracle can derive it in SQL."""
+    import pyarrow.parquet as pq
+
+    const = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .filter(pa.compute.equal(pa.compute.field("doc_id"), 0))["text"][0]
+        .as_py()
+    )
+    assert "%" not in const and "_" not in const  # keep the shape 'exact'
+    enc = encode_text_dataset(_docs(sf_dir, ("doc_id", "text")))
+    out = like_scan(enc, const, engine="auto", decode_matches=False)
+    seed = pa.table({"doc_id": pa.array([], type=pa.int64())})
+    parts = [seed] + [
+        b.select(["doc_id"])
+        for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    return pa.concat_tables(parts).combine_chunks()
+
+
 PLANT_N = 50
 PLANT_OFFSET = 10_000_000
 
@@ -465,6 +488,12 @@ def q_events_window(sf_dir: str):
 
 def q_events_sessionize(sf_dir: str):
     return F_events.sessionize(_events_ds(sf_dir), gap_s=1800)
+
+
+def q_events_sessionize_sliced(sf_dir: str):
+    """Same sessions via the (user, time-slice) salted two-phase path —
+    oracle-gated equal to the single-shuffle sessionize."""
+    return F_events.sessionize(_events_ds(sf_dir), gap_s=1800, slice_s=3600)
 
 
 def q_events_topk(sf_dir: str):
@@ -721,6 +750,7 @@ def build_queries() -> dict:
     for name, (pattern, engine) in LIKE_PATTERNS.items():
         q[name] = make_like(pattern, engine)
     q["like_count_contains"] = make_like_count("%scan%", "auto")
+    q["like_exact"] = q_like_exact
     q["ntok_histogram"] = q_ntok_histogram
     q["source_counts"] = q_source_counts
     q["compression_stats"] = q_compression_stats
@@ -745,6 +775,7 @@ def build_queries() -> dict:
     q["tokens_corpus_roundtrip"] = q_tokens_corpus_roundtrip
     q["events_window_agg"] = q_events_window
     q["events_sessionize"] = q_events_sessionize
+    q["events_sessionize_sliced"] = q_events_sessionize_sliced
     q["events_topk_users"] = q_events_topk
     q["tpch_q1"] = q_tpch_q1
     q["tpch_ptype_like"] = q_tpch_ptype_like
@@ -763,6 +794,10 @@ def build_oracle_sql() -> dict:
         sql[name] = (
             f"SELECT doc_id FROM documents WHERE text LIKE '{pattern}'"
         )
+    sql["like_exact"] = """
+        SELECT doc_id FROM documents
+        WHERE text = (SELECT text FROM documents WHERE doc_id = 0)
+    """
     sql["like_count_contains"] = (
         "SELECT CAST(count(*) AS BIGINT) AS n FROM documents "
         "WHERE text LIKE '%scan%'"
@@ -869,6 +904,7 @@ def build_oracle_sql() -> dict:
                CAST(sum(cents) AS BIGINT) AS value_cents
         FROM s GROUP BY user_id, session_id
     """
+    sql["events_sessionize_sliced"] = sql["events_sessionize"]
     sql["events_topk_users"] = """
         SELECT CAST(user_id AS BIGINT) AS user_id,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,

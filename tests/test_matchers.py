@@ -179,3 +179,18 @@ def test_last_code_suffix_prefilter(docs, encoded_docs):
     for pattern in ["%join", "%rt", "%zzz"]:
         mask = like_on_encoded(encoded_docs, pattern, engine="auto")
         assert set(ids[mask].tolist()) == oracle_ids(pattern, docs), pattern
+
+
+def test_exact_payload_match(docs, encoded_docs):
+    """Exact-shape LIKE matches via payload equality (no decode)."""
+    texts = docs["text"].to_pylist()
+    ids = np.array(docs["doc_id"].to_pylist())
+    target = texts[3]
+    if "%" in target or "_" in target:
+        target = texts[5]
+    mask = like_on_encoded(encoded_docs, target, engine="auto")
+    expect = {i for i, t in zip(ids, texts) if t == target}
+    assert set(ids[mask].tolist()) == expect
+    # no-match constant
+    mask0 = like_on_encoded(encoded_docs, "definitely not a row", engine="auto")
+    assert mask0.sum() == 0
