@@ -255,6 +255,62 @@ def make_dedup(kind: str):
     return q
 
 
+def q_pipeline_clean_corpus(sf_dir: str):
+    """End-to-end training-data cleaning pipeline (the composition a real
+    user runs): quality filter (≥8 whitespace words) → exact dedup (min
+    doc_id survives) → per-source doc count + character sum. Every stage
+    streams: the filter is a vectorized map_batches, dedup broadcasts the
+    (bounded) dropped-id set, the aggregate is partial-then-merge."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir)
+
+    def flt(b: pa.Table) -> pa.Table:
+        # n_words per DuckDB string_split semantics: separators + 1
+        nw = pc.add(pc.count_substring(b["text"], " "), 1)
+        return b.filter(pc.greater_equal(nw, 8))
+
+    filt = ds.map_batches(flt, batch_format="pyarrow")
+    dropped_rows = F_dedup.exact_duplicates(filt).take_all()
+    dropped = np.array(
+        sorted(r["doc_id"] for r in dropped_rows), dtype=np.int64
+    )
+
+    def clean_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (
+            ~np.isin(ids, dropped) if dropped.size else np.ones(len(ids), bool)
+        )
+        sub = b.filter(pa.array(keep))
+        chars = pc.utf8_length(sub["text"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"source": sub["source"].to_pandas(), "chars": chars.astype(np.int64)}
+        )
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("chars", "size"), sum_chars=("chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = (
+        filt.map_batches(clean_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
+    return merged.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "n_docs": b["n_docs"].cast(pa.int64()),
+                "sum_chars": b["sum_chars"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_like_exact(sf_dir: str):
     """Exact-shape LIKE (a constant, no wildcards) answered by payload
     equality in the compressed domain — the constant is doc 0's own text so
@@ -751,6 +807,7 @@ def build_queries() -> dict:
         q[name] = make_like(pattern, engine)
     q["like_count_contains"] = make_like_count("%scan%", "auto")
     q["like_exact"] = q_like_exact
+    q["pipeline_clean_corpus"] = q_pipeline_clean_corpus
     q["ntok_histogram"] = q_ntok_histogram
     q["source_counts"] = q_source_counts
     q["compression_stats"] = q_compression_stats
@@ -794,6 +851,18 @@ def build_oracle_sql() -> dict:
         sql[name] = (
             f"SELECT doc_id FROM documents WHERE text LIKE '{pattern}'"
         )
+    sql["pipeline_clean_corpus"] = """
+        WITH f AS (
+          SELECT doc_id, source, text FROM documents
+          WHERE length(string_split(text, ' ')) >= 8
+        ), d AS (
+          SELECT * FROM f
+          QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        FROM d GROUP BY source
+    """
     sql["like_exact"] = """
         SELECT doc_id FROM documents
         WHERE text = (SELECT text FROM documents WHERE doc_id = 0)
