@@ -16,6 +16,21 @@
 #define ESCAPE 255
 #define SEGMENT 256
 
+/* tail-safe 8-byte load: positions within 8 bytes of the buffer end read
+ * through a zero-padded local copy instead of past the allocation */
+static inline uint64_t load8_safe(const uint8_t *data, int64_t p, int64_t total) {
+    if (p + 8 <= total) {
+        uint64_t v;
+        memcpy(&v, data + p, 8);
+        return v;
+    }
+    uint8_t tmp[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    memcpy(tmp, data + p, (size_t)(total - p));
+    uint64_t v;
+    memcpy(&v, tmp, 8);
+    return v;
+}
+
 static inline uint64_t load8(const uint8_t *p) {
     uint64_t v;
     memcpy(&v, p, 8); /* little-endian hosts only (x86-64/aarch64-le) */
@@ -29,7 +44,7 @@ static inline uint64_t load8(const uint8_t *p) {
  *  has_len: per prefix id, bit (l-1) set if a symbol of length l exists
  *  keys/codes: per length 3..8, sorted little-endian grams + their codes,
  *    flattened; key_off[l] .. key_off[l+1] is length l's range
- * data must be padded with >= 8 readable bytes past offsets[n_rows].
+ * data needs NO tail padding (gram loads near the end are tail-safe).
  * out must hold 2 * total bytes; out_po has n_rows + 1 slots.
  * Returns total output bytes. */
 int64_t fsst_encode(
@@ -41,6 +56,7 @@ int64_t fsst_encode(
     uint8_t *out, int64_t *out_po)
 {
     int64_t o = 0;
+    const int64_t total = offsets[n_rows];
     out_po[0] = 0;
     for (int64_t r = 0; r < n_rows; r++) {
         int64_t p = offsets[r];
@@ -51,7 +67,7 @@ int64_t fsst_encode(
                 seg_end = p + SEGMENT < row_end ? p + SEGMENT : row_end;
             const int64_t rem64 = seg_end - p;
             const int cap = rem64 < 8 ? (int)rem64 : 8;
-            const uint64_t g8 = load8(data + p);
+            const uint64_t g8 = load8_safe(data, p, total);
             int best_len = 0;
             int best_code = ESCAPE;
             /* 1-2 byte match via the direct tables */
@@ -125,6 +141,7 @@ int64_t fsst_parse(
     int64_t *out_pos, uint8_t *out_len)
 {
     int64_t o = 0;
+    const int64_t total = offsets[n_rows];
     (void)0;
     for (int64_t r = 0; r < n_rows; r++) {
         int64_t p = offsets[r];
@@ -135,7 +152,7 @@ int64_t fsst_parse(
                 seg_end = p + SEGMENT < row_end ? p + SEGMENT : row_end;
             const int64_t rem64 = seg_end - p;
             const int cap = rem64 < 8 ? (int)rem64 : 8;
-            const uint64_t g8 = load8(data + p);
+            const uint64_t g8 = load8_safe(data, p, total);
             int best_len = 0;
             int best_code = ESCAPE;
             /* 1-2 byte match via the direct tables */
