@@ -20,6 +20,33 @@ STOPWORDS = ("the", "a", "and", "of", "to")
 PUNCT = b".,;:!?'\"()-"
 
 
+# GPT-2-style splitter subset shared verbatim with the DuckDB oracle (both
+# engines' regex dialects agree on this subset: alternation, classes, ' ?')
+BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+class RegexTokenCounter:
+    """Actor-pool map_batches callable: the regex compiles ONCE per actor in
+    __init__ (the stateful-stage pattern — per-batch compilation would pay
+    the setup on every block)."""
+
+    def __init__(self, pattern: str = BPE_PATTERN):
+        import re
+
+        self.rx = re.compile(pattern)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        findall = self.rx.findall  # regex matching is inherently per-row
+        n = [len(findall(t)) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pa.array(n, type=pa.int64()),
+            }
+        )
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count (single-space split, matching SQL
     ``length(string_split(text, ' '))``) + a BPE-ish sub-word count."""

@@ -466,6 +466,40 @@ def make_textstat(fn):
     return q
 
 
+def q_token_count_bpe(sf_dir: str):
+    """Compiled-regex BPE-ish token count as an ACTOR POOL stage (regex
+    compiled once per actor in __init__, not per batch)."""
+    from ..functions.textstats import RegexTokenCounter
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        RegexTokenCounter,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+
+def q_docs_longest20(sf_dir: str):
+    """Data-level distributed sort (ds.sort is a real all-to-all range
+    shuffle): 20 longest documents, deterministic tiebreak on doc_id."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+                "neg_doc_id": pc.multiply(b["doc_id"].cast(pa.int64()), -1),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    top = ds.sort(["n_chars", "neg_doc_id"], descending=True).limit(20)
+    return top.map_batches(
+        lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+    )
+
+
 # ------------------------------------------------------------- similarity
 def q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
@@ -825,6 +859,8 @@ def build_queries() -> dict:
     q["quality_score"] = make_textstat(F_text.quality_batch)
     q["lang_id"] = make_textstat(F_text.lang_id_batch)
     q["fingerprint"] = make_textstat(F_text.fingerprint_batch)
+    q["token_count_bpe"] = q_token_count_bpe
+    q["docs_longest20"] = q_docs_longest20
     q["ann_topk"] = q_ann_topk
     q["ann_ivf"] = q_ann_ivf
     q["ann_ivf_recall"] = q_ann_ivf_recall
@@ -936,6 +972,18 @@ def build_oracle_sql() -> dict:
                              (a, b) -> (a * 31 + b) % 2147483647)
                END AS BIGINT) AS fp
         FROM documents
+    """
+    bpe_rx = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+    sql["token_count_bpe"] = (
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{bpe_rx}')) AS BIGINT) "
+        "AS n_bpe_tokens FROM documents"
+    )
+    sql["docs_longest20"] = """
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        ORDER BY n_chars DESC, doc_id ASC
+        LIMIT 20
     """
     sql["ann_topk"] = """
         SELECT vec_id FROM embeddings
