@@ -182,7 +182,14 @@ def _write_and_summarize(batch: pa.Table, data_dir: str) -> pa.Table:
         ).hexdigest()[:16]
         path = os.path.join(part_dir, f"part-{tag}.parquet")
         tmp = f"{path}.tmp{os.getpid()}"
-        pq.write_table(sub, tmp)
+        # payload bytes are FSST/bitpack output — high entropy, snappy only
+        # burns CPU on them (and again on every read); metadata columns
+        # still compress well
+        comp = {
+            c: ("none" if c == "payload" else "snappy")
+            for c in sub.column_names
+        }
+        pq.write_table(sub, tmp, compression=comp)
         os.replace(tmp, path)
         out_frag.append(key)
         out_rows.append(sub.num_rows)
