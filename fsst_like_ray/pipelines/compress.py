@@ -70,8 +70,39 @@ def encode_dataset(
     )
 
 
-def decode_dataset(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    return ds.map_batches(decode_batch, batch_format="pyarrow", zero_copy_batch=True)
+def decode_dataset(
+    ds: "ray.data.Dataset", verify_rows: bool = False
+) -> "ray.data.Dataset":
+    """Decode stage; ``verify_rows=True`` re-hashes every decoded row and
+    checks it against the ``row_hash`` the encode pass stored — per-ROW
+    corruption detection (vs the manifest verify's aggregate check), naming
+    the offending doc_ids in the error."""
+    if not verify_rows:
+        return ds.map_batches(
+            decode_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def decode_and_check(batch: pa.Table) -> pa.Table:
+        from ..stages.verify import row_hashes
+
+        out = decode_batch(batch)
+        if "row_hash" in batch.column_names:
+            expect = (
+                batch["row_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+            )
+            got = row_hashes(out)
+            bad = np.flatnonzero(expect != got)
+            if bad.size:
+                ids = out["doc_id"].take(pa.array(bad[:10])).to_pylist()
+                raise ValueError(
+                    f"decode row-hash mismatch for {bad.size} rows, "
+                    f"first doc_ids: {ids}"
+                )
+        return out
+
+    return ds.map_batches(
+        decode_and_check, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def discover_fragments(path: str | list[str]) -> list[str]:

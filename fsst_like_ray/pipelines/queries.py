@@ -653,6 +653,42 @@ def q_tpch_q1(sf_dir: str):
     )
 
 
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6: pure filter + global aggregate — the simplest fully
+    streaming shape (per-batch partial sums, one tiny merge row)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        keep = (
+            (ts >= lo)
+            & (ts < hi)
+            & (disc >= 0.05 - 1e-9)
+            & (disc <= 0.07 + 1e-9)
+            & (qty < 24)
+        )
+        # revenue in integer hundredths of a cent: px*disc*10000, rounded —
+        # identical float ops on both sides, order-independent int sum
+        rev = np.floor(px[keep] * disc[keep] * 10000 + 0.5).astype(np.int64)
+        return pa.table({"rev": pa.array([int(rev.sum())], type=pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    total = sum(
+        int(r["rev"])
+        for b in parts.iter_batches(batch_size=4096, batch_format="pyarrow")
+        for r in b.to_pylist()
+    )
+    return pa.table({"revenue_unit": pa.array([total], type=pa.int64())})
+
+
 def q_tpch_ptype_like(sf_dir: str):
     """The reference's second flagship column (part.p_type,
     scripts/data-setup.sh:14-18): FSST-encode it, LIKE-scan compressed."""
@@ -871,6 +907,7 @@ def build_queries() -> dict:
     q["events_sessionize_sliced"] = q_events_sessionize_sliced
     q["events_topk_users"] = q_events_topk
     q["tpch_q1"] = q_tpch_q1
+    q["tpch_q6"] = q_tpch_q6
     q["tpch_ptype_like"] = q_tpch_ptype_like
     q["tpch_q13"] = q_tpch_q13
     q["tpch_segment_orders"] = q_tpch_segment_orders
@@ -1042,6 +1079,16 @@ def build_oracle_sql() -> dict:
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
+    """
+    sql["tpch_q6"] = """
+        SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * l_discount
+                                            * 10000 + 0.5) AS BIGINT)), 0)
+                    AS BIGINT) AS revenue_unit
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 - 1e-9 AND l_discount <= 0.07 + 1e-9
+          AND l_quantity < 24
     """
     sql["tpch_ptype_like"] = """
         SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'

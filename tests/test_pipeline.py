@@ -194,3 +194,29 @@ def test_manifest_verify_and_corruption(ray_session, tmp_path):
     os.remove(victim)
     v2 = verify_roundtrip_manifest(out)
     assert not v2["match"]
+
+
+def test_decode_verify_rows(ray_session, corpus_dir, tmp_path):
+    """Per-row integrity: decode_dataset(verify_rows=True) passes on good
+    data and names doc_ids when a payload is corrupted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+    import glob
+    import ray.data
+    from fsst_like_ray.pipelines import compress_dataset, decode_dataset, read_encoded
+
+    out = str(tmp_path / "enc")
+    compress_dataset(corpus_dir, out, codec="auto")
+    n = decode_dataset(read_encoded(out), verify_rows=True).count()
+    assert n == 4000
+    # corrupt one row's payload bytes in one file (keep sizes valid)
+    victim = sorted(glob.glob(out + "/data/**/*.parquet", recursive=True))[0]
+    t = pq2.read_table(victim)
+    pay = t["payload"].to_pylist()
+    if len(pay[0] or b"") >= 2:
+        pay[0] = bytes([pay[0][0] ^ 0x01]) + pay[0][1:]
+    cols = {c: t[c] for c in t.column_names}
+    cols["payload"] = pa.array(pay, type=pa.large_binary())
+    pq2.write_table(pa.table(cols), victim)
+    with pytest.raises(Exception, match="row-hash|row size|expand"):
+        decode_dataset(read_encoded(out), verify_rows=True).count()
