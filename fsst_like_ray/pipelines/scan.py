@@ -20,8 +20,10 @@ def encode_text_dataset(
     id_col: str = "doc_id",
     concurrency=None,
 ) -> "ray.data.Dataset":
-    """String column → per-block FSST-encoded dataset (actor pool: symbol
-    tables are trained per batch inside the actor)."""
+    """String column → per-block FSST-encoded dataset. Symbol tables are
+    trained per batch, so there is NO per-worker state — the default is a
+    stateless task pool (an actor pool here only adds ramp-up latency; pass
+    ``concurrency`` to pin one anyway)."""
 
     class TextEncoder:
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -30,10 +32,13 @@ def encode_text_dataset(
             return encode_text_table(batch, text_col, id_col)
 
     if concurrency is None:
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = (1, max(1, ncpu - 1))
+        fn = TextEncoder()
+        return ds.map_batches(
+            lambda b, _fn=fn: _fn(b),
+            batch_format="pyarrow",
+            batch_size=8192,
+            zero_copy_batch=True,
+        )
     return ds.map_batches(
         TextEncoder,
         batch_format="pyarrow",
