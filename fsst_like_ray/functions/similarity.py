@@ -146,6 +146,65 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, n_centroids: int = 16, nprobe: 
     return brute_force_topk(filtered, query, k)
 
 
+def build_ivf_index(
+    ds, index_dir: str, n_centroids: int = 16, sample_rows: int = 2048
+) -> np.ndarray:
+    """Persist an IVF index: rows bucketed by nearest centroid into
+    hive-partitioned parquet (``cell=K/``) plus the centroid matrix. A query
+    then READS only its ``nprobe`` cells — the assignment pass runs once at
+    build time, not per query (the scale path: query I/O is
+    nprobe/n_centroids of the data, and cells are resumable partitions)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    cents = train_centroids(ds, n_centroids, sample_rows)
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch))
+        cell = np.argmax(m @ cents.T, axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cell))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "cells"), partition_cols=["cell"]
+    )
+    return cents
+
+
+def ivf_index_topk(
+    index_dir: str, query: np.ndarray, k: int = 10, nprobe: int = 4
+):
+    """Query a persisted IVF index: read ONLY the probed cell partitions."""
+    import os
+
+    import ray.data
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    query = np.atleast_2d(np.asarray(query, dtype=np.float32))
+    qn = _normalize(query)
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    cells = sorted(set(int(c) for c in probe.ravel()))
+    # read_parquet wants FILES when given a list — expand the cell dirs
+    dirs = [
+        os.path.join(root, f)
+        for c in cells
+        for root, _d, files in os.walk(
+            os.path.join(index_dir, "cells", f"cell={c}")
+        )
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    if not dirs:
+        import pandas as pd
+
+        return pd.DataFrame({"query": [], "vec_id": [], "sim": []})
+    sub = ray.data.read_parquet(dirs)
+    return brute_force_topk(sub, query, k)
+
+
 def hyperplane_band_rows(
     batch: pa.Table, bands: int = 4, planes_per_band: int = 8
 ) -> pa.Table:

@@ -451,6 +451,36 @@ def q_ann_ivf_recall(sf_dir: str):
     return pa.table({"recall_ge_080": pa.array([bool(recall >= 0.8)])})
 
 
+def q_ann_ivf_index_recall(sf_dir: str):
+    """Persisted-IVF-index path: build (assign ONCE, hive-partitioned cells),
+    then query reading only probed cells; gate recall vs the exact scan."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))["embedding"][0]
+        .as_py(),
+        dtype=np.float64,
+    )
+    brute = set(F_sim.brute_force_topk(ds, q0, k=10)["vec_id"].astype("int64"))
+    idx = tempfile.mkdtemp(prefix="ivf_index_", dir="/tmp")
+    try:
+        F_sim.build_ivf_index(ds, idx, n_centroids=8)
+        got = set(
+            F_sim.ivf_index_topk(idx, q0, k=10, nprobe=6)["vec_id"].astype(
+                "int64"
+            )
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    recall = len(brute & got) / max(len(brute), 1)
+    return pa.table({"recall_ge_080": pa.array([bool(recall >= 0.8)])})
+
+
 def q_dedup_embedding(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return F_sim.embedding_duplicates(ds)
@@ -900,6 +930,7 @@ def build_queries() -> dict:
     q["ann_topk"] = q_ann_topk
     q["ann_ivf"] = q_ann_ivf
     q["ann_ivf_recall"] = q_ann_ivf_recall
+    q["ann_ivf_index_recall"] = q_ann_ivf_index_recall
     q["multimodal_decode"] = q_multimodal
     q["tokens_corpus_roundtrip"] = q_tokens_corpus_roundtrip
     q["events_window_agg"] = q_events_window
@@ -980,6 +1011,7 @@ def build_oracle_sql() -> dict:
         "SELECT CAST(4096 AS BIGINT) AS rows, (1=1) AS bit_identical"
     )
     sql["ann_ivf_recall"] = "SELECT (1=1) AS recall_ge_080"
+    sql["ann_ivf_index_recall"] = "SELECT (1=1) AS recall_ge_080"
     sql["dedup_exact"] = """
         SELECT doc_id FROM documents
         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)

@@ -231,3 +231,29 @@ def test_short_row_shingles_row_local():
     s1 = minhash_signature_batch(t1)["sig"].to_pylist()[0]
     s2 = minhash_signature_batch(t2)["sig"].to_pylist()[0]
     assert s1 == s2
+
+
+def test_ivf_index_persisted(ray_session, tmp_path):
+    """Persisted IVF index: build once, query reads only probed cells, and
+    full-probe recall equals exact brute force."""
+    import ray.data
+    from fsst_like_ray.functions.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    q = np.asarray(
+        pq.read_table(f"{SF}/embeddings.parquet")["embedding"][0].as_py(),
+        dtype=np.float32,
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, n_centroids=8)
+    exact = list(brute_force_topk(ds, q, k=10)["vec_id"])
+    # probing every cell must reproduce the exact result
+    full = list(ivf_index_topk(idx, q, k=10, nprobe=8)["vec_id"])
+    assert full == exact
+    # partial probe keeps decent recall
+    part = set(ivf_index_topk(idx, q, k=10, nprobe=6)["vec_id"])
+    assert len(part & set(exact)) >= 8
