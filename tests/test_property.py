@@ -136,3 +136,47 @@ def test_meta_kmp_multi_segment_agrees(seed):
         exp = np.array([oracle(t, segs) for t in texts])
         got = like_on_encoded(enc, pat, engine="kmp")
         assert np.array_equal(got, exp), pat
+
+
+def _like_oracle(pattern: str, texts: list[str]) -> np.ndarray:
+    import re
+
+    rx = re.compile(
+        "^"
+        + "".join(
+            ".*" if c == "%" else "." if c == "_" else re.escape(c)
+            for c in pattern
+        )
+        + "$",
+        re.S,
+    )
+    return np.array([bool(rx.match(t)) for t in texts])
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_like_all_shapes_agree(seed):
+    """Every pattern SHAPE (exact, prefix, suffix, contains, underscore,
+    multi, general-anchored) through the auto engine must equal a plain
+    Python LIKE oracle on random corpora."""
+    texts = _random_corpus(seed, 800)
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    enc = encode_text_table(batch)
+    rng = np.random.default_rng(seed + 7)
+    pats: list[str] = []
+    for _ in range(6):
+        src = texts[int(rng.integers(0, len(texts)))]
+        m = int(rng.integers(2, min(8, max(3, len(src)))))
+        start = int(rng.integers(0, len(src) - m + 1))
+        s = src[start : start + m]
+        pats += [src, s + "%", "%" + s, "%" + s + "%"]
+        # one '_' wildcard inside the segment
+        hole = int(rng.integers(0, m))
+        pats.append("%" + s[:hole] + "_" + s[hole + 1 :] + "%")
+        pats.append(s + "%" + s[:2])  # general anchored p1%p2
+    for pattern in pats:
+        oracle = _like_oracle(pattern, texts)
+        mask = like_on_encoded(enc, pattern, engine="auto")
+        assert (mask == oracle).all(), pattern
