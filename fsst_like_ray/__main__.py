@@ -151,7 +151,8 @@ def main(argv=None) -> int:
     l.add_argument("file")
     l.add_argument("pattern")
     l.add_argument("--engine", default="auto",
-                   choices=("auto", "decoded", "prefix", "skipping", "kmp"))
+                   choices=("auto", "decoded", "prefix", "skipping", "kmp",
+                            "dummy"))  # dummy = cost floor, reports 0 matches
     l.add_argument("--text-col", default="text")
     l.add_argument("--id-col", default="doc_id")
     l.add_argument("--shadow", action="store_true",

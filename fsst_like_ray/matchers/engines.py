@@ -432,8 +432,24 @@ def meta_kmp_code_match(
     return done
 
 
+def dummy_walk(pay: np.ndarray, po: np.ndarray) -> np.ndarray:
+    """Cost FLOOR of any compressed-domain matcher (the reference's
+    DummyStateMachine, sketch.cc:493-512): touch every payload byte doing
+    no matching, report zero matches. Bench-triage only — any engine's
+    scan time minus this is its matching overhead. Never used by auto."""
+    n_rows = len(po) - 1
+    if len(pay):
+        counts = np.diff(po)
+        sink = np.zeros(n_rows, dtype=np.uint8)
+        nz = counts > 0
+        if nz.any():
+            sink[nz] = np.bitwise_xor.reduceat(pay, po[:-1][nz])
+        _ = int(sink.sum())  # keep the pass observable
+    return np.zeros(n_rows, dtype=bool)
+
+
 # ------------------------------------------------------------------ public API
-ENGINES = ("decoded", "prefix", "skipping", "kmp", "auto")
+ENGINES = ("decoded", "prefix", "skipping", "kmp", "auto", "dummy")
 
 
 def like_on_encoded(
@@ -487,6 +503,9 @@ def like_on_encoded(
         gpo = po[lo : hi + 1] - po[lo]
 
         eng = engine
+        if eng == "dummy":
+            result[rows] = dummy_walk(gpay, gpo)
+            continue
         if eng == "auto":
             if shape == "exact":
                 # compressed-domain equality: deterministic encoder ⇒ the
