@@ -10,9 +10,11 @@ re-designs:
                        byte is fully determined by the pattern; one vectorized
                        byte compare prunes, decode verifies survivors;
 - required-code skip ≅ SkippingEngine (src/algos/Skipping.hpp:348-449):
-                       a sound per-row byte-membership prefilter from the
-                       block's symbol table (rows lacking every code whose
-                       expansion contains a needle byte cannot match);
+                       per-needle-position sets of alignment-consistent
+                       codes (the symbol-path set cover), ANDed over the
+                       rarest positions; suffix patterns additionally prune
+                       on the LAST payload unit; exact patterns compare the
+                       re-encoded constant's payload bytes directly;
 - lookup-KMP         ≅ CometKmpEngine + StateMachine::precompute
                        (src/algos/Comet.hpp:63-78, src/StateMachine.hpp:41-60):
                        per-(pattern × symtab) (state, code)→state table, rows

@@ -1054,6 +1054,41 @@ def build_oracle_sql() -> dict:
         ORDER BY n_chars DESC, doc_id ASC
         LIMIT 20
     """
+    def _cnt(m):
+        L = len(m)
+        return (
+            f"(length(text) - length(replace(text, '{m}', ''))) // {L}"
+        )
+
+    marks = {
+        "en": (" the ", " and ", " of "),
+        "de": (" der ", " und ", " die "),
+        "es": (" el ", " de ", " la "),
+        "fr": (" le ", " et ", " la "),
+    }
+    exprs = {
+        lang: " + ".join(_cnt(m) for m in ms) for lang, ms in marks.items()
+    }
+    # tie-break = np.argmax semantics: first language (en,de,es,fr order)
+    # holding the maximum
+    sql["lang_id"] = f"""
+        WITH s AS (
+          SELECT doc_id,
+                 {exprs['en']} AS en,
+                 {exprs['de']} AS de,
+                 {exprs['es']} AS es,
+                 {exprs['fr']} AS fr
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(en, de, es, fr) = 0 THEN 'unk'
+                    WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+                    WHEN de >= es AND de >= fr THEN 'de'
+                    WHEN es >= fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred,
+               CAST(greatest(en, de, es, fr) AS BIGINT) AS lang_score
+        FROM s
+    """
     sql["ann_topk"] = """
         SELECT vec_id FROM embeddings
         ORDER BY list_cosine_similarity(embedding,
@@ -1162,6 +1197,6 @@ def build_oracle_sql() -> dict:
         GROUP BY w.ws
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
-    # compression_stats, dedup_minhash/simhash/embedding, lang_id, ann_ivf,
+    # compression_stats, dedup_minhash/simhash/embedding, ann_ivf,
     # multimodal_decode, tokens_corpus_roundtrip
     return sql
