@@ -22,10 +22,19 @@ import time
 
 
 def _ray():
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # under `ray job submit` RAY_ADDRESS points at the cluster; default
+        # to a local session otherwise — the same CLI is the job entrypoint
+        # on a real multi-node cluster and the standalone local tool
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False

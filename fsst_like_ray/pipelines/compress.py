@@ -295,7 +295,11 @@ def compress_dataset(
         )
         # fused sink: each encode task writes its own partition files and
         # returns a stats row — consuming this stream IS the round's only
-        # execution (no write operator hop, no stats re-read)
+        # execution (no write operator hop, no stats re-read). The driver
+        # collects ~one tiny row per encode task, bounded PER ROUND by
+        # fragments_per_round × (fragment tokens / balance_tokens) — e.g.
+        # 64 × 1 GB fragments ≈ 16k rows — never by total job size; the
+        # rounds loop is what keeps a 10^12-sequence job's driver state flat
         stat_rows = enc.map_batches(
             lambda b, _d=data_dir: _write_and_summarize(b, _d),
             batch_format="pyarrow",
