@@ -81,3 +81,23 @@ def test_native_decode_bounds_corrupt_payload():
     # and with an honest bound it round-trips
     out, ro = native.decode(buf, po, table, out_nbytes=800)
     assert bytes(out) == b"ABCDEFGH" * 100
+
+
+@pytest.mark.skipif(native.lib is None, reason="no C compiler")
+def test_numpy_decode_fallback_matches_native(monkeypatch):
+    """fsstlib.decode dispatches to C when available; the NumPy fallback
+    (used on hosts without a compiler) must stay bit-identical."""
+    rng = np.random.default_rng(9)
+    lens = rng.integers(0, 300, 300)
+    off = np.zeros(301, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    data = rng.choice(
+        np.frombuffer(b"abcdefgh \xff123", dtype=np.uint8), int(off[-1])
+    ).copy()
+    table = fsstlib.train(data, off)
+    buf, po = fsstlib.encode(data, off, table)
+    d_c, ro_c = fsstlib.decode(buf, po, table)
+    monkeypatch.setattr(native, "lib", None)
+    d_np, ro_np = fsstlib.decode(buf, po, table)
+    assert bytes(d_np) == bytes(d_c) == bytes(data)
+    assert np.array_equal(ro_np, ro_c)
