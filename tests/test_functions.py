@@ -257,3 +257,31 @@ def test_ivf_index_persisted(ray_session, tmp_path):
     # partial probe keeps decent recall
     part = set(ivf_index_topk(idx, q, k=10, nprobe=6)["vec_id"])
     assert len(part & set(exact)) >= 8
+
+
+def test_resolve_paths_agree(ray_session, monkeypatch, docs):
+    """The capped driver-side resolution, the distributed groupby fallback,
+    and the no-prefilter pure-shuffle path must produce the same dedup set."""
+    import ray.data
+    from fsst_like_ray.functions import dedup as D
+
+    t = docs.select(["doc_id", "text"]).slice(0, 300)
+    # plant two exact copies so the result is non-empty
+    import pyarrow as pa
+
+    extra = pa.table(
+        {
+            "doc_id": pa.array([900001, 900002], type=pa.int64()),
+            "text": [t["text"][0].as_py(), t["text"][1].as_py()],
+        }
+    )
+    full = pa.concat_tables([t, extra])
+    ds = lambda: ray.data.from_arrow(full)
+
+    fast = set(r["doc_id"] for r in D.minhash_duplicates(ds()).take_all())
+    # force the distributed survivors path (caps to zero)
+    monkeypatch.setattr(D, "DRIVER_CAP_ROWS", 0)
+    monkeypatch.setattr(D, "DRIVER_CAP_BYTES", 0)
+    dist = set(r["doc_id"] for r in D.minhash_duplicates(ds()).take_all())
+    monkeypatch.undo()
+    assert fast == dist and {900001, 900002} <= fast
