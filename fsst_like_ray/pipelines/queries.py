@@ -565,6 +565,24 @@ def q_docs_longest20(sf_dir: str):
     )
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct-text count as a mergeable-sketch pipeline (one
+    4 KB sketch per block reaches the driver); gated within 5% of the exact
+    count (standard error at 2^12 registers is ~1.6%)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.sketches import approx_distinct
+
+    est = approx_distinct(_docs(sf_dir, ("doc_id", "text")), "text")
+    exact = len(
+        set(pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])[
+            "text"
+        ].to_pylist())
+    )
+    err = abs(est - exact) / max(exact, 1)
+    return pa.table({"err_le_5pct": pa.array([bool(err <= 0.05)])})
+
+
 # ------------------------------------------------------------- similarity
 def q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
@@ -962,6 +980,7 @@ def build_queries() -> dict:
     q["lang_id"] = make_textstat(F_text.lang_id_batch)
     q["fingerprint"] = make_textstat(F_text.fingerprint_batch)
     q["token_count_bpe"] = q_token_count_bpe
+    q["approx_distinct_text"] = q_approx_distinct
     q["docs_longest20"] = q_docs_longest20
     q["ann_topk"] = q_ann_topk
     q["ann_ivf"] = q_ann_ivf
@@ -1085,6 +1104,7 @@ def build_oracle_sql() -> dict:
         f"CAST(len(regexp_extract_all(text, '{bpe_rx}')) AS BIGINT) "
         "AS n_bpe_tokens FROM documents"
     )
+    sql["approx_distinct_text"] = "SELECT (1=1) AS err_le_5pct"
     sql["docs_longest20"] = """
         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
         FROM documents

@@ -285,3 +285,23 @@ def test_resolve_paths_agree(ray_session, monkeypatch, docs):
     dist = set(r["doc_id"] for r in D.minhash_duplicates(ds()).take_all())
     monkeypatch.undo()
     assert fast == dist and {900001, 900002} <= fast
+
+
+def test_hll_accuracy_and_merge():
+    """HLL estimate within 5% across cardinalities; merging per-batch
+    sketches equals sketching the concatenation."""
+    from fsst_like_ray.functions.sketches import hll_batch, hll_merge_estimate
+
+    rng = np.random.default_rng(1)
+    for true_n in (50, 3000, 100000):
+        vals = [f"x-{i}" for i in rng.integers(0, true_n, true_n * 2)]
+        exact = len(set(vals))
+        t = pa.table({"text": vals})
+        parts = [
+            hll_batch(t.slice(i, 4096))["hll"][0].as_py()
+            for i in range(0, len(vals), 4096)
+        ]
+        est = hll_merge_estimate(parts)
+        assert abs(est - exact) / exact <= 0.05, (true_n, est, exact)
+        whole = hll_merge_estimate([hll_batch(t)["hll"][0].as_py()])
+        assert abs(whole - est) / max(est, 1) <= 0.05
