@@ -508,8 +508,16 @@ def train(
 
         all_g = np.concatenate([singles_g, pairs_g])
         all_l = np.concatenate([singles_l, pairs_l]).astype(np.int64)
-        # count (gram, len) pairs
-        order = np.lexsort((all_g, all_l))
+        # count (gram, len) pairs. Groups equal (len, gram) pairs adjacently
+        # like np.lexsort((all_g, all_l)) but ~2.5× faster: one NON-stable
+        # uint64 argsort (stability is irrelevant — only group counts and
+        # values are consumed), then a counting-sort bucket pass over the 8
+        # length values (lexsort's generic two-key merge dominated training)
+        order0 = np.argsort(all_g)
+        lo = all_l[order0]
+        order = np.concatenate(
+            [order0[lo == l] for l in range(1, MAX_SYMBOL_LEN + 1)]
+        )
         sg, sl = all_g[order], all_l[order]
         new_grp = np.ones(len(sg), dtype=bool)
         new_grp[1:] = (sg[1:] != sg[:-1]) | (sl[1:] != sl[:-1])
@@ -517,7 +525,14 @@ def train(
         ug, ul = sg[gidx], sl[gidx]
         cnt = np.diff(np.append(gidx, len(sg)))
         gain = cnt * ul
-        # top-N by gain, deterministic tie-break by (len, gram)
+        # top-N by gain, deterministic tie-break by (len, gram). Exact
+        # preselect: keep every group whose gain ties-or-beats the 1024th
+        # largest (nothing below can reach the top 255), then rank only
+        # those — the full-width lexsort was a training hot spot
+        if len(gain) > 2048:
+            thresh = np.partition(gain, len(gain) - 1024)[len(gain) - 1024]
+            keep = np.flatnonzero(gain >= thresh)
+            ug, ul, gain = ug[keep], ul[keep], gain[keep]
         sel = np.lexsort((ug, ul, -gain))[:max_symbols]
         symbols = [
             int(ug[i]).to_bytes(8, "little")[: int(ul[i])] for i in sel
