@@ -102,8 +102,31 @@ def cmd_like(args) -> int:
 
     from .pipelines.scan import encode_text_dataset, like_count
 
-    ds = ray.data.read_parquet(args.file, columns=[args.id_col, args.text_col])
-    if args.text_col != "text":
+    if args.file.endswith((".csv", ".txt")):
+        # the reference's input format: one text value per line
+        # (scripts/data-setup.sh exports l_comment.csv / p_type.csv). Line
+        # number ids are batch-local — LIKE counting needs no global ids.
+        import numpy as np
+        import pyarrow as pa
+
+        def lines_to_rows(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.arange(b.num_rows, dtype=np.int64)
+                    ),
+                    "text": b["text"],
+                }
+            )
+
+        ds = ray.data.read_text(args.file).map_batches(
+            lines_to_rows, batch_format="pyarrow"
+        )
+    else:
+        ds = ray.data.read_parquet(
+            args.file, columns=[args.id_col, args.text_col]
+        )
+    if args.text_col != "text" and not args.file.endswith((".csv", ".txt")):
         import pyarrow as pa
 
         def rename(b: pa.Table) -> pa.Table:
