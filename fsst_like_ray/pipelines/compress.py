@@ -205,11 +205,14 @@ def _write_and_summarize(batch: pa.Table, data_dir: str) -> pa.Table:
         part_dir = os.path.join(data_dir, f"frag={key}")
         os.makedirs(part_dir, exist_ok=True)
         # deterministic name from the batch's row identity: a Ray task retry
-        # rewrites the SAME file instead of appending a duplicate
+        # rewrites the SAME file instead of appending a duplicate. Payload
+        # byte count is included so corpora with duplicate doc_ids cannot
+        # alias two different batches onto one file name
         first = sub["doc_id"][0].as_py()
         last = sub["doc_id"][-1].as_py()
+        nbytes = int(pc.sum(sub["payload_nbytes"]).as_py() or 0)
         tag = hashlib.sha256(
-            f"{key}|{first}|{last}|{sub.num_rows}".encode()
+            f"{key}|{first}|{last}|{sub.num_rows}|{nbytes}".encode()
         ).hexdigest()[:16]
         path = os.path.join(part_dir, f"part-{tag}.parquet")
         tmp = f"{path}.tmp{os.getpid()}"
