@@ -69,16 +69,15 @@ def minhash_signature_batch(
     """(doc_id, sig: fixed list<uint64>) minhash signatures.
 
     One-permutation hashing (Li/Owen/Zhang NIPS'12): ONE pass over the
-    shingle hashes — the hash's top bits pick a bin, each bin keeps its min —
-    instead of ``num_hashes`` independent (a·x+b) passes; empty bins are
+    shingle hashes — a fixed-point range partition of the hash space picks a
+    bin (any ``num_hashes``), each bin keeps its min — instead of
+    ``num_hashes`` independent (a·x+b) passes; empty bins are
     filled by rotation densification (Shrivastava/Li ICML'14) so sparse rows
     still get full signatures. ~5× less memory traffic per batch, and the
     estimator stays unbiased."""
     g, offsets, counts, valid_counts, bad = _shingle_hashes(batch, text_col, shingle)
     n_rows = len(counts)
     B = num_hashes
-    assert B & (B - 1) == 0, "num_hashes must be a power of two (bin by bits)"
-    shift = np.uint64(64 - B.bit_length() + 1)
     MAX = np.iinfo(np.uint64).max
     sig = np.full(n_rows * B, MAX, dtype=np.uint64)
     if len(g) and n_rows:
@@ -86,7 +85,12 @@ def minhash_signature_batch(
             g = g.copy()
             g[bad] = MAX  # never beats a real min; a bad-only bin densifies
         rows = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
-        key = rows * B + (g >> shift).astype(np.int64)
+        # fixed-point range partition works for ANY B (not just powers of
+        # two): bin = floor(top32(h) * B / 2^32), uniform in 0..B-1
+        bins = (
+            ((g >> np.uint64(32)) * np.uint64(B)) >> np.uint64(32)
+        ).astype(np.int64)
+        key = rows * B + bins
         np.minimum.at(sig, key, g)
     sig = sig.reshape(n_rows, B)
     # rotation densification: an empty bin borrows the value of the nearest
@@ -288,7 +292,12 @@ def resolve_hot_buckets(
     survivors = exploded.map_batches(member_filter, batch_format="pyarrow")
 
     # small-survivor fast path: stream candidate rows to the driver under
-    # hard caps; one argsort resolves every bucket without a groupby shuffle
+    # hard caps; one lexsort resolves every bucket without a groupby shuffle.
+    # On cap overflow the collected prefix is discarded and the distributed
+    # path recomputes member_filter from the (materialized) exploded input —
+    # a deliberate trade: overflow means the hot-bucket estimate was wrong,
+    # which is rare, and member_filter over pinned blocks is cheap relative
+    # to the groupby it precedes
     if hot_sorted.size * 16 <= DRIVER_CAP_ROWS:
         parts, rows_n, bytes_n, overflow = [], 0, 0, False
         for b in survivors.iter_batches(

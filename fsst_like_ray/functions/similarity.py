@@ -159,8 +159,13 @@ def build_ivf_index(
     import pyarrow.parquet as pq
     import ray.data
 
+    import shutil
+
     cents = train_centroids(ds, n_centroids, sample_rows)
     os.makedirs(index_dir, exist_ok=True)
+    # a REBUILD must not mix stale cell files with new ones (write_parquet
+    # appends into partition dirs, it never replaces)
+    shutil.rmtree(os.path.join(index_dir, "cells"), ignore_errors=True)
     np.save(os.path.join(index_dir, "centroids.npy"), cents)
 
     def assign(batch: pa.Table) -> pa.Table:

@@ -532,6 +532,11 @@ def like_on_encoded(
             continue
 
         cand = np.ones(len(rows), dtype=bool)
+        if pat.has_underscore:
+            # '_' sits INSIDE segments, so they are not literal needles —
+            # any compressed-domain prefilter would prune wrongly; force
+            # decode-verify regardless of the explicitly requested engine
+            eng = "decoded"
         if eng == "prefix" and shape == "prefix" and len(
             pat.segments[0]
         ) > fsstlib.MAX_SYMBOL_LEN:

@@ -151,7 +151,9 @@ def _plan_batch_rows_local(
 
     if not fragments:
         return DEFAULT_BATCH_ROWS
-    stride = max(1, len(fragments) // PLAN_SAMPLE_FILES)
+    stride = max(1, -(-len(fragments) // PLAN_SAMPLE_FILES))  # ceil: spread
+    # the sample across the WHOLE list (floor-division took the head for
+    # 9..15 fragments, biasing the mean under sorted layouts)
     sample = fragments[::stride][:PLAN_SAMPLE_FILES]
     rows = tokens = 0
     for f in sample:
@@ -204,15 +206,18 @@ def _write_and_summarize(batch: pa.Table, data_dir: str) -> pa.Table:
         sub = batch.take(pa.array(rows)).drop_columns(["frag"])
         part_dir = os.path.join(data_dir, f"frag={key}")
         os.makedirs(part_dir, exist_ok=True)
-        # deterministic name from the batch's row identity: a Ray task retry
-        # rewrites the SAME file instead of appending a duplicate. Payload
-        # byte count is included so corpora with duplicate doc_ids cannot
-        # alias two different batches onto one file name
-        first = sub["doc_id"][0].as_py()
-        last = sub["doc_id"][-1].as_py()
-        nbytes = int(pc.sum(sub["payload_nbytes"]).as_py() or 0)
+        # deterministic name from the batch's CONTENT (row-hash fold): a
+        # Ray task retry rewrites the SAME file instead of appending a
+        # duplicate, and batches differing in any row never alias. Residual
+        # corner: two batches of one fragment whose rows are byte-identical
+        # INCLUDING doc_ids would alias (and produce identical files) —
+        # only reachable on degenerate corpora with thousands of fully
+        # duplicated rows; the corpus contract has unique doc_ids.
+        rh = sub["row_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            content = (int(rh.sum(dtype=np.uint64)), int(np.bitwise_xor.reduce(rh)) if rh.size else 0)
         tag = hashlib.sha256(
-            f"{key}|{first}|{last}|{sub.num_rows}|{nbytes}".encode()
+            f"{key}|{sub.num_rows}|{content[0]}|{content[1]}".encode()
         ).hexdigest()[:16]
         path = os.path.join(part_dir, f"part-{tag}.parquet")
         tmp = f"{path}.tmp{os.getpid()}"

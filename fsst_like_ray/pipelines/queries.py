@@ -117,22 +117,29 @@ LIKE_PATTERNS = {
 }
 
 
+def _collect_ids(out, col: str, src_col: str | None = None) -> pa.Table:
+    """Stream a Dataset's id column into ONE typed arrow table. Seeded with
+    a typed empty block because an all-empty Ray Dataset drops its schema,
+    which the driver's compare would read as a mismatch vs the oracle's
+    typed empty frame. No per-row Python; the driver materializes results
+    to compare them anyway."""
+    src = src_col or col
+    seed = pa.table({col: pa.array([], type=pa.int64())})
+    parts = [seed]
+    for b in out.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows:
+            t = b.select([src])
+            if src != col:
+                t = t.rename_columns([col])
+            parts.append(t)
+    return pa.concat_tables(parts).combine_chunks()
+
+
 def make_like(pattern: str, engine: str):
     def q(sf_dir: str):
         enc = encode_text_dataset(_docs(sf_dir, ("doc_id", "text")))
         out = like_scan(enc, pattern, engine=engine, decode_matches=False)
-        # stream matched blocks into ONE arrow table seeded with a typed
-        # empty block (an all-empty Ray Dataset drops its schema, which the
-        # driver's compare would read as a mismatch vs the oracle's typed
-        # empty frame). No per-row Python; the driver materializes results
-        # to compare them anyway.
-        seed = pa.table({"doc_id": pa.array([], type=pa.int64())})
-        parts = [seed] + [
-            b.select(["doc_id"])
-            for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")
-            if b.num_rows
-        ]
-        return pa.concat_tables(parts).combine_chunks()
+        return _collect_ids(out, "doc_id")
 
     return q
 
@@ -360,13 +367,7 @@ def q_like_exact(sf_dir: str):
     assert "%" not in const and "_" not in const  # keep the shape 'exact'
     enc = encode_text_dataset(_docs(sf_dir, ("doc_id", "text")))
     out = like_scan(enc, const, engine="auto", decode_matches=False)
-    seed = pa.table({"doc_id": pa.array([], type=pa.int64())})
-    parts = [seed] + [
-        b.select(["doc_id"])
-        for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")
-        if b.num_rows
-    ]
-    return pa.concat_tables(parts).combine_chunks()
+    return _collect_ids(out, "doc_id")
 
 
 PLANT_N = 50
@@ -407,19 +408,13 @@ def make_dedup_planted(kind: str):
             dups = F_dedup.simhash_duplicates(full)
         else:
             raise ValueError(kind)
-        seed = pa.table({"doc_id": pa.array([], type=pa.int64())})
-        parts = [seed]
-        for b in dups.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            if b.num_rows:
-                ids = b["doc_id"].to_numpy(zero_copy_only=False)
-                keep = np.flatnonzero(ids >= PLANT_OFFSET)
-                if keep.size:
-                    parts.append(
-                        pa.table(
-                            {"doc_id": pa.array(ids[keep], type=pa.int64())}
-                        )
-                    )
-        return pa.concat_tables(parts).combine_chunks()
+        planted = dups.map_batches(
+            lambda b: b.filter(
+                pa.compute.greater_equal(b["doc_id"], PLANT_OFFSET)
+            ),
+            batch_format="pyarrow",
+        )
+        return _collect_ids(planted, "doc_id")
 
     return q
 
@@ -448,17 +443,13 @@ def q_dedup_embedding_planted(sf_dir: str, n_plant: int = 10):
 
     full = ds.map_batches(plant, batch_format="pyarrow")
     dups = F_sim.embedding_duplicates(full)
-    seed = pa.table({"vec_id": pa.array([], type=pa.int64())})
-    parts = [seed]
-    for b in dups.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        if b.num_rows:
-            ids = b["vec_id"].to_numpy(zero_copy_only=False)
-            keep = np.flatnonzero(ids >= PLANT_OFFSET)
-            if keep.size:
-                parts.append(
-                    pa.table({"vec_id": pa.array(ids[keep], type=pa.int64())})
-                )
-    return pa.concat_tables(parts).combine_chunks()
+    planted = dups.map_batches(
+        lambda b: b.filter(
+            pa.compute.greater_equal(b["vec_id"], PLANT_OFFSET)
+        ),
+        batch_format="pyarrow",
+    )
+    return _collect_ids(planted, "vec_id")
 
 
 def q_ann_ivf_recall(sf_dir: str):
@@ -783,13 +774,7 @@ def q_tpch_ptype_like(sf_dir: str):
     )
     enc = encode_text_dataset(ds)
     out = like_scan(enc, "%blue%", engine="auto", decode_matches=False)
-    seed = pa.table({"p_partkey": pa.array([], type=pa.int64())})
-    parts = [seed] + [
-        b.select(["doc_id"]).rename_columns(["p_partkey"])
-        for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")
-        if b.num_rows
-    ]
-    return pa.concat_tables(parts).combine_chunks()
+    return _collect_ids(out, "p_partkey", src_col="doc_id")
 
 
 def q_tpch_q13(sf_dir: str):

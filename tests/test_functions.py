@@ -305,3 +305,14 @@ def test_hll_accuracy_and_merge():
         assert abs(est - exact) / exact <= 0.05, (true_n, est, exact)
         whole = hll_merge_estimate([hll_batch(t)["hll"][0].as_py()])
         assert abs(whole - est) / max(est, 1) <= 0.05
+
+
+def test_minhash_nonpower2_hashes():
+    """num_hashes need not be a power of two (fixed-point binning)."""
+    from fsst_like_ray.functions.dedup import minhash_signature_batch
+
+    t = pa.table({"doc_id": [1, 2], "text": ["hello world text", "hello world text"]})
+    for B in (1, 3, 24, 32):
+        out = minhash_signature_batch(t, num_hashes=B)
+        sigs = out["sig"].to_pylist()
+        assert len(sigs[0]) == B and sigs[0] == sigs[1], B

@@ -194,3 +194,15 @@ def test_exact_payload_match(docs, encoded_docs):
     # no-match constant
     mask0 = like_on_encoded(encoded_docs, "definitely not a row", engine="auto")
     assert mask0.sum() == 0
+
+
+def test_underscore_with_explicit_engines(docs, encoded_docs):
+    """'_' patterns must return oracle rows under EVERY explicitly requested
+    engine (segments containing '_' are not literal needles — the engines
+    must fall back to decode-verify rather than prune wrongly)."""
+    ids = np.array(docs["doc_id"].to_pylist())
+    pattern = "%sc_n%"
+    expect = oracle_ids(pattern, docs)
+    for engine in ("auto", "decoded", "skipping", "kmp", "prefix"):
+        mask = like_on_encoded(encoded_docs, pattern, engine=engine)
+        assert set(ids[mask].tolist()) == expect, engine
