@@ -142,3 +142,22 @@ def test_generator_deterministic_and_partition_independent():
     assert a.equals(b)
     c = tokens_table(40, seed=42, start_row=60)
     assert a.slice(60, 40).to_pydict() == c.to_pydict()
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    rows=st.lists(
+        st.lists(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=40
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_roundtrip_hypothesis(rows):
+    """Random row structures (any int32 values, empty rows, empty tables)
+    must round-trip bit-identically through every codec."""
+    for name in sorted(CODECS):
+        _roundtrip(CODECS[name], rows)
