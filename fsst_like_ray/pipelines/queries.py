@@ -660,6 +660,31 @@ def q_events_sessionize_sliced(sf_dir: str):
     return F_events.sessionize(_events_ds(sf_dir), gap_s=1800, slice_s=3600)
 
 
+def q_events_top_type_per_window(sf_dir: str):
+    """Per-window ranking: the most frequent event_type in each hour window
+    (ties break alphabetically). Window aggregates are partial-then-merge;
+    the ranking runs per window group (windows ≪ events)."""
+    agg = F_events.tumbling_window_agg(_events_ds(sf_dir), window_s=3600)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n_events", "event_type"], ascending=[False, True]
+        )
+        return g.iloc[:1][["window_start_s", "event_type", "n_events"]]
+
+    out = agg.groupby("window_start_s").map_groups(pick, batch_format="pandas")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "window_start_s": b["window_start_s"].cast(pa.int64()),
+                "event_type": b["event_type"],
+                "n_events": b["n_events"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_topk(sf_dir: str):
     return F_events.topk_users_by_value(_events_ds(sf_dir), k=10)
 
@@ -761,6 +786,68 @@ def q_tpch_q6(sf_dir: str):
         for r in b.to_pylist()
     )
     return pa.table({"revenue_unit": pa.array([total], type=pa.int64())})
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 shape: lineitem ⋈ part (small side broadcast once) with a
+    conditional aggregate. Integer-cents numerator/denominator returned
+    separately so the compare is exact (a float ratio is summation-order
+    dependent)."""
+    import pyarrow.parquet as pq
+    from ..functions.join import broadcast_hash_join
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1996-04-01T00:00:00", "us").astype(np.int64)
+
+    def window(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((ts >= lo) & (ts < hi)))
+
+    joined = broadcast_hash_join(
+        li.map_batches(window, batch_format="pyarrow"),
+        part,
+        "l_partkey",
+        "p_partkey",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(px * (1 - disc) * 100 + 0.5).astype(np.int64)
+        promo = pc.starts_with(b["p_type"], "PROMO").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "promo_cents": pa.array(
+                    [int(cents[promo].sum())], type=pa.int64()
+                ),
+                "total_cents": pa.array([int(cents.sum())], type=pa.int64()),
+            }
+        )
+
+    pn = tn = 0
+    for b in joined.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        for r in b.to_pylist():
+            pn += int(r["promo_cents"])
+            tn += int(r["total_cents"])
+    return pa.table(
+        {
+            "promo_cents": pa.array([pn], type=pa.int64()),
+            "total_cents": pa.array([tn], type=pa.int64()),
+        }
+    )
 
 
 def q_tpch_ptype_like(sf_dir: str):
@@ -977,8 +1064,10 @@ def build_queries() -> dict:
     q["events_sessionize"] = q_events_sessionize
     q["events_sessionize_sliced"] = q_events_sessionize_sliced
     q["events_topk_users"] = q_events_topk
+    q["events_top_type_per_window"] = q_events_top_type_per_window
     q["tpch_q1"] = q_tpch_q1
     q["tpch_q6"] = q_tpch_q6
+    q["tpch_q14"] = q_tpch_q14
     q["tpch_ptype_like"] = q_tpch_ptype_like
     q["tpch_q13"] = q_tpch_q13
     q["tpch_segment_orders"] = q_tpch_segment_orders
@@ -1168,6 +1257,18 @@ def build_oracle_sql() -> dict:
         FROM s GROUP BY user_id, session_id
     """
     sql["events_sessionize_sliced"] = sql["events_sessionize"]
+    sql["events_top_type_per_window"] = """
+        SELECT window_start_s, event_type, n_events FROM (
+          SELECT CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT)
+                   AS window_start_s,
+                 event_type, CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2
+        )
+        QUALIFY row_number() OVER (
+          PARTITION BY window_start_s
+          ORDER BY n_events DESC, event_type ASC
+        ) = 1
+    """
     sql["events_topk_users"] = """
         SELECT CAST(user_id AS BIGINT) AS user_id,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
@@ -1198,6 +1299,17 @@ def build_oracle_sql() -> dict:
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount >= 0.05 - 1e-9 AND l_discount <= 0.07 + 1e-9
           AND l_quantity < 24
+    """
+    sql["tpch_q14"] = """
+        SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
     """
     sql["tpch_ptype_like"] = """
         SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'
