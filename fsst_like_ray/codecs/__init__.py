@@ -51,14 +51,41 @@ class Codec:
         buf, _ = self.encode(values, offsets, state)
         return int(buf.size) + len(state)
 
-    def estimate(
+    def train_encode(
         self, values: np.ndarray, offsets: np.ndarray
+    ) -> tuple[bytes, np.ndarray, np.ndarray]:
+        """(state, buf, payload_offsets) — train on the block and encode it
+        in one call. Codecs whose training already computes the encode's
+        intermediate (dict: the sorted-unique inverse) override this to skip
+        the redundant per-token lookup."""
+        state = self.train(values, offsets)
+        buf, po = self.encode(values, offsets, state)
+        return state, buf, po
+
+    def estimate(
+        self,
+        values: np.ndarray,
+        offsets: np.ndarray,
+        full_tokens: int | None = None,
+        full_rows: int | None = None,
     ) -> tuple[int, bytes | None]:
-        """(estimated bytes, reusable state or None). A codec returns a state
-        only when a sample-trained state encodes the FULL block correctly
-        (true for fsst — unseen bytes escape; false for e.g. dict, whose
-        sample dictionary would miss values)."""
-        return self.estimate_size(values, offsets), None
+        """(estimated bytes, reusable state or None) for the FULL block the
+        sample was drawn from (``full_tokens``/``full_rows``; when omitted the
+        sample IS the block). A codec returns a state only when a
+        sample-trained state encodes the FULL block correctly (true for fsst
+        — unseen bytes escape; false for e.g. dict, whose sample dictionary
+        would miss values).
+
+        The default linear per-token extrapolation is correct for codecs
+        whose state is O(1) (plain/rle/for/bitpack); dict and fsst override
+        it because naive scaling is biased (dict: dictionary overhead does
+        not grow linearly; fsst: the evaluation must be held out from the
+        training rows or the estimate measures training fit)."""
+        est = self.estimate_size(values, offsets)
+        n = int(offsets[-1] - offsets[0])
+        if full_tokens is not None and n and full_tokens != n:
+            est = int(est * (full_tokens / n))
+        return est, None
 
 
 def _as_u32(values: np.ndarray) -> np.ndarray:

@@ -32,18 +32,22 @@ def select_codec(
     codec_names: list[str] | None = None,
     sample_rows: int = 1024,
 ) -> tuple[str, dict[str, int], bytes | None]:
-    """Returns (winning codec name, {codec: estimated sample bytes}, and the
-    winner's sample-trained state when reusable — saves the auto path a
+    """Returns (winning codec name, {codec: estimated FULL-BLOCK bytes}, and
+    the winner's sample-trained state when reusable — saves the auto path a
     second training pass for expensive codecs like fsst)."""
     from . import CODECS
 
     names = codec_names or list(CODECS)
+    full_tokens = int(offsets[-1] - offsets[0])
+    full_rows = len(offsets) - 1
     sv, so = _sample(np.ascontiguousarray(values, dtype=np.int32), offsets, sample_rows)
     estimates: dict[str, int] = {}
     states: dict[str, bytes | None] = {}
     for name in names:
         try:
-            estimates[name], states[name] = CODECS[name].estimate(sv, so)
+            estimates[name], states[name] = CODECS[name].estimate(
+                sv, so, full_tokens=full_tokens, full_rows=full_rows
+            )
         except Exception:
             estimates[name] = np.iinfo(np.int64).max
             states[name] = None

@@ -28,7 +28,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..stages.encode import EncoderActor
+from ..stages.encode import EncoderActor, encode_table
 from ..stages.decode import decode_batch
 from ..stages.verify import hash_summary
 from ..state.manifest import Manifest, fragment_key
@@ -254,6 +254,84 @@ def _write_and_summarize(batch: pa.Table, data_dir: str) -> pa.Table:
     )
 
 
+def _rowgroup_specs(
+    fragments: list[str], target_rows: int, path_to_key: dict[str, str]
+) -> list[dict]:
+    """One work unit per ~``target_rows`` of consecutive row groups, from
+    driver-side parquet FOOTERS only (a few KB per fragment; bounded per
+    round by ``fragments_per_round``). Row-group granularity is the finest
+    split a parquet reader can do without decoding — a fragment written with
+    giant row groups degrades to file granularity (documented corpus-layout
+    assumption; our own sinks write 2048-row groups)."""
+    import pyarrow.parquet as pq
+
+    specs: list[dict] = []
+    for f in fragments:
+        try:
+            md = pq.read_metadata(f)
+        except Exception:
+            specs.append({"path": f, "rg0": 0, "rg1": -1, "frag": path_to_key[f]})
+            continue
+        rg_rows = [md.row_group(g).num_rows for g in range(md.num_row_groups)]
+        g = 0
+        while g < len(rg_rows):
+            hi, acc = g, 0
+            while hi < len(rg_rows) and acc < target_rows:
+                acc += rg_rows[hi]
+                hi += 1
+            specs.append(
+                {"path": f, "rg0": g, "rg1": hi, "frag": path_to_key[f]}
+            )
+            g = hi
+        if not rg_rows:
+            specs.append({"path": f, "rg0": 0, "rg1": -1, "frag": path_to_key[f]})
+    return specs
+
+
+class EncodeSpecTask:
+    """map_batches callable over ROW-GROUP SPECS: each task reads its own
+    row groups straight from storage, encodes, writes its partition files,
+    and emits tiny stat rows. The heavy data never crosses the object store
+    — in this Ray version ``read_parquet`` cannot fuse with a downstream
+    ``map_batches``, so the classic read→encode pipeline pays a full
+    object-store round trip (measured: ~30% of the encode wall at 32 CPUs).
+    Only the few-bytes specs and stat rows flow between operators; the
+    streaming executor still schedules, balances and backpressures the spec
+    stream exactly as it would data blocks."""
+
+    def __init__(self, data_dir: str, codec: str, max_tokens_per_state, specs_ref):
+        self.data_dir = data_dir
+        self.codec = codec
+        self.max_tokens = max_tokens_per_state
+        self.specs_ref = specs_ref  # ray.put ONCE; workers read shared memory
+
+    def __call__(self, ids: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        import ray
+
+        all_specs = ray.get(self.specs_ref)
+        outs = []
+        for i in ids["id"].to_pylist():
+            spec = all_specs[i]
+            pf = pq.ParquetFile(spec["path"])
+            rg1 = pf.metadata.num_row_groups if spec["rg1"] < 0 else spec["rg1"]
+            batch = pf.read_row_groups(range(spec["rg0"], rg1))
+            pf.close()
+            if batch.num_rows == 0:
+                continue
+            batch = batch.append_column(
+                "frag", pa.array([spec["frag"]] * batch.num_rows, pa.string())
+            )
+            enc = encode_table(batch, self.codec, None, self.max_tokens)
+            outs.append(_write_and_summarize(enc, self.data_dir))
+        if not outs:
+            return _write_and_summarize(
+                pa.table({"frag": pa.array([], type=pa.string())}), self.data_dir
+            )
+        return pa.concat_tables(outs)
+
+
 def compress_dataset(
     input_path: str | list[str],
     out_dir: str,
@@ -267,6 +345,8 @@ def compress_dataset(
 
     Returns the manifest stats after this run. Safe to re-run after a kill:
     completed fragments are skipped (FIXTURES.md §4 contract)."""
+    import ray
+
     fragments = discover_fragments(input_path)
     manifest = Manifest(out_dir)
     pending = manifest.pending(fragments) if resume else fragments
@@ -286,33 +366,26 @@ def compress_dataset(
 
         for key in path_to_key.values():
             shutil.rmtree(os.path.join(data_dir, f"frag={key}"), ignore_errors=True)
-        ds = read_parquet_blocks(round_frags, include_paths=True)
-
-        def tag_fragment(batch: pa.Table, _map=path_to_key) -> pa.Table:
-            paths = batch["path"].to_pylist()
-            frag = pa.array([_map[p] for p in paths], type=pa.string())
-            return batch.drop_columns(["path"]).append_column("frag", frag)
-
-        ds = ds.map_batches(tag_fragment, batch_format="pyarrow")
-        enc = encode_dataset(
-            ds,
-            codec=codec,
-            concurrency=concurrency,
-            batch_size=batch_rows,
-            max_tokens_per_state=balance_tokens,
-        )
-        # fused sink: each encode task writes its own partition files and
-        # returns a stats row — consuming this stream IS the round's only
-        # execution (no write operator hop, no stats re-read). The driver
-        # collects ~one tiny row per encode task, bounded PER ROUND by
+        specs = _rowgroup_specs(round_frags, batch_rows, path_to_key)
+        # lazy id stream + ONE broadcast of the spec list: from_items
+        # materializes an eager block (an object-store put) PER item — 2.2 s
+        # of driver time for 128 specs — while range() is lazy and the spec
+        # list rides the object store once
+        specs_ref = ray.put(specs)
+        ds = ray.data.range(len(specs), override_num_blocks=len(specs))
+        # fused read→encode→write→stats in ONE task per spec: each task
+        # reads its row groups, writes its partition files and returns a
+        # stats row — consuming this stream IS the round's only execution.
+        # The driver collects ~one tiny row per spec, bounded PER ROUND by
         # fragments_per_round × (fragment tokens / balance_tokens) — e.g.
         # 64 × 1 GB fragments ≈ 16k rows — never by total job size; the
         # rounds loop is what keeps a 10^12-sequence job's driver state flat
-        stat_rows = enc.map_batches(
-            lambda b, _d=data_dir: _write_and_summarize(b, _d),
+        stat_rows = ds.map_batches(
+            EncodeSpecTask(data_dir, codec, balance_tokens, specs_ref),
             batch_format="pyarrow",
-            batch_size=None,  # whole encode blocks: one file per block,
-            zero_copy_batch=True,  # not a re-slice to the 1024 default
+            batch_size=None,
+            zero_copy_batch=True,
+            **({"concurrency": concurrency} if concurrency else {}),
         ).take_all()
         by_key: dict[str, dict] = {}
         for r in stat_rows:

@@ -91,8 +91,9 @@ def encode_table(
             name = codec
         c = CODECS[name]
         if state is None:
-            state = c.train(v, o)
-        buf, po = c.encode(v, o, state)
+            state, buf, po = c.train_encode(v, o)
+        else:
+            buf, po = c.encode(v, o, state)
         bufs.append(buf)
         pos.append(po[1:] if ci else po)
         states.append(state)

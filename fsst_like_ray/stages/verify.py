@@ -16,35 +16,49 @@ from .encode import list_buffers
 
 _P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
 
+# P^i mod 2^64 for i < len — grown geometrically on demand, cached per
+# process. Bounds the hash to ONE gather + ONE reduceat instead of two
+# full-stream cumprods (the cumprod path was 40% of encode CPU and ~100 MB
+# of extra memory traffic per 2 M-token batch — the hot constraint at 32
+# cores is socket bandwidth, so passes ARE the cost).
+_POW_TABLE = np.ones(1, dtype=np.uint64)
+
+
+def _powers(n: int) -> np.ndarray:
+    global _POW_TABLE
+    if len(_POW_TABLE) < n:
+        size = max(n, 2 * len(_POW_TABLE), 8192)
+        with np.errstate(over="ignore"):
+            t = np.empty(size, dtype=np.uint64)
+            t[0] = np.uint64(1)
+            np.cumprod(np.full(size - 1, _P, dtype=np.uint64), out=t[1:])
+        _POW_TABLE = t
+    return _POW_TABLE
+
 
 def _poly_rowhash(values_u64: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Per-row polynomial hash of variable-length uint64 sequences.
 
-    h_row = Σ_j (v_j + 1) * P^(j - row_start)  (mod 2^64), computed with the
-    cumulative-power trick: P^i globally, divided by P^row_start via the
-    modular inverse of P (odd → invertible mod 2^64)."""
+    h_row = Σ_j (v_j + 1) * P^(j - row_start)  (mod 2^64). P^pos comes from a
+    cached power table indexed by position-in-row, so the per-batch work is
+    one position computation, one gather, one multiply, one reduceat."""
     n = int(values_u64.size)
     counts = np.diff(offsets)
     if n == 0:
         return np.zeros(len(counts), dtype=np.uint64)
     with np.errstate(over="ignore"):
-        powers = np.empty(n, dtype=np.uint64)
-        powers[0] = np.uint64(1)
-        if n > 1:
-            np.cumprod(np.full(n - 1, _P, dtype=np.uint64), out=powers[1:])
-        terms = (values_u64 + np.uint64(1)) * powers
+        pt = _powers(int(counts.max()))
+        # position within the row: arange minus each row's start, broadcast
+        # by repeat (no per-row loop)
+        pos = np.arange(n, dtype=np.int64)
+        pos -= np.repeat(offsets[:-1].astype(np.int64), counts)
+        terms = (values_u64 + np.uint64(1)) * pt[pos]
         sums = np.zeros(len(counts), dtype=np.uint64)
         nz = counts > 0
         if nz.any():
             starts = offsets[:-1][nz]
             sums[nz] = np.add.reduceat(terms, starts)
-        # divide by P^row_start: multiply by inv(P)^row_start (cumulative
-        # inverse powers, one cumprod)
-        inv = np.uint64(pow(int(_P), -1, 1 << 64))
-        inv_cum = np.empty(n + 1, dtype=np.uint64)
-        inv_cum[0] = np.uint64(1)
-        np.cumprod(np.full(n, inv, dtype=np.uint64), out=inv_cum[1:])
-        return sums * inv_cum[offsets[:-1]]
+        return sums
 
 
 def row_hashes(batch: pa.Table) -> np.ndarray:
