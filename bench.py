@@ -23,8 +23,10 @@ import time
 
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "65536"))
 # --scaling needs a long enough job to amortize per-process pipeline startup
-# (a 100 TB job would); default to a 4x corpus there unless overridden
-SCALING_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "262144"))
+# (a 100 TB job would); default to a bigger corpus there unless overridden
+# (524288 rows ≈ 260 M tokens — after the round-3 encode speedups the
+# 262144-row job finished in ~4 s at 32 CPUs, too short to amortize)
+SCALING_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "524288"))
 CORPUS_DIR = f"/tmp/fsst_like_bench/tokens_{BENCH_ROWS}"
 
 
@@ -80,6 +82,15 @@ def _warm_cluster(ray, num_cpus: int):
         return 0
 
     ray.get([_warm.remote() for _ in range(2 * num_cpus)])
+    # the FIRST Ray Data execution in a process pays ~2 s extra (driver
+    # executor spin-up + worker-side ray.data machinery imports, which the
+    # plain ray.remote warm tasks above do NOT touch) — run one trivial
+    # pipeline so timed runs start from a warm executor
+    import ray.data as _rd
+
+    _rd.range(2 * num_cpus, override_num_blocks=2 * num_cpus).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=None
+    ).take_all()
 
 
 def _ensure_corpus():
@@ -140,6 +151,24 @@ def run_like(sf_dir: str) -> dict:
     for pattern in ["%scan%", "%merge%sort%", "the fast key %", "%join"]:
         counts[pattern] = like_count(enc, pattern)
     return {"sec": time.time() - t0, "counts": counts}
+
+
+def run_rank(sf_dir: str) -> dict:
+    """The reference's flagship artifact: every applicable engine over the
+    same encoded corpus, raw vs fsst, counts oracle-asserted, ranked by
+    in-UDF matcher time (sketch.cc:1306-1371 analog)."""
+    import ray.data
+    from fsst_like_ray.pipelines.scan import encode_text_dataset
+    from fsst_like_ray.pipelines.rank import rank_engines
+    from fsst_like_ray.pipelines.queries import RANK_PATTERNS
+
+    raw = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+    enc = encode_text_dataset(raw).materialize()
+    t0 = time.time()
+    table = rank_engines(raw, enc, RANK_PATTERNS, repeats=2)
+    return {"sec": time.time() - t0, "table": table}
 
 
 def run_dedup(sf_dir: str) -> dict:
@@ -261,6 +290,8 @@ def main():
             run_decode_verify(f"/tmp/fsst_like_bench/encoded_{num_cpus}")["sec"], 3
         )
         queries["like_scan_compressed"] = round(run_like(sf_dir)["sec"], 3)
+        rank = run_rank(sf_dir)
+        queries["engine_rank"] = round(rank["sec"], 3)
         queries["dedup_minhash"] = round(run_dedup(sf_dir)["sec"], 3)
         queries["ann_topk"] = round(run_ann(sf_dir)["sec"], 3)
 
@@ -281,6 +312,7 @@ def main():
                         / max(head.get("encoded_bytes", 1), 1),
                         3,
                     ),
+                    "engine_rank": rank["table"],
                 }
             )
         )

@@ -23,6 +23,8 @@ sketch.cc:770-785).
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 
 ESCAPE = 255
@@ -46,6 +48,7 @@ class SymbolTable:
         "long_prefixes",
         "prefix_has_len",
         "_p3_positions",
+        "cache_key",
     )
 
     @property
@@ -112,6 +115,9 @@ class SymbolTable:
         # a fresh 16 MB allocation per table (tables are built per training
         # generation and per batch) would thrash the allocator
         self._p3_positions = np.array(p3, dtype=np.int64)
+        # set by cached_table: the serialized blob, used by matcher-state
+        # LRUs to key structures derived from (table, pattern)
+        self.cache_key: bytes | None = None
 
     # -- serialization (reference analog: SerializeDecoder/DeserializeDecoder,
     #    src/FsstWrapper.cpp:67-109) --
@@ -128,6 +134,20 @@ class SymbolTable:
             out.append(blob[off : off + l])
             off += l
         return cls(out)
+
+
+@_functools.lru_cache(maxsize=128)
+def cached_table(state: bytes) -> SymbolTable:
+    """Deserialize-with-LRU: distinct symbol tables repeat across the batches
+    of one corpus (one table per encode block), but rebuilding the lookup
+    structures costs ~2 ms per table — per BATCH per operator without this
+    cache. Keyed by the serialized blob; ~150 KB per cached table. The
+    returned table carries ``cache_key`` so matcher-state caches
+    (engines._position_code_sets etc.) can key derived structures on
+    (table, pattern) without re-hashing."""
+    t = SymbolTable.deserialize(state)
+    t.cache_key = state
+    return t
 
 
 _LUT3_BUF: np.ndarray | None = None

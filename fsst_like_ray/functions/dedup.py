@@ -25,6 +25,7 @@ import pyarrow as pa
 from ..stages.text import string_buffers
 
 _PRIME = np.uint64(0x9E3779B97F4A7C15)
+MAX_WORD_HASH_BYTES = 64  # simhash word-hash prefix cap (see simhash_batch)
 
 
 def _shingle_hashes(batch: pa.Table, text_col: str, k: int = 5):
@@ -256,10 +257,21 @@ def resolve_hot_buckets(
         ks = np.sort(keys)
         dup = ks[1:][ks[1:] == ks[:-1]]
         hot_sorted = np.unique(dup)
+        # exact hot-bucket member count: occurrences of each hot key in the
+        # sorted key stream (replaces the old ~16-members-per-bucket guess,
+        # which on large duplicate groups collected up to the cap, discarded
+        # the prefix, and recomputed through the distributed path)
+        member_total = int(
+            (
+                np.searchsorted(ks, hot_sorted, side="right")
+                - np.searchsorted(ks, hot_sorted, side="left")
+            ).sum()
+        )
     else:
         counts = exploded.groupby(key_cols).aggregate(Count(alias_name="cnt"))
-        hot = counts.filter(expr="cnt >= 2").select_columns(key_cols)
+        hot = counts.filter(expr="cnt >= 2").select_columns(key_cols + ["cnt"])
         hot_tbl = hot.take_all()
+        member_total = sum(int(r["cnt"]) for r in hot_tbl)
         # int64 first, then bit-view: keys are stored as int64 bit-views and
         # a direct uint64 conversion of negative values is a NumPy hard error
         # in the future (DeprecationWarning today)
@@ -293,12 +305,11 @@ def resolve_hot_buckets(
 
     # small-survivor fast path: stream candidate rows to the driver under
     # hard caps; one lexsort resolves every bucket without a groupby shuffle.
-    # On cap overflow the collected prefix is discarded and the distributed
-    # path recomputes member_filter from the (materialized) exploded input —
-    # a deliberate trade: overflow means the hot-bucket estimate was wrong,
-    # which is rare, and member_filter over pinned blocks is cheap relative
-    # to the groupby it precedes
-    if hot_sorted.size * 16 <= DRIVER_CAP_ROWS:
+    # Gated on the EXACT member count computed above, so an oversized
+    # duplicate set routes straight to the distributed path without first
+    # collecting-and-discarding a prefix; the byte cap below remains as the
+    # row-width safety net
+    if member_total <= DRIVER_CAP_ROWS:
         parts, rows_n, bytes_n, overflow = [], 0, 0, False
         for b in survivors.iter_batches(
             batch_size=65536, batch_format="pyarrow"
@@ -601,8 +612,15 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     h = np.zeros(len(flat), dtype=np.uint64)
     counts = np.diff(offsets)
     with np.errstate(over="ignore"):
-        # FNV over bytes, vectorized with per-word reduce via padded matrix
+        # FNV over bytes, vectorized with per-word reduce via padded matrix.
+        # Hash at most the first MAX_WORD_HASH_BYTES of each word: the loop
+        # runs max-word-length iterations over the whole batch, so one
+        # pathological unbroken "word" (a 1 MB no-space document) would
+        # degenerate it to O(batch × doc_len). 64 bytes discriminates real
+        # words fully; longer tokens collide only past byte 64 — and a
+        # collision only ADDS a near-dup candidate, never drops one.
         maxw = int(counts.max()) if len(counts) else 0
+        maxw = min(maxw, MAX_WORD_HASH_BYTES)
         acc = np.full(len(flat), np.uint64(1469598103934665603), dtype=np.uint64)
         for j in range(maxw):
             sel = counts > j

@@ -40,18 +40,27 @@ def tumbling_window_partials(batch: pa.Table, window_s: int) -> pa.Table:
     cents = np.rint(
         batch["value"].to_numpy(zero_copy_only=False) * 100
     ).astype(np.int64)
-    df = pd.DataFrame(
+    # Arrow-native partial groupby: the pandas round trip copied every
+    # column twice per batch for a tiny output
+    g = (
+        pa.table(
+            {
+                "window_start_s": pa.array(win, type=pa.int64()),
+                "event_type": batch["event_type"],
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+        .group_by(["window_start_s", "event_type"])
+        .aggregate([("cents", "count"), ("cents", "sum")])
+    )
+    return pa.table(
         {
-            "window_start_s": win,
-            "event_type": batch["event_type"].to_pandas(),
-            "cents": cents,
+            "window_start_s": g["window_start_s"],
+            "event_type": g["event_type"],
+            "n": g["cents_count"].cast(pa.int64()),
+            "value_cents": g["cents_sum"].cast(pa.int64()),
         }
     )
-    g = (
-        df.groupby(["window_start_s", "event_type"], as_index=False)
-        .agg(n=("cents", "size"), value_cents=("cents", "sum"))
-    )
-    return pa.Table.from_pandas(g, preserve_index=False)
 
 
 def tumbling_window_agg(ds: "ray.data.Dataset", window_s: int = 3600):

@@ -47,6 +47,15 @@ def broadcast_hash_join(
 
     def join_batch(batch: pa.Table) -> pa.Table:
         sk, st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        clash = set(st.column_names) & set(batch.column_names)
+        if clash:
+            # checked per batch (a dataset-level schema() probe can trigger
+            # execution); append_column would otherwise silently create
+            # duplicate names and make later tbl[name] lookups ambiguous
+            raise ValueError(
+                f"broadcast_hash_join: small-side columns {sorted(clash)} "
+                "collide with big-side names — rename before joining"
+            )
         bk = batch[big_key].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(sk, bk)
         np.minimum(idx, max(len(sk) - 1, 0), out=idx)

@@ -26,6 +26,8 @@ All engines return identical row sets (oracle-tested against DuckDB LIKE).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -34,6 +36,28 @@ from .. import fsstlib
 from .pattern import LikePattern, parse_like
 
 ESCAPE = fsstlib.ESCAPE
+
+
+def _state_cached(fn):
+    """LRU for structures derived from (symbol table, needle): the same
+    ~255-symbol Python rebuild ran once per BLOCK per pattern (mirroring the
+    reference's per-block rebuild, Comet.hpp:26-33), but distinct tables
+    repeat across the batches of one corpus. Tables that came through
+    ``fsstlib.cached_table`` carry their serialized blob as ``cache_key``;
+    ad-hoc tables (tests, training generations) fall through uncached.
+    Cached results are read-only by contract."""
+    keyed = functools.lru_cache(maxsize=512)(
+        lambda key, needle, _fn=fn: _fn(fsstlib.cached_table(key), needle)
+    )
+
+    @functools.wraps(fn)
+    def wrapper(table, needle):
+        key = getattr(table, "cache_key", None)
+        if key is None:
+            return fn(table, needle)
+        return keyed(key, bytes(needle))
+
+    return wrapper
 
 
 # ---------------------------------------------------------------- decoded path
@@ -73,6 +97,7 @@ def _payload_rows_any(hits_u8: np.ndarray, po: np.ndarray) -> np.ndarray:
     return out
 
 
+@_state_cached
 def _position_code_sets(
     table: fsstlib.SymbolTable, needle: bytes
 ) -> list[set[int]]:
@@ -192,6 +217,19 @@ def exact_payload_match(
     return out
 
 
+@_state_cached
+def _suffix_ok_codes(table: fsstlib.SymbolTable, suffix: bytes) -> np.ndarray:
+    ok_codes = np.zeros(256, dtype=bool)
+    for code, s in enumerate(table.symbols):
+        L = len(s)
+        if L == 0:
+            continue
+        t = min(L, len(suffix))
+        if s[L - t :] == suffix[len(suffix) - t :]:
+            ok_codes[code] = True
+    return ok_codes
+
+
 def last_code_prefilter(
     pay: np.ndarray, po: np.ndarray, table: fsstlib.SymbolTable, suffix: bytes
 ) -> np.ndarray:
@@ -205,14 +243,7 @@ def last_code_prefilter(
     n_rows = len(po) - 1
     if not suffix:
         return np.ones(n_rows, dtype=bool)
-    ok_codes = np.zeros(256, dtype=bool)
-    for code, s in enumerate(table.symbols):
-        L = len(s)
-        if L == 0:
-            continue
-        t = min(L, len(suffix))
-        if s[L - t :] == suffix[len(suffix) - t :]:
-            ok_codes[code] = True
+    ok_codes = _suffix_ok_codes(table, suffix)
     counts = np.diff(po)
     cand = np.zeros(n_rows, dtype=bool)
     nz = counts > 0
@@ -253,6 +284,7 @@ def first_code_prefilter(
 
 
 # ----------------------------------------------------------- lookup-KMP engine
+@functools.lru_cache(maxsize=512)
 def _kmp_char_delta(needle: bytes) -> np.ndarray:
     """(m+1, 256) byte-level KMP automaton; state m is absorbing accept.
     Classic construction (public algorithm; reference analog
@@ -286,6 +318,11 @@ def _kmp_code_delta(
     return out
 
 
+@_state_cached
+def _kmp_code_delta_for(table: fsstlib.SymbolTable, needle: bytes) -> np.ndarray:
+    return _kmp_code_delta(_kmp_char_delta(needle), table)
+
+
 def kmp_code_match(
     pay: np.ndarray, po: np.ndarray, table: fsstlib.SymbolTable, needle: bytes
 ) -> np.ndarray:
@@ -295,8 +332,8 @@ def kmp_code_match(
     if not needle:
         return np.ones(n_rows, dtype=bool)
     m = len(needle)
-    char_delta = _kmp_char_delta(needle)
-    code_delta = _kmp_code_delta(char_delta, table)
+    char_delta = _kmp_char_delta(bytes(needle))
+    code_delta = _kmp_code_delta_for(table, needle)
 
     state = np.zeros(n_rows, dtype=np.int32)
     pos = po[:-1].copy()
@@ -322,6 +359,11 @@ def kmp_code_match(
         alive = (ns < m) & (pos[idx] < ends[idx])
         idx = idx[alive]
     return state == m
+
+
+@_state_cached
+def _accept_offsets_for(table: fsstlib.SymbolTable, needle: bytes) -> np.ndarray:
+    return _accept_offsets(_kmp_char_delta(bytes(needle)), table)
 
 
 def _accept_offsets(char_delta: np.ndarray, table: fsstlib.SymbolTable) -> np.ndarray:
@@ -358,9 +400,9 @@ def meta_kmp_code_match(
     K = len(segments)
     if K == 0:
         return np.ones(n_rows, dtype=bool)
-    char_d = [_kmp_char_delta(seg) for seg in segments]
-    code_d = [_kmp_code_delta(cd, table) for cd in char_d]
-    acc_off = [_accept_offsets(cd, table) for cd in char_d]
+    char_d = [_kmp_char_delta(bytes(seg)) for seg in segments]
+    code_d = [_kmp_code_delta_for(table, seg) for seg in segments]
+    acc_off = [_accept_offsets_for(table, seg) for seg in segments]
     m_of = [len(seg) for seg in segments]
     syms = table.symbols
 
@@ -499,7 +541,7 @@ def like_on_encoded(
         if lo == hi:
             continue
         rows = np.arange(lo, hi)
-        table = fsstlib.SymbolTable.deserialize(state_vals[int(si[lo])])
+        table = fsstlib.cached_table(state_vals[int(si[lo])])
         used = used_col[lo].as_py() if used_col is not None else None
         gpay = pay[po[lo] : po[hi]]
         gpo = po[lo : hi + 1] - po[lo]

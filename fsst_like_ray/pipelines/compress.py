@@ -254,25 +254,51 @@ def _write_and_summarize(batch: pa.Table, data_dir: str) -> pa.Table:
     )
 
 
+MAX_SPEC_ROWS_FACTOR = 32  # memory cap: a spec never exceeds 32 encode batches
+
+
 def _rowgroup_specs(
-    fragments: list[str], target_rows: int, path_to_key: dict[str, str]
+    fragments: list[str],
+    target_rows: int,
+    path_to_key: dict[str, str],
+    target_specs: int | None = None,
 ) -> list[dict]:
     """One work unit per ~``target_rows`` of consecutive row groups, from
     driver-side parquet FOOTERS only (a few KB per fragment; bounded per
     round by ``fragments_per_round``). Row-group granularity is the finest
     split a parquet reader can do without decoding — a fragment written with
     giant row groups degrades to file granularity (documented corpus-layout
-    assumption; our own sinks write 2048-row groups)."""
+    assumption; our own sinks write 2048-row groups).
+
+    ``target_specs`` (≈4× cluster CPUs) coarsens specs when the round would
+    otherwise produce far more: per-spec dispatch costs ~4 ms of driver
+    time, so thousands of 1 M-token specs throttle a small cluster, while
+    ~4 waves per CPU still levels content skew. The coarsening is capped at
+    ``MAX_SPEC_ROWS_FACTOR`` encode batches per spec so one task never reads
+    an unbounded slice of the round into memory (state granularity is
+    unaffected — the encoder re-chunks by token budget internally)."""
     import pyarrow.parquet as pq
 
-    specs: list[dict] = []
+    per_frag: list[tuple[str, list[int]]] = []
+    total_rows = 0
     for f in fragments:
         try:
             md = pq.read_metadata(f)
+            rg_rows = [md.row_group(g).num_rows for g in range(md.num_row_groups)]
         except Exception:
+            rg_rows = []
+        per_frag.append((f, rg_rows))
+        total_rows += sum(rg_rows)
+    if target_specs:
+        coarse = -(-total_rows // target_specs)  # ceil
+        target_rows = max(
+            target_rows, min(coarse, MAX_SPEC_ROWS_FACTOR * target_rows)
+        )
+    specs: list[dict] = []
+    for f, rg_rows in per_frag:
+        if not rg_rows:
             specs.append({"path": f, "rg0": 0, "rg1": -1, "frag": path_to_key[f]})
             continue
-        rg_rows = [md.row_group(g).num_rows for g in range(md.num_row_groups)]
         g = 0
         while g < len(rg_rows):
             hi, acc = g, 0
@@ -283,8 +309,6 @@ def _rowgroup_specs(
                 {"path": f, "rg0": g, "rg1": hi, "frag": path_to_key[f]}
             )
             g = hi
-        if not rg_rows:
-            specs.append({"path": f, "rg0": 0, "rg1": -1, "frag": path_to_key[f]})
     return specs
 
 
@@ -366,7 +390,14 @@ def compress_dataset(
 
         for key in path_to_key.values():
             shutil.rmtree(os.path.join(data_dir, f"frag={key}"), ignore_errors=True)
-        specs = _rowgroup_specs(round_frags, batch_rows, path_to_key)
+        ncpu = (
+            int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized()
+            else 4
+        )
+        specs = _rowgroup_specs(
+            round_frags, batch_rows, path_to_key, target_specs=4 * ncpu
+        )
         # lazy id stream + ONE broadcast of the spec list: from_items
         # materializes an eager block (an object-store put) PER item — 2.2 s
         # of driver time for 128 specs — while range() is lazy and the spec

@@ -117,21 +117,27 @@ LIKE_PATTERNS = {
 }
 
 
-def _collect_ids(out, col: str, src_col: str | None = None) -> pa.Table:
-    """Stream a Dataset's id column into ONE typed arrow table. Seeded with
-    a typed empty block because an all-empty Ray Dataset drops its schema,
-    which the driver's compare would read as a mismatch vs the oracle's
-    typed empty frame. No per-row Python; the driver materializes results
-    to compare them anyway."""
+def _collect_ids(
+    out, col: str, src_col: str | None = None, empty_type=None
+) -> pa.Table:
+    """Stream a Dataset's id column into ONE typed arrow table. When every
+    block is empty, the result is seeded with a typed empty column (an
+    all-empty Ray Dataset drops its schema, which the driver's compare
+    would read as a mismatch vs the oracle's typed empty frame) — the type
+    comes from the first collected block when any rows exist, else from
+    ``empty_type`` (default int64, the testdata id type; pass e.g.
+    ``pa.string()`` for string-keyed tables). No per-row Python; the driver
+    materializes results to compare them anyway."""
     src = src_col or col
-    seed = pa.table({col: pa.array([], type=pa.int64())})
-    parts = [seed]
+    parts = []
     for b in out.iter_batches(batch_size=65536, batch_format="pyarrow"):
         if b.num_rows:
             t = b.select([src])
             if src != col:
                 t = t.rename_columns([col])
             parts.append(t)
+    if not parts:
+        return pa.table({col: pa.array([], type=empty_type or pa.int64())})
     return pa.concat_tables(parts).combine_chunks()
 
 
@@ -151,6 +157,57 @@ def make_like_count(pattern: str, engine: str):
         return pa.table({"n": pa.array([n], type=pa.int64())})
 
     return q
+
+
+REGEX_PATTERN = "(scan|merge) the (fast|slow)"
+
+
+def q_like_regex(sf_dir: str):
+    """Regex predicate on the encoded corpus (cpp_regex analog,
+    sketch.cc:572-587): decode + RE2 match per batch, streaming."""
+    from .scan import regex_scan
+
+    enc = encode_text_dataset(_docs(sf_dir, ("doc_id", "text")))
+    out = regex_scan(enc, REGEX_PATTERN)
+    return _collect_ids(out, "doc_id")
+
+
+# --------------------------------------------------- engine ranking artifact
+# fixed pattern set for the reference's flagship per-engine comparison
+# (sketch.cc:1306-1371): one per shape family so every engine appears
+RANK_PATTERNS = ["%scan%", "%merge%sort%", "the fast key %", "%join"]
+
+
+def q_engine_rank(sf_dir: str):
+    """Deterministic (pattern, repr, engine, matches) projection of the
+    engine-ranking bench — every applicable engine over the same encoded
+    corpus; rank_engines itself raises if any engine disagrees with the
+    decoded oracle, so a passing run certifies count agreement."""
+    from .rank import engine_rank_counts
+
+    raw = _docs(sf_dir, ("doc_id", "text")).materialize()
+    enc = encode_text_dataset(raw).materialize()
+    return engine_rank_counts(raw, enc, RANK_PATTERNS)
+
+
+def engine_rank_oracle_sql() -> str:
+    """Oracle generated from the SAME applicability table the ranking uses,
+    so engine registration and the oracle can never drift apart."""
+    from .rank import applicable_engines
+
+    rows = []
+    for pat in RANK_PATTERNS:
+        for eng in applicable_engines(pat):
+            rows.append((pat, "fsst", eng))
+        rows.append((pat, "raw", "decoded"))
+    rows.sort()
+    selects = [
+        f"SELECT '{p}' AS pattern, '{r}' AS \"repr\", '{e}' AS engine, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM documents "
+        f"WHERE text LIKE '{p}') AS matches"
+        for p, r, e in rows
+    ]
+    return " UNION ALL ".join(selects)
 
 
 # ------------------------------------------------------------- aggregates
@@ -180,39 +237,47 @@ def q_source_counts(sf_dir: str):
 
 def q_compression_stats(sf_dir: str):
     """Per-codec encoded bytes over the derived tokens table (the reference's
-    compressed-size accounting, sketch.cc:738-755). Streaming: one encode
-    pipeline per codec, reduced to (Σ payload, Σ states, Σ plain) — nothing
-    materializes. Rows-only check."""
+    compressed-size accounting, sketch.cc:738-755) in ONE streaming pass:
+    each batch runs the auto-selector once and emits its per-codec
+    FULL-BLOCK estimates (held-out fsst eval + Heaps-law dict growth —
+    measured within ~2-4% of exact encodes), summed driver-side. The
+    previous shape executed a full encode pipeline per codec (6 passes over
+    the corpus) and was the most expensive query in the driver's sweep.
+    Rows-only check (estimates, not bit-exact sizes)."""
+    from ..codecs import select_codec
+    from ..stages.encode import list_buffers
 
-    def summarize(b: pa.Table) -> pa.Table:
-        payload = int(pa.compute.sum(b["payload_nbytes"]).as_py() or 0)
-        states = b["state"].combine_chunks()
-        state_bytes = sum(
-            len(v.as_py() or b"") for v in states.dictionary
-        ) if pa.types.is_dictionary(states.type) else 0
-        plain = int(
-            pa.compute.sum(b["n_tok"].cast(pa.int64())).as_py() or 0
-        ) * 4
+    names = sorted(CODECS)
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        values, offsets = list_buffers(b["tokens"])
+        _name, est, _state = select_codec(values, offsets)
+        plain = int(offsets[-1] - offsets[0]) * 4
         return pa.table(
             {
-                "payload": pa.array([payload], type=pa.int64()),
-                "state": pa.array([state_bytes], type=pa.int64()),
-                "plain": pa.array([plain], type=pa.int64()),
+                "codec": pa.array(names, type=pa.string()),
+                "encoded_bytes": pa.array(
+                    [int(est[n]) for n in names], type=pa.int64()
+                ),
+                "plain_bytes": pa.array([plain] * len(names), type=pa.int64()),
             }
         )
 
-    rows = []
-    for name in sorted(CODECS):
-        enc = encode_dataset(_tokens_ds(sf_dir), codec=name)
-        parts = enc.map_batches(summarize, batch_format="pyarrow").take_all()
-        rows.append(
-            {
-                "codec": name,
-                "encoded_bytes": sum(r["payload"] + r["state"] for r in parts),
-                "plain_bytes": sum(r["plain"] for r in parts),
-            }
-        )
-    return pd.DataFrame(rows)
+    parts = (
+        _tokens_ds(sf_dir)
+        .map_batches(per_batch, batch_format="pyarrow", batch_size=2048)
+        .take_all()
+    )
+    acc: dict[str, list[int]] = {n: [0, 0] for n in names}
+    for r in parts:
+        acc[r["codec"]][0] += int(r["encoded_bytes"])
+        acc[r["codec"]][1] += int(r["plain_bytes"])
+    return pd.DataFrame(
+        [
+            {"codec": n, "encoded_bytes": acc[n][0], "plain_bytes": acc[n][1]}
+            for n in names
+        ]
+    )
 
 
 def q_compression_ratio_gate(sf_dir: str):
@@ -267,11 +332,22 @@ def q_decode_selected(sf_dir: str):
 
 # ------------------------------------------------------------------ dedup
 def q_dedup_exact(sf_dir: str):
+    import ray
+
     ds = _docs(sf_dir, ("doc_id", "text"))
     dup_rows = F_dedup.exact_duplicates(ds).take_all()
-    dropped = np.array(sorted(r["doc_id"] for r in dup_rows), dtype=np.int64)
+    # broadcast via the object store ONCE (same pattern as
+    # dedup.resolve_hot_buckets) — captured in the closure, the array would
+    # serialize into EVERY task spec; bounded by the duplicate count, which
+    # at 100 TB is not driver-closure-sized
+    dropped_ref = ray.put(
+        np.array(sorted(r["doc_id"] for r in dup_rows), dtype=np.int64)
+    )
 
     def keep(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        dropped = _ray.get(dropped_ref)
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         mask = (
             ~np.isin(ids, dropped) if dropped.size else np.ones(len(ids), bool)
@@ -314,24 +390,38 @@ def q_pipeline_clean_corpus(sf_dir: str):
 
     filt = ds.map_batches(flt, batch_format="pyarrow")
     dropped_rows = F_dedup.exact_duplicates(filt).take_all()
-    dropped = np.array(
-        sorted(r["doc_id"] for r in dropped_rows), dtype=np.int64
+    import ray
+
+    # object-store broadcast, not a task-spec closure capture (see
+    # q_dedup_exact)
+    dropped_ref = ray.put(
+        np.array(sorted(r["doc_id"] for r in dropped_rows), dtype=np.int64)
     )
 
     def clean_partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        dropped = _ray.get(dropped_ref)
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         keep = (
             ~np.isin(ids, dropped) if dropped.size else np.ones(len(ids), bool)
         )
         sub = b.filter(pa.array(keep))
-        chars = pc.utf8_length(sub["text"]).to_numpy(zero_copy_only=False)
-        df = pd.DataFrame(
-            {"source": sub["source"].to_pandas(), "chars": chars.astype(np.int64)}
+        chars = pc.utf8_length(sub["text"]).cast(pa.int64())
+        # Arrow-native partial groupby — no pandas round trip in the
+        # streamed stage
+        g = (
+            pa.table({"source": sub["source"], "chars": chars})
+            .group_by("source")
+            .aggregate([("chars", "count"), ("chars", "sum")])
         )
-        g = df.groupby("source", as_index=False).agg(
-            n_docs=("chars", "size"), sum_chars=("chars", "sum")
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_docs": g["chars_count"].cast(pa.int64()),
+                "sum_chars": g["chars_sum"].cast(pa.int64()),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     merged = (
         filt.map_batches(clean_partial, batch_format="pyarrow")
@@ -708,24 +798,43 @@ def q_tpch_q1(sf_dir: str):
         qty = b["l_quantity"].to_numpy(zero_copy_only=False)[keep]
         px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
         disc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
-        df = pd.DataFrame(
+        keep_idx = pa.array(np.flatnonzero(keep))
+        # Arrow-native partial groupby (no pandas round trip in the
+        # streamed stage)
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": b["l_returnflag"].take(keep_idx),
+                    "l_linestatus": b["l_linestatus"].take(keep_idx),
+                    "qty": pa.array(qty.astype(np.int64)),
+                    "price_cents": pa.array(
+                        np.floor(px * 100 + 0.5).astype(np.int64)
+                    ),
+                    "disc_cents": pa.array(
+                        np.floor(px * (1 - disc) * 100 + 0.5).astype(np.int64)
+                    ),
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [
+                    ("qty", "sum"),
+                    ("price_cents", "sum"),
+                    ("disc_cents", "sum"),
+                    ("qty", "count"),
+                ]
+            )
+        )
+        return pa.table(
             {
-                "l_returnflag": b["l_returnflag"].to_pandas()[keep].to_numpy(),
-                "l_linestatus": b["l_linestatus"].to_pandas()[keep].to_numpy(),
-                "qty": qty.astype(np.int64),
-                "price_cents": np.floor(px * 100 + 0.5).astype(np.int64),
-                "disc_cents": np.floor(px * (1 - disc) * 100 + 0.5).astype(
-                    np.int64
-                ),
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "sum_qty": g["qty_sum"].cast(pa.int64()),
+                "sum_base_cents": g["price_cents_sum"].cast(pa.int64()),
+                "sum_disc_cents": g["disc_cents_sum"].cast(pa.int64()),
+                "count_order": g["qty_count"].cast(pa.int64()),
             }
         )
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("qty", "sum"),
-            sum_base_cents=("price_cents", "sum"),
-            sum_disc_cents=("disc_cents", "sum"),
-            count_order=("qty", "size"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -924,13 +1033,20 @@ def q_tpch_segment_orders(sf_dir: str):
         cents = np.floor(
             b["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
         ).astype(np.int64)
-        df = pd.DataFrame(
-            {"c_mktsegment": b["c_mktsegment"].to_pandas(), "cents": cents}
+        g = (
+            pa.table(
+                {"c_mktsegment": b["c_mktsegment"], "cents": pa.array(cents)}
+            )
+            .group_by("c_mktsegment")
+            .aggregate([("cents", "count"), ("cents", "sum")])
         )
-        g = df.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("cents", "size"), total_cents=("cents", "sum")
+        return pa.table(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "n_orders": g["cents_count"].cast(pa.int64()),
+                "total_cents": g["cents_sum"].cast(pa.int64()),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     merged = (
         joined.map_batches(partial, batch_format="pyarrow")
@@ -1031,6 +1147,8 @@ def build_queries() -> dict:
     for name, (pattern, engine) in LIKE_PATTERNS.items():
         q[name] = make_like(pattern, engine)
     q["like_count_contains"] = make_like_count("%scan%", "auto")
+    q["engine_rank_counts"] = q_engine_rank
+    q["like_regex"] = q_like_regex
     q["like_exact"] = q_like_exact
     q["pipeline_clean_corpus"] = q_pipeline_clean_corpus
     q["ntok_histogram"] = q_ntok_histogram
@@ -1103,6 +1221,11 @@ def build_oracle_sql() -> dict:
     sql["like_count_contains"] = (
         "SELECT CAST(count(*) AS BIGINT) AS n FROM documents "
         "WHERE text LIKE '%scan%'"
+    )
+    sql["engine_rank_counts"] = engine_rank_oracle_sql()
+    sql["like_regex"] = (
+        f"SELECT doc_id FROM documents "
+        f"WHERE regexp_matches(text, '{REGEX_PATTERN}')"
     )
     sql["ntok_histogram"] = """
         SELECT CASE WHEN length(text) = 0 THEN 0
@@ -1351,6 +1474,7 @@ def build_oracle_sql() -> dict:
         GROUP BY w.ws
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
-    # compression_stats, dedup_minhash/simhash/embedding, ann_ivf,
-    # multimodal_decode, tokens_corpus_roundtrip
+    # compression_stats, dedup_minhash/simhash/ngram_jaccard/embedding,
+    # ann_topk/ann_ivf — each has an oracle-gated sibling (the *_planted
+    # recall gates, *_recall gates, compression_ratio_gate)
     return sql

@@ -70,6 +70,31 @@ def like_scan(
     return encoded.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def regex_scan(
+    encoded: "ray.data.Dataset", regex: str, decode_matches: bool = False
+) -> "ray.data.Dataset":
+    """Regex predicate over the encoded corpus (reference: the cpp_regex
+    engine, sketch.cc:572-587, which std::regex_search-es each decoded
+    string). Decoded-path by design — regexes have no sound compressed-domain
+    prefilter in general — but still streaming: decode + match + project per
+    batch, nothing materializes. Uses RE2 syntax via
+    ``pyarrow.compute.match_substring_regex`` (vectorized, not a per-row
+    Python loop like the reference's scalar std::regex)."""
+    import pyarrow.compute as pc
+
+    def scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(["doc_id"])
+        dec = decode_text_table(batch)
+        mask = pc.match_substring_regex(dec["text"].combine_chunks(), regex)
+        rows = np.flatnonzero(mask.to_numpy(zero_copy_only=False).astype(bool))
+        if decode_matches:
+            return dec.take(pa.array(rows))
+        return batch.select(["doc_id"]).take(pa.array(rows))
+
+    return encoded.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def like_count(
     encoded: "ray.data.Dataset", pattern: str, engine: str = "auto"
 ) -> int:

@@ -99,7 +99,7 @@ def decode_text_table(batch: pa.Table) -> pa.Table:
         lo, hi = int(seg[k]), int(seg[k + 1])
         if lo == hi:
             continue
-        table = fsstlib.SymbolTable.deserialize(state_vals[int(si[lo])])
+        table = fsstlib.cached_table(state_vals[int(si[lo])])
         sub = pay[po[lo] : po[hi]]
         so = po[lo : hi + 1] - po[lo]
         dec, ro = fsstlib.decode(

@@ -137,6 +137,31 @@ def test_simhash_dedup_finds_planted(ray_session, docs):
     assert len(dups) < t.num_rows // 2
 
 
+def test_simhash_giant_single_word_bounded(ray_session):
+    """A 1 MB no-space document must not degenerate the word-hash loop
+    (capped at MAX_WORD_HASH_BYTES iterations), and identical copies of it
+    must still collide to the same fingerprint."""
+    import time
+
+    import pyarrow as pa
+
+    from fsst_like_ray.functions.dedup import simhash_batch
+
+    giant = "x" * (1 << 20)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array([giant, giant, "a normal short doc"]),
+        }
+    )
+    t0 = time.time()
+    out = simhash_batch(t)
+    assert time.time() - t0 < 5.0  # uncapped loop would run 2^20 iterations
+    fp = out["simhash"].to_pylist()
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
 def test_brute_force_topk(ray_session):
     import ray.data
     from fsst_like_ray.functions.similarity import brute_force_topk, _emb_matrix
