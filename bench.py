@@ -27,7 +27,12 @@ BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "65536"))
 # (524288 rows ≈ 260 M tokens — after the round-3 encode speedups the
 # 262144-row job finished in ~4 s at 32 CPUs, too short to amortize)
 SCALING_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "524288"))
-CORPUS_DIR = f"/tmp/fsst_like_bench/tokens_{BENCH_ROWS}"
+# 16384-row files (row groups stay 2048): fragments must be MUCH larger
+# than one work unit or spec coarsening degenerates to one-spec-per-file
+# and small-CPU runs drown in per-task dispatch — mirroring real
+# deployments, where fragments are ~1 GB and work units are ~1M tokens
+ROWS_PER_FILE = 16384
+CORPUS_DIR = f"/tmp/fsst_like_bench/tokens_{BENCH_ROWS}_f{ROWS_PER_FILE}"
 
 
 def _init_ray(num_cpus: int):
@@ -96,7 +101,9 @@ def _warm_cluster(ray, num_cpus: int):
 def _ensure_corpus():
     from fsst_like_ray.sources.tokens import write_tokens_parquet
 
-    write_tokens_parquet(CORPUS_DIR, n_rows=BENCH_ROWS, seed=42, rows_per_file=4096)
+    write_tokens_parquet(
+        CORPUS_DIR, n_rows=BENCH_ROWS, seed=42, rows_per_file=ROWS_PER_FILE
+    )
     return CORPUS_DIR
 
 
@@ -212,7 +219,7 @@ def main():
     if args.scaling:
         global BENCH_ROWS, CORPUS_DIR
         BENCH_ROWS = SCALING_ROWS
-        CORPUS_DIR = f"/tmp/fsst_like_bench/tokens_{BENCH_ROWS}"
+        CORPUS_DIR = f"/tmp/fsst_like_bench/tokens_{BENCH_ROWS}_f{ROWS_PER_FILE}"
         _ensure_corpus()  # generate once, all subprocesses reuse it
         # N → 4N in fresh processes (sandbox proxy for N- vs 4N-node
         # clusters). Default N=2: 2→8 stays below the shared socket's

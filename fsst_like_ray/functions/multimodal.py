@@ -1,15 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The image/audio decode libraries are NOT in this environment, so the decode
-kernels are STUBS: ``DecodeImage(fake=False)`` raises NotImplementedError;
-``fake=True`` produces a deterministic fake decode (hash-derived pixel
-statistics) so the Ray-side plumbing — schema, batch sizing, actor signature,
-output layout — is real and tested end-to-end.
+Decode is REAL for PNG / BMP / PNM images and PCM16 WAV audio via the
+library-free codecs in :mod:`media_codecs` (stdlib zlib/wave + NumPy) —
+``DecodeImage(fake=False)`` decodes those formats and extracts pixel-derived
+features. Formats that require external codec libraries this environment
+does not ship (JPEG, video frames) raise NotImplementedError per payload;
+``fake=True`` keeps the deterministic hash-derived stub for opaque fixture
+bytes so plumbing tests need no real payloads.
 
 Scale notes encoded in the defaults: binary payloads are large, so
 ``batch_size`` is small (256) and the stage runs as an actor pool whose
-__init__ would hold the (expensive) decoder/model handle.
+__init__ would hold the (expensive) decoder/model handle. The per-row
+decode loop is inherent (entropy-coded formats are not batch-vectorizable);
+the actor pool is the parallelism axis.
 """
 
 from __future__ import annotations
@@ -51,24 +55,84 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Fixture rows whose payloads are REAL decodable bytes: PNG, BMP and
+    P6 PNM images with deterministic gradient pixels (dims derived from the
+    row index so an oracle can recompute them without decoding)."""
+    from .media_codecs import encode_bmp, encode_png
+
+    rows_payload, widths, heights = [], [], []
+    for i in range(n):
+        w, h = 16 + (i % 4) * 8, 16
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = ((xx * 7 + yy * 13 + i) % 256).astype(np.uint8)
+        img3 = np.stack([img, img[::-1], img.T[:w, :h].T[:h, :w]], axis=2)
+        kind = i % 3
+        if kind == 0:
+            payload = encode_png(img3)
+        elif kind == 1:
+            payload = encode_bmp(img3)
+        else:
+            payload = (
+                b"P6\n%d %d\n255\n" % (w, h) + img3.tobytes()
+            )
+        rows_payload.append(payload)
+        widths.append(w)
+        heights.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array([f"m-{i:06d}" for i in range(n)]),
+            "payload": pa.array(rows_payload, type=pa.large_binary()),
+            "media_type": pa.array(["image"] * n),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "sample_rate": pa.array([0] * n, pa.int32()),
+            "n_frames": pa.array([1] * n, pa.int32()),
+        }
+    )
+
+
 class DecodeImage:
     """Actor stage: decode → per-image feature vector.
 
-    Real decoding requires an image library (absent here); ``fake=True``
-    derives deterministic features from the payload bytes so downstream
-    stages can be exercised."""
+    ``fake=False`` REALLY decodes PNG/BMP/PNM payloads (media_codecs) and
+    emits pixel-derived features [h, w, c, mean, std, mean_r, mean_g,
+    mean_b]; entropy-coded formats needing external libraries (JPEG) raise.
+    ``fake=True`` derives deterministic features from the raw payload bytes
+    so plumbing tests can run on opaque fixtures."""
 
     def __init__(self, fake: bool = False, feature_dim: int = 8):
         self.fake = fake
         self.feature_dim = feature_dim
-        # a real implementation would open the decoder/model handle HERE,
-        # once per actor — not per batch
+        # real decoder dispatch is resolved once per actor here — not per
+        # batch (the import builds nothing heavy today, but this is the
+        # slot where a model/codec handle would live)
+        if not fake:
+            from .media_codecs import decode_image as _di
+
+            self._decode = _di
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
-                "image decoding requires an image library not present in this "
-                "environment; construct with fake=True for the deterministic stub"
+            col = batch["payload"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            feats = np.zeros((batch.num_rows, self.feature_dim), np.float32)
+            for i in range(batch.num_rows):
+                img = self._decode(col[i].as_py())
+                h, w, c = img.shape
+                f = [h, w, c, float(img.mean()), float(img.std())]
+                f += [float(img[:, :, k].mean()) for k in range(min(c, 3))]
+                feats[i, : len(f[: self.feature_dim])] = f[: self.feature_dim]
+            return pa.table(
+                {
+                    "media_id": batch["media_id"],
+                    "features": pa.FixedSizeListArray.from_arrays(
+                        pa.array(feats.reshape(-1), type=pa.float32()),
+                        self.feature_dim,
+                    ),
+                    "decoded_ok": pa.array([True] * batch.num_rows),
+                }
             )
         # vectorized fake features: per-row chunk means via one prefix-sum
         # over the payload bytes (np.array_split semantics, no row loop)
@@ -103,6 +167,40 @@ class DecodeImage:
                     pa.array(flat, type=pa.float32()), self.feature_dim
                 ),
                 "decoded_ok": pa.array([True] * batch.num_rows),
+            }
+        )
+
+
+class DecodeAudio:
+    """Actor stage: PCM16 WAV payloads → (media_id, sample_rate, n_samples,
+    rms). Real decode via the stdlib wave module (media_codecs.decode_wav);
+    compressed audio formats would need external libraries and raise."""
+
+    def __init__(self):
+        from .media_codecs import decode_wav as _dw
+
+        self._decode = _dw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["payload"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        rates, counts, rms = [], [], []
+        for i in range(batch.num_rows):
+            samples, rate = self._decode(col[i].as_py())
+            rates.append(rate)
+            counts.append(samples.shape[0])
+            rms.append(
+                float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                if samples.size
+                else 0.0
+            )
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(counts, pa.int64()),
+                "rms": pa.array(rms, pa.float64()),
             }
         )
 

@@ -700,6 +700,40 @@ def q_multimodal(sf_dir: str):
     )
 
 
+def q_multimodal_real(sf_dir: str):
+    """REAL image decode (PNG/BMP/PNM via the library-free codecs): decoded
+    width/height are read from the PIXELS, so the oracle's dimension formula
+    only matches if the decoder actually parsed the payloads."""
+    from ..functions.multimodal import DecodeImage, synth_real_media_table
+
+    ds = ray.data.from_arrow(synth_real_media_table(120))
+
+    def project(b: pa.Table) -> pa.Table:
+        feats = b["features"]
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        f = feats.flatten().to_numpy(zero_copy_only=False).reshape(len(b), -1)
+        return pa.table(
+            {
+                "media_id": b["media_id"],
+                "height": pa.array(f[:, 0].astype(np.int32), pa.int32()),
+                "width": pa.array(f[:, 1].astype(np.int32), pa.int32()),
+                "decoded_ok": b["decoded_ok"],
+            }
+        )
+
+    return (
+        ds.map_batches(
+            DecodeImage,
+            fn_constructor_kwargs={"fake": False},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+        )
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
 def q_tokens_corpus_roundtrip(sf_dir: str):
     """North-rule synthetic corpus (FIXTURES.md §1) through the full auto
     pipeline; returns per-source row/token counts + the round-trip verdict."""
@@ -1177,6 +1211,7 @@ def build_queries() -> dict:
     q["ann_ivf_recall"] = q_ann_ivf_recall
     q["ann_ivf_index_recall"] = q_ann_ivf_index_recall
     q["multimodal_decode"] = q_multimodal
+    q["multimodal_decode_real"] = q_multimodal_real
     q["tokens_corpus_roundtrip"] = q_tokens_corpus_roundtrip
     q["events_window_agg"] = q_events_window
     q["events_sessionize"] = q_events_sessionize
@@ -1259,6 +1294,16 @@ def build_oracle_sql() -> dict:
     sql["multimodal_decode"] = """
         SELECT format('m-{:06d}', i) AS media_id, (1=1) AS decoded_ok
         FROM range(200) t(i)
+    """
+    # dims recomputed by the oracle from the fixture formula; the Ray side
+    # reads them from DECODED PIXELS — they agree only if the real decode
+    # parsed the PNG/BMP/PNM payloads correctly
+    sql["multimodal_decode_real"] = """
+        SELECT format('m-{:06d}', i) AS media_id,
+               CAST(16 AS INT) AS height,
+               CAST(16 + (i % 4) * 8 AS INT) AS width,
+               (1=1) AS decoded_ok
+        FROM range(120) t(i)
     """
     sql["tokens_corpus_roundtrip"] = (
         "SELECT CAST(4096 AS BIGINT) AS rows, (1=1) AS bit_identical"
