@@ -206,12 +206,65 @@ def run_ann(sf_dir: str) -> dict:
     return {"sec": time.time() - t0, "rows": len(out)}
 
 
+def run_loop_train(repeats: int = 1000) -> dict:
+    """LOOP-style symbol-table-construction micro-bench (the reference's
+    `LOOP` env toggle, sketch.cc:719: repeated training on one block to
+    time table construction in isolation). Single-process, no Ray."""
+    import numpy as np
+
+    from fsst_like_ray import fsstlib
+    from fsst_like_ray.sources.tokens import tokens_table
+    from fsst_like_ray.stages.encode import list_buffers
+
+    from fsst_like_ray.codecs.fsst import TRAIN_SAMPLE_BYTES, _sample_rows
+
+    t = tokens_table(256, seed=42)
+    values, offsets = list_buffers(t["tokens"])
+    data = np.ascontiguousarray(values, dtype=np.int32).view(np.uint8)
+    bo = offsets * 4
+    # same bounded sample the codec trains on (the reference's LOOP times
+    # production table construction, not an uncapped corpus-wide train)
+    rows = _sample_rows(bo, TRAIN_SAMPLE_BYTES)
+    counts = np.diff(bo)[rows]
+    so = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(counts, out=so[1:])
+    sample = np.empty(int(so[-1]), dtype=np.uint8)
+    for k, r in enumerate(rows):
+        sample[so[k] : so[k + 1]] = data[bo[r] : bo[r + 1]]
+    data, bo = sample, so
+    fsstlib.train(data, bo)  # warm
+    t0 = time.time()
+    for _ in range(repeats):
+        table = fsstlib.train(data, bo)
+    dt = time.time() - t0
+    return {
+        "repeats": repeats,
+        "sec": round(dt, 3),
+        "ms_per_train": round(dt / repeats * 1e3, 3),
+        "sample_bytes": int(bo[-1]),
+        "n_symbols": len(table.symbols),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--loop-train", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
+
+    if args.loop_train:
+        print(
+            json.dumps(
+                {
+                    "metric": "train_loop",
+                    "unit": "ms",
+                    **run_loop_train(),
+                }
+            )
+        )
+        return
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
