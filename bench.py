@@ -6,9 +6,10 @@ Headline = the north-rule flagship: synthetic tokens corpus (FIXTURES.md §1)
 → skew-planned auto-codec encode → partitioned parquet + manifest; plus
 decode-verify, compressed LIKE scans, dedup, and ANN as per-query timings.
 
---scaling runs the headline encode twice in FRESH subprocesses at
-num_cpus=8 and num_cpus=32 on the SAME pre-generated input and reports both
-throughputs + scaling efficiency (sandbox proxy for N- vs 4N-node clusters).
+--scaling runs the headline encode in FRESH subprocesses at num_cpus=2, 8
+and 32 on the SAME pre-generated input and reports throughputs + the 2→8
+(N vs 4N) scaling efficiency, with 8→32 alongside (sandbox proxy for N- vs
+4N-node clusters; see BASELINE.md for why 2→8 is the honest per-node pair).
 """
 
 from __future__ import annotations

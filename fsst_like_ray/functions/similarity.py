@@ -128,9 +128,26 @@ def train_centroids(ds, n_centroids: int = 16, sample_rows: int = 2048, iters: i
     return cents
 
 
-def ivf_topk(ds, query: np.ndarray, k: int = 10, n_centroids: int = 16, nprobe: int = 4):
-    """IVF-style ANN: probe only the ``nprobe`` clusters nearest each query."""
-    cents = train_centroids(ds, n_centroids)
+def ivf_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+):
+    """IVF-style ANN: probe only the ``nprobe`` clusters nearest each query.
+
+    Pass ``centroids`` (e.g. from ``train_centroids`` or a persisted index)
+    to skip per-call training; batch several queries into one call (``query``
+    may be a matrix) to share the single filtered scan. For repeated query
+    workloads prefer ``build_ivf_index`` + ``ivf_index_topk``, which probes
+    stored cells instead of re-scanning and re-assigning the dataset."""
+    cents = (
+        np.asarray(centroids, dtype=np.float32)
+        if centroids is not None
+        else train_centroids(ds, n_centroids)
+    )
     query = np.atleast_2d(np.asarray(query, dtype=np.float32))
     qn = _normalize(query)
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]

@@ -472,11 +472,53 @@ def _sum_hash_summaries(ds: "ray.data.Dataset") -> tuple[int, int, int]:
     return s, x, n
 
 
+class DecodeVerifyTask:
+    """Spec-based decode+hash: each task reads its own encoded part files
+    from storage, decodes, and returns ONE (hash_sum, hash_xor, rows)
+    summary row — same locality argument as EncodeSpecTask: payload bytes
+    never cross the object store, only file-group ids and summary rows."""
+
+    def __init__(self, groups_ref):
+        self.groups_ref = groups_ref
+
+    def __call__(self, ids: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        import ray
+
+        from ..stages.verify import row_hashes
+
+        groups = ray.get(self.groups_ref)
+        s = np.uint64(0)
+        x = np.uint64(0)
+        n = 0
+        with np.errstate(over="ignore"):
+            for i in ids["id"].to_pylist():
+                for f in groups[i]:
+                    out = decode_batch(pq.read_table(f))
+                    h = row_hashes(out)
+                    if h.size:
+                        s += np.uint64(h.sum())
+                        x ^= np.uint64(np.bitwise_xor.reduce(h))
+                        n += len(h)
+        return pa.table(
+            {
+                "hash_sum": pa.array([int(s)], type=pa.uint64()),
+                "hash_xor": pa.array([int(x)], type=pa.uint64()),
+                "rows": pa.array([n], type=pa.int64()),
+            }
+        )
+
+
 def verify_roundtrip_manifest(out_dir: str) -> dict:
     """Decode-verify WITHOUT touching the original corpus: the manifest
     recorded the input's order-insensitive (hash sum, xor, rows) during the
     encode pass, so verification is one streaming decode + hash. At 100 TB
-    this is the only affordable verify — the original may be cold storage."""
+    this is the only affordable verify — the original may be cold storage.
+    Spec-based like the encode: tasks read their own part files; only
+    summary rows flow."""
+    import ray
+
     manifest = Manifest(out_dir)
     done = manifest.completed()
     exp_s = 0
@@ -488,7 +530,27 @@ def verify_roundtrip_manifest(out_dir: str) -> dict:
         )
         exp_x ^= int(rec.get("hash_xor", 0)) & ((1 << 64) - 1)
         exp_n += int(rec.get("rows", 0))
-    got = _sum_hash_summaries(decode_dataset(read_encoded(out_dir)))
+    files = discover_fragments(os.path.join(out_dir, "data"))
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    n_groups = max(1, min(len(files), 4 * ncpu))
+    groups = [list(g) for g in np.array_split(np.array(files), n_groups)]
+    groups_ref = ray.put(groups)
+    rows = (
+        ray.data.range(len(groups), override_num_blocks=len(groups))
+        .map_batches(
+            DecodeVerifyTask(groups_ref),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
+        .take_all()
+    )
+    s = x = n = 0
+    for r in rows:
+        s = (s + int(r["hash_sum"])) % (1 << 64)
+        x ^= int(r["hash_xor"])
+        n += int(r["rows"])
+    got = (s, x, n)
     return {
         "match": got == (exp_s, exp_x, exp_n),
         "manifest": (exp_s, exp_x, exp_n),
