@@ -217,22 +217,19 @@ def run_loop_train(repeats: int = 1000) -> dict:
     from fsst_like_ray.sources.tokens import tokens_table
     from fsst_like_ray.stages.encode import list_buffers
 
-    from fsst_like_ray.codecs.fsst import TRAIN_SAMPLE_BYTES, _sample_rows
+    from fsst_like_ray.codecs.fsst import (
+        TRAIN_SAMPLE_BYTES,
+        _sample_rows,
+        gather_rows,
+    )
 
     t = tokens_table(256, seed=42)
     values, offsets = list_buffers(t["tokens"])
-    data = np.ascontiguousarray(values, dtype=np.int32).view(np.uint8)
-    bo = offsets * 4
-    # same bounded sample the codec trains on (the reference's LOOP times
-    # production table construction, not an uncapped corpus-wide train)
-    rows = _sample_rows(bo, TRAIN_SAMPLE_BYTES)
-    counts = np.diff(bo)[rows]
-    so = np.zeros(len(rows) + 1, dtype=np.int64)
-    np.cumsum(counts, out=so[1:])
-    sample = np.empty(int(so[-1]), dtype=np.uint8)
-    for k, r in enumerate(rows):
-        sample[so[k] : so[k + 1]] = data[bo[r] : bo[r + 1]]
-    data, bo = sample, so
+    raw = np.ascontiguousarray(values, dtype=np.int32).view(np.uint8)
+    raw_bo = offsets * 4
+    # same bounded sample-gather the codec trains on (the reference's LOOP
+    # times production table construction, not an uncapped corpus-wide train)
+    data, bo = gather_rows(raw, raw_bo, _sample_rows(raw_bo, TRAIN_SAMPLE_BYTES))
     fsstlib.train(data, bo)  # warm
     t0 = time.time()
     for _ in range(repeats):

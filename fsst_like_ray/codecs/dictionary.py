@@ -93,7 +93,12 @@ class DictCodec(Codec):
         # and 3/16 for the two-point power law on the fixture corpus)
         a12 = np.log(max(u_h, 1) / max(u_q, 1)) / np.log(2)
         a23 = np.log(max(u_s, 1) / max(u_h, 1)) / np.log(2)
-        decay = a23 / a12 if a12 > 0 else 1.0
+        # unique growth can only decelerate with scale under any stationary
+        # distribution — clamp the decay at 1 so a pathological sample order
+        # (flat first half, all-new second half) cannot amplify the exponent
+        # geometrically and overflow 2**exp_sum to inf (which would saturate
+        # u_est and wrongly disqualify dict)
+        decay = min(a23 / a12, 1.0) if a12 > 0 else 1.0
         d = np.log2(full_tokens / n)
         a, exp_sum = a23, 0.0
         while d > 0:
@@ -101,7 +106,7 @@ class DictCodec(Codec):
             a *= decay
             exp_sum += a * step
             d -= step
-        u_est = int(np.clip(u_s * 2.0 ** exp_sum, u_s, full_tokens))
+        u_est = int(np.clip(u_s * 2.0 ** min(exp_sum, 62), u_s, full_tokens))
         width = max(int(u_est - 1).bit_length(), 0) if u_est else 0
         rows = full_rows if full_rows is not None else len(offsets) - 1
         # per-row payloads are byte-aligned: expected padding ≈ 0.5 B/row

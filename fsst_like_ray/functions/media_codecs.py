@@ -39,9 +39,10 @@ def _png_chunks(data: bytes):
 
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """PNG scanline unfiltering (spec §6): per-row filter byte then data.
-    The row loop is bounded by image HEIGHT; within a row, filters 0-2 are
-    vectorized and 3-4 (Average/Paeth) fall back to a per-byte loop only on
-    rows that actually use them."""
+    The row loop is bounded by image HEIGHT; within a row, filters 0 (None),
+    1 (Sub: a per-color-lane uint8 prefix sum — wraparound is exactly the
+    mod-256 the spec wants) and 2 (Up) are vectorized; 3-4 (Average/Paeth)
+    fall back to a per-byte loop only on rows that actually use them."""
     rows = raw.reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
@@ -52,10 +53,13 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
             line = cur
         elif ftype == 2:  # Up
             line = (cur + prev) & 0xFF
-        elif ftype == 1:  # Sub — prefix dependency within the row only
-            line = cur.copy()
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 1:  # Sub
+            lanes = rows[y, 1:].reshape(-1, bpp)
+            line = (
+                np.cumsum(lanes, axis=0, dtype=np.uint8)
+                .reshape(-1)
+                .astype(np.int64)
+            )
         elif ftype == 3:  # Average
             line = cur.copy()
             for x in range(stride):

@@ -131,7 +131,9 @@ class DecodeImage:
                         pa.array(feats.reshape(-1), type=pa.float32()),
                         self.feature_dim,
                     ),
-                    "decoded_ok": pa.array([True] * batch.num_rows),
+                    "decoded_ok": pa.array(
+                        [True] * batch.num_rows, type=pa.bool_()
+                    ),
                 }
             )
         # vectorized fake features: per-row chunk means via one prefix-sum
@@ -166,7 +168,9 @@ class DecodeImage:
                 "features": pa.FixedSizeListArray.from_arrays(
                     pa.array(flat, type=pa.float32()), self.feature_dim
                 ),
-                "decoded_ok": pa.array([True] * batch.num_rows),
+                "decoded_ok": pa.array(
+                        [True] * batch.num_rows, type=pa.bool_()
+                    ),
             }
         )
 

@@ -34,6 +34,12 @@ from ..stages.verify import hash_summary
 from ..state.manifest import Manifest, fragment_key
 
 DEFAULT_BATCH_ROWS = 2048
+# codec-state token budget when the caller gives no balance_tokens:
+# ≈ the old default 2048-row block at the fixture's mean row length, so
+# spec coarsening (up to 32 batches per task) never silently widens the
+# state granularity — the giant-document isolation guarantee is the token
+# budget, not the task size
+DEFAULT_STATE_TOKENS = 1_000_000
 PLAN_SAMPLE_FILES = 8
 
 
@@ -277,18 +283,23 @@ def _rowgroup_specs(
     ``MAX_SPEC_ROWS_FACTOR`` encode batches per spec so one task never reads
     an unbounded slice of the round into memory (state granularity is
     unaffected — the encoder re-chunks by token budget internally)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    per_frag: list[tuple[str, list[int]]] = []
-    total_rows = 0
-    for f in fragments:
+    def _footer(f: str) -> tuple[str, list[int]]:
         try:
             md = pq.read_metadata(f)
-            rg_rows = [md.row_group(g).num_rows for g in range(md.num_row_groups)]
+            return f, [md.row_group(g).num_rows for g in range(md.num_row_groups)]
         except Exception:
-            rg_rows = []
-        per_frag.append((f, rg_rows))
-        total_rows += sum(rg_rows)
+            return f, []
+
+    # footer reads are tiny but latency-bound (one driver-side round trip
+    # per fragment; object storage at 100 TB makes this worse, not better)
+    # — a thread pool keeps planning out of the critical path
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        per_frag = list(ex.map(_footer, fragments))
+    total_rows = sum(sum(rg) for _f, rg in per_frag)
     if target_specs:
         coarse = -(-total_rows // target_specs)  # ceil
         target_rows = max(
@@ -412,7 +423,10 @@ def compress_dataset(
         # 64 × 1 GB fragments ≈ 16k rows — never by total job size; the
         # rounds loop is what keeps a 10^12-sequence job's driver state flat
         stat_rows = ds.map_batches(
-            EncodeSpecTask(data_dir, codec, balance_tokens, specs_ref),
+            EncodeSpecTask(
+                data_dir, codec, balance_tokens or DEFAULT_STATE_TOKENS,
+                specs_ref,
+            ),
             batch_format="pyarrow",
             batch_size=None,
             zero_copy_batch=True,

@@ -39,13 +39,12 @@ SHAPE_ENGINES = {
 
 
 def applicable_engines(pattern: str) -> tuple[str, ...]:
-    shape = parse_like(pattern).shape
-    engines = SHAPE_ENGINES.get(shape, ("decoded", "auto"))
-    if parse_like(pattern).has_underscore:
+    pat = parse_like(pattern)
+    if pat.has_underscore:
         # '_' forces decode-verify in every compressed engine; ranking the
         # aliases would rank identical code paths
         return ("decoded", "auto")
-    return engines
+    return SHAPE_ENGINES.get(pat.shape, ("decoded", "auto"))
 
 
 class _TimedEncodedScan:
@@ -132,7 +131,14 @@ def rank_engines(
                     "matches": matches,
                 }
             )
-        m, s, n = _run_timed(raw, _TimedRawScan(pattern))
+        # raw leg averaged over the SAME repeats as the encoded engines —
+        # mixed protocols would let one scheduling hiccup mis-rank raw
+        m = n = 0
+        s = 0.0
+        for _ in range(repeats):
+            m, s1, n = _run_timed(raw, _TimedRawScan(pattern))
+            s += s1
+        s /= repeats
         if oracle_matches is None:
             oracle_matches = m
         rows_ranked.append(
