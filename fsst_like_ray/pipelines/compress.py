@@ -260,7 +260,13 @@ def _write_and_summarize(batch: pa.Table, data_dir: str) -> pa.Table:
     )
 
 
-MAX_SPEC_ROWS_FACTOR = 32  # memory cap: a spec never exceeds 32 encode batches
+# A spec is the unit of MEMORY locality, a group of specs the unit of
+# SCHEDULING. Specs are capped at ~2 encode batches (~2 M tokens ≈ 16 MB of
+# values): measured at 32 procs, 4 M-token working sets inflate per-core
+# CPU ~2× (cache/bandwidth contention: 39.7 vs 80.8 M tokens/s on the same
+# 520 M-token corpus); tasks then process a GROUP of specs sequentially —
+# same peak footprint, far fewer dispatches for small clusters.
+MAX_SPEC_ROWS_FACTOR = 2
 
 
 def _rowgroup_specs(
@@ -334,32 +340,38 @@ class EncodeSpecTask:
     streaming executor still schedules, balances and backpressures the spec
     stream exactly as it would data blocks."""
 
-    def __init__(self, data_dir: str, codec: str, max_tokens_per_state, specs_ref):
+    def __init__(self, data_dir: str, codec: str, max_tokens_per_state, groups_ref):
         self.data_dir = data_dir
         self.codec = codec
         self.max_tokens = max_tokens_per_state
-        self.specs_ref = specs_ref  # ray.put ONCE; workers read shared memory
+        self.groups_ref = groups_ref  # ray.put ONCE; workers read shared memory
 
     def __call__(self, ids: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
         import ray
 
-        all_specs = ray.get(self.specs_ref)
+        groups = ray.get(self.groups_ref)
         outs = []
-        for i in ids["id"].to_pylist():
-            spec = all_specs[i]
-            pf = pq.ParquetFile(spec["path"])
-            rg1 = pf.metadata.num_row_groups if spec["rg1"] < 0 else spec["rg1"]
-            batch = pf.read_row_groups(range(spec["rg0"], rg1))
-            pf.close()
-            if batch.num_rows == 0:
-                continue
-            batch = batch.append_column(
-                "frag", pa.array([spec["frag"]] * batch.num_rows, pa.string())
-            )
-            enc = encode_table(batch, self.codec, None, self.max_tokens)
-            outs.append(_write_and_summarize(enc, self.data_dir))
+        for gid in ids["id"].to_pylist():
+            # specs in a group are processed SEQUENTIALLY: peak memory stays
+            # one spec (~2 M tokens of buffers), while the task count is the
+            # group count — scheduling cost and cache footprint decoupled
+            for spec in groups[gid]:
+                pf = pq.ParquetFile(spec["path"])
+                rg1 = (
+                    pf.metadata.num_row_groups if spec["rg1"] < 0 else spec["rg1"]
+                )
+                batch = pf.read_row_groups(range(spec["rg0"], rg1))
+                pf.close()
+                if batch.num_rows == 0:
+                    continue
+                batch = batch.append_column(
+                    "frag",
+                    pa.array([spec["frag"]] * batch.num_rows, pa.string()),
+                )
+                enc = encode_table(batch, self.codec, None, self.max_tokens)
+                outs.append(_write_and_summarize(enc, self.data_dir))
         if not outs:
             return _write_and_summarize(
                 pa.table({"frag": pa.array([], type=pa.string())}), self.data_dir
@@ -409,12 +421,17 @@ def compress_dataset(
         specs = _rowgroup_specs(
             round_frags, batch_rows, path_to_key, target_specs=4 * ncpu
         )
-        # lazy id stream + ONE broadcast of the spec list: from_items
-        # materializes an eager block (an object-store put) PER item — 2.2 s
-        # of driver time for 128 specs — while range() is lazy and the spec
-        # list rides the object store once
-        specs_ref = ray.put(specs)
-        ds = ray.data.range(len(specs), override_num_blocks=len(specs))
+        # scheduling granularity: ~4 waves per CPU, each task a GROUP of
+        # specs processed sequentially (peak memory = one spec). range() is
+        # lazy and the group list rides the object store once — from_items
+        # materializes an eager object-store block PER item (2.2 s for 128)
+        # wave floor of 16: at 2 CPUs, 4 waves means 8 coarse tasks and the
+        # straggler tail idles a whole core for ~a task length (~10% of the
+        # job); 8+ waves bound the tail at ~3% for ~no extra dispatch cost
+        n_groups = max(1, min(len(specs), max(4 * ncpu, 16)))
+        groups = [list(g) for g in np.array_split(np.array(specs), n_groups)]
+        groups_ref = ray.put(groups)
+        ds = ray.data.range(len(groups), override_num_blocks=len(groups))
         # fused read→encode→write→stats in ONE task per spec: each task
         # reads its row groups, writes its partition files and returns a
         # stats row — consuming this stream IS the round's only execution.
@@ -425,7 +442,7 @@ def compress_dataset(
         stat_rows = ds.map_batches(
             EncodeSpecTask(
                 data_dir, codec, balance_tokens or DEFAULT_STATE_TOKENS,
-                specs_ref,
+                groups_ref,
             ),
             batch_format="pyarrow",
             batch_size=None,
