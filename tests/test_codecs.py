@@ -124,6 +124,42 @@ def test_selector_picks_sane_codecs():
         _roundtrip(CODECS[name], rows)
 
 
+def test_full_block_estimates_are_calibrated():
+    """The selector's FULL-BLOCK estimates must be honest: for realistic
+    mixed-content blocks, every codec's estimate lands within 15% of its
+    actual train+encode size, and the PICKED codec's actual size is within
+    5% of the best actual — the round-3 bias fix (held-out fsst eval,
+    Heaps dict growth) stated as an invariant."""
+    from fsst_like_ray.sources.tokens import tokens_table
+    from fsst_like_ray.stages.encode import list_buffers
+
+    t = tokens_table(4096, seed=9)
+    values, offsets = list_buffers(t["tokens"])
+    # two ~1M-token chunks
+    for start_tok in (0, 1_000_000):
+        lo = int(np.searchsorted(offsets, start_tok))
+        hi = min(
+            int(np.searchsorted(offsets, start_tok + 1_000_000)),
+            len(offsets) - 1,
+        )
+        if hi <= lo:
+            continue
+        v = values[offsets[lo] : offsets[hi]]
+        o = offsets[lo : hi + 1] - offsets[lo]
+        name, est, state = select_codec(v, o)
+        actual = {}
+        for cn in ["plain", "bitpack", "for", "rle", "dict", "fsst"]:
+            c = CODECS[cn]
+            st = state if (cn == name and state is not None) else c.train(v, o)
+            buf, _po = c.encode(v, o, st)
+            actual[cn] = buf.size + len(st)
+            assert abs(est[cn] - actual[cn]) / actual[cn] < 0.15, (
+                cn, est[cn], actual[cn]
+            )
+        best = min(actual.values())
+        assert actual[name] <= best * 1.05, (name, actual)
+
+
 def test_fsst_escape_bound():
     # worst case: incompressible — encoded ≤ 2× plain (escape cost, reference
     # analog src/FsstWrapper.cpp:131-136)
