@@ -9,6 +9,9 @@ Usage:
     python -m fsst_like_ray verify <input_parquet_dir> <out_dir>
     python -m fsst_like_ray like <documents.parquet> <pattern>
         [--engine auto|decoded|prefix|skipping|kmp] [--text-col text]
+    python -m fsst_like_ray rank <documents.parquet> <pattern> [<pattern>...]
+        (the reference's per-engine ranking run: every applicable engine,
+        raw vs fsst, counts oracle-asserted, one JSON row per ranking line)
 
 Owns its Ray session (guarded init; the library itself never inits Ray).
 """
@@ -158,6 +161,36 @@ def cmd_like(args) -> int:
     return 0
 
 
+def cmd_rank(args) -> int:
+    """The reference's flagship ranking run (sketch.cc:1306-1371): every
+    applicable engine over the same column, raw vs fsst, counts
+    oracle-asserted, ranked by matcher time. Prints one JSON line per
+    ranked row (CSV-convertible, like the reference's ranking output)."""
+    ray = _ray()
+    import ray.data
+
+    from .pipelines.rank import rank_engines
+    from .pipelines.scan import encode_text_dataset
+
+    raw = ray.data.read_parquet(args.file, columns=[args.id_col, args.text_col])
+    if (args.id_col, args.text_col) != ("doc_id", "text"):
+        import pyarrow as pa
+
+        def rename(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                ["doc_id" if c == args.id_col else "text" for c in b.column_names]
+            )
+
+        raw = raw.map_batches(rename, batch_format="pyarrow")
+    raw = raw.materialize()
+    enc = encode_text_dataset(raw).materialize()
+    rows = rank_engines(raw, enc, args.patterns, repeats=args.repeats)
+    for r in rows:
+        print(json.dumps(r))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m fsst_like_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -191,6 +224,14 @@ def main(argv=None) -> int:
                    help="also run the decoded path and assert equal counts "
                         "(the reference's DEBUG shadow run)")
     l.set_defaults(fn=cmd_like)
+
+    r = sub.add_parser("rank")
+    r.add_argument("file")
+    r.add_argument("patterns", nargs="+")
+    r.add_argument("--text-col", default="text")
+    r.add_argument("--id-col", default="doc_id")
+    r.add_argument("--repeats", type=int, default=2)
+    r.set_defaults(fn=cmd_rank)
 
     args = ap.parse_args(argv)
     return args.fn(args)
