@@ -109,11 +109,17 @@ def decode_batch(batch: pa.Table) -> pa.Table:
         pa.array(out_offsets.astype(np.int32), type=pa.int32()),
         pa.array(values, type=pa.int32()),
     )
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"],
-            "tokens": tok_arr,
-            "n_tok": batch["n_tok"],
-            "source": batch["source"],
-        }
-    )
+    out = {
+        "doc_id": batch["doc_id"],
+        "tokens": tok_arr,
+        "n_tok": batch["n_tok"],
+        "source": batch["source"],
+    }
+    # user columns that rode through the encode (encode_table passes extras
+    # along) come back out — only the codec machinery columns are internal
+    internal = {"codec", "state", "payload", "payload_nbytes", "row_hash",
+                "used_chars", "frag"}
+    for name in batch.column_names:
+        if name not in out and name not in internal:
+            out[name] = batch[name]
+    return pa.table(out)
