@@ -646,6 +646,32 @@ def q_docs_longest20(sf_dir: str):
     )
 
 
+def q_vocab_topk(sf_dir: str):
+    """Distributed token-vocabulary top-30 (functions/vocab.py): per-batch
+    partial counts → vocabulary-sized groupby merge → sort/limit. The
+    shuffle moves ≤|vocab| partial rows per block, never the token stream."""
+    from ..functions.vocab import token_frequencies
+
+    return token_frequencies(_tokens_ds(sf_dir), k=30)
+
+
+SAMPLE_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.0}
+SAMPLE_DEFAULT = 0.25
+
+
+def q_sample_stratified(sf_dir: str):
+    """Deterministic hash-based stratified sampling (functions/sampling.py):
+    a shuffle-free per-batch filter whose keep-set is a function of doc_id
+    alone — identical under retries and any parallelism. The oracle runs the
+    very same integer predicate in SQL."""
+    from ..functions.sampling import stratified_sample
+
+    out = stratified_sample(
+        _docs(sf_dir, ("doc_id", "source")), SAMPLE_RATES, SAMPLE_DEFAULT
+    )
+    return _collect_ids(out, "doc_id")
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct-text count as a mergeable-sketch pipeline (one
     4 KB sketch per block reaches the driver); gated within 5% of the exact
@@ -1205,6 +1231,8 @@ def build_queries() -> dict:
     q["fingerprint"] = make_textstat(F_text.fingerprint_batch)
     q["token_count_bpe"] = q_token_count_bpe
     q["approx_distinct_text"] = q_approx_distinct
+    q["vocab_topk"] = q_vocab_topk
+    q["sample_stratified"] = q_sample_stratified
     q["docs_longest20"] = q_docs_longest20
     q["ann_topk"] = q_ann_topk
     q["ann_ivf"] = q_ann_ivf
@@ -1347,6 +1375,21 @@ def build_oracle_sql() -> dict:
         "AS n_bpe_tokens FROM documents"
     )
     sql["approx_distinct_text"] = "SELECT (1=1) AS err_le_5pct"
+    from ..functions.sampling import sample_predicate_sql
+
+    sql["sample_stratified"] = (
+        "SELECT doc_id FROM documents WHERE "
+        + sample_predicate_sql(SAMPLE_RATES, SAMPLE_DEFAULT)
+    )
+    sql["vocab_topk"] = """
+        SELECT CAST(t AS BIGINT) AS token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT UNNEST([unicode(substr(text, i, 1))
+                             FOR i IN range(1, length(text) + 1)]) AS t
+              FROM documents)
+        GROUP BY t
+        ORDER BY n DESC, token ASC
+        LIMIT 30
+    """
     sql["docs_longest20"] = """
         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
         FROM documents

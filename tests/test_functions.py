@@ -341,3 +341,51 @@ def test_minhash_nonpower2_hashes():
         out = minhash_signature_batch(t, num_hashes=B)
         sigs = out["sig"].to_pylist()
         assert len(sigs[0]) == B and sigs[0] == sigs[1], B
+
+
+def test_vocab_partials_merge():
+    """Per-batch partial counts merged equal a whole-corpus count."""
+    from fsst_like_ray.functions.vocab import token_count_partials
+
+    rng = np.random.default_rng(7)
+    rows = [rng.integers(0, 50, rng.integers(0, 30)).astype(np.int32) for _ in range(200)]
+    tok = pa.array([r.tolist() for r in rows], type=pa.list_(pa.int32()))
+    t = pa.table({"tokens": tok})
+    whole = {}
+    for r in rows:
+        for v in r:
+            whole[int(v)] = whole.get(int(v), 0) + 1
+    merged = {}
+    for i in range(0, t.num_rows, 64):
+        p = token_count_partials(t.slice(i, 64))
+        for tk, c in zip(p["token"].to_pylist(), p["cnt"].to_pylist()):
+            merged[tk] = merged.get(tk, 0) + c
+    assert merged == whole
+
+
+def test_stratified_sample_deterministic_and_nested(ray_session):
+    """Same keep-set at any parallelism; higher rate selects a superset."""
+    import ray
+    from fsst_like_ray.functions.sampling import stratified_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(2000), type=pa.int64()),
+            "source": pa.array(["a" if i % 2 else "b" for i in range(2000)]),
+        }
+    )
+
+    def ids(ds):
+        return set(r["doc_id"] for r in ds.take_all())
+
+    lo1 = ids(stratified_sample(ray.data.from_arrow(t), {"a": 0.2}, 0.1))
+    lo2 = ids(
+        stratified_sample(
+            ray.data.from_arrow(t).repartition(13), {"a": 0.2}, 0.1
+        )
+    )
+    hi = ids(stratified_sample(ray.data.from_arrow(t), {"a": 0.6}, 0.4))
+    assert lo1 == lo2 and lo1 <= hi
+    # rates honored within a few points (2000 rows, hash-Bernoulli)
+    a_lo = sum(1 for i in lo1 if i % 2)
+    assert abs(a_lo / 1000 - 0.2) < 0.05
