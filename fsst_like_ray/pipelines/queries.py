@@ -655,6 +655,37 @@ def q_vocab_topk(sf_dir: str):
     return token_frequencies(_tokens_ds(sf_dir), k=30)
 
 
+PACK_SEQ_LEN = 512
+
+
+def q_pack_sequences(sf_dir: str):
+    """Fixed-length training-sequence packing (functions/packing.py): each
+    source's token streams concatenated in doc_id order and re-chunked to
+    exactly PACK_SEQ_LEN tokens. The oracle rebuilds the same sequences in
+    SQL from the per-source concatenated text (tokens are its codepoints)."""
+    import pyarrow.compute as pc
+
+    from ..functions.packing import pack_sequences
+
+    packed = pack_sequences(_tokens_ds(sf_dir), PACK_SEQ_LEN, bucket_shift=6)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        s = pc.binary_join(toks.cast(pa.list_(pa.string())), ",")
+        return pa.table(
+            {
+                "source": batch["source"],
+                "seq_id": batch["seq_id"].cast(pa.int64()),
+                "n_tok": batch["n_tok"].cast(pa.int64()),
+                "tok_str": s.cast(pa.string()),
+            }
+        )
+
+    return packed.map_batches(fmt, batch_format="pyarrow")
+
+
 SAMPLE_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.0}
 SAMPLE_DEFAULT = 0.25
 
@@ -1233,6 +1264,7 @@ def build_queries() -> dict:
     q["approx_distinct_text"] = q_approx_distinct
     q["vocab_topk"] = q_vocab_topk
     q["sample_stratified"] = q_sample_stratified
+    q["pack_sequences"] = q_pack_sequences
     q["docs_longest20"] = q_docs_longest20
     q["ann_topk"] = q_ann_topk
     q["ann_ivf"] = q_ann_ivf
@@ -1381,6 +1413,29 @@ def build_oracle_sql() -> dict:
         "SELECT doc_id FROM documents WHERE "
         + sample_predicate_sql(SAMPLE_RATES, SAMPLE_DEFAULT)
     )
+    L = PACK_SEQ_LEN
+    sql["pack_sequences"] = f"""
+        WITH s AS (
+          SELECT source, string_agg(text, '' ORDER BY doc_id) AS all_text
+          FROM documents GROUP BY source
+        ),
+        c AS (
+          SELECT source, all_text,
+                 UNNEST(range(0, (length(all_text) + {L} - 1) // {L})) AS seq_id
+          FROM s
+        )
+        SELECT source,
+               CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(least({L}, length(all_text) - seq_id * {L}) AS BIGINT)
+                 AS n_tok,
+               array_to_string(
+                 [CAST(unicode(substr(all_text,
+                                      CAST(seq_id * {L} + i AS INT), 1)) AS INT)
+                  FOR i IN range(1, CAST(least({L}, length(all_text)
+                                              - seq_id * {L}) AS INT) + 1)],
+                 ',') AS tok_str
+        FROM c
+    """
     sql["vocab_topk"] = """
         SELECT CAST(t AS BIGINT) AS token, CAST(COUNT(*) AS BIGINT) AS n
         FROM (SELECT UNNEST([unicode(substr(text, i, 1))

@@ -389,3 +389,39 @@ def test_stratified_sample_deterministic_and_nested(ray_session):
     # rates honored within a few points (2000 rows, hash-Bernoulli)
     a_lo = sum(1 for i in lo1 if i % 2)
     assert abs(a_lo / 1000 - 0.2) < 0.05
+
+
+def test_pack_sequences_matches_oracle(ray_session):
+    """Packed sequences equal the per-source concatenate-and-chunk oracle
+    regardless of input partitioning or bucket granularity; total tokens are
+    conserved bit-identically."""
+    import ray
+    from fsst_like_ray.functions.packing import pack_sequences
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, f"s{i % 4}", rng.integers(0, 500, rng.integers(0, 50)).astype(np.int32))
+        for i in range(300)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+            "tokens": pa.array([r[2].tolist() for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[2]) for r in rows], type=pa.int32()),
+        }
+    )
+    L = 100
+    oracle = {}
+    for s in ("s0", "s1", "s2", "s3"):
+        stream = np.concatenate(
+            [r[2] for r in sorted(rows) if r[1] == s] or [np.array([], np.int32)]
+        )
+        for c in range(0, len(stream), L):
+            oracle[(s, c // L)] = stream[c : c + L].tolist()
+    for shift, nparts in ((4, 11), (8, 3)):
+        out = pack_sequences(
+            ray.data.from_arrow(t).repartition(nparts), L, bucket_shift=shift
+        ).take_all()
+        mine = {(r["source"], r["seq_id"]): list(r["tokens"]) for r in out}
+        assert mine == oracle, (shift, nparts)
