@@ -1229,6 +1229,81 @@ def q_events_sliding_window(sf_dir: str):
     )
 
 
+def _events_typed_side(sf_dir: str, etype: str):
+    """One event-type stream projected to the as-of join schema
+    (event_id, user_id, ts_us:int64, value) — type filter pushed into the
+    read's first map so only that stream enters the shuffle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def proj(b: pa.Table, t=etype) -> pa.Table:
+        f = b.filter(pa.compute.equal(b["event_type"], t))
+        return pa.table(
+            {
+                "event_id": f["event_id"],
+                "user_id": f["user_id"],
+                "ts_us": f["ts"].cast(pa.int64()),
+                "value": f["value"],
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def q_events_asof(sf_dir: str):
+    """Backward as-of join: each click gains the same user's most recent
+    purchase at-or-before it (ties on ts broken by highest event_id).
+    One hash shuffle on user_id; per-key sort-merge is vectorized
+    searchsorted (functions/asof.py). Clicks with no prior purchase drop
+    (inner)."""
+    from ..functions.asof import asof_join
+
+    j = asof_join(
+        _events_typed_side(sf_dir, "click"),
+        _events_typed_side(sf_dir, "purchase"),
+        by="user_id",
+        on="ts_us",
+        how="inner",
+        right_tiebreak="event_id",
+    )
+    return j.map_batches(
+        lambda b: b.append_column(
+            "lag_us",
+            pa.compute.subtract(b["ts_us"], b["ts_us_r"]).cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_range_join(sf_dir: str):
+    """Range-aggregate join: per purchase, the count and cents-sum of the
+    same user's clicks in the following hour [ts, ts+1h). Never builds
+    the pair blow-up — per-key prefix sums + two searchsorted probes."""
+    from ..functions.asof import range_agg_join
+
+    clicks = _events_typed_side(sf_dir, "click").map_batches(
+        lambda b: b.append_column(
+            "cents",
+            pa.compute.cast(
+                pa.compute.round(pa.compute.multiply(b["value"], 100.0)),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return range_agg_join(
+        _events_typed_side(sf_dir, "purchase"),
+        clicks,
+        by="user_id",
+        on="ts_us",
+        lo=0,
+        hi=3600 * 1_000_000,
+        value="cents",
+    )
+
+
 # ----------------------------------------------------------------- registry
 def build_queries() -> dict:
     q = {}
@@ -1286,6 +1361,8 @@ def build_queries() -> dict:
     q["tpch_segment_orders"] = q_tpch_segment_orders
     q["tpch_region_suppliers"] = q_tpch_region_suppliers
     q["events_sliding_window"] = q_events_sliding_window
+    q["events_asof"] = q_events_asof
+    q["events_range_join"] = q_events_range_join
     return q
 
 
@@ -1615,6 +1692,42 @@ def build_oracle_sql() -> dict:
                CAST(count(*) AS BIGINT) AS n_events
         FROM sec JOIN w ON w.ws <= sec.s AND sec.s < w.ws + 3600
         GROUP BY w.ws
+    """
+    sql["events_asof"] = """
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                   FROM events WHERE event_type = 'click'),
+             r AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                   FROM events WHERE event_type = 'purchase'),
+             j AS (
+               SELECT l.event_id, l.user_id, l.ts_us, l.value,
+                      r.event_id AS event_id_r, r.ts_us AS ts_us_r,
+                      r.value AS value_r,
+                      ROW_NUMBER() OVER (PARTITION BY l.event_id
+                          ORDER BY r.ts_us DESC, r.event_id DESC) AS rn
+               FROM l JOIN r
+                 ON r.user_id = l.user_id AND r.ts_us <= l.ts_us
+             )
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id,
+               CAST(ts_us AS BIGINT) AS ts_us, value,
+               CAST(event_id_r AS BIGINT) AS event_id_r,
+               CAST(ts_us_r AS BIGINT) AS ts_us_r, value_r,
+               CAST(ts_us - ts_us_r AS BIGINT) AS lag_us
+        FROM j WHERE rn = 1
+    """
+    sql["events_range_join"] = """
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                   FROM events WHERE event_type = 'purchase'),
+             r AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events WHERE event_type = 'click')
+        SELECT l.event_id, l.user_id, l.ts_us, l.value,
+               CAST(count(r.ts_us) AS BIGINT) AS n_r,
+               CAST(coalesce(sum(r.cents), 0) AS BIGINT) AS sum_r
+        FROM l LEFT JOIN r
+          ON r.user_id = l.user_id
+         AND r.ts_us >= l.ts_us AND r.ts_us < l.ts_us + 3600000000
+        GROUP BY l.event_id, l.user_id, l.ts_us, l.value
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # compression_stats, dedup_minhash/simhash/ngram_jaccard/embedding,

@@ -178,3 +178,105 @@ def test_sessionize_sliced_equals_plain(ray_session):
         a = plain.sort_values(list(plain.columns)).reset_index(drop=True)
         b = sliced.sort_values(list(sliced.columns)).reset_index(drop=True)
         assert a.equals(b), slice_s
+
+
+def _asof_python_oracle(lt, rt, tolerance=None):
+    """Row-at-a-time reference: for each left row the max-(on, tiebreak)
+    right row with same key and on <= left on (within tolerance)."""
+    out = {}
+    for i in range(len(lt["key"])):
+        best = None
+        for j in range(len(rt["key"])):
+            if rt["key"][j] != lt["key"][i] or rt["on"][j] > lt["on"][i]:
+                continue
+            if tolerance is not None and lt["on"][i] - rt["on"][j] > tolerance:
+                continue
+            if best is None or (rt["on"][j], rt["tb"][j]) > (
+                rt["on"][best],
+                rt["tb"][best],
+            ):
+                best = j
+        out[lt["id"][i]] = None if best is None else rt["tb"][best]
+    return out
+
+
+def test_asof_join_matches_python_oracle(ray_session):
+    """Randomized multi-partition as-of join (inner + left + tolerance +
+    planted on-ties) against a quadratic Python oracle."""
+    import ray.data
+    from fsst_like_ray.functions.asof import asof_join
+
+    rng = np.random.default_rng(11)
+    nl, nr = 300, 200
+    lt = {
+        "id": np.arange(nl),
+        "key": rng.integers(0, 12, nl),
+        "on": rng.integers(0, 1000, nl).astype(np.int64),
+    }
+    rt = {
+        "tb": np.arange(nr),
+        "key": rng.integers(0, 14, nr),  # some keys absent on the left
+        "on": rng.integers(0, 1000, nr).astype(np.int64),
+    }
+    # plant exact (key, on) ties on the right: tiebreak must decide
+    rt["key"][50:60] = rt["key"][40:50]
+    rt["on"][50:60] = rt["on"][40:50]
+    left = ray.data.from_arrow(
+        pa.table({"id": lt["id"], "key": lt["key"], "on": lt["on"]})
+    ).repartition(5)
+    right = ray.data.from_arrow(
+        pa.table({"tb": rt["tb"], "key": rt["key"], "on": rt["on"]})
+    ).repartition(4)
+    for how, tol in (("inner", None), ("left", None), ("inner", 50)):
+        got = asof_join(
+            left,
+            right,
+            by="key",
+            on="on",
+            how=how,
+            tolerance=tol,
+            right_tiebreak="tb",
+        ).to_pandas()
+        want = _asof_python_oracle(lt, rt, tolerance=tol)
+        if how == "inner":
+            want = {k: v for k, v in want.items() if v is not None}
+        assert len(got) == len(want), (how, tol)
+        for _, row in got.iterrows():
+            exp = want[row["id"]]
+            if exp is None:
+                assert pd.isna(row["tb_r"]), row
+            else:
+                assert row["tb_r"] == exp, (how, tol, dict(row))
+
+
+def test_range_agg_join_matches_python_oracle(ray_session):
+    import ray.data
+    from fsst_like_ray.functions.asof import range_agg_join
+
+    rng = np.random.default_rng(13)
+    nl, nr = 200, 400
+    lid = np.arange(nl)
+    lkey = rng.integers(0, 10, nl)
+    lon = rng.integers(0, 500, nl).astype(np.int64)
+    rkey = rng.integers(0, 10, nr)
+    ron = rng.integers(0, 500, nr).astype(np.int64)
+    rval = rng.integers(-100, 100, nr).astype(np.int64)
+    left = ray.data.from_arrow(
+        pa.table({"id": lid, "key": lkey, "on": lon})
+    ).repartition(3)
+    right = ray.data.from_arrow(
+        pa.table({"key": rkey, "on": ron, "v": rval})
+    ).repartition(4)
+    lo, hi = -20, 30
+    got = (
+        range_agg_join(
+            left, right, by="key", on="on", lo=lo, hi=hi, value="v"
+        )
+        .to_pandas()
+        .set_index("id")
+    )
+    assert len(got) == nl
+    for i in range(nl):
+        m = (rkey == lkey[i]) & (ron >= lon[i] + lo) & (ron < lon[i] + hi)
+        assert got.loc[lid[i], "n_r"] == m.sum(), i
+        assert got.loc[lid[i], "sum_r"] == rval[m].sum(), i
