@@ -1304,6 +1304,28 @@ def q_events_range_join(sf_dir: str):
     )
 
 
+def q_token_stats_pushdown(sf_dir: str):
+    """Per-doc sum/min/max of token values computed in the COMPRESSED
+    domain (codecs/pushdown.py): RLE reduces over runs, plain is a
+    zero-copy int32 view, dict/bitpack/for/delta/fsst reduce the flat
+    decoded stream without building Arrow lists."""
+    from .numscan import token_stats
+
+    enc = encode_dataset(_tokens_ds(sf_dir), codec="auto")
+    return token_stats(enc)
+
+
+def q_contains_token_pushdown(sf_dir: str):
+    """Docs whose token list contains ord('q') — token-membership pushed
+    down to the encoded payloads with dict/bitpack zone checks (a segment
+    whose dictionary lacks the token is skipped without touching payload
+    bytes). Oracle: text contains 'q' (tokens ARE the codepoints)."""
+    from .numscan import contains_token_scan
+
+    enc = encode_dataset(_tokens_ds(sf_dir), codec="auto")
+    return _collect_ids(contains_token_scan(enc, ord("q")), "doc_id")
+
+
 # ----------------------------------------------------------------- registry
 def build_queries() -> dict:
     q = {}
@@ -1363,6 +1385,8 @@ def build_queries() -> dict:
     q["events_sliding_window"] = q_events_sliding_window
     q["events_asof"] = q_events_asof
     q["events_range_join"] = q_events_range_join
+    q["token_stats_pushdown"] = q_token_stats_pushdown
+    q["contains_token_pushdown"] = q_contains_token_pushdown
     return q
 
 
@@ -1729,6 +1753,23 @@ def build_oracle_sql() -> dict:
          AND r.ts_us >= l.ts_us AND r.ts_us < l.ts_us + 3600000000
         GROUP BY l.event_id, l.user_id, l.ts_us, l.value
     """
+    sql["token_stats_pushdown"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 [CAST(unicode(substr(text, i, 1)) AS INT)
+                  FOR i IN range(1, length(text) + 1)] AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(toks) AS BIGINT) AS n_tok,
+               CAST(coalesce(list_sum(toks), 0) AS BIGINT) AS tok_sum,
+               CAST(list_min(toks) AS INT) AS tok_min,
+               CAST(list_max(toks) AS INT) AS tok_max
+        FROM t
+    """
+    sql["contains_token_pushdown"] = (
+        "SELECT doc_id FROM documents WHERE contains(text, 'q')"
+    )
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # compression_stats, dedup_minhash/simhash/ngram_jaccard/embedding,
     # ann_topk/ann_ivf — each has an oracle-gated sibling (the *_planted

@@ -58,6 +58,33 @@ def _group_indices(col) -> tuple[np.ndarray, list]:
     )
 
 
+def encoded_segment_runs(batch: pa.Table):
+    """Segment an encoded batch into contiguous same-(codec, state) row
+    runs. Returns ``(segments, pay_buf, pay_off, counts)`` where each
+    segment is ``(lo, hi, codec_name, state_bytes)``. Rows sharing a
+    (codec, state) form contiguous runs in practice (encode chunks are row
+    ranges; Parquet rewrites preserve within-file order), so this is
+    run-length segmentation, not a shuffle."""
+    n = batch.num_rows
+    counts = batch["n_tok"].to_numpy().astype(np.int64)
+    pay_buf, pay_off = _binary_buffers(batch["payload"])
+    ci, codec_vals = _group_indices(batch["codec"])
+    si, state_vals = _group_indices(batch["state"])
+    key = ci * (int(si.max()) + 1 if n else 1) + si
+    seg = np.concatenate(
+        ([0], np.flatnonzero(np.diff(key)) + 1, [n])
+    ) if n else np.array([0, 0])
+    segments = []
+    for k in range(len(seg) - 1):
+        lo, hi = int(seg[k]), int(seg[k + 1])
+        if lo == hi:
+            continue
+        segments.append(
+            (lo, hi, codec_vals[int(ci[lo])], state_vals[int(si[lo])] or b"")
+        )
+    return segments, pay_buf, pay_off, counts
+
+
 def decode_batch(batch: pa.Table) -> pa.Table:
     """Encoded table → ``(doc_id, tokens:list<int32>, n_tok, source)``.
 
@@ -68,28 +95,12 @@ def decode_batch(batch: pa.Table) -> pa.Table:
     memory-bandwidth-bound at full-node concurrency, so index-array traffic
     matters more than instruction count here."""
     n = batch.num_rows
-    counts = batch["n_tok"].to_numpy().astype(np.int64)
+    segments, pay_buf, pay_off, counts = encoded_segment_runs(batch)
     out_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=out_offsets[1:])
     values = np.empty(int(out_offsets[-1]), dtype=np.int32)
 
-    pay_buf, pay_off = _binary_buffers(batch["payload"])
-
-    # group rows by (codec, state) — reuse the columns' existing dictionary
-    # encoding (parquet preserves it); re-encoding would hash every row's
-    # state bytes
-    ci, codec_vals = _group_indices(batch["codec"])
-    si, state_vals = _group_indices(batch["state"])
-    key = ci * (int(si.max()) + 1 if n else 1) + si
-    seg = np.concatenate(
-        ([0], np.flatnonzero(np.diff(key)) + 1, [n])
-    ) if n else np.array([0, 0])
-    for k in range(len(seg) - 1):
-        lo, hi = int(seg[k]), int(seg[k + 1])
-        if lo == hi:
-            continue
-        codec_name = codec_vals[int(ci[lo])]
-        state = state_vals[int(si[lo])] or b""
+    for lo, hi, codec_name, state in segments:
         c = CODECS[codec_name]
         sub = pay_buf[pay_off[lo] : pay_off[hi]]
         so = pay_off[lo : hi + 1] - pay_off[lo]
