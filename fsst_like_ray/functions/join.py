@@ -1,9 +1,18 @@
-"""Broadcast hash join — the one join shape a 100 TB pipeline can afford
-freely: the SMALL side is put in the object store ONCE (``ray.put``) and
-each ``map_batches`` task reads it zero-copy from its node's plasma store;
-the big side streams, nothing shuffles. (The reference has no joins —
-SURVEY.md §2.5; this is the training-pipeline extension. Shuffle joins are
-deliberately out of scope: every use in our query set has a small side.)
+"""Joins. (The reference has no joins — SURVEY.md §2.5; this is the
+training-pipeline extension.)
+
+``broadcast_hash_join`` / ``count_lookup`` — the join shape a 100 TB
+pipeline can afford freely: the SMALL side is put in the object store ONCE
+(``ray.put``) and each ``map_batches`` task reads it zero-copy from its
+node's plasma store; the big side streams, nothing shuffles.
+
+``shuffle_hash_join`` — big ⋈ big: both sides are projected onto one
+unified schema, tagged, and hash-BUCKETED on the key (multiplicative
+hash, so sequential keys spread) into ``n_buckets`` groups; ONE shuffle
+co-partitions them and each bucket joins with a vectorized sort +
+searchsorted range expansion — never a per-key Python loop, never a
+driver-side materialization. ``n_buckets`` bounds per-task memory: size
+it so (|left| + |right|) / n_buckets fits a worker's heap.
 
 Kernels are Arrow/NumPy end to end: the small side is sorted by key once on
 the driver; each batch probes it with ``np.searchsorted`` and appends the
@@ -101,3 +110,116 @@ def count_lookup(
         return batch.append_column(out_col, pa.array(vals, type=pa.int64()))
 
     return big.map_batches(add, batch_format="pyarrow")
+
+
+def shuffle_hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+    n_buckets: int = 64,
+    right_suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """Co-partitioned hash join of two LARGE datasets on integer keys.
+
+    Output: all left columns + every right column except its key, suffixed
+    with ``right_suffix``. Many-to-many keys produce the full match
+    cross-product within the key (standard join semantics). ``how`` is
+    "inner" or "left"."""
+    from .asof import _arrow_fields, _project, _SIDE
+
+    if how not in ("inner", "left"):
+        raise ValueError(how)
+    BUCKET = "__join_bucket__"
+    lf = _arrow_fields(left)
+    rf = _arrow_fields(right)
+    lnames = [n for n, _ in lf]
+    key_type = dict(lf)[left_key]
+    if not (pa.types.is_integer(key_type)):
+        raise TypeError(
+            f"shuffle_hash_join: integer keys only, got {key_type} "
+            "(hash string keys to int64 upstream)"
+        )
+    fields = list(lf)
+    have_l = {n: n for n in lnames}
+    have_r = {left_key: right_key}
+    r_out = []
+    for n, t in rf:
+        if n == right_key:
+            continue
+        out = n + right_suffix
+        if out in lnames:
+            raise ValueError(
+                f"right column {n!r} suffixed to {out!r} collides with a "
+                "left column; pass a different right_suffix"
+            )
+        fields.append((out, t))
+        have_r[out] = n
+        r_out.append(out)
+    out_schema = pa.schema(fields)
+
+    def bucketed(fn):
+        def wrap(b: pa.Table) -> pa.Table:
+            t = fn(b)
+            k = t[left_key].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+            return t.append_column(
+                BUCKET, pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+            )
+
+        return wrap
+
+    both = left.map_batches(
+        bucketed(_project(fields, have_l, 0)), batch_format="pyarrow"
+    ).union(
+        right.map_batches(
+            bucketed(_project(fields, have_r, 1)), batch_format="pyarrow"
+        )
+    )
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g[_SIDE].to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0)).select(out_schema.names)
+        rt = g.filter(pa.array(side == 1)).select(out_schema.names)
+        if lt.num_rows == 0:
+            return out_schema.empty_table()
+        if rt.num_rows == 0:
+            if how == "inner":
+                return out_schema.empty_table()
+            cols = {n: lt[n] for n in lnames}
+            for n in r_out:
+                cols[n] = pa.nulls(
+                    lt.num_rows, type=out_schema.field(n).type
+                )
+            return pa.table(cols, schema=out_schema)
+        lk = lt[left_key].to_numpy(zero_copy_only=False)
+        rk = rt[left_key].to_numpy(zero_copy_only=False)
+        order = np.argsort(rk, kind="stable")
+        rks = rk[order]
+        lo = np.searchsorted(rks, lk, side="left")
+        hi = np.searchsorted(rks, lk, side="right")
+        cnt = hi - lo
+        if how == "left":
+            # unmatched left rows survive with one null right row
+            eff = np.maximum(cnt, 1)
+        else:
+            eff = cnt
+        total = int(eff.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        cum = np.zeros(len(eff) + 1, dtype=np.int64)
+        np.cumsum(eff, out=cum[1:])
+        l_idx = np.repeat(np.arange(len(lk), dtype=np.int64), eff)
+        # position within each left row's match run
+        pos = np.arange(total, dtype=np.int64) - cum[l_idx]
+        r_idx = order[np.minimum(lo[l_idx] + pos, len(rks) - 1 if len(rks) else 0)]
+        matched = np.repeat(cnt > 0, eff)
+        out_l = lt.take(pa.array(l_idx))
+        r_take = pa.array(r_idx, mask=~matched) if how == "left" else pa.array(r_idx)
+        cols = {n: out_l[n] for n in lnames}
+        for n in r_out:
+            cols[n] = rt[n].take(r_take)
+        return pa.table(cols, schema=out_schema)
+
+    return both.groupby(BUCKET).map_groups(join_bucket, batch_format="pyarrow")

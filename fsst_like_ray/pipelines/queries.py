@@ -1326,6 +1326,102 @@ def q_contains_token_pushdown(sf_dir: str):
     return _collect_ids(contains_token_scan(enc, ord("q")), "doc_id")
 
 
+def q_tpch_order_revenue(sf_dir: str):
+    """Big ⋈ big: lineitem (fact) co-partition-joined to orders on
+    orderkey via shuffle_hash_join (hash-bucketed, vectorized per-bucket
+    sort-merge — functions/join.py), then revenue per order via
+    partial-then-merge. Neither side is broadcast or materialized."""
+    from ..functions.join import shuffle_hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate",
+                 "o_orderpriority"],
+    ).map_batches(
+        lambda b: (
+            lambda f: pa.table(
+                {
+                    "o_orderkey": f["o_orderkey"],
+                    "o_orderdate_us": f["o_orderdate"].cast(pa.int64()),
+                    "o_orderpriority": f["o_orderpriority"],
+                }
+            )
+        )(b.filter(pa.compute.equal(b["o_orderstatus"], "F"))),
+        batch_format="pyarrow",
+    )
+    cutoff = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+
+    def lines(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ts >= cutoff
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"].take(
+                    pa.array(np.flatnonzero(keep))
+                ),
+                "cents": pa.array(
+                    np.floor(px * (1 - disc) * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(lines, batch_format="pyarrow")
+
+    joined = shuffle_hash_join(
+        lineitem, orders, "l_orderkey", "o_orderkey", how="inner",
+        n_buckets=32,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "o_orderkey": b["l_orderkey"],
+                    "o_orderdate_us": b["o_orderdate_us_r"],
+                    "o_orderpriority": b["o_orderpriority_r"],
+                    "cents": b["cents"],
+                }
+            )
+            .group_by(["o_orderkey", "o_orderdate_us", "o_orderpriority"])
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        )
+        return pa.table(
+            {
+                "o_orderkey": g["o_orderkey"],
+                "o_orderdate_us": g["o_orderdate_us"],
+                "o_orderpriority": g["o_orderpriority"],
+                "revenue_cents": g["cents_sum"].cast(pa.int64()),
+                "n_lines": g["cents_count"].cast(pa.int64()),
+            }
+        )
+
+    merged = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderkey", "o_orderdate_us", "o_orderpriority"])
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_lines", alias_name="n_lines"),
+        )
+    )
+    return merged.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_orderdate_us": b["o_orderdate_us"].cast(pa.int64()),
+                "o_orderpriority": b["o_orderpriority"],
+                "revenue_cents": b["revenue_cents"].cast(pa.int64()),
+                "n_lines": b["n_lines"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ----------------------------------------------------------------- registry
 def build_queries() -> dict:
     q = {}
@@ -1387,6 +1483,7 @@ def build_queries() -> dict:
     q["events_range_join"] = q_events_range_join
     q["token_stats_pushdown"] = q_token_stats_pushdown
     q["contains_token_pushdown"] = q_contains_token_pushdown
+    q["tpch_order_revenue"] = q_tpch_order_revenue
     return q
 
 
@@ -1770,6 +1867,18 @@ def build_oracle_sql() -> dict:
     sql["contains_token_pushdown"] = (
         "SELECT doc_id FROM documents WHERE contains(text, 'q')"
     )
+    sql["tpch_order_revenue"] = """
+        SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+               o.o_orderpriority,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2, 3
+    """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # compression_stats, dedup_minhash/simhash/ngram_jaccard/embedding,
     # ann_topk/ann_ivf — each has an oracle-gated sibling (the *_planted

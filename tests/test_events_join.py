@@ -280,3 +280,41 @@ def test_range_agg_join_matches_python_oracle(ray_session):
         m = (rkey == lkey[i]) & (ron >= lon[i] + lo) & (ron < lon[i] + hi)
         assert got.loc[lid[i], "n_r"] == m.sum(), i
         assert got.loc[lid[i], "sum_r"] == rval[m].sum(), i
+
+
+def test_shuffle_hash_join_matches_pandas_merge(ray_session):
+    """Many-to-many co-partitioned join (duplicate keys BOTH sides, keys
+    unique to each side, inner + left) vs pandas merge."""
+    import ray.data
+    from fsst_like_ray.functions.join import shuffle_hash_join
+
+    rng = np.random.default_rng(17)
+    nl, nr = 400, 300
+    ldf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 60, nl),
+            "lval": rng.integers(0, 1000, nl),
+        }
+    )
+    rdf = pd.DataFrame(
+        {
+            "rk": rng.integers(20, 80, nr),  # keys 60-79 missing on left
+            "rval": rng.integers(0, 1000, nr),
+        }
+    )
+    left = ray.data.from_arrow(pa.Table.from_pandas(ldf)).repartition(5)
+    right = ray.data.from_arrow(pa.Table.from_pandas(rdf)).repartition(3)
+    for how in ("inner", "left"):
+        got = shuffle_hash_join(
+            left, right, "k", "rk", how=how, n_buckets=7
+        ).to_pandas()
+        want = ldf.merge(
+            rdf.rename(columns={"rk": "k", "rval": "rval_r"}),
+            on="k",
+            how=how,
+        )
+        key = ["k", "lval", "rval_r"]
+        a = got[key].fillna(-1).sort_values(key).reset_index(drop=True)
+        b = want[key].fillna(-1).sort_values(key).reset_index(drop=True)
+        assert len(a) == len(b), how
+        assert (a.values == b.values).all(), how
