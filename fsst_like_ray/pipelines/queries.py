@@ -1422,6 +1422,26 @@ def q_tpch_order_revenue(sf_dir: str):
     )
 
 
+def q_ntok_quantiles(sf_dir: str):
+    """Exact per-source p50/p90/p99 of document length via histogram
+    partial-merge (functions/quantiles.py) — the shuffle moves distinct
+    (source, length) pairs, never rows."""
+    from ..functions.quantiles import grouped_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "n_tok": pa.compute.utf8_length(b["text"]).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_quantiles(ds, "source", "n_tok", qs=(0.5, 0.9, 0.99))
+
+
 # ----------------------------------------------------------------- registry
 def build_queries() -> dict:
     q = {}
@@ -1484,6 +1504,7 @@ def build_queries() -> dict:
     q["token_stats_pushdown"] = q_token_stats_pushdown
     q["contains_token_pushdown"] = q_contains_token_pushdown
     q["tpch_order_revenue"] = q_tpch_order_revenue
+    q["ntok_quantiles"] = q_ntok_quantiles
     return q
 
 
@@ -1878,6 +1899,13 @@ def build_oracle_sql() -> dict:
         WHERE o.o_orderstatus = 'F'
           AND l.l_shipdate >= TIMESTAMP '1996-01-01'
         GROUP BY 1, 2, 3
+    """
+    sql["ntok_quantiles"] = """
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(quantile_disc(length(text), 0.5) AS BIGINT) AS p50,
+               CAST(quantile_disc(length(text), 0.9) AS BIGINT) AS p90,
+               CAST(quantile_disc(length(text), 0.99) AS BIGINT) AS p99
+        FROM documents GROUP BY source
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # compression_stats, dedup_minhash/simhash/ngram_jaccard/embedding,

@@ -318,3 +318,41 @@ def test_shuffle_hash_join_matches_pandas_merge(ray_session):
         b = want[key].fillna(-1).sort_values(key).reset_index(drop=True)
         assert len(a) == len(b), how
         assert (a.values == b.values).all(), how
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session):
+    """Histogram-merge quantiles vs quantile_disc over a shuffled
+    multi-partition input with skewed per-key counts."""
+    import duckdb
+    import ray.data
+    from fsst_like_ray.functions.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    t = pa.table(
+        {
+            "k": pa.array(
+                np.repeat(["a", "b", "c", "d"], [2500, 400, 99, 1])
+            ),
+            "v": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(t).random_shuffle(seed=1).repartition(6)
+    got = (
+        grouped_quantiles(ds, "k", "v", qs=(0.5, 0.9, 0.99))
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            "SELECT k, count(*) n, quantile_disc(v, 0.5) p50,"
+            " quantile_disc(v, 0.9) p90, quantile_disc(v, 0.99) p99"
+            " FROM t GROUP BY k ORDER BY k"
+        )
+        .df()
+        .set_index("k")
+    )
+    for c in ("n", "p50", "p90", "p99"):
+        assert (got[c].values == want[c].values).all(), c
