@@ -223,3 +223,32 @@ def shuffle_hash_join(
         return pa.table(cols, schema=out_schema)
 
     return both.groupby(BUCKET).map_groups(join_bucket, batch_format="pyarrow")
+
+
+def broadcast_semi_join(
+    big: "ray.data.Dataset",
+    keys: np.ndarray,
+    key: str,
+    anti: bool = False,
+) -> "ray.data.Dataset":
+    """Semi-join (keep big rows whose key is in the broadcast set) or
+    anti-join (``anti=True``: keep rows whose key is NOT). The key set is
+    sorted once, shipped via ``ray.put``, probed per batch with
+    searchsorted — the big side streams, nothing shuffles. The set must
+    fit in worker memory (distinct-keys contract; build it with a
+    distinct aggregate upstream)."""
+    sk = np.unique(np.asarray(keys))
+    ref = ray.put(sk) if ray.is_initialized() else sk
+
+    def filt(batch: pa.Table) -> pa.Table:
+        s = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        bk = batch[key].to_numpy(zero_copy_only=False)
+        if len(s) == 0:
+            found = np.zeros(len(bk), dtype=bool)
+        else:
+            idx = np.searchsorted(s, bk)
+            np.minimum(idx, len(s) - 1, out=idx)
+            found = s[idx] == bk
+        return batch.filter(pa.array(~found if anti else found))
+
+    return big.map_batches(filt, batch_format="pyarrow")

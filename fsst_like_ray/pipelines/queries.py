@@ -1442,6 +1442,63 @@ def q_ntok_quantiles(sf_dir: str):
     return grouped_quantiles(ds, "source", "n_tok", qs=(0.5, 0.9, 0.99))
 
 
+def q_docs_top3_per_source(sf_dir: str):
+    """Top-3 longest docs per source (ties → lowest doc_id): grouped
+    top-k with per-batch pre-pruning, so the shuffle moves ≤ 3 rows per
+    (source × block)."""
+    from ..functions.grouped_topk import grouped_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "n_tok": pa.compute.utf8_length(b["text"]).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_topk(ds, key="source", score="n_tok", k=3,
+                        tiebreak="doc_id")
+
+
+def q_customers_no_urgent_orders(sf_dir: str):
+    """Anti-join: customers with no 1-URGENT order. The urgent-custkey
+    distinct set is built with a per-batch unique partial (≤ #customers
+    rows per block) and broadcast; the customer side streams through a
+    searchsorted membership filter."""
+    from ..functions.join import broadcast_semi_join
+
+    okeys_ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": pa.array(
+                    np.unique(
+                        b.filter(
+                            pa.compute.equal(
+                                b["o_orderpriority"], "1-URGENT"
+                            )
+                        )["o_custkey"].to_numpy(zero_copy_only=False)
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    okeys = _collect_ids(okeys_ds, "o_custkey")["o_custkey"].to_numpy()
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    return _collect_ids(
+        broadcast_semi_join(cust, okeys, "c_custkey", anti=True),
+        "c_custkey",
+    )
+
+
 # ----------------------------------------------------------------- registry
 def build_queries() -> dict:
     q = {}
@@ -1505,6 +1562,8 @@ def build_queries() -> dict:
     q["contains_token_pushdown"] = q_contains_token_pushdown
     q["tpch_order_revenue"] = q_tpch_order_revenue
     q["ntok_quantiles"] = q_ntok_quantiles
+    q["docs_top3_per_source"] = q_docs_top3_per_source
+    q["customers_no_urgent_orders"] = q_customers_no_urgent_orders
     return q
 
 
@@ -1906,6 +1965,21 @@ def build_oracle_sql() -> dict:
                CAST(quantile_disc(length(text), 0.9) AS BIGINT) AS p90,
                CAST(quantile_disc(length(text), 0.99) AS BIGINT) AS p99
         FROM documents GROUP BY source
+    """
+    sql["docs_top3_per_source"] = """
+        WITH r AS (
+          SELECT doc_id, source,
+                 CAST(length(text) AS BIGINT) AS n_tok,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY length(text) DESC, doc_id ASC) AS rn
+          FROM documents
+        )
+        SELECT doc_id, source, n_tok FROM r WHERE rn <= 3
+    """
+    sql["customers_no_urgent_orders"] = """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # compression_stats, dedup_minhash/simhash/ngram_jaccard/embedding,

@@ -356,3 +356,57 @@ def test_grouped_quantiles_matches_duckdb(ray_session):
     )
     for c in ("n", "p50", "p90", "p99"):
         assert (got[c].values == want[c].values).all(), c
+
+
+def test_grouped_topk_ties_and_small_groups(ray_session):
+    """Ties resolved by tiebreak, groups smaller than k returned whole,
+    identical across repartitionings."""
+    import ray.data
+    from fsst_like_ray.functions.grouped_topk import grouped_topk
+
+    rng = np.random.default_rng(29)
+    n = 500
+    t = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 8, n)),
+            "s": pa.array(rng.integers(0, 5, n).astype(np.int64)),  # ties
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    df = t.to_pandas()
+    want = (
+        df.sort_values(["g", "s", "id"], ascending=[True, False, True])
+        .groupby("g")
+        .head(4)
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = (
+            grouped_topk(ds, key="g", score="s", k=4, tiebreak="id")
+            .to_pandas()
+            .sort_values(["g", "id"])
+            .reset_index(drop=True)
+        )
+        assert (got[["g", "s", "id"]].values == want.values).all(), parts
+
+
+def test_broadcast_semi_anti_join(ray_session):
+    import ray.data
+    from fsst_like_ray.functions.join import broadcast_semi_join
+
+    t = pa.table({"k": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64())})
+    ds = lambda: ray.data.from_arrow(t).repartition(3)
+    keys = np.array([2, 4, 9])
+    semi = broadcast_semi_join(ds(), keys, "k").to_pandas()["k"].tolist()
+    anti = broadcast_semi_join(ds(), keys, "k", anti=True).to_pandas()[
+        "k"
+    ].tolist()
+    assert sorted(semi) == [2, 4]
+    assert sorted(anti) == [1, 3, 5, 6]
+    # empty key set: semi keeps nothing, anti keeps all
+    assert broadcast_semi_join(ds(), np.array([]), "k").count() == 0
+    assert (
+        broadcast_semi_join(ds(), np.array([]), "k", anti=True).count() == 6
+    )
