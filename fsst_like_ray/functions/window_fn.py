@@ -1,0 +1,74 @@
+"""Ordered per-key window functions — running sum, row number, lag.
+
+Ray Data has no window-function operator; this composes one per SURVEY.md
+§2 custom-operator guidance: ONE hash shuffle on the key
+(``groupby(key).map_groups``) + a vectorized in-group sort, then cumsum /
+arange / shifted-take — no per-row Python anywhere.
+
+Partitioning assumptions (documented for 100 TB):
+- every row moves exactly once (the key shuffle); window math is local;
+- one key's full history must fit a worker (same contract as the plain
+  sessionize path in ``functions/events.py``). For unbounded keys,
+  pre-slice by the order column and carry per-slice offsets the way
+  ``sessionize(slice_s=...)`` does — running sums compose associatively
+  across slices (slice partial = (row_count, sum); prefix-scan the
+  partials), so the same two-phase trick applies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _group_sort_indices(
+    g: pa.Table, order: str, tiebreak: str | None
+) -> np.ndarray:
+    ordv = g[order].to_numpy(zero_copy_only=False)
+    if tiebreak is not None:
+        tb = g[tiebreak].to_numpy(zero_copy_only=False)
+        return np.lexsort((tb, ordv))
+    return np.argsort(ordv, kind="stable")
+
+
+def keyed_window(
+    ds: "ray.data.Dataset",
+    key: str,
+    order: str,
+    sum_col: str | None = None,
+    lag_col: str | None = None,
+    tiebreak: str | None = None,
+) -> "ray.data.Dataset":
+    """Per-``key`` windows ordered by (``order``, ``tiebreak``): every
+    input column passes through (rows re-ordered within the group), plus
+
+    - ``rn`` (int64): 1-based row number within the key;
+    - ``{sum_col}_run`` (int64): running (inclusive-prefix) sum of
+      ``sum_col`` — pass an integer column (e.g. pre-converted cents);
+    - ``{lag_col}_lag``: previous row's ``lag_col`` value, null for the
+      first row of each key (type-preserving via a null-index take).
+    """
+
+    def win(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        idx = _group_sort_indices(g, order, tiebreak)
+        g = g.take(pa.array(idx, type=pa.int64()))
+        cols = {name: g[name] for name in g.column_names}
+        cols["rn"] = pa.array(np.arange(1, n + 1, dtype=np.int64))
+        if sum_col is not None:
+            v = g[sum_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[f"{sum_col}_run"] = pa.array(np.cumsum(v))
+        if lag_col is not None:
+            prev = np.arange(-1, n - 1, dtype=np.int64)
+            lag_idx = pa.array(
+                np.maximum(prev, 0), type=pa.int64(), mask=prev < 0
+            )
+            cols[f"{lag_col}_lag"] = pc.take(
+                g[lag_col].combine_chunks(), lag_idx
+            )
+        return pa.table(cols)
+
+    return ds.groupby(key).map_groups(win, batch_format="pyarrow")

@@ -1499,6 +1499,56 @@ def q_customers_no_urgent_orders(sf_dir: str):
     )
 
 
+def q_events_user_running(sf_dir: str):
+    """Per-user ordered window functions over the event stream: row
+    number, running cents sum, and gap to the previous event (-1 for the
+    first). ONE key shuffle; all window math vectorized in-group
+    (functions/window_fn.py)."""
+    from ..functions.window_fn import keyed_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": b["ts"].cast(pa.int64()),
+                "cents": pa.array(
+                    np.floor(
+                        b["value"].to_numpy(zero_copy_only=False) * 100
+                        + 0.5
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = keyed_window(
+        ds,
+        key="user_id",
+        order="ts_us",
+        sum_col="cents",
+        lag_col="ts_us",
+        tiebreak="event_id",
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "rn": b["rn"],
+                "run_cents": b["cents_run"],
+                "gap_us": pa.compute.fill_null(
+                    pa.compute.subtract(b["ts_us"], b["ts_us_lag"]), -1
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ----------------------------------------------------------------- registry
 def build_queries() -> dict:
     q = {}
@@ -1564,6 +1614,7 @@ def build_queries() -> dict:
     q["ntok_quantiles"] = q_ntok_quantiles
     q["docs_top3_per_source"] = q_docs_top3_per_source
     q["customers_no_urgent_orders"] = q_customers_no_urgent_orders
+    q["events_user_running"] = q_events_user_running
     return q
 
 
@@ -1980,6 +2031,17 @@ def build_oracle_sql() -> dict:
         SELECT c_custkey FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                 WHERE o_orderpriority = '1-URGENT')
+    """
+    sql["events_user_running"] = """
+        SELECT event_id, user_id,
+               ROW_NUMBER() OVER w AS rn,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                    AS BIGINT) AS run_cents,
+               COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, -1)
+                   AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # compression_stats, dedup_minhash/simhash/ngram_jaccard/embedding,

@@ -410,3 +410,48 @@ def test_broadcast_semi_anti_join(ray_session):
     assert (
         broadcast_semi_join(ds(), np.array([]), "k", anti=True).count() == 6
     )
+
+
+def test_keyed_window_matches_pandas(ray_session):
+    """rn / running sum / lag vs a pandas window oracle, stable under
+    repartitioning; ties on the order column resolved by tiebreak."""
+    import ray.data
+    from fsst_like_ray.functions.window_fn import keyed_window
+
+    rng = np.random.default_rng(41)
+    n = 600
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 9, n)),
+            "o": pa.array(rng.integers(0, 40, n).astype(np.int64)),  # ties
+            "v": pa.array(rng.integers(-5, 50, n).astype(np.int64)),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    df = (
+        t.to_pandas()
+        .sort_values(["k", "o", "id"])
+        .reset_index(drop=True)
+    )
+    g = df.groupby("k")
+    df["rn"] = g.cumcount() + 1
+    df["v_run"] = g["v"].cumsum()
+    df["o_lag"] = g["o"].shift(1)
+
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = (
+            keyed_window(
+                ds, key="k", order="o", sum_col="v", lag_col="o",
+                tiebreak="id",
+            )
+            .to_pandas()
+            .sort_values(["k", "o", "id"])
+            .reset_index(drop=True)
+        )
+        for c in ("rn", "v_run"):
+            assert (got[c].values == df[c].values).all(), (parts, c)
+        lag_ok = (got["o_lag"].isna() == df["o_lag"].isna()).all() and (
+            got["o_lag"].dropna().values == df["o_lag"].dropna().values
+        ).all()
+        assert lag_ok, parts
