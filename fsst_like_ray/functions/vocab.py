@@ -43,3 +43,60 @@ def token_frequencies(tokens_ds, k: int | None = None):
     if k is not None:
         out = out.limit(k)
     return out
+
+
+def word_bigram_partials(batch: pa.Table, col: str = "text") -> pa.Table:
+    """text batch → (bigram, cnt) partial counts, Arrow/NumPy end to end:
+    ``split_pattern_regex`` (C++) tokenizes every row at once; row ids come
+    from list offsets; consecutive same-row token pairs are joined with
+    ``binary_join_element_wise``; the per-batch count is a C++ group_by.
+    Separator ``[^a-z0-9]+`` merges runs, so empty tokens only occur at
+    row boundaries and are masked before pairing (semantics proven equal
+    to the SQL split-then-filter oracle in the driver check)."""
+    import pyarrow.compute as pc
+
+    lowered = pc.utf8_lower(batch[col])
+    lists = pc.split_pattern_regex(lowered, "[^a-z0-9]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    values = lists.flatten()
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    row_ids = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+    toks = values.filter(pa.array(keep))
+    rows = row_ids[keep]
+    if len(rows) < 2:
+        return pa.table(
+            {
+                "bigram": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+    same = rows[:-1] == rows[1:]
+    idx = np.flatnonzero(same)
+    w1 = toks.take(pa.array(idx))
+    w2 = toks.take(pa.array(idx + 1))
+    joined = pc.binary_join_element_wise(w1, w2, " ")
+    g = pa.table({"bigram": joined}).group_by("bigram").aggregate(
+        [("bigram", "count")]
+    )
+    return pa.table(
+        {
+            "bigram": g["bigram"],
+            "cnt": g["bigram_count"].cast(pa.int64()),
+        }
+    )
+
+
+def bigram_frequencies(docs_ds, col: str = "text", k: int | None = None):
+    """Global word-bigram frequencies over a text column, optionally top-k.
+    Same partial-then-merge shape as ``token_frequencies``: the shuffle
+    moves ≤ |distinct bigrams in block| partial rows, never text."""
+    partials = docs_ds.map_batches(
+        lambda b: word_bigram_partials(b, col), batch_format="pyarrow"
+    )
+    merged = partials.groupby("bigram").aggregate(Sum("cnt", alias_name="n"))
+    out = merged.sort(["n", "bigram"], descending=[True, False])
+    if k is not None:
+        out = out.limit(k)
+    return out

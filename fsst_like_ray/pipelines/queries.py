@@ -1499,6 +1499,165 @@ def q_customers_no_urgent_orders(sf_dir: str):
     )
 
 
+def q_events_props_extract(sf_dir: str):
+    """Regex field extraction from a semi-structured string column
+    (props='{"k": N}'): Arrow RE2 ``extract_regex`` per batch (the
+    decoded-path sibling of the compressed-domain ``like_regex`` engine),
+    then partial-then-merge sum/count per event_type."""
+    from ray.data.aggregate import Sum
+
+    def ex(b: pa.Table) -> pa.Table:
+        m = pa.compute.extract_regex(b["props"], r"(?P<num>[0-9]+)")
+        k = pa.compute.fill_null(
+            pa.compute.struct_field(m, "num").cast(pa.int64()), 0
+        )
+        g = (
+            pa.table({"event_type": b["event_type"], "k": k})
+            .group_by("event_type")
+            .aggregate([("k", "sum"), ("k", "count")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "k_sum": g["k_sum"].cast(pa.int64()),
+                "n": g["k_count"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+        )
+        .map_batches(ex, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("k_sum", alias_name="k_sum"), Sum("n", alias_name="n")
+        )
+    )
+
+
+def q_bigram_top20(sf_dir: str):
+    """Global word-bigram top-20 over documents.text: Arrow-regex
+    tokenize + same-row pairing per batch (functions/vocab.py), shuffle
+    moves only per-block distinct-bigram partials."""
+    from ..functions.vocab import bigram_frequencies
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return bigram_frequencies(ds, k=20)
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape — three-way join: customer (dimension, filtered to
+    one segment, collected once and BROADCAST as a semi-join key set) ⋈
+    orders (date-filtered, streamed) ⋈ lineitem (fact, streamed) via ONE
+    co-partitioned shuffle on orderkey; revenue per order by
+    partial-then-merge; global top-10 with a deterministic tiebreak."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.join import broadcast_semi_join, shuffle_hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(
+            pa.compute.equal(b["c_mktsegment"], "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    ckeys = _collect_ids(cust, "c_custkey")["c_custkey"].to_numpy()
+    cutoff = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+
+    orders = broadcast_semi_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(
+            lambda b: (
+                lambda f: pa.table(
+                    {
+                        "o_orderkey": f["o_orderkey"],
+                        "o_custkey": f["o_custkey"],
+                        "o_date_us": f["o_orderdate"].cast(pa.int64()),
+                    }
+                )
+            )(
+                b.filter(
+                    pa.compute.less(
+                        b["o_orderdate"].cast(pa.int64()), cutoff
+                    )
+                )
+            ),
+            batch_format="pyarrow",
+        ),
+        ckeys,
+        "o_custkey",
+    ).map_batches(
+        lambda b: b.select(["o_orderkey", "o_date_us"]),
+        batch_format="pyarrow",
+    )
+
+    def lines(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ts > cutoff
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"].take(
+                    pa.array(np.flatnonzero(keep))
+                ),
+                "cents": pa.array(
+                    np.floor(px * (1 - disc) * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(lines, batch_format="pyarrow")
+
+    joined = shuffle_hash_join(
+        lineitem, orders, "l_orderkey", "o_orderkey"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey", "o_date_us_r"]).aggregate(
+            [("cents", "sum")]
+        )
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "o_date_us": g["o_date_us_r"],
+                "cents": g["cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(
+            Sum("cents", alias_name="revenue_cents"),
+            Max("o_date_us", alias_name="o_date_us"),
+        )
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue_cents": b["revenue_cents"].cast(pa.int64()),
+                "o_date_us": b["o_date_us"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_user_running(sf_dir: str):
     """Per-user ordered window functions over the event stream: row
     number, running cents sum, and gap to the previous event (-1 for the
@@ -1615,6 +1774,9 @@ def build_queries() -> dict:
     q["docs_top3_per_source"] = q_docs_top3_per_source
     q["customers_no_urgent_orders"] = q_customers_no_urgent_orders
     q["events_user_running"] = q_events_user_running
+    q["tpch_q3"] = q_tpch_q3
+    q["bigram_top20"] = q_bigram_top20
+    q["events_props_extract"] = q_events_props_extract
     return q
 
 
@@ -2042,6 +2204,44 @@ def build_oracle_sql() -> dict:
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING)
+    """
+    sql["tpch_q3"] = """
+        SELECT l.l_orderkey,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
+               epoch_us(o.o_orderdate) AS o_date_us
+        FROM customer c, orders o, lineitem l
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND c.c_custkey = o.o_custkey
+          AND l.l_orderkey = o.o_orderkey
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND l.l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue_cents DESC, l.l_orderkey
+        LIMIT 10
+    """
+    sql["bigram_top20"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                     AS w,
+                 unnest(generate_series(1, len(string_split_regex(
+                     lower(text), '[^a-z0-9]+')))) AS i
+          FROM documents
+        )
+        SELECT a.w || ' ' || b.w AS bigram, CAST(count(*) AS BIGINT) AS n
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE a.w <> '' AND b.w <> ''
+        GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
+    """
+    sql["events_props_extract"] = """
+        SELECT event_type,
+               CAST(sum(COALESCE(TRY_CAST(regexp_extract(props, '[0-9]+')
+                                          AS BIGINT), 0)) AS BIGINT)
+                   AS k_sum,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # compression_stats, dedup_minhash/simhash/ngram_jaccard/embedding,

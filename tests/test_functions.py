@@ -425,3 +425,26 @@ def test_pack_sequences_matches_oracle(ray_session):
         ).take_all()
         mine = {(r["source"], r["seq_id"]): list(r["tokens"]) for r in out}
         assert mine == oracle, (shift, nparts)
+
+
+def test_word_bigram_partials_edges(ray_session):
+    """Punctuation boundaries, empty/one-word rows, no cross-row pairs."""
+    import pyarrow as pa
+    from fsst_like_ray.functions.vocab import word_bigram_partials
+
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "The fast, key!",   # case + punctuation merge
+                    "",                  # empty row
+                    "solo",              # one word: no bigram
+                    ".a b.",             # leading/trailing separators
+                    "a b",               # pairs with row above? must NOT
+                ]
+            )
+        }
+    )
+    out = word_bigram_partials(t).to_pydict()
+    got = dict(zip(out["bigram"], out["cnt"]))
+    assert got == {"the fast": 1, "fast key": 1, "a b": 2}
