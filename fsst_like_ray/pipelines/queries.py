@@ -1499,6 +1499,59 @@ def q_customers_no_urgent_orders(sf_dir: str):
     )
 
 
+def q_docs_above_p90(sf_dir: str):
+    """Composite: per-source p90 length (histogram-merge quantiles, small
+    result) BROADCAST back over the streaming document scan → filter →
+    per-source count. The quantile table is the only materialized
+    intermediate (one row per source)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import broadcast_hash_join
+    from ..functions.quantiles import grouped_quantiles
+
+    def lens(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "len": pa.compute.utf8_length(b["text"]).cast(pa.int64()),
+            }
+        )
+
+    docs = lambda: ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    ).map_batches(lens, batch_format="pyarrow")
+
+    qt = grouped_quantiles(docs(), "source", "len", qs=(0.9,))
+    qt_tbl = pa.concat_tables(
+        [
+            b.select(["source", "p90"])
+            for b in qt.iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+            if b.num_rows
+        ]
+    ).combine_chunks()
+
+    joined = broadcast_hash_join(docs(), qt_tbl, "source", "source")
+    return (
+        joined.map_batches(
+            lambda b: (
+                lambda f: pa.table(
+                    {
+                        "source": f["source"],
+                        "n_above": pa.array(
+                            np.ones(f.num_rows, dtype=np.int64)
+                        ),
+                    }
+                )
+            )(b.filter(pa.compute.greater(b["len"], b["p90"]))),
+            batch_format="pyarrow",
+        )
+        .groupby("source")
+        .aggregate(Sum("n_above", alias_name="n_above"))
+    )
+
+
 def q_events_props_extract(sf_dir: str):
     """Regex field extraction from a semi-structured string column
     (props='{"k": N}'): Arrow RE2 ``extract_regex`` per batch (the
@@ -1777,6 +1830,7 @@ def build_queries() -> dict:
     q["tpch_q3"] = q_tpch_q3
     q["bigram_top20"] = q_bigram_top20
     q["events_props_extract"] = q_events_props_extract
+    q["docs_above_p90"] = q_docs_above_p90
     return q
 
 
@@ -2242,6 +2296,17 @@ def build_oracle_sql() -> dict:
                    AS k_sum,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY event_type
+    """
+    sql["docs_above_p90"] = """
+        WITH q AS (
+          SELECT source,
+                 CAST(quantile_disc(length(text), 0.9) AS BIGINT) AS p90
+          FROM documents GROUP BY source
+        )
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_above
+        FROM documents d JOIN q USING (source)
+        WHERE length(d.text) > q.p90
+        GROUP BY d.source
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # compression_stats, dedup_minhash/simhash/ngram_jaccard/embedding,
