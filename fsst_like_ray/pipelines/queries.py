@@ -1499,6 +1499,82 @@ def q_customers_no_urgent_orders(sf_dir: str):
     )
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means (functions/kmeans.py) over the
+    embeddings table: iterative broadcast-centroids / partial-merge fit,
+    then an embarrassingly-parallel assign pass; returns per-cluster
+    sizes. Rows-only (float iteration has no SQL twin); the oracle-gated
+    sibling is kmeans_planted."""
+    from ray.data.aggregate import Count
+
+    from ..functions.kmeans import kmeans_assign, kmeans_fit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents, inertia, _ = kmeans_fit(ds, k=8, iters=8, tol=1e-3)
+    out = (
+        kmeans_assign(ds, cents)
+        .groupby("cluster")
+        .aggregate(Count(alias_name="n"))
+        .sort("cluster")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "cluster": b["cluster"].cast(pa.int64()),
+                "n": b["n"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_kmeans_planted(sf_dir: str):
+    """Recovery gate for kmeans_fit: 8 well-separated planted clusters
+    (deterministic fixture formula) must be recovered EXACTLY — every
+    planted group pure (one recovered label) and all 8 groups distinct.
+    The oracle recomputes the expected constant table."""
+    from ..functions.kmeans import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(7)
+    g_per, dim, k = 50, 16, 8
+    centers = np.zeros((k, dim))
+    for g in range(k):
+        centers[g, g % dim] = 10.0 * (1 + g // dim)
+    pts = np.repeat(centers, g_per, axis=0) + 0.05 * rng.standard_normal(
+        (k * g_per, dim)
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(k * g_per, dtype=np.int64)),
+            "grp": pa.array(
+                np.repeat(np.arange(k, dtype=np.int64), g_per)
+            ),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(pts.ravel().astype(np.float32)), dim
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    cents, _, _ = kmeans_fit(ds, k=k, iters=10)
+    lab = (
+        kmeans_assign(ds, cents)
+        .to_pandas()
+        .sort_values("vec_id")["cluster"]
+        .to_numpy()
+        .reshape(k, g_per)
+    )
+    pure = (lab == lab[:, :1]).all(axis=1)
+    distinct = len(np.unique(lab[:, 0])) == k
+    return pa.table(
+        {
+            "grp": pa.array(np.arange(k, dtype=np.int64)),
+            "recovered": pa.array([bool(p) and distinct for p in pure]),
+        }
+    )
+
+
 def q_docs_above_p90(sf_dir: str):
     """Composite: per-source p90 length (histogram-merge quantiles, small
     result) BROADCAST back over the streaming document scan → filter →
@@ -1831,6 +1907,8 @@ def build_queries() -> dict:
     q["bigram_top20"] = q_bigram_top20
     q["events_props_extract"] = q_events_props_extract
     q["docs_above_p90"] = q_docs_above_p90
+    q["kmeans_embeddings"] = q_kmeans_embeddings
+    q["kmeans_planted"] = q_kmeans_planted
     return q
 
 
@@ -2307,6 +2385,10 @@ def build_oracle_sql() -> dict:
         FROM documents d JOIN q USING (source)
         WHERE length(d.text) > q.p90
         GROUP BY d.source
+    """
+    sql["kmeans_planted"] = """
+        SELECT CAST(i AS BIGINT) AS grp, (1=1) AS recovered
+        FROM range(8) t(i)
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # compression_stats, dedup_minhash/simhash/ngram_jaccard/embedding,

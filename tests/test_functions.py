@@ -448,3 +448,45 @@ def test_word_bigram_partials_edges(ray_session):
     out = word_bigram_partials(t).to_pydict()
     got = dict(zip(out["bigram"], out["cnt"]))
     assert got == {"the fast": 1, "fast key": 1, "a b": 2}
+
+
+def test_kmeans_planted_recovery_and_determinism(ray_session):
+    """Well-separated planted clusters recovered exactly; fit is
+    identical across repartitionings (canonical partial-merge order)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from fsst_like_ray.functions.kmeans import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(3)
+    k, g_per, dim = 5, 40, 8
+    centers = np.eye(k, dim) * 20.0
+    pts = np.repeat(centers, g_per, axis=0) + 0.1 * rng.standard_normal(
+        (k * g_per, dim)
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(k * g_per, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(pts.ravel().astype(np.float32)), dim
+            ),
+        }
+    )
+    fits = []
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        cents, inertia, _ = kmeans_fit(ds, k=k, iters=10)
+        fits.append((np.sort(cents, axis=0), inertia))
+        lab = (
+            kmeans_assign(ds, cents)
+            .to_pandas()
+            .sort_values("vec_id")["cluster"]
+            .to_numpy()
+            .reshape(k, g_per)
+        )
+        assert (lab == lab[:, :1]).all(), "impure planted cluster"
+        assert len(np.unique(lab[:, 0])) == k, "merged planted clusters"
+        # near-true centers
+        rec = np.sort(cents, axis=0)
+        assert np.abs(rec - np.sort(centers, axis=0)).max() < 0.5
+    assert np.allclose(fits[0][0], fits[1][0], atol=1e-9)
