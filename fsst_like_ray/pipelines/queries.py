@@ -1499,6 +1499,116 @@ def q_customers_no_urgent_orders(sf_dir: str):
     )
 
 
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 shape — grouped HAVING filter feeding a join: lineitem
+    quantity partial-merged per order, HAVING > 150 leaves a SMALL order
+    set, which is collected once and becomes the broadcast side of a
+    streaming join against orders (the big side never shuffles)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import broadcast_hash_join
+
+    def qty(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "q": b["l_quantity"].cast(pa.int64()),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("q", "sum")])
+        )
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "q": g["q_sum"].cast(pa.int64()),
+            }
+        )
+
+    big = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_quantity"],
+        )
+        .map_batches(qty, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q", alias_name="qty_sum"))
+        .map_batches(
+            lambda b: b.filter(pa.compute.greater(b["qty_sum"], 150)),
+            batch_format="pyarrow",
+        )
+    )
+    parts = [
+        b
+        for b in big.iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    small = (
+        pa.concat_tables(parts).combine_chunks()
+        if parts
+        else pa.table(
+            {
+                "l_orderkey": pa.array([], type=pa.int64()),
+                "qty_sum": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "o_date_us": b["o_orderdate"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_hash_join(
+        orders, small, "o_orderkey", "l_orderkey"
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "o_date_us": b["o_date_us"],
+                "qty_sum": b["qty_sum"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_docs_shuffled_head(sf_dir: str):
+    """Deterministic training-epoch reshuffle: global order by a seeded
+    multiplicative hash of doc_id (a range-partitioned ds.sort — the
+    scale path for 'random' epoch order without a random_shuffle
+    materialization), head 25. Oracle reproduces the hash formula."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "h": pa.array(
+                    (
+                        b["doc_id"].to_numpy(zero_copy_only=False)
+                        .astype(np.uint64)
+                        * np.uint64(2654435761)
+                    )
+                    % np.uint64(1 << 32)
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.sort(["h", "doc_id"]).limit(25)
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means (functions/kmeans.py) over the
     embeddings table: iterative broadcast-centroids / partial-merge fit,
@@ -1907,6 +2017,8 @@ def build_queries() -> dict:
     q["bigram_top20"] = q_bigram_top20
     q["events_props_extract"] = q_events_props_extract
     q["docs_above_p90"] = q_docs_above_p90
+    q["tpch_q18"] = q_tpch_q18
+    q["docs_shuffled_head"] = q_docs_shuffled_head
     q["kmeans_embeddings"] = q_kmeans_embeddings
     q["kmeans_planted"] = q_kmeans_planted
     return q
@@ -2385,6 +2497,23 @@ def build_oracle_sql() -> dict:
         FROM documents d JOIN q USING (source)
         WHERE length(d.text) > q.p90
         GROUP BY d.source
+    """
+    sql["tpch_q18"] = """
+        SELECT o.o_orderkey, o.o_custkey,
+               epoch_us(o.o_orderdate) AS o_date_us,
+               q.qty_sum
+        FROM orders o JOIN (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+        ) q ON q.l_orderkey = o.o_orderkey
+    """
+    sql["docs_shuffled_head"] = """
+        SELECT doc_id,
+               CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h
+        FROM documents
+        ORDER BY h, doc_id LIMIT 25
     """
     sql["kmeans_planted"] = """
         SELECT CAST(i AS BIGINT) AS grp, (1=1) AS recovered
