@@ -34,6 +34,20 @@ def _group_sort_indices(
     return np.argsort(ordv, kind="stable")
 
 
+def _ntile(n_rows: int, n: int) -> np.ndarray:
+    """SQL NTILE(n) buckets for rows 1..n_rows (1-based result): the
+    first (n_rows % n) buckets take one extra row."""
+    q, r = divmod(n_rows, n)
+    rn0 = np.arange(n_rows, dtype=np.int64)  # 0-based
+    head = r * (q + 1)
+    out = np.empty(n_rows, dtype=np.int64)
+    big = rn0 < head
+    out[big] = rn0[big] // (q + 1) + 1
+    if q > 0:
+        out[~big] = r + (rn0[~big] - head) // q + 1
+    return out
+
+
 def keyed_window(
     ds: "ray.data.Dataset",
     key: str,
@@ -41,6 +55,8 @@ def keyed_window(
     sum_col: str | None = None,
     lag_col: str | None = None,
     tiebreak: str | None = None,
+    roll: tuple[str, int] | None = None,
+    ntile: int | None = None,
 ) -> "ray.data.Dataset":
     """Per-``key`` windows ordered by (``order``, ``tiebreak``): every
     input column passes through (rows re-ordered within the group), plus
@@ -49,7 +65,10 @@ def keyed_window(
     - ``{sum_col}_run`` (int64): running (inclusive-prefix) sum of
       ``sum_col`` — pass an integer column (e.g. pre-converted cents);
     - ``{lag_col}_lag``: previous row's ``lag_col`` value, null for the
-      first row of each key (type-preserving via a null-index take).
+      first row of each key (type-preserving via a null-index take);
+    - ``roll=(col, w)`` → ``{col}_roll{w}`` (int64): moving sum over the
+      last w rows inclusive (SQL ROWS w-1 PRECEDING), via cumsum diff;
+    - ``ntile=n`` → ``q{n}`` (int64): SQL NTILE(n) bucket.
     """
 
     def win(g: pa.Table) -> pa.Table:
@@ -61,6 +80,15 @@ def keyed_window(
         if sum_col is not None:
             v = g[sum_col].to_numpy(zero_copy_only=False).astype(np.int64)
             cols[f"{sum_col}_run"] = pa.array(np.cumsum(v))
+        if roll is not None:
+            rcol, w = roll
+            v = g[rcol].to_numpy(zero_copy_only=False).astype(np.int64)
+            cs = np.cumsum(v)
+            out = cs.copy()
+            out[w:] -= cs[:-w]
+            cols[f"{rcol}_roll{w}"] = pa.array(out)
+        if ntile is not None:
+            cols[f"q{ntile}"] = pa.array(_ntile(n, ntile))
         if lag_col is not None:
             prev = np.arange(-1, n - 1, dtype=np.int64)
             lag_idx = pa.array(

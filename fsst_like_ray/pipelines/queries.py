@@ -1499,6 +1499,52 @@ def q_customers_no_urgent_orders(sf_dir: str):
     )
 
 
+def q_events_user_rolling(sf_dir: str):
+    """Per-user moving 3-event spend and NTILE(4) time-quartile — the
+    frame/bucket flavors of the keyed window operator (cumsum-diff
+    rolling sum, SQL-exact NTILE split)."""
+    from ..functions.window_fn import keyed_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": b["ts"].cast(pa.int64()),
+                "cents": pa.array(
+                    np.floor(
+                        b["value"].to_numpy(zero_copy_only=False) * 100
+                        + 0.5
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = keyed_window(
+        ds,
+        key="user_id",
+        order="ts_us",
+        tiebreak="event_id",
+        roll=("cents", 3),
+        ntile=4,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "roll3_cents": b["cents_roll3"],
+                "q4": b["q4"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_tpch_q18(sf_dir: str):
     """TPC-H Q18 shape — grouped HAVING filter feeding a join: lineitem
     quantity partial-merged per order, HAVING > 150 leaves a SMALL order
@@ -2017,6 +2063,7 @@ def build_queries() -> dict:
     q["bigram_top20"] = q_bigram_top20
     q["events_props_extract"] = q_events_props_extract
     q["docs_above_p90"] = q_docs_above_p90
+    q["events_user_rolling"] = q_events_user_rolling
     q["tpch_q18"] = q_tpch_q18
     q["docs_shuffled_head"] = q_docs_shuffled_head
     q["kmeans_embeddings"] = q_kmeans_embeddings
@@ -2497,6 +2544,16 @@ def build_oracle_sql() -> dict:
         FROM documents d JOIN q USING (source)
         WHERE length(d.text) > q.p90
         GROUP BY d.source
+    """
+    sql["events_user_rolling"] = """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS roll3_cents,
+               CAST(NTILE(4) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS q4
+        FROM events
     """
     sql["tpch_q18"] = """
         SELECT o.o_orderkey, o.o_custkey,

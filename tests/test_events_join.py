@@ -455,3 +455,46 @@ def test_keyed_window_matches_pandas(ray_session):
             got["o_lag"].dropna().values == df["o_lag"].dropna().values
         ).all()
         assert lag_ok, parts
+
+
+def test_keyed_window_roll_and_ntile(ray_session):
+    """Rolling sum equals brute-force window; NTILE split matches the
+    SQL sizing rule (first m%n buckets one extra) for every group size."""
+    import ray.data
+    from fsst_like_ray.functions.window_fn import _ntile, keyed_window
+
+    # NTILE sizing: all (m, n) small cases vs the definition
+    for m in range(1, 12):
+        for n in range(1, 6):
+            b = _ntile(m, n)
+            sizes = np.bincount(b)[1:]
+            q, r = divmod(m, n)
+            want = [q + 1] * r + [q] * (min(m, n) - r)
+            assert list(sizes[sizes > 0]) == [s for s in want if s > 0], (m, n)
+            assert (np.diff(b) >= 0).all()
+
+    rng = np.random.default_rng(11)
+    nrow = 300
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 7, nrow)),
+            "o": pa.array(np.arange(nrow, dtype=np.int64)),
+            "v": pa.array(rng.integers(0, 100, nrow).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = (
+        keyed_window(ds, key="k", order="o", roll=("v", 4), ntile=3)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    want_roll = (
+        df.groupby("k")["v"]
+        .rolling(4, min_periods=1)
+        .sum()
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    assert (got["v_roll4"].values == want_roll.values).all()
