@@ -1499,6 +1499,50 @@ def q_customers_no_urgent_orders(sf_dir: str):
     )
 
 
+def q_events_pivot_hours(sf_dir: str):
+    """Distributed PIVOT: event_type × hour-of-day count matrix. Each
+    batch emits a WIDE partial (vectorized 2-D bincount → one row per
+    event_type, 24 count columns); the groupby merges 24 Sum aggregates
+    — the shuffle moves ≤ |types| wide rows per block, never events."""
+    from ray.data.aggregate import Sum
+
+    US_PER_H = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts // US_PER_H) % 24
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary
+        mat = np.zeros((len(uniq), 24), dtype=np.int64)
+        np.add.at(mat, (codes, hour), 1)
+        cols = {"event_type": uniq}
+        for h in range(24):
+            cols[f"h{h}"] = pa.array(mat[:, h])
+        return pa.table(cols)
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            *[Sum(f"h{h}", alias_name=f"h{h}") for h in range(24)]
+        )
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"event_type": b["event_type"]}
+            | {f"h{h}": b[f"h{h}"].cast(pa.int64()) for h in range(24)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_user_rolling(sf_dir: str):
     """Per-user moving 3-event spend and NTILE(4) time-quartile — the
     frame/bucket flavors of the keyed window operator (cumsum-diff
@@ -2064,6 +2108,7 @@ def build_queries() -> dict:
     q["events_props_extract"] = q_events_props_extract
     q["docs_above_p90"] = q_docs_above_p90
     q["events_user_rolling"] = q_events_user_rolling
+    q["events_pivot_hours"] = q_events_pivot_hours
     q["tpch_q18"] = q_tpch_q18
     q["docs_shuffled_head"] = q_docs_shuffled_head
     q["kmeans_embeddings"] = q_kmeans_embeddings
@@ -2545,6 +2590,13 @@ def build_oracle_sql() -> dict:
         WHERE length(d.text) > q.p90
         GROUP BY d.source
     """
+    hcols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE hour(ts) = {h}) AS BIGINT) AS h{h}"
+        for h in range(24)
+    )
+    sql["events_pivot_hours"] = (
+        f"SELECT event_type, {hcols} FROM events GROUP BY event_type"
+    )
     sql["events_user_rolling"] = """
         SELECT event_id, user_id,
                CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
