@@ -1499,6 +1499,66 @@ def q_customers_no_urgent_orders(sf_dir: str):
     )
 
 
+def q_orders_rollup(sf_dir: str):
+    """ROLLUP(status, priority) totals: the finest grain aggregates
+    distributed (partial-then-merge, shuffle moves ≤ |status×priority|
+    rows per block); the coarser levels roll up from that SMALL result —
+    the scale-correct plan for hierarchical totals. NULL grouping slots
+    use the 'ALL' sentinel on both sides."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "status": b["o_orderstatus"],
+                    "priority": b["o_orderpriority"],
+                }
+            )
+            .group_by(["status", "priority"])
+            .aggregate([("status", "count")])
+        )
+        return pa.table(
+            {
+                "status": g["status"],
+                "priority": g["priority"],
+                "n": g["status_count"].cast(pa.int64()),
+            }
+        )
+
+    fine = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderstatus", "o_orderpriority"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["status", "priority"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    ft = pa.concat_tables(
+        [
+            b
+            for b in fine.iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+            if b.num_rows
+        ]
+    ).to_pandas()
+    mid = (
+        ft.groupby("status", as_index=False)["n"].sum().assign(
+            priority="ALL"
+        )
+    )
+    top = pd.DataFrame(
+        {"status": ["ALL"], "priority": ["ALL"], "n": [ft["n"].sum()]}
+    )
+    out = pd.concat([ft, mid, top], ignore_index=True)[
+        ["status", "priority", "n"]
+    ]
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_events_pivot_hours(sf_dir: str):
     """Distributed PIVOT: event_type × hour-of-day count matrix. Each
     batch emits a WIDE partial (vectorized 2-D bincount → one row per
@@ -2109,6 +2169,7 @@ def build_queries() -> dict:
     q["docs_above_p90"] = q_docs_above_p90
     q["events_user_rolling"] = q_events_user_rolling
     q["events_pivot_hours"] = q_events_pivot_hours
+    q["orders_rollup"] = q_orders_rollup
     q["tpch_q18"] = q_tpch_q18
     q["docs_shuffled_head"] = q_docs_shuffled_head
     q["kmeans_embeddings"] = q_kmeans_embeddings
@@ -2589,6 +2650,13 @@ def build_oracle_sql() -> dict:
         FROM documents d JOIN q USING (source)
         WHERE length(d.text) > q.p90
         GROUP BY d.source
+    """
+    sql["orders_rollup"] = """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """
     hcols = ", ".join(
         f"CAST(count(*) FILTER (WHERE hour(ts) = {h}) AS BIGINT) AS h{h}"
