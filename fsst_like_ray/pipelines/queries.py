@@ -1499,6 +1499,56 @@ def q_customers_no_urgent_orders(sf_dir: str):
     )
 
 
+def q_docs_words_exploded(sf_dir: str):
+    """Explode / unnest: text → one row per (doc, position, word), the
+    flat_map shape expressed as a row-expanding map_batches (Arrow-regex
+    split; positions from list offsets, 1-based counting empty slots to
+    match SQL list indexing; empties filtered after). Bounded by the
+    doc_id < 50 predicate pushed into the scan."""
+    import pyarrow.compute as pc
+
+    EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+            "word": pa.array([], type=pa.string()),
+        }
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["doc_id"], 50))
+        if b.num_rows == 0:
+            return EMPTY
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(b["text"]), "[^a-z0-9]+"
+        )
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        values = lists.flatten()
+        counts = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False
+        )
+        doc = np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False), counts
+        )
+        starts = np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        pos = np.arange(len(doc), dtype=np.int64) - starts + 1
+        keep = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep]),
+                "pos": pa.array(pos[keep]),
+                "word": values.filter(pa.array(keep)),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(explode, batch_format="pyarrow")
+
+
 def q_orders_rollup(sf_dir: str):
     """ROLLUP(status, priority) totals: the finest grain aggregates
     distributed (partial-then-merge, shuffle moves ≤ |status×priority|
@@ -2170,6 +2220,7 @@ def build_queries() -> dict:
     q["events_user_rolling"] = q_events_user_rolling
     q["events_pivot_hours"] = q_events_pivot_hours
     q["orders_rollup"] = q_orders_rollup
+    q["docs_words_exploded"] = q_docs_words_exploded
     q["tpch_q18"] = q_tpch_q18
     q["docs_shuffled_head"] = q_docs_shuffled_head
     q["kmeans_embeddings"] = q_kmeans_embeddings
@@ -2650,6 +2701,18 @@ def build_oracle_sql() -> dict:
         FROM documents d JOIN q USING (source)
         WHERE length(d.text) > q.p90
         GROUP BY d.source
+    """
+    sql["docs_words_exploded"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                     AS word,
+                 unnest(generate_series(1, len(string_split_regex(
+                     lower(text), '[^a-z0-9]+')))) AS pos
+          FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, word
+        FROM t WHERE word <> ''
     """
     sql["orders_rollup"] = """
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
