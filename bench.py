@@ -191,6 +191,26 @@ def run_dedup(sf_dir: str) -> dict:
     return {"sec": time.time() - t0, "dups": n}
 
 
+def run_window(sf_dir: str) -> dict:
+    """Keyed window functions over the events table (one key shuffle +
+    vectorized in-group frames) — the round-3 window-operator family."""
+    from fsst_like_ray.pipelines.queries import q_events_user_rolling
+
+    t0 = time.time()
+    n = q_events_user_rolling(sf_dir).count()
+    return {"sec": time.time() - t0, "rows": n}
+
+
+def run_join_q3(sf_dir: str) -> dict:
+    """Three-way join (broadcast semi + co-partitioned shuffle) — the
+    round-3 join-family composition (TPC-H Q3 shape)."""
+    from fsst_like_ray.pipelines.queries import q_tpch_q3
+
+    t0 = time.time()
+    n = q_tpch_q3(sf_dir).count()
+    return {"sec": time.time() - t0, "rows": n}
+
+
 def run_ann(sf_dir: str) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -352,6 +372,8 @@ def main():
         queries["engine_rank"] = round(rank["sec"], 3)
         queries["dedup_minhash"] = round(run_dedup(sf_dir)["sec"], 3)
         queries["ann_topk"] = round(run_ann(sf_dir)["sec"], 3)
+        queries["window_rolling"] = round(run_window(sf_dir)["sec"], 3)
+        queries["join_tpch_q3"] = round(run_join_q3(sf_dir)["sec"], 3)
 
         total = sum(queries.values())
         print(
