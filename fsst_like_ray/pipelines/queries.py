@@ -1499,6 +1499,80 @@ def q_customers_no_urgent_orders(sf_dir: str):
     )
 
 
+def q_events_value_quantiles(sf_dir: str):
+    """Exact per-type quantiles of a FLOAT column by quantizing to the
+    bounded integer cents domain first (the documented pre-bucket path
+    of the histogram-merge quantile operator)."""
+    from ..functions.quantiles import grouped_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "cents": pa.array(
+                    np.floor(
+                        b["value"].to_numpy(zero_copy_only=False) * 100
+                        + 0.5
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_quantiles(
+        ds, "event_type", "cents", qs=(0.5, 0.9, 0.99)
+    )
+
+
+def q_user_event_seq(sf_dir: str):
+    """Order-sensitive list aggregation (string_agg/collect_list): each
+    user's event-type sequence in (ts, event_id) order, joined with ','
+    — the session-to-training-sequence shape. One key shuffle; the
+    in-group sort + join is vectorized Arrow (no per-row Python)."""
+    import pyarrow.compute as pc
+
+    def seq(g: pa.Table) -> pa.Table:
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((eid, ts))
+        et = g["event_type"].combine_chunks().take(
+            pa.array(idx, type=pa.int64())
+        )
+        lst = pa.ListArray.from_arrays(
+            pa.array([0, len(et)], type=pa.int32()), et
+        )
+        joined = pc.binary_join(lst, ",")
+        return pa.table(
+            {
+                "user_id": g["user_id"].slice(0, 1),
+                "seq": joined,
+                "n_events": pa.array([g.num_rows], type=pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "user_id": b["user_id"],
+                    "event_type": b["event_type"],
+                    "ts_us": b["ts"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .map_groups(seq, batch_format="pyarrow")
+    )
+
+
 def q_docs_words_exploded(sf_dir: str):
     """Explode / unnest: text → one row per (doc, position, word), the
     flat_map shape expressed as a row-expanding map_batches (Arrow-regex
@@ -2221,6 +2295,8 @@ def build_queries() -> dict:
     q["events_pivot_hours"] = q_events_pivot_hours
     q["orders_rollup"] = q_orders_rollup
     q["docs_words_exploded"] = q_docs_words_exploded
+    q["user_event_seq"] = q_user_event_seq
+    q["events_value_quantiles"] = q_events_value_quantiles
     q["tpch_q18"] = q_tpch_q18
     q["docs_shuffled_head"] = q_docs_shuffled_head
     q["kmeans_embeddings"] = q_kmeans_embeddings
@@ -2701,6 +2777,24 @@ def build_oracle_sql() -> dict:
         FROM documents d JOIN q USING (source)
         WHERE length(d.text) > q.p90
         GROUP BY d.source
+    """
+    sql["events_value_quantiles"] = """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50,
+               CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90,
+               CAST(quantile_disc(cents, 0.99) AS BIGINT) AS p99
+        FROM c GROUP BY event_type
+    """
+    sql["user_event_seq"] = """
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
     """
     sql["docs_words_exploded"] = """
         WITH t AS (
