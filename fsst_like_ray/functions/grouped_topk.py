@@ -29,8 +29,11 @@ def _topk_table(t: pa.Table, key: str, score: str, tiebreak: str, k: int):
     kcodes = enc.indices.to_numpy(zero_copy_only=False)
     s = t[score].to_numpy(zero_copy_only=False)
     tb = t[tiebreak].to_numpy(zero_copy_only=False)
-    # sort by (key, score desc, tiebreak asc); np.lexsort: last key primary
-    order = np.lexsort((tb, -s, kcodes))
+    # sort by (key, score desc, tiebreak asc); np.lexsort: last key primary.
+    # Descending via NEGATED DENSE RANKS, not -s: negating the raw score
+    # wraps unsigned dtypes and overflows INT64_MIN
+    s_rank = np.unique(s, return_inverse=True)[1]
+    order = np.lexsort((tb, -s_rank, kcodes))
     ks = kcodes[order]
     # rank within key run = position - run start
     starts = np.concatenate(([0], np.flatnonzero(np.diff(ks)) + 1))

@@ -29,6 +29,19 @@ import ray
 import ray.data
 
 
+def put_broadcast(obj):
+    """Put a small-side payload in the object store ONCE (the broadcast
+    half of every broadcast op here); pass-through outside a Ray session
+    so kernels stay unit-testable without a cluster."""
+    return ray.put(obj) if ray.is_initialized() else obj
+
+
+def get_broadcast(ref):
+    """Resolve a ``put_broadcast`` handle inside a task (zero-copy from
+    the node's plasma store)."""
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+
 def broadcast_hash_join(
     big: "ray.data.Dataset",
     small: pa.Table,
@@ -51,11 +64,10 @@ def broadcast_hash_join(
             "broadcast_hash_join: small-side keys must be unique"
         )
     stbl = small.take(pa.array(order)).drop_columns([small_key])
-    payload = (skeys, stbl)
-    ref = ray.put(payload) if ray.is_initialized() else payload
+    ref = put_broadcast((skeys, stbl))
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        sk, st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        sk, st = get_broadcast(ref)
         clash = set(st.column_names) & set(batch.column_names)
         if clash:
             # checked per batch (a dataset-level schema() probe can trigger
@@ -97,11 +109,10 @@ def count_lookup(
     keys = np.asarray(keys)
     values = np.asarray(values, dtype=np.int64)
     order = np.argsort(keys, kind="stable")
-    payload = (keys[order], values[order])
-    ref = ray.put(payload) if ray.is_initialized() else payload
+    ref = put_broadcast((keys[order], values[order]))
 
     def add(batch: pa.Table) -> pa.Table:
-        sk, sv = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        sk, sv = get_broadcast(ref)
         bk = batch[key].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(sk, bk)
         np.minimum(idx, max(len(sk) - 1, 0), out=idx)
@@ -238,10 +249,10 @@ def broadcast_semi_join(
     fit in worker memory (distinct-keys contract; build it with a
     distinct aggregate upstream)."""
     sk = np.unique(np.asarray(keys))
-    ref = ray.put(sk) if ray.is_initialized() else sk
+    ref = put_broadcast(sk)
 
     def filt(batch: pa.Table) -> pa.Table:
-        s = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        s = get_broadcast(ref)
         bk = batch[key].to_numpy(zero_copy_only=False)
         if len(s) == 0:
             found = np.zeros(len(bk), dtype=bool)

@@ -23,6 +23,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .join import get_broadcast, put_broadcast
 from .similarity import _emb_matrix
 
 
@@ -78,11 +79,10 @@ def kmeans_fit(
     inertia = float("inf")
     it = 0
     for it in range(1, iters + 1):
-        payload = (cents.astype(np.float64), k)
-        ref = ray.put(payload) if ray.is_initialized() else payload
+        ref = put_broadcast((cents.astype(np.float64), k))
 
         def partial(b: pa.Table) -> pa.Table:
-            c, kk = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            c, kk = get_broadcast(ref)
             m = _emb_matrix(b, col).astype(np.float64)
             lab, d2 = _assign(m, c)
             cnt = np.bincount(lab, minlength=kk).astype(np.int64)
@@ -138,11 +138,10 @@ def kmeans_assign(
 ) -> "ray.data.Dataset":
     """Append a ``cluster`` (int64) column: nearest centroid per row.
     Centroids broadcast once; embarrassingly parallel."""
-    c = np.asarray(centroids, dtype=np.float64)
-    ref = ray.put(c) if ray.is_initialized() else c
+    ref = put_broadcast(np.asarray(centroids, dtype=np.float64))
 
     def tag(b: pa.Table) -> pa.Table:
-        cc = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        cc = get_broadcast(ref)
         lab, _ = _assign(_emb_matrix(b, col).astype(np.float64), cc)
         return b.append_column("cluster", pa.array(lab.astype(np.int64)))
 

@@ -45,6 +45,28 @@ def token_frequencies(tokens_ds, k: int | None = None):
     return out
 
 
+def tokenize_rows(batch: pa.Table, col: str = "text"):
+    """Lowercase + split a text column on ``[^a-z0-9]+`` (Arrow C++ regex):
+    returns (values, row_ids, keep) where ``values`` is the flattened token
+    StringArray, ``row_ids`` maps each token to its source row, and
+    ``keep`` masks empty boundary tokens. Null text is treated as ''
+    (splits to one empty token that ``keep`` drops — exactly the SQL
+    oracles' unnest-of-NULL → 0 rows semantics). Shared by the bigram and
+    explode operators so the tokenization contract cannot desynchronize."""
+    import pyarrow.compute as pc
+
+    filled = pc.fill_null(batch[col], "")
+    lists = pc.split_pattern_regex(pc.utf8_lower(filled), "[^a-z0-9]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    values = lists.flatten()
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    counts = counts.astype(np.int64)
+    row_ids = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+    return values, row_ids, keep
+
+
 def word_bigram_partials(batch: pa.Table, col: str = "text") -> pa.Table:
     """text batch → (bigram, cnt) partial counts, Arrow/NumPy end to end:
     ``split_pattern_regex`` (C++) tokenizes every row at once; row ids come
@@ -55,14 +77,7 @@ def word_bigram_partials(batch: pa.Table, col: str = "text") -> pa.Table:
     to the SQL split-then-filter oracle in the driver check)."""
     import pyarrow.compute as pc
 
-    lowered = pc.utf8_lower(batch[col])
-    lists = pc.split_pattern_regex(lowered, "[^a-z0-9]+")
-    if isinstance(lists, pa.ChunkedArray):
-        lists = lists.combine_chunks()
-    values = lists.flatten()
-    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-    row_ids = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    keep = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+    values, row_ids, keep = tokenize_rows(batch, col)
     toks = values.filter(pa.array(keep))
     rows = row_ids[keep]
     if len(rows) < 2:

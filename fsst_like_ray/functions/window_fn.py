@@ -69,7 +69,16 @@ def keyed_window(
     - ``roll=(col, w)`` → ``{col}_roll{w}`` (int64): moving sum over the
       last w rows inclusive (SQL ROWS w-1 PRECEDING), via cumsum diff;
     - ``ntile=n`` → ``q{n}`` (int64): SQL NTILE(n) bucket.
+
+    Determinism: with ``tiebreak=None``, ties on ``order`` fall back to
+    stable arrival order, which DEPENDS on block layout — pass a
+    tiebreak (or guarantee ``order`` is unique per key) whenever results
+    must be identical across repartitionings/retries.
     """
+    if roll is not None and roll[1] < 1:
+        raise ValueError(f"keyed_window: roll window must be >= 1, got {roll[1]}")
+    if ntile is not None and ntile < 1:
+        raise ValueError(f"keyed_window: ntile must be >= 1, got {ntile}")
 
     def win(g: pa.Table) -> pa.Table:
         n = g.num_rows

@@ -1590,26 +1590,21 @@ def q_docs_words_exploded(sf_dir: str):
     )
 
     def explode(b: pa.Table) -> pa.Table:
+        from ..functions.vocab import tokenize_rows
+
         b = b.filter(pc.less(b["doc_id"], 50))
         if b.num_rows == 0:
             return EMPTY
-        lists = pc.split_pattern_regex(
-            pc.utf8_lower(b["text"]), "[^a-z0-9]+"
-        )
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        values = lists.flatten()
-        counts = pc.list_value_length(lists).to_numpy(
-            zero_copy_only=False
-        )
-        doc = np.repeat(
-            b["doc_id"].to_numpy(zero_copy_only=False), counts
-        )
-        starts = np.repeat(
-            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
-        )
-        pos = np.arange(len(doc), dtype=np.int64) - starts + 1
-        keep = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+        values, row_ids, keep = tokenize_rows(b, "text")
+        if len(row_ids) == 0:
+            return EMPTY
+        # 1-based position within the row, counting empty boundary slots
+        # (= SQL list index of the split result)
+        change = np.concatenate(([True], row_ids[1:] != row_ids[:-1]))
+        starts = np.flatnonzero(change)
+        run = np.cumsum(change) - 1
+        pos = np.arange(len(row_ids), dtype=np.int64) - starts[run] + 1
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)[row_ids]
         return pa.table(
             {
                 "doc_id": pa.array(doc[keep]),
@@ -2855,6 +2850,7 @@ def build_oracle_sql() -> dict:
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # compression_stats, dedup_minhash/simhash/ngram_jaccard/embedding,
-    # ann_topk/ann_ivf — each has an oracle-gated sibling (the *_planted
-    # recall gates, *_recall gates, compression_ratio_gate)
+    # ann_ivf, kmeans_embeddings — each has an oracle-gated sibling
+    # (the *_planted recall/recovery gates, *_recall gates,
+    # compression_ratio_gate)
     return sql

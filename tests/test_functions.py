@@ -490,3 +490,43 @@ def test_kmeans_planted_recovery_and_determinism(ray_session):
         rec = np.sort(cents, axis=0)
         assert np.abs(rec - np.sort(centers, axis=0)).max() < 0.5
     assert np.allclose(fits[0][0], fits[1][0], atol=1e-9)
+
+
+def test_grouped_topk_unsigned_scores(ray_session):
+    """Descending order must not wrap unsigned scores (negated dense
+    ranks, not -s)."""
+    import pyarrow as pa
+    import ray.data
+    from fsst_like_ray.functions.grouped_topk import grouped_topk
+
+    t = pa.table(
+        {
+            "g": pa.array([0, 0, 0], type=pa.int64()),
+            "s": pa.array([0, 5, 3], type=pa.uint64()),
+            "id": pa.array([0, 1, 2], type=pa.int64()),
+        }
+    )
+    got = (
+        grouped_topk(ray.data.from_arrow(t), key="g", score="s", k=2,
+                     tiebreak="id")
+        .to_pandas()["s"]
+        .tolist()
+    )
+    assert sorted(got) == [3, 5]
+
+
+def test_tokenize_rows_null_text(ray_session):
+    """Null text behaves as 0 tokens (the SQL unnest-of-NULL semantics)
+    in both the bigram and explode kernels."""
+    import pyarrow as pa
+    from fsst_like_ray.functions.vocab import (
+        tokenize_rows,
+        word_bigram_partials,
+    )
+
+    t = pa.table({"text": pa.array(["a b", None, "c d"])})
+    values, row_ids, keep = tokenize_rows(t)
+    kept_rows = row_ids[keep]
+    assert 1 not in kept_rows.tolist()
+    out = word_bigram_partials(t).to_pydict()
+    assert dict(zip(out["bigram"], out["cnt"])) == {"a b": 1, "c d": 1}
