@@ -1499,6 +1499,56 @@ def q_customers_no_urgent_orders(sf_dir: str):
     )
 
 
+def q_orders_monthly(sf_dir: str):
+    """Calendar aggregation: per-month order count + cents total via
+    vectorized datetime64[M] truncation inside the batch partial (no
+    per-row date parsing), merged by one small groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = (
+            b["o_orderdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        month = (
+            ts.astype("datetime64[us]").astype("datetime64[M]")
+        ).astype(str)
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "month": pa.array(month),
+                    "cents": pa.array(cents),
+                    "one": pa.array(np.ones(len(ts), dtype=np.int64)),
+                }
+            )
+            .group_by("month")
+            .aggregate([("cents", "sum"), ("one", "sum")])
+        )
+        return pa.table(
+            {
+                "month": g["month"],
+                "cents": g["cents_sum"].cast(pa.int64()),
+                "n": g["one_sum"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderdate", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Sum("cents", alias_name="cents"), Sum("n", alias_name="n")
+        )
+    )
+
+
 def q_events_value_quantiles(sf_dir: str):
     """Exact per-type quantiles of a FLOAT column by quantizing to the
     bounded integer cents domain first (the documented pre-bucket path
@@ -2292,6 +2342,7 @@ def build_queries() -> dict:
     q["docs_words_exploded"] = q_docs_words_exploded
     q["user_event_seq"] = q_user_event_seq
     q["events_value_quantiles"] = q_events_value_quantiles
+    q["orders_monthly"] = q_orders_monthly
     q["tpch_q18"] = q_tpch_q18
     q["docs_shuffled_head"] = q_docs_shuffled_head
     q["kmeans_embeddings"] = q_kmeans_embeddings
@@ -2772,6 +2823,14 @@ def build_oracle_sql() -> dict:
         FROM documents d JOIN q USING (source)
         WHERE length(d.text) > q.p90
         GROUP BY d.source
+    """
+    sql["orders_monthly"] = """
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS month,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
     """
     sql["events_value_quantiles"] = """
         WITH c AS (
