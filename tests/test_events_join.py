@@ -498,3 +498,61 @@ def test_keyed_window_roll_and_ntile(ray_session):
         .astype(np.int64)
     )
     assert (got["v_roll4"].values == want_roll.values).all()
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # key
+            st.integers(min_value=0, max_value=5),    # order (many ties)
+            st.integers(min_value=-100, max_value=100),  # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    w=st.integers(min_value=1, max_value=5),
+    nt=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=10, deadline=None)
+def test_keyed_window_property(ray_session, data, w, nt):
+    """Random keyed tables with heavy order-ties: rn / running sum /
+    rolling sum / ntile all match a pandas window oracle (tiebreak = id
+    makes the expected order unique)."""
+    import ray.data
+    from fsst_like_ray.functions.window_fn import keyed_window
+
+    k = np.array([d[0] for d in data], dtype=np.int64)
+    o = np.array([d[1] for d in data], dtype=np.int64)
+    v = np.array([d[2] for d in data], dtype=np.int64)
+    ids = np.arange(len(data), dtype=np.int64)
+    t = pa.table({"k": k, "o": o, "v": v, "id": ids})
+    got = (
+        keyed_window(
+            ray.data.from_arrow(t).repartition(3),
+            key="k", order="o", sum_col="v", tiebreak="id",
+            roll=("v", w), ntile=nt,
+        )
+        .to_pandas()
+        .sort_values(["k", "o", "id"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["k", "o", "id"]).reset_index(drop=True)
+    g = df.groupby("k")
+    assert (got["rn"].values == (g.cumcount() + 1).values).all()
+    assert (got["v_run"].values == g["v"].cumsum().values).all()
+    roll = (
+        g["v"].rolling(w, min_periods=1).sum().reset_index(drop=True)
+    )
+    assert (got[f"v_roll{w}"].values == roll.values.astype(np.int64)).all()
+    # ntile: per key, sizes match the SQL rule and buckets are ordered
+    for kk, sub in got.groupby("k"):
+        b = sub[f"q{nt}"].values
+        m = len(b)
+        q, r = divmod(m, nt)
+        sizes = np.bincount(b, minlength=nt + 1)[1:]
+        want = np.array([q + 1] * r + [q] * (nt - r))
+        assert (sizes == want).all()
+        assert (np.diff(b) >= 0).all()
