@@ -131,13 +131,22 @@ def shuffle_hash_join(
     how: str = "inner",
     n_buckets: int = 64,
     right_suffix: str = "_r",
+    hot_keys=None,
+    n_salt: int = 8,
 ) -> "ray.data.Dataset":
     """Co-partitioned hash join of two LARGE datasets on integer keys.
 
     Output: all left columns + every right column except its key, suffixed
     with ``right_suffix``. Many-to-many keys produce the full match
     cross-product within the key (standard join semantics). ``how`` is
-    "inner" or "left"."""
+    "inner" or "left".
+
+    Skew: pass ``hot_keys`` (array of known-hot join keys, e.g. from a
+    frequency pre-scan) to SALT them — each hot key gets ``n_salt``
+    private buckets; hot LEFT rows spread round-robin across the salts
+    while hot RIGHT rows are REPLICATED into every salt bucket, so one
+    hot key's work parallelizes n_salt-ways instead of serializing in a
+    single bucket (memory cost: |hot right rows| × n_salt)."""
     from .asof import _arrow_fields, _project, _SIDE
 
     if how not in ("inner", "left"):
@@ -170,22 +179,57 @@ def shuffle_hash_join(
         r_out.append(out)
     out_schema = pa.schema(fields)
 
-    def bucketed(fn):
+    hot_sorted = (
+        np.sort(np.unique(np.asarray(hot_keys)))
+        if hot_keys is not None and len(hot_keys)
+        else None
+    )
+
+    def bucketed(fn, side):
         def wrap(b: pa.Table) -> pa.Table:
             t = fn(b)
-            k = t[left_key].to_numpy(zero_copy_only=False).astype(np.uint64)
-            h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
-            return t.append_column(
-                BUCKET, pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+            kk = t[left_key].to_numpy(zero_copy_only=False)
+            h = (kk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> (
+                np.uint64(32)
             )
+            bucket = (h % np.uint64(n_buckets)).astype(np.int64)
+            if hot_sorted is None:
+                return t.append_column(BUCKET, pa.array(bucket))
+            hi = np.searchsorted(hot_sorted, kk)
+            np.minimum(hi, len(hot_sorted) - 1, out=hi)
+            is_hot = hot_sorted[hi] == kk
+            if side == 0:
+                # split hot probe rows round-robin across the salts
+                salt = np.arange(len(kk), dtype=np.int64) % n_salt
+                bucket[is_hot] = (
+                    n_buckets + hi[is_hot] * n_salt + salt[is_hot]
+                )
+                return t.append_column(BUCKET, pa.array(bucket))
+            # build side: replicate each hot row into every salt bucket
+            cold = t.filter(pa.array(~is_hot)).append_column(
+                BUCKET, pa.array(bucket[~is_hot])
+            )
+            nh = int(is_hot.sum())
+            if nh == 0:
+                return cold
+            rep = t.take(
+                pa.array(np.repeat(np.flatnonzero(is_hot), n_salt))
+            )
+            rep_bucket = (
+                n_buckets
+                + np.repeat(hi[is_hot], n_salt) * n_salt
+                + np.tile(np.arange(n_salt, dtype=np.int64), nh)
+            )
+            rep = rep.append_column(BUCKET, pa.array(rep_bucket))
+            return pa.concat_tables([cold, rep])
 
         return wrap
 
     both = left.map_batches(
-        bucketed(_project(fields, have_l, 0)), batch_format="pyarrow"
+        bucketed(_project(fields, have_l, 0), 0), batch_format="pyarrow"
     ).union(
         right.map_batches(
-            bucketed(_project(fields, have_r, 1)), batch_format="pyarrow"
+            bucketed(_project(fields, have_r, 1), 1), batch_format="pyarrow"
         )
     )
 

@@ -556,3 +556,59 @@ def test_keyed_window_property(ray_session, data, w, nt):
         want = np.array([q + 1] * r + [q] * (nt - r))
         assert (sizes == want).all()
         assert (np.diff(b) >= 0).all()
+
+
+def test_shuffle_hash_join_salted_hot_key(ray_session):
+    """A hot many-to-many key joined with hot_keys salting must produce
+    exactly the pandas merge result (inner and left), and the hot left
+    rows must actually spread across multiple salt buckets."""
+    import pandas as pd
+    import ray.data
+    from fsst_like_ray.functions.join import shuffle_hash_join
+
+    rng = np.random.default_rng(17)
+    nl, nr = 3000, 300
+    lk = np.where(
+        rng.random(nl) < 0.6, 7, rng.integers(0, 40, nl)
+    ).astype(np.int64)  # ~60% of left rows share key 7
+    rk = np.where(
+        rng.random(nr) < 0.3, 7, rng.integers(0, 50, nr)
+    ).astype(np.int64)
+    lt = pa.table(
+        {"k": lk, "lv": np.arange(nl, dtype=np.int64)}
+    )
+    rt = pa.table(
+        {"rk": rk, "rv": np.arange(nr, dtype=np.int64)}
+    )
+    ldf, rdf = lt.to_pandas(), rt.to_pandas()
+    for how in ("inner", "left"):
+        got = (
+            shuffle_hash_join(
+                ray.data.from_arrow(lt).repartition(4),
+                ray.data.from_arrow(rt).repartition(3),
+                "k",
+                "rk",
+                how=how,
+                n_buckets=8,
+                hot_keys=np.array([7]),
+                n_salt=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv_r"])
+            .reset_index(drop=True)
+        )
+        want = (
+            ldf.merge(
+                rdf.rename(columns={"rk": "k", "rv": "rv_r"}),
+                on="k",
+                how=how,
+            )
+            .sort_values(["k", "lv", "rv_r"])
+            .reset_index(drop=True)
+        )
+        assert got.shape == want.shape, how
+        assert (got["k"].values == want["k"].values).all()
+        assert (got["lv"].values == want["lv"].values).all()
+        assert (
+            got["rv_r"].fillna(-1).values == want["rv_r"].fillna(-1).values
+        ).all(), how
