@@ -1326,11 +1326,12 @@ def q_contains_token_pushdown(sf_dir: str):
     return _collect_ids(contains_token_scan(enc, ord("q")), "doc_id")
 
 
-def q_tpch_order_revenue(sf_dir: str):
+def q_tpch_order_revenue(sf_dir: str, hot_keys=None):
     """Big ⋈ big: lineitem (fact) co-partition-joined to orders on
     orderkey via shuffle_hash_join (hash-bucketed, vectorized per-bucket
     sort-merge — functions/join.py), then revenue per order via
-    partial-then-merge. Neither side is broadcast or materialized."""
+    partial-then-merge. Neither side is broadcast or materialized.
+    ``hot_keys`` salts known-hot orderkeys (see the _salted variant)."""
     from ..functions.join import shuffle_hash_join
 
     orders = ray.data.read_parquet(
@@ -1374,7 +1375,7 @@ def q_tpch_order_revenue(sf_dir: str):
 
     joined = shuffle_hash_join(
         lineitem, orders, "l_orderkey", "o_orderkey", how="inner",
-        n_buckets=32,
+        n_buckets=32, hot_keys=hot_keys, n_salt=4,
     )
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1420,6 +1421,50 @@ def q_tpch_order_revenue(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def q_tpch_order_revenue_salted(sf_dir: str):
+    """Skew-hardened variant: the 5 most line-heavy orderkeys are found
+    by a frequency pre-scan (per-batch partial counts → small groupby →
+    top-5) and SALTED in the shuffle join (hot probe rows split across
+    private salt buckets, hot build rows replicated). Must produce the
+    identical result — same oracle as tpch_order_revenue."""
+    from ray.data.aggregate import Sum
+
+    cnt = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+        )
+        .map_batches(
+            lambda b: (
+                lambda g: pa.table(
+                    {
+                        "k": g["l_orderkey"],
+                        "c": g["l_orderkey_count"].cast(pa.int64()),
+                    }
+                )
+            )(
+                b.group_by("l_orderkey").aggregate(
+                    [("l_orderkey", "count")]
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .aggregate(Sum("c", alias_name="c"))
+        .sort(["c", "k"], descending=[True, False])
+        .limit(5)
+    )
+    hot = pa.concat_tables(
+        [
+            b
+            for b in cnt.iter_batches(
+                batch_size=64, batch_format="pyarrow"
+            )
+            if b.num_rows
+        ]
+    )["k"].to_numpy()
+    return q_tpch_order_revenue(sf_dir, hot_keys=hot)
 
 
 def q_ntok_quantiles(sf_dir: str):
@@ -2328,6 +2373,7 @@ def build_queries() -> dict:
     q["token_stats_pushdown"] = q_token_stats_pushdown
     q["contains_token_pushdown"] = q_contains_token_pushdown
     q["tpch_order_revenue"] = q_tpch_order_revenue
+    q["tpch_order_revenue_salted"] = q_tpch_order_revenue_salted
     q["ntok_quantiles"] = q_ntok_quantiles
     q["docs_top3_per_source"] = q_docs_top3_per_source
     q["customers_no_urgent_orders"] = q_customers_no_urgent_orders
@@ -2742,6 +2788,7 @@ def build_oracle_sql() -> dict:
           AND l.l_shipdate >= TIMESTAMP '1996-01-01'
         GROUP BY 1, 2, 3
     """
+    sql["tpch_order_revenue_salted"] = sql["tpch_order_revenue"]
     sql["ntok_quantiles"] = """
         SELECT source, CAST(count(*) AS BIGINT) AS n,
                CAST(quantile_disc(length(text), 0.5) AS BIGINT) AS p50,
