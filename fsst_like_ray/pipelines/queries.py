@@ -1326,12 +1326,16 @@ def q_contains_token_pushdown(sf_dir: str):
     return _collect_ids(contains_token_scan(enc, ord("q")), "doc_id")
 
 
-def q_tpch_order_revenue(sf_dir: str, hot_keys=None):
+def q_tpch_order_revenue(sf_dir: str, hot_keys=None, bloom: bool = False):
     """Big ⋈ big: lineitem (fact) co-partition-joined to orders on
     orderkey via shuffle_hash_join (hash-bucketed, vectorized per-bucket
     sort-merge — functions/join.py), then revenue per order via
     partial-then-merge. Neither side is broadcast or materialized.
-    ``hot_keys`` salts known-hot orderkeys (see the _salted variant)."""
+    ``hot_keys`` salts known-hot orderkeys (see the _salted variant).
+    ``bloom=True`` pre-passes the (filtered) orders side into a bloom
+    bitmap and prunes lineitem rows with no possible partner BEFORE the
+    all-to-all shuffle — no false negatives, so the result is identical
+    (same oracle as the plain query)."""
     from ..functions.join import shuffle_hash_join
 
     orders = ray.data.read_parquet(
@@ -1373,6 +1377,14 @@ def q_tpch_order_revenue(sf_dir: str, hot_keys=None):
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(lines, batch_format="pyarrow")
 
+    if bloom:
+        from ..functions.bloom import bloom_build, bloom_prune
+
+        # orders after the status-F filter is the small(er) build side;
+        # its key bloom (256 KB at 2^21 bits) broadcasts once and drops
+        # shipdate-filtered lineitems of non-F orders pre-shuffle
+        bm = bloom_build(orders, "o_orderkey", n_bits=1 << 21)
+        lineitem = bloom_prune(lineitem, "l_orderkey", bm)
     joined = shuffle_hash_join(
         lineitem, orders, "l_orderkey", "o_orderkey", how="inner",
         n_buckets=32, hot_keys=hot_keys, n_salt=4,
@@ -2374,6 +2386,9 @@ def build_queries() -> dict:
     q["contains_token_pushdown"] = q_contains_token_pushdown
     q["tpch_order_revenue"] = q_tpch_order_revenue
     q["tpch_order_revenue_salted"] = q_tpch_order_revenue_salted
+    q["tpch_order_revenue_bloom"] = lambda sf: q_tpch_order_revenue(
+        sf, bloom=True
+    )
     q["ntok_quantiles"] = q_ntok_quantiles
     q["docs_top3_per_source"] = q_docs_top3_per_source
     q["customers_no_urgent_orders"] = q_customers_no_urgent_orders
@@ -2789,6 +2804,7 @@ def build_oracle_sql() -> dict:
         GROUP BY 1, 2, 3
     """
     sql["tpch_order_revenue_salted"] = sql["tpch_order_revenue"]
+    sql["tpch_order_revenue_bloom"] = sql["tpch_order_revenue"]
     sql["ntok_quantiles"] = """
         SELECT source, CAST(count(*) AS BIGINT) AS n,
                CAST(quantile_disc(length(text), 0.5) AS BIGINT) AS p50,

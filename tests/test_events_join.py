@@ -612,3 +612,63 @@ def test_shuffle_hash_join_salted_hot_key(ray_session):
         assert (
             got["rv_r"].fillna(-1).values == want["rv_r"].fillna(-1).values
         ).all(), how
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    """Inserted keys ALWAYS pass; non-members fail at roughly the
+    analytical false-positive rate (well under 1% at this sizing)."""
+    from fsst_like_ray.functions.bloom import bloom_contains, bloom_insert
+
+    rng = np.random.default_rng(5)
+    n_bits, k = 1 << 18, 4
+    bm = np.zeros(n_bits // 8, dtype=np.uint8)
+    members = rng.choice(10_000_000, size=5000, replace=False).astype(np.int64)
+    bloom_insert(bm, members, k)
+    assert bloom_contains(bm, members, k).all()
+    probe = np.setdiff1d(
+        rng.integers(0, 2**62, size=20000).astype(np.int64), members
+    )
+    fpr = bloom_contains(bm, probe, k).mean()
+    # kn/m = 0.076 -> expected (1-e^-0.076)^4 ~ 3e-5; allow slack
+    assert fpr < 0.005, fpr
+    # negative keys hash fine too (int64 view, no overflow error)
+    neg = -members
+    bloom_insert(bm, neg, k)
+    assert bloom_contains(bm, neg, k).all()
+
+
+def test_bloom_pruned_join_identical(ray_session):
+    """Bloom-pruned inner shuffle join is bit-identical to the unpruned
+    join, and the prune genuinely drops partnerless probe rows."""
+    import ray.data
+    from fsst_like_ray.functions.bloom import bloom_build, bloom_prune
+    from fsst_like_ray.functions.join import shuffle_hash_join
+
+    rng = np.random.default_rng(23)
+    ldf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5000, 4000),  # mostly partnerless
+            "lv": rng.integers(0, 100, 4000),
+        }
+    )
+    rdf = pd.DataFrame(
+        {"rk": rng.integers(0, 200, 300), "rv": rng.integers(0, 100, 300)}
+    )
+    left = ray.data.from_arrow(pa.Table.from_pandas(ldf)).repartition(6)
+    right = ray.data.from_arrow(pa.Table.from_pandas(rdf)).repartition(2)
+    bm = bloom_build(right, "rk", n_bits=1 << 16)
+    pruned = bloom_prune(left, "k", bm)
+    n_pruned = pruned.count()
+    n_partnered = int(ldf["k"].isin(rdf["rk"]).sum())
+    assert n_partnered <= n_pruned < len(ldf) * 0.2  # real pruning happened
+    got = shuffle_hash_join(
+        pruned, right, "k", "rk", how="inner", n_buckets=5
+    ).to_pandas()
+    want = shuffle_hash_join(
+        left, right, "k", "rk", how="inner", n_buckets=5
+    ).to_pandas()
+    key = ["k", "lv", "rv_r"]
+    a = got[key].sort_values(key).reset_index(drop=True)
+    b = want[key].sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a.values == b.values).all()
