@@ -747,3 +747,54 @@ def exact_duplicates(ds, text_col: str = "text"):
     return resolve_hot_buckets(
         hashed, ["content_hash"], resolve, resolve_block=resolve_block
     )
+
+
+def exact_duplicate_pairs(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Edge stream for CLUSTER-building dedup: Dataset (u, v) of
+    (member → identical-text-group keeper) star pairs — feed into
+    ``functions.concomp.connected_components`` to get transitive duplicate
+    clusters. Same shape as ``exact_duplicates`` (hot-bucket prefilter:
+    only content hashes with ≥2 members pay the groupby shuffle; the hot
+    key set is bounded by the duplicate rate, not the data size), but the
+    output keeps the PAIRING instead of collapsing to a drop list."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, text_col), batch_format="pyarrow"
+    )
+    counts = hashed.groupby("content_hash").aggregate(Count(alias_name="cnt"))
+    hot_tbl = counts.filter(expr="cnt >= 2").select_columns(
+        ["content_hash"]
+    ).take_all()
+    if not hot_tbl:
+        empty = pa.table(
+            {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
+        )
+        return ray.data.from_arrow(empty)
+    hot_sorted = np.sort(
+        np.array([r["content_hash"] for r in hot_tbl], dtype=np.int64)
+    )
+    hot_ref = ray.put(hot_sorted)
+
+    def member_filter(b: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+        keys = b["content_hash"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(hs, keys)
+        np.minimum(idx, len(hs) - 1, out=idx)
+        return b.filter(pa.array(hs[idx] == keys))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # group by exact TEXT inside the hash bucket (a collision may mix
+        # distinct texts); each doc pairs with its text group's min id
+        m = g.groupby(text_col)[id_col].transform("min").to_numpy()
+        ids = g[id_col].to_numpy()
+        keep = ids != m
+        return pd.DataFrame({"u": ids[keep], "v": m[keep]})
+
+    return (
+        hashed.map_batches(member_filter, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(pairs, batch_format="pandas")
+    )

@@ -509,6 +509,93 @@ def make_dedup_planted(kind: str):
     return q
 
 
+PLANT_OFFSET2 = 20_000_000
+CC_GAP = 25
+
+
+def q_dedup_cc_exact(sf_dir: str):
+    """Duplicate CLUSTERS, not just drop lists: exact copies of the first
+    PLANT_N docs planted at TWO offsets form ≥3-member clusters; the
+    (member → text-group keeper) pair stream (dedup.exact_duplicate_pairs)
+    is grouped transitively by distributed connected components
+    (functions/concomp.py, alternating large/small-star). Oracle: min
+    doc_id per identical text over the same union — pure SQL."""
+    import pyarrow.compute as pc
+
+    from ..functions.concomp import connected_components
+
+    ds = _docs(sf_dir, ("doc_id", "text"))
+
+    def plant(b: pa.Table) -> pa.Table:
+        sel = np.flatnonzero(
+            b["doc_id"].to_numpy(zero_copy_only=False) < PLANT_N
+        )
+        sub = b.take(pa.array(sel))
+        parts = [b.select(["doc_id", "text"])]
+        for off in (PLANT_OFFSET, PLANT_OFFSET2):
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pc.add(sub["doc_id"], off),
+                        "text": sub["text"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    full = ds.map_batches(plant, batch_format="pyarrow")
+    pairs = F_dedup.exact_duplicate_pairs(full)
+    comps = connected_components(pairs)
+    return comps.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["node"], "cluster": b["component"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_docs_source_chains(sf_dir: str):
+    """TRUE multi-hop transitivity for connected components: an edge links
+    doc_ids of the same source at id gap ≤ CC_GAP, so components are long
+    PATHS the alternating-star rounds must propagate hop by hop (log-depth
+    convergence). Singletons join back as their own component via a left
+    shuffle join. Oracle: the SQL gaps-and-islands formulation."""
+    from ..functions.concomp import connected_components
+    from ..functions.join import shuffle_hash_join
+
+    docs = _docs(sf_dir, ("doc_id", "source"))
+
+    def edges_in_group(g: pa.Table) -> pa.Table:
+        ids = np.sort(g["doc_id"].to_numpy(zero_copy_only=False))
+        a, b = ids[:-1], ids[1:]
+        keep = (b - a) <= CC_GAP
+        return pa.table(
+            {
+                "u": pa.array(a[keep], type=pa.int64()),
+                "v": pa.array(b[keep], type=pa.int64()),
+            }
+        )
+
+    edges = docs.groupby("source").map_groups(
+        edges_in_group, batch_format="pyarrow"
+    )
+    comps = connected_components(edges)
+    joined = shuffle_hash_join(
+        docs.select_columns(["doc_id"]), comps, "doc_id", "node", how="left"
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "component": pa.compute.coalesce(
+                    b["component_r"], b["doc_id"]
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_dedup_embedding_planted(sf_dir: str, n_plant: int = 10):
     """Embedding-dedup recall gate: plant exact vector copies at
     vec_id+PLANT_OFFSET; identical vectors agree in every LSH band and
@@ -2349,6 +2436,8 @@ def build_queries() -> dict:
     q["dedup_ngram_planted"] = make_dedup_planted("ngram_jaccard")
     q["dedup_simhash_planted"] = make_dedup_planted("simhash")
     q["dedup_embedding_planted"] = q_dedup_embedding_planted
+    q["dedup_cc_exact"] = q_dedup_cc_exact
+    q["docs_source_chains"] = q_docs_source_chains
     q["dedup_embedding"] = q_dedup_embedding
     q["token_count"] = make_textstat(F_text.token_count_batch)
     q["quality_score"] = make_textstat(F_text.quality_batch)
@@ -2472,6 +2561,40 @@ def build_oracle_sql() -> dict:
     sql["dedup_embedding_planted"] = f"""
         SELECT vec_id + {PLANT_OFFSET} AS vec_id FROM embeddings
         WHERE vec_id < 10
+    """
+    sql["dedup_cc_exact"] = f"""
+        WITH u AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + {PLANT_OFFSET}, text FROM documents
+            WHERE doc_id < {PLANT_N}
+          UNION ALL SELECT doc_id + {PLANT_OFFSET2}, text FROM documents
+            WHERE doc_id < {PLANT_N}
+        ), c AS (
+          SELECT doc_id,
+                 MIN(doc_id) OVER (PARTITION BY text) AS cluster,
+                 COUNT(*) OVER (PARTITION BY text) AS csz
+          FROM u
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(cluster AS BIGINT) AS cluster
+        FROM c WHERE csz >= 2
+    """
+    sql["docs_source_chains"] = f"""
+        WITH o AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id - lag(doc_id) OVER
+                        (PARTITION BY source ORDER BY doc_id) <= {CC_GAP}
+                      THEN 0 ELSE 1 END AS brk
+          FROM documents
+        ), g AS (
+          SELECT doc_id, source,
+                 SUM(brk) OVER (PARTITION BY source ORDER BY doc_id) AS grp
+          FROM o
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(MIN(doc_id) OVER (PARTITION BY source, grp) AS BIGINT)
+                 AS component
+        FROM g
     """
     sql["multimodal_decode"] = """
         SELECT format('m-{:06d}', i) AS media_id, (1=1) AS decoded_ok
