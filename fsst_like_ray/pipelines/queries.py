@@ -808,6 +808,56 @@ def q_approx_distinct(sf_dir: str):
     return pa.table({"err_le_5pct": pa.array([bool(err <= 0.05)])})
 
 
+HH_SUPPORT = 0.0015
+
+
+def q_heavy_hitter_bigrams(sf_dir: str):
+    """Misra-Gries heavy hitters (functions/heavy.py): word bigrams with
+    exact frequency ≥ HH_SUPPORT of the bigram stream. Two-phase
+    sketch → exact-verify, so the output is EXACT and fully SQL-oracled
+    while memory stays O(1/support) regardless of corpus size."""
+    from ..functions.heavy import bigram_stream, heavy_hitters
+
+    t = heavy_hitters(
+        _docs(sf_dir, ("doc_id", "text")), bigram_stream, support=HH_SUPPORT
+    )
+    return pa.table({"bigram": t["item"], "n": t["n"]})
+
+
+def q_events_type_users_approx(sf_dir: str):
+    """Grouped HyperLogLog (functions/sketches.py): approximate distinct
+    users per event type — per-(block, group) sketches, elementwise-max
+    merge, rows never shuffle. Gated within 5% of the exact per-group
+    distinct count (itself computed distributed: per-batch unique pairs →
+    tiny driver union)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    from ..functions.sketches import grouped_approx_distinct
+
+    est_tbl = grouped_approx_distinct(ds, "event_type", "user_id")
+    pairs = set()
+    for blk in ds.map_batches(
+        lambda b: b.group_by(["event_type", "user_id"]).aggregate([]),
+        batch_format="pyarrow",
+    ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+        pairs.update(
+            zip(blk["event_type"].to_pylist(), blk["user_id"].to_pylist())
+        )
+    exact: dict = {}
+    for t, _u in pairs:
+        exact[t] = exact.get(t, 0) + 1
+    types = est_tbl["event_type"].to_pylist()
+    ests = est_tbl["approx_distinct"].to_pylist()
+    ok = [
+        abs(e - exact.get(t, 0)) / max(exact.get(t, 0), 1) <= 0.05
+        for t, e in zip(types, ests)
+    ]
+    return pa.table(
+        {"event_type": pa.array(types), "within_5pct": pa.array(ok)}
+    )
+
+
 # ------------------------------------------------------------- similarity
 def q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
@@ -2445,6 +2495,8 @@ def build_queries() -> dict:
     q["fingerprint"] = make_textstat(F_text.fingerprint_batch)
     q["token_count_bpe"] = q_token_count_bpe
     q["approx_distinct_text"] = q_approx_distinct
+    q["heavy_hitter_bigrams"] = q_heavy_hitter_bigrams
+    q["events_type_users_approx"] = q_events_type_users_approx
     q["vocab_topk"] = q_vocab_topk
     q["sample_stratified"] = q_sample_stratified
     q["pack_sequences"] = q_pack_sequences
@@ -2652,6 +2704,26 @@ def build_oracle_sql() -> dict:
         "AS n_bpe_tokens FROM documents"
     )
     sql["approx_distinct_text"] = "SELECT (1=1) AS err_le_5pct"
+    sql["heavy_hitter_bigrams"] = f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                     AS w,
+                 unnest(generate_series(1, len(string_split_regex(
+                     lower(text), '[^a-z0-9]+')))) AS i
+          FROM documents
+        ), bg AS (
+          SELECT a.w || ' ' || b.w AS bigram
+          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+          WHERE a.w <> '' AND b.w <> ''
+        ), tot AS (SELECT COUNT(*) AS n FROM bg),
+        c AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram)
+        SELECT bigram, CAST(cnt AS BIGINT) AS n
+        FROM c, tot WHERE cnt >= CEIL({HH_SUPPORT} * tot.n)
+    """
+    sql["events_type_users_approx"] = """
+        SELECT DISTINCT event_type, (1=1) AS within_5pct FROM events
+    """
     from ..functions.sampling import sample_predicate_sql
 
     sql["sample_stratified"] = (
