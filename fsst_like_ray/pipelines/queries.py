@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray.data
 from ray.data.aggregate import Count, Sum
@@ -809,6 +810,49 @@ def q_approx_distinct(sf_dir: str):
 
 
 HH_SUPPORT = 0.0015
+
+
+def q_docs_redact_pii(sf_dir: str):
+    """PII scrubbing (functions/textstats.py redact_pii_batch): emails and
+    phone numbers planted into the first PLANT_N docs are replaced by
+    <EMAIL>/<PHONE> tags in one vectorized RE2 sweep per pattern; docs
+    50–119 pass through untouched (no-op path covered). Oracle: the same
+    plant + regexp_replace(…,'g') in DuckDB (both engines are RE2)."""
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import redact_pii_batch
+
+    ds = _docs(sf_dir, ("doc_id", "text"))
+
+    def plant_and_slice(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids < 120))
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                }
+            )
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        planted = pc.binary_join_element_wise(
+            b["text"],
+            pa.array([" contact user"] * b.num_rows, type=pa.string()),
+            pa.array([str(i) for i in ids], type=pa.string()),
+            pa.array(
+                ["@mail.example.com or call +1-555-"] * b.num_rows,
+                type=pa.string(),
+            ),
+            pa.array([f"{i:04d}" for i in ids], type=pa.string()),
+            pa.array([" now"] * b.num_rows, type=pa.string()),
+            "",
+        )
+        text = pc.if_else(pa.array(ids < PLANT_N), planted, b["text"])
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    return ds.map_batches(plant_and_slice, batch_format="pyarrow").map_batches(
+        redact_pii_batch, batch_format="pyarrow"
+    )
 
 
 def q_heavy_hitter_bigrams(sf_dir: str):
@@ -1614,6 +1658,317 @@ def q_tpch_order_revenue_salted(sf_dir: str):
         ]
     )["k"].to_numpy()
     return q_tpch_order_revenue(sf_dir, hot_keys=hot)
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 shape — returned-item revenue per customer, top 20:
+    lineitem (R-flag, streamed, per-batch pre-aggregated) ⋈ orders
+    (one-year window) via the co-partitioned shuffle join; per-customer
+    partial-then-merge; the TOP-20 rows only are joined driver-side to
+    customer and nation (20 rows — never a full dimension join)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import shuffle_hash_join
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+
+    def orders_window(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].cast(pa.int64())
+        mask = pa.compute.and_(
+            pa.compute.greater_equal(d, lo), pa.compute.less(d, hi)
+        )
+        return b.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_window, batch_format="pyarrow")
+
+    def lines(b: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(b["l_returnflag"], "R")
+        f = b.filter(keep)
+        px = f["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = f["l_discount"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_orderkey": f["l_orderkey"],
+                "cents": pa.array(
+                    np.floor(px * (1 - disc) * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+        g = t.group_by("l_orderkey").aggregate([("cents", "sum")])
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "cents": g["cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_returnflag",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(lines, batch_format="pyarrow")
+
+    joined = shuffle_hash_join(
+        lineitem, orders, "l_orderkey", "o_orderkey", how="inner",
+        n_buckets=32,
+    )
+    top = (
+        joined.map_batches(
+            lambda b: pa.table(
+                {"c_custkey": b["o_custkey_r"], "cents": b["cents"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("c_custkey")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+    top_tbl = pa.concat_tables(
+        [
+            b
+            for b in top.iter_batches(batch_size=64, batch_format="pyarrow")
+            if b.num_rows
+        ]
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    df = (
+        top_tbl.to_pandas()
+        .merge(cust.to_pandas(), on="c_custkey")
+        .merge(
+            nation.to_pandas(),
+            left_on="c_nationkey",
+            right_on="n_nationkey",
+        )
+        .sort_values(
+            ["revenue_cents", "c_custkey"], ascending=[False, True]
+        )
+    )
+    return pa.table(
+        {
+            "c_custkey": pa.array(df["c_custkey"], type=pa.int64()),
+            "c_name": pa.array(df["c_name"], type=pa.string()),
+            "n_name": pa.array(df["n_name"], type=pa.string()),
+            "revenue_cents": pa.array(
+                df["revenue_cents"], type=pa.int64()
+            ),
+        }
+    )
+
+
+def q_tpch_q4_exists(sf_dir: str):
+    """TPC-H Q4 shape — EXISTS semi-join with a CORRELATED predicate
+    (lineitem shipped >60 days after its order's date): rewritten as a
+    per-order MAX aggregate (partial-then-merge — the shuffle moves one
+    row per order, never lineitems) probed against the broadcast
+    date-window orders slice; count per priority."""
+    from ray.data.aggregate import Max
+
+    from ..functions.join import broadcast_hash_join
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1996-07-01T00:00:00", "us").astype(np.int64)
+    day_us = 86_400_000_000
+
+    maxes = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_shipdate"],
+        )
+        .map_batches(
+            lambda b: (
+                lambda g: pa.table(
+                    {
+                        "l_orderkey": g["l_orderkey"],
+                        "ship_us": g["ship_us_max"].cast(pa.int64()),
+                    }
+                )
+            )(
+                pa.table(
+                    {
+                        "l_orderkey": b["l_orderkey"],
+                        "ship_us": b["l_shipdate"].cast(pa.int64()),
+                    }
+                )
+                .group_by("l_orderkey")
+                .aggregate([("ship_us", "max")])
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("l_orderkey")
+        .aggregate(Max("ship_us", alias_name="ship_us"))
+    )
+    ord_tbl = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    d = ord_tbl["o_orderdate"].cast(pa.int64())
+    ord_tbl = (
+        pa.table(
+            {
+                "o_orderkey": ord_tbl["o_orderkey"],
+                "o_date_us": d,
+                "o_orderpriority": ord_tbl["o_orderpriority"],
+            }
+        )
+        .filter(
+            pa.compute.and_(
+                pa.compute.greater_equal(d, lo), pa.compute.less(d, hi)
+            )
+        )
+    )
+    joined = broadcast_hash_join(
+        maxes, ord_tbl, "l_orderkey", "o_orderkey", how="inner"
+    )
+
+    def late_partial(b: pa.Table) -> pa.Table:
+        ship = b["ship_us"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        od = b["o_date_us"].to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(ship > od + 60 * day_us))
+        g = f.group_by("o_orderpriority").aggregate([("l_orderkey", "count")])
+        return pa.table(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "n": g["l_orderkey_count"].cast(pa.int64()),
+            }
+        )
+
+    merged = (
+        joined.map_batches(late_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return merged.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n": b["n"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_tpch_q16_brand_suppliers(sf_dir: str):
+    """TPC-H Q16 shape — DISTINCT-count after a join: suppliers per brand
+    for small-size parts. The part dimension broadcasts; per-batch UNIQUE
+    (brand, suppkey) pairs are the partials, the groupby dedups pairs
+    distributed, and a second tiny groupby counts per brand — the shuffle
+    moves distinct pairs, never lineitems."""
+    from ray.data.aggregate import Count
+
+    from ..functions.join import broadcast_hash_join
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    part = part.filter(
+        pa.compute.and_(
+            pa.compute.not_equal(part["p_brand"], "Brand#45"),
+            pa.compute.is_in(
+                part["p_size"],
+                value_set=pa.array([1, 4, 7], type=pa.int32()),
+            ),
+        )
+    ).select(["p_partkey", "p_brand"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    joined = broadcast_hash_join(li, part, "l_partkey", "p_partkey")
+    pairs = joined.map_batches(
+        lambda b: b.select(["p_brand", "l_suppkey"]).group_by(
+            ["p_brand", "l_suppkey"]
+        ).aggregate([]),
+        batch_format="pyarrow",
+    )
+    distinct = pairs.groupby(["p_brand", "l_suppkey"]).aggregate(
+        Count(alias_name="_c")
+    )
+    out = (
+        distinct.map_batches(
+            lambda b: pa.table(
+                {
+                    "p_brand": b["p_brand"],
+                    "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("p_brand")
+        .aggregate(Sum("one", alias_name="supplier_cnt"))
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "p_brand": b["p_brand"],
+                "supplier_cnt": b["supplier_cnt"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q19_CLAUSES = (
+    ("Brand#13", 1, 10, 1.0, 20.0),
+    ("Brand#25", 5, 20, 10.0, 35.0),
+    ("Brand#22", 1, 30, 20.0, 50.0),
+)
+
+
+def q_tpch_q19_disjunctive(sf_dir: str):
+    """TPC-H Q19 shape — DISJUNCTIVE multi-clause predicate across both
+    join sides: OR of (brand, part-size range, line-quantity range)
+    triples, evaluated vectorized per batch after the broadcast part
+    lookup; single global revenue sum via per-block partials."""
+    from ..functions.join import broadcast_hash_join
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    joined = broadcast_hash_join(li, part, "l_partkey", "p_partkey")
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        brand = b["p_brand"].to_numpy(zero_copy_only=False)
+        size = b["p_size"].to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(b.num_rows, dtype=bool)
+        for br, s_lo, s_hi, q_lo, q_hi in Q19_CLAUSES:
+            keep |= (
+                (brand == br)
+                & (size >= s_lo)
+                & (size <= s_hi)
+                & (qty >= q_lo)
+                & (qty <= q_hi)
+            )
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        cents = int(np.floor(px * (1 - disc) * 100 + 0.5).astype(np.int64).sum())
+        return pa.table({"cents": pa.array([cents], type=pa.int64())})
+
+    total = 0
+    for blk in joined.map_batches(
+        rev_partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        total += int(pa.compute.sum(blk["cents"]).as_py() or 0)
+    return pa.table({"revenue_cents": pa.array([total], type=pa.int64())})
 
 
 def q_ntok_quantiles(sf_dir: str):
@@ -2496,6 +2851,7 @@ def build_queries() -> dict:
     q["token_count_bpe"] = q_token_count_bpe
     q["approx_distinct_text"] = q_approx_distinct
     q["heavy_hitter_bigrams"] = q_heavy_hitter_bigrams
+    q["docs_redact_pii"] = q_docs_redact_pii
     q["events_type_users_approx"] = q_events_type_users_approx
     q["vocab_topk"] = q_vocab_topk
     q["sample_stratified"] = q_sample_stratified
@@ -2530,6 +2886,10 @@ def build_queries() -> dict:
     q["tpch_order_revenue_bloom"] = lambda sf: q_tpch_order_revenue(
         sf, bloom=True
     )
+    q["tpch_q10"] = q_tpch_q10
+    q["tpch_q4_exists"] = q_tpch_q4_exists
+    q["tpch_q16_brand_suppliers"] = q_tpch_q16_brand_suppliers
+    q["tpch_q19_disjunctive"] = q_tpch_q19_disjunctive
     q["ntok_quantiles"] = q_ntok_quantiles
     q["docs_top3_per_source"] = q_docs_top3_per_source
     q["customers_no_urgent_orders"] = q_customers_no_urgent_orders
@@ -2724,6 +3084,21 @@ def build_oracle_sql() -> dict:
     sql["events_type_users_approx"] = """
         SELECT DISTINCT event_type, (1=1) AS within_5pct FROM events
     """
+    sql["docs_redact_pii"] = (
+        """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(
+                 CASE WHEN doc_id < """
+        + str(PLANT_N)
+        + """ THEN text || ' contact user' || doc_id
+                        || '@mail.example.com or call +1-555-'
+                        || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' now'
+                      ELSE text END,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\\+[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS text
+        FROM documents WHERE doc_id < 120
+    """
+    )
     from ..functions.sampling import sample_predicate_sql
 
     sql["sample_stratified"] = (
@@ -3000,6 +3375,54 @@ def build_oracle_sql() -> dict:
     """
     sql["tpch_order_revenue_salted"] = sql["tpch_order_revenue"]
     sql["tpch_order_revenue_bloom"] = sql["tpch_order_revenue"]
+    sql["tpch_q10"] = """
+        WITH r AS (
+          SELECT o_custkey AS c_custkey,
+                 SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                + 0.5) AS BIGINT)) AS revenue_cents
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= '1996-01-01'
+            AND o_orderdate < '1997-01-01'
+          GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(r.revenue_cents AS BIGINT) AS revenue_cents
+        FROM r
+        JOIN customer c USING (c_custkey)
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+    """
+    sql["tpch_q4_exists"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+    """
+    sql["tpch_q16_brand_suppliers"] = """
+        SELECT p_brand,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 7)
+        GROUP BY p_brand
+    """
+    sql["tpch_q19_disjunctive"] = """
+        SELECT CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#25' AND p_size BETWEEN 5 AND 20
+               AND l_quantity BETWEEN 10 AND 35)
+           OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 30
+               AND l_quantity BETWEEN 20 AND 50)
+    """
     sql["ntok_quantiles"] = """
         SELECT source, CAST(count(*) AS BIGINT) AS n,
                CAST(quantile_disc(length(text), 0.5) AS BIGINT) AS p50,

@@ -530,3 +530,27 @@ def test_tokenize_rows_null_text(ray_session):
     assert 1 not in kept_rows.tolist()
     out = word_bigram_partials(t).to_pydict()
     assert dict(zip(out["bigram"], out["cnt"])) == {"a b": 1, "c d": 1}
+
+
+def test_redact_pii_edge_cases():
+    import pyarrow as pa
+
+    from fsst_like_ray.functions.textstats import redact_pii_batch
+
+    t = pa.table(
+        {
+            "text": [
+                "mail a.b_c%d@ex-ample.co.uk and x@y.io twice",
+                "call +1-555-0042 or +44-20-7946-0958 now",
+                None,
+                "no pii here",
+                "",
+            ]
+        }
+    )
+    out = redact_pii_batch(t)["text"].to_pylist()
+    assert out[0] == "mail <EMAIL> and <EMAIL> twice"
+    assert out[1] == "call <PHONE> or <PHONE> now"
+    assert out[2] is None
+    assert out[3] == "no pii here"
+    assert out[4] == ""
