@@ -10,6 +10,8 @@ round-trips through every codec.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1507,6 +1509,32 @@ def q_contains_token_pushdown(sf_dir: str):
     return _collect_ids(contains_token_scan(enc, ord("q")), "doc_id")
 
 
+def q_contains_token_indexed(sf_dir: str):
+    """Zone-index-pruned token membership (pipelines/zoneindex.py): the sf
+    tokens corpus is compressed to scratch partition files
+    (compress_dataset — real manifest + hive layout), a persisted per-file
+    zone index (min/max + exact presence bitmap + bloom) is built in one
+    pass, and the scan reads ONLY candidate files. Result must equal the
+    unindexed pushdown scan — same oracle as contains_token_pushdown."""
+    import shutil
+
+    from .compress import compress_dataset
+    from .zoneindex import build_token_zone_index, contains_token_indexed
+
+    scratch = os.path.join(
+        "/tmp", f"fsst_zidx_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    src = os.path.join(scratch, "src")
+    out = os.path.join(scratch, "enc")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    _tokens_ds(sf_dir).repartition(8).write_parquet(src)
+    compress_dataset(src, out, codec="auto")
+    build_token_zone_index(out)
+    ds, _scanned, _total = contains_token_indexed(out, ord("q"))
+    return _collect_ids(ds, "doc_id")
+
+
 def q_tpch_order_revenue(sf_dir: str, hot_keys=None, bloom: bool = False):
     """Big ⋈ big: lineitem (fact) co-partition-joined to orders on
     orderkey via shuffle_hash_join (hash-bucketed, vectorized per-bucket
@@ -2881,6 +2909,7 @@ def build_queries() -> dict:
     q["events_range_join"] = q_events_range_join
     q["token_stats_pushdown"] = q_token_stats_pushdown
     q["contains_token_pushdown"] = q_contains_token_pushdown
+    q["contains_token_indexed"] = q_contains_token_indexed
     q["tpch_order_revenue"] = q_tpch_order_revenue
     q["tpch_order_revenue_salted"] = q_tpch_order_revenue_salted
     q["tpch_order_revenue_bloom"] = lambda sf: q_tpch_order_revenue(
@@ -3361,6 +3390,7 @@ def build_oracle_sql() -> dict:
     sql["contains_token_pushdown"] = (
         "SELECT doc_id FROM documents WHERE contains(text, 'q')"
     )
+    sql["contains_token_indexed"] = sql["contains_token_pushdown"]
     sql["tpch_order_revenue"] = """
         SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
                CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,

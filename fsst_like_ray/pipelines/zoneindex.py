@@ -1,0 +1,203 @@
+"""Persisted per-file token ZONE INDEX over an encoded corpus.
+
+The reference prunes with per-block ``used_chars`` INSIDE a scan
+(Fsst.hpp's escaped-literal bitmap; our ``engines.py`` block prune); this
+module lifts the same idea to the FILE level and PERSISTS it, so a
+membership query skips whole partition files without opening them — at
+100 TB the win is not CPU but I/O: candidate files are the only bytes
+that leave storage.
+
+Index build = one streaming pass over the encoded corpus (indexes cost a
+build scan — standard). Per file: token min/max plus an EXACT presence
+bitmap for token ids < 2^16 (8 KB/file) and a bloom (functions/bloom) for
+larger ids. Per-batch partials (one row per file touched) merge on the
+driver by min/max/OR — commutative, so block order and retries are safe —
+and land in ``<out_dir>/index/zones.parquet`` via atomic rename
+(rebuildable any time, same contract as the IVF index).
+
+Query: ``contains_token_indexed`` reads the tiny zones table, selects
+candidate files (exact bitmap for small ids — no false positives at all;
+bloom for large ids — no false negatives ever), and runs the
+compressed-domain ``contains_token_scan`` over ONLY those files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..codecs import CODECS
+from ..functions.bloom import bloom_contains, bloom_insert
+from ..stages.decode import encoded_segment_runs
+from .numscan import contains_token_scan
+
+ZONE_EXACT_IDS = 1 << 16  # exact presence bitmap covers ids [0, 2^16)
+BLOOM_BYTES = 1 << 12  # 4 KB bloom for ids >= 2^16
+_BLOOM_K = 4
+
+
+def _zone_partial(batch: pa.Table) -> pa.Table:
+    """One (path, tok_min, tok_max, presence, bloom) row per file touched
+    by this batch. Values come from a segment-wise decode (the build pass
+    pays one decode; every future query skips files for free)."""
+    n = batch.num_rows
+    segments, pay_buf, pay_off, counts = encoded_segment_runs(batch)
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_off[1:])
+    values = np.empty(int(out_off[-1]), dtype=np.int32)
+    for lo, hi, name, state in segments:
+        c = CODECS[name]
+        sub = pay_buf[pay_off[lo] : pay_off[hi]]
+        so = pay_off[lo : hi + 1] - pay_off[lo]
+        values[out_off[lo] : out_off[hi]] = c.decode(
+            sub, so, counts[lo:hi], state
+        )
+
+    path_col = batch["path"]
+    if isinstance(path_col, pa.ChunkedArray):
+        path_col = path_col.combine_chunks()
+    enc = path_col.dictionary_encode()
+    fi = enc.indices.to_numpy(zero_copy_only=False)
+    paths = enc.dictionary.to_pylist()
+    rows = {"path": [], "tok_min": [], "tok_max": [], "presence": [], "bloom": []}
+    for gi, p in enumerate(paths):
+        rsel = np.flatnonzero(fi == gi)
+        if rsel.size == 0:
+            continue
+        # gather this file's token values (rows are contiguous runs in
+        # practice; the general gather stays correct under reordering)
+        segs = [values[out_off[r] : out_off[r + 1]] for r in rsel]
+        v = np.concatenate(segs) if segs else np.zeros(0, dtype=np.int32)
+        pres = np.zeros(ZONE_EXACT_IDS // 8, dtype=np.uint8)
+        bloom = np.zeros(BLOOM_BYTES, dtype=np.uint8)
+        if len(v):
+            u = np.unique(v)
+            small = u[(u >= 0) & (u < ZONE_EXACT_IDS)]
+            pres_idx = small.astype(np.int64)
+            np.bitwise_or.at(
+                pres,
+                pres_idx >> 3,
+                np.uint8(1) << (pres_idx & 7).astype(np.uint8),
+            )
+            big = u[(u < 0) | (u >= ZONE_EXACT_IDS)]
+            if len(big):
+                bloom_insert(bloom, big.astype(np.int64), _BLOOM_K)
+            tmin, tmax = int(u[0]), int(u[-1])
+        else:
+            tmin, tmax = 0, -1  # empty marker (min > max)
+        rows["path"].append(p)
+        rows["tok_min"].append(tmin)
+        rows["tok_max"].append(tmax)
+        rows["presence"].append(pres.tobytes())
+        rows["bloom"].append(bloom.tobytes())
+    return pa.table(
+        {
+            "path": pa.array(rows["path"], type=pa.string()),
+            "tok_min": pa.array(rows["tok_min"], type=pa.int64()),
+            "tok_max": pa.array(rows["tok_max"], type=pa.int64()),
+            "presence": pa.array(rows["presence"], type=pa.binary()),
+            "bloom": pa.array(rows["bloom"], type=pa.binary()),
+        }
+    )
+
+
+def build_token_zone_index(out_dir: str) -> dict:
+    """Scan ``<out_dir>/data`` once and write the per-file zone table to
+    ``<out_dir>/index/zones.parquet`` (atomic; rebuild overwrites)."""
+    data_dir = os.path.join(out_dir, "data")
+    ds = ray.data.read_parquet(data_dir, include_paths=True)
+    merged: dict[str, list] = {}
+    for blk in ds.map_batches(
+        _zone_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=1024, batch_format="pyarrow"):
+        for r in blk.to_pylist():
+            cur = merged.get(r["path"])
+            if cur is None:
+                merged[r["path"]] = [
+                    r["tok_min"],
+                    r["tok_max"],
+                    np.frombuffer(r["presence"], dtype=np.uint8).copy(),
+                    np.frombuffer(r["bloom"], dtype=np.uint8).copy(),
+                ]
+            else:
+                if r["tok_max"] >= r["tok_min"]:  # non-empty partial
+                    if cur[1] < cur[0]:
+                        cur[0], cur[1] = r["tok_min"], r["tok_max"]
+                    else:
+                        cur[0] = min(cur[0], r["tok_min"])
+                        cur[1] = max(cur[1], r["tok_max"])
+                np.bitwise_or(
+                    cur[2],
+                    np.frombuffer(r["presence"], dtype=np.uint8),
+                    out=cur[2],
+                )
+                np.bitwise_or(
+                    cur[3],
+                    np.frombuffer(r["bloom"], dtype=np.uint8),
+                    out=cur[3],
+                )
+    paths = sorted(merged)
+    tbl = pa.table(
+        {
+            "path": pa.array(paths, type=pa.string()),
+            "tok_min": pa.array(
+                [merged[p][0] for p in paths], type=pa.int64()
+            ),
+            "tok_max": pa.array(
+                [merged[p][1] for p in paths], type=pa.int64()
+            ),
+            "presence": pa.array(
+                [merged[p][2].tobytes() for p in paths], type=pa.binary()
+            ),
+            "bloom": pa.array(
+                [merged[p][3].tobytes() for p in paths], type=pa.binary()
+            ),
+        }
+    )
+    idx_dir = os.path.join(out_dir, "index")
+    os.makedirs(idx_dir, exist_ok=True)
+    path = os.path.join(idx_dir, "zones.parquet")
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return {"files": len(paths), "index_path": path}
+
+
+def zone_candidate_files(out_dir: str, tid: int) -> tuple[list[str], int]:
+    """(candidate file list, total files). Exact for ids < 2^16; bloom
+    (no false negatives) above."""
+    tbl = pq.read_table(os.path.join(out_dir, "index", "zones.parquet"))
+    paths = tbl["path"].to_pylist()
+    tmin = tbl["tok_min"].to_numpy(zero_copy_only=False)
+    tmax = tbl["tok_max"].to_numpy(zero_copy_only=False)
+    keep = (tmin <= tid) & (tid <= tmax)
+    if 0 <= tid < ZONE_EXACT_IDS:
+        for i in np.flatnonzero(keep):
+            pres = np.frombuffer(tbl["presence"][i].as_py(), dtype=np.uint8)
+            if not (pres[tid >> 3] >> (tid & 7)) & 1:
+                keep[i] = False
+    else:
+        q = np.array([tid], dtype=np.int64)
+        for i in np.flatnonzero(keep):
+            bl = np.frombuffer(tbl["bloom"][i].as_py(), dtype=np.uint8)
+            if not bloom_contains(bl, q, _BLOOM_K)[0]:
+                keep[i] = False
+    return [paths[i] for i in np.flatnonzero(keep)], len(paths)
+
+
+def contains_token_indexed(out_dir: str, tid: int):
+    """Zone-pruned membership scan: returns (Dataset of matching doc_id
+    rows, files_scanned, files_total). Only candidate files are read."""
+    cand, total = zone_candidate_files(out_dir, tid)
+    if not cand:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64())})
+        return ray.data.from_arrow(empty), 0, total
+    from .compress import read_parquet_blocks
+
+    enc = read_parquet_blocks(cand)
+    return contains_token_scan(enc, tid), len(cand), total
