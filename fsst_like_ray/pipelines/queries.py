@@ -1535,6 +1535,52 @@ def q_contains_token_indexed(sf_dir: str):
     return _collect_ids(ds, "doc_id")
 
 
+def q_compaction_roundtrip(sf_dir: str):
+    """Compaction gate (pipelines/compact.py): compress the sf tokens
+    corpus to many small partition files, compact each fragment dir into
+    byte-budget bins (crash-safe marker protocol), then re-verify the
+    manifest's content hashes over the COMPACTED files — row set must be
+    bit-identical while the file count drops."""
+    import shutil
+
+    from .compact import compact_fragments
+    from .compress import compress_dataset, verify_roundtrip_manifest
+
+    scratch = os.path.join(
+        "/tmp", f"fsst_compact_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    src = os.path.join(scratch, "src")
+    out = os.path.join(scratch, "enc")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    # ONE source fragment with many tiny row groups → the encode's
+    # row-group specs write many small part files into its partition dir,
+    # so compaction has real work to do (the 100 TB fan-in shape)
+    tok_tbl = pa.concat_tables(
+        [
+            b
+            for b in _tokens_ds(sf_dir).iter_batches(
+                batch_size=4096, batch_format="pyarrow"
+            )
+            if b.num_rows
+        ]
+    )
+    pq.write_table(
+        tok_tbl, os.path.join(src, "corpus.parquet"), row_group_size=64
+    )
+    compress_dataset(src, out, codec="auto", balance_tokens=20_000)
+    stats = compact_fragments(out, target_bytes=64 << 20)
+    v = verify_roundtrip_manifest(out)
+    return pa.table(
+        {
+            "merged": pa.array(
+                [stats["files_after"] < stats["files_before"]]
+            ),
+            "bit_identical": pa.array([bool(v["match"])]),
+        }
+    )
+
+
 def q_tpch_order_revenue(sf_dir: str, hot_keys=None, bloom: bool = False):
     """Big ⋈ big: lineitem (fact) co-partition-joined to orders on
     orderkey via shuffle_hash_join (hash-bucketed, vectorized per-bucket
@@ -2910,6 +2956,7 @@ def build_queries() -> dict:
     q["token_stats_pushdown"] = q_token_stats_pushdown
     q["contains_token_pushdown"] = q_contains_token_pushdown
     q["contains_token_indexed"] = q_contains_token_indexed
+    q["compaction_roundtrip"] = q_compaction_roundtrip
     q["tpch_order_revenue"] = q_tpch_order_revenue
     q["tpch_order_revenue_salted"] = q_tpch_order_revenue_salted
     q["tpch_order_revenue_bloom"] = lambda sf: q_tpch_order_revenue(
@@ -3391,6 +3438,9 @@ def build_oracle_sql() -> dict:
         "SELECT doc_id FROM documents WHERE contains(text, 'q')"
     )
     sql["contains_token_indexed"] = sql["contains_token_pushdown"]
+    sql["compaction_roundtrip"] = (
+        "SELECT (1=1) AS merged, (1=1) AS bit_identical"
+    )
     sql["tpch_order_revenue"] = """
         SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
                CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
