@@ -312,3 +312,95 @@ def topk_users_by_value(ds: "ray.data.Dataset", k: int = 10):
             "n_events": pa.array([r["n_events"] for r in top], type=pa.int64()),
         }
     )
+
+
+def funnel_completions(
+    events: "ray.data.Dataset",
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Ordered funnel: users whose events contain the ``stages`` sequence
+    in STRICTLY increasing timestamp order (first view, then the first
+    click after it, then the first purchase after that — the standard
+    product-analytics funnel). Returns (user_id, completed_us) with the
+    completion (last-stage) timestamp.
+
+    Shape: rows are pre-filtered to funnel stages, users are bucketed by a
+    multiplicative hash, and ONE shuffle co-locates each user's stage
+    events; the per-bucket kernel is fully vectorized — one lexsort
+    (user, ts), then per STAGE one masked ``np.minimum.reduceat`` over the
+    user segments with the previous stage's per-user threshold (never a
+    per-user Python loop). Per-bucket memory is stage-event rows per
+    bucket, not all events."""
+    BUCKET = "__funnel_bucket__"
+    stage_ids = {s: i for i, s in enumerate(stages)}
+
+    def project(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(b[type_col], value_set=pa.array(list(stages)))
+        f = b.filter(keep)
+        uid = f[user_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        st = np.zeros(f.num_rows, dtype=np.int8)
+        tv = f[type_col]
+        for s, i in stage_ids.items():
+            st[pc.equal(tv, s).to_numpy(zero_copy_only=False)] = i
+        with np.errstate(over="ignore"):
+            h = (uid.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return pa.table(
+            {
+                "u": pa.array(uid, type=pa.int64()),
+                "ts": pa.array(_ts_us(f), type=pa.int64()),
+                "st": pa.array(st, type=pa.int8()),
+                BUCKET: pa.array(
+                    (h % np.uint64(n_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    if len(set(stages)) != len(stages):
+        raise ValueError("funnel stages must be distinct event types")
+
+    def bucket_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "completed_us": pa.array([], type=pa.int64()),
+                }
+            )
+        u = g["u"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        st = g["st"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        us, tss, sts = u[order], ts[order], st[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        bounds = np.r_[starts, len(us)]
+        seg_of_row = np.repeat(
+            np.arange(len(starts)), np.diff(bounds)
+        )
+        INF = np.iinfo(np.int64).max
+        thresh = np.full(len(starts), -1, dtype=np.int64)  # ts must be > thresh
+        alive = np.ones(len(starts), dtype=bool)
+        for i in range(len(stages)):
+            cand = np.where(
+                (sts == i) & (tss > thresh[seg_of_row]), tss, INF
+            )
+            m = np.minimum.reduceat(cand, bounds[:-1])
+            alive &= m < INF
+            thresh = np.where(alive, m, thresh)
+        users = us[starts][alive]
+        return pa.table(
+            {
+                "user_id": pa.array(users, type=pa.int64()),
+                "completed_us": pa.array(thresh[alive], type=pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(project, batch_format="pyarrow")
+        .groupby(BUCKET)
+        .map_groups(bucket_kernel, batch_format="pyarrow")
+    )

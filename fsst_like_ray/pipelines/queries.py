@@ -1014,6 +1014,69 @@ def q_events_window(sf_dir: str):
     return F_events.tumbling_window_agg(_events_ds(sf_dir), window_s=3600)
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel view→click→purchase (functions/events.py
+    funnel_completions): one hash shuffle of stage events, fully
+    vectorized per-bucket kernel (lexsort + one masked minimum.reduceat
+    per stage). Oracle: progressive per-user MIN chain in SQL."""
+    return F_events.funnel_completions(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["ts", "user_id", "event_type"],
+        )
+    )
+
+
+def q_users_purchase_and_error(sf_dir: str):
+    """Distinct-set INTERSECT: users with BOTH a purchase and an error
+    event — per-batch distinct (user, flags) partials, one small groupby
+    merging boolean maxima; the shuffle moves ≤ |users| rows per block."""
+    from ray.data.aggregate import Max
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def flags(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(
+            b["event_type"], value_set=pa.array(["purchase", "error"])
+        )
+        f = b.filter(keep)
+        g = (
+            pa.table(
+                {
+                    "user_id": f["user_id"],
+                    "p": pc.equal(f["event_type"], "purchase").cast(
+                        pa.int64()
+                    ),
+                    "e": pc.equal(f["event_type"], "error").cast(pa.int64()),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("p", "max"), ("e", "max")])
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "p": g["p_max"].cast(pa.int64()),
+                "e": g["e_max"].cast(pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("p", alias_name="p"), Max("e", alias_name="e"))
+        .filter(expr="p == 1 and e == 1")
+    )
+    return merged.map_batches(
+        lambda b: pa.table({"user_id": b["user_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_sessionize(sf_dir: str):
     return F_events.sessionize(_events_ds(sf_dir), gap_s=1800)
 
@@ -2940,6 +3003,8 @@ def build_queries() -> dict:
     q["tokens_corpus_roundtrip"] = q_tokens_corpus_roundtrip
     q["events_window_agg"] = q_events_window
     q["events_sessionize"] = q_events_sessionize
+    q["events_funnel"] = q_events_funnel
+    q["users_purchase_and_error"] = q_users_purchase_and_error
     q["events_sessionize_sliced"] = q_events_sessionize_sliced
     q["events_topk_users"] = q_events_topk
     q["events_top_type_per_window"] = q_events_top_type_per_window
@@ -3267,6 +3332,30 @@ def build_oracle_sql() -> dict:
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events GROUP BY 1, 2
+    """
+    sql["events_funnel"] = """
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id
+        ), p AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(epoch_us(t3) AS BIGINT) AS completed_us
+        FROM p
+    """
+    sql["users_purchase_and_error"] = """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
     """
     sql["events_sessionize"] = """
         WITH e AS (

@@ -672,3 +672,45 @@ def test_bloom_pruned_join_identical(ray_session):
     b = want[key].sort_values(key).reset_index(drop=True)
     assert len(a) == len(b)
     assert (a.values == b.values).all()
+
+
+def test_funnel_ordered_matching(ray_session):
+    """Users must hit view→click→purchase with STRICTLY increasing ts:
+    out-of-order, missing-stage, and tied-timestamp users are excluded;
+    extra interleaved events are harmless."""
+    import ray.data
+    from fsst_like_ray.functions.events import funnel_completions
+
+    rows = [
+        # u1 completes: view@10, click@20, purchase@30 (noise between)
+        (1, 10, "view"), (1, 15, "error"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2 purchase BEFORE click -> no
+        (2, 10, "view"), (2, 20, "purchase"), (2, 30, "click"),
+        # u3 missing click -> no
+        (3, 10, "view"), (3, 30, "purchase"),
+        # u4 tie: click at the SAME ts as view -> strict order fails,
+        # but a later click@25 + purchase@26 completes
+        (4, 10, "view"), (4, 10, "click"), (4, 25, "click"), (4, 26, "purchase"),
+        # u5 completes with earliest-chain semantics: first view@10,
+        # first click after it is @12, purchase after 12 is @13
+        (5, 10, "view"), (5, 12, "click"), (5, 13, "purchase"), (5, 50, "purchase"),
+        # u6 click before any view -> the @5 click doesn't count; no later click
+        (6, 5, "click"), (6, 10, "view"), (6, 20, "purchase"),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                [r[1] * 1_000_000 for r in rows], type=pa.timestamp("us")
+            ),
+            "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = funnel_completions(ds).to_pandas().sort_values("user_id")
+    assert list(got["user_id"]) == [1, 4, 5]
+    assert list(got["completed_us"]) == [
+        30 * 1_000_000,
+        26 * 1_000_000,
+        13 * 1_000_000,
+    ]
