@@ -1014,6 +1014,83 @@ def q_events_window(sf_dir: str):
     return F_events.tumbling_window_agg(_events_ds(sf_dir), window_s=3600)
 
 
+def q_docs_global_ntile(sf_dir: str):
+    """Global ROW_NUMBER + NTILE(4) over (n_chars, doc_id) WITHOUT a total
+    sort (functions/globalrank.py): exact value histogram → broadcast
+    prefix-sum base ranks + one keyed-window shuffle for tie positions."""
+    from ..functions.globalrank import global_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    out = global_rank(ds, "n_chars", "doc_id", ntile=4)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "rank": b["rank"],
+                "q4": b["q4"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_value_moments(sf_dir: str):
+    """Mergeable-moments aggregate: per event type the exact integer
+    (n, sum_cents, sumsq_cents) — the (count, sum, sum-of-squares)
+    partial-then-merge that mean/variance derive from, kept in int64 so
+    the result is order-independent and hash-comparable."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "sum_cents": pa.array(cents),
+                "sumsq_cents": pa.array(cents * cents),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("sum_cents", "sum"), ("sumsq_cents", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": g["n_sum"].cast(pa.int64()),
+                "sum_cents": g["sum_cents_sum"].cast(pa.int64()),
+                "sumsq_cents": g["sumsq_cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("sumsq_cents", alias_name="sumsq_cents"),
+        )
+    )
+    return merged.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": b["n"].cast(pa.int64()),
+                "sum_cents": b["sum_cents"].cast(pa.int64()),
+                "sumsq_cents": b["sumsq_cents"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered funnel view→click→purchase (functions/events.py
     funnel_completions): one hash shuffle of stage events, fully
@@ -3005,6 +3082,8 @@ def build_queries() -> dict:
     q["events_sessionize"] = q_events_sessionize
     q["events_funnel"] = q_events_funnel
     q["users_purchase_and_error"] = q_users_purchase_and_error
+    q["docs_global_ntile"] = q_docs_global_ntile
+    q["events_value_moments"] = q_events_value_moments
     q["events_sessionize_sliced"] = q_events_sessionize_sliced
     q["events_topk_users"] = q_events_topk
     q["events_top_type_per_window"] = q_events_top_type_per_window
@@ -3332,6 +3411,24 @@ def build_oracle_sql() -> dict:
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events GROUP BY 1, 2
+    """
+    sql["docs_global_ntile"] = """
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                 AS rank,
+               CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                 AS q4
+        FROM documents
+    """
+    sql["events_value_moments"] = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sumsq_cents
+        FROM events GROUP BY event_type
     """
     sql["events_funnel"] = """
         WITH v AS (

@@ -714,3 +714,36 @@ def test_funnel_ordered_matching(ray_session):
         26 * 1_000_000,
         13 * 1_000_000,
     ]
+
+
+def test_global_rank_ties_and_uneven_ntile(ray_session):
+    """Histogram-base + tie-position ranking equals ROW_NUMBER/NTILE over
+    (v, id) with heavy ties and N % k != 0."""
+    import ray.data
+    from fsst_like_ray.functions.globalrank import global_rank
+
+    rng = np.random.default_rng(31)
+    n = 1003  # deliberately not divisible by 4
+    df = pd.DataFrame(
+        {
+            "id": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(0, 7, n).astype(np.int64),  # heavy ties
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = (
+        global_rank(ds, "v", "id", ntile=4)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["v", "id"]).reset_index(drop=True)
+    want["rank"] = np.arange(1, n + 1, dtype=np.int64)
+    q, r = divmod(n, 4)
+    tiles = np.concatenate(
+        [np.full(q + (1 if i < r else 0), i + 1) for i in range(4)]
+    )
+    want["q4"] = tiles
+    want = want.sort_values("id").reset_index(drop=True)
+    assert (got["rank"].values == want["rank"].values).all()
+    assert (got["q4"].values == want["q4"].values).all()
