@@ -1014,6 +1014,125 @@ def q_events_window(sf_dir: str):
     return F_events.tumbling_window_agg(_events_ds(sf_dir), window_s=3600)
 
 
+CHUNK_LEN = 100
+CHUNK_STRIDE = 80
+
+
+def q_docs_chunked(sf_dir: str):
+    """Training-context chunking: split every document into CHUNK_LEN-token
+    windows at CHUNK_STRIDE (overlapping) offsets — the standard LM
+    pretraining chunker. Pure row-expanding map_batches (repeat/arange
+    arithmetic from n_chars, tokens = codepoints), no shuffle at all.
+    Oracle: generate_series arithmetic in SQL."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        n = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        cnt = np.where(n > 0, -(-n // CHUNK_STRIDE), 0)
+        total = int(cnt.sum())
+        row = np.repeat(np.arange(len(n), dtype=np.int64), cnt)
+        base = np.zeros(len(n) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=base[1:])
+        ci = np.arange(total, dtype=np.int64) - base[row]
+        start = ci * CHUNK_STRIDE
+        clen = np.minimum(CHUNK_LEN, n[row] - start)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[row], type=pa.int64()),
+                "chunk_id": pa.array(ci, type=pa.int64()),
+                "start": pa.array(start, type=pa.int64()),
+                "chunk_len": pa.array(clen, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def q_docs_sample2_per_source(sf_dir: str):
+    """Deterministic per-group sample: 2 docs per source by seeded
+    multiplicative hash order (grouped_topk with the negated hash as the
+    score — per-batch pre-pruning means the shuffle moves ≤ 2 rows per
+    (source, block)). Oracle reproduces the hash in ROW_NUMBER."""
+    from ..functions.grouped_topk import grouped_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "negh": pa.array(
+                    -(
+                        (
+                            b["doc_id"]
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.uint64)
+                            * np.uint64(2654435761)
+                        )
+                        % np.uint64(1 << 32)
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_topk(ds, key="source", score="negh", k=2, tiebreak="doc_id")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "doc_id": b["doc_id"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_docs_normalize(sf_dir: str):
+    """Text normalization (lowercase → collapse whitespace runs → trim),
+    each step one vectorized Arrow kernel over the column. Messy text is
+    planted into the first PLANT_N docs (upper-cased head, padded ends,
+    doubled separators) and the oracle mirrors plant + normalize in SQL."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ("doc_id", "text"))
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids < 120))
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                }
+            )
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        messy = pc.binary_join_element_wise(
+            pa.array(["  "] * b.num_rows, type=pa.string()),
+            pc.utf8_upper(pc.utf8_slice_codeunits(b["text"], 0, 20)),
+            pc.utf8_slice_codeunits(b["text"], 20, 2**30),
+            pa.array(["\t "] * b.num_rows, type=pa.string()),
+            "",
+        )
+        text = pc.if_else(pa.array(ids < PLANT_N), messy, b["text"])
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    def normalize(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(b["text"])
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": b["doc_id"], "text": t})
+
+    return ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        normalize, batch_format="pyarrow"
+    )
+
+
 def q_docs_global_ntile(sf_dir: str):
     """Global ROW_NUMBER + NTILE(4) over (n_chars, doc_id) WITHOUT a total
     sort (functions/globalrank.py): exact value histogram → broadcast
@@ -3084,6 +3203,9 @@ def build_queries() -> dict:
     q["users_purchase_and_error"] = q_users_purchase_and_error
     q["docs_global_ntile"] = q_docs_global_ntile
     q["events_value_moments"] = q_events_value_moments
+    q["docs_chunked"] = q_docs_chunked
+    q["docs_sample2_per_source"] = q_docs_sample2_per_source
+    q["docs_normalize"] = q_docs_normalize
     q["events_sessionize_sliced"] = q_events_sessionize_sliced
     q["events_topk_users"] = q_events_topk
     q["events_top_type_per_window"] = q_events_top_type_per_window
@@ -3411,6 +3533,43 @@ def build_oracle_sql() -> dict:
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events GROUP BY 1, 2
+    """
+    sql["docs_chunked"] = f"""
+        WITH t AS (
+          SELECT doc_id, n_chars AS n FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id,
+               CAST(unnest(generate_series(
+                   0, CAST(ceil(n / {CHUNK_STRIDE}.0) AS BIGINT) - 1))
+                 AS BIGINT) AS chunk_id,
+               CAST(unnest(generate_series(
+                   0, CAST(ceil(n / {CHUNK_STRIDE}.0) AS BIGINT) - 1))
+                 * {CHUNK_STRIDE} AS BIGINT) AS start,
+               CAST(LEAST({CHUNK_LEN},
+                   n - unnest(generate_series(
+                       0, CAST(ceil(n / {CHUNK_STRIDE}.0) AS BIGINT) - 1))
+                     * {CHUNK_STRIDE}) AS BIGINT) AS chunk_len
+        FROM t
+    """
+    sql["docs_sample2_per_source"] = """
+        SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                 ) AS rn
+          FROM documents
+        ) WHERE rn <= 2
+    """
+    sql["docs_normalize"] = f"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(
+                 CASE WHEN doc_id < {PLANT_N}
+                      THEN '  ' || upper(substr(text, 1, 20))
+                           || substr(text, 21) || chr(9) || ' '
+                      ELSE text END),
+                 '\\s+', ' ', 'g')) AS text
+        FROM documents WHERE doc_id < 120
     """
     sql["docs_global_ntile"] = """
         SELECT doc_id,
