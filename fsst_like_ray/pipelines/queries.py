@@ -1133,6 +1133,51 @@ def q_docs_normalize(sf_dir: str):
     )
 
 
+MIX_RATES_BP = {"src0": 10_000, "src1": 7_500, "src2": 5_000}  # basis pts
+MIX_DEFAULT_BP = 2_500
+
+
+def q_docs_mixture_sample(sf_dir: str):
+    """Data-mixture sampling: per-SOURCE keep rates (basis points) applied
+    via the seeded multiplicative doc_id hash — the deterministic
+    weighted-mixing step of a pretraining data recipe (rates broadcast in
+    the closure as plain ints; selection is one vectorized hash compare,
+    no shuffle, reproducible across runs/repartitions). Oracle mirrors
+    the hash and the CASE rate table."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    rates = dict(MIX_RATES_BP)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            10_000
+        )
+        src = b["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        # rate lookup over the tiny per-batch dictionary, then one gather —
+        # never a per-row Python pass
+        bp_uniq = np.array(
+            [rates.get(s, MIX_DEFAULT_BP) for s in enc.dictionary.to_pylist()],
+            dtype=np.uint64,
+        )
+        bp = bp_uniq[enc.indices.to_numpy(zero_copy_only=False)]
+        return b.filter(pa.array(h < bp))
+
+    return ds.map_batches(keep, batch_format="pyarrow").map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "source": b["source"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_docs_global_ntile(sf_dir: str):
     """Global ROW_NUMBER + NTILE(4) over (n_chars, doc_id) WITHOUT a total
     sort (functions/globalrank.py): exact value histogram → broadcast
@@ -3204,6 +3249,7 @@ def build_queries() -> dict:
     q["docs_global_ntile"] = q_docs_global_ntile
     q["events_value_moments"] = q_events_value_moments
     q["docs_chunked"] = q_docs_chunked
+    q["docs_mixture_sample"] = q_docs_mixture_sample
     q["docs_sample2_per_source"] = q_docs_sample2_per_source
     q["docs_normalize"] = q_docs_normalize
     q["events_sessionize_sliced"] = q_events_sessionize_sliced
@@ -3550,6 +3596,14 @@ def build_oracle_sql() -> dict:
                        0, CAST(ceil(n / {CHUNK_STRIDE}.0) AS BIGINT) - 1))
                      * {CHUNK_STRIDE}) AS BIGINT) AS chunk_len
         FROM t
+    """
+    sql["docs_mixture_sample"] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE (doc_id * 2654435761) % 10000 <
+              CASE source WHEN 'src0' THEN 10000
+                          WHEN 'src1' THEN 7500
+                          WHEN 'src2' THEN 5000
+                          ELSE {MIX_DEFAULT_BP} END
     """
     sql["docs_sample2_per_source"] = """
         SELECT source, doc_id FROM (
