@@ -2595,6 +2595,70 @@ def q_docs_words_exploded(sf_dir: str):
     ).map_batches(explode, batch_format="pyarrow")
 
 
+def q_orders_cube(sf_dir: str):
+    """CUBE(status, priority): all four grouping sets. Same scale plan as
+    the ROLLUP — ONE distributed finest-grain aggregate, every coarser
+    set derived from that small result driver-side."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "status": b["o_orderstatus"],
+                    "priority": b["o_orderpriority"],
+                }
+            )
+            .group_by(["status", "priority"])
+            .aggregate([("status", "count")])
+        )
+        return pa.table(
+            {
+                "status": g["status"],
+                "priority": g["priority"],
+                "n": g["status_count"].cast(pa.int64()),
+            }
+        )
+
+    fine = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderstatus", "o_orderpriority"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["status", "priority"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    ft = pa.concat_tables(
+        [
+            b
+            for b in fine.iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+            if b.num_rows
+        ]
+    ).to_pandas()
+    by_status = (
+        ft.groupby("status", as_index=False)["n"].sum().assign(priority="ALL")
+    )
+    by_prio = (
+        ft.groupby("priority", as_index=False)["n"].sum().assign(status="ALL")
+    )
+    top = pd.DataFrame(
+        {"status": ["ALL"], "priority": ["ALL"], "n": [ft["n"].sum()]}
+    )
+    out = pd.concat([ft, by_status, by_prio, top], ignore_index=True)[
+        ["status", "priority", "n"]
+    ]
+    return pa.table(
+        {
+            "status": pa.array(out["status"], type=pa.string()),
+            "priority": pa.array(out["priority"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        }
+    )
+
+
 def q_orders_rollup(sf_dir: str):
     """ROLLUP(status, priority) totals: the finest grain aggregates
     distributed (partial-then-merge, shuffle moves ≤ |status×priority|
@@ -3289,6 +3353,7 @@ def build_queries() -> dict:
     q["events_user_rolling"] = q_events_user_rolling
     q["events_pivot_hours"] = q_events_pivot_hours
     q["orders_rollup"] = q_orders_rollup
+    q["orders_cube"] = q_orders_cube
     q["docs_words_exploded"] = q_docs_words_exploded
     q["user_event_seq"] = q_user_event_seq
     q["events_value_quantiles"] = q_events_value_quantiles
@@ -4021,6 +4086,13 @@ def build_oracle_sql() -> dict:
         )
         SELECT doc_id, CAST(pos AS BIGINT) AS pos, word
         FROM t WHERE word <> ''
+    """
+    sql["orders_cube"] = """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """
     sql["orders_rollup"] = """
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,

@@ -62,17 +62,17 @@ def _zone_partial(batch: pa.Table) -> pa.Table:
     if isinstance(path_col, pa.ChunkedArray):
         path_col = path_col.combine_chunks()
     enc = path_col.dictionary_encode()
-    fi = enc.indices.to_numpy(zero_copy_only=False)
+    fi = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     paths = enc.dictionary.to_pylist()
+    # token → owning file, one vectorized repeat (a batch is usually one
+    # file — one read task per file — but reordered/multi-file batches
+    # stay correct); never a per-row Python gather
+    tok_file = np.repeat(fi, counts)
     rows = {"path": [], "tok_min": [], "tok_max": [], "presence": [], "bloom": []}
     for gi, p in enumerate(paths):
-        rsel = np.flatnonzero(fi == gi)
-        if rsel.size == 0:
+        if not (fi == gi).any():
             continue
-        # gather this file's token values (rows are contiguous runs in
-        # practice; the general gather stays correct under reordering)
-        segs = [values[out_off[r] : out_off[r + 1]] for r in rsel]
-        v = np.concatenate(segs) if segs else np.zeros(0, dtype=np.int32)
+        v = values[tok_file == gi]
         pres = np.zeros(ZONE_EXACT_IDS // 8, dtype=np.uint8)
         bloom = np.zeros(BLOOM_BYTES, dtype=np.uint8)
         if len(v):
