@@ -1,0 +1,217 @@
+"""Exact duplicated-SPAN detection across documents.
+
+(Training-pipeline extension — SURVEY.md §2.5. Document-level dedup
+misses boilerplate: two different pages sharing one copied paragraph.
+Span-level exact dedup — find k-token windows that appear verbatim in
+more than one document — is the standard complement; cf. the published
+"deduplicating training data" line of work, reimplemented here from the
+problem statement with hashing, not suffix arrays.)
+
+Two streaming passes, both bounded:
+
+1. every word window of length ``k`` emits a 64-bit polynomial hash row
+   (hash, doc_id, pos) — vectorized rolling evaluation over the batch's
+   flattened word-hash stream, one window per word position. A tiny
+   groupby-count finds HOT hashes (≥ 2 occurrences); the hot set is
+   bounded by the duplication rate, broadcast once.
+2. a second scan re-derives windows, keeps only hot-hash rows (searchsorted
+   membership) WITH their window text, and one shuffle groups them by
+   hash; inside the group the actual strings are compared (hash collisions
+   can only add comparisons, never false pairs), emitting verified
+   (doc_a, doc_b) pairs (doc_a < doc_b).
+
+``sample_mod=m`` winnows pass 1 to windows whose hash ≡ 0 (mod m) — the
+standard trade at 100 TB (detects spans ≥ ~m·k tokens with high
+probability); exact mode is m=None.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .vocab import tokenize_rows
+
+_B = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for word combine
+
+
+def _word_hashes(values, keep, rows) -> tuple[np.ndarray, np.ndarray]:
+    """Flattened (word hash, row id) streams for a tokenized batch."""
+    import pyarrow.compute as pc
+
+    toks = values.filter(pa.array(keep))
+    rr = rows[keep]
+    if not len(rr):
+        return np.zeros(0, dtype=np.uint64), rr
+    # hash each word via Arrow's utf8 → binary view + numpy polynomial on
+    # bytes is overkill; a stable 64-bit hash per distinct word via
+    # dictionary encoding keeps it vectorized
+    enc = toks.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    import hashlib
+
+    hv = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+            )
+            for w in uniq
+        ],
+        dtype=np.uint64,
+    )
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return hv[idx], rr
+
+
+def _window_rows(batch: pa.Table, text_col: str, k: int, id_col: str):
+    """(window_hash, doc_id, pos) arrays for every k-word window."""
+    values, rows, keep = tokenize_rows(batch, text_col)
+    wh, rr = _word_hashes(values, keep, rows)
+    n = len(wh)
+    if n < k:
+        z = np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.uint64), z, z
+    # rolling polynomial over a fixed window: H(i) = sum wh[i+j] * B^(k-1-j)
+    # evaluated as k strided adds (k is small and constant; each add is
+    # vectorized over all windows)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _B + wh[j : n - k + 1 + j]
+    win_row = rr[: n - k + 1]
+    # a window is valid only if fully inside one doc
+    valid = rr[k - 1 :] == win_row
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    # position of the window within its doc's word stream
+    starts = np.flatnonzero(np.r_[True, rr[1:] != rr[:-1]])
+    base = np.zeros(len(rr), dtype=np.int64)
+    base[starts] = np.arange(len(rr), dtype=np.int64)[starts]
+    base = np.maximum.accumulate(base)
+    pos = np.arange(n - k + 1, dtype=np.int64) - base[: n - k + 1]
+    return (
+        acc[valid],
+        ids[win_row[valid]].astype(np.int64),
+        pos[valid],
+    )
+
+
+def duplicated_span_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    sample_mod: int | None = None,
+):
+    """Dataset of verified (doc_a, doc_b) pairs sharing ≥ one exact k-word
+    span (doc_a < doc_b, distinct)."""
+    from ray.data.aggregate import Count
+
+    def pass1(b: pa.Table) -> pa.Table:
+        h, _ids, _pos = _window_rows(b, text_col, k, id_col)
+        if sample_mod:
+            h = h[h % np.uint64(sample_mod) == 0]
+        u, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(u.view(np.int64), type=pa.int64()),
+                "c": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(pass1, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
+        .filter(expr="c >= 2")
+        .select_columns(["h"])
+    )
+    hot_rows = [
+        b
+        for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not hot_rows:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    hot = np.sort(
+        pa.concat_tables(hot_rows)["h"].to_numpy(zero_copy_only=False)
+    )
+    ref = ray.put(hot) if ray.is_initialized() else hot
+
+    def pass2(b: pa.Table) -> pa.Table:
+        hs = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        h, ids, pos = _window_rows(b, text_col, k, id_col)
+        hi = h.view(np.int64)
+        ix = np.searchsorted(hs, hi)
+        np.minimum(ix, len(hs) - 1, out=ix)
+        m = hs[ix] == hi
+        if not m.any():
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "win": pa.array([], type=pa.string()),
+                }
+            )
+        # re-derive the window TEXT for survivors only (join of the k
+        # words) — carried only for hot windows, never the full stream
+        values, rows, keep = tokenize_rows(b, text_col)
+        toks = values.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+        rr = rows[keep]
+        starts = np.flatnonzero(np.r_[True, rr[1:] != rr[:-1]])
+        base = np.zeros(len(rr), dtype=np.int64)
+        base[starts] = np.arange(len(rr), dtype=np.int64)[starts]
+        base = np.maximum.accumulate(base)
+        id2start: dict = {}
+        bids = b[id_col].to_numpy(zero_copy_only=False)
+        for s in starts:
+            id2start[int(bids[rr[s]])] = int(s)
+        sel = np.flatnonzero(m)
+        wins = [
+            " ".join(
+                toks[id2start[int(ids[i])] + int(pos[i]) :
+                     id2start[int(ids[i])] + int(pos[i]) + k]
+            )
+            for i in sel
+        ]
+        return pa.table(
+            {
+                "h": pa.array(hi[sel], type=pa.int64()),
+                "doc_id": pa.array(ids[sel], type=pa.int64()),
+                "win": pa.array(wins, type=pa.string()),
+            }
+        )
+
+    def pairs(g) -> "pa.Table":
+        import pandas as pd
+
+        out_a, out_b = [], []
+        for _w, sub in g.groupby("win"):
+            docs = np.unique(sub["doc_id"].to_numpy())
+            if len(docs) >= 2:
+                a = docs[0]
+                for bdoc in docs[1:]:
+                    out_a.append(int(a))
+                    out_b.append(int(bdoc))
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    raw = (
+        ds.map_batches(pass2, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    # a pair found via many spans reports once
+    return (
+        raw.groupby(["doc_a", "doc_b"])
+        .count()
+        .select_columns(["doc_a", "doc_b"])
+    )

@@ -1178,6 +1178,40 @@ def q_docs_mixture_sample(sf_dir: str):
     )
 
 
+def q_dedup_spans_planted(sf_dir: str):
+    """Span-level exact dedup gate (functions/spans.py): a controlled
+    corpus of 40 docs with per-doc-unique vocabularies gets 30-word spans
+    of docs 0–4 spliced into docs 20–24 — duplicated_span_pairs must find
+    exactly those five (src, dst) pairs (unique vocabs make any other
+    pair impossible, so the expected set is a SQL literal)."""
+    from ..functions.spans import duplicated_span_pairs
+
+    texts = {
+        d: " ".join(f"d{d}w{j}" for j in range(100)) for d in range(40)
+    }
+    for i in range(5):
+        words = texts[i].split()[10:40]
+        base = texts[20 + i].split()
+        texts[20 + i] = " ".join(base[:50] + words + base[50:])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), type=pa.int64()),
+            "text": pa.array([texts[d] for d in sorted(texts)]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = duplicated_span_pairs(ds, k=8)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_a": b["doc_a"].cast(pa.int64()),
+                "doc_b": b["doc_b"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_docs_global_ntile(sf_dir: str):
     """Global ROW_NUMBER + NTILE(4) over (n_chars, doc_id) WITHOUT a total
     sort (functions/globalrank.py): exact value histogram → broadcast
@@ -3314,6 +3348,7 @@ def build_queries() -> dict:
     q["events_value_moments"] = q_events_value_moments
     q["docs_chunked"] = q_docs_chunked
     q["docs_mixture_sample"] = q_docs_mixture_sample
+    q["dedup_spans_planted"] = q_dedup_spans_planted
     q["docs_sample2_per_source"] = q_docs_sample2_per_source
     q["docs_normalize"] = q_docs_normalize
     q["events_sessionize_sliced"] = q_events_sessionize_sliced
@@ -3661,6 +3696,10 @@ def build_oracle_sql() -> dict:
                        0, CAST(ceil(n / {CHUNK_STRIDE}.0) AS BIGINT) - 1))
                      * {CHUNK_STRIDE}) AS BIGINT) AS chunk_len
         FROM t
+    """
+    sql["dedup_spans_planted"] = """
+        SELECT CAST(i AS BIGINT) AS doc_a, CAST(i + 20 AS BIGINT) AS doc_b
+        FROM range(5) t(i)
     """
     sql["docs_mixture_sample"] = f"""
         SELECT doc_id, source FROM documents
