@@ -1178,6 +1178,46 @@ def q_docs_mixture_sample(sf_dir: str):
     )
 
 
+def q_ingest_jsonl(sf_dir: str):
+    """Source-format coverage: the documents table exported to JSONL
+    scratch, re-ingested with ray.data.read_json, and reduced — result
+    must equal SQL over the original parquet (schema survives the
+    format round-trip; the read streams per file like any source)."""
+    import shutil
+
+    scratch = os.path.join(
+        "/tmp", f"fsst_jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    df = docs.to_pandas()
+    for i in range(4):
+        df.iloc[i::4].to_json(
+            os.path.join(scratch, f"part{i}.jsonl"),
+            orient="records",
+            lines=True,
+        )
+    ds = ray.data.read_json(
+        [os.path.join(scratch, f"part{i}.jsonl") for i in range(4)]
+    )
+
+    def stats(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+                "source": b["source"],
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def q_dedup_spans_planted(sf_dir: str):
     """Span-level exact dedup gate (functions/spans.py): a controlled
     corpus of 40 docs with per-doc-unique vocabularies gets 30-word spans
@@ -3349,6 +3389,7 @@ def build_queries() -> dict:
     q["docs_chunked"] = q_docs_chunked
     q["docs_mixture_sample"] = q_docs_mixture_sample
     q["dedup_spans_planted"] = q_dedup_spans_planted
+    q["ingest_jsonl"] = q_ingest_jsonl
     q["docs_sample2_per_source"] = q_docs_sample2_per_source
     q["docs_normalize"] = q_docs_normalize
     q["events_sessionize_sliced"] = q_events_sessionize_sliced
@@ -3696,6 +3737,10 @@ def build_oracle_sql() -> dict:
                        0, CAST(ceil(n / {CHUNK_STRIDE}.0) AS BIGINT) - 1))
                      * {CHUNK_STRIDE}) AS BIGINT) AS chunk_len
         FROM t
+    """
+    sql["ingest_jsonl"] = """
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, source
+        FROM documents
     """
     sql["dedup_spans_planted"] = """
         SELECT CAST(i AS BIGINT) AS doc_a, CAST(i + 20 AS BIGINT) AS doc_b

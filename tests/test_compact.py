@@ -114,3 +114,50 @@ def test_compact_crash_recovery(ray_session, tmp_path):
     # and a full compact over the recovered state still verifies
     compact_fragments(out, target_bytes=1 << 30)
     assert verify_roundtrip_manifest(out)["match"]
+
+
+def test_compress_append_only_new_fragments(ray_session, tmp_path):
+    """Appending a fragment to the source and re-running compress_dataset
+    encodes ONLY the new fragment (manifest skip), and the combined
+    corpus verifies."""
+    import time
+
+    from fsst_like_ray.pipelines.compress import (
+        compress_dataset,
+        read_encoded,
+        verify_roundtrip_manifest,
+    )
+    from fsst_like_ray.sources.tokens import tokens_table
+
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "enc")
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(tokens_table(800, seed=1), os.path.join(src, "a.parquet"))
+    compress_dataset(src, out)
+    assert verify_roundtrip_manifest(out)["match"]
+    first = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(out, "data", "*", "*.parquet"))
+    }
+    assert first
+
+    # append a second fragment; rows must be disjoint (unique doc ids)
+    t2 = tokens_table(300, seed=2)
+    t2 = t2.set_column(
+        t2.column_names.index("doc_id"),
+        "doc_id",
+        pa.array([f"b-{i}" for i in range(t2.num_rows)], type=pa.string())
+        if pa.types.is_string(t2["doc_id"].type)
+        else pa.array(
+            np.arange(10_000_000, 10_000_000 + t2.num_rows), type=t2["doc_id"].type
+        ),
+    )
+    pq.write_table(t2, os.path.join(src, "b.parquet"))
+    stats = compress_dataset(src, out)
+    assert stats["fragments"] == 2
+    # original fragment's files untouched (no rewrite)
+    for f, mt in first.items():
+        assert os.path.getmtime(f) == mt, f
+    assert verify_roundtrip_manifest(out)["match"]
+    assert read_encoded(out).count() == 1100
