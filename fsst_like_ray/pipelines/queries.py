@@ -1329,6 +1329,41 @@ def q_events_value_moments(sf_dir: str):
     )
 
 
+def q_events_latest_per_user(sf_dir: str):
+    """Latest-version-per-key (the CDC/upsert merge shape): newest event
+    per user via grouped_topk k=1 — per-batch pre-pruning means the
+    shuffle moves ≤ one row per (user, block). Deterministic tie on
+    event_id. Oracle: ROW_NUMBER() OVER (... ORDER BY ts DESC) = 1."""
+    from ..functions.grouped_topk import grouped_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "ts_us": b["ts"].cast(pa.int64()),
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_topk(ds, key="user_id", score="ts_us", k=1, tiebreak="event_id")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "ts_us": b["ts_us"].cast(pa.int64()),
+                "event_type": b["event_type"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered funnel view→click→purchase (functions/events.py
     funnel_completions): one hash shuffle of stage events, fully
@@ -3383,6 +3418,7 @@ def build_queries() -> dict:
     q["events_window_agg"] = q_events_window
     q["events_sessionize"] = q_events_sessionize
     q["events_funnel"] = q_events_funnel
+    q["events_latest_per_user"] = q_events_latest_per_user
     q["users_purchase_and_error"] = q_users_purchase_and_error
     q["docs_global_ntile"] = q_docs_global_ntile
     q["events_value_moments"] = q_events_value_moments
@@ -3791,6 +3827,18 @@ def build_oracle_sql() -> dict:
                         * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                  AS sumsq_cents
         FROM events GROUP BY event_type
+    """
+    sql["events_latest_per_user"] = """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(event_id AS BIGINT) AS event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               event_type
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id ASC
+                 ) AS rn
+          FROM events
+        ) WHERE rn = 1
     """
     sql["events_funnel"] = """
         WITH v AS (
