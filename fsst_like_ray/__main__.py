@@ -191,6 +191,38 @@ def cmd_rank(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    ray = _ray()
+    from .pipelines.compact import compact_fragments
+    from .pipelines.compress import verify_roundtrip_manifest
+
+    t0 = time.time()
+    stats = compact_fragments(args.out, target_bytes=args.target_bytes)
+    v = verify_roundtrip_manifest(args.out)
+    print(
+        json.dumps(
+            {
+                **stats,
+                "verified": bool(v["match"]),
+                "sec": round(time.time() - t0, 3),
+            }
+        )
+    )
+    ray.shutdown()
+    return 0 if v["match"] else 1
+
+
+def cmd_index(args) -> int:
+    ray = _ray()
+    from .pipelines.zoneindex import build_token_zone_index
+
+    t0 = time.time()
+    stats = build_token_zone_index(args.out)
+    print(json.dumps({**stats, "sec": round(time.time() - t0, 3)}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m fsst_like_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -232,6 +264,23 @@ def main(argv=None) -> int:
     r.add_argument("--id-col", default="doc_id")
     r.add_argument("--repeats", type=int, default=2)
     r.set_defaults(fn=cmd_rank)
+
+    k = sub.add_parser(
+        "compact",
+        help="merge an encoded corpus's small partition files in place "
+             "(crash-safe; manifest hashes stay bit-identical)",
+    )
+    k.add_argument("out")
+    k.add_argument("--target-bytes", type=int, default=64 << 20)
+    k.set_defaults(fn=cmd_compact)
+
+    z = sub.add_parser(
+        "index",
+        help="build/rebuild the per-file token zone index "
+             "(<out>/index/zones.parquet)",
+    )
+    z.add_argument("out")
+    z.set_defaults(fn=cmd_index)
 
     args = ap.parse_args(argv)
     return args.fn(args)

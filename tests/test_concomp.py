@@ -98,3 +98,41 @@ def test_exact_duplicate_pairs_no_dups(ray_session):
     ds = ray.data.from_arrow(pa.Table.from_pandas(df))
     out = exact_duplicate_pairs(ds).to_pandas()
     assert len(out) == 0
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_connected_components_property(ray_session, edges):
+    """Random graphs (self loops, duplicates, skew allowed): CC assignment
+    equals the union-find oracle on every non-isolated node."""
+    from fsst_like_ray.functions.concomp import connected_components
+
+    e = np.array(edges, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(e[:, 0], type=pa.int64()),
+                "v": pa.array(e[:, 1], type=pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = connected_components(ds, n_buckets=5).to_pandas()
+    if "node" not in got.columns:  # all-empty Ray result loses its schema
+        got = pd.DataFrame({"node": [], "component": []})
+    gm = dict(zip(got["node"], got["component"]))
+    want = _uf(e.tolist(), set(e[:, 0]) | set(e[:, 1]))
+    real = {a for a, b in e.tolist() if a != b} | {
+        b for a, b in e.tolist() if a != b
+    }
+    assert set(gm) == real
+    for n_ in real:
+        assert gm[n_] == want[n_]

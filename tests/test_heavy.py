@@ -92,3 +92,39 @@ def test_grouped_hll_within_error(ray_session):
             row["approx_distinct"],
             ex,
         )
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2000), st.integers(1, 500)),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(2, 40),
+)
+def test_mg_compress_properties(pairs, k):
+    """For ANY counter multiset and k: ≤ k survivors, no overcount,
+    undercount ≤ total/(k+1), and every item above that bound survives."""
+    import numpy as np
+
+    from fsst_like_ray.functions.heavy import mg_compress
+
+    d = {}
+    for i, c in pairs:
+        d[i] = d.get(i, 0) + c
+    items = np.array(sorted(d), dtype=np.int64)
+    counts = np.array([d[i] for i in sorted(d)], dtype=np.int64)
+    total = int(counts.sum())
+    ki, kc = mg_compress(items, counts, k)
+    assert len(ki) <= k
+    kept = dict(zip(ki.tolist(), kc.tolist()))
+    for i, c in d.items():
+        got = kept.get(i, 0)
+        assert 0 <= got <= c
+        assert c - got <= total / (k + 1)
+        if c > total / (k + 1):
+            assert got > 0
