@@ -115,3 +115,60 @@ def bigram_frequencies(docs_ds, col: str = "text", k: int | None = None):
     if k is not None:
         out = out.limit(k)
     return out
+
+
+def doc_repetition_stats(batch: pa.Table, id_col: str = "doc_id",
+                         col: str = "text") -> pa.Table:
+    """Per-document repetition stats — the Gopher-style duplicate-n-gram
+    quality signal: for each doc, total word-bigram count, distinct
+    bigram count, and repetition in integer per-mille
+    ((n - distinct) * 1000 // n). Pure per-row math, so the stage is an
+    embarrassingly parallel map_batches (docs never split across rows);
+    both counts come from ONE Arrow C++ group_by over (row, bigram) —
+    no Python loop, no string hashing collisions. Docs with < 2 words
+    have no bigrams and are omitted (matches the SQL oracle's inner
+    join-of-unnested-bigrams semantics)."""
+    import pyarrow.compute as pc
+
+    values, row_ids, keep = tokenize_rows(batch, col)
+    toks = values.filter(pa.array(keep))
+    rows = row_ids[keep]
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=batch[id_col].type),
+            "n_bigrams": pa.array([], type=pa.int64()),
+            "n_distinct": pa.array([], type=pa.int64()),
+            "rep_milli": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(rows) < 2:
+        return empty
+    same = rows[:-1] == rows[1:]
+    idx = np.flatnonzero(same)
+    if idx.size == 0:
+        return empty
+    w1 = toks.take(pa.array(idx))
+    w2 = toks.take(pa.array(idx + 1))
+    joined = pc.binary_join_element_wise(w1, w2, " ")
+    per_pair = (
+        pa.table({"rid": pa.array(rows[idx]), "bg": joined})
+        .group_by(["rid", "bg"])
+        .aggregate([("bg", "count")])
+    )
+    per_doc = per_pair.group_by("rid").aggregate(
+        [("bg_count", "sum"), ("bg_count", "count")]
+    )
+    rid = per_doc["rid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = per_doc["bg_count_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = per_doc["bg_count_count"].to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    ids = batch[id_col].take(pa.array(rid))
+    return pa.table(
+        {
+            id_col: ids,
+            "n_bigrams": pa.array(n),
+            "n_distinct": pa.array(d),
+            "rep_milli": pa.array((n - d) * 1000 // n),
+        }
+    )

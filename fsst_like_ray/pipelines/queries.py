@@ -3316,6 +3316,249 @@ def q_tpch_q3(sf_dir: str):
     )
 
 
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape — local-supplier revenue per nation in one region.
+    Join plan for 100 TB: region/nation are tiny (driver-read, folded into
+    filters); supplier is a dimension (BROADCAST join onto the lineitem
+    stream); customer×orders and lineitem×orders are big⋈big, each via the
+    co-partitioned shuffle join. The c_nationkey == s_nationkey equality is
+    applied as a vectorized post-join filter, then revenue aggregates
+    partial-then-merge so the final groupby moves ~nations rows."""
+    from ..functions.join import broadcast_hash_join, shuffle_hash_join
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey", "n_name"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rk = region.filter(pa.compute.equal(region["r_name"], "ASIA"))[
+        "r_regionkey"
+    ].to_numpy(zero_copy_only=False)
+    nat = nation.filter(
+        pa.compute.is_in(nation["n_regionkey"], value_set=pa.array(rk))
+    )
+    nat_keys = np.sort(nat["n_nationkey"].to_numpy(zero_copy_only=False))
+    name_by_key = dict(
+        zip(
+            nat["n_nationkey"].to_numpy(zero_copy_only=False).tolist(),
+            nat["n_name"].to_pylist(),
+        )
+    )
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pa.compute.is_in(b["c_nationkey"], value_set=pa.array(nat_keys))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        ts = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        f = b.take(pa.array(np.flatnonzero(keep)))
+        return f.select(["o_orderkey", "o_custkey"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ofilter, batch_format="pyarrow")
+
+    # orders ⋈ customer (big⋈big: one shuffle on custkey) → o_orderkey + cust nation
+    ordn = shuffle_hash_join(orders, cust, "o_custkey", "c_custkey").map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "c_nat": b["c_nationkey_r"].cast(pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    def lcents(b: pa.Table) -> pa.Table:
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "cents": pa.array(
+                    np.floor(px * (1 - disc) * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(lcents, batch_format="pyarrow")
+    li = broadcast_hash_join(li, supplier, "l_suppkey", "s_suppkey")
+    # keep only lineitems whose supplier sits in the target region at all
+    li = li.map_batches(
+        lambda b: b.filter(
+            pa.compute.is_in(
+                b["s_nationkey"].cast(pa.int32()),
+                value_set=pa.array(nat_keys, type=pa.int32()),
+            )
+        ).select(["l_orderkey", "s_nationkey", "cents"]),
+        batch_format="pyarrow",
+    )
+
+    joined = shuffle_hash_join(li, ordn, "l_orderkey", "o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        nk = b["s_nationkey"].cast(pa.int32()).to_numpy(zero_copy_only=False)
+        ck = b["c_nat_r"].cast(pa.int32()).to_numpy(zero_copy_only=False)
+        keep = nk == ck
+        g = pa.table(
+            {
+                "nationkey": pa.array(nk[keep], type=pa.int32()),
+                "cents": b["cents"].take(pa.array(np.flatnonzero(keep))),
+            }
+        ).group_by(["nationkey"]).aggregate([("cents", "sum")])
+        return pa.table(
+            {
+                "nationkey": g["nationkey"],
+                "cents": g["cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        keys = b["nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array([name_by_key[int(k)] for k in keys]),
+                "revenue_cents": b["revenue_cents"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue_cents", "n_name"], descending=[True, False])
+    )
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 shape — small-quantity-order revenue: lineitems of one
+    brand's parts whose quantity is under 20% of that part's average.
+    The correlated subquery becomes a partial-then-merge per-part
+    (sum, count) aggregate whose SMALL result is broadcast back over a
+    second streaming lineitem pass; the avg compare is exact integer math
+    (qty*5*count < sum — quantities are integer-valued), so the oracle
+    matches bit-for-bit with no float-boundary risk."""
+    from ..functions.join import broadcast_semi_join
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    pkeys = np.sort(
+        part.filter(pa.compute.equal(part["p_brand"], "Brand#4"))[
+            "p_partkey"
+        ].to_numpy(zero_copy_only=False)
+    )
+
+    def li(columns):
+        return broadcast_semi_join(
+            ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet", columns=columns
+            ),
+            pkeys,
+            "l_partkey",
+        )
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table(
+            {"l_partkey": b["l_partkey"], "q": pa.array(q)}
+        ).group_by(["l_partkey"]).aggregate([("q", "sum"), ("q", "count")])
+        return pa.table(
+            {
+                "l_partkey": g["l_partkey"],
+                "s": g["q_sum"].cast(pa.int64()),
+                "c": g["q_count"].cast(pa.int64()),
+            }
+        )
+
+    stats = (
+        li(["l_partkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+    )
+    st = stats.to_pandas()  # one small row per brand part — driver-safe
+    sk = np.asarray(st["l_partkey"], dtype=np.int64)
+    order = np.argsort(sk)
+    sk = sk[order]
+    ssum = np.asarray(st["s"], dtype=np.int64)[order]
+    scnt = np.asarray(st["c"], dtype=np.int64)[order]
+    from ..functions.join import put_broadcast, get_broadcast
+
+    ref = put_broadcast((sk, ssum, scnt))
+
+    def pick(b: pa.Table) -> pa.Table:
+        k, s, c = get_broadcast(ref)
+        keys = b["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k, keys)
+        np.minimum(idx, max(len(k) - 1, 0), out=idx)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (k[idx] == keys) & (qty * 5 * c[idx] < s[idx])
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(px * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "total_cents": pa.array([int(cents.sum())], type=pa.int64()),
+                "n_matched": pa.array([int(keep.sum())], type=pa.int64()),
+            }
+        )
+
+    out = (
+        li(["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(pick, batch_format="pyarrow")
+        .aggregate(
+            Sum("total_cents", alias_name="total_cents"),
+            Sum("n_matched", alias_name="n_matched"),
+        )
+    )
+    return pa.table(
+        {
+            "total_cents": pa.array(
+                [int(out["total_cents"] or 0)], type=pa.int64()
+            ),
+            "n_matched": pa.array(
+                [int(out["n_matched"] or 0)], type=pa.int64()
+            ),
+        }
+    )
+
+
+def q_docs_repetition(sf_dir: str):
+    """Per-document duplicate-bigram repetition signal (Gopher-style
+    quality filter): total / distinct word-bigram counts and integer
+    per-mille repetition. Embarrassingly parallel map_batches — each doc
+    is one row, the per-(row, bigram) counting is one Arrow C++ group_by
+    per batch, nothing shuffles."""
+    from ..functions.vocab import doc_repetition_stats
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        doc_repetition_stats, batch_format="pyarrow"
+    )
+
+
 def q_events_user_running(sf_dir: str):
     """Per-user ordered window functions over the event stream: row
     number, running cents sum, and gap to the previous event (-1 for the
@@ -3459,6 +3702,9 @@ def build_queries() -> dict:
     q["customers_no_urgent_orders"] = q_customers_no_urgent_orders
     q["events_user_running"] = q_events_user_running
     q["tpch_q3"] = q_tpch_q3
+    q["tpch_q5"] = q_tpch_q5
+    q["tpch_q17"] = q_tpch_q17
+    q["docs_repetition"] = q_docs_repetition
     q["bigram_top20"] = q_bigram_top20
     q["events_props_extract"] = q_events_props_extract
     q["docs_above_p90"] = q_docs_above_p90
@@ -4147,6 +4393,61 @@ def build_oracle_sql() -> dict:
         GROUP BY l.l_orderkey, o.o_orderdate
         ORDER BY revenue_cents DESC, l.l_orderkey
         LIMIT 10
+    """
+    sql["tpch_q5"] = """
+        SELECT n.n_name,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+        WHERE c.c_custkey = o.o_custkey
+          AND l.l_orderkey = o.o_orderkey
+          AND l.l_suppkey = s.s_suppkey
+          AND c.c_nationkey = s.s_nationkey
+          AND s.s_nationkey = n.n_nationkey
+          AND n.n_regionkey = r.r_regionkey
+          AND r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue_cents DESC, n_name
+    """
+    sql["tpch_q17"] = """
+        WITH bp AS (
+          SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'
+        ), agg AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM lineitem JOIN bp ON l_partkey = p_partkey
+          GROUP BY l_partkey
+        )
+        SELECT CAST(coalesce(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                                      AS BIGINT)), 0) AS BIGINT)
+                   AS total_cents,
+               CAST(count(*) AS BIGINT) AS n_matched
+        FROM lineitem l JOIN agg a ON l.l_partkey = a.l_partkey
+        WHERE CAST(l.l_quantity AS BIGINT) * 5 * a.c < a.s
+    """
+    sql["docs_repetition"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                     AS w,
+                 unnest(generate_series(1, len(string_split_regex(
+                     lower(text), '[^a-z0-9]+')))) AS i
+          FROM documents
+        ), bg AS (
+          SELECT a.doc_id, a.w || ' ' || b.w AS bigram
+          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+          WHERE a.w <> '' AND b.w <> ''
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct,
+               CAST((count(*) - count(DISTINCT bigram)) * 1000
+                    // count(*) AS BIGINT) AS rep_milli
+        FROM bg GROUP BY doc_id
     """
     sql["bigram_top20"] = """
         WITH tok AS (
