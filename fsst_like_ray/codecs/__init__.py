@@ -100,6 +100,7 @@ from .plain import PlainCodec  # noqa: E402
 from .bitpack import BitpackCodec  # noqa: E402
 from .forpack import ForCodec  # noqa: E402
 from .rle import RleCodec  # noqa: E402
+from .rlebp import RleBitpackCodec  # noqa: E402
 from .delta import DeltaCodec  # noqa: E402
 from .dictionary import DictCodec  # noqa: E402
 from .fsst import FsstCodec  # noqa: E402
@@ -111,6 +112,7 @@ CODECS: dict[str, Codec] = {
         BitpackCodec(),
         ForCodec(),
         RleCodec(),
+        RleBitpackCodec(),
         DeltaCodec(),
         DictCodec(),
         FsstCodec(),

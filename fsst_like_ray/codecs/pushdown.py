@@ -122,6 +122,12 @@ def state_can_contain(name, state, tid: int) -> bool:
         width = state[0]
         if width < 32:
             return 0 <= tid < (1 << width)
+    if name == "rlebp":
+        # state: vw | rw | minv — run values span [minv, minv + 2^vw)
+        vw = state[0]
+        minv = int(np.frombuffer(state, dtype="<i4", count=1, offset=2)[0])
+        if vw < 32:
+            return minv <= tid < minv + (1 << vw)
     return True
 
 

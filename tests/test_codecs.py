@@ -105,8 +105,8 @@ def test_rle_wins_on_runs():
     rows = [[7] * 100 + [31337] * 100 + [9] * 100 for _ in range(20)]
     values, offsets = _lists_to_buffers(rows)
     name, est, _state = select_codec(values, offsets)
-    assert name == "rle"
-    assert est["rle"] < est["plain"]
+    assert name == "rlebp"  # the cascade strictly beats plain RLE here
+    assert est["rlebp"] < est["rle"] < est["plain"]
 
 
 def test_selector_picks_sane_codecs():

@@ -81,3 +81,15 @@ def test_zone_checks_prove_absence():
     assert state_can_contain("bitpack", state, (1 << width) - 1)
     assert not state_can_contain("bitpack", state, 1 << width)
     assert not state_can_contain("bitpack", state, -1)
+    # rlebp: FOR range [minv, minv + 2^vw) rules out values outside it
+    v = np.array([100, 100, 100, 105, 105, 107], dtype=np.int32)
+    off = np.array([0, 3, 6], dtype=np.int64)
+    state = CODECS["rlebp"].train(v, off)
+    vw = state[0]
+    assert vw < 32
+    assert state_can_contain("rlebp", state, 100)
+    assert state_can_contain("rlebp", state, 107)
+    # 106 is INSIDE the width range (conservative zone keeps it)
+    assert state_can_contain("rlebp", state, 100 + (1 << vw) - 1)
+    assert not state_can_contain("rlebp", state, 100 + (1 << vw))
+    assert not state_can_contain("rlebp", state, 99)
