@@ -1948,6 +1948,47 @@ def q_contains_token_indexed(sf_dir: str):
     return _collect_ids(ds, "doc_id")
 
 
+def q_like_trigram_indexed(sf_dir: str):
+    """Trigram-index-pruned LIKE scan (pipelines/trigram.py): documents
+    are staged as a partitioned corpus, a per-file trigram bloom index is
+    built in one streaming pass, and the LIKE pipeline (encode →
+    compressed-domain match) reads ONLY files whose bloom holds every
+    pattern trigram. Result must equal the unpruned scan — the oracle is
+    the plain SQL LIKE. A second, absent-literal pattern is asserted to
+    prune to ZERO files (the index's point at 100 TB: no bytes read)."""
+    import shutil
+
+    from .trigram import build_trigram_index, like_scan_trigram
+
+    scratch = os.path.join(
+        "/tmp", f"fsst_tridx_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    corpus = os.path.join(scratch, "docs")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(corpus, exist_ok=True)
+    _docs(sf_dir, ("doc_id", "text")).repartition(8).write_parquet(corpus)
+    build_trigram_index(corpus)
+    none_ds, scanned0, total = like_scan_trigram(
+        corpus, "%quantum entangle%", decode_matches=False
+    )
+    assert scanned0 == 0 and total > 0, (scanned0, total)
+    assert none_ds.count() == 0
+    ds, _scanned, _total = like_scan_trigram(corpus, "%merge sort%")
+    parts = [
+        b.select(["doc_id", "text"])
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+            }
+        )
+    return pa.concat_tables(parts).combine_chunks()
+
+
 def q_compaction_roundtrip(sf_dir: str):
     """Compaction gate (pipelines/compact.py): compress the sf tokens
     corpus to many small partition files, compact each fragment dir into
@@ -3705,6 +3746,7 @@ def build_queries() -> dict:
     q["tpch_q5"] = q_tpch_q5
     q["tpch_q17"] = q_tpch_q17
     q["docs_repetition"] = q_docs_repetition
+    q["like_trigram_indexed"] = q_like_trigram_indexed
     q["bigram_top20"] = q_bigram_top20
     q["events_props_extract"] = q_events_props_extract
     q["docs_above_p90"] = q_docs_above_p90
@@ -4428,6 +4470,9 @@ def build_oracle_sql() -> dict:
                CAST(count(*) AS BIGINT) AS n_matched
         FROM lineitem l JOIN agg a ON l.l_partkey = a.l_partkey
         WHERE CAST(l.l_quantity AS BIGINT) * 5 * a.c < a.s
+    """
+    sql["like_trigram_indexed"] = """
+        SELECT doc_id, text FROM documents WHERE text LIKE '%merge sort%'
     """
     sql["docs_repetition"] = """
         WITH tok AS (
