@@ -21,6 +21,7 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 
 import numpy as np
@@ -191,6 +192,8 @@ def _write_and_summarize(batch: pa.Table, data_dir: str) -> pa.Table:
             "encoded_bytes": pa.array([], type=pa.int64()),
             "hash_sum": pa.array([], type=pa.int64()),
             "hash_xor": pa.array([], type=pa.int64()),
+            "codec_json": pa.array([], type=pa.string()),
+            "state_sum": pa.array([], type=pa.int64()),
         }
     )
     if batch.num_rows == 0:
@@ -204,7 +207,24 @@ def _write_and_summarize(batch: pa.Table, data_dir: str) -> pa.Table:
     fi = enc.indices.to_numpy(zero_copy_only=False)
     frag_vals = enc.dictionary.to_pylist()
     out_frag, out_rows, out_tokens, out_bytes = [], [], [], []
-    out_hsum, out_hxor = [], []
+    out_hsum, out_hxor, out_cjson, out_ssum = [], [], [], []
+
+    def _dict_counts_and_hash(col):
+        """(codec→rows histogram, order-independent sum of per-row 64-bit
+        state hashes) — the north rule's 'codec chosen' + 'symbol-table
+        hash' lineage fields. Hashing touches only DISTINCT dictionary
+        values; per-row cost is a bincount gather."""
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if not pa.types.is_dictionary(c.type):
+            c = c.dictionary_encode()
+        idx = c.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(idx, minlength=len(c.dictionary))
+        return c.dictionary, counts
+
+    def _state_hash64(blob: bytes) -> int:
+        return int.from_bytes(
+            hashlib.sha256(blob or b"").digest()[:8], "little"
+        )
     for gi, key in enumerate(frag_vals):
         rows = np.flatnonzero(fi == gi)
         if rows.size == 0:
@@ -248,6 +268,21 @@ def _write_and_summarize(batch: pa.Table, data_dir: str) -> pa.Table:
         out_hxor.append(
             int(np.bitwise_xor.reduce(rh).view(np.int64)) if rh.size else 0
         )
+        cdict, ccounts = _dict_counts_and_hash(sub["codec"])
+        out_cjson.append(
+            json.dumps(
+                {
+                    str(cdict[i]): int(ccounts[i])
+                    for i in np.flatnonzero(ccounts)
+                },
+                sort_keys=True,
+            )
+        )
+        sdict, scounts = _dict_counts_and_hash(sub["state"])
+        ssum = 0
+        for i in np.flatnonzero(scounts):
+            ssum += _state_hash64(sdict[i].as_py()) * int(scounts[i])
+        out_ssum.append(int(np.uint64(ssum % (1 << 64)).view(np.int64)))
     return pa.table(
         {
             "frag": pa.array(out_frag, type=pa.string()),
@@ -256,6 +291,8 @@ def _write_and_summarize(batch: pa.Table, data_dir: str) -> pa.Table:
             "encoded_bytes": pa.array(out_bytes, type=pa.int64()),
             "hash_sum": pa.array(out_hsum, type=pa.int64()),
             "hash_xor": pa.array(out_hxor, type=pa.int64()),
+            "codec_json": pa.array(out_cjson, type=pa.string()),
+            "state_sum": pa.array(out_ssum, type=pa.int64()),
         }
     )
 
@@ -459,6 +496,8 @@ def compress_dataset(
                     "encoded_bytes": 0,
                     "hash_sum": 0,
                     "hash_xor": 0,
+                    "codecs": {},
+                    "state_sum": 0,
                 },
             )
             acc["rows"] += int(r["rows"])
@@ -468,6 +507,11 @@ def compress_dataset(
                 acc["hash_sum"] + (int(r["hash_sum"]) & ((1 << 64) - 1))
             ) % (1 << 64)
             acc["hash_xor"] ^= int(r["hash_xor"]) & ((1 << 64) - 1)
+            for cname, n in json.loads(r.get("codec_json") or "{}").items():
+                acc["codecs"][cname] = acc["codecs"].get(cname, 0) + int(n)
+            acc["state_sum"] = (
+                acc["state_sum"] + (int(r.get("state_sum", 0)) & ((1 << 64) - 1))
+            ) % (1 << 64)
         for f in round_frags:
             key = path_to_key[f]
             r = by_key.get(key)
@@ -484,6 +528,11 @@ def compress_dataset(
                     "plain_bytes": r["tokens"] * 4,
                     "hash_sum": r["hash_sum"],
                     "hash_xor": r["hash_xor"],
+                    # north-star lineage: codec chosen (per-row histogram)
+                    # and an order-independent hash over the fragment's
+                    # symbol-table / codec states
+                    "codecs": dict(sorted(r["codecs"].items())),
+                    "state_sum": r["state_sum"],
                 }
             )
     return manifest.stats()

@@ -42,6 +42,17 @@ def test_encode_decode_roundtrip(ray_session, corpus_dir, tmp_path):
     v = verify_roundtrip(original, decoded)
     assert v["match"], v
 
+    # lineage record carries the north-star fields: codec mix whose row
+    # counts sum to the fragment's rows, plus a state (symbol-table) hash
+    from fsst_like_ray.state.manifest import Manifest
+
+    for rec in Manifest(out).completed().values():
+        assert rec["codecs"] and sum(rec["codecs"].values()) == rec["rows"]
+        assert isinstance(rec["state_sum"], int)
+        assert set(rec["codecs"]) <= {
+            "plain", "bitpack", "for", "rle", "rlebp", "delta", "dict", "fsst"
+        }
+
 
 def test_resume_skips_completed(ray_session, corpus_dir, tmp_path):
     from fsst_like_ray.pipelines import compress_dataset
