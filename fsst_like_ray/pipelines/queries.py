@@ -3587,6 +3587,137 @@ def q_tpch_q17(sf_dir: str):
     )
 
 
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 shape — bilateral shipping volume between two nations by
+    year. Same join plan family as Q5 (broadcast supplier dim onto the
+    lineitem stream, orders⋈customer and lineitem⋈orders each via ONE
+    co-partitioned shuffle), with the (supp, cust) nation-pair disjunction
+    applied as a vectorized post-join mask and the year extracted by a
+    numpy datetime64[Y] truncation. Revenue partials merge on the tiny
+    (supp_nation, cust_nation, year) key."""
+    from ..functions.join import broadcast_hash_join, shuffle_hash_join
+
+    NK1, NK2 = 3, 7  # NATION_3 x NATION_7 (either direction)
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    name_by_key = dict(
+        zip(
+            nation["n_nationkey"].to_numpy(zero_copy_only=False).tolist(),
+            nation["n_name"].to_pylist(),
+        )
+    )
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1998-01-01T00:00:00", "us").astype(np.int64)
+    pair = pa.array([NK1, NK2], type=pa.int32())
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pa.compute.is_in(b["c_nationkey"].cast(pa.int32()), value_set=pair)
+        ),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    ordn = shuffle_hash_join(orders, cust, "o_custkey", "c_custkey").map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "c_nat": b["c_nationkey_r"].cast(pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    def lprep(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        rows = pa.array(np.flatnonzero(keep))
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        yr = (
+            ts[keep].astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"].take(rows),
+                "l_suppkey": b["l_suppkey"].take(rows),
+                "l_year": pa.array(yr),
+                "cents": pa.array(
+                    np.floor(px * (1 - disc) * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(lprep, batch_format="pyarrow")
+    li = broadcast_hash_join(li, supplier, "l_suppkey", "s_suppkey")
+    li = li.map_batches(
+        lambda b: b.filter(
+            pa.compute.is_in(b["s_nationkey"].cast(pa.int32()), value_set=pair)
+        ).select(["l_orderkey", "l_year", "cents", "s_nationkey"]),
+        batch_format="pyarrow",
+    )
+
+    joined = shuffle_hash_join(li, ordn, "l_orderkey", "o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        sn = b["s_nationkey"].cast(pa.int32()).to_numpy(zero_copy_only=False)
+        cn = b["c_nat_r"].cast(pa.int32()).to_numpy(zero_copy_only=False)
+        keep = ((sn == NK1) & (cn == NK2)) | ((sn == NK2) & (cn == NK1))
+        rows = pa.array(np.flatnonzero(keep))
+        g = pa.table(
+            {
+                "s_nat": pa.array(sn[keep], type=pa.int32()),
+                "c_nat": pa.array(cn[keep], type=pa.int32()),
+                "l_year": b["l_year"].take(rows),
+                "cents": b["cents"].take(rows),
+            }
+        ).group_by(["s_nat", "c_nat", "l_year"]).aggregate([("cents", "sum")])
+        return pa.table(
+            {
+                "s_nat": g["s_nat"],
+                "c_nat": g["c_nat"],
+                "l_year": g["l_year"],
+                "cents": g["cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["s_nat", "c_nat", "l_year"])
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        sn = b["s_nat"].to_numpy(zero_copy_only=False)
+        cn = b["c_nat"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "supp_nation": pa.array([name_by_key[int(k)] for k in sn]),
+                "cust_nation": pa.array([name_by_key[int(k)] for k in cn]),
+                "l_year": b["l_year"].cast(pa.int64()),
+                "revenue_cents": b["revenue_cents"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+
+
 def q_docs_repetition(sf_dir: str):
     """Per-document duplicate-bigram repetition signal (Gopher-style
     quality filter): total / distinct word-bigram counts and integer
@@ -3745,6 +3876,7 @@ def build_queries() -> dict:
     q["tpch_q3"] = q_tpch_q3
     q["tpch_q5"] = q_tpch_q5
     q["tpch_q17"] = q_tpch_q17
+    q["tpch_q7"] = q_tpch_q7
     q["docs_repetition"] = q_docs_repetition
     q["like_trigram_indexed"] = q_like_trigram_indexed
     q["bigram_top20"] = q_bigram_top20
@@ -4493,6 +4625,27 @@ def build_oracle_sql() -> dict:
                CAST((count(*) - count(DISTINCT bigram)) * 1000
                     // count(*) AS BIGINT) AS rep_milli
         FROM bg GROUP BY doc_id
+    """
+    sql["tpch_q7"] = """
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM supplier s, lineitem l, orders o, customer c,
+             nation ns, nation nc
+        WHERE s.s_suppkey = l.l_suppkey
+          AND o.o_orderkey = l.l_orderkey
+          AND c.c_custkey = o.o_custkey
+          AND s.s_nationkey = ns.n_nationkey
+          AND c.c_nationkey = nc.n_nationkey
+          AND ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+               OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
     """
     sql["bigram_top20"] = """
         WITH tok AS (

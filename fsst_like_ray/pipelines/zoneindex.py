@@ -106,11 +106,46 @@ def _zone_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-def build_token_zone_index(out_dir: str) -> dict:
-    """Scan ``<out_dir>/data`` once and write the per-file zone table to
-    ``<out_dir>/index/zones.parquet`` (atomic; rebuild overwrites)."""
-    data_dir = os.path.join(out_dir, "data")
-    ds = ray.data.read_parquet(data_dir, include_paths=True)
+def _data_files(out_dir: str) -> list[str]:
+    import glob as _glob
+
+    return sorted(
+        _glob.glob(
+            os.path.join(out_dir, "data", "**", "*.parquet"), recursive=True
+        )
+    )
+
+
+def build_token_zone_index(out_dir: str, incremental: bool = False) -> dict:
+    """Scan ``<out_dir>/data`` and write the per-file zone table to
+    ``<out_dir>/index/zones.parquet`` (atomic; rebuild overwrites).
+
+    ``incremental=True`` scans ONLY files absent from the existing index
+    and drops index rows whose file vanished (compaction) — appending a
+    day's fragments to a 100 TB corpus costs one pass over the NEW bytes,
+    not a full re-index. Per-file rows make this sound: an existing row
+    is complete (its file was fully scanned when written) and immutable
+    files never change under it (the sinks write-once via atomic rename).
+    """
+    files = _data_files(out_dir)
+    idx_path = os.path.join(out_dir, "index", "zones.parquet")
+    carried: "pa.Table | None" = None
+    if incremental and os.path.exists(idx_path):
+        prev = pq.read_table(idx_path)
+        fset = set(files)
+        keep = [p in fset for p in prev["path"].to_pylist()]
+        carried = prev.filter(pa.array(keep))
+        done = set(carried["path"].to_pylist())
+        files = [f for f in files if f not in done]
+        if not files:
+            tmp = f"{idx_path}.tmp{os.getpid()}"
+            pq.write_table(carried, tmp)
+            os.replace(tmp, idx_path)
+            return {"files": carried.num_rows, "scanned": 0,
+                    "index_path": idx_path}
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {out_dir}/data")
+    ds = ray.data.read_parquet(files, include_paths=True)
     merged: dict[str, list] = {}
     for blk in ds.map_batches(
         _zone_partial, batch_format="pyarrow", zero_copy_batch=True
@@ -159,13 +194,19 @@ def build_token_zone_index(out_dir: str) -> dict:
             ),
         }
     )
+    if carried is not None and carried.num_rows:
+        tbl = pa.concat_tables([carried, tbl]).sort_by("path")
     idx_dir = os.path.join(out_dir, "index")
     os.makedirs(idx_dir, exist_ok=True)
     path = os.path.join(idx_dir, "zones.parquet")
     tmp = f"{path}.tmp{os.getpid()}"
     pq.write_table(tbl, tmp)
     os.replace(tmp, path)
-    return {"files": len(paths), "index_path": path}
+    return {
+        "files": tbl.num_rows,
+        "scanned": len(files),
+        "index_path": path,
+    }
 
 
 def zone_candidate_files(out_dir: str, tid: int) -> tuple[list[str], int]:

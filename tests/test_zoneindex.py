@@ -91,3 +91,51 @@ def test_zone_index_prunes_and_matches(ray_session, tmp_path):
     # rebuild overwrites cleanly
     stats2 = build_token_zone_index(out)
     assert stats2["files"] == stats["files"]
+
+
+def test_zone_index_incremental_append(ray_session, tmp_path):
+    """Appending fragments re-scans ONLY the new files; removed files drop
+    out; the merged index equals a from-scratch rebuild."""
+    import pyarrow.parquet as pq
+
+    from fsst_like_ray.pipelines.compress import compress_dataset
+    from fsst_like_ray.pipelines.zoneindex import (
+        build_token_zone_index,
+        zone_candidate_files,
+    )
+
+    tmp = str(tmp_path)
+    src = _mk_corpus(tmp)
+    out = os.path.join(tmp, "enc")
+    compress_dataset(src, out, codec="auto")
+    first = build_token_zone_index(out)
+
+    # append one fragment holding a token no other file has
+    extra_tok = 60_001
+    rows = [[extra_tok, 1, 2, 3]] * 5
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(9000, 9005)), type=pa.int64()),
+            "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([4] * 5, type=pa.int32()),
+            "source": pa.array(["s9"] * 5, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(src, "frag9.parquet"))
+    compress_dataset(src, out, codec="auto")  # resume: encodes only frag9
+
+    inc = build_token_zone_index(out, incremental=True)
+    assert inc["files"] > first["files"]
+    assert 0 < inc["scanned"] < inc["files"]  # only the new files scanned
+    cand, total = zone_candidate_files(out, extra_tok)
+    assert len(cand) >= 1 and total == inc["files"]
+
+    # incremental result == full rebuild
+    inc_tbl = pq.read_table(os.path.join(out, "index", "zones.parquet"))
+    build_token_zone_index(out)
+    full_tbl = pq.read_table(os.path.join(out, "index", "zones.parquet"))
+    assert inc_tbl.equals(full_tbl)
+
+    # nothing new → zero scanned, index unchanged
+    again = build_token_zone_index(out, incremental=True)
+    assert again["scanned"] == 0 and again["files"] == inc["files"]
