@@ -139,7 +139,9 @@ def shuffle_hash_join(
     Output: all left columns + every right column except its key, suffixed
     with ``right_suffix``. Many-to-many keys produce the full match
     cross-product within the key (standard join semantics). ``how`` is
-    "inner" or "left".
+    "inner", "left", "right" or "full"; outer variants coalesce the single
+    key column from whichever side has it (USING-join semantics), so the
+    key is never null.
 
     Skew: pass ``hot_keys`` (array of known-hot join keys, e.g. from a
     frequency pre-scan) to SALT them — each hot key gets ``n_salt``
@@ -149,8 +151,12 @@ def shuffle_hash_join(
     single bucket (memory cost: |hot right rows| × n_salt)."""
     from .asof import _arrow_fields, _project, _SIDE
 
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "right", "full"):
         raise ValueError(how)
+    if hot_keys is not None and how in ("right", "full"):
+        # salting REPLICATES hot right rows across salt buckets; an
+        # unmatched replica would be emitted once per salt
+        raise ValueError("hot-key salting supports how='inner'/'left' only")
     BUCKET = "__join_bucket__"
     lf = _arrow_fields(left)
     rf = _arrow_fields(right)
@@ -233,14 +239,36 @@ def shuffle_hash_join(
         )
     )
 
+    keep_left = how in ("left", "full")  # unmatched LEFT rows survive
+    keep_right = how in ("right", "full")  # unmatched RIGHT rows survive
+
+    def _right_only(rt: pa.Table, idx: np.ndarray) -> pa.Table:
+        """Unmatched right rows: null left columns, key coalesced from the
+        right side (USING-join semantics — the single key column is never
+        null)."""
+        sub = rt.take(pa.array(idx))
+        cols = {}
+        for n in lnames:
+            cols[n] = (
+                sub[left_key]
+                if n == left_key
+                else pa.nulls(sub.num_rows, type=out_schema.field(n).type)
+            )
+        for n in r_out:
+            cols[n] = sub[n]
+        return pa.table(cols, schema=out_schema)
+
     def join_bucket(g: pa.Table) -> pa.Table:
         side = g[_SIDE].to_numpy(zero_copy_only=False)
         lt = g.filter(pa.array(side == 0)).select(out_schema.names)
         rt = g.filter(pa.array(side == 1)).select(out_schema.names)
+        parts = []
         if lt.num_rows == 0:
+            if keep_right and rt.num_rows:
+                return _right_only(rt, np.arange(rt.num_rows))
             return out_schema.empty_table()
         if rt.num_rows == 0:
-            if how == "inner":
+            if not keep_left:
                 return out_schema.empty_table()
             cols = {n: lt[n] for n in lnames}
             for n in r_out:
@@ -255,27 +283,39 @@ def shuffle_hash_join(
         lo = np.searchsorted(rks, lk, side="left")
         hi = np.searchsorted(rks, lk, side="right")
         cnt = hi - lo
-        if how == "left":
-            # unmatched left rows survive with one null right row
-            eff = np.maximum(cnt, 1)
-        else:
-            eff = cnt
+        # unmatched left rows survive with one null right row
+        eff = np.maximum(cnt, 1) if keep_left else cnt
         total = int(eff.sum())
-        if total == 0:
+        if total:
+            cum = np.zeros(len(eff) + 1, dtype=np.int64)
+            np.cumsum(eff, out=cum[1:])
+            l_idx = np.repeat(np.arange(len(lk), dtype=np.int64), eff)
+            # position within each left row's match run
+            pos = np.arange(total, dtype=np.int64) - cum[l_idx]
+            r_idx = order[
+                np.minimum(lo[l_idx] + pos, len(rks) - 1 if len(rks) else 0)
+            ]
+            matched = np.repeat(cnt > 0, eff)
+            out_l = lt.take(pa.array(l_idx))
+            r_take = (
+                pa.array(r_idx, mask=~matched)
+                if keep_left
+                else pa.array(r_idx)
+            )
+            cols = {n: out_l[n] for n in lnames}
+            for n in r_out:
+                cols[n] = rt[n].take(r_take)
+            parts.append(pa.table(cols, schema=out_schema))
+        if keep_right:
+            lks = np.sort(lk)
+            rpos = np.searchsorted(lks, rk)
+            np.minimum(rpos, len(lks) - 1, out=rpos)
+            un = np.flatnonzero(lks[rpos] != rk)
+            if un.size:
+                parts.append(_right_only(rt, un))
+        if not parts:
             return out_schema.empty_table()
-        cum = np.zeros(len(eff) + 1, dtype=np.int64)
-        np.cumsum(eff, out=cum[1:])
-        l_idx = np.repeat(np.arange(len(lk), dtype=np.int64), eff)
-        # position within each left row's match run
-        pos = np.arange(total, dtype=np.int64) - cum[l_idx]
-        r_idx = order[np.minimum(lo[l_idx] + pos, len(rks) - 1 if len(rks) else 0)]
-        matched = np.repeat(cnt > 0, eff)
-        out_l = lt.take(pa.array(l_idx))
-        r_take = pa.array(r_idx, mask=~matched) if how == "left" else pa.array(r_idx)
-        cols = {n: out_l[n] for n in lnames}
-        for n in r_out:
-            cols[n] = rt[n].take(r_take)
-        return pa.table(cols, schema=out_schema)
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
     return both.groupby(BUCKET).map_groups(join_bucket, batch_format="pyarrow")
 

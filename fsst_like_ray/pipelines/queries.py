@@ -3718,6 +3718,93 @@ def q_tpch_q7(sf_dir: str):
     )
 
 
+def q_orders_lineitem_full_outer(sf_dir: str):
+    """FULL OUTER reconciliation — urgent orders vs late-shipped lineitems
+    on orderkey, classified into matched / left-only / right-only counts.
+    Drives shuffle_hash_join(how='full'): both sides stream through ONE
+    co-partitioned shuffle; unmatched rows of either side survive with
+    nulls (key coalesced), and the classification is a tiny per-batch
+    partial merged by three sums."""
+    from ..functions.join import shuffle_hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.filter(
+                    pa.compute.equal(b["o_orderpriority"], "1-URGENT")
+                )["o_orderkey"],
+            }
+        ).append_column(
+            "o_flag",
+            pa.array(
+                np.ones(
+                    len(
+                        b.filter(
+                            pa.compute.equal(b["o_orderpriority"], "1-URGENT")
+                        )
+                    ),
+                    dtype=np.int64,
+                )
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    cutoff = np.datetime64("2000-01-01T00:00:00", "us").astype(np.int64)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_flag": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        ).filter(
+            pa.compute.greater_equal(
+                b["l_shipdate"].cast(pa.int64()), cutoff
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    joined = shuffle_hash_join(orders, li, "o_orderkey", "l_orderkey",
+                               how="full")
+
+    def classify(b: pa.Table) -> pa.Table:
+        lpres = b["o_flag"].is_valid().to_numpy(zero_copy_only=False)
+        rpres = b["l_flag_r"].is_valid().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_matched": pa.array(
+                    [int((lpres & rpres).sum())], type=pa.int64()
+                ),
+                "n_left_only": pa.array(
+                    [int((lpres & ~rpres).sum())], type=pa.int64()
+                ),
+                "n_right_only": pa.array(
+                    [int((~lpres & rpres).sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    out = joined.map_batches(classify, batch_format="pyarrow").aggregate(
+        Sum("n_matched", alias_name="n_matched"),
+        Sum("n_left_only", alias_name="n_left_only"),
+        Sum("n_right_only", alias_name="n_right_only"),
+    )
+    return pa.table(
+        {
+            "n_matched": pa.array([int(out["n_matched"] or 0)], type=pa.int64()),
+            "n_left_only": pa.array(
+                [int(out["n_left_only"] or 0)], type=pa.int64()
+            ),
+            "n_right_only": pa.array(
+                [int(out["n_right_only"] or 0)], type=pa.int64()
+            ),
+        }
+    )
+
+
 def q_docs_repetition(sf_dir: str):
     """Per-document duplicate-bigram repetition signal (Gopher-style
     quality filter): total / distinct word-bigram counts and integer
@@ -3877,6 +3964,7 @@ def build_queries() -> dict:
     q["tpch_q5"] = q_tpch_q5
     q["tpch_q17"] = q_tpch_q17
     q["tpch_q7"] = q_tpch_q7
+    q["orders_lineitem_full_outer"] = q_orders_lineitem_full_outer
     q["docs_repetition"] = q_docs_repetition
     q["like_trigram_indexed"] = q_like_trigram_indexed
     q["bigram_top20"] = q_bigram_top20
@@ -4625,6 +4713,22 @@ def build_oracle_sql() -> dict:
                CAST((count(*) - count(DISTINCT bigram)) * 1000
                     // count(*) AS BIGINT) AS rep_milli
         FROM bg GROUP BY doc_id
+    """
+    sql["orders_lineitem_full_outer"] = """
+        WITH o AS (
+          SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ), l AS (
+          SELECT l_orderkey FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        )
+        SELECT CAST(count(*) FILTER (o.o_orderkey IS NOT NULL
+                                     AND l.l_orderkey IS NOT NULL)
+                    AS BIGINT) AS n_matched,
+               CAST(count(*) FILTER (l.l_orderkey IS NULL)
+                    AS BIGINT) AS n_left_only,
+               CAST(count(*) FILTER (o.o_orderkey IS NULL)
+                    AS BIGINT) AS n_right_only
+        FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
     """
     sql["tpch_q7"] = """
         SELECT ns.n_name AS supp_nation,

@@ -284,7 +284,7 @@ def test_range_agg_join_matches_python_oracle(ray_session):
 
 def test_shuffle_hash_join_matches_pandas_merge(ray_session):
     """Many-to-many co-partitioned join (duplicate keys BOTH sides, keys
-    unique to each side, inner + left) vs pandas merge."""
+    unique to each side; inner, left, right, full) vs pandas merge."""
     import ray.data
     from fsst_like_ray.functions.join import shuffle_hash_join
 
@@ -304,14 +304,14 @@ def test_shuffle_hash_join_matches_pandas_merge(ray_session):
     )
     left = ray.data.from_arrow(pa.Table.from_pandas(ldf)).repartition(5)
     right = ray.data.from_arrow(pa.Table.from_pandas(rdf)).repartition(3)
-    for how in ("inner", "left"):
+    for how in ("inner", "left", "right", "full"):
         got = shuffle_hash_join(
             left, right, "k", "rk", how=how, n_buckets=7
         ).to_pandas()
         want = ldf.merge(
             rdf.rename(columns={"rk": "k", "rval": "rval_r"}),
             on="k",
-            how=how,
+            how="outer" if how == "full" else how,
         )
         key = ["k", "lval", "rval_r"]
         a = got[key].fillna(-1).sort_values(key).reset_index(drop=True)
