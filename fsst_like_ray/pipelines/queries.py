@@ -3805,6 +3805,17 @@ def q_orders_lineitem_full_outer(sf_dir: str):
     )
 
 
+def q_profile_orders(sf_dir: str):
+    """Profile the orders table (functions/profile.py): per column, row
+    count / null count / EXACT distinct count / integer min-max, from one
+    streaming pass whose shuffles move only per-column counters and
+    distinct-value partials."""
+    from ..functions.profile import profile_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    return profile_table(ds, int_cols=["o_orderkey", "o_custkey"])
+
+
 def q_docs_repetition(sf_dir: str):
     """Per-document duplicate-bigram repetition signal (Gopher-style
     quality filter): total / distinct word-bigram counts and integer
@@ -3965,6 +3976,7 @@ def build_queries() -> dict:
     q["tpch_q17"] = q_tpch_q17
     q["tpch_q7"] = q_tpch_q7
     q["orders_lineitem_full_outer"] = q_orders_lineitem_full_outer
+    q["profile_orders"] = q_profile_orders
     q["docs_repetition"] = q_docs_repetition
     q["like_trigram_indexed"] = q_like_trigram_indexed
     q["bigram_top20"] = q_bigram_top20
@@ -4714,6 +4726,31 @@ def build_oracle_sql() -> dict:
                     // count(*) AS BIGINT) AS rep_milli
         FROM bg GROUP BY doc_id
     """
+    def _prof(col: str, is_int: bool) -> str:
+        mm = (
+            f"CAST(min({col}) AS BIGINT) AS min_i, "
+            f"CAST(max({col}) AS BIGINT) AS max_i"
+            if is_int
+            else "CAST(NULL AS BIGINT) AS min_i, CAST(NULL AS BIGINT) AS max_i"
+        )
+        return (
+            f"SELECT '{col}' AS col, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({col}) AS BIGINT) AS n_null, "
+            f"CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct, "
+            f"{mm} FROM orders"
+        )
+
+    sql["profile_orders"] = " UNION ALL ".join(
+        _prof(c, i)
+        for c, i in [
+            ("o_orderkey", True),
+            ("o_custkey", True),
+            ("o_orderstatus", False),
+            ("o_totalprice", False),
+            ("o_orderdate", False),
+            ("o_orderpriority", False),
+        ]
+    )
     sql["orders_lineitem_full_outer"] = """
         WITH o AS (
           SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'

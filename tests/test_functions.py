@@ -554,3 +554,23 @@ def test_redact_pii_edge_cases():
     assert out[2] is None
     assert out[3] == "no pii here"
     assert out[4] == ""
+
+
+def test_profile_table_with_nulls(ray_session):
+    import ray.data
+    from fsst_like_ray.functions.profile import profile_table
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 2, None, 5], type=pa.int64()),
+            "s": pa.array(["x", None, "x", "y", None]),
+        }
+    )
+    out = profile_table(
+        ray.data.from_arrow(t).repartition(3), int_cols=["a"]
+    ).to_pandas().set_index("col")
+    assert out.loc["a"]["n_rows"] == 5 and out.loc["a"]["n_null"] == 1
+    assert out.loc["a"]["n_distinct"] == 3  # 1, 2, 5 (nulls excluded)
+    assert out.loc["a"]["min_i"] == 1 and out.loc["a"]["max_i"] == 5
+    assert out.loc["s"]["n_null"] == 2 and out.loc["s"]["n_distinct"] == 2
+    assert pd.isna(out.loc["s"]["min_i"])
