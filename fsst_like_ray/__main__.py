@@ -217,8 +217,34 @@ def cmd_index(args) -> int:
     from .pipelines.zoneindex import build_token_zone_index
 
     t0 = time.time()
-    stats = build_token_zone_index(args.out)
+    stats = build_token_zone_index(args.out, incremental=args.incremental)
     print(json.dumps({**stats, "sec": round(time.time() - t0, 3)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_trigram_index(args) -> int:
+    ray = _ray()
+    from .pipelines.trigram import build_trigram_index
+
+    t0 = time.time()
+    stats = build_trigram_index(args.corpus, text_col=args.text_col)
+    print(json.dumps({**stats, "sec": round(time.time() - t0, 3)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_profile(args) -> int:
+    ray = _ray()
+    import ray.data as rd
+
+    from .functions.profile import profile_table
+
+    t0 = time.time()
+    tbl = profile_table(rd.read_parquet(args.input))
+    for r in tbl.to_pylist():
+        print(json.dumps(r))
+    print(json.dumps({"sec": round(time.time() - t0, 3)}))
     ray.shutdown()
     return 0
 
@@ -280,7 +306,26 @@ def main(argv=None) -> int:
              "(<out>/index/zones.parquet)",
     )
     z.add_argument("out")
+    z.add_argument("--incremental", action="store_true",
+                   help="scan only files absent from the existing index")
     z.set_defaults(fn=cmd_index)
+
+    tg = sub.add_parser(
+        "trigram-index",
+        help="build the per-file trigram bloom index over a text corpus "
+             "(<corpus>/index/trigrams.parquet; prunes LIKE scans)",
+    )
+    tg.add_argument("corpus")
+    tg.add_argument("--text-col", default="text")
+    tg.set_defaults(fn=cmd_trigram_index)
+
+    pf = sub.add_parser(
+        "profile",
+        help="per-column nulls / exact distinct / integer min-max "
+             "(one JSON line per column)",
+    )
+    pf.add_argument("input")
+    pf.set_defaults(fn=cmd_profile)
 
     args = ap.parse_args(argv)
     return args.fn(args)
