@@ -3805,6 +3805,171 @@ def q_orders_lineitem_full_outer(sf_dir: str):
     )
 
 
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 shape — top supplier(s) by quarterly revenue: the
+    revenue "view" is a partial-then-merge per-supplier aggregate (the
+    shuffle moves supplier partials, never lineitems); the scalar MAX and
+    the equality filter run over that small result; names come from one
+    broadcast join. Ties are all kept, as in the spec."""
+    from ..functions.join import broadcast_hash_join
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1996-04-01T00:00:00", "us").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        g = pa.table(
+            {
+                "l_suppkey": b["l_suppkey"].take(
+                    pa.array(np.flatnonzero(keep))
+                ),
+                "cents": pa.array(
+                    np.floor(px * (1 - disc) * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        ).group_by(["l_suppkey"]).aggregate([("cents", "sum")])
+        return pa.table(
+            {
+                "l_suppkey": g["l_suppkey"],
+                "cents": g["cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    rev = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("cents", alias_name="total_revenue_cents"))
+    )
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    joined = broadcast_hash_join(rev, supplier, "l_suppkey", "s_suppkey")
+    t = pa.concat_tables(
+        [
+            b
+            for b in joined.iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+            if b.num_rows
+        ]
+    )  # one small row per active supplier — driver-safe
+    cents = t["total_revenue_cents"].to_numpy(zero_copy_only=False)
+    best = int(cents.max()) if len(cents) else 0
+    top = t.filter(pa.array(cents == best))
+    return pa.table(
+        {
+            "s_suppkey": top["l_suppkey"].cast(pa.int64()),
+            "s_name": top["s_name"],
+            "total_revenue_cents": top["total_revenue_cents"].cast(
+                pa.int64()
+            ),
+        }
+    )
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape — "global sales opportunity": customers with
+    above-average positive balance and NO urgent orders (this synthetic
+    corpus gives every customer SOME order, so the spec's "no orders"
+    predicate is tightened to keep the result non-trivial), grouped by a
+    derived customer-code (last char of c_name standing in for the phone
+    country code this schema lacks). Scalar AVG via one streaming
+    (sum, count) partial merge in integer cents; urgent-order holders
+    removed by the broadcast ANTI-join; final groupby is per-code tiny."""
+    from ..functions.join import broadcast_semi_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name",
+                                               "c_acctbal"]
+    )
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], type=pa.int64()),
+                "n": pa.array([len(pos)], type=pa.int64()),
+            }
+        )
+
+    agg = cust.map_batches(bal_partial, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+    s, n = int(agg["s"] or 0), int(agg["n"] or 0)
+
+    okeys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(
+            pa.compute.equal(b["o_orderpriority"], "1-URGENT")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    okeys = _collect_ids(okeys, "o_custkey")["o_custkey"].to_numpy()
+
+    def pick(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        # cents > avg  ⇔  cents * n > s  (exact integer compare)
+        keep = cents * n > s
+        rows = pa.array(np.flatnonzero(keep))
+        names = b["c_name"].take(rows)
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"].take(rows),
+                "code": pa.compute.utf8_slice_codeunits(names, -1),
+                "cents": pa.array(cents[keep]),
+            }
+        )
+
+    rich = cust.map_batches(pick, batch_format="pyarrow")
+    no_orders = broadcast_semi_join(rich, okeys, "c_custkey", anti=True)
+
+    def code_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["code", "cents"]).group_by(["code"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table(
+            {
+                "code": g["code"],
+                "n_cust": g["cents_count"].cast(pa.int64()),
+                "total_cents": g["cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        no_orders.map_batches(code_partial, batch_format="pyarrow")
+        .groupby("code")
+        .aggregate(
+            Sum("n_cust", alias_name="n_cust"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .sort("code")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "code": b["code"],
+                    "n_cust": b["n_cust"].cast(pa.int64()),
+                    "total_cents": b["total_cents"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_profile_orders(sf_dir: str):
     """Profile the orders table (functions/profile.py): per column, row
     count / null count / EXACT distinct count / integer min-max, from one
@@ -3977,6 +4142,8 @@ def build_queries() -> dict:
     q["tpch_q7"] = q_tpch_q7
     q["orders_lineitem_full_outer"] = q_orders_lineitem_full_outer
     q["profile_orders"] = q_profile_orders
+    q["tpch_q15"] = q_tpch_q15
+    q["tpch_q22"] = q_tpch_q22
     q["docs_repetition"] = q_docs_repetition
     q["like_trigram_indexed"] = q_like_trigram_indexed
     q["bigram_top20"] = q_bigram_top20
@@ -4751,6 +4918,42 @@ def build_oracle_sql() -> dict:
             ("o_orderpriority", False),
         ]
     )
+    sql["tpch_q15"] = """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS total_revenue_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               total_revenue_cents
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue_cents = (SELECT max(total_revenue_cents)
+                                     FROM rev)
+    """
+    sql["tpch_q22"] = """
+        WITH c AS (
+          SELECT c_custkey, c_name,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+          FROM customer
+        ), stat AS (
+          SELECT CAST(sum(cents) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM c WHERE cents > 0
+        )
+        SELECT right(c_name, 1) AS code,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM c, stat
+        WHERE c.cents * stat.n > stat.s
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+        GROUP BY 1 ORDER BY 1
+    """
     sql["orders_lineitem_full_outer"] = """
         WITH o AS (
           SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
