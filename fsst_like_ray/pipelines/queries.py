@@ -3727,30 +3727,20 @@ def q_orders_lineitem_full_outer(sf_dir: str):
     partial merged by three sums."""
     from ..functions.join import shuffle_hash_join
 
+    def oproj(b: pa.Table) -> pa.Table:
+        keys = b.filter(
+            pa.compute.equal(b["o_orderpriority"], "1-URGENT")
+        )["o_orderkey"]
+        return pa.table(
+            {
+                "o_orderkey": keys,
+                "o_flag": pa.array(np.ones(len(keys), dtype=np.int64)),
+            }
+        )
+
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
-    ).map_batches(
-        lambda b: pa.table(
-            {
-                "o_orderkey": b.filter(
-                    pa.compute.equal(b["o_orderpriority"], "1-URGENT")
-                )["o_orderkey"],
-            }
-        ).append_column(
-            "o_flag",
-            pa.array(
-                np.ones(
-                    len(
-                        b.filter(
-                            pa.compute.equal(b["o_orderpriority"], "1-URGENT")
-                        )
-                    ),
-                    dtype=np.int64,
-                )
-            ),
-        ),
-        batch_format="pyarrow",
-    )
+    ).map_batches(oproj, batch_format="pyarrow")
     cutoff = np.datetime64("2000-01-01T00:00:00", "us").astype(np.int64)
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
