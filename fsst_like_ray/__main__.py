@@ -223,6 +223,17 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_transcode(args) -> int:
+    ray = _ray()
+    from .pipelines.compress import transcode_encoded
+
+    t0 = time.time()
+    stats = transcode_encoded(args.src, args.dst, codec=args.codec)
+    print(json.dumps({**stats, "sec": round(time.time() - t0, 3)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_trigram_index(args) -> int:
     ray = _ray()
     from .pipelines.trigram import build_trigram_index
@@ -309,6 +320,16 @@ def main(argv=None) -> int:
     z.add_argument("--incremental", action="store_true",
                    help="scan only files absent from the existing index")
     z.set_defaults(fn=cmd_index)
+
+    tc = sub.add_parser(
+        "transcode",
+        help="re-encode an encoded corpus under a different codec policy "
+             "(no raw round-trip; verifies against source lineage hashes)",
+    )
+    tc.add_argument("src")
+    tc.add_argument("dst")
+    tc.add_argument("--codec", default="auto")
+    tc.set_defaults(fn=cmd_transcode)
 
     tg = sub.add_parser(
         "trigram-index",

@@ -486,32 +486,7 @@ def compress_dataset(
             zero_copy_batch=True,
             **({"concurrency": concurrency} if concurrency else {}),
         ).take_all()
-        by_key: dict[str, dict] = {}
-        for r in stat_rows:
-            acc = by_key.setdefault(
-                r["frag"],
-                {
-                    "rows": 0,
-                    "tokens": 0,
-                    "encoded_bytes": 0,
-                    "hash_sum": 0,
-                    "hash_xor": 0,
-                    "codecs": {},
-                    "state_sum": 0,
-                },
-            )
-            acc["rows"] += int(r["rows"])
-            acc["tokens"] += int(r["tokens"])
-            acc["encoded_bytes"] += int(r["encoded_bytes"])
-            acc["hash_sum"] = (
-                acc["hash_sum"] + (int(r["hash_sum"]) & ((1 << 64) - 1))
-            ) % (1 << 64)
-            acc["hash_xor"] ^= int(r["hash_xor"]) & ((1 << 64) - 1)
-            for cname, n in json.loads(r.get("codec_json") or "{}").items():
-                acc["codecs"][cname] = acc["codecs"].get(cname, 0) + int(n)
-            acc["state_sum"] = (
-                acc["state_sum"] + (int(r.get("state_sum", 0)) & ((1 << 64) - 1))
-            ) % (1 << 64)
+        by_key = _merge_stat_rows(stat_rows)
         for f in round_frags:
             key = path_to_key[f]
             r = by_key.get(key)
@@ -535,6 +510,132 @@ def compress_dataset(
                     "state_sum": r["state_sum"],
                 }
             )
+    return manifest.stats()
+
+
+def _merge_stat_rows(stat_rows: list[dict]) -> dict[str, dict]:
+    """Fold the sink's per-(task, fragment) stat rows into one lineage
+    accumulator per fragment key (sums / mod-2^64 hash sums / XOR /
+    codec-histogram union — all commutative, so task order and retries
+    cannot change the result)."""
+    by_key: dict[str, dict] = {}
+    for r in stat_rows:
+        acc = by_key.setdefault(
+            r["frag"],
+            {
+                "rows": 0,
+                "tokens": 0,
+                "encoded_bytes": 0,
+                "hash_sum": 0,
+                "hash_xor": 0,
+                "codecs": {},
+                "state_sum": 0,
+            },
+        )
+        acc["rows"] += int(r["rows"])
+        acc["tokens"] += int(r["tokens"])
+        acc["encoded_bytes"] += int(r["encoded_bytes"])
+        acc["hash_sum"] = (
+            acc["hash_sum"] + (int(r["hash_sum"]) & ((1 << 64) - 1))
+        ) % (1 << 64)
+        acc["hash_xor"] ^= int(r["hash_xor"]) & ((1 << 64) - 1)
+        for cname, n in json.loads(r.get("codec_json") or "{}").items():
+            acc["codecs"][cname] = acc["codecs"].get(cname, 0) + int(n)
+        acc["state_sum"] = (
+            acc["state_sum"] + (int(r.get("state_sum", 0)) & ((1 << 64) - 1))
+        ) % (1 << 64)
+    return by_key
+
+
+def transcode_encoded(
+    src_dir: str,
+    dst_dir: str,
+    codec: str = "auto",
+    balance_tokens: int | None = None,
+    concurrency=None,
+) -> dict:
+    """Re-encode an ALREADY-ENCODED corpus under a different codec policy
+    — the recompression lifecycle op (e.g. move a corpus from a quick
+    forced codec to ``auto`` after its distribution settles) WITHOUT a
+    round-trip through raw parquet on disk.
+
+    One streaming pass: decode each encoded batch to token arrays,
+    re-encode with ``codec``, write through the same fused sink
+    (deterministic names, atomic rename) into ``dst_dir``, emit stat
+    rows. Per-row hashes are recomputed from the DECODED tokens, so the
+    destination manifest must reproduce the source manifest's
+    hash_sum/hash_xor per fragment bit-for-bit — transcode verifies
+    itself against source lineage with no extra read. Raises ValueError
+    on any mismatch; returns dst manifest stats plus per-fragment codec
+    histograms."""
+    src_manifest = Manifest(src_dir).completed()
+    frag_by_key = {
+        r["frag_key"]: (f, r) for f, r in src_manifest.items()
+    }
+    data_dir = os.path.join(dst_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    max_tokens = balance_tokens or DEFAULT_STATE_TOKENS
+
+    def tbatch(batch: pa.Table) -> pa.Table:
+        path_col = batch["path"]
+        if isinstance(path_col, pa.ChunkedArray):
+            path_col = path_col.combine_chunks()
+        enc = path_col.dictionary_encode()
+        keys = [
+            os.path.basename(os.path.dirname(p)).split("=", 1)[-1]
+            for p in enc.dictionary.to_pylist()
+        ]
+        frag = pa.DictionaryArray.from_arrays(
+            enc.indices, pa.array(keys, type=pa.string())
+        ).cast(pa.string())
+        dec = decode_batch(batch.drop_columns(["path"]))
+        dec = dec.append_column("frag", frag)
+        out = encode_table(dec, codec, None, max_tokens)
+        return _write_and_summarize(out, data_dir)
+
+    stat_rows = (
+        read_parquet_blocks(os.path.join(src_dir, "data"), include_paths=True)
+        .map_batches(
+            tbatch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            **({"concurrency": concurrency} if concurrency else {}),
+        )
+        .take_all()
+    )
+    by_key = _merge_stat_rows(stat_rows)
+    manifest = Manifest(dst_dir)
+    mismatches = []
+    for key, r in sorted(by_key.items()):
+        fragment, src_rec = frag_by_key.get(key, (key, None))
+        if src_rec is not None and (
+            src_rec["hash_sum"] != r["hash_sum"]
+            or src_rec["hash_xor"] != r["hash_xor"]
+            or src_rec["rows"] != r["rows"]
+        ):
+            mismatches.append(key)
+            continue
+        manifest.commit(
+            {
+                "fragment": fragment,
+                "frag_key": key,
+                "codec_mode": codec,
+                "rows": r["rows"],
+                "tokens": r["tokens"],
+                "encoded_bytes": r["encoded_bytes"],
+                "plain_bytes": r["tokens"] * 4,
+                "hash_sum": r["hash_sum"],
+                "hash_xor": r["hash_xor"],
+                "codecs": dict(sorted(r["codecs"].items())),
+                "state_sum": r["state_sum"],
+                "transcoded_from": src_dir,
+            }
+        )
+    if mismatches:
+        raise ValueError(
+            f"transcode_encoded: decoded-content hash mismatch vs source "
+            f"lineage for fragments {mismatches}"
+        )
     return manifest.stats()
 
 

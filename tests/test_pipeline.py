@@ -231,3 +231,42 @@ def test_decode_verify_rows(ray_session, corpus_dir, tmp_path):
     pq2.write_table(pa.table(cols), victim)
     with pytest.raises(Exception, match="row-hash|row size|expand"):
         decode_dataset(read_encoded(out), verify_rows=True).count()
+
+
+def test_transcode_encoded(ray_session, corpus_dir, tmp_path):
+    """Recompression lifecycle: plain-encoded corpus → auto, no raw
+    round-trip; destination manifest must reproduce the source lineage
+    hashes bit-for-bit and decode back to the original corpus."""
+    import ray.data
+    from fsst_like_ray.pipelines.compress import (
+        compress_dataset,
+        decode_dataset,
+        read_encoded,
+        transcode_encoded,
+        verify_roundtrip,
+        verify_roundtrip_manifest,
+    )
+    from fsst_like_ray.state.manifest import Manifest
+
+    src = str(tmp_path / "plain_enc")
+    dst = str(tmp_path / "auto_enc")
+    s1 = compress_dataset(corpus_dir, src, codec="plain")
+    s2 = transcode_encoded(src, dst, codec="auto")
+    assert s2["rows"] == s1["rows"] and s2["tokens"] == s1["tokens"]
+    assert s2["encoded_bytes"] < s1["encoded_bytes"]  # auto must beat plain
+    srecs = Manifest(src).completed()
+    drecs = Manifest(dst).completed()
+    assert set(drecs) == set(srecs)
+    for f, sr in srecs.items():
+        dr = drecs[f]
+        assert (dr["hash_sum"], dr["hash_xor"], dr["rows"]) == (
+            sr["hash_sum"], sr["hash_xor"], sr["rows"]
+        )
+        assert dr["transcoded_from"] == src
+        assert sum(dr["codecs"].values()) == dr["rows"]
+    assert verify_roundtrip_manifest(dst)["match"]
+    v = verify_roundtrip(
+        ray.data.read_parquet(corpus_dir),
+        decode_dataset(read_encoded(dst)),
+    )
+    assert v["match"], v
