@@ -110,3 +110,41 @@ def test_rebuild_is_idempotent(corpus):
     build_trigram_index(corpus)
     after = pq.read_table(idx)
     assert before.equals(after)
+
+
+def test_multibyte_utf8_trigrams(tmp_path, ray_session):
+    """Trigrams are BYTE-grams: multibyte UTF-8 literals still prune
+    soundly (a needle's bytes appear in a file iff the text contains it)."""
+    d = tmp_path / "docs"
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array(["naïve café forêt", "plain ascii text"]),
+            }
+        ),
+        str(d / "p0.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([2], type=pa.int64()),
+                "text": pa.array(["日本語のテキスト"]),
+            }
+        ),
+        str(d / "p1.parquet"),
+    )
+    build_trigram_index(str(d))
+    for pat, want in [("%café%", [0]), ("%日本語%", [2]), ("%müller%", [])]:
+        ds, scanned, total = like_scan_trigram(
+            str(d), pat, decode_matches=False
+        )
+        got = sorted(
+            r["doc_id"]
+            for b in ds.iter_batches(batch_size=10, batch_format="pyarrow")
+            for r in b.to_pylist()
+        )
+        assert got == want, (pat, got)
+        if not want:
+            assert scanned == 0  # absent multibyte literal → zero files
