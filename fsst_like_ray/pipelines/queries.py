@@ -3960,6 +3960,64 @@ def q_tpch_q22(sf_dir: str):
     )
 
 
+def q_cms_word_counts(sf_dir: str):
+    """Count-Min sketch gate (functions/cms.py): build one mergeable
+    D×W sketch over the documents word stream, point-estimate 8 probe
+    words (incl. an absent one), and check the CMS contract against
+    EXACT distributed counts — never an underestimate (ok_lower) and
+    within the e/W·N additive bound (ok_upper). The exact side's shuffle
+    moves only per-batch (word, cnt) partials for the 8 probes."""
+    from ..functions.cms import CMS_W, cms_build, cms_query
+    from ..functions.vocab import tokenize_rows
+
+    WORDS = sorted(
+        ["merge", "sort", "join", "spark", "window", "key", "data",
+         "zzzabsent"]
+    )
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    mat, n = cms_build(docs)
+    est = cms_query(mat, WORDS)
+
+    wset = pa.array(WORDS, type=pa.string())
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        values, _rids, keep = tokenize_rows(b)
+        toks = values.filter(pa.array(keep))
+        sub = toks.filter(pa.compute.is_in(toks, value_set=wset))
+        if len(sub) == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        g = pa.table({"word": sub}).group_by("word").aggregate(
+            [("word", "count")]
+        )
+        return pa.table(
+            {"word": g["word"], "cnt": g["word_count"].cast(pa.int64())}
+        )
+
+    exact = (
+        docs.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .set_index("word")["cnt"]
+    )
+    bound = int(np.ceil(np.e / CMS_W * n))
+    truth = np.array(
+        [int(exact.get(w, 0)) for w in WORDS], dtype=np.int64
+    )
+    return pa.table(
+        {
+            "word": pa.array(WORDS, type=pa.string()),
+            "ok_lower": pa.array((est >= truth).tolist()),
+            "ok_upper": pa.array((est <= truth + bound).tolist()),
+        }
+    )
+
+
 def q_profile_orders(sf_dir: str):
     """Profile the orders table (functions/profile.py): per column, row
     count / null count / EXACT distinct count / integer min-max, from one
@@ -4134,6 +4192,7 @@ def build_queries() -> dict:
     q["profile_orders"] = q_profile_orders
     q["tpch_q15"] = q_tpch_q15
     q["tpch_q22"] = q_tpch_q22
+    q["cms_word_counts"] = q_cms_word_counts
     q["docs_repetition"] = q_docs_repetition
     q["like_trigram_indexed"] = q_like_trigram_indexed
     q["bigram_top20"] = q_bigram_top20
@@ -4908,6 +4967,11 @@ def build_oracle_sql() -> dict:
             ("o_orderpriority", False),
         ]
     )
+    sql["cms_word_counts"] = """
+        SELECT unnest(['data','join','key','merge','sort','spark',
+                       'window','zzzabsent']) AS word,
+               true AS ok_lower, true AS ok_upper
+    """
     sql["tpch_q15"] = """
         WITH rev AS (
           SELECT l_suppkey,

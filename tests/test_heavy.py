@@ -128,3 +128,39 @@ def test_mg_compress_properties(pairs, k):
         assert c - got <= total / (k + 1)
         if c > total / (k + 1):
             assert got > 0
+
+
+def test_cms_never_underestimates_and_merges(ray_session):
+    """CMS contract on a zipf word stream: estimates are >= true counts
+    for EVERY word, within the e/W*N bound for the probes, and the
+    partial-merge build equals a single-matrix build."""
+    import collections
+
+    import ray.data
+    from fsst_like_ray.functions.cms import (
+        CMS_D, CMS_W, cms_build, cms_partial, cms_query,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(200)]
+    words = rng.choice(vocab, size=6000, p=(lambda p: p / p.sum())(
+        1.0 / np.arange(1, 201)
+    ))
+    docs = [" ".join(words[i : i + 20]) for i in range(0, 6000, 20)]
+    t = pa.table({"doc_id": pa.array(range(len(docs))), "text": pa.array(docs)})
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    mat, n = cms_build(ds)
+    assert n == 6000
+    truth = collections.Counter(words)
+    probes = vocab[:20] + ["absent_word"]
+    est = cms_query(mat, probes)
+    true_counts = np.array([truth.get(w, 0) for w in probes])
+    assert (est >= true_counts).all()
+    assert (est <= true_counts + np.ceil(np.e / CMS_W * n)).all()
+
+    # merge equivalence: single-batch sketch == merged per-block sketches
+    single = np.frombuffer(
+        cms_partial(t)["cms"][0].as_py(), dtype=np.int64
+    ).reshape(CMS_D, CMS_W)
+    assert (single == mat).all()
