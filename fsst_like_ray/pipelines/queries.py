@@ -1218,6 +1218,43 @@ def q_ingest_jsonl(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def q_ingest_csv(sf_dir: str):
+    """Source-format coverage, CSV twin of ``ingest_jsonl``: documents
+    exported to 4 CSV shards, re-ingested with ray.data.read_csv, and
+    reduced per row — text content must survive the quoting round-trip
+    (char counts recomputed FROM the text, not carried through)."""
+    import shutil
+
+    scratch = os.path.join(
+        "/tmp", f"fsst_csv_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    df = docs.to_pandas()
+    files = []
+    for i in range(4):
+        p = os.path.join(scratch, f"part{i}.csv")
+        df.iloc[i::4].to_csv(p, index=False)
+        files.append(p)
+    ds = ray.data.read_csv(files)
+
+    def stats(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+                "source": b["source"],
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def q_dedup_spans_planted(sf_dir: str):
     """Span-level exact dedup gate (functions/spans.py): a controlled
     corpus of 40 docs with per-doc-unique vocabularies gets 30-word spans
@@ -4152,6 +4189,7 @@ def build_queries() -> dict:
     q["docs_mixture_sample"] = q_docs_mixture_sample
     q["dedup_spans_planted"] = q_dedup_spans_planted
     q["ingest_jsonl"] = q_ingest_jsonl
+    q["ingest_csv"] = q_ingest_csv
     q["docs_sample2_per_source"] = q_docs_sample2_per_source
     q["docs_normalize"] = q_docs_normalize
     q["events_sessionize_sliced"] = q_events_sessionize_sliced
@@ -4514,6 +4552,7 @@ def build_oracle_sql() -> dict:
         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, source
         FROM documents
     """
+    sql["ingest_csv"] = sql["ingest_jsonl"]
     sql["dedup_spans_planted"] = """
         SELECT CAST(i AS BIGINT) AS doc_a, CAST(i + 20 AS BIGINT) AS doc_b
         FROM range(5) t(i)
