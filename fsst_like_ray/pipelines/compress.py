@@ -567,7 +567,11 @@ def transcode_encoded(
     hash_sum/hash_xor per fragment bit-for-bit — transcode verifies
     itself against source lineage with no extra read. Raises ValueError
     on any mismatch; returns dst manifest stats plus per-fragment codec
-    histograms."""
+    histograms.
+
+    Resumable like compress_dataset: fragments already committed to the
+    DESTINATION manifest are skipped (their source partition dirs are not
+    even read), so a killed transcode finishes from where it stopped."""
     src_manifest = Manifest(src_dir).completed()
     frag_by_key = {
         r["frag_key"]: (f, r) for f, r in src_manifest.items()
@@ -575,6 +579,18 @@ def transcode_encoded(
     data_dir = os.path.join(dst_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     max_tokens = balance_tokens or DEFAULT_STATE_TOKENS
+
+    done_keys = {
+        r["frag_key"] for r in Manifest(dst_dir).completed().values()
+    }
+    src_files = [
+        f
+        for f in discover_fragments(os.path.join(src_dir, "data"))
+        if os.path.basename(os.path.dirname(f)).split("=", 1)[-1]
+        not in done_keys
+    ]
+    if not src_files:
+        return Manifest(dst_dir).stats()
 
     def tbatch(batch: pa.Table) -> pa.Table:
         path_col = batch["path"]
@@ -594,7 +610,7 @@ def transcode_encoded(
         return _write_and_summarize(out, data_dir)
 
     stat_rows = (
-        read_parquet_blocks(os.path.join(src_dir, "data"), include_paths=True)
+        read_parquet_blocks(src_files, include_paths=True)
         .map_batches(
             tbatch,
             batch_format="pyarrow",

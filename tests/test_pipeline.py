@@ -270,3 +270,64 @@ def test_transcode_encoded(ray_session, corpus_dir, tmp_path):
         decode_dataset(read_encoded(dst)),
     )
     assert v["match"], v
+
+
+def test_transcode_resume_and_corruption(ray_session, corpus_dir, tmp_path):
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from fsst_like_ray.pipelines.compress import (
+        compress_dataset,
+        transcode_encoded,
+    )
+    from fsst_like_ray.state.manifest import Manifest
+
+    src = str(tmp_path / "src_enc")
+    dst = str(tmp_path / "dst_enc")
+    compress_dataset(corpus_dir, src, codec="plain")
+    transcode_encoded(src, dst, codec="auto")
+    recs = Manifest(dst).completed()
+    assert len(recs) == 4
+
+    # resume: drop one dst fragment's record + data; re-run restores ONLY
+    # it (other record files untouched — mtimes unchanged)
+    victim = sorted(recs.values(), key=lambda r: r["frag_key"])[0]
+    os.remove(
+        os.path.join(dst, "_manifest", f"{victim['frag_key']}.json")
+    )
+    import shutil
+
+    shutil.rmtree(os.path.join(dst, "data", f"frag={victim['frag_key']}"))
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(dst, "_manifest", "*.json"))
+    }
+    transcode_encoded(src, dst, codec="auto")
+    recs2 = Manifest(dst).completed()
+    assert len(recs2) == 4
+    assert recs2[victim["fragment"]]["hash_sum"] == victim["hash_sum"]
+    for p, m in mtimes.items():
+        assert os.path.getmtime(p) == m, p  # untouched fragments skipped
+
+    # corruption: flip one payload byte in the SOURCE → transcode must
+    # refuse (decoded-content hash mismatch vs source lineage)
+    f = sorted(glob.glob(os.path.join(src, "data", "**", "*.parquet"),
+                         recursive=True))[0]
+    t = pq.read_table(f)
+    pay = t["payload"].to_pylist()
+    b = bytearray(pay[0])
+    b[0] ^= 0xFF
+    pay[0] = bytes(b)
+    t = t.set_column(
+        t.schema.get_field_index("payload"),
+        "payload",
+        pa.array(pay, type=t["payload"].type),
+    )
+    pq.write_table(t, f)
+    dst2 = str(tmp_path / "dst2_enc")
+    with _pytest.raises(ValueError, match="hash mismatch"):
+        transcode_encoded(src, dst2, codec="auto")
