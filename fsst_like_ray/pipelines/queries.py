@@ -3997,6 +3997,76 @@ def q_tpch_q22(sf_dir: str):
     )
 
 
+def q_roundtrip_embeddings(sf_dir: str):
+    """Float-column coverage: the embeddings vectors ride through the
+    SAME int32 codec engine via a zero-copy bit view (float32 bits →
+    int32 tokens → encode auto → decode → bits back), asserting
+    bit-identical recovery per batch. Gaussian float bits are
+    near-incompressible — the point is the engine's column-type reach
+    and exact round-trip, not ratio (lineage records whatever codec auto
+    falls back to)."""
+    from ..stages.decode import decode_batch as _dec
+    from ..stages.encode import encode_table as _enc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def rt(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float32, copy=False
+        )
+        counts = pa.compute.list_value_length(emb).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        bits = flat.view(np.int32)
+        toks = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), type=pa.int32()),
+            pa.array(bits, type=pa.int32()),
+        )
+        tt = pa.table(
+            {
+                "doc_id": b["vec_id"].cast(pa.string()),
+                "tokens": toks,
+                "n_tok": pa.array(counts.astype(np.int32), type=pa.int32()),
+                "source": pa.array(["emb"] * b.num_rows),
+            }
+        )
+        dec = _dec(_enc(tt, "auto"))
+        back = dec["tokens"]
+        if isinstance(back, pa.ChunkedArray):
+            back = back.combine_chunks()
+        out_bits = back.flatten().to_numpy(zero_copy_only=False)
+        ok = bool(np.array_equal(out_bits.view(np.float32), flat)) and (
+            dec["doc_id"].to_pylist() == tt["doc_id"].to_pylist()
+        )
+        return pa.table(
+            {
+                "n": pa.array([b.num_rows], type=pa.int64()),
+                "n_ok": pa.array(
+                    [b.num_rows if ok else 0], type=pa.int64()
+                ),
+            }
+        )
+
+    out = ds.map_batches(rt, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("n_ok", alias_name="n_ok")
+    )
+    n, n_ok = int(out["n"] or 0), int(out["n_ok"] or 0)
+    return pa.table(
+        {
+            # every block must verify bit-identical; one failure flips it
+            "match": pa.array([n > 0 and n_ok == n]),
+            "n_vecs": pa.array([n], type=pa.int64()),
+        }
+    )
+
+
 def q_cms_word_counts(sf_dir: str):
     """Count-Min sketch gate (functions/cms.py): build one mergeable
     D×W sketch over the documents word stream, point-estimate 8 probe
@@ -4231,6 +4301,7 @@ def build_queries() -> dict:
     q["tpch_q15"] = q_tpch_q15
     q["tpch_q22"] = q_tpch_q22
     q["cms_word_counts"] = q_cms_word_counts
+    q["roundtrip_embeddings"] = q_roundtrip_embeddings
     q["docs_repetition"] = q_docs_repetition
     q["like_trigram_indexed"] = q_like_trigram_indexed
     q["bigram_top20"] = q_bigram_top20
@@ -5006,6 +5077,10 @@ def build_oracle_sql() -> dict:
             ("o_orderpriority", False),
         ]
     )
+    sql["roundtrip_embeddings"] = """
+        SELECT (1 = 1) AS match, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM embeddings
+    """
     sql["cms_word_counts"] = """
         SELECT unnest(['data','join','key','merge','sort','spark',
                        'window','zzzabsent']) AS word,
