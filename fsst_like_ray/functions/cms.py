@@ -43,6 +43,8 @@ def _string_hashes(arr: pa.Array) -> np.ndarray:
     """Vectorized 64-bit hash per string (no per-row Python)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.uint64)
     a = arr.cast(pa.large_utf8())
     buf = np.frombuffer(a.buffers()[2] or b"", dtype=np.uint8)
     off = np.frombuffer(a.buffers()[1], dtype=np.int64)[
