@@ -4067,6 +4067,37 @@ def q_roundtrip_embeddings(sf_dir: str):
     )
 
 
+def q_docs_fuzzy(sf_dir: str):
+    """Typo-tolerant document lookup (functions/fuzzy.py): documents
+    containing a word within edit distance 1 of each probe. Vectorized
+    Levenshtein over each batch's DISTINCT words; the shuffle moves
+    per-batch distinct (target, doc_id) pairs only; oracled vs DuckDB
+    levenshtein."""
+    from ..functions.fuzzy import fuzzy_doc_pairs
+
+    TARGETS = ["joinn", "merg", "windoww"]
+    pairs = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        lambda b: fuzzy_doc_pairs(b, TARGETS, max_dist=1),
+        batch_format="pyarrow",
+    )
+    out = (
+        pairs.groupby(["target", "doc_id"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("target")
+        .aggregate(Count(alias_name="n_docs"))
+        .sort("target")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "target": b["target"],
+                "n_docs": b["n_docs"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_cms_word_counts(sf_dir: str):
     """Count-Min sketch gate (functions/cms.py): build one mergeable
     D×W sketch over the documents word stream, point-estimate 8 probe
@@ -4302,6 +4333,7 @@ def build_queries() -> dict:
     q["tpch_q22"] = q_tpch_q22
     q["cms_word_counts"] = q_cms_word_counts
     q["roundtrip_embeddings"] = q_roundtrip_embeddings
+    q["docs_fuzzy"] = q_docs_fuzzy
     q["docs_repetition"] = q_docs_repetition
     q["like_trigram_indexed"] = q_like_trigram_indexed
     q["bigram_top20"] = q_bigram_top20
@@ -5077,6 +5109,18 @@ def build_oracle_sql() -> dict:
             ("o_orderpriority", False),
         ]
     )
+    sql["docs_fuzzy"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents
+        ), t AS (
+          SELECT unnest(['joinn', 'merg', 'windoww']) AS target
+        )
+        SELECT target, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM t JOIN tok ON w <> '' AND levenshtein(w, target) <= 1
+        GROUP BY target ORDER BY target
+    """
     sql["roundtrip_embeddings"] = """
         SELECT (1 = 1) AS match, CAST(count(*) AS BIGINT) AS n_vecs
         FROM embeddings

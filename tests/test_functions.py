@@ -574,3 +574,30 @@ def test_profile_table_with_nulls(ray_session):
     assert out.loc["a"]["min_i"] == 1 and out.loc["a"]["max_i"] == 5
     assert out.loc["s"]["n_null"] == 2 and out.loc["s"]["n_distinct"] == 2
     assert pd.isna(out.loc["s"]["min_i"])
+
+
+def test_edit_distances_match_reference():
+    """Vectorized Levenshtein vs a scalar DP on random short words,
+    including empty strings and padding edges."""
+    from fsst_like_ray.functions.fuzzy import edit_distances
+
+    def ref(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(9)
+    alphabet = list("abcde")
+    words = [""] + [
+        "".join(rng.choice(alphabet, size=rng.integers(1, 9)))
+        for _ in range(80)
+    ]
+    for target in ["", "abc", "edcba", "aaaaaaaaaa"]:
+        got = edit_distances(pa.array(words, type=pa.string()), target)
+        want = [ref(w, target) for w in words]
+        assert got.tolist() == want, target
