@@ -4067,6 +4067,85 @@ def q_roundtrip_embeddings(sf_dir: str):
     )
 
 
+def q_events_retention(sf_dir: str):
+    """Retention cohorts — the classic product-analytics matrix: users
+    grouped by first-activity day (cohort), counted distinct on each
+    subsequent active day offset. Per-user first timestamps are a
+    partial-then-merge Min; the cohort join is the co-partitioned
+    shuffle join (user cardinality is unbounded at 100 TB — no broadcast
+    of the user map); distinct counting ships per-batch distinct
+    (cohort, k, user) triples only. All-day math is exact integer
+    epoch-days."""
+    from ray.data.aggregate import Min
+
+    from ..functions.join import shuffle_hash_join
+
+    DAY = 86_400_000_000
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "day": pa.array(
+                    b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // DAY
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def first_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id"]).aggregate([("day", "min")])
+        return pa.table(
+            {"user_id": g["user_id"], "d0": g["day_min"].cast(pa.int64())}
+        )
+
+    firsts = (
+        ev.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("d0", alias_name="d0"))
+    )
+
+    joined = shuffle_hash_join(ev, firsts, "user_id", "user_id")
+
+    def triple_partial(b: pa.Table) -> pa.Table:
+        d0 = b["d0_r"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = b["day"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "cohort_day": pa.array(d0),
+                "day_k": pa.array(day - d0),
+                "user_id": b["user_id"],
+            }
+        )
+        g = t.group_by(["cohort_day", "day_k", "user_id"]).aggregate(
+            [("user_id", "count")]
+        )
+        return g.select(["cohort_day", "day_k", "user_id"])
+
+    return (
+        joined.map_batches(triple_partial, batch_format="pyarrow")
+        .groupby(["cohort_day", "day_k", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby(["cohort_day", "day_k"])
+        .aggregate(Count(alias_name="n_users"))
+        .sort(["cohort_day", "day_k"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "cohort_day": b["cohort_day"].cast(pa.int64()),
+                    "day_k": b["day_k"].cast(pa.int64()),
+                    "n_users": b["n_users"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_docs_fuzzy(sf_dir: str):
     """Typo-tolerant document lookup (functions/fuzzy.py): documents
     containing a word within edit distance 1 of each probe. Vectorized
@@ -4334,6 +4413,7 @@ def build_queries() -> dict:
     q["cms_word_counts"] = q_cms_word_counts
     q["roundtrip_embeddings"] = q_roundtrip_embeddings
     q["docs_fuzzy"] = q_docs_fuzzy
+    q["events_retention"] = q_events_retention
     q["docs_repetition"] = q_docs_repetition
     q["like_trigram_indexed"] = q_like_trigram_indexed
     q["bigram_top20"] = q_bigram_top20
@@ -5109,6 +5189,18 @@ def build_oracle_sql() -> dict:
             ("o_orderpriority", False),
         ]
     )
+    sql["events_retention"] = """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        ), f AS (
+          SELECT user_id, min(day) AS d0 FROM e GROUP BY user_id
+        )
+        SELECT f.d0 AS cohort_day,
+               e.day - f.d0 AS day_k,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM e JOIN f ON e.user_id = f.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
     sql["docs_fuzzy"] = """
         WITH tok AS (
           SELECT doc_id,
