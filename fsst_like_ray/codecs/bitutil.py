@@ -115,3 +115,32 @@ def unpack_rows(
     vbits = np.zeros((n_tot, 32), dtype=np.uint8)
     vbits[:, :width] = vflat.reshape(n_tot, width)
     return np.packbits(vbits, axis=1, bitorder="little").view(np.uint32).ravel()
+
+
+def scatter_segments(buf, dst_base, seg_nbytes, src) -> None:
+    """Copy per-row variable-length segments ``src`` (concatenated, sizes
+    ``seg_nbytes``) into ``buf`` starting at ``dst_base[row]`` — one
+    cumsum/repeat index build, no per-row Python (shared by the FOR and
+    RLE×bitpack codecs' payload assembly)."""
+    total = int(seg_nbytes.sum())
+    if not total:
+        return
+    so = np.zeros(len(seg_nbytes) + 1, dtype=np.int64)
+    np.cumsum(seg_nbytes, out=so[1:])
+    row_of_byte = np.repeat(np.arange(len(seg_nbytes)), seg_nbytes)
+    within = np.arange(total, dtype=np.int64) - np.repeat(so[:-1], seg_nbytes)
+    buf[dst_base[row_of_byte] + within] = src
+
+
+def gather_segments(buf, src_base, seg_nbytes) -> np.ndarray:
+    """Inverse of :func:`scatter_segments`: concatenate per-row segments
+    of ``buf`` (sizes ``seg_nbytes``) starting at ``src_base[row]``."""
+    total = int(seg_nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    if not total:
+        return out
+    so = np.zeros(len(seg_nbytes) + 1, dtype=np.int64)
+    np.cumsum(seg_nbytes, out=so[1:])
+    row_of_byte = np.repeat(np.arange(len(seg_nbytes)), seg_nbytes)
+    within = np.arange(total, dtype=np.int64) - np.repeat(so[:-1], seg_nbytes)
+    return np.ascontiguousarray(buf[src_base[row_of_byte] + within])

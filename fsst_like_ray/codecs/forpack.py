@@ -10,7 +10,14 @@ from __future__ import annotations
 import numpy as np
 
 from . import Codec
-from .bitutil import bit_width_for, pack_rows, unpack_rows, packed_row_nbytes
+from .bitutil import (
+    bit_width_for,
+    gather_segments,
+    pack_rows,
+    packed_row_nbytes,
+    scatter_segments,
+    unpack_rows,
+)
 
 
 def _row_reduce(values: np.ndarray, offsets: np.ndarray, ufunc) -> np.ndarray:
@@ -54,14 +61,8 @@ class ForCodec(Codec):
         buf[ref_pos.ravel()] = (
             refs[nz].astype(np.int32).view(np.uint8).reshape(-1, 4).ravel()
         )
-        # scatter packed delta bytes after the refs
-        pack_nbytes = np.diff(po)
-        total = int(pack_nbytes.sum())
-        if total:
-            row_of_byte = np.repeat(np.arange(len(counts)), pack_nbytes)
-            within = np.arange(total, dtype=np.int64) - np.repeat(po[:-1], pack_nbytes)
-            dst = out_offsets[:-1][row_of_byte] + 4 + within
-            buf[dst] = packed
+        # scatter packed delta bytes after the refs (shared kernel)
+        scatter_segments(buf, out_offsets[:-1] + 4, np.diff(po), packed)
         return buf, out_offsets
 
     def decode(self, buf, payload_offsets, counts, state):
@@ -80,13 +81,7 @@ class ForCodec(Codec):
         pack_nbytes = np.where(nz, np.diff(payload_offsets) - 4, 0).astype(np.int64)
         po = np.zeros(n_rows + 1, dtype=np.int64)
         np.cumsum(pack_nbytes, out=po[1:])
-        total = int(po[-1])
-        packed = np.zeros(total, dtype=np.uint8)
-        if total:
-            row_of_byte = np.repeat(np.arange(n_rows), pack_nbytes)
-            within = np.arange(total, dtype=np.int64) - np.repeat(po[:-1], pack_nbytes)
-            src = payload_offsets[:-1][row_of_byte] + 4 + within
-            packed = np.ascontiguousarray(buf[src])
+        packed = gather_segments(buf, payload_offsets[:-1] + 4, pack_nbytes)
         deltas = unpack_rows(packed, po, counts, width).astype(np.int64)
         values = np.repeat(refs, counts) + deltas
         return values.astype(np.int32)

@@ -15,7 +15,14 @@ from __future__ import annotations
 import numpy as np
 
 from . import Codec
-from .bitutil import bit_width_for, pack_rows, unpack_rows, packed_row_nbytes
+from .bitutil import (
+    bit_width_for,
+    gather_segments,
+    pack_rows,
+    packed_row_nbytes,
+    scatter_segments,
+    unpack_rows,
+)
 from .rle import _runs
 
 
@@ -23,33 +30,6 @@ def _parse_state(state: bytes):
     vw, rw = state[0], state[1]
     minv = int(np.frombuffer(state, dtype="<i4", count=1, offset=2)[0])
     return vw, rw, minv
-
-
-def _scatter(buf, dst_base, seg_nbytes, src):
-    """Copy per-row variable-length segments ``src`` (concatenated, sizes
-    ``seg_nbytes``) to ``buf`` starting at ``dst_base[row]`` — the same
-    vectorized scatter the FOR codec uses (no per-row Python loop)."""
-    total = int(seg_nbytes.sum())
-    if not total:
-        return
-    so = np.zeros(len(seg_nbytes) + 1, dtype=np.int64)
-    np.cumsum(seg_nbytes, out=so[1:])
-    row_of_byte = np.repeat(np.arange(len(seg_nbytes)), seg_nbytes)
-    within = np.arange(total, dtype=np.int64) - np.repeat(so[:-1], seg_nbytes)
-    buf[dst_base[row_of_byte] + within] = src
-
-
-def _gather(buf, src_base, seg_nbytes):
-    """Inverse of :func:`_scatter`: concatenate per-row segments of ``buf``."""
-    total = int(seg_nbytes.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    if not total:
-        return out
-    so = np.zeros(len(seg_nbytes) + 1, dtype=np.int64)
-    np.cumsum(seg_nbytes, out=so[1:])
-    row_of_byte = np.repeat(np.arange(len(seg_nbytes)), seg_nbytes)
-    within = np.arange(total, dtype=np.int64) - np.repeat(so[:-1], seg_nbytes)
-    return np.ascontiguousarray(buf[src_base[row_of_byte] + within])
 
 
 class RleBitpackCodec(Codec):
@@ -89,8 +69,8 @@ class RleBitpackCodec(Codec):
         buf[hdr_pos.ravel()] = (
             runs_per_row.astype(np.uint32).view(np.uint8).reshape(-1, 4).ravel()
         )
-        _scatter(buf, po[:-1] + 4, vbytes, vbuf)
-        _scatter(buf, po[:-1] + 4 + vbytes, lbytes, lbuf)
+        scatter_segments(buf, po[:-1] + 4, vbytes, vbuf)
+        scatter_segments(buf, po[:-1] + 4 + vbytes, lbytes, lbuf)
         return buf, po
 
     def decode(self, buf, payload_offsets, counts, state):
@@ -112,8 +92,8 @@ class RleBitpackCodec(Codec):
         np.cumsum(vbytes, out=vpo[1:])
         lpo = np.zeros(n_rows + 1, dtype=np.int64)
         np.cumsum(lbytes, out=lpo[1:])
-        vcat = _gather(buf, payload_offsets[:-1] + 4, vbytes)
-        lcat = _gather(buf, payload_offsets[:-1] + 4 + vbytes, lbytes)
+        vcat = gather_segments(buf, payload_offsets[:-1] + 4, vbytes)
+        lcat = gather_segments(buf, payload_offsets[:-1] + 4 + vbytes, lbytes)
         dv = unpack_rows(vcat, vpo, nruns, vw).astype(np.int64)
         dl = unpack_rows(lcat, lpo, nruns, rw).astype(np.int64)
         return np.repeat((dv + minv).astype(np.int32), dl + 1)

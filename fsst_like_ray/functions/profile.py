@@ -1,6 +1,9 @@
 """Table profiler — the standard "what's in this table" operator: per
 column, row count, null count, EXACT distinct count, and (for integer
-columns) min/max. One streaming pass; two kinds of partials:
+columns) min/max. TWO streaming aggregations over the input (counters,
+then distincts — Ray Data executes each aggregate as its own read; at
+whole-corpus scale prefer one pass with the approximate HLL profile and
+accept ±2%). Partial shapes:
 
 - counters (n, n_null, min, max): one tiny row per (batch, column),
   merged by sums / extrema — the shuffle moves O(columns) rows per block;

@@ -586,8 +586,13 @@ def transcode_encoded(
     src_files = [
         f
         for f in discover_fragments(os.path.join(src_dir, "data"))
-        if os.path.basename(os.path.dirname(f)).split("=", 1)[-1]
-        not in done_keys
+        # only fragments the SOURCE manifest committed: an uncommitted
+        # partial dir (killed source run) has no lineage to verify
+        # against — its rows must come from a resumed compress of the raw
+        # corpus, never from here
+        if (
+            lambda k: k in frag_by_key and k not in done_keys
+        )(os.path.basename(os.path.dirname(f)).split("=", 1)[-1])
     ]
     if not src_files:
         return Manifest(dst_dir).stats()
@@ -648,6 +653,16 @@ def transcode_encoded(
             }
         )
     if mismatches:
+        # remove the refused fragments' already-written output BEFORE
+        # raising: read_encoded reads the data dir, and a repaired re-run
+        # writes differently-named files (content-derived), so stale bad
+        # files would otherwise survive next to the good ones
+        import shutil
+
+        for key in mismatches:
+            shutil.rmtree(
+                os.path.join(data_dir, f"frag={key}"), ignore_errors=True
+            )
         raise ValueError(
             f"transcode_encoded: decoded-content hash mismatch vs source "
             f"lineage for fragments {mismatches}"

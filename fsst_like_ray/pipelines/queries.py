@@ -3879,15 +3879,20 @@ def q_tpch_q15(sf_dir: str):
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
     )
     joined = broadcast_hash_join(rev, supplier, "l_suppkey", "s_suppkey")
-    t = pa.concat_tables(
-        [
-            b
-            for b in joined.iter_batches(
-                batch_size=65536, batch_format="pyarrow"
-            )
-            if b.num_rows
-        ]
-    )  # one small row per active supplier — driver-safe
+    parts = [
+        b
+        for b in joined.iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_rows
+    ]  # one small row per active supplier — driver-safe
+    if not parts:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "s_name": pa.array([], type=pa.string()),
+                "total_revenue_cents": pa.array([], type=pa.int64()),
+            }
+        )
+    t = pa.concat_tables(parts)
     cents = t["total_revenue_cents"].to_numpy(zero_copy_only=False)
     best = int(cents.max()) if len(cents) else 0
     top = t.filter(pa.array(cents == best))
@@ -4181,9 +4186,13 @@ def q_cms_word_counts(sf_dir: str):
     """Count-Min sketch gate (functions/cms.py): build one mergeable
     D×W sketch over the documents word stream, point-estimate 8 probe
     words (incl. an absent one), and check the CMS contract against
-    EXACT distributed counts — never an underestimate (ok_lower) and
-    within the e/W·N additive bound (ok_upper). The exact side's shuffle
-    moves only per-batch (word, cnt) partials for the 8 probes."""
+    EXACT distributed counts — never an underestimate (ok_lower, a hard
+    CMS guarantee) and within 2·e/W·N additive error (ok_upper: the
+    1× bound only holds per counter row with prob 1−1/e, so the gate
+    doubles it — P[the min of D=4 rows exceeding 2×] ≲ 0.1% even on an
+    adversarial corpus, and the fixed gate corpora are verified passing).
+    The exact side's shuffle moves only per-batch (word, cnt) partials
+    for the 8 probes."""
     from ..functions.cms import CMS_W, cms_build, cms_query
     from ..functions.vocab import tokenize_rows
 
@@ -4222,7 +4231,7 @@ def q_cms_word_counts(sf_dir: str):
         .to_pandas()
         .set_index("word")["cnt"]
     )
-    bound = int(np.ceil(np.e / CMS_W * n))
+    bound = int(np.ceil(2 * np.e / CMS_W * n))
     truth = np.array(
         [int(exact.get(w, 0)) for w in WORDS], dtype=np.int64
     )

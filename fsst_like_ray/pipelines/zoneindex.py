@@ -107,13 +107,11 @@ def _zone_partial(batch: pa.Table) -> pa.Table:
 
 
 def _data_files(out_dir: str) -> list[str]:
-    import glob as _glob
+    # same listing contract as the compress/read path (skips '_'-prefixed
+    # artifacts) so the index can never see files the readers don't
+    from .compress import discover_fragments
 
-    return sorted(
-        _glob.glob(
-            os.path.join(out_dir, "data", "**", "*.parquet"), recursive=True
-        )
-    )
+    return discover_fragments(os.path.join(out_dir, "data"))
 
 
 def build_token_zone_index(out_dir: str, incremental: bool = False) -> dict:

@@ -331,3 +331,44 @@ def test_transcode_resume_and_corruption(ray_session, corpus_dir, tmp_path):
     dst2 = str(tmp_path / "dst2_enc")
     with _pytest.raises(ValueError, match="hash mismatch"):
         transcode_encoded(src, dst2, codec="auto")
+    # the refused fragment's partial OUTPUT must be cleaned up — stale
+    # bad files would otherwise sit next to a repaired re-run's files
+    bad_key = os.path.basename(os.path.dirname(f)).split("=", 1)[-1]
+    assert not os.path.exists(os.path.join(dst2, "data", f"frag={bad_key}"))
+    assert bad_key not in {
+        r["frag_key"] for r in Manifest(dst2).completed().values()
+    }
+
+
+def test_transcode_skips_uncommitted_source_fragments(
+    ray_session, corpus_dir, tmp_path
+):
+    """A partial frag dir in the SOURCE (killed source run, no manifest
+    record) has no lineage to verify against — transcode must not read
+    or certify it."""
+    import glob
+    import shutil
+
+    from fsst_like_ray.pipelines.compress import (
+        compress_dataset,
+        transcode_encoded,
+    )
+    from fsst_like_ray.state.manifest import Manifest
+
+    src = str(tmp_path / "src_enc")
+    dst = str(tmp_path / "dst_enc")
+    compress_dataset(corpus_dir, src, codec="plain")
+    # fake an uncommitted partial fragment: copy an existing frag dir
+    # under a key that has NO manifest record
+    some = sorted(
+        glob.glob(os.path.join(src, "data", "frag=*"))
+    )[0]
+    rogue = os.path.join(src, "data", "frag=deadbeefdeadbeef")
+    shutil.copytree(some, rogue)
+    stats = transcode_encoded(src, dst, codec="auto")
+    assert stats["fragments"] == 4  # the rogue partial is NOT certified
+    keys = {r["frag_key"] for r in Manifest(dst).completed().values()}
+    assert "deadbeefdeadbeef" not in keys
+    assert not os.path.exists(
+        os.path.join(dst, "data", "frag=deadbeefdeadbeef")
+    )
