@@ -4151,6 +4151,79 @@ def q_events_retention(sf_dir: str):
     )
 
 
+def q_source_top_terms(sf_dir: str):
+    """Characteristic terms per source — TF-over-DF ranking in EXACT
+    integer math (score = tf·10^6 // df, no float log to drift between
+    engines): per-batch (source, word) count partials merge in one
+    vocabulary-bounded groupby; document frequencies come from the same
+    distinct table; df attaches via a broadcast join (df table is
+    |vocab|-sized); top-3 per source by (score desc, word asc)."""
+    from ..functions.join import broadcast_hash_join
+    from ..functions.vocab import tokenize_rows
+
+    docs = _docs(sf_dir, ("doc_id", "text", "source"))
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        values, row_ids, keep = tokenize_rows(b)
+        toks = values.filter(pa.array(keep))
+        src = b["source"].take(pa.array(row_ids[keep]))
+        g = pa.table({"source": src, "word": toks}).group_by(
+            ["source", "word"]
+        ).aggregate([("word", "count")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "word": g["word"],
+                "tf": g["word_count"].cast(pa.int64()),
+            }
+        )
+
+    tfs = (
+        docs.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+    # document frequency: tfs is already distinct per (source, word)
+    df_tbl = pa.concat_tables(
+        [
+            b
+            for b in tfs.groupby("word")
+            .aggregate(Count(alias_name="df"))
+            .iter_batches(batch_size=65536, batch_format="pyarrow")
+            if b.num_rows
+        ]
+    ).combine_chunks()  # |vocab| rows — the broadcast side
+    scored = broadcast_hash_join(tfs, df_tbl, "word", "word").map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "word": b["word"],
+                "score": pa.array(
+                    b["tf"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    * 1_000_000
+                    // b["df"].cast(pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def top3(g: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            g,
+            sort_keys=[("score", "descending"), ("word", "ascending")],
+        )
+        return g.take(idx[:3])
+
+    return (
+        scored.groupby("source")
+        .map_groups(top3, batch_format="pyarrow")
+        .sort(["source", "score", "word"], descending=[False, True, False])
+    )
+
+
 def q_docs_fuzzy(sf_dir: str):
     """Typo-tolerant document lookup (functions/fuzzy.py): documents
     containing a word within edit distance 1 of each probe. Vectorized
@@ -4423,6 +4496,7 @@ def build_queries() -> dict:
     q["roundtrip_embeddings"] = q_roundtrip_embeddings
     q["docs_fuzzy"] = q_docs_fuzzy
     q["events_retention"] = q_events_retention
+    q["source_top_terms"] = q_source_top_terms
     q["docs_repetition"] = q_docs_repetition
     q["like_trigram_indexed"] = q_like_trigram_indexed
     q["bigram_top20"] = q_bigram_top20
@@ -5198,6 +5272,28 @@ def build_oracle_sql() -> dict:
             ("o_orderpriority", False),
         ]
     )
+    sql["source_top_terms"] = """
+        WITH tok AS (
+          SELECT source,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents
+        ), tf AS (
+          SELECT source, w, CAST(count(*) AS BIGINT) AS tf
+          FROM tok WHERE w <> '' GROUP BY 1, 2
+        ), df AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), s AS (
+          SELECT source, w AS word,
+                 CAST(tf * 1000000 // df AS BIGINT) AS score
+          FROM tf JOIN df USING (w)
+        ), r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY score DESC, word
+          ) AS rn FROM s
+        )
+        SELECT source, word, score FROM r WHERE rn <= 3
+        ORDER BY source, score DESC, word
+    """
     sql["events_retention"] = """
         WITH e AS (
           SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
