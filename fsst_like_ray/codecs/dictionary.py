@@ -42,12 +42,20 @@ class DictCodec(Codec):
         return pack_rows(idx.astype(np.uint32), offsets, width)
 
     def train_encode(self, values, offsets):
-        """Fused path: ``np.unique(return_inverse=True)`` yields the codes as
-        a by-product of building the dictionary — one sort instead of a sort
-        plus a per-token binary search (the searchsorted was the single
-        hottest kernel once auto started picking dict on its merits)."""
+        """Fused path: unique+inverse in ONE pass — the C hash kernel
+        (native.dict_unique_inverse, O(n) + a u·log u sort of the SMALL
+        unique array) when a compiler is present, else NumPy's
+        ``np.unique(return_inverse=True)`` (one full O(n log n) sort).
+        Both produce the identical sorted dictionary and codes (parity
+        pinned in tests/test_native.py); this fused kernel was the
+        hottest dict stage once auto started picking dict on merits."""
+        from .. import native
+
         v = np.ascontiguousarray(values, dtype=np.int32)
-        uniq, inv = np.unique(v, return_inverse=True)
+        if native.lib is not None:
+            uniq, inv = native.dict_unique_inverse(v)
+        else:
+            uniq, inv = np.unique(v, return_inverse=True)
         width = max(int(len(uniq) - 1).bit_length(), 0) if len(uniq) else 0
         state = (
             bytes([width])

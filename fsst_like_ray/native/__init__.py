@@ -56,6 +56,11 @@ def _build():
     l.unpack_rows.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                               ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
                               ctypes.c_void_p]
+    l.dict_unique.restype = ctypes.c_long
+    l.dict_unique.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                              ctypes.c_void_p, ctypes.c_void_p,
+                              ctypes.c_int64, ctypes.c_void_p,
+                              ctypes.c_void_p]
     return l
 
 
@@ -193,3 +198,28 @@ def parse(data: np.ndarray, offsets: np.ndarray, table):
         _ptr(pos), _ptr(ml),
     )
     return pos[:total], ml[:total].astype(np.int64)
+
+
+def dict_unique_inverse(values: np.ndarray):
+    """(sorted unique int32 array, uint32 codes into it) — the dict
+    codec's np.unique(return_inverse=True) replaced by one O(n) C hash
+    pass; only the SMALL unique array is sorted (u log u) and codes are
+    remapped with one gather. Bit-identical to the NumPy contract."""
+    v = np.ascontiguousarray(values, dtype=np.int32)
+    n = int(v.size)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.uint32)
+    cap = 1 << max(int(n * 2 - 1).bit_length(), 4)
+    ht_keys = np.empty(cap, dtype=np.int32)
+    ht_codes = np.full(cap, -1, dtype=np.int32)
+    uniq = np.empty(n, dtype=np.int32)
+    codes = np.empty(n, dtype=np.int32)
+    u = lib.dict_unique(
+        _ptr(v), n, _ptr(ht_keys), _ptr(ht_codes), cap, _ptr(uniq),
+        _ptr(codes),
+    )
+    uniq = uniq[:u]
+    order = np.argsort(uniq, kind="stable")
+    rank = np.empty(u, dtype=np.uint32)
+    rank[order] = np.arange(u, dtype=np.uint32)
+    return uniq[order], rank[codes]

@@ -101,3 +101,28 @@ def test_numpy_decode_fallback_matches_native(monkeypatch):
     d_np, ro_np = fsstlib.decode(buf, po, table)
     assert bytes(d_np) == bytes(d_c) == bytes(data)
     assert np.array_equal(ro_np, ro_c)
+
+
+def test_dict_unique_inverse_matches_numpy():
+    """C hash unique+inverse must be bit-identical to
+    np.unique(return_inverse=True) — including negatives (the table uses
+    a code sentinel, never a key sentinel) and heavy duplication."""
+    from fsst_like_ray import native
+
+    if native.lib is None:
+        import pytest
+
+        pytest.skip("no compiler")
+    rng = np.random.default_rng(3)
+    cases = [
+        np.zeros(0, dtype=np.int32),
+        np.array([-1], dtype=np.int32),
+        np.array([-1, -1, 0, 2**31 - 1, -2**31], dtype=np.int32),
+        rng.integers(-5, 5, 10_000).astype(np.int32),
+        rng.integers(-2**31, 2**31, 50_000).astype(np.int32),
+    ]
+    for v in cases:
+        u1, c1 = native.dict_unique_inverse(v)
+        u2, c2 = np.unique(v, return_inverse=True)
+        assert np.array_equal(u1, u2)
+        assert np.array_equal(c1, c2.astype(np.uint32))
