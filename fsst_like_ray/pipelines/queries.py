@@ -4151,6 +4151,59 @@ def q_events_retention(sf_dir: str):
     )
 
 
+def q_events_user_mode(sf_dir: str):
+    """Grouped MODE — each user's most frequent event type, with the
+    deterministic (count desc, type asc) tiebreak spelled out in both
+    engines (SQL mode() breaks ties arbitrarily, so the oracle uses a
+    ROW_NUMBER window instead). Per-batch (user, type) count partials
+    merge in one groupby; the per-user argmax is a vectorized in-group
+    sort over ≤|event types| rows."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")]
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "n": g["event_type_count"].cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def top1(g: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            g,
+            sort_keys=[("n", "descending"), ("event_type", "ascending")],
+        )
+        return g.take(idx[:1])
+
+    return (
+        counts.groupby("user_id")
+        .map_groups(top1, batch_format="pyarrow")
+        .sort("user_id")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "event_type": b["event_type"],
+                    "n": b["n"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_source_top_terms(sf_dir: str):
     """Characteristic terms per source — TF-over-DF ranking in EXACT
     integer math (score = tf·10^6 // df, no float log to drift between
@@ -4497,6 +4550,7 @@ def build_queries() -> dict:
     q["docs_fuzzy"] = q_docs_fuzzy
     q["events_retention"] = q_events_retention
     q["source_top_terms"] = q_source_top_terms
+    q["events_user_mode"] = q_events_user_mode
     q["docs_repetition"] = q_docs_repetition
     q["like_trigram_indexed"] = q_like_trigram_indexed
     q["bigram_top20"] = q_bigram_top20
@@ -5272,6 +5326,18 @@ def build_oracle_sql() -> dict:
             ("o_orderpriority", False),
         ]
     )
+    sql["events_user_mode"] = """
+        WITH c AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ), r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n DESC, event_type
+          ) AS rn FROM c
+        )
+        SELECT user_id, event_type, n FROM r WHERE rn = 1
+        ORDER BY user_id
+    """
     sql["source_top_terms"] = """
         WITH tok AS (
           SELECT source,
