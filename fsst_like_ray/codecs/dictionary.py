@@ -62,7 +62,7 @@ class DictCodec(Codec):
             + np.uint32(len(uniq)).tobytes()
             + uniq.astype("<i4").tobytes()
         )
-        buf, po = pack_rows(inv.astype(np.uint32), offsets, width)
+        buf, po = pack_rows(inv.astype(np.uint32, copy=False), offsets, width)
         return state, buf, po
 
     def decode(self, buf, payload_offsets, counts, state):

@@ -4235,17 +4235,26 @@ def q_source_top_terms(sf_dir: str):
         docs.map_batches(tf_partial, batch_format="pyarrow")
         .groupby(["source", "word"])
         .aggregate(Sum("tf", alias_name="tf"))
+        .materialize()  # consumed TWICE (df derivation + join leg) —
+        # without this Ray re-runs the tokenize+shuffle stage per consumer
     )
     # document frequency: tfs is already distinct per (source, word)
-    df_tbl = pa.concat_tables(
-        [
-            b
-            for b in tfs.groupby("word")
-            .aggregate(Count(alias_name="df"))
-            .iter_batches(batch_size=65536, batch_format="pyarrow")
-            if b.num_rows
-        ]
-    ).combine_chunks()  # |vocab| rows — the broadcast side
+    df_parts = [
+        b
+        for b in tfs.groupby("word")
+        .aggregate(Count(alias_name="df"))
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not df_parts:
+        return pa.table(
+            {
+                "source": pa.array([], type=pa.string()),
+                "word": pa.array([], type=pa.string()),
+                "score": pa.array([], type=pa.int64()),
+            }
+        )
+    df_tbl = pa.concat_tables(df_parts).combine_chunks()  # |vocab| rows
     scored = broadcast_hash_join(tfs, df_tbl, "word", "word").map_batches(
         lambda b: pa.table(
             {
