@@ -4151,6 +4151,18 @@ def q_events_retention(sf_dir: str):
     )
 
 
+def q_like_multiscan(sf_dir: str):
+    """Multi-pattern LIKE in ONE corpus pass (pipelines/scan.py
+    multi_like_scan): each batch decodes once and all three predicates
+    run against the same decoded column — decode cost amortized across
+    the pattern set. Oracle: UNION ALL of tagged single-pattern LIKEs."""
+    from .scan import multi_like_scan
+
+    PATTERNS = ["%merge sort%", "%fast key%", "%window window%"]
+    enc = encode_text_dataset(_docs(sf_dir, ("doc_id", "text")))
+    return multi_like_scan(enc, PATTERNS)
+
+
 def q_events_user_mode(sf_dir: str):
     """Grouped MODE — each user's most frequent event type, with the
     deterministic (count desc, type asc) tiebreak spelled out in both
@@ -4560,6 +4572,7 @@ def build_queries() -> dict:
     q["events_retention"] = q_events_retention
     q["source_top_terms"] = q_source_top_terms
     q["events_user_mode"] = q_events_user_mode
+    q["like_multiscan"] = q_like_multiscan
     q["docs_repetition"] = q_docs_repetition
     q["like_trigram_indexed"] = q_like_trigram_indexed
     q["bigram_top20"] = q_bigram_top20
@@ -5335,6 +5348,16 @@ def build_oracle_sql() -> dict:
             ("o_orderpriority", False),
         ]
     )
+    sql["like_multiscan"] = """
+        SELECT '%merge sort%' AS pattern, doc_id FROM documents
+        WHERE text LIKE '%merge sort%'
+        UNION ALL
+        SELECT '%fast key%' AS pattern, doc_id FROM documents
+        WHERE text LIKE '%fast key%'
+        UNION ALL
+        SELECT '%window window%' AS pattern, doc_id FROM documents
+        WHERE text LIKE '%window window%'
+    """
     sql["events_user_mode"] = """
         WITH c AS (
           SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n

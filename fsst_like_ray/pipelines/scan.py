@@ -108,3 +108,53 @@ def like_count(
 
     parts = encoded.map_batches(count, batch_format="pyarrow").take_all()
     return sum(int(r["n"]) for r in parts)
+
+
+def multi_like_scan(
+    encoded: "ray.data.Dataset", patterns: list[str]
+) -> "ray.data.Dataset":
+    """Evaluate MANY LIKE patterns in ONE pass over the encoded corpus:
+    each batch decodes once and every pattern's predicate runs against
+    the same decoded column — amortizing the decode (the dominant cost)
+    across the whole pattern set instead of re-scanning per pattern
+    (reference analog: the ranking harness re-scans per engine×pattern
+    by design, sketch.cc:1306-1371; production predicate sets shouldn't).
+    Output: one (pattern, doc_id) row per match — the shape a downstream
+    groupby/count or routing join wants."""
+    import pyarrow.compute as pc
+
+    from ..stages.text import decode_text_table
+
+    pats = list(patterns)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "pattern": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        dec = decode_text_table(batch)
+        text = dec["text"].combine_chunks()
+        ids = dec["doc_id"]
+        out_p, out_i = [], []
+        for p in pats:
+            mask = pc.match_like(text, p)
+            rows = np.flatnonzero(
+                mask.to_numpy(zero_copy_only=False).astype(bool)
+            )
+            out_p.extend([p] * len(rows))
+            out_i.append(ids.take(pa.array(rows)))
+        return pa.table(
+            {
+                "pattern": pa.array(out_p, type=pa.string()),
+                "doc_id": (
+                    pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_i])
+                    if out_i
+                    else pa.array([], type=pa.int64())
+                ),
+            }
+        )
+
+    return encoded.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
