@@ -11,18 +11,48 @@ from __future__ import annotations
 import numpy as np
 
 
-def _sample(values: np.ndarray, offsets: np.ndarray, max_rows: int):
+def _sample(
+    values: np.ndarray,
+    offsets: np.ndarray,
+    max_rows: int,
+    max_tokens: int = 1 << 19,
+):
+    # 2^19: large enough that the held-out fsst estimate keeps its ≤15%
+    # calibration on ~1M-token blocks (2^18 drifted it to ~23%), small
+    # enough that a 10M-token single row estimates in O(sample) not O(row)
+    """Bounded estimation sample: at most ``max_rows`` strided rows AND at
+    most ``max_tokens`` tokens. The token cap matters for token-heavy rows
+    (one 10M-token document would otherwise make every per-codec estimate
+    run at full-block cost — estimation is allowed to subsample; only
+    encode itself must see every value). Oversized rows are token-strided
+    so the sample still reflects the whole row's distribution."""
     n_rows = len(offsets) - 1
-    if n_rows <= max_rows:
+    total = int(offsets[-1] - offsets[0])
+    if n_rows <= max_rows and total <= max_tokens:
         return values, offsets
-    stride = int(np.ceil(n_rows / max_rows))
+    stride = max(1, int(np.ceil(n_rows / max_rows)))
     rows = np.arange(0, n_rows, stride)
     counts = np.diff(offsets)[rows]
+    # trim the row set to the token budget (always keep ≥1 row)
+    csum = np.cumsum(counts)
+    keep = max(1, int(np.searchsorted(csum, max_tokens, side="right")))
+    rows, counts = rows[:keep], counts[:keep]
+    # a single row over budget: stride WITHIN the row
+    row_stride = np.ones(len(rows), dtype=np.int64)
+    if counts.sum() > max_tokens and len(rows) == 1:
+        row_stride[0] = max(1, int(np.ceil(counts[0] / max_tokens)))
+        counts = np.array(
+            [len(range(0, int(counts[0]), int(row_stride[0])))],
+            dtype=np.int64,
+        )
     so = np.zeros(len(rows) + 1, dtype=np.int64)
     np.cumsum(counts, out=so[1:])
     out = np.empty(int(so[-1]), dtype=values.dtype)
     for k, r in enumerate(rows):
-        out[so[k] : so[k + 1]] = values[offsets[r] : offsets[r + 1]]
+        seg = values[offsets[r] : offsets[r + 1]]
+        if row_stride[k] > 1:
+            seg = seg[:: row_stride[k]]
+        out[so[k] : so[k + 1]] = seg
     return out, so
 
 

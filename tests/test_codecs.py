@@ -197,3 +197,36 @@ def test_roundtrip_hypothesis(rows):
     must round-trip bit-identically through every codec."""
     for name in sorted(CODECS):
         _roundtrip(CODECS[name], rows)
+
+
+def test_giant_single_row_estimation_bounded():
+    """A single multi-million-token row must not make auto-selection run
+    per-codec estimates at full-row cost (the sample is capped by TOKENS,
+    not just rows) — and must still round-trip bit-identical."""
+    import time
+
+    import pyarrow as pa
+
+    from fsst_like_ray.stages.decode import decode_batch
+    from fsst_like_ray.stages.encode import encode_table
+
+    rng = np.random.default_rng(0)
+    giant = (rng.zipf(1.3, 2_000_000) % 50000).astype(np.int32)
+    t = pa.table(
+        {
+            "doc_id": pa.array(["g", "s"]),
+            "tokens": pa.array(
+                [giant.tolist(), [1, 2, 3]], type=pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([len(giant), 3], type=pa.int32()),
+            "source": pa.array(["x", "x"]),
+        }
+    )
+    t0 = time.time()
+    enc = encode_table(t, "auto")
+    took = time.time() - t0
+    dec = decode_batch(enc)
+    assert dec["tokens"].to_pylist() == t["tokens"].to_pylist()
+    # pre-fix this took ~20s at 2M tokens (every estimate at full cost);
+    # generous bound still catches an O(row)-per-codec regression
+    assert took < 10, took
