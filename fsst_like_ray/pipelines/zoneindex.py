@@ -209,24 +209,40 @@ def build_token_zone_index(out_dir: str, incremental: bool = False) -> dict:
 
 def zone_candidate_files(out_dir: str, tid: int) -> tuple[list[str], int]:
     """(candidate file list, total files). Exact for ids < 2^16; bloom
-    (no false negatives) above."""
-    tbl = pq.read_table(os.path.join(out_dir, "index", "zones.parquet"))
-    paths = tbl["path"].to_pylist()
-    tmin = tbl["tok_min"].to_numpy(zero_copy_only=False)
-    tmax = tbl["tok_max"].to_numpy(zero_copy_only=False)
+    (no false negatives) above.
+
+    Two-phase read so per-query I/O scales with the SURVIVOR set, not the
+    index: phase 1 reads only (path, tok_min, tok_max) — a few bytes per
+    file via parquet column projection; phase 2 fetches the ~12 KB/file
+    presence/bloom blobs ONLY for the min/max survivors via a parquet
+    row filter. At 100k fragments the index's heavy columns are ~1.2 GB;
+    a miss outside every [min,max] touches none of them."""
+    idx_path = os.path.join(out_dir, "index", "zones.parquet")
+    lite = pq.read_table(idx_path, columns=["path", "tok_min", "tok_max"])
+    paths = lite["path"].to_pylist()
+    tmin = lite["tok_min"].to_numpy(zero_copy_only=False)
+    tmax = lite["tok_max"].to_numpy(zero_copy_only=False)
     keep = (tmin <= tid) & (tid <= tmax)
-    if 0 <= tid < ZONE_EXACT_IDS:
-        for i in np.flatnonzero(keep):
-            pres = np.frombuffer(tbl["presence"][i].as_py(), dtype=np.uint8)
-            if not (pres[tid >> 3] >> (tid & 7)) & 1:
-                keep[i] = False
-    else:
-        q = np.array([tid], dtype=np.int64)
-        for i in np.flatnonzero(keep):
-            bl = np.frombuffer(tbl["bloom"][i].as_py(), dtype=np.uint8)
-            if not bloom_contains(bl, q, _BLOOM_K)[0]:
-                keep[i] = False
-    return [paths[i] for i in np.flatnonzero(keep)], len(paths)
+    survivors = [paths[i] for i in np.flatnonzero(keep)]
+    if not survivors:
+        return [], len(paths)
+    col = "presence" if 0 <= tid < ZONE_EXACT_IDS else "bloom"
+    heavy = pq.read_table(
+        idx_path,
+        columns=["path", col],
+        filters=[("path", "in", survivors)],
+    )
+    out = []
+    q = np.array([tid], dtype=np.int64)
+    for p, blob in zip(heavy["path"].to_pylist(), heavy[col].to_pylist()):
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        if col == "presence":
+            hit = bool((arr[tid >> 3] >> (tid & 7)) & 1)
+        else:
+            hit = bool(bloom_contains(arr, q, _BLOOM_K)[0])
+        if hit:
+            out.append(p)
+    return out, len(paths)
 
 
 def contains_token_indexed(out_dir: str, tid: int):
