@@ -144,64 +144,75 @@ def build_token_zone_index(out_dir: str, incremental: bool = False) -> dict:
     if not files:
         raise FileNotFoundError(f"no parquet files under {out_dir}/data")
     ds = ray.data.read_parquet(files, include_paths=True)
-    merged: dict[str, list] = {}
-    for blk in ds.map_batches(
-        _zone_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_size=1024, batch_format="pyarrow"):
-        for r in blk.to_pylist():
-            cur = merged.get(r["path"])
-            if cur is None:
-                merged[r["path"]] = [
-                    r["tok_min"],
-                    r["tok_max"],
-                    np.frombuffer(r["presence"], dtype=np.uint8).copy(),
-                    np.frombuffer(r["bloom"], dtype=np.uint8).copy(),
-                ]
-            else:
-                if r["tok_max"] >= r["tok_min"]:  # non-empty partial
-                    if cur[1] < cur[0]:
-                        cur[0], cur[1] = r["tok_min"], r["tok_max"]
-                    else:
-                        cur[0] = min(cur[0], r["tok_min"])
-                        cur[1] = max(cur[1], r["tok_max"])
-                np.bitwise_or(
-                    cur[2],
-                    np.frombuffer(r["presence"], dtype=np.uint8),
-                    out=cur[2],
-                )
-                np.bitwise_or(
-                    cur[3],
-                    np.frombuffer(r["bloom"], dtype=np.uint8),
-                    out=cur[3],
-                )
-    paths = sorted(merged)
-    tbl = pa.table(
-        {
-            "path": pa.array(paths, type=pa.string()),
-            "tok_min": pa.array(
-                [merged[p][0] for p in paths], type=pa.int64()
-            ),
-            "tok_max": pa.array(
-                [merged[p][1] for p in paths], type=pa.int64()
-            ),
-            "presence": pa.array(
-                [merged[p][2].tobytes() for p in paths], type=pa.binary()
-            ),
-            "bloom": pa.array(
-                [merged[p][3].tobytes() for p in paths], type=pa.binary()
-            ),
-        }
+
+    def or_merge(g: pa.Table) -> pa.Table:
+        """All partials of ONE file → its final index row (min/max fold +
+        bitmap OR). Runs DISTRIBUTED in the per-path groupby, so the
+        driver never holds more than the streaming write batch — at 100k
+        fragments the ~12 KB/file bitmaps total ~1.2 GB, which the old
+        driver-side dict merge kept resident."""
+        tmin, tmax = None, None
+        pres = np.zeros(ZONE_EXACT_IDS // 8, dtype=np.uint8)
+        bloom = np.zeros(BLOOM_BYTES, dtype=np.uint8)
+        for r in g.to_pylist():
+            if r["tok_max"] >= r["tok_min"]:
+                tmin = r["tok_min"] if tmin is None else min(tmin, r["tok_min"])
+                tmax = r["tok_max"] if tmax is None else max(tmax, r["tok_max"])
+            np.bitwise_or(
+                pres, np.frombuffer(r["presence"], dtype=np.uint8), out=pres
+            )
+            np.bitwise_or(
+                bloom, np.frombuffer(r["bloom"], dtype=np.uint8), out=bloom
+            )
+        return pa.table(
+            {
+                "path": pa.array([g["path"][0].as_py()], type=pa.string()),
+                "tok_min": pa.array(
+                    [0 if tmin is None else tmin], type=pa.int64()
+                ),
+                "tok_max": pa.array(
+                    [-1 if tmax is None else tmax], type=pa.int64()
+                ),
+                "presence": pa.array([pres.tobytes()], type=pa.binary()),
+                "bloom": pa.array([bloom.tobytes()], type=pa.binary()),
+            }
+        )
+
+    merged_ds = (
+        ds.map_batches(
+            _zone_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("path")
+        .map_groups(or_merge, batch_format="pyarrow")
+        .sort("path")
     )
-    if carried is not None and carried.num_rows:
-        tbl = pa.concat_tables([carried, tbl]).sort_by("path")
     idx_dir = os.path.join(out_dir, "index")
     os.makedirs(idx_dir, exist_ok=True)
     path = os.path.join(idx_dir, "zones.parquet")
     tmp = f"{path}.tmp{os.getpid()}"
-    pq.write_table(tbl, tmp)
+    writer = None
+    n_rows = 0
+    try:
+        if carried is not None and carried.num_rows:
+            writer = pq.ParquetWriter(tmp, carried.schema)
+            writer.write_table(carried)
+            n_rows += carried.num_rows
+        for b in merged_ds.iter_batches(
+            batch_size=512, batch_format="pyarrow"
+        ):
+            if b.num_rows == 0:
+                continue
+            b = b.select(["path", "tok_min", "tok_max", "presence", "bloom"])
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, b.schema)
+            writer.write_table(b)
+            n_rows += b.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
     os.replace(tmp, path)
     return {
-        "files": tbl.num_rows,
+        "files": n_rows,
         "scanned": len(files),
         "index_path": path,
     }

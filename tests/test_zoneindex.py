@@ -130,10 +130,15 @@ def test_zone_index_incremental_append(ray_session, tmp_path):
     cand, total = zone_candidate_files(out, extra_tok)
     assert len(cand) >= 1 and total == inc["files"]
 
-    # incremental result == full rebuild
-    inc_tbl = pq.read_table(os.path.join(out, "index", "zones.parquet"))
+    # incremental result == full rebuild (same rows; the incremental file
+    # appends new rows after the carried block, so compare sorted by path)
+    inc_tbl = pq.read_table(
+        os.path.join(out, "index", "zones.parquet")
+    ).sort_by("path")
     build_token_zone_index(out)
-    full_tbl = pq.read_table(os.path.join(out, "index", "zones.parquet"))
+    full_tbl = pq.read_table(
+        os.path.join(out, "index", "zones.parquet")
+    ).sort_by("path")
     assert inc_tbl.equals(full_tbl)
 
     # nothing new → zero scanned, index unchanged
