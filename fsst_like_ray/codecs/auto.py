@@ -17,42 +17,37 @@ def _sample(
     max_rows: int,
     max_tokens: int = 1 << 19,
 ):
-    # 2^19: large enough that the held-out fsst estimate keeps its ≤15%
-    # calibration on ~1M-token blocks (2^18 drifted it to ~23%), small
-    # enough that a 10M-token single row estimates in O(sample) not O(row)
     """Bounded estimation sample: at most ``max_rows`` strided rows AND at
-    most ``max_tokens`` tokens. The token cap matters for token-heavy rows
-    (one 10M-token document would otherwise make every per-codec estimate
-    run at full-block cost — estimation is allowed to subsample; only
-    encode itself must see every value). Oversized rows are token-strided
-    so the sample still reflects the whole row's distribution."""
+    most ``max_tokens`` tokens (2^19: large enough that the held-out fsst
+    estimate keeps its ≤15% calibration on ~1M-token blocks; small enough
+    that a 10M-token single row estimates in O(sample), not O(row) —
+    estimation may subsample, only encode must see every value).
+
+    Over the token budget, EVERY selected row contributes a CONTIGUOUS
+    prefix slice proportional to its share of the tokens — a giant row
+    keeps (almost all of) the budget instead of being dropped, and
+    contiguity preserves the run/delta adjacency statistics the rle/delta
+    estimators depend on (element striding would smear deltas by the
+    stride factor)."""
     n_rows = len(offsets) - 1
     total = int(offsets[-1] - offsets[0])
     if n_rows <= max_rows and total <= max_tokens:
         return values, offsets
     stride = max(1, int(np.ceil(n_rows / max_rows)))
     rows = np.arange(0, n_rows, stride)
-    counts = np.diff(offsets)[rows]
-    # trim the row set to the token budget (always keep ≥1 row)
-    csum = np.cumsum(counts)
-    keep = max(1, int(np.searchsorted(csum, max_tokens, side="right")))
-    rows, counts = rows[:keep], counts[:keep]
-    # a single row over budget: stride WITHIN the row
-    row_stride = np.ones(len(rows), dtype=np.int64)
-    if counts.sum() > max_tokens and len(rows) == 1:
-        row_stride[0] = max(1, int(np.ceil(counts[0] / max_tokens)))
-        counts = np.array(
-            [len(range(0, int(counts[0]), int(row_stride[0])))],
-            dtype=np.int64,
-        )
+    counts = np.diff(offsets)[rows].astype(np.int64)
+    sampled = int(counts.sum())
+    if sampled > max_tokens:
+        # proportional contiguous slice per row (≥1 token for non-empty)
+        take = (counts * max_tokens // max(sampled, 1)).astype(np.int64)
+        take[(counts > 0) & (take == 0)] = 1
+        counts = np.minimum(counts, take)
     so = np.zeros(len(rows) + 1, dtype=np.int64)
     np.cumsum(counts, out=so[1:])
     out = np.empty(int(so[-1]), dtype=values.dtype)
     for k, r in enumerate(rows):
-        seg = values[offsets[r] : offsets[r + 1]]
-        if row_stride[k] > 1:
-            seg = seg[:: row_stride[k]]
-        out[so[k] : so[k + 1]] = seg
+        s = offsets[r]
+        out[so[k] : so[k + 1]] = values[s : s + counts[k]]
     return out, so
 
 

@@ -123,16 +123,18 @@ def multi_like_scan(
     groupby/count or routing join wants."""
     import pyarrow.compute as pc
 
-    from ..stages.text import decode_text_table
-
     pats = list(patterns)
 
     def scan(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
+            # empty table preserving the REAL id type (a hardcoded int64
+            # would clash with string-keyed corpora at schema unification)
             return pa.table(
                 {
                     "pattern": pa.array([], type=pa.string()),
-                    "doc_id": pa.array([], type=pa.int64()),
+                    "doc_id": batch["doc_id"].combine_chunks()
+                    if isinstance(batch["doc_id"], pa.ChunkedArray)
+                    else batch["doc_id"],
                 }
             )
         dec = decode_text_table(batch)
@@ -150,9 +152,16 @@ def multi_like_scan(
             {
                 "pattern": pa.array(out_p, type=pa.string()),
                 "doc_id": (
-                    pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_i])
+                    pa.concat_arrays(
+                        [
+                            c.combine_chunks()
+                            if isinstance(c, pa.ChunkedArray)
+                            else c
+                        for c in out_i
+                        ]
+                    )
                     if out_i
-                    else pa.array([], type=pa.int64())
+                    else ids.slice(0, 0)  # empty, real id type
                 ),
             }
         )

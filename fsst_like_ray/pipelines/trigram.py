@@ -13,10 +13,11 @@ cost a wasted file scan. Patterns with ``_`` or with every literal
 segment shorter than 3 bytes yield no trigrams — every file stays a
 candidate (no pruning, stated honestly by the returned counts).
 
-Build = one streaming pass (per-batch per-file bloom partials, OR-merged
-on the driver — commutative, so block order and retries are safe), then
-an atomic-rename parquet write; rebuildable any time, same contract as
-the zone / IVF indexes.
+Build = one streaming pass: per-batch per-file bloom partials OR-merge
+DISTRIBUTED in a per-path groupby (commutative, so block order and
+retries are safe) and the index parquet streams out batch-by-batch —
+driver memory stays bounded by the write batch; atomic-rename write,
+rebuildable any time, same contract as the zone / IVF indexes.
 """
 
 from __future__ import annotations
@@ -159,24 +160,10 @@ def build_trigram_index(
         idx_dir = os.path.join(corpus_dir, "index")
         os.makedirs(idx_dir, exist_ok=True)
         index_path = os.path.join(idx_dir, "trigrams.parquet")
-    tmp = f"{index_path}.tmp{os.getpid()}"
-    writer = None
-    n_rows = 0
-    try:
-        for b in merged_ds.iter_batches(
-            batch_size=512, batch_format="pyarrow"
-        ):
-            if b.num_rows == 0:
-                continue
-            b = b.select(["path", "bloom"])
-            if writer is None:
-                writer = pq.ParquetWriter(tmp, b.schema)
-            writer.write_table(b)
-            n_rows += b.num_rows
-    finally:
-        if writer is not None:
-            writer.close()
-    os.replace(tmp, index_path)
+    from .zoneindex import stream_index_write
+
+    schema = pa.schema([("path", pa.string()), ("bloom", pa.binary())])
+    n_rows = stream_index_write(merged_ds, index_path, schema)
     return {"files": n_rows, "index_path": index_path}
 
 

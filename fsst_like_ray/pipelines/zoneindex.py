@@ -10,10 +10,12 @@ that leave storage.
 Index build = one streaming pass over the encoded corpus (indexes cost a
 build scan — standard). Per file: token min/max plus an EXACT presence
 bitmap for token ids < 2^16 (8 KB/file) and a bloom (functions/bloom) for
-larger ids. Per-batch partials (one row per file touched) merge on the
-driver by min/max/OR — commutative, so block order and retries are safe —
-and land in ``<out_dir>/index/zones.parquet`` via atomic rename
-(rebuildable any time, same contract as the IVF index).
+larger ids. Per-batch partials (one row per file touched) merge by
+min/max/OR DISTRIBUTED in a per-path groupby — commutative, so block
+order and retries are safe — and stream batch-by-batch into
+``<out_dir>/index/zones.parquet`` via atomic rename (driver memory is
+bounded by the write batch; rebuildable any time, same contract as the
+IVF index).
 
 Query: ``contains_token_indexed`` reads the tiny zones table, selects
 candidate files (exact bitmap for small ids — no false positives at all;
@@ -39,6 +41,15 @@ from .numscan import contains_token_scan
 ZONE_EXACT_IDS = 1 << 16  # exact presence bitmap covers ids [0, 2^16)
 BLOOM_BYTES = 1 << 12  # 4 KB bloom for ids >= 2^16
 _BLOOM_K = 4
+ZONE_SCHEMA = pa.schema(
+    [
+        ("path", pa.string()),
+        ("tok_min", pa.int64()),
+        ("tok_max", pa.int64()),
+        ("presence", pa.binary()),
+        ("bloom", pa.binary()),
+    ]
+)
 
 
 def _zone_partial(batch: pa.Table) -> pa.Table:
@@ -104,6 +115,47 @@ def _zone_partial(batch: pa.Table) -> pa.Table:
             "bloom": pa.array(rows["bloom"], type=pa.binary()),
         }
     )
+
+
+def stream_index_write(
+    merged_ds,
+    index_path: str,
+    schema: pa.Schema,
+    head: "pa.Table | None" = None,
+) -> int:
+    """Stream a merged index Dataset into ``index_path`` batch-by-batch
+    (driver holds one write batch, never the whole index), atomically via
+    tmp + rename. The schema is passed EXPLICITLY so an empty stream still
+    produces a valid empty index file; on any failure the tmp file is
+    removed. ``head`` rows (e.g. an incremental build's carried block) are
+    written first. Returns the row count. Shared by the token zone and
+    text trigram index builders."""
+    tmp = f"{index_path}.tmp{os.getpid()}"
+    n_rows = 0
+    writer = pq.ParquetWriter(tmp, schema)
+    try:
+        if head is not None and head.num_rows:
+            writer.write_table(head.select([f.name for f in schema]))
+            n_rows += head.num_rows
+        for b in merged_ds.iter_batches(
+            batch_size=512, batch_format="pyarrow"
+        ):
+            if b.num_rows == 0:
+                continue
+            writer.write_table(
+                b.select([f.name for f in schema]).cast(schema)
+            )
+            n_rows += b.num_rows
+    except BaseException:
+        writer.close()
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    writer.close()
+    os.replace(tmp, index_path)
+    return n_rows
 
 
 def _data_files(out_dir: str) -> list[str]:
@@ -189,28 +241,7 @@ def build_token_zone_index(out_dir: str, incremental: bool = False) -> dict:
     idx_dir = os.path.join(out_dir, "index")
     os.makedirs(idx_dir, exist_ok=True)
     path = os.path.join(idx_dir, "zones.parquet")
-    tmp = f"{path}.tmp{os.getpid()}"
-    writer = None
-    n_rows = 0
-    try:
-        if carried is not None and carried.num_rows:
-            writer = pq.ParquetWriter(tmp, carried.schema)
-            writer.write_table(carried)
-            n_rows += carried.num_rows
-        for b in merged_ds.iter_batches(
-            batch_size=512, batch_format="pyarrow"
-        ):
-            if b.num_rows == 0:
-                continue
-            b = b.select(["path", "tok_min", "tok_max", "presence", "bloom"])
-            if writer is None:
-                writer = pq.ParquetWriter(tmp, b.schema)
-            writer.write_table(b)
-            n_rows += b.num_rows
-    finally:
-        if writer is not None:
-            writer.close()
-    os.replace(tmp, path)
+    n_rows = stream_index_write(merged_ds, path, ZONE_SCHEMA, head=carried)
     return {
         "files": n_rows,
         "scanned": len(files),
@@ -225,27 +256,37 @@ def zone_candidate_files(out_dir: str, tid: int) -> tuple[list[str], int]:
     Two-phase read so per-query I/O scales with the SURVIVOR set, not the
     index: phase 1 reads only (path, tok_min, tok_max) — a few bytes per
     file via parquet column projection; phase 2 fetches the ~12 KB/file
-    presence/bloom blobs ONLY for the min/max survivors via a parquet
-    row filter. At 100k fragments the index's heavy columns are ~1.2 GB;
-    a miss outside every [min,max] touches none of them."""
+    presence/bloom blobs only from ROW GROUPS containing min/max
+    survivors. Both phases read through ONE open ParquetFile handle, so a
+    concurrent atomic rebuild (os.replace) cannot swap index versions
+    between the phases — the lookup always sees a single snapshot. At
+    100k fragments the heavy columns are ~1.2 GB; a miss outside every
+    [min,max] touches none of them."""
     idx_path = os.path.join(out_dir, "index", "zones.parquet")
-    lite = pq.read_table(idx_path, columns=["path", "tok_min", "tok_max"])
+    pf = pq.ParquetFile(idx_path)
+    lite = pf.read(columns=["path", "tok_min", "tok_max"])
     paths = lite["path"].to_pylist()
     tmin = lite["tok_min"].to_numpy(zero_copy_only=False)
     tmax = lite["tok_max"].to_numpy(zero_copy_only=False)
     keep = (tmin <= tid) & (tid <= tmax)
-    survivors = [paths[i] for i in np.flatnonzero(keep)]
-    if not survivors:
+    surv_rows = np.flatnonzero(keep)
+    if not surv_rows.size:
         return [], len(paths)
-    col = "presence" if 0 <= tid < ZONE_EXACT_IDS else "bloom"
-    heavy = pq.read_table(
-        idx_path,
-        columns=["path", col],
-        filters=[("path", "in", survivors)],
+    survivors = {paths[i] for i in surv_rows}
+    # map survivor row indices → row groups (the streaming writer emits
+    # ≤512-row groups, so this prunes to the touched groups only)
+    rg_bounds = np.cumsum(
+        [pf.metadata.row_group(i).num_rows for i in range(pf.num_row_groups)]
     )
+    rgs = sorted(set(int(np.searchsorted(rg_bounds, r, side="right"))
+                     for r in surv_rows))
+    col = "presence" if 0 <= tid < ZONE_EXACT_IDS else "bloom"
+    heavy = pf.read_row_groups(rgs, columns=["path", col])
     out = []
     q = np.array([tid], dtype=np.int64)
     for p, blob in zip(heavy["path"].to_pylist(), heavy[col].to_pylist()):
+        if p not in survivors:
+            continue
         arr = np.frombuffer(blob, dtype=np.uint8)
         if col == "presence":
             hit = bool((arr[tid >> 3] >> (tid & 7)) & 1)

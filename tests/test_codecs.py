@@ -222,11 +222,23 @@ def test_giant_single_row_estimation_bounded():
             "source": pa.array(["x", "x"]),
         }
     )
+    # deterministic work bound: the selection sample itself must respect
+    # the token cap AND still represent every row proportionally
+    from fsst_like_ray.codecs.auto import _sample
+    from fsst_like_ray.stages.encode import list_buffers
+
+    values, offsets = list_buffers(t["tokens"])
+    sv, so = _sample(values, offsets, 1024)
+    assert int(so[-1]) <= (1 << 19)
+    per_row = np.diff(so)
+    assert (per_row > 0).all()  # no sampled row dropped by the cap
+    assert per_row[0] > per_row[1] * 100  # giant row dominates the budget
+
     t0 = time.time()
     enc = encode_table(t, "auto")
     took = time.time() - t0
     dec = decode_batch(enc)
     assert dec["tokens"].to_pylist() == t["tokens"].to_pylist()
     # pre-fix this took ~20s at 2M tokens (every estimate at full cost);
-    # generous bound still catches an O(row)-per-codec regression
-    assert took < 10, took
+    # generous wall bound only as a backstop (loaded-host tolerant)
+    assert took < 60, took
