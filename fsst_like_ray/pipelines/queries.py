@@ -4002,6 +4002,765 @@ def q_tpch_q22(sf_dir: str):
     )
 
 
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 shape — minimum-cost supplier, re-keyed to this schema's
+    dimensions (no partsupp table): for each EUROPE nation, the customer(s)
+    holding that nation's MINIMUM account balance. The correlated min
+    subquery becomes a per-nation Min partial-merge whose TINY result is
+    broadcast back over a second streaming customer pass; ties survive
+    exactly like Q2's multi-supplier minima (tpch/queries/2.sql shape)."""
+    from ray.data.aggregate import Min
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_regionkey", "n_name"],
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rk = region.filter(pa.compute.equal(region["r_name"], "EUROPE"))[
+        "r_regionkey"
+    ].to_numpy(zero_copy_only=False)
+    nat = nation.filter(
+        pa.compute.is_in(nation["n_regionkey"], value_set=pa.array(rk))
+    )
+    nat_keys = np.sort(nat["n_nationkey"].to_numpy(zero_copy_only=False))
+    name_by_key = dict(
+        zip(
+            nat["n_nationkey"].to_numpy(zero_copy_only=False).tolist(),
+            nat["n_name"].to_pylist(),
+        )
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(nat_keys, nk)
+        np.minimum(idx, len(nat_keys) - 1, out=idx)
+        keep = nat_keys[idx] == nk
+        rows = pa.array(np.flatnonzero(keep))
+        cents = np.floor(
+            b["c_acctbal"].to_numpy(zero_copy_only=False)[keep] * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(nk[keep], type=pa.int64()),
+                "c_name": b["c_name"].take(rows),
+                "cents": pa.array(cents),
+            }
+        )
+
+    def cust():
+        return ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_name", "c_nationkey", "c_acctbal"],
+        ).map_batches(prep, batch_format="pyarrow")
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["c_nationkey", "cents"])
+            .group_by(["c_nationkey"])
+            .aggregate([("cents", "min")])
+        )
+        return pa.table(
+            {"c_nationkey": g["c_nationkey"], "m": g["cents_min"].cast(pa.int64())}
+        )
+
+    mins = (
+        cust()
+        .map_batches(min_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Min("m", alias_name="m"))
+        .to_pandas()  # ≤ nations rows
+    )
+    mkeys = mins["c_nationkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(mkeys)
+    mkeys, mvals = mkeys[order], mins["m"].to_numpy(dtype=np.int64)[order]
+
+    def pick(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        if len(mkeys) == 0:
+            keep = np.zeros(len(nk), dtype=bool)
+        else:
+            idx = np.searchsorted(mkeys, nk)
+            np.minimum(idx, len(mkeys) - 1, out=idx)
+            keep = (mkeys[idx] == nk) & (cents == mvals[idx])
+        rows = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [name_by_key[int(k)] for k in nk[keep]], type=pa.string()
+                ),
+                "c_name": b["c_name"].take(rows),
+                "acctbal_cents": pa.array(cents[keep]),
+            }
+        )
+
+    return cust().map_batches(pick, batch_format="pyarrow").sort(
+        ["acctbal_cents", "n_name", "c_name"]
+    )
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 shape — national market share: of all PROMO-part revenue
+    sold to AMERICA-region customers in 1996-1997, the share supplied by
+    NATION_3, by order year. Exact integer output (nation_cents,
+    total_cents, share_milli = nation*1000 // total) so the oracle matches
+    bit-for-bit. Plan: PROMO partkeys broadcast-semi onto the lineitem
+    stream, supplier dim broadcast for the numerator flag, orders⋈customer
+    and lineitem⋈orders each via ONE co-partitioned shuffle, then (year)
+    partials merge tiny (tpch/queries/8.sql shape)."""
+    from ..functions.join import (
+        broadcast_hash_join,
+        broadcast_semi_join,
+        shuffle_hash_join,
+    )
+
+    NK = 3  # numerator nation (NATION_3)
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rk = region.filter(pa.compute.equal(region["r_name"], "AMERICA"))[
+        "r_regionkey"
+    ].to_numpy(zero_copy_only=False)
+    nat_keys = np.sort(
+        nation.filter(
+            pa.compute.is_in(nation["n_regionkey"], value_set=pa.array(rk))
+        )["n_nationkey"].to_numpy(zero_copy_only=False)
+    )
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    pkeys = np.sort(
+        part.filter(pa.compute.equal(part["p_type"], "PROMO"))[
+            "p_partkey"
+        ].to_numpy(zero_copy_only=False)
+    )
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1998-01-01T00:00:00", "us").astype(np.int64)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(
+            pa.compute.is_in(
+                b["c_nationkey"].cast(pa.int64()),
+                value_set=pa.array(nat_keys, type=pa.int64()),
+            )
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        ts = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        rows = pa.array(np.flatnonzero(keep))
+        yr = (
+            ts[keep].astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].take(rows),
+                "o_custkey": b["o_custkey"].take(rows),
+                "o_year": pa.array(yr),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ofilter, batch_format="pyarrow")
+    ordy = shuffle_hash_join(orders, cust, "o_custkey", "c_custkey").map_batches(
+        lambda b: b.select(["o_orderkey", "o_year"]), batch_format="pyarrow"
+    )
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    def lcents(b: pa.Table) -> pa.Table:
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "cents": pa.array(
+                    np.floor(px * (1 - disc) * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    li = broadcast_semi_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"],
+        ),
+        pkeys,
+        "l_partkey",
+    ).map_batches(lcents, batch_format="pyarrow")
+    li = broadcast_hash_join(li, supplier, "l_suppkey", "s_suppkey")
+    joined = shuffle_hash_join(li, ordy, "l_orderkey", "o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        is_nk = (
+            b["s_nationkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            == NK
+        )
+        g = pa.table(
+            {
+                "o_year": b["o_year_r"].cast(pa.int64()),
+                "nc": pa.array(np.where(is_nk, cents, 0)),
+                "tc": pa.array(cents),
+            }
+        ).group_by(["o_year"]).aggregate([("nc", "sum"), ("tc", "sum")])
+        return pa.table(
+            {
+                "o_year": g["o_year"],
+                "nc": g["nc_sum"].cast(pa.int64()),
+                "tc": g["tc_sum"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("nc", alias_name="nc"), Sum("tc", alias_name="tc"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nc = b["nc"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tc = b["tc"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_year": b["o_year"].cast(pa.int64()),
+                "nation_cents": pa.array(nc),
+                "total_cents": pa.array(tc),
+                "share_milli": pa.array(nc * 1000 // np.maximum(tc, 1)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("o_year")
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 shape — product-line profit by supplier nation and year for
+    parts whose name contains 'widget'. This schema has no
+    partsupp.ps_supplycost, so unit cost is the part's retail price
+    (profit_cents = revenue_cents − retail_cents×qty — same join/aggregate
+    shape, exact integer math). part and supplier are broadcast dims on
+    the lineitem stream; the single big⋈big (lineitem⋈orders, for the
+    order year) is the co-partitioned shuffle; (nation, year) partials
+    merge tiny (tpch/queries/9.sql shape)."""
+    from ..functions.join import broadcast_hash_join, shuffle_hash_join
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    name_by_key = dict(
+        zip(
+            nation["n_nationkey"].to_numpy(zero_copy_only=False).tolist(),
+            nation["n_name"].to_pylist(),
+        )
+    )
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name",
+                                           "p_retailprice"]
+    )
+    part = part.filter(
+        pa.compute.match_substring(part["p_name"], "widget")
+    )
+    part = pa.table(
+        {
+            "p_partkey": part["p_partkey"],
+            "cost_cents": pa.array(
+                np.floor(
+                    part["p_retailprice"].to_numpy(zero_copy_only=False) * 100
+                    + 0.5
+                ).astype(np.int64)
+            ),
+        }
+    )
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    li = broadcast_hash_join(li, part, "l_partkey", "p_partkey")
+    li = broadcast_hash_join(li, supplier, "l_suppkey", "s_suppkey")
+
+    def lprofit(b: pa.Table) -> pa.Table:
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        qty = np.floor(
+            b["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        rev = np.floor(px * (1 - disc) * 100 + 0.5).astype(np.int64)
+        cost = b["cost_cents"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "nationkey": b["s_nationkey"].cast(pa.int64()),
+                "profit_cents": pa.array(rev - cost * qty),
+            }
+        )
+
+    li = li.map_batches(lprofit, batch_format="pyarrow")
+
+    def oyear(b: pa.Table) -> pa.Table:
+        ts = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        yr = (
+            ts.astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table({"o_orderkey": b["o_orderkey"], "o_year": pa.array(yr)})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(oyear, batch_format="pyarrow")
+    joined = shuffle_hash_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "nationkey": b["nationkey"],
+                "o_year": b["o_year_r"].cast(pa.int64()),
+                "profit_cents": b["profit_cents"],
+            }
+        ).group_by(["nationkey", "o_year"]).aggregate([("profit_cents", "sum")])
+        return pa.table(
+            {
+                "nationkey": g["nationkey"],
+                "o_year": g["o_year"],
+                "profit_cents": g["profit_cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["nationkey", "o_year"])
+        .aggregate(Sum("profit_cents", alias_name="profit_cents"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        keys = b["nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [name_by_key[int(k)] for k in keys], type=pa.string()
+                ),
+                "o_year": b["o_year"].cast(pa.int64()),
+                "profit_cents": b["profit_cents"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["n_name", "o_year"], descending=[False, True]
+    )
+
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 shape — "important stock": parts whose revenue exceeds
+    1.2× the average per-part revenue (Q11's size-scaled fraction made
+    scale-FREE, so the cut stays non-trivial at any corpus size). No
+    partsupp in this schema, so the value measure is lineitem revenue per
+    part — identical shape: per-key partial-merge sums, SCALAR total and
+    part count taken from one more aggregate over the SAME merged result
+    (never a second corpus pass), broadcast compare in exact integers,
+    ordered output. The merged per-part table is parts-sized, materialized
+    once to serve the scalars AND the filter (tpch/queries/11.sql shape)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        px = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {
+                "p_partkey": b["l_partkey"].cast(pa.int64()),
+                "cents": pa.array(
+                    np.floor(px * (1 - disc) * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        ).group_by(["p_partkey"]).aggregate([("cents", "sum")])
+        return pa.table(
+            {"p_partkey": g["p_partkey"], "cents": g["cents_sum"].cast(pa.int64())}
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("cents", alias_name="value_cents"))
+        .materialize()  # parts-sized, reused for the total AND the filter
+    )
+    stat = agg.aggregate(
+        Sum("value_cents", alias_name="t"), Count(alias_name="n")
+    )
+    tot, npart = int(stat["t"] or 0), int(stat["n"] or 0)
+
+    def pick(b: pa.Table) -> pa.Table:
+        v = b["value_cents"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # value > 1.2 x (total / n_parts), exact integers
+        keep = v * npart * 10 > 12 * tot
+        rows = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                "p_partkey": b["p_partkey"].take(rows).cast(pa.int64()),
+                "value_cents": pa.array(v[keep]),
+            }
+        )
+
+    return agg.map_batches(pick, batch_format="pyarrow").sort(
+        ["value_cents", "p_partkey"], descending=[True, False]
+    )
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape — shipping-priority audit: per return-flag (this
+    schema's stand-in for l_shipmode) counts of critical-priority
+    (1-URGENT/2-HIGH) vs other orders among 1996 shipments. ONE
+    co-partitioned shuffle joins the filtered lineitem stream to orders;
+    the two-bucket conditional aggregate partials merge on the tiny flag
+    key (tpch/queries/12.sql shape)."""
+    from ..functions.join import shuffle_hash_join
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+
+    def lfilter(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rows = pa.array(np.flatnonzero((ts >= lo) & (ts < hi)))
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"].take(rows),
+                "l_returnflag": b["l_returnflag"].take(rows),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    ).map_batches(lfilter, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = shuffle_hash_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        crit = pa.compute.is_in(
+            b["o_orderpriority_r"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        ).to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "high": pa.array(crit.astype(np.int64)),
+                "low": pa.array((~crit).astype(np.int64)),
+            }
+        ).group_by(["l_returnflag"]).aggregate([("high", "sum"), ("low", "sum")])
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "high": g["high_sum"].cast(pa.int64()),
+                "low": g["low_sum"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high", alias_name="high_line_count"),
+            Sum("low", alias_name="low_line_count"),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_returnflag": b["l_returnflag"],
+                    "high_line_count": b["high_line_count"].cast(pa.int64()),
+                    "low_line_count": b["low_line_count"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("l_returnflag")
+    )
+
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 shape — suppliers with excess availability of a target
+    part class: suppliers whose 1996 shipped quantity of PROMO-type parts
+    exceeds 20% of their total 1996 shipped quantity (the partsupp
+    availability subquery re-keyed to shipments). ONE lineitem pass
+    builds per-supplier (promo_qty, total_qty) partials with the PROMO
+    partkey set broadcast via ray.put; the tiny merged result yields the
+    qualifying key set, broadcast-semi-joined back onto the supplier
+    dimension stream with the nation name attached
+    (tpch/queries/20.sql shape)."""
+    from ..functions.join import (
+        broadcast_semi_join,
+        get_broadcast,
+        put_broadcast,
+    )
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    pkeys_ref = put_broadcast(
+        np.sort(
+            part.filter(pa.compute.equal(part["p_type"], "PROMO"))[
+                "p_partkey"
+            ].to_numpy(zero_copy_only=False)
+        )
+    )
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = get_broadcast(pkeys_ref)
+        ts = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        qty = np.floor(
+            b["l_quantity"].to_numpy(zero_copy_only=False)[keep] + 0.5
+        ).astype(np.int64)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+        if len(pk):
+            idx = np.searchsorted(pk, lpk)
+            np.minimum(idx, len(pk) - 1, out=idx)
+            promo = pk[idx] == lpk
+        else:
+            promo = np.zeros(len(lpk), dtype=bool)
+        g = pa.table(
+            {
+                "l_suppkey": pa.array(
+                    b["l_suppkey"].to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "tq": pa.array(qty),
+                "pq": pa.array(np.where(promo, qty, 0)),
+            }
+        ).group_by(["l_suppkey"]).aggregate([("tq", "sum"), ("pq", "sum")])
+        return pa.table(
+            {
+                "l_suppkey": g["l_suppkey"],
+                "tq": g["tq_sum"].cast(pa.int64()),
+                "pq": g["pq_sum"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("tq", alias_name="tq"), Sum("pq", alias_name="pq"))
+    )
+    qual = []
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        tq = b["tq"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pq_ = b["pq"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        qual.append(sk[pq_ * 5 > tq])  # promo share > 20%, exact integers
+    qual = np.concatenate(qual) if qual else np.array([], dtype=np.int64)
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    name_by_key = dict(
+        zip(
+            nation["n_nationkey"].to_numpy(zero_copy_only=False).tolist(),
+            nation["n_name"].to_pylist(),
+        )
+    )
+    supp = broadcast_semi_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_name", "s_nationkey"],
+        ),
+        qual,
+        "s_suppkey",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = b["s_nationkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s_name": b["s_name"],
+                "n_name": pa.array(
+                    [name_by_key[int(k)] for k in nk], type=pa.string()
+                ),
+            }
+        )
+
+    return supp.map_batches(finish, batch_format="pyarrow").sort("s_name")
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 shape — suppliers who kept finished orders waiting: on
+    'F' orders involving ≥2 distinct suppliers, the supplier who was
+    STRICTLY last to ship (unique max shipdate — the exists/not-exists
+    pair over sibling lineitems, re-keyed to l_shipdate since this schema
+    has no commit/receipt dates). Plan: per-batch (order, supplier)
+    Max-shipdate partials shrink the stream to near-distinct pairs; the
+    pair stream and the F-order keys project onto ONE unified schema and
+    union, so a SINGLE hash shuffle co-locates each order's pairs with
+    its status marker; the per-order unique-argmax is a vectorized
+    lexsort+reduceat kernel per bucket (funnel kernel family);
+    per-supplier counts merge tiny and the top 10 attach names from the
+    broadcast supplier dim (tpch/queries/21.sql shape)."""
+    BUCKET = "__q21_bucket__"
+    N_BUCKETS = 32
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "ok": b["l_orderkey"].cast(pa.int64()),
+                "sk": b["l_suppkey"].cast(pa.int64()),
+                "ship": b["l_shipdate"].cast(pa.int64()),
+            }
+        ).group_by(["ok", "sk"]).aggregate([("ship", "max")])
+        ok = g["ok"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = (
+                ok.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) >> np.uint64(32)
+        return pa.table(
+            {
+                "ok": g["ok"],
+                "sk": g["sk"],
+                "ship": g["ship_max"].cast(pa.int64()),
+                BUCKET: pa.array((h % np.uint64(N_BUCKETS)).astype(np.int64)),
+            }
+        )
+
+    pairs = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(pair_partial, batch_format="pyarrow")
+
+    def fmark(b: pa.Table) -> pa.Table:
+        f = b.filter(pa.compute.equal(b["o_orderstatus"], "F"))
+        ok = f["o_orderkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = (
+                ok.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) >> np.uint64(32)
+        return pa.table(
+            {
+                "ok": pa.array(ok, type=pa.int64()),
+                "sk": pa.array(
+                    np.full(len(ok), -1, dtype=np.int64)
+                ),  # status marker rows
+                "ship": pa.array(np.zeros(len(ok), dtype=np.int64)),
+                BUCKET: pa.array((h % np.uint64(N_BUCKETS)).astype(np.int64)),
+            }
+        )
+
+    forders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(fmark, batch_format="pyarrow")
+
+    def kernel(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        ok = g["ok"].to_numpy(zero_copy_only=False)
+        sk = g["sk"].to_numpy(zero_copy_only=False)
+        ship = g["ship"].to_numpy(zero_copy_only=False)
+        # keep only orders that carry an 'F' status marker (sk == -1)
+        fset = np.unique(ok[sk == -1])
+        if len(fset) == 0:
+            return empty
+        idx = np.searchsorted(fset, ok)
+        np.minimum(idx, len(fset) - 1, out=idx)
+        keep = (fset[idx] == ok) & (sk >= 0)
+        ok, sk, ship = ok[keep], sk[keep], ship[keep]
+        if len(ok) == 0:
+            return empty
+        # fold cross-block partials: per (order, supplier) max shipdate
+        order = np.lexsort((sk, ok))
+        ok, sk, ship = ok[order], sk[order], ship[order]
+        new = np.r_[True, (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])]
+        starts = np.flatnonzero(new)
+        pm = np.maximum.reduceat(ship, starts)
+        pok, psk = ok[starts], sk[starts]
+        # per-order: distinct suppliers, max, and count at max
+        onew = np.r_[True, pok[1:] != pok[:-1]]
+        ostarts = np.flatnonzero(onew)
+        ns = np.diff(np.r_[ostarts, len(pok)])
+        om = np.maximum.reduceat(pm, ostarts)
+        seg = np.repeat(np.arange(len(ostarts)), ns)
+        atmax = pm == om[seg]
+        nmax = np.add.reduceat(atmax.astype(np.int64), ostarts)
+        blocked = (ns >= 2) & (nmax == 1)
+        waiters = psk[atmax & blocked[seg]]
+        if len(waiters) == 0:
+            return empty
+        uniq, cnt = np.unique(waiters, return_counts=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        pairs.union(forders)
+        .groupby(BUCKET)
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("n", alias_name="numwait"))
+    )
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    name_by_key = dict(
+        zip(
+            supplier["s_suppkey"].to_numpy(zero_copy_only=False).tolist(),
+            supplier["s_name"].to_pylist(),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        keys = b["s_suppkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s_name": pa.array(
+                    [name_by_key[int(k)] for k in keys], type=pa.string()
+                ),
+                "numwait": b["numwait"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        counts.map_batches(finish, batch_format="pyarrow")
+        .sort(["numwait", "s_name"], descending=[True, False])
+        .limit(10)
+    )
+
+
 def q_roundtrip_embeddings(sf_dir: str):
     """Float-column coverage: the embeddings vectors ride through the
     SAME int32 codec engine via a zero-copy bit view (float32 bits →
@@ -4566,6 +5325,13 @@ def build_queries() -> dict:
     q["profile_orders"] = q_profile_orders
     q["tpch_q15"] = q_tpch_q15
     q["tpch_q22"] = q_tpch_q22
+    q["tpch_q2"] = q_tpch_q2
+    q["tpch_q8"] = q_tpch_q8
+    q["tpch_q9"] = q_tpch_q9
+    q["tpch_q11"] = q_tpch_q11
+    q["tpch_q12"] = q_tpch_q12
+    q["tpch_q20"] = q_tpch_q20
+    q["tpch_q21"] = q_tpch_q21
     q["cms_word_counts"] = q_cms_word_counts
     q["roundtrip_embeddings"] = q_roundtrip_embeddings
     q["docs_fuzzy"] = q_docs_fuzzy
@@ -5299,6 +6065,142 @@ def build_oracle_sql() -> dict:
                CAST(count(*) AS BIGINT) AS n_matched
         FROM lineitem l JOIN agg a ON l.l_partkey = a.l_partkey
         WHERE CAST(l.l_quantity AS BIGINT) * 5 * a.c < a.s
+    """
+    sql["tpch_q2"] = """
+        WITH c AS (
+          SELECT c_name, c_nationkey,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ), m AS (
+          SELECT c_nationkey, min(cents) AS mc FROM c GROUP BY 1
+        )
+        SELECT n_name, c.c_name, c.cents AS acctbal_cents
+        FROM c
+        JOIN m ON c.c_nationkey = m.c_nationkey AND c.cents = m.mc
+        JOIN nation ON c.c_nationkey = n_nationkey
+        ORDER BY acctbal_cents, n_name, c_name
+    """
+    sql["tpch_q8"] = """
+        WITH j AS (
+          SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CASE WHEN s.s_nationkey = 3
+                      THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                      * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END AS nc,
+                 CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                            * 100 + 0.5) AS BIGINT) AS tc
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE p.p_type = 'PROMO'
+            AND r.r_name = 'AMERICA'
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        )
+        SELECT o_year,
+               CAST(sum(nc) AS BIGINT) AS nation_cents,
+               CAST(sum(tc) AS BIGINT) AS total_cents,
+               CAST(CAST(sum(nc) AS BIGINT) * 1000
+                    // greatest(CAST(sum(tc) AS BIGINT), 1)
+                    AS BIGINT) AS share_milli
+        FROM j GROUP BY 1 ORDER BY 1
+    """
+    sql["tpch_q9"] = """
+        SELECT n_name,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 100 + 0.5) AS BIGINT)
+                        - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT))
+                    AS BIGINT) AS profit_cents
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY n_name, o_year DESC
+    """
+    sql["tpch_q11"] = """
+        WITH v AS (
+          SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+                 CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+          FROM lineitem GROUP BY 1
+        )
+        SELECT p_partkey, value_cents FROM v
+        WHERE value_cents * (SELECT count(*) FROM v) * 10
+              > 12 * (SELECT CAST(sum(value_cents) AS BIGINT) FROM v)
+        ORDER BY value_cents DESC, p_partkey
+    """
+    sql["tpch_q12"] = """
+        SELECT l_returnflag,
+               CAST(count(*) FILTER (o_orderpriority IN
+                                     ('1-URGENT', '2-HIGH'))
+                    AS BIGINT) AS high_line_count,
+               CAST(count(*) FILTER (o_orderpriority NOT IN
+                                     ('1-URGENT', '2-HIGH'))
+                    AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1 ORDER BY 1
+    """
+    sql["tpch_q20"] = """
+        WITH l AS (
+          SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS q,
+                 CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END AS pq
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+        ), s AS (
+          SELECT l_suppkey, CAST(sum(q) AS BIGINT) AS tq,
+                 CAST(sum(pq) AS BIGINT) AS pq
+          FROM l GROUP BY 1
+        )
+        SELECT s_name, n_name
+        FROM supplier
+        JOIN s ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s.pq * 5 > s.tq
+        ORDER BY s_name
+    """
+    sql["tpch_q21"] = """
+        WITH pm AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS ok,
+                 CAST(l_suppkey AS BIGINT) AS sk,
+                 max(l_shipdate) AS m
+          FROM lineitem GROUP BY 1, 2
+        ), f AS (
+          SELECT pm.* FROM pm
+          JOIN orders ON pm.ok = o_orderkey
+          WHERE o_orderstatus = 'F'
+        ), ord AS (
+          SELECT ok, max(m) AS om, count(*) AS ns FROM f GROUP BY 1
+        ), atmax AS (
+          SELECT f.ok, min(f.sk) AS sk, count(*) AS nmax
+          FROM f JOIN ord USING (ok)
+          WHERE f.m = ord.om
+          GROUP BY 1
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM atmax
+        JOIN ord USING (ok)
+        JOIN supplier ON atmax.sk = s_suppkey
+        WHERE ord.ns >= 2 AND atmax.nmax = 1
+        GROUP BY 1
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
     """
     sql["like_trigram_indexed"] = """
         SELECT doc_id, text FROM documents WHERE text LIKE '%merge sort%'
