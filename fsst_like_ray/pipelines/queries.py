@@ -1137,6 +1137,36 @@ MIX_RATES_BP = {"src0": 10_000, "src1": 7_500, "src2": 5_000}  # basis pts
 MIX_DEFAULT_BP = 2_500
 
 
+def q_docs_decontaminate(sf_dir: str):
+    """Train/benchmark decontamination: documents split 80/20 by the
+    seeded multiplicative doc_id hash (the held-out fifth plays the
+    benchmark suite); every TRAIN doc sharing ≥1 exact 5-word window
+    with the benchmark is reported with its distinct-gram hit count.
+    Benchmark grams broadcast once via ray.put; the train side streams
+    through one vectorized hash-prefilter + exact-string-verify pass —
+    no shuffle (functions/decontam.py)."""
+    from ..functions.decontam import contamination_report
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def split(is_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            h = (
+                ids.astype(np.uint64) * np.uint64(2654435761)
+            ) % np.uint64(4294967296) % np.uint64(5)
+            keep = (h == 0) if is_bench else (h != 0)
+            return b.filter(pa.array(keep))
+
+        return f
+
+    bench = ds.map_batches(split(True), batch_format="pyarrow")
+    train = ds.map_batches(split(False), batch_format="pyarrow")
+    return contamination_report(train, bench, k=5)
+
+
 def q_docs_mixture_sample(sf_dir: str):
     """Data-mixture sampling: per-SOURCE keep rates (basis points) applied
     via the seeded multiplicative doc_id hash — the deterministic
@@ -5282,6 +5312,7 @@ def build_queries() -> dict:
     q["events_value_moments"] = q_events_value_moments
     q["docs_chunked"] = q_docs_chunked
     q["docs_mixture_sample"] = q_docs_mixture_sample
+    q["docs_decontaminate"] = q_docs_decontaminate
     q["dedup_spans_planted"] = q_dedup_spans_planted
     q["ingest_jsonl"] = q_ingest_jsonl
     q["ingest_csv"] = q_ingest_csv
@@ -5664,6 +5695,34 @@ def build_oracle_sql() -> dict:
     sql["dedup_spans_planted"] = """
         SELECT CAST(i AS BIGINT) AS doc_a, CAST(i + 20 AS BIGINT) AS doc_b
         FROM range(5) t(i)
+    """
+    sql["docs_decontaminate"] = """
+        WITH tok AS (
+          SELECT doc_id, w,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(lower(text),
+                                                 '[^a-z0-9]+')) AS w,
+                       unnest(generate_series(1, len(string_split_regex(
+                           lower(text), '[^a-z0-9]+')))) AS i
+                FROM documents)
+          WHERE w <> ''
+        ), g AS (
+          SELECT doc_id,
+                 w || ' ' || lead(w, 1) OVER win || ' '
+                   || lead(w, 2) OVER win || ' '
+                   || lead(w, 3) OVER win || ' '
+                   || lead(w, 4) OVER win AS gram
+          FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY j)
+          QUALIFY lead(w, 4) OVER win IS NOT NULL
+        ), b AS (
+          SELECT DISTINCT gram FROM g
+          WHERE (doc_id * 2654435761) % 4294967296 % 5 = 0
+        )
+        SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
+        FROM g JOIN b USING (gram)
+        WHERE (g.doc_id * 2654435761) % 4294967296 % 5 <> 0
+        GROUP BY 1 ORDER BY 1
     """
     sql["docs_mixture_sample"] = f"""
         SELECT doc_id, source FROM documents
