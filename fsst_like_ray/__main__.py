@@ -58,6 +58,7 @@ def cmd_compress(args) -> int:
         args.out,
         codec=args.codec,
         balance_tokens=args.balance_tokens,
+        shared_table=args.shared_table,
     )
     dt = time.time() - t0
     print(json.dumps({**stats, "sec": round(dt, 2),
@@ -269,6 +270,10 @@ def main(argv=None) -> int:
     c.add_argument("out")
     c.add_argument("--codec", default="auto")
     c.add_argument("--balance-tokens", type=int, default=1_000_000)
+    c.add_argument("--shared-table", action="store_true",
+                   help="train ONE global fsst symbol table on a corpus "
+                        "sample and reuse it for every fragment "
+                        "(requires --codec fsst)")
     c.set_defaults(fn=cmd_compress)
 
     d = sub.add_parser("decompress")

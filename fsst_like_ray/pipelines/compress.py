@@ -50,14 +50,21 @@ def encode_dataset(
     concurrency=None,
     batch_size: int | None = DEFAULT_BATCH_ROWS,
     max_tokens_per_state: int | None = None,
+    shared_state: bytes | None = None,
 ) -> "ray.data.Dataset":
     """Encode stage. Codec state is trained per batch (no cross-batch state),
     so the default is a stateless TASK pool — it autoscales to whatever CPUs
     the streaming executor has free, with no actor ramp-up or bundling
     stalls. Pass ``concurrency`` to pin an actor pool instead (useful when a
-    future codec carries heavy per-process setup)."""
+    future codec carries heavy per-process setup). ``shared_state``: a
+    pre-trained global codec state (see ``train_shared_state``) — skips
+    per-batch training entirely."""
     if concurrency is None:
-        fn = EncoderActor(codec=codec, max_tokens_per_state=max_tokens_per_state)
+        fn = EncoderActor(
+            codec=codec,
+            max_tokens_per_state=max_tokens_per_state,
+            shared_state=shared_state,
+        )
         return ds.map_batches(
             lambda b, _fn=fn: _fn(b),
             batch_format="pyarrow",
@@ -69,6 +76,7 @@ def encode_dataset(
         fn_constructor_kwargs={
             "codec": codec,
             "max_tokens_per_state": max_tokens_per_state,
+            "shared_state": shared_state,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -366,6 +374,60 @@ def _rowgroup_specs(
     return specs
 
 
+# codecs whose state can encode ARBITRARY input: fsst falls back to escape
+# literals for byte sequences its symbol table never saw, so one GLOBAL
+# table is always correct (dict/bitpack/for states would reject or corrupt
+# out-of-domain tokens — they stay per-block)
+SHARED_SAFE_CODECS = ("fsst",)
+
+
+def train_shared_state(
+    input_path: str | list[str],
+    codec: str = "fsst",
+    sample_files: int = PLAN_SAMPLE_FILES,
+    sample_tokens: int = 2_000_000,
+) -> bytes:
+    """Train ONE codec state on a bounded, strided driver-side sample of
+    the corpus — the FSST paper's global-table variant: at 10^12 sequences
+    per-block training is ~pure overhead once the symbol distribution is
+    stable, and a shared table also amortizes matcher-state builds (one
+    LRU entry serves every block). The sample reads the FIRST row group of
+    ``sample_files`` fragments evenly strided across the corpus, capped at
+    ``sample_tokens`` total — bounded work regardless of corpus size."""
+    import pyarrow.parquet as pq
+
+    from ..stages.encode import list_buffers
+
+    if codec not in SHARED_SAFE_CODECS:
+        raise ValueError(
+            f"shared state is only sound for {SHARED_SAFE_CODECS}, got "
+            f"{codec!r} (its state cannot encode unseen tokens)"
+        )
+    frags = discover_fragments(input_path)
+    if not frags:
+        raise ValueError("no input fragments to sample")
+    stride = max(1, len(frags) // sample_files)
+    picked = frags[::stride][:sample_files]
+    per_file = max(1, sample_tokens // len(picked))
+    vals, lens = [], []
+    for f in picked:
+        pf = pq.ParquetFile(f)
+        t = pf.read_row_group(0, columns=["tokens"])
+        pf.close()
+        v, o = list_buffers(t["tokens"])
+        cut = int(np.searchsorted(o, o[0] + per_file, side="left"))
+        cut = max(1, min(cut, len(o) - 1))
+        vals.append(v[o[0] : o[cut]])
+        lens.append(np.diff(o[: cut + 1]))
+    values = np.concatenate(vals)
+    offsets = np.concatenate(
+        [np.zeros(1, dtype=np.int64), np.cumsum(np.concatenate(lens))]
+    )
+    from ..codecs import CODECS
+
+    return bytes(CODECS[codec].train(values, offsets))
+
+
 class EncodeSpecTask:
     """map_batches callable over ROW-GROUP SPECS: each task reads its own
     row groups straight from storage, encodes, writes its partition files,
@@ -377,11 +439,19 @@ class EncodeSpecTask:
     streaming executor still schedules, balances and backpressures the spec
     stream exactly as it would data blocks."""
 
-    def __init__(self, data_dir: str, codec: str, max_tokens_per_state, groups_ref):
+    def __init__(
+        self,
+        data_dir: str,
+        codec: str,
+        max_tokens_per_state,
+        groups_ref,
+        shared_state: bytes | None = None,
+    ):
         self.data_dir = data_dir
         self.codec = codec
         self.max_tokens = max_tokens_per_state
         self.groups_ref = groups_ref  # ray.put ONCE; workers read shared memory
+        self.shared_state = shared_state  # ≤ ~2 KB, rides the task closure
 
     def __call__(self, ids: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -407,7 +477,10 @@ class EncodeSpecTask:
                     "frag",
                     pa.array([spec["frag"]] * batch.num_rows, pa.string()),
                 )
-                enc = encode_table(batch, self.codec, None, self.max_tokens)
+                enc = encode_table(
+                    batch, self.codec, None, self.max_tokens,
+                    shared_state=self.shared_state,
+                )
                 outs.append(_write_and_summarize(enc, self.data_dir))
         if not outs:
             return _write_and_summarize(
@@ -424,17 +497,29 @@ def compress_dataset(
     fragments_per_round: int = 64,
     balance_tokens: int | None = None,
     concurrency=None,
+    shared_table: bool = False,
 ) -> dict:
     """Encode an input corpus to ``out_dir`` with per-fragment lineage.
 
     Returns the manifest stats after this run. Safe to re-run after a kill:
-    completed fragments are skipped (FIXTURES.md §4 contract)."""
+    completed fragments are skipped (FIXTURES.md §4 contract).
+
+    ``shared_table=True`` (codec must be ``"fsst"``) trains ONE global
+    symbol table on a strided corpus sample and reuses it for every
+    fragment — per-block training drops out of the encode hot path and
+    decode/matcher state is shared everywhere. Resume note: the shared
+    table is retrained from the SAME sample fragments on every run, and
+    the sample is deterministic, so a resumed job encodes new fragments
+    with the identical table (recorded per fragment via ``state_sum``)."""
     import ray
 
     fragments = discover_fragments(input_path)
     manifest = Manifest(out_dir)
     pending = manifest.pending(fragments) if resume else fragments
     data_dir = os.path.join(out_dir, "data")
+    shared_state = (
+        train_shared_state(fragments, codec) if shared_table else None
+    )
 
     batch_rows = DEFAULT_BATCH_ROWS
     if balance_tokens and pending:
@@ -479,7 +564,7 @@ def compress_dataset(
         stat_rows = ds.map_batches(
             EncodeSpecTask(
                 data_dir, codec, balance_tokens or DEFAULT_STATE_TOKENS,
-                groups_ref,
+                groups_ref, shared_state=shared_state,
             ),
             batch_format="pyarrow",
             batch_size=None,
@@ -496,7 +581,9 @@ def compress_dataset(
                 {
                     "fragment": f,
                     "frag_key": key,
-                    "codec_mode": codec,
+                    "codec_mode": (
+                        f"{codec}+shared" if shared_state is not None else codec
+                    ),
                     "rows": r["rows"],
                     "tokens": r["tokens"],
                     "encoded_bytes": r["encoded_bytes"],

@@ -99,6 +99,30 @@ def make_roundtrip(codec: str):
     return q
 
 
+def q_roundtrip_fsst_shared(sf_dir: str):
+    """Global-symbol-table round-trip: ONE fsst table trained on a bounded
+    driver-side sample of the derived tokens, then every batch encodes
+    against it (no per-block training — the 10^12-sequence amortization
+    path, compress.train_shared_state's query twin). Unsampled docs may
+    hold byte pairs the table never saw; fsst's escape fallback keeps the
+    round-trip bit-exact, which is exactly what this oracle gates."""
+    from ..codecs import CODECS
+    from ..stages.encode import list_buffers
+
+    sample = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).slice(0, 64)
+    sample = sample.append_column(
+        "source", pa.nulls(sample.num_rows, type=pa.string())
+    )
+    v, o = list_buffers(to_tokens_batch(sample)["tokens"])
+    state = bytes(CODECS["fsst"].train(v, o))
+
+    enc = encode_dataset(_tokens_ds(sf_dir), codec="fsst", shared_state=state)
+    dec = decode_dataset(enc)
+    return dec.map_batches(tok_str_batch, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ LIKE queries
 LIKE_PATTERNS = {
     "like_contains": ("%scan%", "auto"),
@@ -5260,6 +5284,7 @@ def build_queries() -> dict:
     for name in sorted(CODECS):
         q[f"roundtrip_{name}"] = make_roundtrip(name)
     q["roundtrip_auto"] = make_roundtrip("auto")
+    q["roundtrip_fsst_shared"] = q_roundtrip_fsst_shared
     for name, (pattern, engine) in LIKE_PATTERNS.items():
         q[name] = make_like(pattern, engine)
     q["like_count_contains"] = make_like_count("%scan%", "auto")
@@ -5392,7 +5417,7 @@ def build_queries() -> dict:
 
 def build_oracle_sql() -> dict:
     sql = {}
-    for name in list(sorted(CODECS)) + ["auto"]:
+    for name in list(sorted(CODECS)) + ["auto", "fsst_shared"]:
         sql[f"roundtrip_{name}"] = ROUNDTRIP_SQL
     for name, (pattern, _engine) in LIKE_PATTERNS.items():
         sql[name] = (

@@ -73,10 +73,23 @@ def encode_table(
     codec: str = "auto",
     codec_names=None,
     max_tokens_per_state: int | None = None,
+    shared_state: bytes | None = None,
 ) -> pa.Table:
+    """``shared_state``: a pre-trained codec state (e.g. a GLOBAL fsst
+    symbol table trained once on a corpus sample) — training and the
+    state-scope chunking are skipped entirely; every row encodes against
+    the one state. Only codecs whose state can encode ARBITRARY input
+    (fsst: unseen bytes fall back to escape literals) are safe here —
+    enforced by the caller (``train_shared_state``)."""
     values, offsets = list_buffers(batch["tokens"])
     n = batch.num_rows
-    bounds = _chunk_bounds(offsets, max_tokens_per_state)
+    if shared_state is not None and codec == "auto":
+        raise ValueError("shared_state requires an explicit codec")
+    bounds = (
+        np.array([0, n], dtype=np.int64)
+        if shared_state is not None
+        else _chunk_bounds(offsets, max_tokens_per_state)
+    )
     bufs, pos, states, names = [], [], [], []
     row_chunk = np.empty(n, dtype=np.int32)
     base_bytes = 0
@@ -85,7 +98,9 @@ def encode_table(
         v = values[offsets[lo] : offsets[hi]]
         o = offsets[lo : hi + 1] - offsets[lo]
         state = None
-        if codec == "auto":
+        if shared_state is not None:
+            name, state = codec, shared_state
+        elif codec == "auto":
             name, _est, state = select_codec(v, o, codec_names)
         else:
             name = codec
@@ -147,10 +162,12 @@ class EncoderActor:
         codec: str = "auto",
         codec_names: list[str] | None = None,
         max_tokens_per_state: int | None = None,
+        shared_state: bytes | None = None,
     ):
         self.codec = codec
         self.codec_names = codec_names
         self.max_tokens_per_state = max_tokens_per_state
+        self.shared_state = shared_state
         if codec != "auto" and codec not in CODECS:
             raise ValueError(f"unknown codec {codec!r}")
 
@@ -158,5 +175,6 @@ class EncoderActor:
         if batch.num_rows == 0:
             return batch
         return encode_table(
-            batch, self.codec, self.codec_names, self.max_tokens_per_state
+            batch, self.codec, self.codec_names, self.max_tokens_per_state,
+            shared_state=self.shared_state,
         )

@@ -372,3 +372,94 @@ def test_transcode_skips_uncommitted_source_fragments(
     assert not os.path.exists(
         os.path.join(dst, "data", "frag=deadbeefdeadbeef")
     )
+
+
+def test_shared_table_roundtrip_and_lineage(ray_session, corpus_dir, tmp_path):
+    """Global-symbol-table mode: one fsst table for every fragment —
+    round-trip must stay bit-identical even for rows the training sample
+    never saw (escape fallback), lineage must record the shared mode, and
+    every fragment's state hash must be IDENTICAL (one table everywhere)."""
+    import ray.data
+    from fsst_like_ray.pipelines import compress_dataset, decode_dataset
+    from fsst_like_ray.pipelines.compress import (
+        read_encoded,
+        train_shared_state,
+        verify_roundtrip,
+    )
+    from fsst_like_ray.state.manifest import Manifest
+
+    out = str(tmp_path / "enc_shared")
+    stats = compress_dataset(corpus_dir, out, codec="fsst", shared_table=True)
+    assert stats["fragments"] == 4
+
+    original = ray.data.read_parquet(corpus_dir)
+    decoded = decode_dataset(read_encoded(out))
+    assert verify_roundtrip(original, decoded)["match"]
+
+    recs = list(Manifest(out).completed().values())
+    assert all(r["codec_mode"] == "fsst+shared" for r in recs)
+    assert all(r["codecs"] == {"fsst": r["rows"]} for r in recs)
+    # ONE table everywhere: equal-row fragments must checksum identically
+    sums = {r["state_sum"] for r in recs if r["rows"] == recs[0]["rows"]}
+    assert len(sums) == 1, sums
+
+    # determinism: retraining from the same corpus gives the same table
+    assert train_shared_state(corpus_dir) == train_shared_state(corpus_dir)
+
+
+def test_shared_table_guards(ray_session, corpus_dir, tmp_path):
+    import pytest as _pytest
+
+    from fsst_like_ray.pipelines.compress import (
+        compress_dataset,
+        train_shared_state,
+    )
+    from fsst_like_ray.stages.encode import encode_table
+    from fsst_like_ray.sources.tokens import tokens_table
+
+    with _pytest.raises(ValueError, match="only sound"):
+        train_shared_state(corpus_dir, codec="dict")
+    with _pytest.raises(ValueError, match="explicit codec"):
+        encode_table(tokens_table(8, seed=1), "auto", shared_state=b"x")
+    with _pytest.raises(ValueError, match="only sound"):
+        compress_dataset(
+            corpus_dir, str(tmp_path / "x"), codec="auto", shared_table=True
+        )
+
+
+def test_shared_state_encodes_unseen_tokens(ray_session):
+    """Train on one tiny distribution, encode a DISJOINT one: fsst escapes
+    must keep the round-trip exact (the soundness claim behind
+    SHARED_SAFE_CODECS)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fsst_like_ray.codecs import CODECS
+    from fsst_like_ray.stages.decode import decode_batch
+    from fsst_like_ray.stages.encode import encode_table, list_buffers
+
+    c = CODECS["fsst"]
+    train_vals = np.arange(100, dtype=np.int32) % 7
+    train_off = np.array([0, 50, 100], dtype=np.int64)
+    state = bytes(c.train(train_vals, train_off))
+
+    rng = np.random.default_rng(3)
+    toks = rng.integers(10**6, 2**31 - 1, size=500, dtype=np.int32)
+    batch = pa.table(
+        {
+            "doc_id": pa.array(np.arange(5), type=pa.int64()),
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, 501, 100, dtype=np.int32),
+                         type=pa.int32()),
+                pa.array(toks, type=pa.int32()),
+            ),
+            "n_tok": pa.array([100] * 5, type=pa.int32()),
+            "source": pa.array(["s"] * 5),
+        }
+    )
+    enc = encode_table(batch, "fsst", shared_state=state)
+    dec = decode_batch(enc)
+    got = np.concatenate(
+        [np.asarray(r, dtype=np.int32) for r in dec["tokens"].to_pylist()]
+    )
+    assert np.array_equal(got, toks)
