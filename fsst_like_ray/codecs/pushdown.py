@@ -111,6 +111,40 @@ def segment_stats(name, buf, payload_offsets, counts, state):
     return _reduce_rows(stream, off)
 
 
+def segment_histogram(name, buf, payload_offsets, counts, state):
+    """SEGMENT-level exact token frequencies: (values:int32, counts:int64),
+    values strictly increasing. Per-codec work avoided:
+
+    - ``rle``/``rlebp-via-decode?`` no — ``rle`` sums run LENGTHS per
+      distinct run value: O(runs log runs), never O(tokens);
+    - ``dict`` bincounts the packed indices against the dictionary length
+      and gathers values only for the tiny nonzero set;
+    - ``plain`` is a zero-copy int32 view + unique;
+    - everything else decodes to the flat stream first (still no Arrow)."""
+    if name == "rle":
+        vals, lens, _run_off = _rle_runs(buf, payload_offsets)
+        if not len(vals):
+            return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int64)
+        order = np.argsort(vals, kind="stable")
+        sv, sl = vals[order], lens[order]
+        new = np.r_[True, sv[1:] != sv[:-1]]
+        starts = np.flatnonzero(new)
+        return sv[starts], np.add.reduceat(sl, starts)
+    if name == "plain":
+        vals = np.ascontiguousarray(buf).view(np.int32)
+        u, c = np.unique(vals, return_counts=True)
+        return u, c.astype(np.int64)
+    if name == "dict":
+        width, dictv = _dict_state(state)
+        idx = unpack_rows(buf, payload_offsets, counts, width)
+        bc = np.bincount(idx.astype(np.int64), minlength=len(dictv))
+        nz = np.flatnonzero(bc)
+        return dictv[nz].astype(np.int32), bc[nz].astype(np.int64)
+    stream = CODECS[name].decode(buf, payload_offsets, counts, state)
+    u, c = np.unique(stream, return_counts=True)
+    return u.astype(np.int32), c.astype(np.int64)
+
+
 def state_can_contain(name, state, tid: int) -> bool:
     """Block-level zone check: False proves NO row in the segment holds
     ``tid`` — the segment is skipped without touching payload bytes."""

@@ -72,3 +72,49 @@ def contains_token_scan(
         return batch.select(["doc_id"]).filter(pa.array(hit))
 
     return enc.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_histogram(enc: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact GLOBAL token frequencies from the encoded corpus — the
+    compressed-domain twin of ``SELECT token, count(*) … GROUP BY token``.
+    Each batch folds its segments' ``segment_histogram`` results into one
+    per-batch (token, cnt) partial (RLE segments touch runs, dict segments
+    count packed indices, plain is a zero-copy view), so the shuffle moves
+    per-block DISTINCT tokens only — vocabulary-bounded, never
+    corpus-bounded. The merge is one small groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    from ..codecs.pushdown import segment_histogram
+
+    def partial(batch: pa.Table) -> pa.Table:
+        segments, pay_buf, pay_off, counts = encoded_segment_runs(batch)
+        vals, cnts = [], []
+        for lo, hi, name, state in segments:
+            sub = pay_buf[pay_off[lo] : pay_off[hi]]
+            so = pay_off[lo : hi + 1] - pay_off[lo]
+            v, c = segment_histogram(name, sub, so, counts[lo:hi], state)
+            vals.append(v.astype(np.int64))
+            cnts.append(c)
+        if vals:
+            av = np.concatenate(vals)
+            ac = np.concatenate(cnts)
+            order = np.argsort(av, kind="stable")
+            av, ac = av[order], ac[order]
+            starts = np.flatnonzero(np.r_[True, av[1:] != av[:-1]])
+            av = av[starts]
+            ac = np.add.reduceat(ac, starts)
+        else:
+            av = np.zeros(0, dtype=np.int64)
+            ac = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "token": pa.array(av, type=pa.int64()),
+                "cnt": pa.array(ac, type=pa.int64()),
+            }
+        )
+
+    return (
+        enc.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )

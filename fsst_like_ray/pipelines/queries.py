@@ -2002,6 +2002,32 @@ def q_token_stats_pushdown(sf_dir: str):
     return token_stats(enc)
 
 
+def q_token_histogram_pushdown(sf_dir: str):
+    """Top-20 most frequent tokens with exact counts, computed in the
+    COMPRESSED domain (codecs/pushdown.py segment_histogram): RLE segments
+    sum run lengths per distinct run value (O(runs)), dict segments
+    bincount packed indices, plain is a zero-copy view. The shuffle moves
+    per-block DISTINCT tokens (vocabulary-bounded); top-k is a tiny sort
+    of the merged histogram."""
+    from .numscan import token_histogram
+
+    enc = encode_dataset(_tokens_ds(sf_dir), codec="auto")
+    return (
+        token_histogram(enc)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "token": b["token"].cast(pa.int64()),
+                    "cnt": b["cnt"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(20)
+    )
+
+
 def q_contains_token_pushdown(sf_dir: str):
     """Docs whose token list contains ord('q') — token-membership pushed
     down to the encoded payloads with dict/bitpack zone checks (a segment
@@ -5357,6 +5383,7 @@ def build_queries() -> dict:
     q["events_asof"] = q_events_asof
     q["events_range_join"] = q_events_range_join
     q["token_stats_pushdown"] = q_token_stats_pushdown
+    q["token_histogram_pushdown"] = q_token_histogram_pushdown
     q["contains_token_pushdown"] = q_contains_token_pushdown
     q["contains_token_indexed"] = q_contains_token_indexed
     q["compaction_roundtrip"] = q_compaction_roundtrip
@@ -5996,6 +6023,17 @@ def build_oracle_sql() -> dict:
                CAST(list_min(toks) AS INT) AS tok_min,
                CAST(list_max(toks) AS INT) AS tok_max
         FROM t
+    """
+    sql["token_histogram_pushdown"] = """
+        WITH t AS (
+          SELECT unnest([CAST(unicode(substr(text, i, 1)) AS INT)
+                         FOR i IN range(1, length(text) + 1)]) AS token
+          FROM documents
+        )
+        SELECT CAST(token AS BIGINT) AS token,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM t GROUP BY 1
+        ORDER BY cnt DESC, token LIMIT 20
     """
     sql["contains_token_pushdown"] = (
         "SELECT doc_id FROM documents WHERE contains(text, 'q')"

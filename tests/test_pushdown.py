@@ -93,3 +93,19 @@ def test_zone_checks_prove_absence():
     assert state_can_contain("rlebp", state, 100 + (1 << vw) - 1)
     assert not state_can_contain("rlebp", state, 100 + (1 << vw))
     assert not state_can_contain("rlebp", state, 99)
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_segment_histogram_matches_decoded(name):
+    from fsst_like_ray.codecs.pushdown import segment_histogram
+
+    rng = np.random.default_rng(7)
+    rows, values, offsets = _corpus(rng)
+    c = CODECS[name]
+    state, buf, po = c.train_encode(values, offsets)
+    counts = np.diff(offsets)
+    v, n = segment_histogram(name, buf, po, counts, state)
+    want_v, want_n = np.unique(values, return_counts=True)
+    assert np.array_equal(np.sort(v), np.asarray(v)), name  # sorted contract
+    assert np.array_equal(v, want_v), name
+    assert np.array_equal(n, want_n.astype(np.int64)), name
