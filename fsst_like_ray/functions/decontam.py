@@ -64,17 +64,24 @@ def benchmark_grams(
 
     def per_batch(b: pa.Table) -> pa.Table:
         h, ids, pos = _window_rows(b, text_col, k, id_col)
+        if len(h) == 0:  # empty / punctuation-only bench batch
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.int64()),
+                    "win": pa.array([], type=pa.string()),
+                }
+            )
         # dedup by hash first (cheap, vectorized), then materialize the
         # texts of the distinct-hash windows; equal grams always share a
         # hash, so no gram is lost across batches (the driver unions the
         # strings). The one theoretical gap: two DISTINCT grams colliding
         # on the same 64-bit hash within one batch keep only the first
         # text (~n²/2⁶⁴ odds — accepted, same hash family as spans.py)
-        _, first = np.unique(h, return_index=True)
+        uh, first = np.unique(h, return_index=True)
         wins = _window_texts(b, text_col, k, id_col, ids, pos, first)
         return pa.table(
             {
-                "h": pa.array(np.unique(h).view(np.int64), type=pa.int64()),
+                "h": pa.array(uh.view(np.int64), type=pa.int64()),
                 "win": pa.array(wins, type=pa.string()),
             }
         )
@@ -100,32 +107,30 @@ def contamination_report(
     id_col: str = "doc_id",
     k: int = 5,
 ) -> "ray.data.Dataset":
-    """(doc_id, n_hits) for every training doc sharing ≥1 exact k-word
+    """(``id_col``, n_hits) for every training doc sharing ≥1 exact k-word
     window with the benchmark; n_hits counts DISTINCT shared grams."""
+    from .join import get_broadcast, put_broadcast
+
     hs, gram_set = benchmark_grams(bench, text_col, id_col, k)
-    ref = ray.put((hs, gram_set)) if ray.is_initialized() else (hs, gram_set)
+    ref = put_broadcast((hs, gram_set))
 
     def scan(b: pa.Table) -> pa.Table:
-        bh, bgrams = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        bh, bgrams = get_broadcast(ref)
         h, ids, pos = _window_rows(b, text_col, k, id_col)
         hi = h.view(np.int64)
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "n_hits": pa.array([], type=pa.int64()),
+            }
+        )
         if len(bh) == 0 or len(hi) == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "n_hits": pa.array([], type=pa.int64()),
-                }
-            )
+            return empty
         ix = np.searchsorted(bh, hi)
         np.minimum(ix, len(bh) - 1, out=ix)
         sel = np.flatnonzero(bh[ix] == hi)
         if len(sel) == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "n_hits": pa.array([], type=pa.int64()),
-                }
-            )
+            return empty
         wins = _window_texts(b, text_col, k, id_col, ids, pos, sel)
         per_doc: dict[int, set] = {}
         for i, w in zip(sel, wins):
@@ -134,7 +139,7 @@ def contamination_report(
         items = sorted((d, len(s)) for d, s in per_doc.items())
         return pa.table(
             {
-                "doc_id": pa.array([d for d, _ in items], type=pa.int64()),
+                id_col: pa.array([d for d, _ in items], type=pa.int64()),
                 "n_hits": pa.array([n for _, n in items], type=pa.int64()),
             }
         )

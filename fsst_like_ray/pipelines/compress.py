@@ -29,7 +29,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..stages.encode import EncoderActor, encode_table
+from ..stages.encode import SHARED_SAFE_CODECS, EncoderActor, encode_table
 from ..stages.decode import decode_batch
 from ..stages.verify import hash_summary
 from ..state.manifest import Manifest, fragment_key
@@ -374,13 +374,6 @@ def _rowgroup_specs(
     return specs
 
 
-# codecs whose state can encode ARBITRARY input: fsst falls back to escape
-# literals for byte sequences its symbol table never saw, so one GLOBAL
-# table is always correct (dict/bitpack/for states would reject or corrupt
-# out-of-domain tokens — they stay per-block)
-SHARED_SAFE_CODECS = ("fsst",)
-
-
 def train_shared_state(
     input_path: str | list[str],
     codec: str = "fsst",
@@ -406,7 +399,7 @@ def train_shared_state(
     frags = discover_fragments(input_path)
     if not frags:
         raise ValueError("no input fragments to sample")
-    stride = max(1, len(frags) // sample_files)
+    stride = -(-len(frags) // sample_files)  # ceil: picks span the corpus
     picked = frags[::stride][:sample_files]
     per_file = max(1, sample_tokens // len(picked))
     vals, lens = [], []
@@ -415,10 +408,17 @@ def train_shared_state(
         t = pf.read_row_group(0, columns=["tokens"])
         pf.close()
         v, o = list_buffers(t["tokens"])
+        if len(o) < 2:  # empty first row group — skip this sample file
+            continue
         cut = int(np.searchsorted(o, o[0] + per_file, side="left"))
         cut = max(1, min(cut, len(o) - 1))
         vals.append(v[o[0] : o[cut]])
         lens.append(np.diff(o[: cut + 1]))
+    if not vals:
+        raise ValueError(
+            "shared-table sample is empty (every sampled fragment's first "
+            "row group has 0 rows)"
+        )
     values = np.concatenate(vals)
     offsets = np.concatenate(
         [np.zeros(1, dtype=np.int64), np.cumsum(np.concatenate(lens))]
@@ -517,9 +517,19 @@ def compress_dataset(
     manifest = Manifest(out_dir)
     pending = manifest.pending(fragments) if resume else fragments
     data_dir = os.path.join(out_dir, "data")
+    # trained from the FULL fragment list (resume-deterministic), but only
+    # when there is pending work — a fully-resumed no-op run skips the
+    # sample read and training entirely
     shared_state = (
-        train_shared_state(fragments, codec) if shared_table else None
+        train_shared_state(fragments, codec)
+        if shared_table and pending
+        else None
     )
+    if shared_table and codec not in SHARED_SAFE_CODECS:
+        raise ValueError(
+            f"shared state is only sound for {SHARED_SAFE_CODECS}, got "
+            f"{codec!r}"
+        )
 
     batch_rows = DEFAULT_BATCH_ROWS
     if balance_tokens and pending:

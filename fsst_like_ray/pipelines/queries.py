@@ -4114,9 +4114,12 @@ def q_tpch_q2(sf_dir: str):
 
     def prep(b: pa.Table) -> pa.Table:
         nk = b["c_nationkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(nat_keys, nk)
-        np.minimum(idx, len(nat_keys) - 1, out=idx)
-        keep = nat_keys[idx] == nk
+        if len(nat_keys) == 0:
+            keep = np.zeros(len(nk), dtype=bool)
+        else:
+            idx = np.searchsorted(nat_keys, nk)
+            np.minimum(idx, len(nat_keys) - 1, out=idx)
+            keep = nat_keys[idx] == nk
         rows = pa.array(np.flatnonzero(keep))
         cents = np.floor(
             b["c_acctbal"].to_numpy(zero_copy_only=False)[keep] * 100 + 0.5

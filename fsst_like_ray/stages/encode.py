@@ -18,6 +18,12 @@ import pyarrow as pa
 
 from ..codecs import CODECS, select_codec
 
+# codecs whose state can encode ARBITRARY input: fsst falls back to escape
+# literals for byte sequences its symbol table never saw, so one GLOBAL
+# table is always correct (dict/bitpack/for states would reject or corrupt
+# out-of-domain tokens — they stay per-block)
+SHARED_SAFE_CODECS = ("fsst",)
+
 ENCODED_SCHEMA_FIELDS = [
     "doc_id",
     "n_tok",
@@ -85,6 +91,15 @@ def encode_table(
     n = batch.num_rows
     if shared_state is not None and codec == "auto":
         raise ValueError("shared_state requires an explicit codec")
+    if shared_state is not None and codec not in SHARED_SAFE_CODECS:
+        # this is the choke point every encode path funnels through: a
+        # dict/bitpack state missing the batch's tokens would corrupt
+        # SILENTLY (wrong indices, no exception), so reject here, not just
+        # in train_shared_state
+        raise ValueError(
+            f"shared state is only sound for {SHARED_SAFE_CODECS}, got "
+            f"{codec!r} (its state cannot encode unseen tokens)"
+        )
     bounds = (
         np.array([0, n], dtype=np.int64)
         if shared_state is not None

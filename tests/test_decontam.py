@@ -55,3 +55,20 @@ def test_planted_hits(report):
 
 def test_clean_doc_absent(report):
     assert 4 not in report
+
+
+def test_punctuation_only_bench_is_empty(ray_session):
+    """A bench set with no extractable windows must yield an empty report,
+    not crash the window-text derivation."""
+    import ray
+
+    from fsst_like_ray.functions.decontam import contamination_report
+
+    bench = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [9], "text": ["!!! ... ???"]})
+    )
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1], "text": ["some ordinary words here ok"]})
+    )
+    out = contamination_report(docs, bench, k=5).to_pandas()
+    assert len(out) == 0

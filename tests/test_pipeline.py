@@ -463,3 +463,15 @@ def test_shared_state_encodes_unseen_tokens(ray_session):
         [np.asarray(r, dtype=np.int32) for r in dec["tokens"].to_pylist()]
     )
     assert np.array_equal(got, toks)
+
+
+def test_shared_state_rejected_for_unsafe_codec_at_encode(ray_session):
+    """The choke-point guard: a dict shared state must raise at
+    encode_table, not corrupt silently."""
+    import pytest as _pytest
+
+    from fsst_like_ray.sources.tokens import tokens_table
+    from fsst_like_ray.stages.encode import encode_table
+
+    with _pytest.raises(ValueError, match="only sound"):
+        encode_table(tokens_table(8, seed=2), "dict", shared_state=b"x")
