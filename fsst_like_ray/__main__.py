@@ -261,6 +261,31 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_decontam(args) -> int:
+    ray = _ray()
+    import ray.data as rd
+
+    from .functions.decontam import contamination_report
+
+    t0 = time.time()
+    out = contamination_report(
+        rd.read_parquet(args.docs),
+        rd.read_parquet(args.bench),
+        text_col=args.text_col,
+        id_col=args.id_col,
+        k=args.k,
+    )
+    n = 0
+    for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for r in b.to_pylist():
+            print(json.dumps(r))
+            n += 1
+    print(json.dumps({"contaminated_docs": n,
+                      "sec": round(time.time() - t0, 3)}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m fsst_like_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -352,6 +377,18 @@ def main(argv=None) -> int:
     )
     pf.add_argument("input")
     pf.set_defaults(fn=cmd_profile)
+
+    dc = sub.add_parser(
+        "decontam",
+        help="flag docs sharing any exact k-word window with a benchmark "
+             "set (train/test overlap sweep)",
+    )
+    dc.add_argument("docs")
+    dc.add_argument("bench")
+    dc.add_argument("--k", type=int, default=5)
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.set_defaults(fn=cmd_decontam)
 
     args = ap.parse_args(argv)
     return args.fn(args)

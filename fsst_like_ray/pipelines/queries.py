@@ -1161,6 +1161,68 @@ MIX_RATES_BP = {"src0": 10_000, "src1": 7_500, "src2": 5_000}  # basis pts
 MIX_DEFAULT_BP = 2_500
 
 
+def q_online_dedup_epochs(sf_dir: str):
+    """Incremental (ONLINE) exact dedup across two ingestion epochs via
+    the sharded mutable-registry actors (functions/online_dedup.py — the
+    one shared-mutable-index case the Dataset API can't express). Epoch 0
+    ingests docs 0-249; epoch 1 ingests docs 250+ (new texts) PLUS planted
+    copies of the first PLANT_N epoch-0 texts (cross-epoch dups — must be
+    rejected by registry state from the previous pass) PLUS second copies
+    of PLANT_N epoch-1 texts (in-epoch dups). Output counts are
+    deterministic under concurrent ingest; keeper identity is not (and is
+    not reported)."""
+    import pyarrow.compute as pc
+
+    from ..functions.online_dedup import OnlineDedup
+
+    ds = _docs(sf_dir, ("doc_id", "text"))
+    half = ds.map_batches(
+        lambda b: b.filter(pa.compute.less(b["doc_id"], 250)),
+        batch_format="pyarrow",
+    )
+
+    def epoch1(b: pa.Table) -> pa.Table:
+        base = b.filter(pa.compute.greater_equal(b["doc_id"], 250))
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        cross = b.take(pa.array(np.flatnonzero(ids < PLANT_N)))
+        inep = b.take(
+            pa.array(np.flatnonzero((ids >= 250) & (ids < 250 + PLANT_N)))
+        )
+        return pa.concat_tables(
+            [
+                base.select(["doc_id", "text"]),
+                pa.table(
+                    {
+                        "doc_id": pc.add(cross["doc_id"], PLANT_OFFSET),
+                        "text": cross["text"],
+                    }
+                ),
+                pa.table(
+                    {
+                        "doc_id": pc.add(inep["doc_id"], PLANT_OFFSET2),
+                        "text": inep["text"],
+                    }
+                ),
+            ]
+        )
+
+    e1 = ds.map_batches(epoch1, batch_format="pyarrow")
+
+    reg = OnlineDedup(n_shards=4)
+    rows = []
+    for epoch, stream in ((0, half), (1, e1)):
+        n_in = stream.count()
+        n_kept = reg.filter(stream, text_col="text").count()  # drains fully
+        rows.append((epoch, n_in, n_kept))
+    return pa.table(
+        {
+            "epoch": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_in": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_kept": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def q_docs_decontaminate(sf_dir: str):
     """Train/benchmark decontamination: documents split 80/20 by the
     seeded multiplicative doc_id hash (the held-out fifth plays the
@@ -5367,6 +5429,7 @@ def build_queries() -> dict:
     q["docs_chunked"] = q_docs_chunked
     q["docs_mixture_sample"] = q_docs_mixture_sample
     q["docs_decontaminate"] = q_docs_decontaminate
+    q["online_dedup_epochs"] = q_online_dedup_epochs
     q["dedup_spans_planted"] = q_dedup_spans_planted
     q["ingest_jsonl"] = q_ingest_jsonl
     q["ingest_csv"] = q_ingest_csv
@@ -5750,6 +5813,29 @@ def build_oracle_sql() -> dict:
     sql["dedup_spans_planted"] = """
         SELECT CAST(i AS BIGINT) AS doc_a, CAST(i + 20 AS BIGINT) AS doc_b
         FROM range(5) t(i)
+    """
+    sql["online_dedup_epochs"] = f"""
+        WITH e0 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 250
+        ), e1 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 250
+          UNION ALL
+          SELECT doc_id + {PLANT_OFFSET}, text FROM documents
+          WHERE doc_id < {PLANT_N}
+          UNION ALL
+          SELECT doc_id + {PLANT_OFFSET2}, text FROM documents
+          WHERE doc_id >= 250 AND doc_id < 250 + {PLANT_N}
+        )
+        SELECT CAST(0 AS BIGINT) AS epoch,
+               (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_in,
+               (SELECT CAST(count(DISTINCT text) AS BIGINT) FROM e0)
+                   AS n_kept
+        UNION ALL
+        SELECT CAST(1 AS BIGINT),
+               (SELECT CAST(count(*) AS BIGINT) FROM e1),
+               (SELECT CAST(count(DISTINCT text) AS BIGINT) FROM e1
+                WHERE text NOT IN (SELECT text FROM e0))
+        ORDER BY epoch
     """
     sql["docs_decontaminate"] = """
         WITH tok AS (

@@ -242,3 +242,36 @@ def test_giant_single_row_estimation_bounded():
     # pre-fix this took ~20s at 2M tokens (every estimate at full cost);
     # generous wall bound only as a backstop (loaded-host tolerant)
     assert took < 60, took
+
+
+@given(
+    train_rows=st.lists(
+        st.lists(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=30
+        ),
+        max_size=10,
+    ),
+    data_rows=st.lists(
+        st.lists(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=30
+        ),
+        max_size=20,
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_shared_fsst_state_roundtrip_hypothesis(train_rows, data_rows):
+    """A symbol table trained on ANY sample must round-trip ANY other data
+    bit-identically (the escape-fallback soundness claim behind the
+    shared-table mode) — including an empty training sample."""
+    c = CODECS["fsst"]
+    tv = np.array([t for r in train_rows for t in r], dtype=np.int32)
+    to = np.zeros(len(train_rows) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in train_rows], out=to[1:])
+    state = c.train(tv, to)
+
+    dv = np.array([t for r in data_rows for t in r], dtype=np.int32)
+    do = np.zeros(len(data_rows) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in data_rows], out=do[1:])
+    buf, po = c.encode(dv, do, state)
+    out = c.decode(buf, po, np.diff(do).astype(np.int32), state)
+    assert np.array_equal(out, dv)
