@@ -1161,6 +1161,62 @@ MIX_RATES_BP = {"src0": 10_000, "src1": 7_500, "src2": 5_000}  # basis pts
 MIX_DEFAULT_BP = 2_500
 
 
+def q_quantile_sketch_gate(sf_dir: str):
+    """Mergeable-quantile-sketch CONTRACT gate (functions/kll.py): sketch
+    p50/p90/p99 of events.value from per-block compactor sketches (driver
+    merge, no shuffle), then verify each estimate's TRUE rank against the
+    sketch's own self-reported worst-case tolerance — computed by one
+    more streaming pass that counts values </<= each broadcast estimate
+    (the CMS-gate pattern: the operator's certificate is checked against
+    exact distributed counts, and the oracle expects all-true)."""
+    from ..functions.kll import sketch_dataset
+
+    QS = (0.5, 0.9, 0.99)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    sk = sketch_dataset(ds, "value", capacity=1024)
+    est = sk.quantile(QS)
+    tol = sk.rank_tolerance()
+
+    def counts(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                **{
+                    f"lt{i}": pa.array(
+                        [int((v < est[i]).sum())], type=pa.int64()
+                    )
+                    for i in range(len(QS))
+                },
+                **{
+                    f"le{i}": pa.array(
+                        [int((v <= est[i]).sum())], type=pa.int64()
+                    )
+                    for i in range(len(QS))
+                },
+            }
+        )
+
+    aggs = [
+        Sum(f"{p}{i}", alias_name=f"{p}{i}")
+        for i in range(len(QS))
+        for p in ("lt", "le")
+    ]
+    tot = ds.map_batches(counts, batch_format="pyarrow").aggregate(*aggs)
+    oks = []
+    for i, q in enumerate(QS):
+        target = int(np.ceil(q * sk.n))
+        lo = int(tot[f"lt{i}"] or 0) + 1  # est's true rank range [lo, hi]
+        hi = int(tot[f"le{i}"] or 0)
+        ok = (target >= lo - tol) and (target <= hi + tol)
+        oks.append(ok)
+    return pa.table(
+        {
+            "q": pa.array([str(q) for q in QS], type=pa.string()),
+            "ok": pa.array(oks, type=pa.bool_()),
+        }
+    )
+
+
 def q_online_dedup_epochs(sf_dir: str):
     """Incremental (ONLINE) exact dedup across two ingestion epochs via
     the sharded mutable-registry actors (functions/online_dedup.py — the
@@ -5430,6 +5486,7 @@ def build_queries() -> dict:
     q["docs_mixture_sample"] = q_docs_mixture_sample
     q["docs_decontaminate"] = q_docs_decontaminate
     q["online_dedup_epochs"] = q_online_dedup_epochs
+    q["quantile_sketch_gate"] = q_quantile_sketch_gate
     q["dedup_spans_planted"] = q_dedup_spans_planted
     q["ingest_jsonl"] = q_ingest_jsonl
     q["ingest_csv"] = q_ingest_csv
@@ -5813,6 +5870,12 @@ def build_oracle_sql() -> dict:
     sql["dedup_spans_planted"] = """
         SELECT CAST(i AS BIGINT) AS doc_a, CAST(i + 20 AS BIGINT) AS doc_b
         FROM range(5) t(i)
+    """
+    sql["quantile_sketch_gate"] = """
+        SELECT '0.5' AS q, TRUE AS ok
+        UNION ALL SELECT '0.9', TRUE
+        UNION ALL SELECT '0.99', TRUE
+        ORDER BY q
     """
     sql["online_dedup_epochs"] = f"""
         WITH e0 AS (
