@@ -176,3 +176,78 @@ def sketch_dataset(ds, col: str, capacity: int = 2048) -> QuantileSketch:
                 )
             )
     return out
+
+
+def grouped_sketch_quantiles(
+    ds,
+    key_col: str,
+    val_col: str,
+    qs=(0.5, 0.9, 0.99),
+    capacity: int = 1024,
+):
+    """Per-KEY quantile estimates: one sketch per (block, key) — a few KB
+    regardless of group size — then ONE shuffle of those sketch rows
+    co-locates each key's partials and a vectorized in-group merge
+    answers the quantiles. The shuffle volume is keys × blocks sketch
+    rows, never values (the grouped twin of ``sketch_dataset``; same
+    shape as grouped HLL). Returns (key, q, est, n, tol) rows —
+    ``tol`` is the merged sketch's self-reported rank tolerance."""
+    import pyarrow as pa
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        vals = b[val_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        sk_, sv = keys[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, sk_[1:] != sk_[:-1]])
+        bounds = np.r_[starts, len(sk_)]
+        out_k, out_l, out_v, out_n, out_e = [], [], [], [], []
+        for i, s in enumerate(starts):
+            seg = sv[s : bounds[i + 1]]
+            sk = QuantileSketch(capacity).add(seg)
+            rows = sk.to_rows()
+            out_k.append(sk_[s])
+            out_l.append([lvl for lvl, _ in rows])
+            out_v.append([arr.tolist() for _, arr in rows])
+            out_n.append(sk.n)
+            out_e.append(sk.err_bound)
+        return pa.table(
+            {
+                key_col: pa.array(out_k),
+                "lvls": pa.array(out_l, type=pa.list_(pa.int64())),
+                "vals": pa.array(out_v, type=pa.list_(pa.list_(pa.float64()))),
+                "n": pa.array(out_n, type=pa.int64()),
+                "err": pa.array(out_e, type=pa.int64()),
+            }
+        )
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        out = QuantileSketch(capacity)
+        for r in g.to_pylist():
+            out.merge(
+                QuantileSketch.from_rows(
+                    list(zip(r["lvls"], [np.asarray(v) for v in r["vals"]])),
+                    int(r["n"]),
+                    int(r["err"]),
+                    capacity,
+                )
+            )
+        est = out.quantile(list(qs))
+        k = g[key_col][0].as_py()
+        return pa.table(
+            {
+                key_col: pa.array([k] * len(est)),
+                "q": pa.array([str(x) for x in qs], type=pa.string()),
+                "est": pa.array(est, type=pa.float64()),
+                "n": pa.array([out.n] * len(est), type=pa.int64()),
+                "tol": pa.array(
+                    [out.rank_tolerance()] * len(est), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge_group, batch_format="pyarrow")
+    )

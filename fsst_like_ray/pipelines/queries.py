@@ -1217,6 +1217,83 @@ def q_quantile_sketch_gate(sf_dir: str):
     )
 
 
+def q_grouped_quantile_sketch_gate(sf_dir: str):
+    """Per-KEY sketch-quantile contract gate: per-event-type value
+    quantiles from (block, key) compactor sketches merged through ONE
+    tiny-row shuffle (functions/kll.py grouped_sketch_quantiles), each
+    estimate then rank-checked by one exact streaming counting pass
+    against the merged sketch's self-reported tolerance. Oracle expects
+    every (type, q) cell true."""
+    from ..functions.join import get_broadcast, put_broadcast
+    from ..functions.kll import grouped_sketch_quantiles
+
+    QS = (0.5, 0.9, 0.99)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    res = grouped_sketch_quantiles(
+        ds, "event_type", "value", qs=QS, capacity=1024
+    ).to_pandas()  # keys × |QS| rows — tiny
+    info = {
+        k: (
+            g.sort_values("q")["est"].to_numpy(),
+            int(g["tol"].iloc[0]),
+            int(g["n"].iloc[0]),
+        )
+        for k, g in res.groupby("event_type")
+    }
+    ref = put_broadcast(info)
+    qs_sorted = sorted(str(q) for q in QS)
+
+    def counts(b: pa.Table) -> pa.Table:
+        inf = get_broadcast(ref)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        et = b["event_type"]
+        out_k, out_j, out_lt, out_le = [], [], [], []
+        for k, (ests, _tol, _n) in inf.items():
+            m = pa.compute.equal(et, k).to_numpy(zero_copy_only=False)
+            if not m.any():
+                continue
+            vk = v[m]
+            for j, e in enumerate(ests):
+                out_k.append(k)
+                out_j.append(j)
+                out_lt.append(int((vk < e).sum()))
+                out_le.append(int((vk <= e).sum()))
+        return pa.table(
+            {
+                "event_type": pa.array(out_k, type=pa.string()),
+                "j": pa.array(out_j, type=pa.int64()),
+                "lt": pa.array(out_lt, type=pa.int64()),
+                "le": pa.array(out_le, type=pa.int64()),
+            }
+        )
+
+    tot = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["event_type", "j"])
+        .aggregate(Sum("lt", alias_name="lt"), Sum("le", alias_name="le"))
+        .to_pandas()
+    )
+    rows = []
+    for (k, j), g in tot.groupby(["event_type", "j"]):
+        ests, tol, n = info[k]
+        q = float(qs_sorted[int(j)])
+        target = int(np.ceil(q * n))
+        lo = int(g["lt"].iloc[0]) + 1
+        hi = int(g["le"].iloc[0])
+        rows.append((k, qs_sorted[int(j)],
+                     (target >= lo - tol) and (target <= hi + tol)))
+    rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+            "q": pa.array([r[1] for r in rows], type=pa.string()),
+            "ok": pa.array([r[2] for r in rows], type=pa.bool_()),
+        }
+    )
+
+
 def q_online_dedup_epochs(sf_dir: str):
     """Incremental (ONLINE) exact dedup across two ingestion epochs via
     the sharded mutable-registry actors (functions/online_dedup.py — the
@@ -5487,6 +5564,7 @@ def build_queries() -> dict:
     q["docs_decontaminate"] = q_docs_decontaminate
     q["online_dedup_epochs"] = q_online_dedup_epochs
     q["quantile_sketch_gate"] = q_quantile_sketch_gate
+    q["grouped_quantile_sketch_gate"] = q_grouped_quantile_sketch_gate
     q["dedup_spans_planted"] = q_dedup_spans_planted
     q["ingest_jsonl"] = q_ingest_jsonl
     q["ingest_csv"] = q_ingest_csv
@@ -5876,6 +5954,12 @@ def build_oracle_sql() -> dict:
         UNION ALL SELECT '0.9', TRUE
         UNION ALL SELECT '0.99', TRUE
         ORDER BY q
+    """
+    sql["grouped_quantile_sketch_gate"] = """
+        SELECT event_type, q, TRUE AS ok
+        FROM (SELECT DISTINCT event_type FROM events),
+             (VALUES ('0.5'), ('0.9'), ('0.99')) t(q)
+        ORDER BY event_type, q
     """
     sql["online_dedup_epochs"] = f"""
         WITH e0 AS (

@@ -87,3 +87,34 @@ def test_capacity_validation():
         QuantileSketch(3)
     with pytest.raises(ValueError):
         QuantileSketch(7)
+
+
+def test_grouped_sketch_contract(ray_session):
+    """Distributed per-key sketches must honor the rank contract per key
+    after the shuffle-merge (vs per-key exact data)."""
+    import pandas as pd
+
+    import ray
+
+    from fsst_like_ray.functions.kll import grouped_sketch_quantiles
+
+    rng = np.random.default_rng(21)
+    keys = rng.choice(["a", "b", "c"], 30_000)
+    vals = np.where(
+        keys == "a", rng.normal(0, 1, 30_000),
+        np.where(keys == "b", rng.zipf(1.6, 30_000).astype(float),
+                 rng.random(30_000) * 1000)
+    )
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": keys, "v": vals})
+    ).repartition(9)
+    out = grouped_sketch_quantiles(ds, "k", "v", capacity=256).to_pandas()
+    assert len(out) == 9  # 3 keys x 3 quantiles
+    for _, r in out.iterrows():
+        data = np.sort(vals[keys == r["k"]])
+        assert r["n"] == len(data)
+        target = int(np.ceil(float(r["q"]) * len(data)))
+        lo = np.searchsorted(data, r["est"], side="left") + 1
+        hi = np.searchsorted(data, r["est"], side="right")
+        assert lo - r["tol"] <= target <= hi + r["tol"], dict(r)
+        assert r["tol"] < len(data) // 4
