@@ -1217,6 +1217,48 @@ def q_quantile_sketch_gate(sf_dir: str):
     )
 
 
+def q_events_max_concurrent(sf_dir: str):
+    """Peak number of SIMULTANEOUS sessions — the sweep-line primitive the
+    keyed windows can't express: sessionize (existing op) → ±1 delta
+    stream at session start / end+1 → GLOBAL ordered prefix sum via the
+    two-phase block-offset scan (functions/prefix.py: range sort fixes
+    block structure, one tiny row per block to the driver, per-block
+    cumsum + broadcast offset, max reduce). Tie order (t, delta) puts
+    session ends before starts at the same microsecond — closed-open
+    interval semantics, mirrored exactly in the oracle's window ORDER."""
+    from ..functions.prefix import global_prefix_extremes
+
+    sessions = F_events.sessionize(_events_ds(sf_dir), gap_s=1800)
+
+    def deltas(b: pa.Table) -> pa.Table:
+        st = b["session_start_us"].to_numpy(zero_copy_only=False)
+        en = b["session_end_us"].to_numpy(zero_copy_only=False)
+        uid = (
+            b["user_id"].to_numpy(zero_copy_only=False) * (1 << 21)
+            + b["session_id"].to_numpy(zero_copy_only=False) * 2
+        )
+        return pa.table(
+            {
+                "t": pa.array(np.concatenate([st, en + 1])),
+                "delta": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(st), dtype=np.int64),
+                            -np.ones(len(en), dtype=np.int64),
+                        ]
+                    )
+                ),
+                "uid": pa.array(np.concatenate([uid, uid + 1])),
+            }
+        )
+
+    d = sessions.map_batches(deltas, batch_format="pyarrow")
+    ext = global_prefix_extremes(d, ["t", "delta", "uid"], "delta")
+    return pa.table(
+        {"max_concurrent": pa.array([ext["max"]], type=pa.int64())}
+    )
+
+
 def q_grouped_quantile_sketch_gate(sf_dir: str):
     """Per-KEY sketch-quantile contract gate: per-event-type value
     quantiles from (block, key) compactor sketches merged through ONE
@@ -5565,6 +5607,7 @@ def build_queries() -> dict:
     q["online_dedup_epochs"] = q_online_dedup_epochs
     q["quantile_sketch_gate"] = q_quantile_sketch_gate
     q["grouped_quantile_sketch_gate"] = q_grouped_quantile_sketch_gate
+    q["events_max_concurrent"] = q_events_max_concurrent
     q["dedup_spans_planted"] = q_dedup_spans_planted
     q["ingest_jsonl"] = q_ingest_jsonl
     q["ingest_csv"] = q_ingest_csv
@@ -5954,6 +5997,33 @@ def build_oracle_sql() -> dict:
         UNION ALL SELECT '0.9', TRUE
         UNION ALL SELECT '0.99', TRUE
         ORDER BY q
+    """
+    sql["events_max_concurrent"] = """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM e
+        ), sess AS (
+          SELECT user_id, session_id,
+                 min(ts_us) AS st, max(ts_us) AS en
+          FROM s GROUP BY 1, 2
+        ), d AS (
+          SELECT st AS t, 1 AS delta FROM sess
+          UNION ALL SELECT en + 1, -1 FROM sess
+        )
+        SELECT CAST(max(run) AS BIGINT) AS max_concurrent FROM (
+          SELECT SUM(delta) OVER (ORDER BY t, delta
+                                  ROWS UNBOUNDED PRECEDING) AS run
+          FROM d
+        )
     """
     sql["grouped_quantile_sketch_gate"] = """
         SELECT event_type, q, TRUE AS ok
