@@ -1217,6 +1217,105 @@ def q_quantile_sketch_gate(sf_dir: str):
     )
 
 
+def q_pipeline_pretrain_corpus(sf_dir: str):
+    """Flagship COMPOSITE: the full pretraining data-prep chain as one
+    streaming pipeline — normalize (lower → collapse-\\s+ → trim) →
+    quality filter (≥5 words, ≤10k chars) → 80/20 corpus/benchmark hash
+    split → exact dedup on normalized text (min-doc_id keeper) →
+    5-gram DECONTAMINATION against the benchmark (functions/decontam.py)
+    → per-source (n_docs, n_words) summary. Every stage reuses an
+    already-oracled operator; the oracle mirrors the chain as CTEs, so
+    this gates the COMPOSITION (stage ordering, column flow, drop-list
+    plumbing), not just the pieces."""
+    import pyarrow.compute as pc
+
+    from ..functions.decontam import contamination_report
+    from ..functions.join import broadcast_semi_join
+
+    def norm_and_quality(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(b["text"])
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        nw = np.asarray(
+            pc.count_substring(t, " ").to_numpy(zero_copy_only=False)
+        ) + 1
+        nc = pc.utf8_length(t).to_numpy(zero_copy_only=False)
+        keep = pa.array((nw >= 5) & (nc <= 10_000))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "text": t,
+                "n_words": pa.array(nw.astype(np.int64)),
+            }
+        ).filter(keep)
+
+    qual = _docs(sf_dir).map_batches(norm_and_quality, batch_format="pyarrow")
+
+    def split(is_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            h = (
+                ids.astype(np.uint64) * np.uint64(2654435761)
+            ) % np.uint64(4294967296) % np.uint64(5)
+            return b.filter(pa.array((h == 0) if is_bench else (h != 0)))
+
+        return f
+
+    bench = qual.map_batches(split(True), batch_format="pyarrow")
+    corp = qual.map_batches(split(False), batch_format="pyarrow")
+
+    # exact dedup on the NORMALIZED text (catches case/whitespace dups)
+    dup_rows = F_dedup.exact_duplicates(corp).take_all()
+    dropped = np.sort(
+        np.array([r["doc_id"] for r in dup_rows], dtype=np.int64)
+    )
+    dedup = broadcast_semi_join(corp, dropped, "doc_id", anti=True)
+
+    # decontaminate vs the benchmark fifth
+    contam = contamination_report(dedup, bench, k=5)
+    bad = np.sort(
+        np.array(
+            [r["doc_id"] for r in contam.take_all()], dtype=np.int64
+        )
+    )
+    clean = broadcast_semi_join(dedup, bad, "doc_id", anti=True)
+
+    def summary(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["source", "n_words"])
+            .group_by(["source"])
+            .aggregate([("n_words", "sum"), ("n_words", "count")])
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_docs": g["n_words_count"].cast(pa.int64()),
+                "n_words": g["n_words_sum"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        clean.map_batches(summary, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_words", alias_name="n_words"),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "source": b["source"],
+                    "n_docs": b["n_docs"].cast(pa.int64()),
+                    "n_words": b["n_words"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("source")
+    )
+
+
 def q_events_max_concurrent(sf_dir: str):
     """Peak number of SIMULTANEOUS sessions — the sweep-line primitive the
     keyed windows can't express: sessionize (existing op) → ±1 delta
@@ -5608,6 +5707,7 @@ def build_queries() -> dict:
     q["quantile_sketch_gate"] = q_quantile_sketch_gate
     q["grouped_quantile_sketch_gate"] = q_grouped_quantile_sketch_gate
     q["events_max_concurrent"] = q_events_max_concurrent
+    q["pipeline_pretrain_corpus"] = q_pipeline_pretrain_corpus
     q["dedup_spans_planted"] = q_dedup_spans_planted
     q["ingest_jsonl"] = q_ingest_jsonl
     q["ingest_csv"] = q_ingest_csv
@@ -5997,6 +6097,58 @@ def build_oracle_sql() -> dict:
         UNION ALL SELECT '0.9', TRUE
         UNION ALL SELECT '0.99', TRUE
         ORDER BY q
+    """
+    sql["pipeline_pretrain_corpus"] = """
+        WITH norm AS (
+          SELECT doc_id, source,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text
+          FROM documents
+        ), qual AS (
+          SELECT *, CAST(length(string_split(text, ' ')) AS BIGINT)
+                        AS n_words
+          FROM norm
+          WHERE length(string_split(text, ' ')) >= 5
+            AND strlen(text) <= 10000
+        ), bench AS (
+          SELECT * FROM qual
+          WHERE (doc_id * 2654435761) % 4294967296 % 5 = 0
+        ), corp AS (
+          SELECT * FROM qual
+          WHERE (doc_id * 2654435761) % 4294967296 % 5 <> 0
+        ), dedup AS (
+          SELECT * FROM corp
+          QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+        ), tok AS (
+          SELECT doc_id, w,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(text, '[^a-z0-9]+')) AS w,
+                       unnest(generate_series(1, len(string_split_regex(
+                           text, '[^a-z0-9]+')))) AS i
+                FROM (SELECT doc_id, text FROM dedup
+                      UNION ALL SELECT doc_id, text FROM bench))
+          WHERE w <> ''
+        ), g AS (
+          SELECT doc_id,
+                 w || ' ' || lead(w, 1) OVER win || ' '
+                   || lead(w, 2) OVER win || ' '
+                   || lead(w, 3) OVER win || ' '
+                   || lead(w, 4) OVER win AS gram
+          FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY j)
+          QUALIFY lead(w, 4) OVER win IS NOT NULL
+        ), bgrams AS (
+          SELECT DISTINCT gram FROM g
+          WHERE doc_id IN (SELECT doc_id FROM bench)
+        ), contaminated AS (
+          SELECT DISTINCT g.doc_id FROM g JOIN bgrams USING (gram)
+          WHERE g.doc_id IN (SELECT doc_id FROM dedup)
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS n_words
+        FROM dedup
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        GROUP BY 1 ORDER BY 1
     """
     sql["events_max_concurrent"] = """
         WITH e AS (
