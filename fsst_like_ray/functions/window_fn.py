@@ -57,6 +57,7 @@ def keyed_window(
     tiebreak: str | None = None,
     roll: tuple[str, int] | None = None,
     ntile: int | None = None,
+    fill_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Per-``key`` windows ordered by (``order``, ``tiebreak``): every
     input column passes through (rows re-ordered within the group), plus
@@ -68,7 +69,11 @@ def keyed_window(
       first row of each key (type-preserving via a null-index take);
     - ``roll=(col, w)`` → ``{col}_roll{w}`` (int64): moving sum over the
       last w rows inclusive (SQL ROWS w-1 PRECEDING), via cumsum diff;
-    - ``ntile=n`` → ``q{n}`` (int64): SQL NTILE(n) bucket.
+    - ``ntile=n`` → ``q{n}`` (int64): SQL NTILE(n) bucket;
+    - ``fill_col`` → ``{fill_col}_ffill``: last NON-NULL value at or
+      before the row (SQL last_value(... IGNORE NULLS)); leading nulls
+      stay null. Vectorized: maximum-accumulate over valid row indexes,
+      one masked take.
 
     Determinism: with ``tiebreak=None``, ties on ``order`` fall back to
     stable arrival order, which DEPENDS on block layout — pass a
@@ -98,6 +103,15 @@ def keyed_window(
             cols[f"{rcol}_roll{w}"] = pa.array(out)
         if ntile is not None:
             cols[f"q{ntile}"] = pa.array(_ntile(n, ntile))
+        if fill_col is not None:
+            col = g[fill_col].combine_chunks()
+            valid = ~pc.is_null(col).to_numpy(zero_copy_only=False)
+            pos = np.where(valid, np.arange(n, dtype=np.int64), -1)
+            last = np.maximum.accumulate(pos) if n else pos
+            take_idx = pa.array(
+                np.maximum(last, 0), type=pa.int64(), mask=last < 0
+            )
+            cols[f"{fill_col}_ffill"] = pc.take(col, take_idx)
         if lag_col is not None:
             prev = np.arange(-1, n - 1, dtype=np.int64)
             lag_idx = pa.array(

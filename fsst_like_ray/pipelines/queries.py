@@ -5593,6 +5593,51 @@ def q_docs_repetition(sf_dir: str):
     )
 
 
+def q_events_fill_forward(sf_dir: str):
+    """Time-series gap imputation: nulls PLANTED into every 7th event's
+    value are filled with the user's last prior non-null reading
+    (last_value IGNORE NULLS semantics — leading nulls stay null), one
+    key shuffle + vectorized maximum-accumulate in-group
+    (functions/window_fn.py fill_col)."""
+    from ..functions.window_fn import keyed_window
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": b["ts"].cast(pa.int64()),
+                "cents": pa.array(cents, mask=eid % 7 == 0),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = keyed_window(
+        ds,
+        key="user_id",
+        order="ts_us",
+        tiebreak="event_id",
+        fill_col="cents",
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "user_id": b["user_id"].cast(pa.int64()),
+                "cents_ffill": b["cents_ffill"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("event_id")
+
+
 def q_events_user_running(sf_dir: str):
     """Per-user ordered window functions over the event stream: row
     number, running cents sum, and gap to the previous event (-1 for the
@@ -5744,6 +5789,7 @@ def build_queries() -> dict:
     q["docs_top3_per_source"] = q_docs_top3_per_source
     q["customers_no_urgent_orders"] = q_customers_no_urgent_orders
     q["events_user_running"] = q_events_user_running
+    q["events_fill_forward"] = q_events_fill_forward
     q["tpch_q3"] = q_tpch_q3
     q["tpch_q5"] = q_tpch_q5
     q["tpch_q17"] = q_tpch_q17
@@ -6583,6 +6629,21 @@ def build_oracle_sql() -> dict:
         SELECT c_custkey FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                 WHERE o_orderpriority = '1-URGENT')
+    """
+    sql["events_fill_forward"] = """
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN event_id % 7 = 0 THEN NULL
+                      ELSE CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 END AS cents
+          FROM events
+        )
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id,
+               last_value(cents IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS cents_ffill
+        FROM e ORDER BY event_id
     """
     sql["events_user_running"] = """
         SELECT event_id, user_id,

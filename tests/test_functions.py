@@ -601,3 +601,34 @@ def test_edit_distances_match_reference():
         got = edit_distances(pa.array(words, type=pa.string()), target)
         want = [ref(w, target) for w in words]
         assert got.tolist() == want, target
+
+
+def test_fill_forward_window(ray_session):
+    """fill_col: leading nulls stay null, gaps take the last non-null in
+    (order, tiebreak) order, later values reset the carry."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from fsst_like_ray.functions.window_fn import keyed_window
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2],
+            "o": [10, 20, 30, 40, 10, 20],
+            "id": [0, 1, 2, 3, 4, 5],
+            "v": [None, 5.0, None, 7.0, None, None],
+        }
+    )
+    out = (
+        keyed_window(
+            ray.data.from_pandas(df).repartition(3),
+            key="k", order="o", tiebreak="id", fill_col="v",
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    got = out["v_ffill"].tolist()
+    assert pd.isna(got[0]) and got[1:4] == [5.0, 5.0, 7.0]
+    assert pd.isna(got[4]) and pd.isna(got[5])
