@@ -163,7 +163,7 @@ def sketch_dataset(ds, col: str, capacity: int = 2048) -> QuantileSketch:
 
     out = QuantileSketch(capacity)
     for b in (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_size=None, batch_format="pyarrow")
         .iter_batches(batch_size=256, batch_format="pyarrow")
     ):
         for r in b.to_pylist():
@@ -195,6 +195,18 @@ def grouped_sketch_quantiles(
     import pyarrow as pa
 
     def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=b.schema.field(key_col).type),
+                    "lvls": pa.array([], type=pa.list_(pa.int64())),
+                    "vals": pa.array(
+                        [], type=pa.list_(pa.list_(pa.float64()))
+                    ),
+                    "n": pa.array([], type=pa.int64()),
+                    "err": pa.array([], type=pa.int64()),
+                }
+            )
         keys = b[key_col].to_numpy(zero_copy_only=False)
         vals = b[val_col].to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
@@ -247,7 +259,7 @@ def grouped_sketch_quantiles(
         )
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_size=None, batch_format="pyarrow")
         .groupby(key_col)
         .map_groups(merge_group, batch_format="pyarrow")
     )

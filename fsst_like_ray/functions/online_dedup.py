@@ -14,7 +14,11 @@ Determinism contract: keeper IDENTITY under concurrent ingest is
 arrival-order dependent, but the SET of admitted texts — and therefore
 every per-epoch count — is deterministic as long as each epoch's stream
 is fully drained before the next begins (the registry state at an epoch
-boundary is exactly "all distinct content seen so far").
+boundary is exactly "all distinct content seen so far"). Registrations
+carry the row's unique id as an OWNER token, so a Ray task retry
+re-sending the same rows gets the same verdicts (admission is
+idempotent per row) — ids must therefore be unique across the
+registry's lifetime, which any real ingest id is.
 
 Scale: ``verify_texts=True`` stores hash → texts, which makes the
 registry corpus-sized at 100 TB but collision-EXACT (same-hash different
@@ -42,26 +46,33 @@ class DedupShardActor:
         self.verify = verify_texts
         self.seen: dict = {}
 
-    def admit(self, hashes, texts=None):
-        """Boolean list: True where the entry is NEW (and now registered).
+    def admit(self, hashes, owners, texts=None):
+        """Boolean list: True where the entry is owned by ``owners[i]`` —
+        newly registered now, or already registered TO THAT SAME owner id.
+        The owner check makes admission IDEMPOTENT under Ray's
+        at-least-once task retry: a retried block re-sends the same
+        (hash, owner) pairs and gets the same verdicts, instead of seeing
+        its own earlier registrations as duplicates and dropping rows.
         With ``verify_texts``, a same-hash different-text entry is a
         collision and is admitted as its own document (exact semantics)."""
         out = []
         if self.verify:
-            for h, t in zip(hashes, texts):
-                bucket = self.seen.setdefault(h, [])
-                if t in bucket:
-                    out.append(False)
-                else:
-                    bucket.append(t)
+            for h, o, t in zip(hashes, owners, texts):
+                bucket = self.seen.setdefault(h, {})
+                cur = bucket.get(t)
+                if cur is None:
+                    bucket[t] = o
                     out.append(True)
+                else:
+                    out.append(cur == o)
         else:
-            for h in hashes:
-                if h in self.seen:
-                    out.append(False)
-                else:
-                    self.seen[h] = None
+            for h, o in zip(hashes, owners):
+                cur = self.seen.get(h)
+                if cur is None:
+                    self.seen[h] = o
                     out.append(True)
+                else:
+                    out.append(cur == o)
         return out
 
     def n_entries(self) -> int:
@@ -86,11 +97,14 @@ class OnlineDedup:
         self,
         ds: "ray.data.Dataset",
         text_col: str = "text",
+        id_col: str = "doc_id",
     ) -> "ray.data.Dataset":
         """Rows whose content has NOT been seen before — not earlier in
         this stream, not by any previous ``filter`` pass on this registry.
-        Consume (count/write/iterate) the result fully before starting the
-        next epoch's pass."""
+        ``id_col`` must be unique per row: it is the registry OWNER token
+        that makes admission idempotent when Ray retries a task. Consume
+        (count/write/iterate) the result fully before starting the next
+        epoch's pass."""
         shards = self.shards
         n_shards = self.n_shards
         verify = self.verify
@@ -100,6 +114,7 @@ class OnlineDedup:
                 return batch
             hb = content_hash_batch(batch, text_col)
             h = hb["content_hash"].to_numpy(zero_copy_only=False)
+            owners = batch[id_col].to_pylist()
             texts = batch[text_col].to_pylist() if verify else None
             # within-batch first occurrence; exact mode keys on the
             # (hash, text) PAIR so an in-batch collision admits both
@@ -125,6 +140,7 @@ class OnlineDedup:
                 refs.append(
                     shards[s].admit.remote(
                         h[rows].tolist(),
+                        [owners[i] for i in rows],
                         [texts[i] for i in rows] if verify else None,
                     )
                 )

@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Max, Min
 
 from .join import get_broadcast, put_broadcast
 

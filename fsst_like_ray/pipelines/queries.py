@@ -1250,7 +1250,12 @@ def q_pipeline_pretrain_corpus(sf_dir: str):
             }
         ).filter(keep)
 
-    qual = _docs(sf_dir).map_batches(norm_and_quality, batch_format="pyarrow")
+    # materialized ONCE: four downstream consumers (dedup scan, benchmark
+    # gram collection, contamination scan, final summary) would otherwise
+    # each re-run the parquet read + regex normalize chain
+    qual = _docs(sf_dir).map_batches(
+        norm_and_quality, batch_format="pyarrow"
+    ).materialize()
 
     def split(is_bench: bool):
         def f(b: pa.Table) -> pa.Table:

@@ -50,9 +50,9 @@ def test_collision_exactness(ray_session):
     from fsst_like_ray.functions.online_dedup import DedupShardActor
 
     shard = DedupShardActor.remote(verify_texts=True)
-    assert ray.get(shard.admit.remote([7], ["textA"])) == [True]
-    assert ray.get(shard.admit.remote([7], ["textB"])) == [True]  # collision
-    assert ray.get(shard.admit.remote([7], ["textA"])) == [False]  # true dup
+    assert ray.get(shard.admit.remote([7], [100], ["textA"])) == [True]
+    assert ray.get(shard.admit.remote([7], [101], ["textB"])) == [True]
+    assert ray.get(shard.admit.remote([7], [102], ["textA"])) == [False]
     assert ray.get(shard.n_entries.remote()) == 1  # one hash bucket
 
 
@@ -62,7 +62,30 @@ def test_hash_only_mode_drops_by_hash(ray_session):
     from fsst_like_ray.functions.online_dedup import DedupShardActor
 
     shard = DedupShardActor.remote(verify_texts=False)
-    assert ray.get(shard.admit.remote([1, 2, 1])) == [True, True, False]
+    assert ray.get(
+        shard.admit.remote([1, 2, 1], [10, 11, 12])
+    ) == [True, True, False]
+
+
+def test_retry_idempotence(ray_session):
+    """A retried task re-sends the same (hash, owner) pairs and must get
+    the SAME verdicts — the at-least-once execution contract. A different
+    owner with the same content still loses."""
+    import ray
+
+    from fsst_like_ray.functions.online_dedup import DedupShardActor
+
+    for verify in (True, False):
+        shard = DedupShardActor.remote(verify_texts=verify)
+        texts = ["x", "y"] if verify else None
+        first = ray.get(shard.admit.remote([5, 6], [50, 60], texts))
+        assert first == [True, True]
+        # simulated retry: identical call → identical verdicts
+        assert ray.get(shard.admit.remote([5, 6], [50, 60], texts)) == first
+        # a genuine duplicate from another row still loses
+        assert ray.get(
+            shard.admit.remote([5], [99], ["x"] if verify else None)
+        ) == [False]
 
 
 def test_count_determinism_across_batch_sizes(ray_session):
