@@ -404,3 +404,104 @@ def funnel_completions(
         .groupby(BUCKET)
         .map_groups(bucket_kernel, batch_format="pyarrow")
     )
+
+
+def hourly_ohlc(
+    events: "ray.data.Dataset",
+    key_col: str = "event_type",
+) -> "ray.data.Dataset":
+    """Per-(key, hour) OHLC bars — the ordered FIRST/LAST aggregate family
+    (open = value at min (ts, event_id), close = at max) the plain
+    Sum/Min/Max partials can't express. Per-batch partials carry ONE row
+    per (key, hour) with (open ts,id,cents) / (close ts,id,cents) /
+    high / low / n — vectorized lexsort + reduceat, no Python per row —
+    and the merge groupby moves only those partial rows (keys × calendar
+    hours × blocks, never events). The (ts, event_id) tiebreak makes
+    open/close deterministic under any repartitioning."""
+    HOUR_US = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=pa.string()),
+                    "hour": pa.array([], type=pa.int64()),
+                    "ots": pa.array([], type=pa.int64()),
+                    "oid": pa.array([], type=pa.int64()),
+                    "open_cents": pa.array([], type=pa.int64()),
+                    "cts": pa.array([], type=pa.int64()),
+                    "cid": pa.array([], type=pa.int64()),
+                    "close_cents": pa.array([], type=pa.int64()),
+                    "high_cents": pa.array([], type=pa.int64()),
+                    "low_cents": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        ts = _ts_us(b)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        hour = ts // HOUR_US
+        keys = b[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # one segment per (key, hour): lexsort by (key, hour, ts, id)
+        order = np.lexsort((eid, ts, hour, kidx))
+        kk, hh, tt, ii, cc = (
+            kidx[order], hour[order], ts[order], eid[order], cents[order]
+        )
+        new = np.r_[True, (kk[1:] != kk[:-1]) | (hh[1:] != hh[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(kk)] - 1
+        return pa.table(
+            {
+                key_col: pa.array(enc.dictionary.take(
+                    pa.array(kk[starts], type=pa.int64()))),
+                "hour": pa.array(hh[starts]),
+                "ots": pa.array(tt[starts]),
+                "oid": pa.array(ii[starts]),
+                "open_cents": pa.array(cc[starts]),
+                "cts": pa.array(tt[ends]),
+                "cid": pa.array(ii[ends]),
+                "close_cents": pa.array(cc[ends]),
+                "high_cents": pa.array(np.maximum.reduceat(cc, starts)),
+                "low_cents": pa.array(np.minimum.reduceat(cc, starts)),
+                "n": pa.array((ends - starts + 1).astype(np.int64)),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        ots = g["ots"].to_numpy(zero_copy_only=False)
+        oid = g["oid"].to_numpy(zero_copy_only=False)
+        cts = g["cts"].to_numpy(zero_copy_only=False)
+        cid = g["cid"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((oid, ots))[0]
+        c = np.lexsort((cid, cts))[-1]
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                "hour": g["hour"].slice(0, 1),
+                "open_cents": g["open_cents"].slice(int(o), 1),
+                "high_cents": pa.array(
+                    [int(pa.compute.max(g["high_cents"]).as_py())],
+                    type=pa.int64(),
+                ),
+                "low_cents": pa.array(
+                    [int(pa.compute.min(g["low_cents"]).as_py())],
+                    type=pa.int64(),
+                ),
+                "close_cents": g["close_cents"].slice(int(c), 1),
+                "n": pa.array(
+                    [int(pa.compute.sum(g["n"]).as_py())], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "hour"])
+        .map_groups(merge, batch_format="pyarrow")
+    )

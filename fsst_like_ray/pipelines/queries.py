@@ -1038,6 +1038,32 @@ def q_events_window(sf_dir: str):
     return F_events.tumbling_window_agg(_events_ds(sf_dir), window_s=3600)
 
 
+def q_events_hourly_ohlc(sf_dir: str):
+    """Per-(type, hour) OHLC bars — grouped FIRST/LAST-by-order
+    aggregates (functions/events.py hourly_ohlc): open/close are the
+    values at the min/max (ts, event_id) of the bucket, deterministic
+    under repartitioning; partials move one row per (key, hour, block)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    out = F_events.hourly_ohlc(ds)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "hour": b["hour"].cast(pa.int64()),
+                "open_cents": b["open_cents"].cast(pa.int64()),
+                "high_cents": b["high_cents"].cast(pa.int64()),
+                "low_cents": b["low_cents"].cast(pa.int64()),
+                "close_cents": b["close_cents"].cast(pa.int64()),
+                "n": b["n"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["event_type", "hour"])
+
+
 CHUNK_LEN = 100
 CHUNK_STRIDE = 80
 
@@ -5744,6 +5770,7 @@ def build_queries() -> dict:
     q["multimodal_decode_real"] = q_multimodal_real
     q["tokens_corpus_roundtrip"] = q_tokens_corpus_roundtrip
     q["events_window_agg"] = q_events_window
+    q["events_hourly_ohlc"] = q_events_hourly_ohlc
     q["events_sessionize"] = q_events_sessionize
     q["events_funnel"] = q_events_funnel
     q["events_latest_per_user"] = q_events_latest_per_user
@@ -6634,6 +6661,32 @@ def build_oracle_sql() -> dict:
         SELECT c_custkey FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                 WHERE o_orderpriority = '1-URGENT')
+    """
+    sql["events_hourly_ohlc"] = """
+        WITH e AS (
+          SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 epoch_us(ts) // 3600000000 AS hour
+          FROM events
+        ), w AS (
+          SELECT event_type, hour, cents,
+                 first_value(cents) OVER win AS open_cents,
+                 last_value(cents) OVER (
+                   PARTITION BY event_type, hour
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS close_cents
+          FROM e
+          WINDOW win AS (PARTITION BY event_type, hour
+                         ORDER BY ts_us, event_id)
+        )
+        SELECT event_type, CAST(hour AS BIGINT) AS hour,
+               CAST(min(open_cents) AS BIGINT) AS open_cents,
+               CAST(max(cents) AS BIGINT) AS high_cents,
+               CAST(min(cents) AS BIGINT) AS low_cents,
+               CAST(min(close_cents) AS BIGINT) AS close_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2
     """
     sql["events_fill_forward"] = """
         WITH e AS (

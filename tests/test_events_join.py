@@ -747,3 +747,42 @@ def test_global_rank_ties_and_uneven_ntile(ray_session):
     want = want.sort_values("id").reset_index(drop=True)
     assert (got["rank"].values == want["rank"].values).all()
     assert (got["q4"].values == want["q4"].values).all()
+
+
+def test_hourly_ohlc_deterministic_across_blocks(ray_session):
+    """Open/close must come from the (ts, event_id) extremes regardless of
+    block structure; ties on ts broken by event_id."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from fsst_like_ray.functions.events import hourly_ohlc
+
+    base = pd.Timestamp("2020-01-01").value // 1000
+    df = pd.DataFrame(
+        {
+            "event_id": [3, 1, 2, 10, 11],
+            "ts": pd.to_datetime(
+                [base, base, base + 60_000_000, base, base + 10_000_000],
+                unit="us",
+            ).astype("datetime64[us]"),  # match the testdata's µs precision
+            "event_type": ["a", "a", "a", "b", "b"],
+            "value": [3.0, 1.0, 2.0, 5.0, 6.0],
+        }
+    )
+    for n_blocks in (1, 4):
+        out = (
+            hourly_ohlc(ray.data.from_pandas(df).repartition(n_blocks))
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        # type a: open = event_id 1 (ts tie, lower id), close = id 2
+        assert out.loc[0, "open_cents"] == 100
+        assert out.loc[0, "close_cents"] == 200
+        assert out.loc[0, "high_cents"] == 300
+        assert out.loc[0, "low_cents"] == 100
+        assert out.loc[0, "n"] == 3
+        # type b: open id 10, close id 11
+        assert (out.loc[1, ["open_cents", "close_cents"]] == [500, 600]).all()
