@@ -172,3 +172,47 @@ def doc_repetition_stats(batch: pa.Table, id_col: str = "doc_id",
             "rep_milli": pa.array((n - d) * 1000 // n),
         }
     )
+
+
+def word_and_search(
+    ds: "ray.data.Dataset",
+    terms: tuple,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Documents containing ALL ``terms`` as whole WORDS (the search-engine
+    AND query over the shared tokenization contract). One streaming pass,
+    no shuffle: per batch the token stream dictionary-encodes once, the
+    tiny per-batch dictionary matches against the broadcast term list, and
+    a per-row BITMASK of matched terms accumulates via one bitwise-or
+    scatter — rows whose mask is full survive. Term count is capped at 63
+    (one int64 mask)."""
+    from .join import get_broadcast, put_broadcast
+
+    if not 1 <= len(terms) <= 63:
+        raise ValueError("word_and_search supports 1..63 terms")
+    ref = put_broadcast(np.array(sorted(set(terms)), dtype=object))
+
+    def scan(b: pa.Table) -> pa.Table:
+        tarr = get_broadcast(ref)
+        full = (1 << len(tarr)) - 1
+        values, rows, keep = tokenize_rows(b, text_col)
+        toks = values.filter(pa.array(keep))
+        rr = rows[keep]
+        if not len(rr):
+            return b.select([id_col]).slice(0, 0)
+        enc = toks.dictionary_encode()
+        dwords = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        # dictionary slot → term bit (or -1): one searchsorted over the
+        # per-batch dictionary, never the token stream
+        pos = np.searchsorted(tarr, dwords)
+        np.minimum(pos, len(tarr) - 1, out=pos)
+        slot_bit = np.where(tarr[pos] == dwords, pos, -1)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bit = slot_bit[idx]
+        hit = bit >= 0
+        masks = np.zeros(b.num_rows, dtype=np.int64)
+        np.bitwise_or.at(masks, rr[hit], (1 << bit[hit]).astype(np.int64))
+        return b.select([id_col]).filter(pa.array(masks == full))
+
+    return ds.map_batches(scan, batch_format="pyarrow")

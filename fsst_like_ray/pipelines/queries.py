@@ -3719,6 +3719,21 @@ def q_events_props_extract(sf_dir: str):
     )
 
 
+SEARCH_TERMS = ("merge", "sort", "key")
+
+
+def q_docs_word_search(sf_dir: str):
+    """Search-engine AND query: docs containing ALL of SEARCH_TERMS as
+    whole words (functions/vocab.py word_and_search — per-batch
+    dictionary match + bitmask scatter, one streaming pass, no shuffle)."""
+    from ..functions.vocab import word_and_search
+
+    out = word_and_search(
+        _docs(sf_dir, ("doc_id", "text")), SEARCH_TERMS
+    )
+    return _collect_ids(out, "doc_id")
+
+
 def q_bigram_top20(sf_dir: str):
     """Global word-bigram top-20 over documents.text: Arrow-regex
     tokenize + same-row pairing per batch (functions/vocab.py), shuffle
@@ -5847,6 +5862,7 @@ def build_queries() -> dict:
     q["docs_repetition"] = q_docs_repetition
     q["like_trigram_indexed"] = q_like_trigram_indexed
     q["bigram_top20"] = q_bigram_top20
+    q["docs_word_search"] = q_docs_word_search
     q["events_props_extract"] = q_events_props_extract
     q["docs_above_p90"] = q_docs_above_p90
     q["events_user_rolling"] = q_events_user_rolling
@@ -6661,6 +6677,18 @@ def build_oracle_sql() -> dict:
         SELECT c_custkey FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                 WHERE o_orderpriority = '1-URGENT')
+    """
+    sql["docs_word_search"] = f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents
+        )
+        SELECT doc_id FROM tok
+        WHERE w IN ({", ".join(f"'{t}'" for t in SEARCH_TERMS)})
+        GROUP BY doc_id
+        HAVING count(DISTINCT w) = {len(SEARCH_TERMS)}
+        ORDER BY doc_id
     """
     sql["events_hourly_ohlc"] = """
         WITH e AS (

@@ -632,3 +632,32 @@ def test_fill_forward_window(ray_session):
     got = out["v_ffill"].tolist()
     assert pd.isna(got[0]) and got[1:4] == [5.0, 5.0, 7.0]
     assert pd.isna(got[4]) and pd.isna(got[5])
+
+
+def test_word_and_search_whole_words(ray_session):
+    """AND semantics over WHOLE words: substrings don't count, order and
+    repetition don't matter, and the 63-term cap is enforced."""
+    import pandas as pd
+    import pytest as _pytest
+
+    import ray
+
+    from fsst_like_ray.functions.vocab import word_and_search
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "sort then merge the files",     # both words
+                    "mergesort is one word",          # substring only
+                    "merge it",                       # one of two
+                    "MERGE... SORT!",                 # case/punct robust
+                ],
+            }
+        )
+    ).repartition(2)
+    out = word_and_search(docs, ("merge", "sort")).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 4]
+    with _pytest.raises(ValueError):
+        word_and_search(docs, tuple(f"t{i}" for i in range(64)))
