@@ -187,11 +187,24 @@ def word_and_search(
     a per-row BITMASK of matched terms accumulates via one bitwise-or
     scatter — rows whose mask is full survive. Term count is capped at 63
     (one int64 mask)."""
+    import re
+
+    import pyarrow.compute as pc
+
     from .join import get_broadcast, put_broadcast
 
-    if not 1 <= len(terms) <= 63:
-        raise ValueError("word_and_search supports 1..63 terms")
-    ref = put_broadcast(np.array(sorted(set(terms)), dtype=object))
+    uniq = sorted(set(terms))
+    if not 1 <= len(uniq) <= 63:
+        raise ValueError("word_and_search supports 1..63 distinct terms")
+    for t in uniq:
+        # a term outside the tokenization alphabet can NEVER match —
+        # surface the contract violation instead of returning zero rows
+        if not re.fullmatch(r"[a-z0-9]+", t):
+            raise ValueError(
+                f"term {t!r} is not a lowercase [a-z0-9]+ word — it cannot "
+                "match the tokenizer's output"
+            )
+    ref = put_broadcast(uniq)
 
     def scan(b: pa.Table) -> pa.Table:
         tarr = get_broadcast(ref)
@@ -202,17 +215,19 @@ def word_and_search(
         if not len(rr):
             return b.select([id_col]).slice(0, 0)
         enc = toks.dictionary_encode()
-        dwords = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-        # dictionary slot → term bit (or -1): one searchsorted over the
-        # per-batch dictionary, never the token stream
-        pos = np.searchsorted(tarr, dwords)
-        np.minimum(pos, len(tarr) - 1, out=pos)
-        slot_bit = np.where(tarr[pos] == dwords, pos, -1)
+        # dictionary slot → term bit (or null): ONE C++ lookup over the
+        # tiny per-batch dictionary, never the token stream
+        slot_bit = pc.index_in(
+            enc.dictionary, value_set=pa.array(tarr, type=pa.string())
+        ).to_numpy(zero_copy_only=False)
         idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         bit = slot_bit[idx]
-        hit = bit >= 0
+        hit = ~np.isnan(bit)
         masks = np.zeros(b.num_rows, dtype=np.int64)
-        np.bitwise_or.at(masks, rr[hit], (1 << bit[hit]).astype(np.int64))
+        np.bitwise_or.at(
+            masks, rr[hit],
+            (np.int64(1) << bit[hit].astype(np.int64)),
+        )
         return b.select([id_col]).filter(pa.array(masks == full))
 
     return ds.map_batches(scan, batch_format="pyarrow")

@@ -6685,9 +6685,9 @@ def build_oracle_sql() -> dict:
           FROM documents
         )
         SELECT doc_id FROM tok
-        WHERE w IN ({", ".join(f"'{t}'" for t in SEARCH_TERMS)})
+        WHERE w IN ({", ".join(f"'{t}'" for t in sorted(set(SEARCH_TERMS)))})
         GROUP BY doc_id
-        HAVING count(DISTINCT w) = {len(SEARCH_TERMS)}
+        HAVING count(DISTINCT w) = {len(set(SEARCH_TERMS))}
         ORDER BY doc_id
     """
     sql["events_hourly_ohlc"] = """

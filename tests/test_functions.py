@@ -661,3 +661,23 @@ def test_word_and_search_whole_words(ray_session):
     assert sorted(out["doc_id"]) == [1, 4]
     with _pytest.raises(ValueError):
         word_and_search(docs, tuple(f"t{i}" for i in range(64)))
+
+
+def test_word_and_search_term_form_validated(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+
+    import ray
+
+    from fsst_like_ray.functions.vocab import word_and_search
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1], "text": ["merge sort"]})
+    )
+    for bad in ("Merge", "foo-bar", ""):
+        with _pytest.raises(ValueError, match="cannot match|1..63"):
+            word_and_search(docs, (bad,))
+    # duplicate terms collapse, still correct
+    assert sorted(
+        word_and_search(docs, ("merge", "merge", "sort")).to_pandas()["doc_id"]
+    ) == [1]
