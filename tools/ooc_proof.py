@@ -14,6 +14,8 @@ import sys
 import time
 
 N_ROWS = int(os.environ.get("OOC_ROWS", str(2 * 1024 * 1024)))  # ~1G tokens
+CODEC = os.environ.get("OOC_CODEC", "auto")
+SHARED = os.environ.get("OOC_SHARED", "") == "1"
 ROWS_PER_FILE = 16384
 CORPUS = f"/tmp/ooc/tokens_{N_ROWS}"
 OUT = "/tmp/ooc/encoded"
@@ -70,7 +72,7 @@ def encode():
 
     t0 = time.time()
     stats = compress_dataset(
-        CORPUS, OUT, codec="auto", balance_tokens=1_000_000,
+        CORPUS, OUT, codec=CODEC, balance_tokens=1_000_000, shared_table=SHARED,
         fragments_per_round=32,
     )
     print(json.dumps({"phase": "encode", "sec": round(time.time() - t0, 1),
@@ -113,7 +115,7 @@ def resume():
     pre = len(Manifest(OUT).completed())
     t0 = time.time()
     stats = compress_dataset(
-        CORPUS, OUT, codec="auto", balance_tokens=1_000_000,
+        CORPUS, OUT, codec=CODEC, balance_tokens=1_000_000, shared_table=SHARED,
         fragments_per_round=32,
     )
     enc_sec = time.time() - t0
