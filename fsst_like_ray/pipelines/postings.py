@@ -1,0 +1,170 @@
+"""Persisted inverted (posting-list) index over the tokenization contract.
+
+Third member of the index family (token zone index: numeric membership;
+trigram index: LIKE pruning; postings: word search). Layout is built for
+100 TB from the start: the (word, doc_id) pair stream hash-partitions by
+word into ``n_buckets`` hive directories (``postings/bucket=K/``), each
+bucket file sorted by (word, doc_id) — a query READS ONLY its terms'
+buckets (≤ one bucket per term) and parquet row-group predicate pushdown
+narrows within the bucket. Build is one streaming pass: per-batch
+DISTINCT pairs (a document lives entirely in one batch, so per-batch
+distinct IS global distinct), ONE shuffle on the bucket key, each bucket
+group writes its own file atomically (tmp + rename — rebuild-idempotent,
+the compress-sink pattern).
+
+Posting lists are doc-frequency bounded per word; the LOOKUP materializes
+only the query terms' lists (stopword-scale terms are the caller's
+responsibility, as in any search engine)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..functions.vocab import tokenize_rows
+
+META = "meta.json"
+
+
+def _word_bucket(words, n_buckets: int) -> np.ndarray:
+    """Deterministic (cross-run, cross-process) bucket per word."""
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+            )
+            % n_buckets
+            for w in words
+        ],
+        dtype=np.int64,
+    )
+
+
+def build_word_index(
+    corpus_path: str,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> dict:
+    """Build (or rebuild) the postings under ``index_dir``; returns
+    {'n_buckets', 'n_postings'}."""
+    ds = ray.data.read_parquet(corpus_path, columns=[id_col, text_col])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bucket": pa.array([], type=pa.int64()),
+                "word": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        values, rows, keep = tokenize_rows(b, text_col)
+        toks = values.filter(pa.array(keep))
+        rr = rows[keep]
+        if not len(rr):
+            return empty
+        enc = toks.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (word, row) pairs — composite key, one unique pass
+        key = idx * np.int64(b.num_rows) + rr
+        uniq = np.unique(key)
+        w_slot = uniq // b.num_rows
+        r = uniq % b.num_rows
+        # bucket via the tiny per-batch dictionary, then gather
+        dict_words = enc.dictionary.to_pylist()
+        db = _word_bucket(dict_words, n_buckets)
+        return pa.table(
+            {
+                "bucket": pa.array(db[w_slot]),
+                "word": enc.dictionary.take(pa.array(w_slot)),
+                "doc_id": b[id_col].take(pa.array(r)).cast(pa.int64()),
+            }
+        )
+
+    post_dir = os.path.join(index_dir, "postings")
+    os.makedirs(post_dir, exist_ok=True)
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        bucket = int(g["bucket"][0].as_py())
+        order = pa.compute.sort_indices(
+            g, sort_keys=[("word", "ascending"), ("doc_id", "ascending")]
+        )
+        out = g.take(order).select(["word", "doc_id"])
+        d = os.path.join(post_dir, f"bucket={bucket}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".part.tmp{os.getpid()}")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(d, "part-0.parquet"))
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], type=pa.int64()),
+                "n": pa.array([g.num_rows], type=pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    n_post = sum(int(r["n"]) for r in stats)
+    with open(os.path.join(index_dir, META), "w") as f:
+        json.dump({"n_buckets": n_buckets, "n_postings": n_post}, f)
+    return {"n_buckets": n_buckets, "n_postings": n_post}
+
+
+def word_index_lookup(
+    index_dir: str, terms: tuple, mode: str = "and"
+) -> tuple[np.ndarray, int]:
+    """(sorted doc ids, buckets_read). Reads ONLY the query terms'
+    buckets; ``mode`` is 'and' (intersection) or 'or' (union)."""
+    if mode not in ("and", "or"):
+        raise ValueError(mode)
+    with open(os.path.join(index_dir, META)) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    uniq = sorted(set(terms))
+    buckets = _word_bucket(uniq, n_buckets)
+    by_bucket: dict[int, list[str]] = {}
+    for t, bk in zip(uniq, buckets):
+        by_bucket.setdefault(int(bk), []).append(t)
+    sets: dict[str, np.ndarray] = {}
+    read = 0
+    for bk, ts in sorted(by_bucket.items()):
+        path = os.path.join(index_dir, "postings", f"bucket={bk}",
+                            "part-0.parquet")
+        if not os.path.exists(path):
+            for t in ts:
+                sets[t] = np.array([], dtype=np.int64)
+            continue
+        read += 1
+        tbl = pq.read_table(
+            path, filters=[("word", "in", ts)], columns=["word", "doc_id"]
+        )
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        words = tbl["word"].to_numpy(zero_copy_only=False)
+        for t in ts:
+            sets[t] = ids[words == t]
+    acc = None
+    for t in uniq:
+        s = sets[t]
+        if acc is None:
+            acc = s
+        elif mode == "and":
+            acc = np.intersect1d(acc, s)
+        else:
+            acc = np.union1d(acc, s)
+    return (acc if acc is not None else np.array([], dtype=np.int64)), read

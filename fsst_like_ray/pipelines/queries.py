@@ -3734,6 +3734,31 @@ def q_docs_word_search(sf_dir: str):
     return _collect_ids(out, "doc_id")
 
 
+def q_docs_word_search_indexed(sf_dir: str):
+    """Same AND query answered from the PERSISTED posting-list index
+    (pipelines/postings.py): build hash-bucketed postings once, then read
+    ONLY the query terms' buckets (asserted ≤ #terms; an unknown term
+    also proves absent without touching other buckets). Shares the scan
+    query's oracle — index and scan must agree exactly."""
+    import shutil
+
+    from .postings import build_word_index, word_index_lookup
+
+    scratch = os.path.join(
+        "/tmp", f"fsst_postidx_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    build_word_index(f"{sf_dir}/documents.parquet", scratch)
+    ids, read = word_index_lookup(scratch, SEARCH_TERMS, mode="and")
+    assert read <= len(set(SEARCH_TERMS)), read
+    # absent term → empty, still only its own bucket touched
+    none_ids, none_read = word_index_lookup(
+        scratch, ("zzqqxx",), mode="and"
+    )
+    assert len(none_ids) == 0 and none_read <= 1
+    return pa.table({"doc_id": pa.array(np.sort(ids), type=pa.int64())})
+
+
 def q_bigram_top20(sf_dir: str):
     """Global word-bigram top-20 over documents.text: Arrow-regex
     tokenize + same-row pairing per batch (functions/vocab.py), shuffle
@@ -5863,6 +5888,7 @@ def build_queries() -> dict:
     q["like_trigram_indexed"] = q_like_trigram_indexed
     q["bigram_top20"] = q_bigram_top20
     q["docs_word_search"] = q_docs_word_search
+    q["docs_word_search_indexed"] = q_docs_word_search_indexed
     q["events_props_extract"] = q_events_props_extract
     q["docs_above_p90"] = q_docs_above_p90
     q["events_user_rolling"] = q_events_user_rolling
@@ -6690,6 +6716,7 @@ def build_oracle_sql() -> dict:
         HAVING count(DISTINCT w) = {len(set(SEARCH_TERMS))}
         ORDER BY doc_id
     """
+    sql["docs_word_search_indexed"] = sql["docs_word_search"]
     sql["events_hourly_ohlc"] = """
         WITH e AS (
           SELECT event_type, event_id, epoch_us(ts) AS ts_us,

@@ -1,0 +1,72 @@
+"""Posting-list index: build/lookup vs a Python oracle, rebuild
+idempotence, OR mode, same-bucket term collisions, absent terms."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    from fsst_like_ray.pipelines.postings import build_word_index
+
+    d = tmp_path_factory.mktemp("postidx")
+    corpus = d / "docs"
+    corpus.mkdir()
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha beta gamma",
+                "beta gamma delta",
+                "ALPHA! beta...",
+                "unrelated words only",
+            ],
+        }
+    )
+    df.to_parquet(corpus / "p.parquet")
+    idx = d / "idx"
+    # n_buckets=2 forces multiple terms per bucket
+    stats = build_word_index(str(corpus), str(idx), n_buckets=2)
+    return str(corpus), str(idx), stats
+
+
+def test_lookup_matches_python_oracle(built):
+    from fsst_like_ray.pipelines.postings import word_index_lookup
+
+    _, idx, stats = built
+    assert stats["n_buckets"] == 2
+    ids, read = word_index_lookup(idx, ("alpha", "beta"), mode="and")
+    assert ids.tolist() == [1, 3]  # punctuation/case normalized by tokenizer
+    assert read <= 2
+    ids, _ = word_index_lookup(idx, ("alpha", "delta"), mode="or")
+    assert ids.tolist() == [1, 2, 3]
+    ids, read = word_index_lookup(idx, ("nosuchword",), mode="and")
+    assert len(ids) == 0 and read <= 1
+
+
+def test_rebuild_idempotent(built, ray_session):
+    import pyarrow.parquet as pq
+
+    from fsst_like_ray.pipelines.postings import build_word_index
+
+    corpus, idx, stats = built
+    import glob
+    import hashlib
+
+    def digest():
+        h = hashlib.blake2b(digest_size=16)
+        for f in sorted(glob.glob(f"{idx}/postings/bucket=*/part-0.parquet")):
+            h.update(pq.read_table(f).to_pandas().to_csv().encode())
+        return h.hexdigest()
+
+    before = digest()
+    stats2 = build_word_index(corpus, idx, n_buckets=2)
+    assert stats2 == stats
+    assert digest() == before
