@@ -231,3 +231,50 @@ def word_and_search(
         return b.select([id_col]).filter(pa.array(masks == full))
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def phrase_search(
+    ds: "ray.data.Dataset",
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Documents containing the word PHRASE — every phrase word adjacent,
+    in order, under the shared tokenization contract (so punctuation /
+    case between words doesn't break a match, exactly like the bigram
+    operator's pairing). One streaming pass, no shuffle: consecutive
+    same-row token windows of |phrase| words join with
+    ``binary_join_element_wise`` and one C++ equality per window."""
+    import pyarrow.compute as pc
+
+    words = [w for w in phrase.lower().split() if w]
+    if not words:
+        raise ValueError("empty phrase")
+    needle = " ".join(words)
+    k = len(words)
+
+    def scan(b: pa.Table) -> pa.Table:
+        values, rows, keep = tokenize_rows(b, text_col)
+        toks = values.filter(pa.array(keep))
+        rr = rows[keep]
+        n = len(rr)
+        if n < k:
+            return b.select([id_col]).slice(0, 0)
+        # windows fully inside one row
+        valid = rr[k - 1 :] == rr[: n - k + 1]
+        idx = np.flatnonzero(valid)
+        if not len(idx):
+            return b.select([id_col]).slice(0, 0)
+        parts = [toks.take(pa.array(idx + j)) for j in range(k)]
+        joined = (
+            parts[0]
+            if k == 1
+            else pc.binary_join_element_wise(*parts, " ")
+        )
+        hit = pc.equal(joined, needle).to_numpy(zero_copy_only=False)
+        docs = np.unique(rr[idx[hit]])
+        mask = np.zeros(b.num_rows, dtype=bool)
+        mask[docs] = True
+        return b.select([id_col]).filter(pa.array(mask))
+
+    return ds.map_batches(scan, batch_format="pyarrow")

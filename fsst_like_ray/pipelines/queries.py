@@ -3734,6 +3734,19 @@ def q_docs_word_search(sf_dir: str):
     return _collect_ids(out, "doc_id")
 
 
+def q_docs_phrase_search(sf_dir: str):
+    """Adjacent-word PHRASE match ("merge sort") under the shared
+    tokenization contract (functions/vocab.py phrase_search): in-row
+    k-word windows join via binary_join_element_wise + one C++ equality —
+    streaming, shuffle-free. Punctuation/case between the words doesn't
+    break adjacency (tokenizer semantics), which the oracle mirrors with
+    the re-indexed token JOIN."""
+    from ..functions.vocab import phrase_search
+
+    out = phrase_search(_docs(sf_dir, ("doc_id", "text")), "merge sort")
+    return _collect_ids(out, "doc_id")
+
+
 def q_docs_word_search_indexed(sf_dir: str):
     """Same AND query answered from the PERSISTED posting-list index
     (pipelines/postings.py): build hash-bucketed postings once, then read
@@ -5889,6 +5902,7 @@ def build_queries() -> dict:
     q["bigram_top20"] = q_bigram_top20
     q["docs_word_search"] = q_docs_word_search
     q["docs_word_search_indexed"] = q_docs_word_search_indexed
+    q["docs_phrase_search"] = q_docs_phrase_search
     q["events_props_extract"] = q_events_props_extract
     q["docs_above_p90"] = q_docs_above_p90
     q["events_user_rolling"] = q_events_user_rolling
@@ -6717,6 +6731,24 @@ def build_oracle_sql() -> dict:
         ORDER BY doc_id
     """
     sql["docs_word_search_indexed"] = sql["docs_word_search"]
+    sql["docs_phrase_search"] = """
+        WITH tok AS (
+          SELECT doc_id, w,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(lower(text),
+                                                 '[^a-z0-9]+')) AS w,
+                       unnest(generate_series(1, len(string_split_regex(
+                           lower(text), '[^a-z0-9]+')))) AS i
+                FROM documents)
+          WHERE w <> ''
+        )
+        SELECT DISTINCT a.doc_id
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.j = a.j + 1
+        WHERE a.w = 'merge' AND b.w = 'sort'
+        ORDER BY a.doc_id
+    """
     sql["events_hourly_ohlc"] = """
         WITH e AS (
           SELECT event_type, event_id, epoch_us(ts) AS ts_us,

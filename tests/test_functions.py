@@ -681,3 +681,36 @@ def test_word_and_search_term_form_validated(ray_session):
     assert sorted(
         word_and_search(docs, ("merge", "merge", "sort")).to_pandas()["doc_id"]
     ) == [1]
+
+
+def test_phrase_search_adjacency(ray_session):
+    """Phrase requires ADJACENT in-order words; punctuation between words
+    is transparent (tokenizer contract); cross-order and gapped docs
+    don't match; 3-word phrases work."""
+    import pandas as pd
+    import pytest as _pytest
+
+    import ray
+
+    from fsst_like_ray.functions.vocab import phrase_search
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "we merge sort daily",
+                    "merge, SORT!",          # punctuation transparent
+                    "sort merge",            # wrong order
+                    "merge the sort",        # gapped
+                    "a merge sort key here",
+                ],
+            }
+        )
+    ).repartition(2)
+    out = phrase_search(docs, "merge sort").to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 5]
+    out3 = phrase_search(docs, "merge sort key").to_pandas()
+    assert sorted(out3["doc_id"]) == [5]
+    with _pytest.raises(ValueError):
+        phrase_search(docs, "   ")
