@@ -38,6 +38,24 @@ from .vocab import tokenize_rows
 _B = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for word combine
 
 
+def stable_word_hashes(words) -> np.ndarray:
+    """64-bit blake2b per word — STABLE across runs/processes (persisted
+    artifacts like the posting-list index key on it; Python's builtin
+    hash is salted per process and unusable here). One shared helper so
+    the span hashing and the postings bucketing cannot drift apart."""
+    import hashlib
+
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+            )
+            for w in words
+        ],
+        dtype=np.uint64,
+    )
+
+
 def _word_hashes(values, keep, rows) -> tuple[np.ndarray, np.ndarray]:
     """Flattened (word hash, row id) streams for a tokenized batch."""
     import pyarrow.compute as pc
@@ -50,18 +68,7 @@ def _word_hashes(values, keep, rows) -> tuple[np.ndarray, np.ndarray]:
     # bytes is overkill; a stable 64-bit hash per distinct word via
     # dictionary encoding keeps it vectorized
     enc = toks.dictionary_encode()
-    uniq = enc.dictionary.to_pylist()
-    import hashlib
-
-    hv = np.array(
-        [
-            int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
-            )
-            for w in uniq
-        ],
-        dtype=np.uint64,
-    )
+    hv = stable_word_hashes(enc.dictionary.to_pylist())
     idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     return hv[idx], rr
 

@@ -242,15 +242,26 @@ def phrase_search(
     """Documents containing the word PHRASE — every phrase word adjacent,
     in order, under the shared tokenization contract (so punctuation /
     case between words doesn't break a match, exactly like the bigram
-    operator's pairing). One streaming pass, no shuffle: consecutive
-    same-row token windows of |phrase| words join with
-    ``binary_join_element_wise`` and one C++ equality per window."""
+    operator's pairing). One streaming pass, no shuffle: each window
+    position compares against its constant needle word with one C++
+    equality kernel and the k masks AND together — no per-window string
+    concatenation (tokens contain no spaces, so positional equality is
+    exactly window equality)."""
+    import re
+
     import pyarrow.compute as pc
 
     words = [w for w in phrase.lower().split() if w]
     if not words:
         raise ValueError("empty phrase")
-    needle = " ".join(words)
+    for w in words:
+        # a word outside the tokenization alphabet can NEVER match —
+        # surface the contract violation (same guard as word_and_search)
+        if not re.fullmatch(r"[a-z0-9]+", w):
+            raise ValueError(
+                f"phrase word {w!r} is not a lowercase [a-z0-9]+ word — "
+                "it cannot match the tokenizer's output"
+            )
     k = len(words)
 
     def scan(b: pa.Table) -> pa.Table:
@@ -265,13 +276,11 @@ def phrase_search(
         idx = np.flatnonzero(valid)
         if not len(idx):
             return b.select([id_col]).slice(0, 0)
-        parts = [toks.take(pa.array(idx + j)) for j in range(k)]
-        joined = (
-            parts[0]
-            if k == 1
-            else pc.binary_join_element_wise(*parts, " ")
-        )
-        hit = pc.equal(joined, needle).to_numpy(zero_copy_only=False)
+        hit = np.ones(len(idx), dtype=bool)
+        for j, w in enumerate(words):
+            hit &= pc.equal(
+                toks.take(pa.array(idx + j)), w
+            ).to_numpy(zero_copy_only=False)
         docs = np.unique(rr[idx[hit]])
         mask = np.zeros(b.num_rows, dtype=bool)
         mask[docs] = True

@@ -18,7 +18,6 @@ responsibility, as in any search engine)."""
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 
@@ -28,23 +27,19 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+from ..functions.spans import stable_word_hashes
 from ..functions.vocab import tokenize_rows
 
 META = "meta.json"
 
 
 def _word_bucket(words, n_buckets: int) -> np.ndarray:
-    """Deterministic (cross-run, cross-process) bucket per word."""
-    return np.array(
-        [
-            int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
-            )
-            % n_buckets
-            for w in words
-        ],
-        dtype=np.int64,
-    )
+    """Deterministic (cross-run, cross-process) bucket per word — the
+    SHARED stable word hash (functions/spans.py) so the persisted index
+    can never drift from the hash used to build it."""
+    return (
+        stable_word_hashes(words) % np.uint64(n_buckets)
+    ).astype(np.int64)
 
 
 def build_word_index(
@@ -91,7 +86,13 @@ def build_word_index(
             }
         )
 
+    import shutil
+
     post_dir = os.path.join(index_dir, "postings")
+    # a REBUILD must not mix stale bucket files with new ones — a corpus
+    # (or n_buckets) change can leave buckets the new pair stream never
+    # touches, and lookups would read their old postings
+    shutil.rmtree(post_dir, ignore_errors=True)
     os.makedirs(post_dir, exist_ok=True)
 
     def write_bucket(g: pa.Table) -> pa.Table:
@@ -122,8 +123,11 @@ def build_word_index(
         .take_all()
     )
     n_post = sum(int(r["n"]) for r in stats)
-    with open(os.path.join(index_dir, META), "w") as f:
+    meta_path = os.path.join(index_dir, META)
+    tmp = f"{meta_path}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:  # atomic: a kill can't truncate the meta
         json.dump({"n_buckets": n_buckets, "n_postings": n_post}, f)
+    os.replace(tmp, meta_path)
     return {"n_buckets": n_buckets, "n_postings": n_post}
 
 

@@ -714,3 +714,22 @@ def test_phrase_search_adjacency(ray_session):
     assert sorted(out3["doc_id"]) == [5]
     with _pytest.raises(ValueError):
         phrase_search(docs, "   ")
+
+
+def test_phrase_search_term_form_validated(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+
+    import ray
+
+    from fsst_like_ray.functions.vocab import phrase_search
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1], "text": ["merge sort"]})
+    )
+    for bad in ("merge-sort algo", "don't stop"):
+        with _pytest.raises(ValueError, match="cannot match"):
+            phrase_search(docs, bad)
+    # case is normalized by the operator itself, like the tokenizer
+    assert phrase_search(docs, "Merge SORT").to_pandas()["doc_id"].tolist() \
+        == [1]

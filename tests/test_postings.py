@@ -70,3 +70,28 @@ def test_rebuild_idempotent(built, ray_session):
     stats2 = build_word_index(corpus, idx, n_buckets=2)
     assert stats2 == stats
     assert digest() == before
+
+
+def test_rebuild_clears_stale_buckets(ray_session, tmp_path):
+    """A rebuild over a changed corpus must not leave old buckets behind:
+    a word present only in the OLD corpus must resolve to zero docs."""
+    from fsst_like_ray.pipelines.postings import (
+        build_word_index,
+        word_index_lookup,
+    )
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    idx = str(tmp_path / "idx")
+    pd.DataFrame({"doc_id": [1], "text": ["obsolete word"]}).to_parquet(
+        corpus / "p.parquet"
+    )
+    build_word_index(str(corpus), idx, n_buckets=2)
+    assert word_index_lookup(idx, ("obsolete",))[0].tolist() == [1]
+
+    pd.DataFrame({"doc_id": [2], "text": ["fresh content"]}).to_parquet(
+        corpus / "p.parquet"
+    )
+    build_word_index(str(corpus), idx, n_buckets=2)
+    assert word_index_lookup(idx, ("obsolete",))[0].tolist() == []
+    assert word_index_lookup(idx, ("fresh",))[0].tolist() == [2]

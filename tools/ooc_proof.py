@@ -16,6 +16,10 @@ import time
 N_ROWS = int(os.environ.get("OOC_ROWS", str(2 * 1024 * 1024)))  # ~1G tokens
 CODEC = os.environ.get("OOC_CODEC", "auto")
 SHARED = os.environ.get("OOC_SHARED", "") == "1"
+if SHARED and CODEC != "fsst":
+    # fail fast: compress_dataset would reject this only AFTER the
+    # multi-minute corpus generation
+    raise SystemExit("OOC_SHARED=1 requires OOC_CODEC=fsst")
 ROWS_PER_FILE = 16384
 CORPUS = f"/tmp/ooc/tokens_{N_ROWS}"
 OUT = "/tmp/ooc/encoded"
