@@ -42,16 +42,57 @@ def _word_bucket(words, n_buckets: int) -> np.ndarray:
     ).astype(np.int64)
 
 
+def _corpus_files(corpus_path: str) -> list[str]:
+    if os.path.isfile(corpus_path):
+        return [corpus_path]
+    return sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(corpus_path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
 def build_word_index(
     corpus_path: str,
     index_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    incremental: bool = False,
 ) -> dict:
     """Build (or rebuild) the postings under ``index_dir``; returns
-    {'n_buckets', 'n_postings'}."""
-    ds = ray.data.read_parquet(corpus_path, columns=[id_col, text_col])
+    {'n_buckets', 'n_postings'}.
+
+    ``incremental=True`` indexes ONLY corpus files absent from the
+    existing index, appending one part file per touched bucket (atomic,
+    deterministically named per epoch → re-running the same increment
+    overwrites, never duplicates). Sound because corpus files are
+    write-once and doc_ids are unique across files; a VANISHED indexed
+    file (compaction) is refused — its postings are already merged into
+    the buckets, so only a full rebuild can retract them."""
+    all_files = _corpus_files(corpus_path)
+    files = all_files
+    prev_post, epoch = 0, 0
+    meta_path = os.path.join(index_dir, META)
+    if incremental and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta["n_buckets"] != n_buckets:
+            raise ValueError("n_buckets change requires a full rebuild")
+        done = set(meta.get("files", []))
+        gone = done - set(all_files)
+        if gone:
+            raise ValueError(
+                f"{len(gone)} indexed corpus files vanished — postings "
+                "cannot be retracted incrementally; rebuild the index"
+            )
+        files = [f for f in all_files if f not in done]
+        prev_post = meta["n_postings"]
+        epoch = meta.get("epoch", 0) + 1
+        if not files:
+            return {"n_buckets": n_buckets, "n_postings": prev_post}
+    ds = ray.data.read_parquet(files, columns=[id_col, text_col])
 
     def pairs(b: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -89,11 +130,11 @@ def build_word_index(
     import shutil
 
     post_dir = os.path.join(index_dir, "postings")
-    # a REBUILD must not mix stale bucket files with new ones — a corpus
-    # (or n_buckets) change can leave buckets the new pair stream never
-    # touches, and lookups would read their old postings
-    shutil.rmtree(post_dir, ignore_errors=True)
+    if not (incremental and epoch > 0):
+        # a full (re)build must not mix stale bucket files with new ones
+        shutil.rmtree(post_dir, ignore_errors=True)
     os.makedirs(post_dir, exist_ok=True)
+    part_name = f"part-{epoch}.parquet"
 
     def write_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -108,7 +149,7 @@ def build_word_index(
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".part.tmp{os.getpid()}")
         pq.write_table(out, tmp)
-        os.replace(tmp, os.path.join(d, "part-0.parquet"))
+        os.replace(tmp, os.path.join(d, part_name))
         return pa.table(
             {
                 "bucket": pa.array([bucket], type=pa.int64()),
@@ -122,11 +163,18 @@ def build_word_index(
         .map_groups(write_bucket, batch_format="pyarrow")
         .take_all()
     )
-    n_post = sum(int(r["n"]) for r in stats)
-    meta_path = os.path.join(index_dir, META)
+    n_post = prev_post + sum(int(r["n"]) for r in stats)
     tmp = f"{meta_path}.tmp{os.getpid()}"
     with open(tmp, "w") as f:  # atomic: a kill can't truncate the meta
-        json.dump({"n_buckets": n_buckets, "n_postings": n_post}, f)
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "n_postings": n_post,
+                "files": all_files,
+                "epoch": epoch,
+            },
+            f,
+        )
     os.replace(tmp, meta_path)
     return {"n_buckets": n_buckets, "n_postings": n_post}
 
@@ -147,21 +195,32 @@ def word_index_lookup(
         by_bucket.setdefault(int(bk), []).append(t)
     sets: dict[str, np.ndarray] = {}
     read = 0
+    import glob as _glob
+
     for bk, ts in sorted(by_bucket.items()):
-        path = os.path.join(index_dir, "postings", f"bucket={bk}",
-                            "part-0.parquet")
-        if not os.path.exists(path):
+        parts = sorted(
+            _glob.glob(
+                os.path.join(
+                    index_dir, "postings", f"bucket={bk}", "part-*.parquet"
+                )
+            )
+        )
+        if not parts:
             for t in ts:
                 sets[t] = np.array([], dtype=np.int64)
             continue
         read += 1
-        tbl = pq.read_table(
-            path, filters=[("word", "in", ts)], columns=["word", "doc_id"]
-        )
+        tbls = [
+            pq.read_table(
+                p, filters=[("word", "in", ts)], columns=["word", "doc_id"]
+            )
+            for p in parts  # incremental epochs append part files
+        ]
+        tbl = pa.concat_tables(tbls)
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
         words = tbl["word"].to_numpy(zero_copy_only=False)
         for t in ts:
-            sets[t] = ids[words == t]
+            sets[t] = np.sort(ids[words == t])
     acc = None
     for t in uniq:
         s = sets[t]

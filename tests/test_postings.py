@@ -95,3 +95,46 @@ def test_rebuild_clears_stale_buckets(ray_session, tmp_path):
     build_word_index(str(corpus), idx, n_buckets=2)
     assert word_index_lookup(idx, ("obsolete",))[0].tolist() == []
     assert word_index_lookup(idx, ("fresh",))[0].tolist() == [2]
+
+
+def test_incremental_append_and_guards(ray_session, tmp_path):
+    """Incremental indexing scans only NEW files; results equal a full
+    rebuild; vanished files and bucket-count changes are refused."""
+    from fsst_like_ray.pipelines.postings import (
+        build_word_index,
+        word_index_lookup,
+    )
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    idx = str(tmp_path / "idx")
+    pd.DataFrame({"doc_id": [1], "text": ["alpha beta"]}).to_parquet(
+        corpus / "a.parquet"
+    )
+    build_word_index(str(corpus), idx, n_buckets=2)
+
+    pd.DataFrame({"doc_id": [2], "text": ["beta gamma"]}).to_parquet(
+        corpus / "b.parquet"
+    )
+    stats = build_word_index(str(corpus), idx, n_buckets=2,
+                             incremental=True)
+    assert word_index_lookup(idx, ("beta",))[0].tolist() == [1, 2]
+    assert word_index_lookup(idx, ("gamma",))[0].tolist() == [2]
+    # no-op increment: nothing new
+    assert build_word_index(str(corpus), idx, n_buckets=2,
+                            incremental=True) == stats
+
+    # full rebuild equivalence
+    idx2 = str(tmp_path / "idx2")
+    build_word_index(str(corpus), idx2, n_buckets=2)
+    for t in ("alpha", "beta", "gamma"):
+        assert (
+            word_index_lookup(idx, (t,))[0].tolist()
+            == word_index_lookup(idx2, (t,))[0].tolist()
+        )
+
+    with pytest.raises(ValueError, match="rebuild"):
+        build_word_index(str(corpus), idx, n_buckets=4, incremental=True)
+    (corpus / "a.parquet").unlink()
+    with pytest.raises(ValueError, match="vanished"):
+        build_word_index(str(corpus), idx, n_buckets=2, incremental=True)
