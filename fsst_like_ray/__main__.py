@@ -286,6 +286,37 @@ def cmd_decontam(args) -> int:
     return 0
 
 
+def cmd_word_index(args) -> int:
+    ray = _ray()
+    from .pipelines.postings import build_word_index
+
+    t0 = time.time()
+    stats = build_word_index(
+        args.corpus, args.index_dir,
+        n_buckets=args.n_buckets, incremental=args.incremental,
+    )
+    print(json.dumps({**stats, "sec": round(time.time() - t0, 3)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_search(args) -> int:
+    # lookup is driver-side file reads — no Ray session needed
+    from .pipelines.postings import word_index_lookup
+
+    t0 = time.time()
+    ids, read = word_index_lookup(
+        args.index_dir, tuple(args.terms), mode=args.mode
+    )
+    print(json.dumps({
+        "doc_ids": [int(i) for i in ids],
+        "n": len(ids),
+        "buckets_read": read,
+        "sec": round(time.time() - t0, 4),
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m fsst_like_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -389,6 +420,24 @@ def main(argv=None) -> int:
     dc.add_argument("--text-col", default="text")
     dc.add_argument("--id-col", default="doc_id")
     dc.set_defaults(fn=cmd_decontam)
+
+    wi = sub.add_parser(
+        "word-index",
+        help="build (or incrementally extend) the posting-list index",
+    )
+    wi.add_argument("corpus")
+    wi.add_argument("index_dir")
+    wi.add_argument("--n-buckets", type=int, default=64)
+    wi.add_argument("--incremental", action="store_true")
+    wi.set_defaults(fn=cmd_word_index)
+
+    se = sub.add_parser(
+        "search", help="word search against a posting-list index"
+    )
+    se.add_argument("index_dir")
+    se.add_argument("terms", nargs="+")
+    se.add_argument("--mode", choices=("and", "or"), default="and")
+    se.set_defaults(fn=cmd_search)
 
     args = ap.parse_args(argv)
     return args.fn(args)
