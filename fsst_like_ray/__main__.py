@@ -293,6 +293,7 @@ def cmd_word_index(args) -> int:
     t0 = time.time()
     stats = build_word_index(
         args.corpus, args.index_dir,
+        text_col=args.text_col, id_col=args.id_col,
         n_buckets=args.n_buckets, incremental=args.incremental,
     )
     print(json.dumps({**stats, "sec": round(time.time() - t0, 3)}))
@@ -429,6 +430,8 @@ def main(argv=None) -> int:
     wi.add_argument("index_dir")
     wi.add_argument("--n-buckets", type=int, default=64)
     wi.add_argument("--incremental", action="store_true")
+    wi.add_argument("--text-col", default="text")
+    wi.add_argument("--id-col", default="doc_id")
     wi.set_defaults(fn=cmd_word_index)
 
     se = sub.add_parser(

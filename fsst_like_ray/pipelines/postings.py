@@ -42,6 +42,27 @@ def _word_bucket(words, n_buckets: int) -> np.ndarray:
     ).astype(np.int64)
 
 
+def _bucket_dirs(post_dir: str) -> list[str]:
+    if not os.path.isdir(post_dir):
+        return []
+    return sorted(
+        os.path.join(post_dir, d)
+        for d in os.listdir(post_dir)
+        if d.startswith("bucket=")
+    )
+
+
+def _part_epoch(fname: str) -> int | None:
+    """part-<N>.parquet → N (else None). listdir + parse instead of glob
+    so metacharacters in user paths can't silently mis-match."""
+    if fname.startswith("part-") and fname.endswith(".parquet"):
+        try:
+            return int(fname[5:-8])
+        except ValueError:
+            return None
+    return None
+
+
 def _corpus_files(corpus_path: str) -> list[str]:
     if os.path.isfile(corpus_path):
         return [corpus_path]
@@ -65,13 +86,17 @@ def build_word_index(
     {'n_buckets', 'n_postings'}.
 
     ``incremental=True`` indexes ONLY corpus files absent from the
-    existing index, appending one part file per touched bucket (atomic,
-    deterministically named per epoch → re-running the same increment
-    overwrites, never duplicates). Sound because corpus files are
-    write-once and doc_ids are unique across files; a VANISHED indexed
-    file (compaction) is refused — its postings are already merged into
-    the buckets, so only a full rebuild can retract them."""
-    all_files = _corpus_files(corpus_path)
+    existing index, appending one part file per touched bucket. Two-phase
+    commit: new parts carry the NEXT epoch number, and lookups ignore
+    parts beyond the committed meta epoch — a crash mid-increment leaves
+    nothing visible, and the rerun first clears any pending-epoch
+    leftovers (a vanished-then-rerun corpus can't resurrect them) before
+    overwriting. Sound because corpus files are write-once and doc_ids
+    are unique across files; a VANISHED indexed file (compaction) is
+    refused — its postings are already merged into the buckets, so only
+    a full rebuild can retract them. Paths are stored/compared absolute,
+    so the same corpus reached via a different spelling still matches."""
+    all_files = [os.path.abspath(p) for p in _corpus_files(corpus_path)]
     files = all_files
     prev_post, epoch = 0, 0
     meta_path = os.path.join(index_dir, META)
@@ -80,7 +105,12 @@ def build_word_index(
             meta = json.load(f)
         if meta["n_buckets"] != n_buckets:
             raise ValueError("n_buckets change requires a full rebuild")
-        done = set(meta.get("files", []))
+        if "files" not in meta:
+            raise ValueError(
+                "existing index has no file manifest (pre-incremental "
+                "format) — rebuild the index"
+            )
+        done = set(meta["files"])
         gone = done - set(all_files)
         if gone:
             raise ValueError(
@@ -133,6 +163,16 @@ def build_word_index(
     if not (incremental and epoch > 0):
         # a full (re)build must not mix stale bucket files with new ones
         shutil.rmtree(post_dir, ignore_errors=True)
+    else:
+        # clear PENDING parts (epoch ≥ this one) left by a crashed
+        # increment — its file set may differ from ours, and a bucket we
+        # don't touch must not carry its orphans into visibility once we
+        # commit this epoch number
+        for bdir in _bucket_dirs(post_dir):
+            for f in os.listdir(bdir):
+                ep = _part_epoch(f)
+                if ep is not None and ep >= epoch:
+                    os.unlink(os.path.join(bdir, f))
     os.makedirs(post_dir, exist_ok=True)
     part_name = f"part-{epoch}.parquet"
 
@@ -187,7 +227,9 @@ def word_index_lookup(
     if mode not in ("and", "or"):
         raise ValueError(mode)
     with open(os.path.join(index_dir, META)) as f:
-        n_buckets = json.load(f)["n_buckets"]
+        meta = json.load(f)
+    n_buckets = meta["n_buckets"]
+    committed_epoch = meta.get("epoch", 0)
     uniq = sorted(set(terms))
     buckets = _word_bucket(uniq, n_buckets)
     by_bucket: dict[int, list[str]] = {}
@@ -195,15 +237,14 @@ def word_index_lookup(
         by_bucket.setdefault(int(bk), []).append(t)
     sets: dict[str, np.ndarray] = {}
     read = 0
-    import glob as _glob
-
     for bk, ts in sorted(by_bucket.items()):
+        bdir = os.path.join(index_dir, "postings", f"bucket={bk}")
+        # listdir + epoch gate: parts beyond the committed meta epoch are
+        # an in-flight (possibly crashed) increment and must stay invisible
         parts = sorted(
-            _glob.glob(
-                os.path.join(
-                    index_dir, "postings", f"bucket={bk}", "part-*.parquet"
-                )
-            )
+            os.path.join(bdir, f)
+            for f in (os.listdir(bdir) if os.path.isdir(bdir) else [])
+            if (ep := _part_epoch(f)) is not None and ep <= committed_epoch
         )
         if not parts:
             for t in ts:

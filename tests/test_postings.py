@@ -138,3 +138,65 @@ def test_incremental_append_and_guards(ray_session, tmp_path):
     (corpus / "a.parquet").unlink()
     with pytest.raises(ValueError, match="vanished"):
         build_word_index(str(corpus), idx, n_buckets=2, incremental=True)
+
+
+def test_crashed_increment_invisible_until_committed(ray_session, tmp_path):
+    """Parts beyond the committed meta epoch (a crashed increment) are
+    invisible to lookups, and a later successful increment clears them."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq_
+    import pyarrow as pa_
+
+    from fsst_like_ray.pipelines.postings import (
+        build_word_index,
+        word_index_lookup,
+        _word_bucket,
+    )
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    idx = str(tmp_path / "idx")
+    pd.DataFrame({"doc_id": [1], "text": ["alpha"]}).to_parquet(
+        corpus / "a.parquet"
+    )
+    build_word_index(str(corpus), idx, n_buckets=2)
+
+    # simulate a crashed epoch-1 increment: orphan part, meta NOT updated
+    bk = int(_word_bucket(["ghost"], 2)[0])
+    d = f"{idx}/postings/bucket={bk}"
+    os.makedirs(d, exist_ok=True)
+    pq_.write_table(
+        pa_.table({"word": ["ghost"], "doc_id": [99]}),
+        f"{d}/part-1.parquet",
+    )
+    assert word_index_lookup(idx, ("ghost",))[0].tolist() == []  # invisible
+
+    # a real increment commits epoch 1 and must have CLEARED the orphan
+    pd.DataFrame({"doc_id": [2], "text": ["beta"]}).to_parquet(
+        corpus / "b.parquet"
+    )
+    build_word_index(str(corpus), idx, n_buckets=2, incremental=True)
+    assert word_index_lookup(idx, ("ghost",))[0].tolist() == []
+    assert word_index_lookup(idx, ("beta",))[0].tolist() == [2]
+
+
+def test_pre_incremental_meta_refused(ray_session, tmp_path):
+    import json
+
+    from fsst_like_ray.pipelines.postings import build_word_index
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    idx = tmp_path / "idx"
+    pd.DataFrame({"doc_id": [1], "text": ["alpha"]}).to_parquet(
+        corpus / "a.parquet"
+    )
+    build_word_index(str(corpus), str(idx), n_buckets=2)
+    meta = json.loads((idx / "meta.json").read_text())
+    del meta["files"]  # old-format index
+    (idx / "meta.json").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="rebuild"):
+        build_word_index(str(corpus), str(idx), n_buckets=2,
+                         incremental=True)
