@@ -475,3 +475,36 @@ def test_shared_state_rejected_for_unsafe_codec_at_encode(ray_session):
 
     with _pytest.raises(ValueError, match="only sound"):
         encode_table(tokens_table(8, seed=2), "dict", shared_state=b"x")
+
+
+def test_transcode_from_shared_table_corpus(ray_session, corpus_dir, tmp_path):
+    """Lifecycle composition: a shared-symbol-table corpus transcodes to
+    auto policy with lineage hashes reproduced bit-for-bit (the transcode
+    self-verify) and decodes equal to the original."""
+    import ray.data
+
+    from fsst_like_ray.pipelines.compress import (
+        compress_dataset,
+        decode_dataset,
+        read_encoded,
+        transcode_encoded,
+        verify_roundtrip,
+    )
+    from fsst_like_ray.state.manifest import Manifest
+
+    src = str(tmp_path / "shared_src")
+    dst = str(tmp_path / "auto_dst")
+    compress_dataset(corpus_dir, src, codec="fsst", shared_table=True)
+    stats = transcode_encoded(src, dst, codec="auto")
+    assert stats["fragments"] == 4
+
+    original = ray.data.read_parquet(corpus_dir)
+    decoded = decode_dataset(read_encoded(dst))
+    assert verify_roundtrip(original, decoded)["match"]
+    # per-fragment lineage hashes must carry over exactly
+    src_m = {r["frag_key"]: r for r in Manifest(src).completed().values()}
+    dst_m = {r["frag_key"]: r for r in Manifest(dst).completed().values()}
+    assert set(src_m) == set(dst_m)
+    for k in src_m:
+        assert src_m[k]["hash_sum"] == dst_m[k]["hash_sum"]
+        assert src_m[k]["hash_xor"] == dst_m[k]["hash_xor"]
