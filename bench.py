@@ -394,6 +394,17 @@ def main():
         queries["join_tpch_q3"] = round(run_join_q3(sf_dir)["sec"], 3)
 
         total = sum(queries.values())
+        # The bulky per-engine rank table goes to a sidecar file + its own
+        # stdout line FIRST; the driver tail-captures the LAST line, which
+        # must stay a small, complete JSON object (round-3's BENCH artifact
+        # was truncated because the table was embedded in the metric line).
+        rank_path = "/tmp/fsst_like_bench/engine_rank.json"
+        try:
+            with open(rank_path, "w") as f:
+                json.dump(rank["table"], f)
+        except OSError:
+            rank_path = None
+        print(json.dumps({"engine_rank": rank["table"]}))
         print(
             json.dumps(
                 {
@@ -410,7 +421,7 @@ def main():
                         / max(head.get("encoded_bytes", 1), 1),
                         3,
                     ),
-                    "engine_rank": rank["table"],
+                    "engine_rank_file": rank_path,
                 }
             )
         )

@@ -262,15 +262,21 @@ def q_source_counts(sf_dir: str):
     )
 
 
+COMPRESSION_EST_TOL = 0.15
+
+
 def q_compression_stats(sf_dir: str):
-    """Per-codec encoded bytes over the derived tokens table (the reference's
-    compressed-size accounting, sketch.cc:738-755) in ONE streaming pass:
-    each batch runs the auto-selector once and emits its per-codec
-    FULL-BLOCK estimates (held-out fsst eval + Heaps-law dict growth —
-    measured within ~2-4% of exact encodes), summed driver-side. The
-    previous shape executed a full encode pipeline per codec (6 passes over
-    the corpus) and was the most expensive query in the driver's sweep.
-    Rows-only check (estimates, not bit-exact sizes)."""
+    """Encoded-size accounting as a per-codec GATE (all-true booleans, so
+    the driver's DuckDB oracle is exact): each batch runs the auto-selector
+    (the sampled estimates used for codec choice, reference compressed-size
+    accounting sketch.cc:738-755) AND a real per-codec train+encode; totals
+    are compared driver-side. Booleans asserted per codec:
+    ``est_positive``   — the estimator returned a real size;
+    ``est_within_tol`` — |estimate − exact| ≤ 15% of exact (the fsst
+                         held-out estimator is calibrated to ~2-4%);
+    ``no_blowup``      — exact encoded bytes ≤ 2× plain + state (every
+                         codec's documented worst case: fsst/rle at most
+                         double their input, the rest stay under plain)."""
     from ..codecs import select_codec
     from ..stages.encode import list_buffers
 
@@ -279,14 +285,21 @@ def q_compression_stats(sf_dir: str):
     def per_batch(b: pa.Table) -> pa.Table:
         values, offsets = list_buffers(b["tokens"])
         _name, est, _state = select_codec(values, offsets)
+        exact, state_sz = [], []
+        for n in names:
+            state, buf, _po = CODECS[n].train_encode(values, offsets)
+            exact.append(int(buf.size) + len(state))
+            state_sz.append(len(state))
         plain = int(offsets[-1] - offsets[0]) * 4
         return pa.table(
             {
                 "codec": pa.array(names, type=pa.string()),
-                "encoded_bytes": pa.array(
+                "est_bytes": pa.array(
                     [int(est[n]) for n in names], type=pa.int64()
                 ),
+                "exact_bytes": pa.array(exact, type=pa.int64()),
                 "plain_bytes": pa.array([plain] * len(names), type=pa.int64()),
+                "state_bytes": pa.array(state_sz, type=pa.int64()),
             }
         )
 
@@ -295,13 +308,24 @@ def q_compression_stats(sf_dir: str):
         .map_batches(per_batch, batch_format="pyarrow", batch_size=2048)
         .take_all()
     )
-    acc: dict[str, list[int]] = {n: [0, 0] for n in names}
+    acc: dict[str, list[int]] = {n: [0, 0, 0, 0] for n in names}
     for r in parts:
-        acc[r["codec"]][0] += int(r["encoded_bytes"])
-        acc[r["codec"]][1] += int(r["plain_bytes"])
+        a = acc[r["codec"]]
+        a[0] += int(r["est_bytes"])
+        a[1] += int(r["exact_bytes"])
+        a[2] += int(r["plain_bytes"])
+        a[3] += int(r["state_bytes"])
     return pd.DataFrame(
         [
-            {"codec": n, "encoded_bytes": acc[n][0], "plain_bytes": acc[n][1]}
+            {
+                "codec": n,
+                "est_positive": bool(0 < acc[n][0] < np.iinfo(np.int64).max),
+                "est_within_tol": bool(
+                    abs(acc[n][0] - acc[n][1])
+                    <= COMPRESSION_EST_TOL * max(acc[n][1], 1)
+                ),
+                "no_blowup": bool(acc[n][1] <= 2 * acc[n][2] + acc[n][3]),
+            }
             for n in names
         ]
     )
@@ -384,18 +408,80 @@ def q_dedup_exact(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+DISTINCT_OFFSET = 30_000_000
+
+
+def _decoy_texts(ids: np.ndarray) -> list[str]:
+    """Deterministic per-id gibberish, guaranteed far (in every similarity
+    the dedups measure) from any natural document and from each other:
+    seeded letter soup with sprinkled spaces. Used as planted NEGATIVES for
+    the dedup precision gates."""
+    out = []
+    for i in ids:
+        rng = np.random.default_rng([0xDEC0, int(i)])
+        chars = rng.integers(97, 123, size=160).astype(np.uint8)
+        chars[rng.integers(0, 160, size=24)] = 32
+        out.append(bytes(chars).decode())
+    return out
+
+
 def make_dedup(kind: str):
+    """Approximate-dedup PRECISION + RECALL gate (all-true booleans, so the
+    driver's DuckDB oracle is exact): the union corpus is the natural docs
+    + exact copies of the first PLANT_N at +PLANT_OFFSET (MUST all be
+    dropped — identical signatures make their detection deterministic) +
+    per-id gibberish decoys at +DISTINCT_OFFSET (MUST never be dropped —
+    the in-bucket verification step rejects any chance LSH collision).
+    Natural near-dups with doc_id < PLANT_OFFSET stay estimator-dependent
+    and are deliberately outside the gate."""
+
     def q(sf_dir: str):
+        import pyarrow.compute as pc
+
         ds = _docs(sf_dir, ("doc_id", "text"))
+
+        def plant(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            sel = np.flatnonzero(ids < PLANT_N)
+            sub = b.take(pa.array(sel))
+            copies = pa.table(
+                {
+                    "doc_id": pc.add(sub["doc_id"], PLANT_OFFSET),
+                    "text": sub["text"],
+                }
+            )
+            decoy_ids = ids[sel].astype(np.int64) + DISTINCT_OFFSET
+            decoys = pa.table(
+                {
+                    "doc_id": pa.array(decoy_ids, type=pa.int64()),
+                    "text": pa.array(_decoy_texts(decoy_ids), type=pa.string()),
+                }
+            )
+            return pa.concat_tables(
+                [b.select(["doc_id", "text"]), copies, decoys]
+            )
+
+        full = ds.map_batches(plant, batch_format="pyarrow")
         if kind == "minhash":
-            out = F_dedup.minhash_duplicates(ds)
+            dups = F_dedup.minhash_duplicates(full)
         elif kind == "simhash":
-            out = F_dedup.simhash_duplicates(ds)
+            dups = F_dedup.simhash_duplicates(full)
         elif kind == "ngram_jaccard":
-            out = F_dedup.ngram_jaccard_duplicates(ds)
+            dups = F_dedup.ngram_jaccard_duplicates(full)
         else:
             raise ValueError(kind)
-        return out
+        dropped = np.array(
+            sorted(r["doc_id"] for r in dups.take_all()), dtype=np.int64
+        )
+        want = np.arange(PLANT_N, dtype=np.int64) + PLANT_OFFSET
+        recall = bool(np.isin(want, dropped).all())
+        precision = bool((dropped < DISTINCT_OFFSET).all())
+        return pa.table(
+            {
+                "decoys_kept": pa.array([precision]),
+                "planted_dropped": pa.array([recall]),
+            }
+        )
 
     return q
 
@@ -711,9 +797,61 @@ def q_ann_ivf_index_recall(sf_dir: str):
     return pa.table({"recall_ge_080": pa.array([bool(recall >= 0.8)])})
 
 
-def q_dedup_embedding(sf_dir: str):
+def q_dedup_embedding(sf_dir: str, n_plant: int = 10):
+    """Embedding-dedup precision + recall gate (all-true booleans; same
+    design as the text-dedup gates): exact vector copies at +PLANT_OFFSET
+    must ALL be dropped (cosine 1.0 in every band); random unit-vector
+    decoys at +DISTINCT_OFFSET must NEVER be dropped (cosine vs anything
+    ≪ the 0.98 threshold; the verified-cosine step rejects any chance LSH
+    band collision)."""
+    import pyarrow.compute as pc
+
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return F_sim.embedding_duplicates(ds)
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(ids < n_plant)
+        sub = b.take(pa.array(sel))
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        dim = len(emb[0]) if len(emb) else 8
+        copies = pa.table(
+            {
+                "vec_id": pc.add(sub["vec_id"], PLANT_OFFSET),
+                "embedding": sub["embedding"],
+            }
+        )
+        decoy_ids = ids[sel].astype(np.int64) + DISTINCT_OFFSET
+        vecs = []
+        for i in decoy_ids:
+            rng = np.random.default_rng([0xE5B, int(i)])
+            v = rng.standard_normal(dim).astype(np.float32)
+            vecs.append(v / np.linalg.norm(v))
+        decoys = pa.table(
+            {
+                "vec_id": pa.array(decoy_ids, type=pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], type=emb.type
+                ),
+            }
+        )
+        return pa.concat_tables(
+            [b.select(["vec_id", "embedding"]), copies, decoys]
+        )
+
+    full = ds.map_batches(plant, batch_format="pyarrow")
+    dups = F_sim.embedding_duplicates(full)
+    dropped = np.array(
+        sorted(r["vec_id"] for r in dups.take_all()), dtype=np.int64
+    )
+    want = np.arange(n_plant, dtype=np.int64) + PLANT_OFFSET
+    return pa.table(
+        {
+            "decoys_kept": pa.array([bool((dropped < DISTINCT_OFFSET).all())]),
+            "planted_dropped": pa.array([bool(np.isin(want, dropped).all())]),
+        }
+    )
 
 
 # ------------------------------------------------------------- text stats
@@ -5972,6 +6110,20 @@ def build_oracle_sql() -> dict:
         FROM documents WHERE doc_id % 10 = 0
     """
     sql["compression_ratio_gate"] = "SELECT (1=1) AS ratio_ge_150"
+    # gate queries: the Ray side computes real precision/recall/accuracy
+    # booleans; the oracle is the all-true expectation (CMS/KLL gate pattern)
+    _codec_values = ", ".join(f"('{n}')" for n in sorted(CODECS))
+    sql["compression_stats"] = (
+        "SELECT codec, (1=1) AS est_positive, (1=1) AS est_within_tol, "
+        f"(1=1) AS no_blowup FROM (VALUES {_codec_values}) t(codec)"
+    )
+    _dedup_gate_sql = (
+        "SELECT (1=1) AS decoys_kept, (1=1) AS planted_dropped"
+    )
+    sql["dedup_minhash"] = _dedup_gate_sql
+    sql["dedup_simhash"] = _dedup_gate_sql
+    sql["dedup_ngram_jaccard"] = _dedup_gate_sql
+    sql["dedup_embedding"] = _dedup_gate_sql
     sql["dedup_minhash_planted"] = f"""
         SELECT doc_id + {PLANT_OFFSET} AS doc_id FROM documents
         WHERE doc_id < {PLANT_N}
@@ -7310,8 +7462,8 @@ def build_oracle_sql() -> dict:
         FROM range(8) t(i)
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
-    # compression_stats, dedup_minhash/simhash/ngram_jaccard/embedding,
     # ann_ivf, kmeans_embeddings — each has an oracle-gated sibling
-    # (the *_planted recall/recovery gates, *_recall gates,
-    # compression_ratio_gate)
+    # (the *_recall gates, kmeans_planted). Since round 4,
+    # compression_stats and the dedup_* family are themselves gate
+    # queries (precision/recall/tolerance booleans) with exact oracles.
     return sql
