@@ -152,6 +152,10 @@ def lsh_band_rows(
 
 DRIVER_CAP_ROWS = 2_000_000
 DRIVER_CAP_BYTES = 256 << 20
+# above this many duplicate-bucket keys, the hot-key set is never
+# collected to the driver — members are semi-joined to it in a shuffle
+# (resolve_hot_buckets no-broadcast path). 2M folded keys = 16 MB.
+HOT_KEY_BROADCAST_CAP = 2_000_000
 
 
 def _unique_id_dataset(ids, id_type, col: str):
@@ -201,10 +205,13 @@ def resolve_hot_buckets(
     that column (a doc caught in several buckets reports once) — driver-side
     ``np.unique`` on the small path, ``groupby(col)`` on the shuffle path.
 
-    Assumption (documented for the 100 TB case): the HOT key set — duplicate
-    buckets only, not all buckets — fits in driver/object-store memory; with
-    a bounded duplicate rate it is orders of magnitude smaller than the data.
-    Pass ``prefilter=False`` to keep the pure-shuffle path."""
+    The HOT key set — duplicate buckets only, not all buckets — is usually
+    orders of magnitude smaller than the data and broadcasts via ``ray.put``;
+    when it exceeds ``HOT_KEY_BROADCAST_CAP`` it is never collected: members
+    semi-join to the hot keys through the co-partitioned shuffle join and
+    resolve in the distributed groupby (no driver bottleneck at any
+    duplication rate). Pass ``prefilter=False`` to keep the pure-shuffle
+    path."""
     import ray
     import ray.data
     from ray.data.aggregate import Count
@@ -270,6 +277,45 @@ def resolve_hot_buckets(
     else:
         counts = exploded.groupby(key_cols).aggregate(Count(alias_name="cnt"))
         hot = counts.filter(expr="cnt >= 2").select_columns(key_cols + ["cnt"])
+        if hot.count() > HOT_KEY_BROADCAST_CAP:
+            # the hot-key SET itself is too large to collect/broadcast
+            # (100 TB with high duplication: GBs of keys). Keep it
+            # distributed: semi-join members to hot keys on the folded
+            # 8-byte key through the co-partitioned shuffle join, then
+            # resolve in the exact-key groupby as usual. A fold collision
+            # only admits extra members, which the exact-key grouping
+            # separates again.
+            from .join import shuffle_hash_join
+
+            FOLD = "__hot_fold__"
+
+            def add_fold(b: pa.Table) -> pa.Table:
+                f = fold(
+                    [b[k].to_numpy(zero_copy_only=False) for k in key_cols]
+                ).view(np.int64)
+                return b.append_column(FOLD, pa.array(f, type=pa.int64()))
+
+            hot_folds = (
+                hot.map_batches(
+                    lambda b: add_fold(b).select([FOLD]),
+                    batch_format="pyarrow",
+                )
+                .groupby(FOLD)
+                .count()
+                .select_columns([FOLD])  # unique folds: the join stays 1:1
+            )
+            members = shuffle_hash_join(
+                exploded.map_batches(add_fold, batch_format="pyarrow"),
+                hot_folds,
+                FOLD,
+                FOLD,
+                how="inner",
+            ).drop_columns([FOLD])
+            return _maybe_unique(
+                members.groupby(key_cols).map_groups(
+                    resolve_fn, batch_format="pandas"
+                )
+            )
         hot_tbl = hot.take_all()
         member_total = sum(int(r["cnt"]) for r in hot_tbl)
         # int64 first, then bit-view: keys are stored as int64 bit-views and

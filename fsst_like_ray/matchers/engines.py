@@ -33,6 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import fsstlib
+from .. import native as _native
 from .pattern import LikePattern, parse_like
 
 ESCAPE = fsstlib.ESCAPE
@@ -129,6 +130,80 @@ def _position_code_sets(
     return sets
 
 
+def _choose_requirements(
+    table: fsstlib.SymbolTable,
+    needle: bytes,
+    used_chars: bytes | None,
+    max_positions: int = 2,
+):
+    """The ``max_positions`` rarest-code-set needle positions as
+    (code set, escape byte or -1) requirement tuples, deduplicated.
+    Returns None when some position has NO covering code and its byte is
+    not in the block's escaped-literal bitmap — the whole block is pruned
+    without reading payloads (reference src/BenchmarkDriver.cpp:128-137)."""
+    sets = _position_code_sets(table, needle)
+    esc_ok = [
+        used_chars is None
+        or bool(used_chars[b >> 3] & (1 << (b & 7)))
+        for b in needle
+    ]
+    for i in range(len(needle)):
+        if not sets[i] and not esc_ok[i]:
+            return None
+    order = sorted(range(len(needle)), key=lambda i: len(sets[i]))
+    reqs: list[tuple] = []
+    seen: set[tuple] = set()
+    for i in order:
+        if len(reqs) >= max_positions:
+            break
+        sig = (frozenset(sets[i]), needle[i] if esc_ok[i] else -1)
+        if sig in seen:
+            continue  # identical requirement adds nothing
+        seen.add(sig)
+        reqs.append(sig)
+    return reqs
+
+
+def _apply_requirements(
+    pay: np.ndarray, po: np.ndarray, reqs: list[tuple]
+) -> np.ndarray:
+    """AND of requirement masks over the payloads. Native path: ONE LUT
+    scan accumulating a per-row requirement bitmask with per-row early
+    exit (fsstkern.c like_prefilter); NumPy fallback is the bit-identical
+    per-requirement pass."""
+    n_rows = len(po) - 1
+    if not reqs:
+        return np.ones(n_rows, dtype=bool)
+    if _native.lib is not None and len(reqs) <= 8:
+        comb = np.zeros(256, dtype=np.uint8)
+        esc_comb = np.zeros(256, dtype=np.uint8)
+        for bit, (codes, eb) in enumerate(reqs):
+            if codes:
+                comb[list(codes)] |= np.uint8(1 << bit)
+            if eb >= 0:
+                esc_comb[eb] |= np.uint8(1 << bit)
+        return _native.like_prefilter(
+            pay, po, comb, esc_comb, (1 << len(reqs)) - 1
+        ).copy()
+    cand = np.ones(n_rows, dtype=bool)
+    for codes, eb in reqs:
+        if not cand.any():
+            break
+        lut = np.zeros(256, dtype=np.uint8)
+        if codes:
+            lut[list(codes)] = 1
+        c = _payload_rows_any(lut[pay], po)
+        if eb >= 0:
+            # escaped literal: 255 followed by the byte (conservative, no
+            # parity check)
+            esc = np.zeros(len(pay), dtype=np.uint8)
+            if len(pay) > 1:
+                esc[:-1] = (pay[:-1] == ESCAPE) & (pay[1:] == eb)
+            c |= _payload_rows_any(esc, po)
+        cand &= c
+    return cand
+
+
 def required_code_prefilter(
     pay: np.ndarray,
     po: np.ndarray,
@@ -144,49 +219,102 @@ def required_code_prefilter(
     (_position_code_sets — strictly tighter than byte-membership: a symbol
     merely CONTAINING the byte in an inconsistent context no longer keeps
     the row), or (b) that byte as an escaped literal. The masks of the
-    ``max_positions`` positions with the smallest code sets are ANDed.
-
-    When the block's ``used_chars`` bitmap (escaped literal bytes, reference
-    src/BenchmarkDriver.cpp:128-137) is available and some position has NO
-    covering code and its byte is NOT in the bitmap, the whole block is
-    pruned without reading payloads."""
+    ``max_positions`` positions with the smallest code sets are ANDed."""
     n_rows = len(po) - 1
     if not needle:
         return np.ones(n_rows, dtype=bool)
-    sets = _position_code_sets(table, needle)
-    esc_ok = [
-        used_chars is None
-        or bool(used_chars[b >> 3] & (1 << (b & 7)))
-        for b in needle
-    ]
-    for i in range(len(needle)):
-        if not sets[i] and not esc_ok[i]:
-            return np.zeros(n_rows, dtype=bool)
-    order = sorted(range(len(needle)), key=lambda i: len(sets[i]))
-    cand = np.ones(n_rows, dtype=bool)
+    reqs = _choose_requirements(table, needle, used_chars, max_positions)
+    if reqs is None:
+        return np.zeros(n_rows, dtype=bool)
+    return _apply_requirements(pay, po, reqs)
+
+
+# candidate-fraction cutoffs for the adaptive auto dispatch: above these,
+# the prefilter prunes too little to pay for its own payload pass relative
+# to the (C-kernel) decode+find path. Calibrated from engine_rank timings:
+# native LUT scan ≈ dummy-walk cost (~18% of decode+find), NumPy fancy-
+# indexing pass ≈ decode+find cost per requirement.
+_SKIP_CUTOFF_NATIVE = 0.8
+_SKIP_CUTOFF_NUMPY = 0.4
+# the C KMP walk costs at most one dummy payload pass (and less when
+# matches are dense — it early-exits), so single-segment contains should
+# leave the prefilter much earlier: prefilter+verify ≈ pass + frac×decode
+# crosses the KMP worst case near frac ≈ 0.5
+_KMP_ROUTE_CUTOFF = 0.5
+_SKIP_SAMPLE_ROWS = 512
+
+
+def _segments_requirements(
+    table: fsstlib.SymbolTable,
+    segments: tuple[bytes, ...],
+    used_chars: bytes | None,
+):
+    """Deduplicated requirement tuples over ALL pattern segments, or None
+    when any segment is unproducible (whole block prunes)."""
+    reqs: list[tuple] = []
     seen: set[tuple] = set()
-    taken = 0
-    for i in order:
-        if taken >= max_positions or not cand.any():
-            break
-        sig = (frozenset(sets[i]), needle[i] if esc_ok[i] else -1)
-        if sig in seen:
-            continue  # identical requirement adds nothing
-        seen.add(sig)
-        lut = np.zeros(256, dtype=np.uint8)
-        if sets[i]:
-            lut[list(sets[i])] = 1
-        c = _payload_rows_any(lut[pay], po)
-        if esc_ok[i]:
-            # escaped literal: 255 followed by the byte (conservative, no
-            # parity check)
-            esc = np.zeros(len(pay), dtype=np.uint8)
-            if len(pay) > 1:
-                esc[:-1] = (pay[:-1] == ESCAPE) & (pay[1:] == needle[i])
-            c |= _payload_rows_any(esc, po)
-        cand &= c
-        taken += 1
-    return cand
+    for needle in segments:
+        if not needle:
+            continue
+        r = _choose_requirements(table, needle, used_chars)
+        if r is None:
+            return None
+        for sig in r:
+            if sig not in seen:
+                seen.add(sig)
+                reqs.append(sig)
+    return reqs[:8]  # native bitmask width; dropping reqs only widens
+
+
+def _sampled_candidate_fraction(
+    pay: np.ndarray, po: np.ndarray, reqs: list[tuple]
+) -> float:
+    """Observed candidate fraction of the requirements on a strided row
+    sample (the auto engine's cost signal)."""
+    n_rows = len(po) - 1
+    stride = max(1, n_rows // _SKIP_SAMPLE_ROWS)
+    rows = np.arange(0, n_rows, stride)
+    counts = np.diff(po)[rows].astype(np.int64)
+    spo = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(counts, out=spo[1:])
+    spay = np.empty(int(spo[-1]), dtype=np.uint8)
+    for k, r_i in enumerate(rows):
+        spay[spo[k] : spo[k + 1]] = pay[po[r_i] : po[r_i + 1]]
+    return float(_apply_requirements(spay, spo, reqs).mean())
+
+
+def skipping_prefilter(
+    pay: np.ndarray,
+    po: np.ndarray,
+    table: fsstlib.SymbolTable,
+    segments: tuple[bytes, ...],
+    used_chars: bytes | None = None,
+    adaptive: bool = False,
+) -> np.ndarray:
+    """Combined candidate mask over ALL pattern segments: requirements from
+    every needle fold into one payload pass (native) or per-requirement
+    passes (NumPy). ``adaptive=True`` (the auto engine's cost-based
+    dispatch, mirroring the reference's factory-decline contract,
+    src/algos/StdFind.hpp:102-135): the requirements run first on a small
+    strided row sample; when the observed candidate fraction exceeds the
+    path-specific cutoff the prefilter declines — returns all-True so the
+    caller decode-verifies everything, which is cheaper than a full
+    low-yield prefilter pass."""
+    n_rows = len(po) - 1
+    reqs = _segments_requirements(table, segments, used_chars)
+    if reqs is None:
+        return np.zeros(n_rows, dtype=bool)
+    if not reqs:
+        return np.ones(n_rows, dtype=bool)
+    if adaptive and n_rows > 2 * _SKIP_SAMPLE_ROWS:
+        frac = _sampled_candidate_fraction(pay, po, reqs)
+        cutoff = (
+            _SKIP_CUTOFF_NATIVE if _native.lib is not None
+            else _SKIP_CUTOFF_NUMPY
+        )
+        if frac >= cutoff:
+            return np.ones(n_rows, dtype=bool)
+    return _apply_requirements(pay, po, reqs)
 
 
 def exact_payload_match(
@@ -334,6 +462,8 @@ def kmp_code_match(
     m = len(needle)
     char_delta = _kmp_char_delta(bytes(needle))
     code_delta = _kmp_code_delta_for(table, needle)
+    if _native.lib is not None:
+        return _native.kmp_scan(pay, po, code_delta, char_delta, m)
 
     state = np.zeros(n_rows, dtype=np.int32)
     pos = po[:-1].copy()
@@ -404,6 +534,10 @@ def meta_kmp_code_match(
     code_d = [_kmp_code_delta_for(table, seg) for seg in segments]
     acc_off = [_accept_offsets_for(table, seg) for seg in segments]
     m_of = [len(seg) for seg in segments]
+    if _native.lib is not None:
+        return _native.meta_kmp_scan(
+            pay, po, char_d, code_d, acc_off, m_of, table
+        )
     syms = table.symbols
 
     def advance_through(sym_bytes: bytes, start: int, k: int, st: int):
@@ -584,8 +718,37 @@ def like_on_encoded(
         ) > fsstlib.MAX_SYMBOL_LEN:
             cand = first_code_prefilter(gpay, gpo, table, pat.segments[0])
         elif eng == "skipping":
-            for needle in pat.segments:
-                cand &= required_code_prefilter(gpay, gpo, table, needle, used)
+            # cost-based dispatch under auto (reference factory-decline
+            # contract, src/algos/StdFind.hpp:102-135): sample the
+            # requirements' candidate fraction; when dense, a low-yield
+            # prefilter pass can't pay for itself — dense single-segment
+            # contains routes to the C KMP walk (exact, no decode, early
+            # exit on match: fastest engine on dense blocks), other shapes
+            # fall back to plain decode+find
+            reqs = _segments_requirements(table, tuple(pat.segments), used)
+            if reqs is None:
+                continue  # block pruned: no code/escape can spell a segment
+            adaptive = engine == "auto" and len(rows) > 2 * _SKIP_SAMPLE_ROWS
+            declined = kmp_route = False
+            if adaptive and reqs:
+                frac = _sampled_candidate_fraction(gpay, gpo, reqs)
+                cutoff = (
+                    _SKIP_CUTOFF_NATIVE if _native.lib is not None
+                    else _SKIP_CUTOFF_NUMPY
+                )
+                declined = frac >= cutoff
+                kmp_route = (
+                    shape == "contains"
+                    and _native.lib is not None
+                    and frac >= _KMP_ROUTE_CUTOFF
+                )
+            if kmp_route:
+                result[rows] = kmp_code_match(
+                    gpay, gpo, table, pat.segments[0]
+                )
+                continue
+            if not declined and reqs:
+                cand = _apply_requirements(gpay, gpo, reqs)
             if shape == "suffix":
                 cand &= last_code_prefilter(gpay, gpo, table, pat.segments[0])
         # decode-verify the candidates (or everything on the decoded path)

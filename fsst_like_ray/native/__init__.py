@@ -61,6 +61,22 @@ def _build():
                               ctypes.c_void_p, ctypes.c_void_p,
                               ctypes.c_int64, ctypes.c_void_p,
                               ctypes.c_void_p]
+    l.like_prefilter.restype = None
+    l.like_prefilter.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int64, ctypes.c_void_p,
+                                 ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.c_void_p]
+    l.kmp_scan.restype = None
+    l.kmp_scan.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                           ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+                           ctypes.c_void_p]
+    l.meta_kmp_scan.restype = None
+    l.meta_kmp_scan.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_int64, ctypes.c_void_p,
+                                ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_int, ctypes.c_void_p,
+                                ctypes.c_void_p]
     return l
 
 
@@ -198,6 +214,69 @@ def parse(data: np.ndarray, offsets: np.ndarray, table):
         _ptr(pos), _ptr(ml),
     )
     return pos[:total], ml[:total].astype(np.int64)
+
+
+def like_prefilter(
+    pay: np.ndarray, po: np.ndarray, comb: np.ndarray, esc_comb: np.ndarray,
+    need: int,
+) -> np.ndarray:
+    """Native requirement-AND prefilter; see fsstkern.c like_prefilter."""
+    pay = np.ascontiguousarray(pay, dtype=np.uint8)
+    po = np.ascontiguousarray(po, dtype=np.int64)
+    n_rows = len(po) - 1
+    out = np.empty(n_rows, dtype=np.uint8)
+    lib.like_prefilter(
+        _ptr(pay), _ptr(po), n_rows,
+        _ptr(np.ascontiguousarray(comb, dtype=np.uint8)),
+        _ptr(np.ascontiguousarray(esc_comb, dtype=np.uint8)),
+        int(need), _ptr(out),
+    )
+    return out.view(bool)
+
+
+def kmp_scan(
+    pay: np.ndarray, po: np.ndarray, code_delta: np.ndarray,
+    char_delta: np.ndarray, m: int,
+) -> np.ndarray:
+    """Native lockstep-KMP contains match; see fsstkern.c kmp_scan."""
+    pay = np.ascontiguousarray(pay, dtype=np.uint8)
+    po = np.ascontiguousarray(po, dtype=np.int64)
+    n_rows = len(po) - 1
+    out = np.empty(n_rows, dtype=np.uint8)
+    lib.kmp_scan(
+        _ptr(pay), _ptr(po), n_rows,
+        _ptr(np.ascontiguousarray(code_delta, dtype=np.int32)),
+        _ptr(np.ascontiguousarray(char_delta, dtype=np.int32)),
+        int(m), _ptr(out),
+    )
+    return out.view(bool)
+
+
+def meta_kmp_scan(
+    pay: np.ndarray, po: np.ndarray,
+    char_d: list[np.ndarray], code_d: list[np.ndarray],
+    acc: list[np.ndarray], m_of: list[int], table,
+) -> np.ndarray:
+    """Native ordered multi-segment KMP; see fsstkern.c meta_kmp_scan.
+    Stacks the per-segment automata row-major (tab_off addresses them)."""
+    pay = np.ascontiguousarray(pay, dtype=np.uint8)
+    po = np.ascontiguousarray(po, dtype=np.int64)
+    n_rows = len(po) - 1
+    K = len(m_of)
+    tab_off = np.zeros(K + 1, dtype=np.int64)
+    for k in range(K):
+        tab_off[k + 1] = tab_off[k] + m_of[k] + 1
+    cd = np.ascontiguousarray(np.vstack(char_d), dtype=np.int32)
+    kd = np.ascontiguousarray(np.vstack(code_d), dtype=np.int32)
+    ac = np.ascontiguousarray(np.vstack(acc), dtype=np.int32)
+    mo = np.ascontiguousarray(np.asarray(m_of), dtype=np.int32)
+    out = np.empty(n_rows, dtype=np.uint8)
+    lib.meta_kmp_scan(
+        _ptr(pay), _ptr(po), n_rows, _ptr(cd), _ptr(kd), _ptr(ac),
+        _ptr(tab_off), _ptr(mo), K,
+        _ptr(table.sym_bytes), _ptr(table.sym_lens_u8), _ptr(out),
+    )
+    return out.view(bool)
 
 
 def dict_unique_inverse(values: np.ndarray):

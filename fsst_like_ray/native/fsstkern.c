@@ -299,6 +299,119 @@ void unpack_rows(
     }
 }
 
+/* Compressed-domain LIKE prefilter (the reference's dormant SIMD skipping
+ * intent, src/algos/Skipping.hpp:114-254, realized as a scalar LUT scan):
+ * comb[b] is the bitmask of requirements a payload CODE byte b satisfies;
+ * esc_comb[b] the mask an ESCAPED LITERAL byte b satisfies (credited to
+ * the position of the preceding 255, matching the NumPy path's
+ * whole-payload pair scan); a row is a candidate when its accumulated
+ * mask reaches `need`. Early-exits per row once satisfied. Bit-identical
+ * to the NumPy requirement AND in matchers/engines.py. */
+void like_prefilter(
+    const uint8_t *pay, const int64_t *po, int64_t n_rows,
+    const uint8_t *comb, const uint8_t *esc_comb, int need, uint8_t *out)
+{
+    const int64_t total = po[n_rows];
+    for (int64_t r = 0; r < n_rows; r++) {
+        unsigned acc = 0;
+        const int64_t end = po[r + 1];
+        for (int64_t p = po[r]; p < end; p++) {
+            const uint8_t b = pay[p];
+            acc |= comb[b];
+            if (b == ESCAPE && p + 1 < total)
+                acc |= esc_comb[pay[p + 1]];
+            if ((int)acc == need)
+                break;
+        }
+        out[r] = ((int)acc == need);
+    }
+}
+
+/* Lockstep-KMP contains-match walked scalar per row (the vectorized NumPy
+ * walk in matchers/engines.py:kmp_code_match pays fancy-indexing per byte;
+ * this is its bit-identical C twin). code_delta/char_delta are the
+ * (m+1, 256) int32 automata; escape pairs step char_delta on the literal
+ * byte. Early-exits a row at accept. */
+void kmp_scan(
+    const uint8_t *pay, const int64_t *po, int64_t n_rows,
+    const int32_t *code_delta, const int32_t *char_delta, int32_t m,
+    uint8_t *out)
+{
+    for (int64_t r = 0; r < n_rows; r++) {
+        int32_t s = 0;
+        int pend = 0;
+        const int64_t end = po[r + 1];
+        for (int64_t p = po[r]; p < end; p++) {
+            const uint8_t b = pay[p];
+            if (pend) {
+                s = char_delta[((int64_t)s << 8) + b];
+                pend = 0;
+            } else if (b == ESCAPE) {
+                pend = 1;
+            } else {
+                s = code_delta[((int64_t)s << 8) + b];
+            }
+            if (s == m)
+                break;
+        }
+        out[r] = (s == m);
+    }
+}
+
+/* Ordered multi-segment KMP (CometKmpMetaEngine analog, src/algos/
+ * Comet.hpp:80-96): K per-segment automata stacked row-major; tab_off[k]
+ * is segment k's first state row in the stacked (sum(m_k+1), 256) tables.
+ * acc[state][code] = first within-symbol byte index reaching accept (-1 =
+ * never); on a mid-symbol accept the symbol's REMAINING expansion bytes
+ * feed the next machine char-by-char (sym_bytes/sym_len: 256x8 matrix).
+ * Bit-identical to meta_kmp_code_match. */
+void meta_kmp_scan(
+    const uint8_t *pay, const int64_t *po, int64_t n_rows,
+    const int32_t *char_d, const int32_t *code_d, const int32_t *acc,
+    const int64_t *tab_off, const int32_t *m_of, int K,
+    const uint8_t *sym_bytes, const uint8_t *sym_len, uint8_t *out)
+{
+    for (int64_t r = 0; r < n_rows; r++) {
+        int k = 0;
+        int32_t s = 0;
+        int pend = 0, done = 0;
+        const int64_t end = po[r + 1];
+        for (int64_t p = po[r]; p < end && !done; p++) {
+            const uint8_t b = pay[p];
+            if (pend) {
+                pend = 0;
+                s = char_d[((tab_off[k] + s) << 8) + b];
+                if (s == m_of[k]) {
+                    k++; s = 0;
+                    if (k == K) done = 1;
+                }
+            } else if (b == ESCAPE) {
+                pend = 1;
+            } else {
+                const int32_t t = acc[((tab_off[k] + s) << 8) + b];
+                if (t < 0) {
+                    s = code_d[((tab_off[k] + s) << 8) + b];
+                } else {
+                    k++; s = 0;
+                    if (k == K) { done = 1; }
+                    else {
+                        const int L = sym_len[b];
+                        for (int j = (int)t + 1; j < L && !done; j++) {
+                            const uint8_t bb = sym_bytes[((int64_t)b << 3) + j];
+                            s = char_d[((tab_off[k] + s) << 8) + bb];
+                            if (s == m_of[k]) {
+                                k++; s = 0;
+                                if (k == K) done = 1;
+                            }
+                        }
+                    }
+                }
+            }
+        }
+        out[r] = (uint8_t)done;
+    }
+}
+
 /* Hash-based unique+inverse for the dict codec: one O(n) pass replaces
  * NumPy's O(n log n) full sort with permutation arrays (np.unique
  * return_inverse was ~94% of dict train_encode). Open addressing,

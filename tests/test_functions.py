@@ -733,3 +733,24 @@ def test_phrase_search_term_form_validated(ray_session):
     # case is normalized by the operator itself, like the tokenizer
     assert phrase_search(docs, "Merge SORT").to_pandas()["doc_id"].tolist() \
         == [1]
+
+
+def test_exact_dedup_no_broadcast_path(ray_session, docs, monkeypatch):
+    """Hot-key sets above HOT_KEY_BROADCAST_CAP must never be collected to
+    the driver: the semi-join path must produce the same drop set as the
+    broadcast path."""
+    import ray.data
+    from fsst_like_ray.functions import dedup as D
+
+    t = _docs_with_dups(docs)
+    ds = ray.data.from_arrow(t)
+    expect = set(r["doc_id"] for r in D.exact_duplicates(ds).take_all())
+    # force BOTH driver fast paths off: hot keys may not broadcast and the
+    # survivor rows may not stream to the driver
+    monkeypatch.setattr(D, "HOT_KEY_BROADCAST_CAP", 0)
+    monkeypatch.setattr(D, "DRIVER_CAP_ROWS", 0)
+    got = set(
+        r["doc_id"]
+        for r in D.exact_duplicates(ray.data.from_arrow(t)).take_all()
+    )
+    assert got == expect and len(got) > 0

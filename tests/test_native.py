@@ -126,3 +126,67 @@ def test_dict_unique_inverse_matches_numpy():
         u2, c2 = np.unique(v, return_inverse=True)
         assert np.array_equal(u1, u2)
         assert np.array_equal(c1, c2.astype(np.uint32))
+
+
+def _random_encoded_corpus(seed, n_rows=1500):
+    """(pay, po, table, texts) over word-soup rows incl. escape bytes."""
+    rng = np.random.default_rng(seed)
+    words = ["merge", "sort", "scan", "\xffhash", "the fast key", "zap!"]
+    rows = []
+    for _ in range(n_rows):
+        n = int(rng.integers(0, 25))
+        rows.append(" ".join(rng.choice(words, size=n)).encode("latin-1"))
+    off = np.zeros(n_rows + 1, dtype=np.int64)
+    off[1:] = np.cumsum([len(r) for r in rows])
+    flat = np.frombuffer(b"".join(rows), dtype=np.uint8)
+    table = fsstlib.train(flat, off)
+    pay, po = fsstlib.encode(flat, off, table)
+    return pay, po, table, rows
+
+
+@pytest.mark.skipif(native.lib is None, reason="no C compiler")
+@pytest.mark.parametrize("seed", range(3))
+def test_native_like_prefilter_and_kmp_bit_identical(seed, monkeypatch):
+    """The new scan kernels (like_prefilter, kmp_scan, meta_kmp_scan) must
+    return exactly the NumPy masks on the same payloads — including
+    escape-pair handling and no-match patterns."""
+    from fsst_like_ray.matchers import engines as E
+    from fsst_like_ray.matchers.pattern import parse_like
+
+    pay, po, table, rows = _random_encoded_corpus(seed)
+    patterns = [
+        "%merge%", "%zap!%", "%never-there%", "%merge%sort%",
+        "%fast key%zap%scan%", "%\xffhash%",
+    ]
+    for p in patterns:
+        segs = tuple(parse_like(p).segments)
+        nat_pref = E.skipping_prefilter(pay, po, table, segs, None)
+        if len(segs) == 1:
+            nat_kmp = E.kmp_code_match(pay, po, table, segs[0])
+        else:
+            nat_kmp = E.meta_kmp_code_match(pay, po, table, segs)
+        with monkeypatch.context() as m:
+            m.setattr(native, "lib", None)
+            np_pref = E.skipping_prefilter(pay, po, table, segs, None)
+            if len(segs) == 1:
+                np_kmp = E.kmp_code_match(pay, po, table, segs[0])
+            else:
+                np_kmp = E.meta_kmp_code_match(pay, po, table, segs)
+        assert np.array_equal(nat_pref, np_pref), p
+        assert np.array_equal(nat_kmp, np_kmp), p
+        # the prefilter must be sound: every true match is a candidate
+        assert not (nat_kmp & ~nat_pref).any(), p
+        # and KMP must equal ground truth on the decoded rows
+        if len(segs) == 1:
+            truth = np.array([segs[0] in r for r in rows])
+        else:
+            def ordered_contains(r, ss):
+                pos = 0
+                for s in ss:
+                    i = r.find(s, pos)
+                    if i < 0:
+                        return False
+                    pos = i + len(s)
+                return True
+            truth = np.array([ordered_contains(r, segs) for r in rows])
+        assert np.array_equal(nat_kmp, truth), p
