@@ -59,6 +59,13 @@ class DeltaCodec(Codec):
     def encode(self, values, offsets, state):
         width = state[0]
         zz, doff, counts, nz = _delta_stream(values, offsets)
+        # guard against a reused (sample-trained) state narrower than this
+        # block's deltas — packing would silently truncate high bits (same
+        # contract as rlebp). Unreachable today (estimate() returns no
+        # reusable state, so encode always trains on the full block) but a
+        # future state reuse must fail loudly, not corrupt.
+        if width < 32 and zz.size and int(zz.max()) >> width:
+            raise ValueError("delta codec: block exceeds trained width")
         packed, po = pack_rows(zz, doff, width)
 
         nbytes = np.where(nz, np.diff(po) + 4, 0).astype(np.int64)

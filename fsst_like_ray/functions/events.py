@@ -122,18 +122,26 @@ def _sessionize_user(g: pd.DataFrame, gap_s: int) -> pd.DataFrame:
 def sessionize(
     ds: "ray.data.Dataset", gap_s: int = 1800, slice_s: int | None = None
 ):
-    """Gap-based sessionization: ONE hash shuffle on user_id, per-user sort
-    + gap split inside map_groups (reference has no streaming ops — this is
+    """Gap-based sessionization (reference has no streaming ops — this is
     the training-pipeline extension; semantics match SQL session windows).
 
-    ``slice_s``: salt for UNBOUNDED users — phase 1 groups by
-    (user_id, time-slice) so no partition ever holds more than one slice of
-    one user's events; phase 2 merges each user's per-slice session
-    PARTIALS (rows ∝ sessions, not events) across slice boundaries when the
-    inter-session gap ≤ ``gap_s``. Output is exactly equal to the unsalted
-    path for any ``slice_s`` (merging uses actual first/last event times)."""
-    if slice_s is not None:
-        return _sessionize_sliced(ds, gap_s, slice_s)
+    DEFAULT (and only) route since round 4 is the partials path
+    (:func:`_sessionize_sliced`): phase 1 is a pure vectorized
+    ``map_batches`` emitting per-batch session partials (rows ∝ sessions,
+    never events), phase 2 merges them across batch bounds in a
+    hash-bucketed shuffle with vectorized per-bucket merging — no per-user
+    Python anywhere, which the old per-user ``map_groups`` default paid at
+    every user. ``slice_s`` is retained for API compatibility (partials
+    are batch-bounded, tighter than any time slice); output is identical
+    for any value. ``_sessionize_per_user`` keeps the direct one-shuffle
+    formulation as the reference implementation for equivalence tests."""
+    return _sessionize_sliced(ds, gap_s, slice_s or 3600)
+
+
+def _sessionize_per_user(ds: "ray.data.Dataset", gap_s: int = 1800):
+    """Reference formulation: ONE hash shuffle on user_id, per-user sort +
+    gap split inside map_groups. Correct at any scale but pays per-user
+    Python; kept as the test oracle for the vectorized default."""
 
     def prep(b: pa.Table) -> pa.Table:
         cents = np.rint(
@@ -223,43 +231,69 @@ def _sessionize_sliced(ds: "ray.data.Dataset", gap_s: int, slice_s: int):
         batch_format="pyarrow",
     )
 
-    def merge_user(g: pd.DataFrame, gap: int) -> pd.DataFrame:
-        g = g.sort_values("session_start_us", kind="mergesort")
+    def merge_bucket(g: pd.DataFrame, gap: int) -> pd.DataFrame:
+        """Merge ALL users of one hash bucket in one vectorized pass: sort
+        by (user, start); a partial opens a new session when the user
+        changes or its start is more than ``gap`` past the user's running
+        max end (batch partials can OVERLAP in time — one user's events
+        split arbitrarily across batches — so the chain rule compares
+        against the cummax of ends, not the immediate predecessor)."""
+        g = g.sort_values(
+            ["user_id", "session_start_us"], kind="mergesort",
+            ignore_index=True,
+        )
+        n = len(g)
+        if n == 0:
+            return g.assign(session_id=np.zeros(0, dtype=np.int64))[
+                ["user_id", "session_id", "session_start_us",
+                 "session_end_us", "n_events", "value_cents"]
+            ]
+        uid = g["user_id"].to_numpy()
         start = g["session_start_us"].to_numpy()
         end = g["session_end_us"].to_numpy()
-        # batch partials can OVERLAP in time (one user's events split
-        # arbitrarily across batches), so the chain rule must compare each
-        # start against the latest event seen so far (running max), not the
-        # immediate predecessor's end — both are actual event times, so
-        # this is exactly the sorted-adjacency gap test
-        end_run = np.maximum.accumulate(end)
-        new_sess = np.ones(len(g), dtype=bool)
-        new_sess[1:] = (start[1:] - end_run[:-1]) > gap * US_PER_S
-        sid = np.cumsum(new_sess)
-        df = pd.DataFrame(
+        end_run = g.groupby("user_id")["session_end_us"].cummax().to_numpy()
+        new_sess = np.ones(n, dtype=bool)
+        same_user = uid[1:] == uid[:-1]
+        new_sess[1:] = ~same_user | (
+            (start[1:] - end_run[:-1]) > gap * US_PER_S
+        )
+        sid_global = np.cumsum(new_sess)
+        user_first = np.flatnonzero(np.r_[True, ~same_user])
+        user_base = np.repeat(
+            sid_global[user_first], np.diff(np.r_[user_first, n])
+        )
+        sid = sid_global - user_base + 1
+        starts_idx = np.flatnonzero(new_sess)
+        return pd.DataFrame(
             {
-                "user_id": g["user_id"].to_numpy(),
-                "session_id": sid,
-                "start": start,
-                "end": end,
-                "n": g["n_events"].to_numpy(),
-                "cents": g["value_cents"].to_numpy(),
+                "user_id": uid[starts_idx],
+                "session_id": sid[starts_idx],
+                "session_start_us": start[starts_idx],
+                "session_end_us": np.maximum.reduceat(end, starts_idx),
+                "n_events": np.add.reduceat(
+                    g["n_events"].to_numpy(), starts_idx
+                ),
+                "value_cents": np.add.reduceat(
+                    g["value_cents"].to_numpy(), starts_idx
+                ),
             }
         )
-        out = df.groupby("session_id", as_index=False).agg(
-            user_id=("user_id", "first"),
-            session_start_us=("start", "min"),
-            session_end_us=("end", "max"),
-            n_events=("n", "sum"),
-            value_cents=("cents", "sum"),
-        )
-        return out[
-            ["user_id", "session_id", "session_start_us", "session_end_us",
-             "n_events", "value_cents"]
-        ]
 
-    out = partials.groupby("user_id").map_groups(
-        lambda g, gap=gap_s: merge_user(g, gap), batch_format="pandas"
+    BUCKET = "__sess_bucket__"
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
+        return b.append_column(BUCKET, pa.array(h.astype(np.int64)))
+
+    out = (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(BUCKET)
+        .map_groups(
+            lambda g, gap=gap_s: merge_bucket(g.drop(columns=[BUCKET]), gap),
+            batch_format="pandas",
+        )
     )
 
     def fix(b: pa.Table) -> pa.Table:

@@ -95,14 +95,24 @@ def build_word_index(
     are unique across files; a VANISHED indexed file (compaction) is
     refused — its postings are already merged into the buckets, so only
     a full rebuild can retract them. Paths are stored/compared absolute,
-    so the same corpus reached via a different spelling still matches."""
+    so the same corpus reached via a different spelling still matches.
+
+    A FULL rebuild over an existing committed index is two-phase as well:
+    new parts are written under a bumped epoch and the meta commit flips
+    ``min_epoch`` to it atomically (lookups accept only
+    min_epoch ≤ part ≤ epoch), so a crash mid-rebuild leaves the OLD index
+    fully intact and visible; superseded parts are deleted only after the
+    commit (best-effort — leftovers stay invisible)."""
     all_files = [os.path.abspath(p) for p in _corpus_files(corpus_path)]
     files = all_files
-    prev_post, epoch = 0, 0
+    prev_post, epoch, min_epoch = 0, 0, 0
     meta_path = os.path.join(index_dir, META)
-    if incremental and os.path.exists(meta_path):
+    committed = None
+    if os.path.exists(meta_path):
         with open(meta_path) as f:
-            meta = json.load(f)
+            committed = json.load(f)
+    if incremental and committed is not None:
+        meta = committed
         if meta["n_buckets"] != n_buckets:
             raise ValueError("n_buckets change requires a full rebuild")
         if "files" not in meta:
@@ -120,8 +130,14 @@ def build_word_index(
         files = [f for f in all_files if f not in done]
         prev_post = meta["n_postings"]
         epoch = meta.get("epoch", 0) + 1
+        min_epoch = meta.get("min_epoch", 0)
         if not files:
             return {"n_buckets": n_buckets, "n_postings": prev_post}
+    elif committed is not None:
+        # full rebuild with a live committed index: write-ahead under the
+        # next epoch; the old index stays visible until the meta commit
+        epoch = committed.get("epoch", 0) + 1
+        min_epoch = epoch
     ds = ray.data.read_parquet(files, columns=[id_col, text_col])
 
     def pairs(b: pa.Table) -> pa.Table:
@@ -160,18 +176,21 @@ def build_word_index(
     import shutil
 
     post_dir = os.path.join(index_dir, "postings")
-    if not (incremental and epoch > 0):
-        # a full (re)build must not mix stale bucket files with new ones
+    if committed is None:
+        # nothing committed ⇒ nothing visible to lookups: plain wipe
         shutil.rmtree(post_dir, ignore_errors=True)
     else:
         # clear PENDING parts (epoch ≥ this one) left by a crashed
-        # increment — its file set may differ from ours, and a bucket we
-        # don't touch must not carry its orphans into visibility once we
-        # commit this epoch number
+        # increment or rebuild — its file set may differ from ours, and a
+        # bucket we don't touch must not carry its orphans into visibility
+        # once we commit this epoch number; also sweep parts a PREVIOUS
+        # full rebuild superseded (below the committed min_epoch) whose
+        # post-commit cleanup was interrupted
+        committed_min = committed.get("min_epoch", 0)
         for bdir in _bucket_dirs(post_dir):
             for f in os.listdir(bdir):
                 ep = _part_epoch(f)
-                if ep is not None and ep >= epoch:
+                if ep is not None and (ep >= epoch or ep < committed_min):
                     os.unlink(os.path.join(bdir, f))
     os.makedirs(post_dir, exist_ok=True)
     part_name = f"part-{epoch}.parquet"
@@ -212,10 +231,21 @@ def build_word_index(
                 "n_postings": n_post,
                 "files": all_files,
                 "epoch": epoch,
+                "min_epoch": min_epoch,
             },
             f,
         )
     os.replace(tmp, meta_path)
+    if min_epoch > 0:
+        # full-rebuild cleanup AFTER the commit: superseded parts are
+        # already invisible (lookups gate on min_epoch), so this is
+        # best-effort — a crash here leaves only ignored files, swept by
+        # the next build
+        for bdir in _bucket_dirs(post_dir):
+            for f2 in os.listdir(bdir):
+                ep = _part_epoch(f2)
+                if ep is not None and ep < min_epoch:
+                    os.unlink(os.path.join(bdir, f2))
     return {"n_buckets": n_buckets, "n_postings": n_post}
 
 
@@ -230,6 +260,7 @@ def word_index_lookup(
         meta = json.load(f)
     n_buckets = meta["n_buckets"]
     committed_epoch = meta.get("epoch", 0)
+    min_epoch = meta.get("min_epoch", 0)
     uniq = sorted(set(terms))
     buckets = _word_bucket(uniq, n_buckets)
     by_bucket: dict[int, list[str]] = {}
@@ -240,11 +271,13 @@ def word_index_lookup(
     for bk, ts in sorted(by_bucket.items()):
         bdir = os.path.join(index_dir, "postings", f"bucket={bk}")
         # listdir + epoch gate: parts beyond the committed meta epoch are
-        # an in-flight (possibly crashed) increment and must stay invisible
+        # an in-flight (possibly crashed) increment; parts below min_epoch
+        # were superseded by a committed full rebuild — both stay invisible
         parts = sorted(
             os.path.join(bdir, f)
             for f in (os.listdir(bdir) if os.path.isdir(bdir) else [])
-            if (ep := _part_epoch(f)) is not None and ep <= committed_epoch
+            if (ep := _part_epoch(f)) is not None
+            and min_epoch <= ep <= committed_epoch
         )
         if not parts:
             for t in ts:

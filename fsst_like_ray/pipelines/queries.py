@@ -2889,9 +2889,22 @@ def q_tpch_q10(sf_dir: str):
             if b.num_rows
         ]
     )
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_name", "c_nationkey"],
+    # dimension lookup for the 20 result rows: push the custkey set into
+    # the parquet scan (row-group pruning; customer never fits the driver
+    # at scale) and stream only the ≤20 matching rows back. nation is a
+    # constant-size table (25 rows by TPC-H contract) — a driver read is
+    # scale-safe by definition.
+    topkeys = top_tbl["c_custkey"].to_pylist()
+    cust = pa.concat_tables(
+        [
+            b
+            for b in ray.data.read_parquet(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_name", "c_nationkey"],
+                filter=pa.compute.field("c_custkey").isin(topkeys),
+            ).iter_batches(batch_size=64, batch_format="pyarrow")
+            if b.num_rows
+        ]
     )
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]

@@ -275,3 +275,23 @@ def test_shared_fsst_state_roundtrip_hypothesis(train_rows, data_rows):
     buf, po = c.encode(dv, do, state)
     out = c.decode(buf, po, np.diff(do).astype(np.int32), state)
     assert np.array_equal(out, dv)
+
+
+def test_delta_encode_rejects_narrow_state():
+    """A sample-trained (too-narrow) delta state must raise, not truncate."""
+    import numpy as np
+    import pytest
+
+    from fsst_like_ray.codecs import CODECS
+
+    c = CODECS["delta"]
+    vals = np.array([0, 1, 2, 1 << 20], dtype=np.int32)
+    off = np.array([0, 4], dtype=np.int64)
+    narrow = bytes([2])  # width trained on tiny deltas
+    with pytest.raises(ValueError, match="exceeds trained width"):
+        c.encode(vals, off, narrow)
+    # and the self-trained state still round-trips
+    state = c.train(vals, off)
+    buf, po = c.encode(vals, off, state)
+    out = c.decode(buf, po, np.diff(off), state)
+    assert np.array_equal(out, vals)

@@ -163,17 +163,21 @@ def test_embedding_dedup_finds_planted_dups(ray_session):
 
 
 def test_sessionize_sliced_equals_plain(ray_session):
-    """Time-sliced sessionize must produce EXACTLY the plain path's rows
-    (any slice width, including slices smaller than the gap)."""
+    """The vectorized partials default must produce EXACTLY the per-user
+    reference formulation's rows (any slice width, including slices
+    smaller than the gap)."""
     import ray.data
-    from fsst_like_ray.functions.events import sessionize
+    from fsst_like_ray.functions.events import (
+        _sessionize_per_user,
+        sessionize,
+    )
 
     ds = lambda: ray.data.read_parquet(
         "/root/testdata/sf0.001/events.parquet",
         columns=["ts", "user_id", "event_type", "value"],
     )
-    plain = sessionize(ds(), gap_s=1800).to_pandas()
-    for slice_s in (3600, 900):
+    plain = _sessionize_per_user(ds(), gap_s=1800).to_pandas()
+    for slice_s in (None, 3600, 900):
         sliced = sessionize(ds(), gap_s=1800, slice_s=slice_s).to_pandas()
         a = plain.sort_values(list(plain.columns)).reset_index(drop=True)
         b = sliced.sort_values(list(sliced.columns)).reset_index(drop=True)

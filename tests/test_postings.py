@@ -61,8 +61,11 @@ def test_rebuild_idempotent(built, ray_session):
     import hashlib
 
     def digest():
+        # content digest over the VISIBLE parts, keyed by bucket (the
+        # part epoch legitimately bumps on every full rebuild)
         h = hashlib.blake2b(digest_size=16)
-        for f in sorted(glob.glob(f"{idx}/postings/bucket=*/part-0.parquet")):
+        for f in sorted(glob.glob(f"{idx}/postings/bucket=*/part-*.parquet")):
+            h.update(f.rsplit("/", 2)[-2].encode())
             h.update(pq.read_table(f).to_pandas().to_csv().encode())
         return h.hexdigest()
 
@@ -200,3 +203,53 @@ def test_pre_incremental_meta_refused(ray_session, tmp_path):
     with pytest.raises(ValueError, match="rebuild"):
         build_word_index(str(corpus), str(idx), n_buckets=2,
                          incremental=True)
+
+
+def test_full_rebuild_two_phase(ray_session, tmp_path):
+    """A full rebuild over a COMMITTED index is write-ahead: parts land
+    under a bumped epoch, the old index stays fully visible until the meta
+    commit, and superseded parts become invisible (then swept) after it."""
+    import json
+    import os
+
+    from fsst_like_ray.pipelines.postings import (
+        build_word_index,
+        word_index_lookup,
+    )
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    idx = str(tmp_path / "idx")
+    pd.DataFrame({"doc_id": [1], "text": ["obsolete word"]}).to_parquet(
+        corpus / "p.parquet"
+    )
+    build_word_index(str(corpus), idx, n_buckets=2)
+
+    # simulate a rebuild CRASHED between part writes and the meta commit:
+    # pending parts at epoch 1 exist in every bucket, meta still epoch 0
+    for b in (0, 1):
+        bdir = os.path.join(idx, "postings", f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        pd.DataFrame({"word": ["ghost"], "doc_id": [99]}).to_parquet(
+            os.path.join(bdir, "part-1.parquet")
+        )
+    # old index fully intact, pending parts invisible
+    assert word_index_lookup(idx, ("obsolete",))[0].tolist() == [1]
+    assert word_index_lookup(idx, ("ghost",))[0].tolist() == []
+
+    # the rerun full-rebuilds over a CHANGED corpus: epoch bumps, old and
+    # crashed parts are both retired
+    pd.DataFrame({"doc_id": [2], "text": ["fresh content"]}).to_parquet(
+        corpus / "p.parquet"
+    )
+    build_word_index(str(corpus), idx, n_buckets=2)
+    meta = json.load(open(os.path.join(idx, "meta.json")))
+    assert meta["epoch"] == meta["min_epoch"] == 1
+    assert word_index_lookup(idx, ("fresh",))[0].tolist() == [2]
+    assert word_index_lookup(idx, ("obsolete",))[0].tolist() == []
+    assert word_index_lookup(idx, ("ghost",))[0].tolist() == []
+    # superseded epoch-0 parts were swept after the commit
+    for b in (0, 1):
+        bdir = os.path.join(idx, "postings", f"bucket={b}")
+        if os.path.isdir(bdir):
+            assert all("part-0" not in f for f in os.listdir(bdir))
