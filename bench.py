@@ -22,12 +22,13 @@ import subprocess
 import sys
 import time
 
-BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "65536"))
-# --scaling needs a long enough job to amortize per-process pipeline startup
-# (a 100 TB job would); default to a bigger corpus there unless overridden
-# (524288 rows ≈ 260 M tokens — after the round-3 encode speedups the
-# 262144-row job finished in ~4 s at 32 CPUs, too short to amortize)
-SCALING_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "524288"))
+# 524288 rows ≈ 260 M tokens: the official suite AND --scaling both run at
+# this scale since round 4 (after the round-3 encode speedups the old
+# 65536-row suite finished its headline in ~0.5 s — too short to tell the
+# pipeline story; a 100 TB design should be demonstrated on the largest
+# corpus the round budget affords). Override with GRAFT_BENCH_ROWS.
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "524288"))
+SCALING_ROWS = BENCH_ROWS
 # 16384-row files (row groups stay 2048): fragments must be MUCH larger
 # than one work unit or spec coarsening degenerates to one-spec-per-file
 # and small-CPU runs drown in per-task dispatch — mirroring real

@@ -230,9 +230,30 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 # ------------------------------------------------------------------ sniffer
+def _pil():
+    """Optional Pillow probe, resolved once per process: the actor-pool
+    decode stages call this in ``__init__`` so worker batches never pay
+    the import retry. None when the library is absent (this container)."""
+    global _PIL_MOD
+    if _PIL_MOD is _UNSET:
+        try:
+            from PIL import Image  # noqa: PLC0415
+
+            _PIL_MOD = Image
+        except Exception:
+            _PIL_MOD = None
+    return _PIL_MOD
+
+
+_UNSET = object()
+_PIL_MOD = _UNSET
+
+
 def decode_image(data: bytes) -> np.ndarray:
-    """Dispatch on magic bytes; raises NotImplementedError for formats that
-    need an external codec library (JPEG, WebP, ...)."""
+    """Dispatch on magic bytes. Library-free decoders handle PNG/BMP/PNM;
+    formats that need an external codec (JPEG, WebP, ...) use Pillow when
+    it is installed and raise NotImplementedError otherwise — the Ray-side
+    plumbing (schema, actor signature, batching) is identical either way."""
     if data.startswith(PNG_SIG):
         return decode_png(data)
     if data[:2] == b"BM":
@@ -240,5 +261,13 @@ def decode_image(data: bytes) -> np.ndarray:
     if data[:2] in (b"P5", b"P6"):
         return decode_pnm(data)
     if data[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("jpeg decode requires an external library")
+        Image = _pil()
+        if Image is None:
+            raise NotImplementedError(
+                "jpeg decode requires an external library"
+            )
+        import io
+
+        arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        return np.ascontiguousarray(arr)
     raise NotImplementedError("unrecognized image format")

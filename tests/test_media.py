@@ -171,3 +171,30 @@ def test_decode_audio_stage(ray_session):
         assert r["sample_rate"] == 8000 + i
         assert r["n_samples"] == 100 + 10 * i
         assert r["rms"] > 0
+
+
+def test_jpeg_uses_optional_pillow(monkeypatch):
+    """JPEG routes through Pillow when present (stubbed here — the lib is
+    not in this container) and stays an honest NotImplementedError
+    otherwise."""
+    import numpy as np
+    import pytest
+
+    from fsst_like_ray.functions import media_codecs as mc
+
+    class FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+
+    class FakeImage:
+        @staticmethod
+        def open(fp):
+            return FakeImg()
+
+    monkeypatch.setattr(mc, "_PIL_MOD", FakeImage)
+    out = mc.decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+    assert out.shape == (2, 2, 3) and out.dtype == np.uint8
+    monkeypatch.setattr(mc, "_PIL_MOD", None)
+    with pytest.raises(NotImplementedError, match="external library"):
+        mc.decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
