@@ -1,0 +1,207 @@
+"""Token-domain training-prep operators over the north-rule tokens table
+``(doc_id, tokens: list<int32>, n_tok, source)``.
+
+Three ops every LM data pipeline runs just before writing training shards:
+
+- ``truncate_pad``: clip each sequence at ``max_len`` and right-pad with
+  ``pad_id`` to a fixed width (static-shape batches for the trainer).
+- ``shift_labels``: next-token labels — ``labels[i] = tokens[i+1]``, last
+  position gets ``ignore_id`` (the usual -100 loss mask).
+- ``vocab_topk`` / ``remap_oov``: global token frequencies via per-batch
+  bincount partials (one tiny row per batch crosses the object store), then
+  a broadcast top-K id set remaps out-of-vocabulary ids to ``unk_id`` —
+  the classic vocabulary-pruning pass.
+- ``bigram_topk``: corpus-wide adjacent-token-pair counts, same
+  partial-merge shape (per-batch ``np.unique`` partials, small groupby).
+
+All kernels are flat-buffer NumPy over the ListArray's (values, offsets) —
+no per-row Python. At 10^12 sequences each op is a single streaming
+``map_batches`` pass plus, for the frequency ops, one tiny all-to-all over
+per-batch partials (bounded by vocab size, not data size).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# Token ids are Unicode code points in the synthetic corpus; any bigram key
+# fits in (t1 * SPAN + t2) without collision because ids < SPAN.
+CODEPOINT_SPAN = 1114112
+
+
+def list_buffers(col) -> tuple[np.ndarray, np.ndarray]:
+    """ListArray column → (flat int32 values, int64 offsets)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = col.flatten().to_numpy(zero_copy_only=False).astype(
+        np.int32, copy=False
+    )
+    counts = pa.compute.list_value_length(col).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return values, offsets
+
+
+def _list_array(values: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), type=pa.int32()),
+        pa.array(values.astype(np.int32, copy=False), type=pa.int32()),
+    )
+
+
+def truncate_pad(
+    values: np.ndarray,
+    offsets: np.ndarray,
+    max_len: int,
+    pad_id: int = 0,
+) -> np.ndarray:
+    """(n_rows, max_len) int32 matrix: row i is tokens[i][:max_len] padded."""
+    counts = np.diff(offsets)
+    keep = np.minimum(counts, max_len)
+    n = len(counts)
+    out = np.full((n, max_len), pad_id, dtype=np.int32)
+    idx = np.arange(max_len, dtype=np.int64)
+    mask = idx[None, :] < keep[:, None]
+    src = offsets[:-1, None] + idx[None, :]
+    out[mask] = values[src[mask]]
+    return out
+
+
+def truncate_pad_batch(
+    batch: pa.Table, max_len: int, pad_id: int = 0
+) -> pa.Table:
+    values, offsets = list_buffers(batch["tokens"])
+    mat = truncate_pad(values, offsets, max_len, pad_id)
+    counts = np.minimum(np.diff(offsets), max_len)
+    flat_off = np.arange(len(counts) + 1, dtype=np.int64) * max_len
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "tokens": _list_array(mat.reshape(-1), flat_off),
+            "n_tok": pa.array(counts.astype(np.int32), type=pa.int32()),
+        }
+    )
+
+
+def shift_labels(
+    values: np.ndarray, offsets: np.ndarray, ignore_id: int = -100
+) -> np.ndarray:
+    """Flat next-token label stream aligned to (values, offsets): within each
+    row labels[i] = tokens[i+1]; each row's last position is ignore_id."""
+    labels = np.empty_like(values)
+    if len(values):
+        labels[:-1] = values[1:]
+    ends = offsets[1:] - 1
+    ends = ends[offsets[1:] > offsets[:-1]]  # skip empty rows
+    labels[ends] = ignore_id
+    return labels
+
+
+def shift_labels_batch(batch: pa.Table, ignore_id: int = -100) -> pa.Table:
+    values, offsets = list_buffers(batch["tokens"])
+    labels = shift_labels(values, offsets, ignore_id)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "tokens": batch["tokens"],
+            "labels": _list_array(labels, offsets),
+            "n_tok": batch["n_tok"],
+        }
+    )
+
+
+def token_count_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch (token, n) partial counts — one small table per batch."""
+    values, _ = list_buffers(batch["tokens"])
+    toks, cnt = np.unique(values, return_counts=True)
+    return pa.table(
+        {
+            "token": pa.array(toks.astype(np.int64), type=pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def vocab_topk(tokens_ds, k: int) -> np.ndarray:
+    """Global top-k token ids by frequency (count desc, token asc).
+
+    Partials shrink each batch to ≤|vocab| rows before the groupby, so the
+    shuffle moves per-batch vocabularies, never token streams; the final
+    top-k is a tiny driver-side sort.
+    """
+    from ray.data.aggregate import Sum
+
+    parts = tokens_ds.map_batches(
+        token_count_partials, batch_format="pyarrow"
+    )
+    agg = parts.groupby("token").aggregate(Sum("n", alias_name="n")).take_all()
+    rows = sorted(agg, key=lambda r: (-r["n"], r["token"]))[:k]
+    return np.array(sorted(r["token"] for r in rows), dtype=np.int64)
+
+
+def remap_oov_batch(
+    batch: pa.Table, keep_sorted: np.ndarray, unk_id: int = -1
+) -> pa.Table:
+    """Remap token ids outside ``keep_sorted`` to ``unk_id`` (vectorized
+    sorted-membership via searchsorted — no hash set, no Python loop)."""
+    values, offsets = list_buffers(batch["tokens"])
+    v64 = values.astype(np.int64, copy=False)
+    pos = np.searchsorted(keep_sorted, v64)
+    pos_c = np.minimum(pos, len(keep_sorted) - 1) if len(keep_sorted) else pos
+    inside = (
+        keep_sorted[pos_c] == v64 if len(keep_sorted)
+        else np.zeros(len(v64), dtype=bool)
+    )
+    out = np.where(inside, values, np.int32(unk_id)).astype(np.int32)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "tokens": _list_array(out, offsets),
+            "n_tok": batch["n_tok"],
+        }
+    )
+
+
+def bigram_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch adjacent-pair counts keyed t1*CODEPOINT_SPAN + t2; row
+    boundaries masked out so pairs never straddle documents."""
+    values, offsets = list_buffers(batch["tokens"])
+    if len(values) < 2:
+        return pa.table(
+            {
+                "key": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    keys = values[:-1].astype(np.int64) * CODEPOINT_SPAN + values[1:]
+    valid = np.ones(len(keys), dtype=bool)
+    interior = offsets[1:-1]
+    valid[interior[(interior > 0) & (interior <= len(keys))] - 1] = False
+    uk, cnt = np.unique(keys[valid], return_counts=True)
+    return pa.table(
+        {
+            "key": pa.array(uk, type=pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def bigram_topk(tokens_ds, k: int) -> pa.Table:
+    """Corpus top-k adjacent token pairs → (t1, t2, n), count desc / key asc."""
+    from ray.data.aggregate import Sum
+
+    parts = tokens_ds.map_batches(bigram_partials, batch_format="pyarrow")
+    agg = parts.groupby("key").aggregate(Sum("n", alias_name="n")).take_all()
+    rows = sorted(agg, key=lambda r: (-r["n"], r["key"]))[:k]
+    key = np.array([r["key"] for r in rows], dtype=np.int64)
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    return pa.table(
+        {
+            "t1": pa.array(key // CODEPOINT_SPAN, type=pa.int64()),
+            "t2": pa.array(key % CODEPOINT_SPAN, type=pa.int64()),
+            "n": pa.array(n, type=pa.int64()),
+        }
+    )

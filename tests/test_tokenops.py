@@ -1,0 +1,130 @@
+"""Unit tests for the token-domain training-prep kernels (tokenops)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fsst_like_ray.functions import tokenops as T
+
+
+def _tbl(rows):
+    off = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in rows], out=off[1:])
+    vals = np.array([t for r in rows for t in r], dtype=np.int32)
+    return pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(rows))]),
+            "tokens": T._list_array(vals, off),
+            "n_tok": pa.array(
+                [len(r) for r in rows], type=pa.int32()
+            ),
+        }
+    )
+
+
+def _lists(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_pylist()
+
+
+ROWS = [[5, 6, 7], [], [9], [1, 2, 3, 4, 5, 6]]
+
+
+def test_truncate_pad_shapes_and_values():
+    b = T.truncate_pad_batch(_tbl(ROWS), max_len=4, pad_id=0)
+    assert _lists(b["tokens"]) == [
+        [5, 6, 7, 0],
+        [0, 0, 0, 0],
+        [9, 0, 0, 0],
+        [1, 2, 3, 4],
+    ]
+    assert b["n_tok"].to_pylist() == [3, 0, 1, 4]
+
+
+def test_truncate_pad_exact_width_noop():
+    b = T.truncate_pad_batch(_tbl([[1, 2]]), max_len=2, pad_id=7)
+    assert _lists(b["tokens"]) == [[1, 2]]
+
+
+def test_shift_labels_masks_row_ends():
+    b = T.shift_labels_batch(_tbl(ROWS))
+    assert _lists(b["labels"]) == [
+        [6, 7, -100],
+        [],
+        [-100],
+        [2, 3, 4, 5, 6, -100],
+    ]
+    # tokens column rides through unchanged
+    assert _lists(b["tokens"]) == ROWS
+
+
+def test_shift_labels_empty_batch():
+    b = T.shift_labels_batch(_tbl([]))
+    assert b.num_rows == 0
+
+
+def test_remap_oov():
+    keep = np.array([2, 5, 9], dtype=np.int64)
+    b = T.remap_oov_batch(_tbl(ROWS), keep, unk_id=-1)
+    assert _lists(b["tokens"]) == [
+        [5, -1, -1],
+        [],
+        [9],
+        [-1, 2, -1, -1, 5, -1],
+    ]
+
+
+def test_remap_empty_keepset_maps_everything():
+    b = T.remap_oov_batch(
+        _tbl([[1, 2]]), np.array([], dtype=np.int64), unk_id=-1
+    )
+    assert _lists(b["tokens"]) == [[-1, -1]]
+
+
+def test_bigram_partials_mask_row_boundaries():
+    t = T.bigram_partials(_tbl(ROWS))
+    got = {
+        (k // T.CODEPOINT_SPAN, k % T.CODEPOINT_SPAN): n
+        for k, n in zip(t["key"].to_pylist(), t["n"].to_pylist())
+    }
+    # pairs inside rows only: (5,6) (6,7) from row0; row1 empty; row2 single;
+    # (1,2)(2,3)(3,4)(4,5)(5,6) from row3 — (5,6) total 2
+    assert got == {
+        (5, 6): 2,
+        (6, 7): 1,
+        (1, 2): 1,
+        (2, 3): 1,
+        (3, 4): 1,
+        (4, 5): 1,
+    }
+    # never a cross-row pair like (7,9) or (9,1)
+    assert (7, 9) not in got and (9, 1) not in got
+
+
+def test_bigram_partials_tiny_inputs():
+    assert T.bigram_partials(_tbl([])).num_rows == 0
+    assert T.bigram_partials(_tbl([[4]])).num_rows == 0
+    one = T.bigram_partials(_tbl([[4, 4]]))
+    assert one["n"].to_pylist() == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vocab_topk_and_bigram_topk_distributed(tmp_path):
+    import ray.data
+
+    rows = [[1, 1, 2], [2, 1, 3], [1, 2]]
+    ds = ray.data.from_arrow(_tbl(rows))
+    keep = T.vocab_topk(ds, 2)
+    # counts: 1→5, 2→3, 3→1 → top2 = {1, 2} (returned sorted ascending)
+    assert keep.tolist() == [1, 2]
+    top = T.bigram_topk(ds, 2)
+    pairs = list(
+        zip(
+            top["t1"].to_pylist(),
+            top["t2"].to_pylist(),
+            top["n"].to_pylist(),
+        )
+    )
+    # (1,2):2 (1,1):1 (2,1):1 (1,3):1 → top2 by count desc, then key asc
+    assert pairs == [(1, 2, 2), (1, 1, 1)]
