@@ -125,20 +125,40 @@ def token_count_partials(batch: pa.Table) -> pa.Table:
     )
 
 
+def _grouped_topk(parts, key_col: str, k: int) -> list[dict]:
+    """Top-k (n desc, key asc) over per-batch partial counts.
+
+    groupby folds duplicates so each key appears exactly once globally;
+    a per-block local top-k is therefore sound, and only k rows per block
+    reach the driver — never the full key space (bigram keys are
+    O(vocab^2) at corpus scale)."""
+    from ray.data.aggregate import Sum
+
+    agg = parts.groupby(key_col).aggregate(Sum("n", alias_name="n"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        n = b["n"].to_numpy(zero_copy_only=False)
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -n))[:k]
+        return b.take(pa.array(np.sort(order)))
+
+    rows = agg.map_batches(local_topk, batch_format="pyarrow").take_all()
+    return sorted(rows, key=lambda r: (-r["n"], r[key_col]))[:k]
+
+
 def vocab_topk(tokens_ds, k: int) -> np.ndarray:
     """Global top-k token ids by frequency (count desc, token asc).
 
     Partials shrink each batch to ≤|vocab| rows before the groupby, so the
-    shuffle moves per-batch vocabularies, never token streams; the final
-    top-k is a tiny driver-side sort.
+    shuffle moves per-batch vocabularies, never token streams; per-block
+    local top-k bounds what the driver sees at k rows per block.
     """
-    from ray.data.aggregate import Sum
-
     parts = tokens_ds.map_batches(
         token_count_partials, batch_format="pyarrow"
     )
-    agg = parts.groupby("token").aggregate(Sum("n", alias_name="n")).take_all()
-    rows = sorted(agg, key=lambda r: (-r["n"], r["token"]))[:k]
+    rows = _grouped_topk(parts, "token", k)
     return np.array(sorted(r["token"] for r in rows), dtype=np.int64)
 
 
@@ -191,11 +211,8 @@ def bigram_partials(batch: pa.Table) -> pa.Table:
 
 def bigram_topk(tokens_ds, k: int) -> pa.Table:
     """Corpus top-k adjacent token pairs → (t1, t2, n), count desc / key asc."""
-    from ray.data.aggregate import Sum
-
     parts = tokens_ds.map_batches(bigram_partials, batch_format="pyarrow")
-    agg = parts.groupby("key").aggregate(Sum("n", alias_name="n")).take_all()
-    rows = sorted(agg, key=lambda r: (-r["n"], r["key"]))[:k]
+    rows = _grouped_topk(parts, "key", k)
     key = np.array([r["key"] for r in rows], dtype=np.int64)
     n = np.array([r["n"] for r in rows], dtype=np.int64)
     return pa.table(
