@@ -795,6 +795,47 @@ def exact_duplicates(ds, text_col: str = "text"):
     )
 
 
+NORM_BEST_SHIFT = 1 << 40  # char_len*SHIFT + id stays exact in int64
+
+
+def normalized_best_duplicates(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Drop list (real ids) for NORMALIZED-text dedup that keeps the BEST
+    variant of each group — shortest raw text, then smallest id — instead of
+    ``exact_duplicates``' smallest-id rule. Normalization strips outer
+    spaces and collapses internal space runs (the canonical
+    whitespace-noise near-duplicate). The keeper rule rides the existing
+    hot-bucket machinery unchanged by encoding the (char_len, id) sort
+    tuple into the id column: ``rank = len * 2^40 + id`` — the machinery's
+    min-id keeper is then exactly min (len, id)."""
+    import pyarrow.compute as pc
+
+    def prep(b: pa.Table) -> pa.Table:
+        txt = b[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        norm = pc.replace_substring_regex(
+            pc.utf8_trim(txt, " "), " +", " "
+        )
+        ln = pc.utf8_length(txt).cast(pa.int64())
+        rank = pc.add(
+            pc.multiply(ln, pa.scalar(NORM_BEST_SHIFT, type=pa.int64())),
+            b[id_col].cast(pa.int64()),
+        )
+        return pa.table({id_col: rank, "norm": norm})
+
+    enc = exact_duplicates(
+        ds.map_batches(prep, batch_format="pyarrow"), text_col="norm"
+    )
+
+    def dec(b: pa.Table) -> pa.Table:
+        r = b[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {id_col: pa.array(r % NORM_BEST_SHIFT, type=pa.int64())}
+        )
+
+    return enc.map_batches(dec, batch_format="pyarrow")
+
+
 def exact_duplicate_pairs(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Edge stream for CLUSTER-building dedup: Dataset (u, v) of
     (member → identical-text-group keeper) star pairs — feed into

@@ -5992,6 +5992,115 @@ def q_token_bigram_top20(sf_dir: str):
     return T.bigram_topk(_tokens_ds(sf_dir).select_columns(["tokens"]), 20)
 
 
+BPE_MERGES = 4
+
+
+def q_bpe_train_gate(sf_dir: str):
+    """BPE tokenizer training as an all-true gate: K merge rounds over the
+    corpus token stream (distributed pair counts → broadcast rule →
+    vectorized greedy rewrite), then per-round invariants checked exactly:
+    the merged pair existed, the stream strictly shrank, no (a,b)
+    adjacency survived its own round, and expanding the merge table
+    restores the original corpus bit-identically (per-doc polynomial
+    hashes attached before training and compared distributed)."""
+    from ..functions import bpe as F_bpe
+    from ..functions.tokenops import list_buffers
+    from ..stages.verify import _poly_rowhash
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        values, offsets = list_buffers(b["tokens"])
+        h = _poly_rowhash(values.astype(np.uint64), offsets)
+        return b.append_column(
+            "orig_hash", pa.array(h.view(np.int64), type=pa.int64())
+        )
+
+    ds = _tokens_ds(sf_dir).map_batches(add_hash, batch_format="pyarrow")
+    rules, final, stats = F_bpe.bpe_train(ds, BPE_MERGES)
+
+    def check(b: pa.Table) -> pa.Table:
+        values, offsets = list_buffers(b["tokens"])
+        ev, eo = F_bpe.expand_with_offsets(values, offsets, rules)
+        h = _poly_rowhash(ev.astype(np.uint64), eo)
+        ok = int(
+            (
+                h.view(np.int64)
+                == b["orig_hash"].to_numpy(zero_copy_only=False)
+            ).sum()
+        )
+        return pa.table(
+            {
+                "n": pa.array([b.num_rows], type=pa.int64()),
+                "ok": pa.array([ok], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    row = final.map_batches(check, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("ok", alias_name="ok")
+    )
+    rt_ok = int(row["n"] or 0) == int(row["ok"] or -1)
+    return pa.table(
+        {
+            "round": pa.array(
+                [s["round"] for s in stats], type=pa.int64()
+            ),
+            "merged_some": pa.array(
+                [s["pair_count"] >= 1 for s in stats]
+            ),
+            "shrank": pa.array(
+                [s["tokens_after"] < s["tokens_before"] for s in stats]
+            ),
+            "no_pair_left": pa.array(
+                [s["pair_left"] == 0 for s in stats]
+            ),
+            "roundtrip_ok": pa.array([rt_ok] * len(stats)),
+        }
+    )
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware dedup: normalized-whitespace near-dup groups keep the
+    BEST member (shortest raw text, then smallest doc_id) instead of the
+    arbitrary smallest-id. Plants space-padded variants of the first
+    PLANT_N docs; the originals must survive, the padded copies drop."""
+    import ray
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ("doc_id", "text"))
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(ids < PLANT_N)
+        sub = b.take(pa.array(sel))
+        padded = pc.binary_join_element_wise(" ", sub["text"], " ", "")
+        shifted = pa.table(
+            {
+                "doc_id": pc.add(sub["doc_id"], PLANT_OFFSET),
+                "text": padded,
+            }
+        )
+        return pa.concat_tables([b.select(["doc_id", "text"]), shifted])
+
+    full = ds.map_batches(plant, batch_format="pyarrow")
+    dropped = F_dedup.normalized_best_duplicates(full).take_all()
+    dropped_ref = ray.put(
+        np.array(sorted(r["doc_id"] for r in dropped), dtype=np.int64)
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        d = _ray.get(dropped_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        mask = ~np.isin(ids, d) if d.size else np.ones(len(ids), bool)
+        return pa.table({"doc_id": pa.array(ids[mask], type=pa.int64())})
+
+    return _collect_ids(
+        full.map_batches(keep, batch_format="pyarrow"), "doc_id"
+    )
+
+
 # The driver's per-round correctness harness checks the FIRST 50 registry
 # entries against their DuckDB oracles (CORRECTNESS_r2/r3 are exactly the
 # head-50 in registration order).  Registration order below groups by
@@ -6213,6 +6322,8 @@ def build_queries() -> dict:
     q["docs_shuffled_head"] = q_docs_shuffled_head
     q["kmeans_embeddings"] = q_kmeans_embeddings
     q["kmeans_planted"] = q_kmeans_planted
+    q["dedup_keep_best"] = q_dedup_keep_best
+    q["bpe_train_gate"] = q_bpe_train_gate
     q["tokens_truncate_pad"] = q_tokens_truncate_pad
     q["tokens_shift_labels"] = q_tokens_shift_labels
     q["tokens_vocab_remap"] = q_tokens_vocab_remap
@@ -7622,6 +7733,24 @@ def build_oracle_sql() -> dict:
     sql["kmeans_planted"] = """
         SELECT CAST(i AS BIGINT) AS grp, (1=1) AS recovered
         FROM range(8) t(i)
+    """
+    sql["bpe_train_gate"] = f"""
+        SELECT CAST(i AS BIGINT) AS round, true AS merged_some,
+               true AS shrank, true AS no_pair_left, true AS roundtrip_ok
+        FROM range({BPE_MERGES}) t(i)
+    """
+    sql["dedup_keep_best"] = f"""
+        WITH planted AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+                   ' ' || text || ' ' AS text
+            FROM documents WHERE doc_id < {PLANT_N}
+        )
+        SELECT doc_id FROM planted
+        QUALIFY row_number() OVER (
+            PARTITION BY regexp_replace(trim(text, ' '), ' +', ' ', 'g')
+            ORDER BY length(text), doc_id) = 1
     """
     sql["tokens_truncate_pad"] = f"""
         SELECT doc_id,

@@ -1,0 +1,93 @@
+"""BPE tokenizer-training kernels: greedy merge semantics, offsets, decode."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fsst_like_ray.functions import bpe as B
+from fsst_like_ray.functions.tokenops import _list_array
+
+
+def _flat(rows):
+    off = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in rows], out=off[1:])
+    return np.array(
+        [t for r in rows for t in r], dtype=np.int32
+    ), off
+
+
+def _rows(values, offsets):
+    return [
+        values[offsets[i] : offsets[i + 1]].tolist()
+        for i in range(len(offsets) - 1)
+    ]
+
+
+def test_merge_positions_greedy_overlap():
+    v, o = _flat([[7, 7, 7, 7, 7]])  # aaaaa with rule (a,a)
+    pos = B.merge_positions(v, o, 7, 7)
+    # serial greedy: merge at 0, skip 1, merge at 2, skip 3; 4 unpaired
+    assert pos.tolist() == [0, 2]
+
+
+def test_merge_positions_row_boundary():
+    v, o = _flat([[1, 2], [2, 3], [1, 2]])
+    # (2,2) straddles rows 0/1 — never merged
+    assert B.merge_positions(v, o, 2, 2).tolist() == []
+    assert B.merge_positions(v, o, 1, 2).tolist() == [0, 4]
+
+
+def test_apply_merge_rows_and_counts():
+    v, o = _flat([[1, 2, 3], [1, 2], [4], []])
+    nv, no = B.apply_merge(v, o, 1, 2, 99)
+    assert _rows(nv, no) == [[99, 3], [99], [4], []]
+
+
+def test_apply_merge_aaa_run():
+    v, o = _flat([[7, 7, 7]])
+    nv, no = B.apply_merge(v, o, 7, 7, 99)
+    assert _rows(nv, no) == [[99, 7]]
+
+
+def test_expand_reverses_nested_rules():
+    rows = [[1, 2, 1, 2, 3], [2, 1, 2]]
+    v, o = _flat(rows)
+    r1 = B.apply_merge(*(v, o), 1, 2, B.NEW_ID_BASE)
+    r2 = B.apply_merge(*r1, B.NEW_ID_BASE, 3, B.NEW_ID_BASE + 1)
+    rules = [
+        (1, 2, B.NEW_ID_BASE, 2),
+        (B.NEW_ID_BASE, 3, B.NEW_ID_BASE + 1, 1),
+    ]
+    ev, eo = B.expand_with_offsets(r2[0], r2[1], rules)
+    assert _rows(ev, eo) == rows
+    flat = B.expand_tokens(r2[0], rules)
+    assert flat.tolist() == v.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_train_distributed():
+    import ray.data
+
+    rows = [[1, 2, 1, 2, 5], [1, 2, 9], [5, 1, 2]]
+    v, o = _flat(rows)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "tokens": _list_array(v, o),
+            "n_tok": pa.array([5, 3, 3], type=pa.int32()),
+        }
+    )
+    rules, final, stats = B.bpe_train(ray.data.from_arrow(t), 2)
+    # round 0 must merge the most frequent pair (1,2) ×4
+    assert rules[0][:2] == (1, 2) and rules[0][3] == 4
+    assert stats[0]["pair_left"] == 0
+    assert stats[0]["tokens_after"] == stats[0]["tokens_before"] - 4
+    # expanding the final stream restores every row
+    out = pa.concat_tables(
+        [b for b in final.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+    from fsst_like_ray.functions.tokenops import list_buffers
+
+    fv, fo = list_buffers(out["tokens"])
+    ev, eo = B.expand_with_offsets(fv, fo, rules)
+    assert _rows(ev, eo) == rows

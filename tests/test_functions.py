@@ -754,3 +754,32 @@ def test_exact_dedup_no_broadcast_path(ray_session, docs, monkeypatch):
         for r in D.exact_duplicates(ray.data.from_arrow(t)).take_all()
     )
     assert got == expect and len(got) > 0
+
+
+def test_normalized_best_dedup(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from fsst_like_ray.functions.dedup import normalized_best_duplicates
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "hello  world",   # normalizes to "hello world", len 12
+                    " hello world ",  # same group, len 14 → drop
+                    "hello world",    # same group, len 11 → KEEPER
+                    "unrelated doc",
+                    "unrelated  doc ",  # groups with 4 (len 15 > 13) → drop
+                    "",                # empty stays alone
+                ]
+            ),
+        }
+    )
+    dropped = set(
+        r["doc_id"]
+        for r in normalized_best_duplicates(
+            ray.data.from_arrow(t)
+        ).take_all()
+    )
+    assert dropped == {1, 2, 5}
