@@ -37,25 +37,9 @@ PAIR_SPAN = 1 << 22
 
 
 def _pair_partials(batch: pa.Table) -> pa.Table:
-    values, offsets = list_buffers(batch["tokens"])
-    if len(values) < 2:
-        return pa.table(
-            {
-                "key": pa.array([], type=pa.int64()),
-                "n": pa.array([], type=pa.int64()),
-            }
-        )
-    keys = values[:-1].astype(np.int64) * PAIR_SPAN + values[1:]
-    valid = np.ones(len(keys), dtype=bool)
-    interior = offsets[1:-1]
-    valid[interior[(interior > 0) & (interior <= len(keys))] - 1] = False
-    uk, cnt = np.unique(keys[valid], return_counts=True)
-    return pa.table(
-        {
-            "key": pa.array(uk, type=pa.int64()),
-            "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
-        }
-    )
+    from .tokenops import pair_partials
+
+    return pair_partials(batch, PAIR_SPAN)
 
 
 def top_pair(ds) -> tuple[int, int, int] | None:
@@ -134,7 +118,10 @@ def bpe_train(tokens_ds, n_merges: int):
     Returns (rules, final_ds, stats): rules is [(a, b, new_id, count)],
     final_ds the rewritten stream, stats per-round dicts with the gate
     invariants (tokens_before/after, pair_left) computed distributed."""
-    ds = tokens_ds
+    # round 0 consumes the input three times (token total, pair counts,
+    # rewrite); checkpoint it once so an expensive upstream lineage
+    # (parquet read → tokenize → hash) isn't re-executed per pass
+    ds = tokens_ds.materialize()
     rules, stats = [], []
     total = _total_tokens(ds)
     for r in range(n_merges):

@@ -795,18 +795,23 @@ def exact_duplicates(ds, text_col: str = "text"):
     )
 
 
-NORM_BEST_SHIFT = 1 << 40  # char_len*SHIFT + id stays exact in int64
+NORM_BEST_SHIFT = 1 << 40  # char_len*SHIFT + doc_id stays exact in int64
+# lengths saturate here so the rank can't wrap int64 (doc_ids < 2^40):
+# beyond ~8.4M chars every variant ties on length and falls back to the
+# smallest-doc_id rule — still deterministic, never corrupt
+NORM_BEST_LEN_CAP = (1 << 23) - 1
 
 
-def normalized_best_duplicates(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Drop list (real ids) for NORMALIZED-text dedup that keeps the BEST
-    variant of each group — shortest raw text, then smallest id — instead of
-    ``exact_duplicates``' smallest-id rule. Normalization strips outer
-    spaces and collapses internal space runs (the canonical
+def normalized_best_duplicates(ds, text_col: str = "text"):
+    """Drop list (real doc_ids) for NORMALIZED-text dedup that keeps the
+    BEST variant of each group — shortest raw text, then smallest doc_id —
+    instead of ``exact_duplicates``' smallest-id rule. Normalization strips
+    outer spaces and collapses internal space runs (the canonical
     whitespace-noise near-duplicate). The keeper rule rides the existing
-    hot-bucket machinery unchanged by encoding the (char_len, id) sort
-    tuple into the id column: ``rank = len * 2^40 + id`` — the machinery's
-    min-id keeper is then exactly min (len, id)."""
+    hot-bucket machinery unchanged by encoding the (char_len, doc_id) sort
+    tuple into the id column: ``rank = min(len, cap) * 2^40 + doc_id`` —
+    the machinery's min-id keeper is then exactly min (len, doc_id).
+    The id column is fixed as ``doc_id`` (exact_duplicates' contract)."""
     import pyarrow.compute as pc
 
     def prep(b: pa.Table) -> pa.Table:
@@ -816,21 +821,24 @@ def normalized_best_duplicates(ds, text_col: str = "text", id_col: str = "doc_id
         norm = pc.replace_substring_regex(
             pc.utf8_trim(txt, " "), " +", " "
         )
-        ln = pc.utf8_length(txt).cast(pa.int64())
+        ln = pc.min_element_wise(
+            pc.utf8_length(txt).cast(pa.int64()),
+            pa.scalar(NORM_BEST_LEN_CAP, type=pa.int64()),
+        )
         rank = pc.add(
             pc.multiply(ln, pa.scalar(NORM_BEST_SHIFT, type=pa.int64())),
-            b[id_col].cast(pa.int64()),
+            b["doc_id"].cast(pa.int64()),
         )
-        return pa.table({id_col: rank, "norm": norm})
+        return pa.table({"doc_id": rank, "norm": norm})
 
     enc = exact_duplicates(
         ds.map_batches(prep, batch_format="pyarrow"), text_col="norm"
     )
 
     def dec(b: pa.Table) -> pa.Table:
-        r = b[id_col].to_numpy(zero_copy_only=False)
+        r = b["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
-            {id_col: pa.array(r % NORM_BEST_SHIFT, type=pa.int64())}
+            {"doc_id": pa.array(r % NORM_BEST_SHIFT, type=pa.int64())}
         )
 
     return enc.map_batches(dec, batch_format="pyarrow")

@@ -30,19 +30,7 @@ import pyarrow as pa
 CODEPOINT_SPAN = 1114112
 
 
-def list_buffers(col) -> tuple[np.ndarray, np.ndarray]:
-    """ListArray column → (flat int32 values, int64 offsets)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    values = col.flatten().to_numpy(zero_copy_only=False).astype(
-        np.int32, copy=False
-    )
-    counts = pa.compute.list_value_length(col).to_numpy(
-        zero_copy_only=False
-    ).astype(np.int64)
-    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
-    return values, offsets
+from ..stages.encode import list_buffers  # zero-copy (values, offsets)
 
 
 def _list_array(values: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
@@ -185,9 +173,11 @@ def remap_oov_batch(
     )
 
 
-def bigram_partials(batch: pa.Table) -> pa.Table:
-    """Per-batch adjacent-pair counts keyed t1*CODEPOINT_SPAN + t2; row
-    boundaries masked out so pairs never straddle documents."""
+def pair_partials(batch: pa.Table, span: int) -> pa.Table:
+    """Per-batch adjacent-pair counts keyed t1*span + t2; row boundaries
+    masked out so pairs never straddle documents. ``span`` must exceed the
+    largest token id (CODEPOINT_SPAN for raw code points; BPE uses a wider
+    span for merged-symbol ids)."""
     values, offsets = list_buffers(batch["tokens"])
     if len(values) < 2:
         return pa.table(
@@ -196,7 +186,7 @@ def bigram_partials(batch: pa.Table) -> pa.Table:
                 "n": pa.array([], type=pa.int64()),
             }
         )
-    keys = values[:-1].astype(np.int64) * CODEPOINT_SPAN + values[1:]
+    keys = values[:-1].astype(np.int64) * span + values[1:]
     valid = np.ones(len(keys), dtype=bool)
     interior = offsets[1:-1]
     valid[interior[(interior > 0) & (interior <= len(keys))] - 1] = False
@@ -207,6 +197,10 @@ def bigram_partials(batch: pa.Table) -> pa.Table:
             "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
         }
     )
+
+
+def bigram_partials(batch: pa.Table) -> pa.Table:
+    return pair_partials(batch, CODEPOINT_SPAN)
 
 
 def bigram_topk(tokens_ds, k: int) -> pa.Table:

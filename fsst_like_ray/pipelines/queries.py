@@ -6039,22 +6039,35 @@ def q_bpe_train_gate(sf_dir: str):
     row = final.map_batches(check, batch_format="pyarrow").aggregate(
         Sum("n", alias_name="n"), Sum("ok", alias_name="ok")
     )
-    rt_ok = int(row["n"] or 0) == int(row["ok"] or -1)
+    rt_ok = int(row["n"] or 0) == int(row["ok"] or 0)
+    # pad untrained rounds (pairs exhausted early) with all-false rows so
+    # the gate FAILS against the all-true oracle with matching row counts
+    # instead of an opaque row-count mismatch
+    padded = stats + [
+        {
+            "round": r,
+            "pair_count": 0,
+            "tokens_before": 0,
+            "tokens_after": 0,
+            "pair_left": 1,
+        }
+        for r in range(len(stats), BPE_MERGES)
+    ]
     return pa.table(
         {
             "round": pa.array(
-                [s["round"] for s in stats], type=pa.int64()
+                [s["round"] for s in padded], type=pa.int64()
             ),
             "merged_some": pa.array(
-                [s["pair_count"] >= 1 for s in stats]
+                [s["pair_count"] >= 1 for s in padded]
             ),
             "shrank": pa.array(
-                [s["tokens_after"] < s["tokens_before"] for s in stats]
+                [s["tokens_after"] < s["tokens_before"] for s in padded]
             ),
             "no_pair_left": pa.array(
-                [s["pair_left"] == 0 for s in stats]
+                [s["pair_left"] == 0 for s in padded]
             ),
-            "roundtrip_ok": pa.array([rt_ok] * len(stats)),
+            "roundtrip_ok": pa.array([rt_ok] * len(padded)),
         }
     )
 
@@ -6173,7 +6186,13 @@ DRIVER_WINDOW = [
 
 
 def _window_first(q: dict) -> dict:
-    head = {k: q[k] for k in DRIVER_WINDOW if k in q}
+    missing = [k for k in DRIVER_WINDOW if k not in q]
+    # a silent drop would shrink the head-50 and the driver would verify
+    # an unintended query set — fail loudly at registry-build time instead
+    assert not missing and len(DRIVER_WINDOW) == 50, (
+        f"DRIVER_WINDOW broken: missing={missing}, len={len(DRIVER_WINDOW)}"
+    )
+    head = {k: q[k] for k in DRIVER_WINDOW}
     tail = {k: v for k, v in q.items() if k not in head}
     return {**head, **tail}
 
