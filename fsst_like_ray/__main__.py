@@ -286,6 +286,41 @@ def cmd_decontam(args) -> int:
     return 0
 
 
+def cmd_bpe_train(args) -> int:
+    """Train BPE merge rules over a corpus; optionally write the merged
+    token stream. Accepts a north-rule tokens parquet directly, or any
+    parquet with a text column (tokenized to code points first)."""
+    ray = _ray()
+    import ray.data as rd
+
+    from .functions.bpe import bpe_train
+
+    t0 = time.time()
+    ds = rd.read_parquet(args.corpus)
+    if "tokens" not in ds.schema().names:
+        from .pipelines.queries import to_tokens_batch
+
+        ds = ds.map_batches(to_tokens_batch, batch_format="pyarrow")
+    rules, final, stats = bpe_train(ds, args.merges)
+    out = {
+        "rules": [
+            {"a": a, "b": b, "new_id": n, "count": c}
+            for a, b, n, c in rules
+        ],
+        "rounds": stats,
+        "sec": round(time.time() - t0, 3),
+    }
+    if args.rules_out:
+        with open(args.rules_out, "w") as f:
+            json.dump(out, f)
+    if args.apply_out:
+        final.write_parquet(args.apply_out)
+        out["applied_to"] = args.apply_out
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
 def cmd_word_index(args) -> int:
     ray = _ray()
     from .pipelines.postings import build_word_index
@@ -421,6 +456,16 @@ def main(argv=None) -> int:
     dc.add_argument("--text-col", default="text")
     dc.add_argument("--id-col", default="doc_id")
     dc.set_defaults(fn=cmd_decontam)
+
+    bp = sub.add_parser(
+        "bpe-train",
+        help="train BPE merge rules over a corpus (tokens or text parquet)",
+    )
+    bp.add_argument("corpus")
+    bp.add_argument("--merges", type=int, default=8)
+    bp.add_argument("--rules-out", default=None)
+    bp.add_argument("--apply-out", default=None)
+    bp.set_defaults(fn=cmd_bpe_train)
 
     wi = sub.add_parser(
         "word-index",
