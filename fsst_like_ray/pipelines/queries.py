@@ -5992,6 +5992,118 @@ def q_token_bigram_top20(sf_dir: str):
     return T.bigram_topk(_tokens_ds(sf_dir).select_columns(["tokens"]), 20)
 
 
+COMPRESS_FLAG_RATIO = 0.2
+REPETITIVE_PLANT_TEXT = "a" * 800
+COMPRESS_SIG_STATE_TOKENS = 1024
+
+
+def q_docs_compressibility_gate(sf_dir: str):
+    """Compressed-domain quality signal: per-doc compressibility under the
+    auto selector (encoded payload bytes / token count, codec state scoped
+    to ~1k-token chunks so a degenerate row trains its own state) flags
+    repetitive boilerplate — computed from the SAME encode pass the
+    storage pipeline already runs (no extra scan at corpus scale). Gate:
+    planted 'a'*800 docs must flag below COMPRESS_FLAG_RATIO (RLE packs
+    them to ~0.005 B/token vs ~0.6 for natural text under per-chunk
+    states), and under 20 % of the original corpus may flag."""
+    from ..stages.encode import encode_table
+
+    ds = _docs(sf_dir, ("doc_id", "text"))
+
+    def ratios(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n_plant = int((ids < PLANT_N).sum())
+        planted = pa.table(
+            {
+                "doc_id": pa.array(
+                    ids[ids < PLANT_N] + PLANT_OFFSET, type=pa.int64()
+                ),
+                "text": pa.array(
+                    [REPETITIVE_PLANT_TEXT] * n_plant, type=pa.string()
+                ),
+                "source": pa.array(["plant"] * n_plant, type=pa.string()),
+            }
+        )
+        full = pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "doc_id": b["doc_id"].cast(pa.int64()),
+                        "text": b["text"].cast(pa.string()),
+                        "source": pa.array(
+                            ["orig"] * b.num_rows, type=pa.string()
+                        ),
+                    }
+                ),
+                planted,
+            ]
+        )
+        enc = encode_table(
+            to_tokens_batch(full),
+            "auto",
+            max_tokens_per_state=COMPRESS_SIG_STATE_TOKENS,
+        )
+        nb = enc["payload_nbytes"].to_numpy(zero_copy_only=False)
+        nt = enc["n_tok"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ratio = nb / np.maximum(nt, 1.0)
+        return pa.table(
+            {
+                "doc_id": enc["doc_id"].cast(pa.int64()),
+                "flagged": pa.array(ratio < COMPRESS_FLAG_RATIO),
+                "is_plant": pa.compute.equal(enc["source"], "plant"),
+            }
+        )
+
+    # consumed twice (control aggregate + planted collect): checkpoint the
+    # small (doc_id, bool, bool) output instead of re-running the encode
+    rows = ds.map_batches(ratios, batch_format="pyarrow").materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        plant = b["is_plant"].to_numpy(zero_copy_only=False)
+        flag = b["flagged"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "orig_flagged": pa.array(
+                    [int((flag & ~plant).sum())], type=pa.int64()
+                ),
+                "orig_total": pa.array(
+                    [int((~plant).sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    tot = rows.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("orig_flagged", alias_name="f"), Sum("orig_total", alias_name="t")
+    )
+    mostly_clean = int(tot["f"] or 0) < 0.2 * int(tot["t"] or 0)
+    # ONE iteration collects (doc_id, flagged) together — two passes could
+    # see different block orders and misalign the columns
+    ids, flags = [], []
+    for b in rows.filter(expr="is_plant == True").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            ids.append(b["doc_id"].to_numpy(zero_copy_only=False))
+            flags.append(b["flagged"].to_numpy(zero_copy_only=False))
+    doc_id = (
+        np.concatenate(ids) if ids else np.zeros(0, dtype=np.int64)
+    )
+    flagged = (
+        np.concatenate(flags) if flags else np.zeros(0, dtype=bool)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, type=pa.int64()),
+            "is_flagged": pa.array(flagged),
+            "originals_mostly_clean": pa.array(
+                [mostly_clean] * len(flagged)
+            ),
+        }
+    )
+
+
 BPE_MERGES = 4
 
 
@@ -6343,6 +6455,7 @@ def build_queries() -> dict:
     q["kmeans_planted"] = q_kmeans_planted
     q["dedup_keep_best"] = q_dedup_keep_best
     q["bpe_train_gate"] = q_bpe_train_gate
+    q["docs_compressibility_gate"] = q_docs_compressibility_gate
     q["tokens_truncate_pad"] = q_tokens_truncate_pad
     q["tokens_shift_labels"] = q_tokens_shift_labels
     q["tokens_vocab_remap"] = q_tokens_vocab_remap
@@ -7752,6 +7865,11 @@ def build_oracle_sql() -> dict:
     sql["kmeans_planted"] = """
         SELECT CAST(i AS BIGINT) AS grp, (1=1) AS recovered
         FROM range(8) t(i)
+    """
+    sql["docs_compressibility_gate"] = f"""
+        SELECT doc_id + {PLANT_OFFSET} AS doc_id, true AS is_flagged,
+               true AS originals_mostly_clean
+        FROM documents WHERE doc_id < {PLANT_N}
     """
     sql["bpe_train_gate"] = f"""
         SELECT CAST(i AS BIGINT) AS round, true AS merged_some,
