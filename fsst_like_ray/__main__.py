@@ -301,7 +301,9 @@ def cmd_bpe_train(args) -> int:
         from .pipelines.queries import to_tokens_batch
 
         ds = ds.map_batches(to_tokens_batch, batch_format="pyarrow")
-    rules, final, stats = bpe_train(ds, args.merges)
+    rules, final, stats = bpe_train(
+        ds, args.merges, sample_rate=args.sample_rate
+    )
     out = {
         "rules": [
             {"a": a, "b": b, "new_id": n, "count": c}
@@ -463,6 +465,12 @@ def main(argv=None) -> int:
     )
     bp.add_argument("corpus")
     bp.add_argument("--merges", type=int, default=8)
+    bp.add_argument(
+        "--sample-rate",
+        type=float,
+        default=None,
+        help="train rules on a deterministic doc sample, apply corpus-wide",
+    )
     bp.add_argument("--rules-out", default=None)
     bp.add_argument("--apply-out", default=None)
     bp.set_defaults(fn=cmd_bpe_train)

@@ -112,12 +112,51 @@ def apply_merge_batch(
     return pa.table(cols)
 
 
-def bpe_train(tokens_ds, n_merges: int):
+def bpe_train(tokens_ds, n_merges: int, sample_rate: float | None = None):
     """Train ``n_merges`` BPE rules over a tokens Dataset.
+
+    ``sample_rate``: train the rules on a deterministic doc sample
+    (``sampling.sample_hash32(doc_id) < rate·2^32`` — seed-free, retry-
+    stable) and apply them to the FULL stream. This is the standard scale
+    path: at 10^12 sequences pair statistics converge on a tiny fraction
+    of the corpus, so each merge round scans the sample, not the corpus;
+    only the final rewrite touches everything.
 
     Returns (rules, final_ds, stats): rules is [(a, b, new_id, count)],
     final_ds the rewritten stream, stats per-round dicts with the gate
     invariants (tokens_before/after, pair_left) computed distributed."""
+    if sample_rate is not None:
+        from .sampling import rate_to_threshold, sample_hash32
+
+        thr = rate_to_threshold(sample_rate)
+
+        def keep(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            try:
+                arr = ids.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            except pa.ArrowInvalid:
+                # string ids: the repo-wide stable blake2b word hash
+                from .spans import stable_word_hashes
+
+                arr = stable_word_hashes(ids.to_pylist()).view(np.int64)
+            return b.filter(pa.array(sample_hash32(arr) < thr))
+
+        sample = tokens_ds.map_batches(
+            keep, batch_format="pyarrow"
+        ).materialize()
+        rules, _sampled_final, stats = bpe_train(sample, n_merges)
+        final = tokens_ds
+        for a, b, new_id, _c in rules:
+            final = final.map_batches(
+                lambda t, _a=a, _b=b, _n=new_id: apply_merge_batch(
+                    t, _a, _b, _n
+                ),
+                batch_format="pyarrow",
+            )
+        return rules, final, stats
+
     # round 0 consumes the input three times (token total, pair counts,
     # rewrite); checkpoint it once so an expensive upstream lineage
     # (parquet read → tokenize → hash) isn't re-executed per pass

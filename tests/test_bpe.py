@@ -91,3 +91,33 @@ def test_bpe_train_distributed():
     fv, fo = list_buffers(out["tokens"])
     ev, eo = B.expand_with_offsets(fv, fo, rules)
     assert _rows(ev, eo) == rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_train_sampled_applies_corpus_wide():
+    import ray.data
+
+    # 40 docs, ids 0..39; sample trains rules, full stream gets rewritten
+    rows = [[1, 2, 1, 2, 3]] * 40
+    v, o = _flat(rows)
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), type=pa.int64()),
+            "tokens": _list_array(v, o),
+            "n_tok": pa.array([5] * 40, type=pa.int32()),
+        }
+    )
+    rules, final, stats = B.bpe_train(
+        ray.data.from_arrow(t), 1, sample_rate=0.5
+    )
+    assert rules[0][:2] == (1, 2)
+    out = pa.concat_tables(
+        [b for b in final.iter_batches(batch_format="pyarrow")]
+    )
+    # EVERY doc rewritten, not just the sample
+    assert out.num_rows == 40
+    from fsst_like_ray.functions.tokenops import list_buffers
+
+    fv, fo = list_buffers(out["tokens"])
+    assert np.diff(fo).tolist() == [3] * 40  # 5 tokens -> X X 3
+    assert set(fv.tolist()) == {B.NEW_ID_BASE, 3}
