@@ -121,3 +121,64 @@ def test_bpe_train_sampled_applies_corpus_wide():
     fv, fo = list_buffers(out["tokens"])
     assert np.diff(fo).tolist() == [3] * 40  # 5 tokens -> X X 3
     assert set(fv.tolist()) == {B.NEW_ID_BASE, 3}
+
+
+from hypothesis import given, settings, strategies as st
+
+
+def _serial_greedy(rows, a, b, new_id):
+    """Reference: classic left-to-right greedy BPE merge per row."""
+    out = []
+    for r in rows:
+        nr, i = [], 0
+        while i < len(r):
+            if i + 1 < len(r) and r[i] == a and r[i + 1] == b:
+                nr.append(new_id)
+                i += 2
+            else:
+                nr.append(r[i])
+                i += 1
+        out.append(nr)
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.lists(st.integers(min_value=0, max_value=3), max_size=12),
+        max_size=8,
+    ),
+    a=st.integers(min_value=0, max_value=3),
+    b=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=150, deadline=None)
+def test_apply_merge_matches_serial_greedy(rows, a, b):
+    v, o = _flat(rows)
+    nv, no = B.apply_merge(v, o, a, b, 99)
+    assert _rows(nv, no) == _serial_greedy(rows, a, b, 99)
+
+
+@given(
+    rows=st.lists(
+        st.lists(st.integers(min_value=0, max_value=2), max_size=10),
+        max_size=6,
+    ),
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=2),
+        ),
+        max_size=4,
+    ),
+)
+@settings(max_examples=100, deadline=None)
+def test_expand_reverses_any_merge_chain(rows, pairs):
+    """Every apply_merge is individually invertible (new ids are unique),
+    so expanding the rule chain restores the original stream exactly."""
+    v, o = _flat(rows)
+    cur_v, cur_o, rules = v, o, []
+    for i, (a, b) in enumerate(pairs):
+        nid = B.NEW_ID_BASE + i
+        cur_v, cur_o = B.apply_merge(cur_v, cur_o, a, b, nid)
+        rules.append((a, b, nid, 0))
+    ev, eo = B.expand_with_offsets(cur_v, cur_o, rules)
+    assert _rows(ev, eo) == rows
