@@ -323,6 +323,38 @@ def cmd_bpe_train(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Pack a corpus into fixed-length training sequences and write them
+    as partitioned parquet — the last step before a trainer consumes the
+    data. Accepts a tokens parquet or any parquet with a text column."""
+    ray = _ray()
+    import ray.data as rd
+
+    from .functions.packing import pack_sequences
+
+    t0 = time.time()
+    ds = rd.read_parquet(args.corpus)
+    if "tokens" not in ds.schema().names:
+        from .pipelines.queries import to_tokens_batch
+
+        ds = ds.map_batches(to_tokens_batch, batch_format="pyarrow")
+    packed = pack_sequences(ds, args.seq_len)
+    packed.write_parquet(args.out_dir)
+    n = packed.count()
+    print(
+        json.dumps(
+            {
+                "sequences": n,
+                "seq_len": args.seq_len,
+                "out": args.out_dir,
+                "sec": round(time.time() - t0, 3),
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_word_index(args) -> int:
     ray = _ray()
     from .pipelines.postings import build_word_index
@@ -474,6 +506,15 @@ def main(argv=None) -> int:
     bp.add_argument("--rules-out", default=None)
     bp.add_argument("--apply-out", default=None)
     bp.set_defaults(fn=cmd_bpe_train)
+
+    pk = sub.add_parser(
+        "pack",
+        help="pack a corpus into fixed-length training sequences (parquet)",
+    )
+    pk.add_argument("corpus")
+    pk.add_argument("out_dir")
+    pk.add_argument("--seq-len", type=int, default=512)
+    pk.set_defaults(fn=cmd_pack)
 
     wi = sub.add_parser(
         "word-index",
