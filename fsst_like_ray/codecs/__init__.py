@@ -104,6 +104,8 @@ from .rlebp import RleBitpackCodec  # noqa: E402
 from .delta import DeltaCodec  # noqa: E402
 from .dictionary import DictCodec  # noqa: E402
 from .fsst import FsstCodec  # noqa: E402
+from .pfor import PforCodec  # noqa: E402
+from .varint import VarintCodec  # noqa: E402
 
 CODECS: dict[str, Codec] = {
     c.name: c
@@ -116,6 +118,8 @@ CODECS: dict[str, Codec] = {
         DeltaCodec(),
         DictCodec(),
         FsstCodec(),
+        PforCodec(),
+        VarintCodec(),
     ]
 }
 

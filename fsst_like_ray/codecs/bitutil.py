@@ -125,6 +125,12 @@ def scatter_segments(buf, dst_base, seg_nbytes, src) -> None:
     total = int(seg_nbytes.sum())
     if not total:
         return
+
+    from .. import native
+
+    if native.lib is not None:
+        native.seg_scatter(buf, dst_base, seg_nbytes, src)
+        return
     so = np.zeros(len(seg_nbytes) + 1, dtype=np.int64)
     np.cumsum(seg_nbytes, out=so[1:])
     row_of_byte = np.repeat(np.arange(len(seg_nbytes)), seg_nbytes)
@@ -139,6 +145,11 @@ def gather_segments(buf, src_base, seg_nbytes) -> np.ndarray:
     out = np.zeros(total, dtype=np.uint8)
     if not total:
         return out
+
+    from .. import native
+
+    if native.lib is not None:
+        return native.seg_gather(buf, src_base, seg_nbytes, total)
     so = np.zeros(len(seg_nbytes) + 1, dtype=np.int64)
     np.cumsum(seg_nbytes, out=so[1:])
     row_of_byte = np.repeat(np.arange(len(seg_nbytes)), seg_nbytes)

@@ -70,6 +70,20 @@ def _build():
     l.kmp_scan.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
                            ctypes.c_void_p]
+    l.seg_scatter.restype = None
+    l.seg_scatter.argtypes = [ctypes.c_void_p] * 3 + [ctypes.c_int64,
+                                                      ctypes.c_void_p]
+    l.seg_gather.restype = None
+    l.seg_gather.argtypes = [ctypes.c_void_p] * 3 + [ctypes.c_int64,
+                                                     ctypes.c_void_p]
+    l.varint_encode.restype = None
+    l.varint_encode.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_int64, ctypes.c_void_p,
+                                ctypes.c_void_p]
+    l.varint_decode.restype = None
+    l.varint_decode.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_void_p, ctypes.c_int64,
+                                ctypes.c_void_p]
     l.meta_kmp_scan.restype = None
     l.meta_kmp_scan.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                 ctypes.c_int64, ctypes.c_void_p,
@@ -192,6 +206,42 @@ def unpack_rows(buf, payload_offsets, offsets, width, n_values):
     off = np.ascontiguousarray(offsets, dtype=np.int64)
     lib.unpack_rows(_ptr(b), _ptr(po), _ptr(off), len(off) - 1, int(width),
                     _ptr(vals))
+    return vals
+
+
+def seg_scatter(buf, dst_base, seg_nbytes, src):
+    db = np.ascontiguousarray(dst_base, dtype=np.int64)
+    nb = np.ascontiguousarray(seg_nbytes, dtype=np.int64)
+    s = np.ascontiguousarray(src, dtype=np.uint8)
+    lib.seg_scatter(_ptr(buf), _ptr(db), _ptr(nb), len(nb), _ptr(s))
+
+
+def seg_gather(buf, src_base, seg_nbytes, total):
+    b = np.ascontiguousarray(buf, dtype=np.uint8)
+    sb = np.ascontiguousarray(src_base, dtype=np.int64)
+    nb = np.ascontiguousarray(seg_nbytes, dtype=np.int64)
+    out = np.empty(int(total), dtype=np.uint8)
+    lib.seg_gather(_ptr(b), _ptr(sb), _ptr(nb), len(nb), _ptr(out))
+    return out
+
+
+def varint_encode(values_u32, offsets, payload_offsets, total_bytes):
+    """Native Stream-VByte pack; caller precomputed the row payload offsets."""
+    vals = np.ascontiguousarray(values_u32, dtype=np.uint32)
+    off = np.ascontiguousarray(offsets, dtype=np.int64)
+    po = np.ascontiguousarray(payload_offsets, dtype=np.int64)
+    out = np.zeros(int(total_bytes), dtype=np.uint8)
+    lib.varint_encode(_ptr(vals), _ptr(off), len(off) - 1, _ptr(po),
+                      _ptr(out))
+    return out
+
+
+def varint_decode(buf, payload_offsets, offsets, n_values):
+    vals = np.empty(int(n_values), dtype=np.uint32)
+    b = np.ascontiguousarray(buf, dtype=np.uint8)
+    po = np.ascontiguousarray(payload_offsets, dtype=np.int64)
+    off = np.ascontiguousarray(offsets, dtype=np.int64)
+    lib.varint_decode(_ptr(b), _ptr(po), _ptr(off), len(off) - 1, _ptr(vals))
     return vals
 
 

@@ -448,3 +448,77 @@ long dict_unique(const int32_t *v, int64_t n,
     }
     return (long)u;
 }
+
+/* ---- Stream-VByte-style varint (codecs/varint.py's hot loops) ----------
+ * Layout per row: ceil(count/4) control bytes (2-bit length codes, LE
+ * slot order) followed by the data bytes (1-4 LE low bytes per value).
+ * Bit-identical to the NumPy path in codecs/varint.py (asserted in
+ * tests/test_native.py). buf must arrive zeroed (control uses |=). */
+void varint_encode(const uint32_t *v, const int64_t *off, int64_t n_rows,
+                   const int64_t *po, uint8_t *buf) {
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t s = off[r];
+        int64_t cnt = off[r + 1] - s;
+        if (!cnt) continue;
+        uint8_t *ctrl = buf + po[r];
+        uint8_t *data = ctrl + ((cnt + 3) >> 2);
+        for (int64_t i = 0; i < cnt; i++) {
+            uint32_t x = v[s + i];
+            unsigned code = (x >= (1u << 8)) + (x >= (1u << 16)) +
+                            (x >= (1u << 24));
+            ctrl[i >> 2] |= (uint8_t)(code << ((i & 3) << 1));
+            data[0] = (uint8_t)x;
+            if (code >= 1) data[1] = (uint8_t)(x >> 8);
+            if (code >= 2) data[2] = (uint8_t)(x >> 16);
+            if (code >= 3) data[3] = (uint8_t)(x >> 24);
+            data += code + 1;
+        }
+    }
+}
+
+void varint_decode(const uint8_t *buf, const int64_t *po, const int64_t *off,
+                   int64_t n_rows, uint32_t *out) {
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t s = off[r];
+        int64_t cnt = off[r + 1] - s;
+        if (!cnt) continue;
+        const uint8_t *ctrl = buf + po[r];
+        const uint8_t *data = ctrl + ((cnt + 3) >> 2);
+        for (int64_t i = 0; i < cnt; i++) {
+            unsigned code = (ctrl[i >> 2] >> ((i & 3) << 1)) & 3u;
+            uint32_t x = data[0];
+            if (code >= 1) x |= (uint32_t)data[1] << 8;
+            if (code >= 2) x |= (uint32_t)data[2] << 16;
+            if (code >= 3) x |= (uint32_t)data[3] << 24;
+            out[s + i] = x;
+            data += code + 1;
+        }
+    }
+}
+
+/* ---- per-row segment moves (bitutil.scatter/gather_segments hot path,
+ * shared by the for/rlebp/pfor payload assembly) -------------------------- */
+void seg_scatter(uint8_t *buf, const int64_t *dst_base,
+                 const int64_t *seg_nbytes, int64_t n_rows,
+                 const uint8_t *src) {
+    int64_t s = 0;
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t nb = seg_nbytes[r];
+        if (nb) {
+            memcpy(buf + dst_base[r], src + s, (size_t)nb);
+            s += nb;
+        }
+    }
+}
+
+void seg_gather(const uint8_t *buf, const int64_t *src_base,
+                const int64_t *seg_nbytes, int64_t n_rows, uint8_t *out) {
+    int64_t d = 0;
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t nb = seg_nbytes[r];
+        if (nb) {
+            memcpy(out + d, buf + src_base[r], (size_t)nb);
+            d += nb;
+        }
+    }
+}

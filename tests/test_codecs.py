@@ -148,7 +148,9 @@ def test_full_block_estimates_are_calibrated():
         o = offsets[lo : hi + 1] - offsets[lo]
         name, est, state = select_codec(v, o)
         actual = {}
-        for cn in ["plain", "bitpack", "for", "rle", "dict", "fsst"]:
+        for cn in [
+            "plain", "bitpack", "for", "rle", "dict", "fsst", "pfor", "varint",
+        ]:
             c = CODECS[cn]
             st = state if (cn == name and state is not None) else c.train(v, o)
             buf, _po = c.encode(v, o, st)

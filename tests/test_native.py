@@ -190,3 +190,38 @@ def test_native_like_prefilter_and_kmp_bit_identical(seed, monkeypatch):
                 return True
             truth = np.array([ordered_contains(r, segs) for r in rows])
         assert np.array_equal(nat_kmp, truth), p
+
+
+@pytest.mark.parametrize("name", ["varint", "pfor", "for", "rlebp"])
+def test_numpy_codec_fallback_matches_native(name, monkeypatch):
+    """The varint C kernels and the seg_scatter/seg_gather payload movers
+    must produce byte-identical encodings to the pure-NumPy paths (and
+    cross-decode: NumPy decodes the native buffer and vice versa)."""
+    from fsst_like_ray.codecs import CODECS
+
+    if native.lib is None:
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(21)
+    rows = [
+        list(rng.integers(0, 1 << int(rng.integers(1, 31)), rng.integers(0, 90)))
+        for _ in range(200)
+    ] + [[], [2**31 - 1, -5, 0], [7] * 500]
+    off = np.zeros(len(rows) + 1, dtype=np.int64)
+    off[1:] = np.cumsum([len(r) for r in rows])
+    values = np.concatenate(
+        [np.asarray(r, dtype=np.int32) for r in rows if len(r)]
+    ).astype(np.int32)
+    counts = np.diff(off)
+
+    c = CODECS[name]
+    state = c.train(values, off)
+    buf_c, po_c = c.encode(values, off, state)
+    dec_c = c.decode(buf_c, po_c, counts, state)
+
+    monkeypatch.setattr(native, "lib", None)
+    buf_np, po_np = c.encode(values, off, state)
+    dec_np = c.decode(buf_c, po_c, counts, state)  # numpy decodes C buffer
+    assert bytes(buf_np) == bytes(buf_c)
+    np.testing.assert_array_equal(po_np, po_c)
+    np.testing.assert_array_equal(dec_np, values)
+    np.testing.assert_array_equal(dec_c, values)

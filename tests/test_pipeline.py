@@ -49,9 +49,9 @@ def test_encode_decode_roundtrip(ray_session, corpus_dir, tmp_path):
     for rec in Manifest(out).completed().values():
         assert rec["codecs"] and sum(rec["codecs"].values()) == rec["rows"]
         assert isinstance(rec["state_sum"], int)
-        assert set(rec["codecs"]) <= {
-            "plain", "bitpack", "for", "rle", "rlebp", "delta", "dict", "fsst"
-        }
+        from fsst_like_ray.codecs import CODECS
+
+        assert set(rec["codecs"]) <= set(CODECS)
 
 
 def test_resume_skips_completed(ray_session, corpus_dir, tmp_path):
