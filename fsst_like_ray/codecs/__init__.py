@@ -106,6 +106,7 @@ from .dictionary import DictCodec  # noqa: E402
 from .fsst import FsstCodec  # noqa: E402
 from .pfor import PforCodec  # noqa: E402
 from .varint import VarintCodec  # noqa: E402
+from .dvint import DvintCodec  # noqa: E402
 
 CODECS: dict[str, Codec] = {
     c.name: c
@@ -120,6 +121,7 @@ CODECS: dict[str, Codec] = {
         FsstCodec(),
         PforCodec(),
         VarintCodec(),
+        DvintCodec(),
     ]
 }
 

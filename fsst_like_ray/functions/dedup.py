@@ -764,9 +764,10 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-def exact_duplicates(ds, text_col: str = "text"):
-    """Dataset of doc_ids to DROP (hash-partitioned shuffle on the 64-bit
-    content hash; texts compared inside the group to rule out collisions)."""
+def _verified_exact_dups(hashed, text_col: str):
+    """doc_ids to DROP from a pre-hashed dataset (columns: doc_id,
+    ``text_col``, content_hash): hash-partitioned shuffle on the 64-bit
+    hash; ``text_col`` compared inside the group to rule out collisions."""
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -787,12 +788,52 @@ def exact_duplicates(ds, text_col: str = "text"):
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return ids[members[same.astype(bool)]]
 
-    hashed = ds.map_batches(
-        lambda b: content_hash_batch(b, text_col), batch_format="pyarrow"
-    )
     return resolve_hot_buckets(
         hashed, ["content_hash"], resolve, resolve_block=resolve_block
     )
+
+
+def exact_duplicates(ds, text_col: str = "text"):
+    """Dataset of doc_ids to DROP (hash-partitioned shuffle on the 64-bit
+    content hash; texts compared inside the group to rule out collisions)."""
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, text_col), batch_format="pyarrow"
+    )
+    return _verified_exact_dups(hashed, text_col)
+
+
+def token_sequence_duplicates(ds, tokens_col: str = "tokens"):
+    """Sequence-level exact dedup over the TOKENIZED table (the north-rule
+    input shape: doc_id, tokens:list<int32>, ...): doc_ids to DROP because
+    their int32 token sequence exactly equals a lower-id row's.
+
+    The 64-bit key is a per-row polynomial hash computed directly on the
+    token values (stages/verify._poly_rowhash — no string materialization,
+    O(tokens) per batch); candidate buckets are verified on the canonical
+    comma-joined rendering to rule out hash collisions. Same
+    one-shuffle hot-bucket machinery as :func:`exact_duplicates`."""
+    import pyarrow.compute as pc
+
+    from ..stages.encode import list_buffers
+    from ..stages.verify import _poly_rowhash
+
+    def hash_batch(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        v, o = list_buffers(toks)
+        h = _poly_rowhash(v.view(np.uint32).astype(np.uint64), o)
+        s = pc.binary_join(toks.cast(pa.list_(pa.string())), ",")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "tok_str": s.cast(pa.string()),
+                "content_hash": pa.array(h.view(np.int64)),
+            }
+        )
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
+    return _verified_exact_dups(hashed, "tok_str")
 
 
 NORM_BEST_SHIFT = 1 << 40  # char_len*SHIFT + doc_id stays exact in int64

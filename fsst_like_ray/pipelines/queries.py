@@ -333,10 +333,11 @@ def q_compression_stats(sf_dir: str):
 
 def q_compression_ratio_gate(sf_dir: str):
     """North-rule size criterion as a boolean gate: the auto codec's total
-    encoded bytes (payload + state) must be at most 2/3 of plain int32 —
-    i.e. ratio >= 1.5 (measured 1.72-1.76x on every corpus; the reference's
-    FSST achieves ~2x on raw TEXT bytes, which is ~1.7-1.9x against our
-    denser int32 token encoding of the same content)."""
+    encoded bytes (payload + state) must be under 5/9 of plain int32 —
+    i.e. ratio >= 1.8 (measured 2.20-2.22x on every corpus since the
+    varint codec joined the selector; the reference's FSST achieves ~2x on
+    raw TEXT bytes, which is ~1.7-1.9x against our denser int32 token
+    encoding of the same content — the selector now beats that)."""
 
     def summarize(b: pa.Table) -> pa.Table:
         payload = int(pa.compute.sum(b["payload_nbytes"]).as_py() or 0)
@@ -363,7 +364,7 @@ def q_compression_ratio_gate(sf_dir: str):
             tot_e += int(r["enc"])
             tot_p += int(r["plain"])
     ratio = tot_p / max(tot_e, 1)
-    return pa.table({"ratio_ge_150": pa.array([bool(ratio >= 1.5)])})
+    return pa.table({"ratio_ge_180": pa.array([bool(ratio >= 1.8)])})
 
 
 def q_decode_selected(sf_dir: str):
@@ -406,6 +407,46 @@ def q_dedup_exact(sf_dir: str):
         return b.select(["doc_id"]).take(pa.array(np.flatnonzero(mask)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_dedup_exact_tokens(sf_dir: str):
+    """Sequence-level exact dedup on the TOKENIZED table (the north-rule
+    input shape — no text column in the hot path): PLANT_N token-identical
+    copies are planted at doc_id+PLANT_OFFSET, the union is deduped by
+    token-array content (polynomial hash over int32 values, in-bucket
+    sequence verify), and the kept ids are returned. Tokens are the text's
+    code points, so the SQL twin partitions by text."""
+    import ray
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(ids < PLANT_N)
+        sub = b.take(pa.array(sel))
+        shifted = pa.table(
+            {
+                "doc_id": pa.compute.add(sub["doc_id"], PLANT_OFFSET),
+                "tokens": sub["tokens"],
+            }
+        )
+        return pa.concat_tables([b.select(["doc_id", "tokens"]), shifted])
+
+    full = _tokens_ds(sf_dir).map_batches(plant, batch_format="pyarrow")
+    dup_rows = F_dedup.token_sequence_duplicates(full).take_all()
+    dropped_ref = ray.put(
+        np.array(sorted(r["doc_id"] for r in dup_rows), dtype=np.int64)
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        dropped = _ray.get(dropped_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (
+            ~np.isin(ids, dropped) if dropped.size else np.ones(len(ids), bool)
+        )
+        return b.select(["doc_id"]).take(pa.array(np.flatnonzero(mask)))
+
+    return full.map_batches(keep, batch_format="pyarrow")
 
 
 DISTINCT_OFFSET = 30_000_000
@@ -6328,6 +6369,7 @@ def build_queries() -> dict:
     q["compression_ratio_gate"] = q_compression_ratio_gate
     q["decode_selected"] = q_decode_selected
     q["dedup_exact"] = q_dedup_exact
+    q["dedup_exact_tokens"] = q_dedup_exact_tokens
     q["dedup_minhash"] = make_dedup("minhash")
     q["dedup_simhash"] = make_dedup("simhash")
     q["dedup_ngram_jaccard"] = make_dedup("ngram_jaccard")
@@ -6514,7 +6556,7 @@ def build_oracle_sql() -> dict:
                                 FOR i IN range(1, length(text) + 1)], ',') AS tok_str
         FROM documents WHERE doc_id % 10 = 0
     """
-    sql["compression_ratio_gate"] = "SELECT (1=1) AS ratio_ge_150"
+    sql["compression_ratio_gate"] = "SELECT (1=1) AS ratio_ge_180"
     # gate queries: the Ray side computes real precision/recall/accuracy
     # booleans; the oracle is the all-true expectation (CMS/KLL gate pattern)
     _codec_values = ", ".join(f"('{n}')" for n in sorted(CODECS))
@@ -6594,6 +6636,16 @@ def build_oracle_sql() -> dict:
     sql["ann_ivf_index_recall"] = "SELECT (1=1) AS recall_ge_080"
     sql["dedup_exact"] = """
         SELECT doc_id FROM documents
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+    """
+    sql["dedup_exact_tokens"] = f"""
+        WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {PLANT_OFFSET}, text FROM documents
+            WHERE doc_id < {PLANT_N}
+        )
+        SELECT doc_id FROM u
         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
     """
     sql["token_count"] = """

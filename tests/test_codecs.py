@@ -297,3 +297,34 @@ def test_delta_encode_rejects_narrow_state():
     buf, po = c.encode(vals, off, state)
     out = c.decode(buf, po, np.diff(off), state)
     assert np.array_equal(out, vals)
+
+
+def test_dvint_wins_on_skewed_delta_postings():
+    """The delta→varint cascade must beat single-width delta (and pfor /
+    varint / bitpack) on sorted rows whose gap distribution is skewed —
+    the posting-list shape it exists for — and the selector must agree."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for _ in range(300):
+        d = rng.integers(1, 20, rng.integers(1, 400))
+        jump = rng.random(len(d)) < 0.02
+        d = np.where(jump, rng.integers(1 << 18, 1 << 22, len(d)), d)
+        rows.append(list(np.cumsum(d)))
+    values, offsets = _lists_to_buffers(rows)
+    sizes = {}
+    for name in ["dvint", "delta", "pfor", "varint", "bitpack"]:
+        c = CODECS[name]
+        st, buf, _po = c.train_encode(values, offsets)
+        sizes[name] = buf.size + len(st)
+    assert sizes["dvint"] == min(sizes.values()), sizes
+    picked, _est, _state = select_codec(values, offsets)
+    assert picked == "dvint"
+    # and on uniformly-small gaps the single-width delta pack stays ahead
+    rows2 = [
+        list(np.cumsum(rng.integers(1, 50, rng.integers(1, 400))))
+        for _ in range(300)
+    ]
+    v2, o2 = _lists_to_buffers(rows2)
+    s_delta = CODECS["delta"].estimate_size(v2, o2)
+    s_dvint = CODECS["dvint"].estimate_size(v2, o2)
+    assert s_delta < s_dvint

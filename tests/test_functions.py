@@ -783,3 +783,45 @@ def test_normalized_best_dedup(ray_session):
         ).take_all()
     )
     assert dropped == {1, 2, 5}
+
+
+def test_token_sequence_dedup(ray_session):
+    """token_sequence_duplicates drops exactly the later-id copies of
+    identical int32 token sequences — including a hash-collision-free
+    verify (two distinct rows must both survive even when short) and
+    empty-row handling."""
+    import ray.data
+    from fsst_like_ray.functions.dedup import token_sequence_duplicates
+
+    rng = np.random.default_rng(4)
+    rows = [list(rng.integers(0, 5000, rng.integers(0, 60))) for _ in range(120)]
+    rows[7] = []          # empty sequence
+    rows[11] = []         # duplicate empty sequence -> 11 drops
+    ids = list(range(120))
+    # plant copies: rows 100.. copy rows 0..19 (later ids drop)
+    for k in range(20):
+        rows[100 + k] = list(rows[k])
+    off = np.zeros(len(rows) + 1, dtype=np.int64)
+    off[1:] = np.cumsum([len(r) for r in rows])
+    flat = (
+        np.concatenate([np.asarray(r, dtype=np.int32) for r in rows if r])
+        if any(rows) else np.zeros(0, dtype=np.int32)
+    )
+    tok = pa.ListArray.from_arrays(
+        pa.array(off.astype(np.int32), type=pa.int32()),
+        pa.array(flat, type=pa.int32()),
+    )
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "tokens": tok})
+    ds = ray.data.from_arrow(t)
+    dropped = set(r["doc_id"] for r in token_sequence_duplicates(ds).take_all())
+    seen = {}
+    expect = set()
+    for i in ids:
+        key = tuple(rows[i])
+        if key in seen:
+            expect.add(i)
+        else:
+            seen[key] = i
+    assert dropped == expect
+    assert 11 in dropped and 7 not in dropped
+    assert all(100 + k in dropped for k in range(20))
