@@ -1,0 +1,713 @@
+"""Whole-table per-column compression over arbitrary Arrow tables.
+
+The north rule's engine is *per-column*: every column of a Parquet table
+gets its own lightweight codec, auto-selected per block (the reference
+fixes FSST for its one string column, src/BenchmarkDriver.cpp:87-140; this
+generalizes the choice across the type system). Column families:
+
+- ``list<int32>`` / ``list<float32>``  — per-row payloads through the int
+  codec registry (floats ride as int32 bit views: bit-identical, honest —
+  random mantissas won't compress and ``auto`` then picks ``plain``).
+- ``int32`` / ``float32`` / ``bool`` / ``date32`` — the whole block column
+  encodes as ONE codec row (run/delta/dict statistics work across the
+  column; per-row scalar payloads could never beat 1 value/row), carried in
+  the block envelope.
+- ``int64`` / ``timestamp[*]`` / ``float64`` — wrap-around base-shift to
+  uint64, split into lo/hi 32-bit streams, each auto-encoded (hi is
+  near-constant for timestamps → RLE; sorted µs timestamps → delta/varint).
+- ``string`` / ``binary`` — per-block scheme choice between ``fsstb``
+  (FSST symbol table over the UTF-8 bytes, per-row payloads), ``strdict``
+  (whole-string dictionary + auto-int-coded indices — wins on low-cardinality
+  columns like ``source``) and ``plainb`` (raw bytes), by estimated size.
+
+Encoded layout (self-describing, parquet-stable):
+
+- ``__rowidx`` int32 — row position inside its encode-time block. Scalar
+  kinds carry the block payload once (dictionary-encoded envelope), and a
+  parquet rewrite may re-slice blocks: ``__rowidx`` maps any row subset
+  back into the block-decoded vector (same robustness contract as
+  stages/decode.py's (codec, state) run segmentation).
+- per source column ``c``:
+  - ``c__blk``     dict<binary> — block envelope: original type, validity
+    bitmap, codec name(s)/state(s), scalar payloads, plain-bytes accounting.
+  - ``c__payload`` large_binary — per-row payload (list / fsstb / plainb
+    families; empty otherwise).
+  - ``c__n``       int32 — per-row element count (list families only; it is
+    the decode ``counts`` argument).
+
+Everything is vectorized NumPy / Arrow; no per-row Python on either path.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import fsstlib
+from ..codecs import CODECS
+from ..codecs.auto import select_codec
+from ..codecs.fsst import gather_rows
+from ..stages.decode import _binary_buffers, _group_indices
+from ..stages.encode import payload_array
+from ..stages.text import string_buffers
+
+ENV_VERSION = 1
+
+# type codes (envelope byte 1)
+T_INT32, T_INT64, T_FLOAT32, T_FLOAT64, T_BOOL, T_DATE32, T_TS = range(7)
+T_STRING, T_LARGE_STRING, T_BINARY, T_LARGE_BINARY = 7, 8, 9, 10
+T_LIST_INT32, T_LIST_FLOAT32, T_LARGE_LIST_INT32, T_LARGE_LIST_FLOAT32 = (
+    11,
+    12,
+    13,
+    14,
+)
+
+_TS_UNITS = ["s", "ms", "us", "ns"]
+
+# string schemes (envelope family body byte)
+S_PLAINB, S_FSSTB, S_STRDICT = 0, 1, 2
+
+_I32_FAMILY = frozenset((T_INT32, T_FLOAT32, T_BOOL, T_DATE32))
+_I64_FAMILY = frozenset((T_INT64, T_FLOAT64, T_TS))
+_STR_FAMILY = frozenset((T_STRING, T_LARGE_STRING, T_BINARY, T_LARGE_BINARY))
+_LIST_FAMILY = frozenset(
+    (T_LIST_INT32, T_LIST_FLOAT32, T_LARGE_LIST_INT32, T_LARGE_LIST_FLOAT32)
+)
+
+FSSTB_SAMPLE_BYTES = 1 << 15  # matches codecs/fsst.py's training budget
+
+
+def _type_code(t: pa.DataType) -> tuple[int, int, str]:
+    """(type_code, ts_unit_index, tz) for a supported Arrow type."""
+    if pa.types.is_int32(t):
+        return T_INT32, 0, ""
+    if pa.types.is_int64(t):
+        return T_INT64, 0, ""
+    if pa.types.is_float32(t):
+        return T_FLOAT32, 0, ""
+    if pa.types.is_float64(t):
+        return T_FLOAT64, 0, ""
+    if pa.types.is_boolean(t):
+        return T_BOOL, 0, ""
+    if pa.types.is_date32(t):
+        return T_DATE32, 0, ""
+    if pa.types.is_timestamp(t):
+        return T_TS, _TS_UNITS.index(t.unit), t.tz or ""
+    if pa.types.is_string(t):
+        return T_STRING, 0, ""
+    if pa.types.is_large_string(t):
+        return T_LARGE_STRING, 0, ""
+    if pa.types.is_large_binary(t):
+        return T_LARGE_BINARY, 0, ""
+    if pa.types.is_binary(t):
+        return T_BINARY, 0, ""
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        big = pa.types.is_large_list(t)
+        if pa.types.is_int32(t.value_type):
+            return (T_LARGE_LIST_INT32 if big else T_LIST_INT32), 0, ""
+        if pa.types.is_float32(t.value_type):
+            return (T_LARGE_LIST_FLOAT32 if big else T_LIST_FLOAT32), 0, ""
+    raise NotImplementedError(f"columnar: unsupported column type {t}")
+
+
+def _type_from_code(tc: int, unit: int, tz: str) -> pa.DataType:
+    if tc == T_TS:
+        return pa.timestamp(_TS_UNITS[unit], tz or None)
+    return {
+        T_INT32: pa.int32(),
+        T_INT64: pa.int64(),
+        T_FLOAT32: pa.float32(),
+        T_FLOAT64: pa.float64(),
+        T_BOOL: pa.bool_(),
+        T_DATE32: pa.date32(),
+        T_STRING: pa.string(),
+        T_LARGE_STRING: pa.large_string(),
+        T_BINARY: pa.binary(),
+        T_LARGE_BINARY: pa.large_binary(),
+        T_LIST_INT32: pa.list_(pa.int32()),
+        T_LIST_FLOAT32: pa.list_(pa.float32()),
+        T_LARGE_LIST_INT32: pa.large_list(pa.int32()),
+        T_LARGE_LIST_FLOAT32: pa.large_list(pa.float32()),
+    }[tc]
+
+
+# ------------------------------------------------------------ pack helpers
+def _pb32(b: bytes) -> bytes:
+    return struct.pack("<I", len(b)) + b
+
+
+def _pb64(b: bytes) -> bytes:
+    return struct.pack("<Q", len(b)) + b
+
+
+def _pack_codec(name: str, state: bytes) -> bytes:
+    nb = name.encode()
+    return bytes([len(nb)]) + nb + _pb32(state)
+
+
+class _Reader:
+    __slots__ = ("b", "i")
+
+    def __init__(self, b: bytes):
+        self.b, self.i = b, 0
+
+    def u8(self) -> int:
+        v = self.b[self.i]
+        self.i += 1
+        return v
+
+    def take(self, n: int) -> bytes:
+        v = self.b[self.i : self.i + n]
+        self.i += n
+        return v
+
+    def u16(self) -> int:
+        return struct.unpack_from("<H", self.take(2))[0]
+
+    def u32(self) -> int:
+        return struct.unpack_from("<I", self.take(4))[0]
+
+    def u64(self) -> int:
+        return struct.unpack_from("<Q", self.take(8))[0]
+
+    def i64(self) -> int:
+        return struct.unpack_from("<q", self.take(8))[0]
+
+    def b32(self) -> bytes:
+        return self.take(self.u32())
+
+    def b64(self) -> bytes:
+        return self.take(self.u64())
+
+    def codec(self) -> tuple[str, bytes]:
+        name = self.take(self.u8()).decode()
+        return name, self.b32()
+
+
+# --------------------------------------------------------- encode kernels
+def _encode_stream(
+    v: np.ndarray, codec_names=None
+) -> tuple[str, bytes, bytes]:
+    """Auto-encode a flat int32 stream as ONE codec row →
+    (codec name, state, payload bytes)."""
+    v = np.ascontiguousarray(v, dtype=np.int32)
+    off = np.array([0, len(v)], dtype=np.int64)
+    if len(v) == 0:
+        return "plain", b"", b""
+    name, _est, state = select_codec(v, off, codec_names)
+    c = CODECS[name]
+    if state is None:
+        state, buf, _po = c.train_encode(v, off)
+    else:
+        buf, _po = c.encode(v, off, state)
+    return name, bytes(state), buf.tobytes()
+
+
+def _decode_stream(name: str, state: bytes, payload: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    po = np.array([0, len(buf)], dtype=np.int64)
+    return CODECS[name].decode(buf, po, np.array([n], dtype=np.int64), state)
+
+
+def _validity(arr: pa.Array) -> np.ndarray | None:
+    if arr.null_count == 0:
+        return None
+    return arr.is_valid().to_numpy(zero_copy_only=False)
+
+
+def _list_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat values ndarray, int64 offsets rebased to 0) of a list array."""
+    off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    base = off[0]
+    vals = arr.values.to_numpy(zero_copy_only=False)[base : off[-1]]
+    return vals, off - base
+
+
+def _empty_payload(n: int) -> pa.Array:
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(np.zeros(n + 1, dtype=np.int64)), pa.py_buffer(b"")],
+    )
+
+
+def _head(tc: int, unit: int, tz: str, n: int, valid, plain_nbytes: int) -> bytes:
+    vb = b"" if valid is None else np.packbits(valid, bitorder="little").tobytes()
+    return (
+        bytes([ENV_VERSION, tc, unit])
+        + struct.pack("<H", len(tz.encode()))
+        + tz.encode()
+        + struct.pack("<I", n)
+        + _pb32(vb)
+        + struct.pack("<Q", plain_nbytes)
+    )
+
+
+def _plain_nbytes(arr: pa.Array) -> int:
+    """In-memory data bytes of the column (buffers, excluding validity) —
+    the honest 'plain' side of the per-column ratio accounting."""
+    return sum(len(b) for b in arr.buffers() if b is not None)
+
+
+def _encode_column(
+    arr: pa.Array, n: int, codec_names=None
+) -> tuple[bytes, pa.Array, np.ndarray | None]:
+    """→ (envelope, per-row payload array, per-row counts or None)."""
+    tc, unit, tz = _type_code(arr.type)
+    valid = _validity(arr)
+    plain = _plain_nbytes(arr)
+
+    if tc in _LIST_FAMILY:
+        vals, off = _list_parts(arr)
+        if vals.dtype != np.int32:
+            vals = np.ascontiguousarray(vals).view(np.int32)
+        counts = np.diff(off)
+        if valid is not None:
+            # null rows contribute no values; validity restores them
+            counts = np.where(valid, counts, 0)
+            keep = np.repeat(valid, np.diff(off))
+            vals = vals[keep]
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=off[1:])
+        if len(vals) == 0:
+            name, state, buf, po = "plain", b"", np.zeros(0, np.uint8), np.zeros(
+                n + 1, np.int64
+            )
+        else:
+            name, _est, state = select_codec(
+                np.ascontiguousarray(vals, np.int32), off, codec_names
+            )
+            c = CODECS[name]
+            if state is None:
+                state, buf, po = c.train_encode(vals, off)
+            else:
+                buf, po = c.encode(vals, off, state)
+        env = _head(tc, unit, tz, n, valid, plain) + _pack_codec(name, bytes(state))
+        return env, payload_array(np.ascontiguousarray(buf), po), counts
+
+    if tc in _I32_FAMILY:
+        a = arr
+        if tc == T_BOOL:
+            a = a.cast(pa.int32())
+        elif tc == T_DATE32:
+            a = a.cast(pa.int32())
+        if a.null_count:
+            a = pc.fill_null(a, 0)
+        v = a.to_numpy(zero_copy_only=False)
+        if tc == T_FLOAT32:
+            v = np.ascontiguousarray(v, dtype=np.float32).view(np.int32)
+        else:
+            v = np.ascontiguousarray(v, dtype=np.int32)
+        name, state, payload = _encode_stream(v, codec_names)
+        env = (
+            _head(tc, unit, tz, n, valid, plain)
+            + _pack_codec(name, state)
+            + _pb64(payload)
+        )
+        return env, _empty_payload(n), None
+
+    if tc in _I64_FAMILY:
+        a = arr
+        if tc == T_TS:
+            a = a.cast(pa.int64())
+        if a.null_count:
+            a = pc.fill_null(a, 0)
+        v = a.to_numpy(zero_copy_only=False)
+        if tc == T_FLOAT64:
+            v = np.ascontiguousarray(v, dtype=np.float64).view(np.int64)
+        else:
+            v = np.ascontiguousarray(v, dtype=np.int64)
+        base = int(v.min()) if n else 0
+        # wrap-around shift in uint64: exact for ANY int64 range
+        u = v.view(np.uint64) - np.uint64(base & 0xFFFFFFFFFFFFFFFF)
+        lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        hi = (u >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        lname, lstate, lpay = _encode_stream(lo, codec_names)
+        hname, hstate, hpay = _encode_stream(hi, codec_names)
+        env = (
+            _head(tc, unit, tz, n, valid, plain)
+            + struct.pack("<q", base)
+            + _pack_codec(lname, lstate)
+            + _pb64(lpay)
+            + _pack_codec(hname, hstate)
+            + _pb64(hpay)
+        )
+        return env, _empty_payload(n), None
+
+    # string / binary family
+    a = arr.cast(pa.large_binary())
+    if a.null_count:
+        a = pc.fill_null(a, b"")
+    data, off = string_buffers(a)
+    total = int(off[-1])
+
+    # --- scheme selection (per block, by estimated encoded bytes)
+    est = {S_PLAINB: total + 16}
+    denc = a.dictionary_encode()
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+    dvals = denc.dictionary.cast(pa.large_binary())
+    ddata, doff = string_buffers(dvals)
+    nd = len(dvals)
+    _iname, iest, _istate = (
+        select_codec(idx, np.array([0, n], dtype=np.int64), codec_names)
+        if n
+        else ("plain", {"plain": 0}, None)
+    )
+    est[S_STRDICT] = int(doff[-1]) + 4 * (nd + 1) + int(min(iest.values())) + 32
+    ftable = None
+    if total:
+        # strided byte sample → train → sampled-ratio extrapolation
+        rows = np.arange(len(off) - 1)
+        if total > FSSTB_SAMPLE_BYTES:
+            stride = max(1, int(np.ceil(total / FSSTB_SAMPLE_BYTES)))
+            rows = rows[::stride]
+        sdata, soff = gather_rows(data, off, rows)
+        ftable = fsstlib.train(sdata, soff)
+        sbuf, _spo = fsstlib.encode(sdata, soff, ftable)
+        sb = max(int(soff[-1]), 1)
+        est[S_FSSTB] = int(len(sbuf) / sb * total) + len(ftable.serialize())
+    scheme = min(est, key=lambda s: (est[s], s))
+
+    if scheme == S_PLAINB:
+        body = bytes([S_PLAINB])
+        payload = pa.Array.from_buffers(
+            pa.large_binary(),
+            n,
+            [None, pa.py_buffer(off), pa.py_buffer(data)],
+        )
+    elif scheme == S_FSSTB:
+        buf, po = fsstlib.encode(data, off, ftable)
+        body = bytes([S_FSSTB]) + _pb32(ftable.serialize())
+        payload = payload_array(buf, po)
+    else:  # S_STRDICT: dictionary + auto-int-coded indices, all in envelope
+        iname, istate, ipay = _encode_stream(idx, codec_names)
+        body = (
+            bytes([S_STRDICT])
+            + struct.pack("<I", nd)
+            + _pb64(doff.astype(np.uint32).tobytes())
+            + _pb64(ddata.tobytes())
+            + _pack_codec(iname, istate)
+            + _pb64(ipay)
+        )
+        payload = _empty_payload(n)
+    env = _head(tc, unit, tz, n, valid, plain) + body
+    return env, payload, None
+
+
+def encode_columns_batch(
+    batch: pa.Table, codec_names=None
+) -> pa.Table:
+    """One source block → its per-column-encoded form (see module doc)."""
+    n = batch.num_rows
+    zero = pa.array(np.zeros(n, dtype=np.int32))
+    cols: dict[str, object] = {
+        "__rowidx": pa.array(np.arange(n, dtype=np.int32))
+    }
+    for name in batch.column_names:
+        arr = batch[name]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        env, payload, counts = _encode_column(arr, n, codec_names)
+        cols[f"{name}__blk"] = pa.DictionaryArray.from_arrays(
+            zero, pa.array([env], type=pa.binary())
+        )
+        cols[f"{name}__payload"] = payload
+        if counts is not None:
+            cols[f"{name}__n"] = pa.array(
+                counts.astype(np.int32), type=pa.int32()
+            )
+    return pa.table(cols)
+
+
+# --------------------------------------------------------------- decode
+_BLK_CACHE: OrderedDict[bytes, object] = OrderedDict()
+_BLK_CACHE_MAX = 16
+
+
+def _cached_block(env: bytes, fn):
+    """Per-process LRU over block-envelope decodes (scalar families decode
+    the WHOLE block; consecutive slices of one block reuse the result)."""
+    hit = _BLK_CACHE.get(env)
+    if hit is not None:
+        _BLK_CACHE.move_to_end(env)
+        return hit
+    out = fn()
+    _BLK_CACHE[env] = out
+    if len(_BLK_CACHE) > _BLK_CACHE_MAX:
+        _BLK_CACHE.popitem(last=False)
+    return out
+
+
+def _parse_head(r: _Reader):
+    ver = r.u8()
+    if ver != ENV_VERSION:
+        raise ValueError(f"columnar envelope version {ver} unsupported")
+    tc = r.u8()
+    unit = r.u8()
+    tz = r.take(r.u16()).decode()
+    n_block = r.u32()
+    vb = r.b32()
+    valid = (
+        None
+        if not vb
+        else np.unpackbits(
+            np.frombuffer(vb, dtype=np.uint8), bitorder="little"
+        )[:n_block].astype(bool)
+    )
+    plain = r.u64()
+    return tc, unit, tz, n_block, valid, plain
+
+
+def _gather_bytes(
+    ddata: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized multi-row byte gather → (flat bytes, int64 offsets)."""
+    out_off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    tot = int(out_off[-1])
+    if tot == 0:
+        return np.zeros(0, dtype=np.uint8), out_off
+    pos = np.arange(tot, dtype=np.int64) - np.repeat(out_off[:-1], lens)
+    return ddata[np.repeat(starts, lens) + pos], out_off
+
+
+def _binary_from(
+    data: np.ndarray, off: np.ndarray, valid_seg: np.ndarray | None
+) -> pa.Array:
+    bufs = [
+        None
+        if valid_seg is None
+        else pa.py_buffer(np.packbits(valid_seg, bitorder="little").tobytes()),
+        pa.py_buffer(off.astype(np.int64)),
+        pa.py_buffer(np.ascontiguousarray(data)),
+    ]
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        len(off) - 1,
+        bufs,
+        null_count=-1 if valid_seg is not None else 0,
+    )
+
+
+def _decode_segment(
+    env: bytes,
+    rowidx: np.ndarray,
+    pay_buf: np.ndarray,
+    pay_off: np.ndarray,
+    counts: np.ndarray | None,
+) -> pa.Array:
+    """Decode one contiguous same-envelope row segment back to the original
+    Arrow column slice. ``pay_off`` is already rebased to this segment."""
+    r = _Reader(env)
+    tc, unit, tz, n_block, valid, _plain = _parse_head(r)
+    t = _type_from_code(tc, unit, tz)
+    vseg = valid[rowidx] if valid is not None else None
+    nseg = len(rowidx)
+
+    if tc in _LIST_FAMILY:
+        name, state = r.codec()
+        cts = counts.astype(np.int64)
+        vals = (
+            CODECS[name].decode(pay_buf, pay_off, cts, state)
+            if int(cts.sum())
+            else np.zeros(0, dtype=np.int32)
+        )
+        off32 = np.zeros(nseg + 1, dtype=np.int64)
+        np.cumsum(cts, out=off32[1:])
+        if tc in (T_LIST_FLOAT32, T_LARGE_LIST_FLOAT32):
+            child = pa.array(vals.view(np.float32), type=pa.float32())
+        else:
+            child = pa.array(vals, type=pa.int32())
+        big = tc in (T_LARGE_LIST_INT32, T_LARGE_LIST_FLOAT32)
+        cls = pa.LargeListArray if big else pa.ListArray
+        offs = pa.array(
+            off32 if big else off32.astype(np.int32),
+            type=pa.int64() if big else pa.int32(),
+        )
+        mask = None if vseg is None else pa.array(~vseg)
+        return cls.from_arrays(offs, child, mask=mask)
+
+    if tc in _I32_FAMILY:
+        name, state = r.codec()
+        payload = r.b64()
+        full = _cached_block(env, lambda: _decode_stream(name, state, payload, n_block))
+        v = full[rowidx]
+        mask = None if vseg is None else ~vseg
+        if tc == T_FLOAT32:
+            return pa.array(v.view(np.float32), type=pa.float32(), mask=mask)
+        if tc == T_BOOL:
+            return pa.array(v.astype(bool), type=pa.bool_(), mask=mask)
+        arr = pa.array(v, type=pa.int32(), mask=mask)
+        return arr.cast(t) if tc == T_DATE32 else arr
+
+    if tc in _I64_FAMILY:
+        base = r.i64()
+        lname, lstate = r.codec()
+        lpay = r.b64()
+        hname, hstate = r.codec()
+        hpay = r.b64()
+
+        def blk():
+            lo = _decode_stream(lname, lstate, lpay, n_block).view(np.uint32)
+            hi = _decode_stream(hname, hstate, hpay, n_block).view(np.uint32)
+            u = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+            return (u + np.uint64(base & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
+
+        v = _cached_block(env, blk)[rowidx]
+        mask = None if vseg is None else ~vseg
+        if tc == T_FLOAT64:
+            return pa.array(v.view(np.float64), type=pa.float64(), mask=mask)
+        arr = pa.array(v, type=pa.int64(), mask=mask)
+        return arr.cast(t) if tc == T_TS else arr
+
+    # string / binary family
+    scheme = r.u8()
+    if scheme == S_PLAINB:
+        out = _binary_from(pay_buf, pay_off, vseg)
+    elif scheme == S_FSSTB:
+        table = fsstlib.SymbolTable.deserialize(r.b32())
+        data, off = fsstlib.decode(pay_buf, pay_off, table)
+        out = _binary_from(data, off, vseg)
+    else:  # S_STRDICT
+        nd = r.u32()
+        doff = np.frombuffer(r.b64(), dtype=np.uint32).astype(np.int64)
+        ddata = np.frombuffer(r.b64(), dtype=np.uint8)
+        iname, istate = r.codec()
+        ipay = r.b64()
+        idx = _cached_block(
+            env, lambda: _decode_stream(iname, istate, ipay, n_block)
+        )[rowidx]
+        data, off = _gather_bytes(
+            ddata, doff[idx], (doff[idx + 1] - doff[idx]).astype(np.int64)
+        )
+        out = _binary_from(data, off, vseg)
+    if not t.equals(pa.large_binary()):
+        out = out.cast(t)
+    return out
+
+
+def decode_columns_batch(batch: pa.Table) -> pa.Table:
+    """Per-column-encoded table → original columns, in original order.
+    Robust to block slicing / parquet rewrites: rows group into contiguous
+    same-envelope runs; scalar families decode their block once (LRU) and
+    ``__rowidx`` selects the surviving rows."""
+    n = batch.num_rows
+    rowidx = batch["__rowidx"].to_numpy().astype(np.int64)
+    out: dict[str, pa.Array] = {}
+    for enc_name in batch.column_names:
+        if not enc_name.endswith("__blk"):
+            continue
+        name = enc_name[: -len("__blk")]
+        gi, envs = _group_indices(batch[enc_name])
+        pay_buf, pay_off = _binary_buffers(batch[f"{name}__payload"])
+        counts = (
+            batch[f"{name}__n"].to_numpy().astype(np.int64)
+            if f"{name}__n" in batch.column_names
+            else None
+        )
+        bounds = (
+            np.concatenate(([0], np.flatnonzero(np.diff(gi)) + 1, [n]))
+            if n
+            else np.array([0, 0])
+        )
+        parts = []
+        for k in range(len(bounds) - 1):
+            lo, hi = int(bounds[k]), int(bounds[k + 1])
+            if lo == hi:
+                continue
+            parts.append(
+                _decode_segment(
+                    bytes(envs[int(gi[lo])]),
+                    rowidx[lo:hi],
+                    pay_buf[pay_off[lo] : pay_off[hi]],
+                    pay_off[lo : hi + 1] - pay_off[lo],
+                    None if counts is None else counts[lo:hi],
+                )
+            )
+        if not parts:
+            r = _Reader(bytes(envs[0])) if envs else None
+            if r is None:
+                continue
+            tc, unit, tz, _nb, _v, _p = _parse_head(r)
+            out[name] = pa.array([], type=_type_from_code(tc, unit, tz))
+        elif len(parts) == 1:
+            out[name] = parts[0]
+        else:
+            out[name] = pa.concat_arrays(parts)
+    return pa.table(out)
+
+
+def columnar_stats_batch(batch: pa.Table) -> pa.Table:
+    """Encoded block → one accounting row per (column, block): chosen
+    scheme/codec, plain bytes, encoded bytes (payload + envelope)."""
+    names, schemes, plains, encs, rows = [], [], [], [], []
+    n = batch.num_rows
+    for enc_name in batch.column_names:
+        if not enc_name.endswith("__blk"):
+            continue
+        name = enc_name[: -len("__blk")]
+        gi, envs = _group_indices(batch[enc_name])
+        _buf, pay_off = _binary_buffers(batch[f"{name}__payload"])
+        for k, env in enumerate(envs):
+            env = bytes(env)
+            sel = np.flatnonzero(gi == k)
+            r = _Reader(env)
+            tc, unit, tz, _nb, _valid, plain = _parse_head(r)
+            if tc in _LIST_FAMILY:
+                scheme, _ = r.codec()
+            elif tc in _I32_FAMILY:
+                scheme, _ = r.codec()
+            elif tc in _I64_FAMILY:
+                r.i64()
+                a, _ = r.codec()
+                r.b64()
+                b, _ = r.codec()
+                scheme = f"{a}+{b}"
+            else:
+                s = r.u8()
+                scheme = {S_PLAINB: "plainb", S_FSSTB: "fsstb", S_STRDICT: "strdict"}[s]
+            pay = int(
+                (pay_off[sel + 1] - pay_off[sel]).sum()
+            ) if len(sel) else 0
+            names.append(name)
+            schemes.append(scheme)
+            plains.append(int(plain))
+            encs.append(pay + len(env))
+            rows.append(int(len(sel)))
+    return pa.table(
+        {
+            "column": pa.array(names, type=pa.string()),
+            "scheme": pa.array(schemes, type=pa.string()),
+            "plain_nbytes": pa.array(plains, type=pa.int64()),
+            "encoded_nbytes": pa.array(encs, type=pa.int64()),
+            "rows": pa.array(rows, type=pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------------- datasets
+def encode_columns_dataset(ds, codec_names=None, batch_size: int | None = None):
+    """Dataset → per-column-encoded Dataset (streaming map_batches; the
+    per-block codec selection is stateless, so plain tasks suffice)."""
+    kw = {"batch_size": batch_size} if batch_size else {}
+    return ds.map_batches(
+        lambda b: encode_columns_batch(b, codec_names),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        **kw,
+    )
+
+
+def decode_columns_dataset(ds):
+    return ds.map_batches(
+        decode_columns_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

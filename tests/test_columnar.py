@@ -1,0 +1,218 @@
+"""Whole-table per-column compression (pipelines/columnar.py).
+
+The reference fixes ONE codec for ONE string column
+(src/BenchmarkDriver.cpp:87-140); this engine auto-selects per column and
+per block across the full Arrow type system, so the tests sweep every
+family: ints, floats (bit-exact), bools, dates, timestamps, int64,
+strings/binary (plain/fsst/dict schemes), and int32/float32 lists —
+with nulls, empty blocks, slices, and parquet rewrites.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fsst_like_ray.pipelines.columnar import (
+    columnar_stats_batch,
+    decode_columns_batch,
+    encode_columns_batch,
+)
+
+
+def _assert_tables_equal(expect: pa.Table, got: pa.Table):
+    assert got.column_names == expect.column_names
+    for name in expect.column_names:
+        a = expect[name].combine_chunks()
+        b = got[name].combine_chunks()
+        assert a.type.equals(b.type), (name, a.type, b.type)
+        assert a.equals(b), f"column {name} mismatch"
+
+
+def _wide_table(n=600, seed=11, null_frac=0.0) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(0, 30, n)
+    cols = {
+        "doc_id": pa.array([f"d{i:05d}" for i in range(n)]),
+        "tokens": pa.array(
+            [rng.integers(0, 900, c).tolist() for c in counts],
+            type=pa.list_(pa.int32()),
+        ),
+        "n_tok": pa.array(counts.astype(np.int32)),
+        "source": pa.array(rng.choice(["web", "books", "code"], n)),
+        "f64": pa.array(rng.random(n), type=pa.float64()),
+        "f32": pa.array(rng.random(n).astype(np.float32)),
+        "i64": pa.array(rng.integers(-(2**62), 2**62, n), type=pa.int64()),
+        "flag": pa.array(rng.integers(0, 2, n).astype(bool)),
+        "day": pa.array(
+            rng.integers(0, 20000, n).astype(np.int32), type=pa.date32()
+        ),
+        "ts": pa.array(
+            np.sort(rng.integers(1_600_000_000_000_000, 1_700_000_000_000_000, n)),
+            type=pa.timestamp("us"),
+        ),
+        "emb": pa.array(
+            [rng.normal(size=6).astype(np.float32).tolist() for _ in range(n)],
+            type=pa.large_list(pa.float32()),
+        ),
+        "blob": pa.array(
+            [
+                bytes(rng.integers(0, 256, int(c)).astype(np.uint8))
+                for c in rng.integers(0, 20, n)
+            ],
+            type=pa.binary(),
+        ),
+    }
+    t = pa.table(cols)
+    if null_frac:
+        # doc_id stays non-null: tests sort on it to canonicalize row order
+        for name in [c for c in t.column_names if c != "doc_id"]:
+            col = t[name].combine_chunks()
+            mask = rng.random(n) < null_frac
+            nulled = pa.array(
+                [None if m else v for m, v in zip(mask, col.to_pylist())],
+                type=col.type,
+            )
+            t = t.set_column(t.schema.get_field_index(name), name, nulled)
+    return t
+
+
+@pytest.mark.parametrize("null_frac", [0.0, 0.15])
+def test_roundtrip_all_families(null_frac):
+    t = _wide_table(null_frac=null_frac)
+    dec = decode_columns_batch(encode_columns_batch(t))
+    _assert_tables_equal(t, dec)
+
+
+def test_float_bit_exactness():
+    # NaN payloads and signed zeros must survive: floats ride as bit views
+    v = np.array([0.0, -0.0, np.nan, np.inf, -np.inf, 1e-308], dtype=np.float64)
+    t = pa.table({"x": pa.array(v, type=pa.float64())})
+    dec = decode_columns_batch(encode_columns_batch(t))
+    assert dec["x"].combine_chunks().to_numpy(zero_copy_only=False).view(
+        np.int64
+    ).tolist() == v.view(np.int64).tolist()
+
+
+def test_slices_and_concat():
+    t = _wide_table(null_frac=0.1)
+    enc = encode_columns_batch(t)
+    # arbitrary slice of one encoded block
+    _assert_tables_equal(t.slice(83, 211), decode_columns_batch(enc.slice(83, 211)))
+    # concatenation of two different blocks (different envelopes)
+    enc2 = encode_columns_batch(t.slice(0, 50))
+    cat = pa.concat_tables([enc.slice(550, 50), enc2]).combine_chunks()
+    exp = pa.concat_tables([t.slice(550, 50), t.slice(0, 50)])
+    _assert_tables_equal(exp, decode_columns_batch(cat))
+
+
+def test_parquet_rewrite_resilience(tmp_path):
+    # a parquet rewrite re-slices blocks into new row groups; __rowidx +
+    # per-block envelopes must still decode any row-group subset
+    t = _wide_table(n=500, null_frac=0.05)
+    enc = pa.concat_tables(
+        [encode_columns_batch(t.slice(0, 260)), encode_columns_batch(t.slice(260))]
+    )
+    path = tmp_path / "enc.parquet"
+    pq.write_table(enc.combine_chunks(), path, row_group_size=90)
+    back = pq.read_table(path).combine_chunks()
+    _assert_tables_equal(t, decode_columns_batch(back))
+    sl = pq.read_table(path).slice(113, 222).combine_chunks()
+    _assert_tables_equal(t.slice(113, 222), decode_columns_batch(sl))
+
+
+def test_empty_and_all_null():
+    t = _wide_table(n=60)
+    empty = t.slice(0, 0)
+    dec = decode_columns_batch(encode_columns_batch(empty))
+    _assert_tables_equal(empty, dec)
+
+    n = 40
+    t2 = pa.table(
+        {
+            "s": pa.nulls(n, type=pa.string()),
+            "l": pa.nulls(n, type=pa.list_(pa.int32())),
+            "v": pa.nulls(n, type=pa.float64()),
+        }
+    )
+    _assert_tables_equal(t2, decode_columns_batch(encode_columns_batch(t2)))
+
+
+def test_scheme_selection_sanity():
+    n = 2000
+    rng = np.random.default_rng(5)
+    t = pa.table(
+        {
+            # 3 distinct values -> strdict must beat fsst/plain
+            "lowcard": pa.array(rng.choice(["alpha", "beta", "gamma"], n)),
+            # high-cardinality english-ish text (unique rows) -> fsstb
+            "text": pa.array(
+                ["the quick brown fox number %06d jumps over the lazy dog" % i
+                 for i in range(n)]
+            ),
+            # incompressible bytes -> plainb
+            "rand": pa.array(
+                [bytes(rng.integers(0, 256, 40).astype(np.uint8)) for _ in range(n)],
+                type=pa.binary(),
+            ),
+        }
+    )
+    st = columnar_stats_batch(encode_columns_batch(t)).to_pandas()
+    by = dict(zip(st["column"], st["scheme"]))
+    assert by["lowcard"] == "strdict"
+    assert by["text"] == "fsstb"
+    assert by["rand"] == "plainb"
+    ratios = dict(
+        zip(st["column"], st["plain_nbytes"] / st["encoded_nbytes"])
+    )
+    assert ratios["lowcard"] > 5.0
+    assert ratios["text"] > 2.0
+
+
+def test_stats_account_every_column_block():
+    t = _wide_table(n=300)
+    enc = pa.concat_tables(
+        [encode_columns_batch(t.slice(0, 120)), encode_columns_batch(t.slice(120))]
+    ).combine_chunks()
+    st = columnar_stats_batch(enc).to_pandas()
+    # every column appears once per block, and rows sum to the table size
+    assert set(st["column"]) == set(t.column_names)
+    assert st.groupby("column")["rows"].sum().eq(300).all()
+    assert (st["encoded_nbytes"] > 0).all()
+
+
+def test_timestamp_tz_and_units():
+    n = 200
+    rng = np.random.default_rng(9)
+    base = rng.integers(1_000_000_000, 2_000_000_000, n)
+    t = pa.table(
+        {
+            "s": pa.array(base, type=pa.timestamp("s")),
+            "ns": pa.array(base * 10**9, type=pa.timestamp("ns")),
+            "tz": pa.array(base * 10**6, type=pa.timestamp("us", tz="UTC")),
+        }
+    )
+    _assert_tables_equal(t, decode_columns_batch(encode_columns_batch(t)))
+
+
+def test_unsupported_type_raises():
+    t = pa.table({"x": pa.array([{"a": 1}], type=pa.struct([("a", pa.int32())]))})
+    with pytest.raises(NotImplementedError):
+        encode_columns_batch(t)
+
+
+def test_dataset_level_roundtrip(ray_session):
+    import ray.data
+
+    from fsst_like_ray.pipelines.columnar import (
+        decode_columns_dataset,
+        encode_columns_dataset,
+    )
+
+    t = _wide_table(n=800, null_frac=0.05)
+    ds = ray.data.from_arrow(t).repartition(4)
+    dec = decode_columns_dataset(encode_columns_dataset(ds))
+    got = pa.concat_tables(dec.iter_batches(batch_format="pyarrow"))
+    got = got.sort_by("doc_id").combine_chunks()
+    exp = t.sort_by("doc_id").combine_chunks()
+    _assert_tables_equal(exp, got)
