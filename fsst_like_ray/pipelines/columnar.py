@@ -222,12 +222,48 @@ def _validity(arr: pa.Array) -> np.ndarray | None:
     return arr.is_valid().to_numpy(zero_copy_only=False)
 
 
+def _encode_stream_as(name: str, state, v: np.ndarray) -> tuple[str, bytes, bytes]:
+    """Encode a flat int32 stream with an ALREADY-selected codec (reuses a
+    prior select_codec result instead of re-running selection)."""
+    v = np.ascontiguousarray(v, dtype=np.int32)
+    if len(v) == 0:
+        return "plain", b"", b""
+    off = np.array([0, len(v)], dtype=np.int64)
+    c = CODECS[name]
+    if state is None:
+        state, buf, _po = c.train_encode(v, off)
+    else:
+        buf, _po = c.encode(v, off, state)
+    return name, bytes(state), buf.tobytes()
+
+
 def _list_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(flat values ndarray, int64 offsets rebased to 0) of a list array."""
     off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     base = off[0]
     vals = arr.values.to_numpy(zero_copy_only=False)[base : off[-1]]
     return vals, off - base
+
+
+def _sample_bytes(
+    data: np.ndarray, off: np.ndarray, target: int, row_cap: int = 4096
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic byte-capped training sample: rows stride so their
+    CLIPPED lengths sum to ≈ target, and each row contributes at most
+    ``row_cap`` bytes — one giant document can't blow the budget (the skew
+    contract of codecs/auto._sample, which the old row-stride missed)."""
+    total = int(off[-1])
+    n_rows = len(off) - 1
+    if total <= target or n_rows == 0:
+        return data, off
+    lens = np.diff(off)
+    clipped = np.minimum(lens, row_cap)
+    stride = max(1, int(np.ceil(int(clipped.sum()) / target)))
+    rows = np.arange(0, n_rows, stride)
+    take = clipped[rows]
+    k = int(np.searchsorted(np.cumsum(take), target)) + 1
+    rows, take = rows[:k], take[:k]
+    return _gather_bytes(data, off[rows], take.astype(np.int64))
 
 
 def _empty_payload(n: int) -> pa.Array:
@@ -251,9 +287,15 @@ def _head(tc: int, unit: int, tz: str, n: int, valid, plain_nbytes: int) -> byte
 
 
 def _plain_nbytes(arr: pa.Array) -> int:
-    """In-memory data bytes of the column (buffers, excluding validity) —
-    the honest 'plain' side of the per-column ratio accounting."""
-    return sum(len(b) for b in arr.buffers() if b is not None)
+    """In-memory data bytes of the column (buffers, excluding the top-level
+    validity bitmap) — the honest 'plain' side of the ratio accounting.
+    Child validity never reaches here: list element nulls are rejected at
+    encode time."""
+    total = sum(len(b) for b in arr.buffers() if b is not None)
+    bufs = arr.buffers()
+    if arr.null_count and bufs and bufs[0] is not None:
+        total -= len(bufs[0])
+    return total
 
 
 def _encode_column(
@@ -265,6 +307,13 @@ def _encode_column(
     plain = _plain_nbytes(arr)
 
     if tc in _LIST_FAMILY:
+        # element-level nulls can't ride the flat int stream (to_numpy would
+        # widen to float64 NaN and the bit view would silently corrupt);
+        # reject loudly like every other unsupported shape
+        if arr.values.null_count:
+            raise NotImplementedError(
+                "columnar: list element nulls are not supported"
+            )
         vals, off = _list_parts(arr)
         if vals.dtype != np.int32:
             vals = np.ascontiguousarray(vals).view(np.int32)
@@ -357,7 +406,7 @@ def _encode_column(
     dvals = denc.dictionary.cast(pa.large_binary())
     ddata, doff = string_buffers(dvals)
     nd = len(dvals)
-    _iname, iest, _istate = (
+    iname0, iest, istate0 = (
         select_codec(idx, np.array([0, n], dtype=np.int64), codec_names)
         if n
         else ("plain", {"plain": 0}, None)
@@ -365,12 +414,11 @@ def _encode_column(
     est[S_STRDICT] = int(doff[-1]) + 4 * (nd + 1) + int(min(iest.values())) + 32
     ftable = None
     if total:
-        # strided byte sample → train → sampled-ratio extrapolation
-        rows = np.arange(len(off) - 1)
-        if total > FSSTB_SAMPLE_BYTES:
-            stride = max(1, int(np.ceil(total / FSSTB_SAMPLE_BYTES)))
-            rows = rows[::stride]
-        sdata, soff = gather_rows(data, off, rows)
+        # byte-capped sample → train → sampled-ratio extrapolation. The cap
+        # is on BYTES, not rows: per-row contributions clip at 4 KiB and the
+        # cumulative budget cuts the row set, so one giant document can't
+        # blow the training cost (codecs/auto._sample's skew contract).
+        sdata, soff = _sample_bytes(data, off, FSSTB_SAMPLE_BYTES)
         ftable = fsstlib.train(sdata, soff)
         sbuf, _spo = fsstlib.encode(sdata, soff, ftable)
         sb = max(int(soff[-1]), 1)
@@ -389,7 +437,9 @@ def _encode_column(
         body = bytes([S_FSSTB]) + _pb32(ftable.serialize())
         payload = payload_array(buf, po)
     else:  # S_STRDICT: dictionary + auto-int-coded indices, all in envelope
-        iname, istate, ipay = _encode_stream(idx, codec_names)
+        # reuse the estimate pass's winning codec — re-selecting over the
+        # same indices is guaranteed to pick the same winner
+        iname, istate, ipay = _encode_stream_as(iname0, istate0, idx)
         body = (
             bytes([S_STRDICT])
             + struct.pack("<I", nd)
@@ -406,17 +456,27 @@ def _encode_column(
 def encode_columns_batch(
     batch: pa.Table, codec_names=None
 ) -> pa.Table:
-    """One source block → its per-column-encoded form (see module doc)."""
+    """One source block → its per-column-encoded form (see module doc).
+    Each ``__blk`` field carries the source type in its Arrow field
+    metadata (parquet-preserved): a zero-row block has no dictionary
+    values, so decode recovers the schema from the metadata instead."""
     n = batch.num_rows
     zero = pa.array(np.zeros(n, dtype=np.int32))
     cols: dict[str, object] = {
         "__rowidx": pa.array(np.arange(n, dtype=np.int32))
     }
+    field_meta: dict[str, dict[bytes, bytes]] = {}
     for name in batch.column_names:
         arr = batch[name]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         env, payload, counts = _encode_column(arr, n, codec_names)
+        tc, unit, tz = _type_code(arr.type)
+        field_meta[f"{name}__blk"] = {
+            b"columnar_tc": str(tc).encode(),
+            b"columnar_unit": str(unit).encode(),
+            b"columnar_tz": tz.encode(),
+        }
         cols[f"{name}__blk"] = pa.DictionaryArray.from_arrays(
             zero, pa.array([env], type=pa.binary())
         )
@@ -425,7 +485,14 @@ def encode_columns_batch(
             cols[f"{name}__n"] = pa.array(
                 counts.astype(np.int32), type=pa.int32()
             )
-    return pa.table(cols)
+    tbl = pa.table(cols)
+    schema = pa.schema(
+        [
+            f.with_metadata(field_meta[f.name]) if f.name in field_meta else f
+            for f in tbl.schema
+        ]
+    )
+    return pa.Table.from_arrays(tbl.columns, schema=schema)
 
 
 # --------------------------------------------------------------- decode
@@ -634,10 +701,21 @@ def decode_columns_batch(batch: pa.Table) -> pa.Table:
                 )
             )
         if not parts:
-            r = _Reader(bytes(envs[0])) if envs else None
-            if r is None:
-                continue
-            tc, unit, tz, _nb, _v, _p = _parse_head(r)
+            if envs:
+                r = _Reader(bytes(envs[0]))
+                tc, unit, tz, _nb, _v, _p = _parse_head(r)
+            else:
+                # zero-row block after a parquet rewrite: the dictionary
+                # values are gone; recover the type from field metadata
+                md = batch.schema.field(enc_name).metadata or {}
+                if b"columnar_tc" not in md:
+                    raise ValueError(
+                        f"columnar: cannot infer type of empty encoded "
+                        f"column {name!r} (no envelope, no field metadata)"
+                    )
+                tc = int(md[b"columnar_tc"])
+                unit = int(md[b"columnar_unit"])
+                tz = md[b"columnar_tz"].decode()
             out[name] = pa.array([], type=_type_from_code(tc, unit, tz))
         elif len(parts) == 1:
             out[name] = parts[0]
@@ -648,9 +726,15 @@ def decode_columns_batch(batch: pa.Table) -> pa.Table:
 
 def columnar_stats_batch(batch: pa.Table) -> pa.Table:
     """Encoded block → one accounting row per (column, block): chosen
-    scheme/codec, plain bytes, encoded bytes (payload + envelope)."""
+    scheme/codec, plain bytes, encoded bytes (payload + envelope).
+
+    Slice-consistent: a block split across batches (parquet rewrite, Ray
+    dynamic block splitting) pro-rates its whole-block plain and envelope
+    bytes by the fraction of block rows present, and dictionary entries
+    with zero surviving rows are skipped — summing stats over any
+    re-slicing of the encoded table reproduces the unsliced totals
+    (±rounding) instead of double-counting."""
     names, schemes, plains, encs, rows = [], [], [], [], []
-    n = batch.num_rows
     for enc_name in batch.column_names:
         if not enc_name.endswith("__blk"):
             continue
@@ -660,8 +744,10 @@ def columnar_stats_batch(batch: pa.Table) -> pa.Table:
         for k, env in enumerate(envs):
             env = bytes(env)
             sel = np.flatnonzero(gi == k)
+            if not len(sel):
+                continue
             r = _Reader(env)
-            tc, unit, tz, _nb, _valid, plain = _parse_head(r)
+            tc, unit, tz, n_block, _valid, plain = _parse_head(r)
             if tc in _LIST_FAMILY:
                 scheme, _ = r.codec()
             elif tc in _I32_FAMILY:
@@ -675,13 +761,12 @@ def columnar_stats_batch(batch: pa.Table) -> pa.Table:
             else:
                 s = r.u8()
                 scheme = {S_PLAINB: "plainb", S_FSSTB: "fsstb", S_STRDICT: "strdict"}[s]
-            pay = int(
-                (pay_off[sel + 1] - pay_off[sel]).sum()
-            ) if len(sel) else 0
+            pay = int((pay_off[sel + 1] - pay_off[sel]).sum())
+            frac = len(sel) / max(n_block, 1)
             names.append(name)
             schemes.append(scheme)
-            plains.append(int(plain))
-            encs.append(pay + len(env))
+            plains.append(int(round(plain * frac)))
+            encs.append(pay + int(round(len(env) * frac)))
             rows.append(int(len(sel)))
     return pa.table(
         {

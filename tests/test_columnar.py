@@ -195,6 +195,59 @@ def test_timestamp_tz_and_units():
     _assert_tables_equal(t, decode_columns_batch(encode_columns_batch(t)))
 
 
+def test_list_element_nulls_raise():
+    # element-level nulls would widen to float64 NaN in the flat stream and
+    # the bit view would silently corrupt — must reject loudly
+    t = pa.table(
+        {"x": pa.array([[1, None, 3], [4, 5]], type=pa.list_(pa.int32()))}
+    )
+    with pytest.raises(NotImplementedError, match="element nulls"):
+        encode_columns_batch(t)
+
+
+def test_zero_row_parquet_rewrite_keeps_schema(tmp_path):
+    # parquet drops dictionary values for 0-row data; the type must come
+    # back from the __blk field metadata
+    t = _wide_table(n=50).slice(0, 0)
+    path = tmp_path / "empty.parquet"
+    pq.write_table(encode_columns_batch(t), path)
+    dec = decode_columns_batch(pq.read_table(path).combine_chunks())
+    _assert_tables_equal(t, dec)
+
+
+def test_stats_slice_conservation():
+    # summing stats over ANY re-slicing must reproduce the unsliced totals
+    t = _wide_table(n=400)
+    enc = encode_columns_batch(t)
+    whole = columnar_stats_batch(enc).to_pandas().set_index("column")
+    parts = [
+        columnar_stats_batch(enc.slice(a, b - a)).to_pandas()
+        for a, b in [(0, 90), (90, 91), (91, 400)]
+    ]
+    import pandas as pd
+
+    summed = (
+        pd.concat(parts).groupby("column")[
+            ["plain_nbytes", "encoded_nbytes", "rows"]
+        ].sum()
+    )
+    assert summed["rows"].eq(400).all()
+    for col in whole.index:
+        assert abs(summed.loc[col, "plain_nbytes"] - whole.loc[col, "plain_nbytes"]) <= 2
+        assert abs(summed.loc[col, "encoded_nbytes"] - whole.loc[col, "encoded_nbytes"]) <= 2
+    # a slice that misses a dictionary entry entirely yields no phantom row
+    assert (pd.concat(parts)["rows"] > 0).all()
+
+
+def test_fsstb_sample_byte_cap():
+    # one giant row among small ones must not blow the training budget:
+    # encode time is bounded, and the round-trip stays exact
+    big = "xyz" * 2_000_000
+    t = pa.table({"s": pa.array([big] + ["short %d" % i for i in range(50)])})
+    dec = decode_columns_batch(encode_columns_batch(t))
+    _assert_tables_equal(t, dec)
+
+
 def test_unsupported_type_raises():
     t = pa.table({"x": pa.array([{"a": 1}], type=pa.struct([("a", pa.int32())]))})
     with pytest.raises(NotImplementedError):
