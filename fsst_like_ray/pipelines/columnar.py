@@ -779,7 +779,93 @@ def columnar_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# ----------------------------------------------- compressed-domain scan
+def eq_scan_batch(
+    batch: pa.Table, column: str, value, out_columns=None
+) -> pa.Table:
+    """Equality filter on an ENCODED string/binary column without
+    materializing the strings: strdict blocks probe the dictionary and
+    compare index codes; fsstb blocks encode the literal with the block's
+    symbol table and compare payload bytes (FSST parsing is deterministic,
+    so equal strings encode to equal payloads — the constant re-encode
+    trick of matchers/engines.py exact_payload_match, sketch.cc:1306-1371);
+    plainb compares raw bytes. Only SURVIVING rows decode."""
+    n = batch.num_rows
+    if isinstance(value, str):
+        value = value.encode()
+    gi, envs = _group_indices(batch[f"{column}__blk"])
+    pay_buf, pay_off = _binary_buffers(batch[f"{column}__payload"])
+    mask = np.zeros(n, dtype=bool)
+    for k, env in enumerate(envs):
+        env = bytes(env)
+        sel = np.flatnonzero(gi == k)
+        if not len(sel):
+            continue
+        r = _Reader(env)
+        tc, unit, tz, n_block, valid, _plain = _parse_head(r)
+        if tc not in _STR_FAMILY:
+            raise TypeError(f"eq_scan: column {column!r} is not string-kind")
+        scheme = r.u8()
+        if scheme == S_STRDICT:
+            nd = r.u32()
+            doff = np.frombuffer(r.b64(), dtype=np.uint32).astype(np.int64)
+            ddata = np.frombuffer(r.b64(), dtype=np.uint8)
+            target = -1
+            vb = np.frombuffer(value, dtype=np.uint8)
+            for j in range(nd):  # bounded by dictionary size, not rows
+                if (
+                    doff[j + 1] - doff[j] == len(vb)
+                    and np.array_equal(ddata[doff[j] : doff[j + 1]], vb)
+                ):
+                    target = j
+                    break
+            if target < 0:
+                continue
+            iname, istate = r.codec()
+            ipay = r.b64()
+            idx = _cached_block(
+                env, lambda: _decode_stream(iname, istate, ipay, n_block)
+            )
+            rowidx = batch["__rowidx"].to_numpy().astype(np.int64)[sel]
+            m = idx[rowidx] == target
+        else:
+            if scheme == S_FSSTB:
+                table = fsstlib.SymbolTable.deserialize(r.b32())
+                vdat = np.frombuffer(value, dtype=np.uint8)
+                voff = np.array([0, len(vdat)], dtype=np.int64)
+                ebuf, _epo = fsstlib.encode(vdat, voff, table)
+                needle = ebuf
+            else:  # S_PLAINB
+                needle = np.frombuffer(value, dtype=np.uint8)
+            lo = pay_off[sel]
+            ln = pay_off[sel + 1] - lo
+            m = ln == len(needle)
+            cand = np.flatnonzero(m)
+            if len(cand) and len(needle):
+                pos = lo[cand, None] + np.arange(len(needle))[None, :]
+                m[cand] = (pay_buf[pos] == needle[None, :]).all(axis=1)
+        if valid is not None:
+            rowidx = batch["__rowidx"].to_numpy().astype(np.int64)[sel]
+            m &= valid[rowidx]
+        mask[sel] = m
+    keep = batch.take(pa.array(np.flatnonzero(mask)))
+    dec = decode_columns_batch(keep)
+    return dec.select(list(out_columns)) if out_columns else dec
+
+
 # ------------------------------------------------------------- datasets
+def _encoded_field_names(b_or_names, columns) -> list[str]:
+    names = (
+        b_or_names if isinstance(b_or_names, list) else b_or_names.column_names
+    )
+    keep = ["__rowidx"]
+    for c in columns:
+        for suffix in ("__blk", "__payload", "__n"):
+            if f"{c}{suffix}" in names:
+                keep.append(f"{c}{suffix}")
+    return keep
+
+
 def encode_columns_dataset(ds, codec_names=None, batch_size: int | None = None):
     """Dataset → per-column-encoded Dataset (streaming map_batches; the
     per-block codec selection is stateless, so plain tasks suffice)."""
@@ -792,7 +878,38 @@ def encode_columns_dataset(ds, codec_names=None, batch_size: int | None = None):
     )
 
 
-def decode_columns_dataset(ds):
+def decode_columns_dataset(ds, columns=None):
+    """Encoded Dataset → original columns. ``columns`` prunes BEFORE
+    decode: only the selected columns' blk/payload leave the batch, so
+    unwanted columns never pay their decode. (For parquet-backed encoded
+    tables prefer read_encoded_columns — it prunes at the READ.)"""
+    if columns is None:
+        return ds.map_batches(
+            decode_columns_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
     return ds.map_batches(
-        decode_columns_batch, batch_format="pyarrow", zero_copy_batch=True
+        lambda b: decode_columns_batch(
+            b.select(_encoded_field_names(b, columns))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+
+
+def read_encoded_columns(path, columns, **read_kwargs):
+    """Column-pruned read of a parquet-persisted encoded table: passes the
+    encoded field names to read_parquet so unneeded columns never leave
+    storage (north-star 'prune at the read'), then decodes."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    p = str(path)
+    if not p.endswith(".parquet"):
+        first = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))[0]
+        p = os.path.join(p, first)
+    names = pq.read_schema(p).names
+    keep = _encoded_field_names(list(names), columns)
+    ds = ray.data.read_parquet(path, columns=keep, **read_kwargs)
+    return decode_columns_dataset(ds)

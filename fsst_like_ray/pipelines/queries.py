@@ -480,6 +480,38 @@ def q_columnar_roundtrip_embeddings(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def q_columnar_eq_scan(sf_dir: str):
+    """Compressed-domain equality scan on an encoded string column: the
+    strdict block probes its dictionary ONCE and compares int index codes —
+    no string materializes for non-matching rows; survivors decode through
+    the pruned column set (constant re-encode trick, sketch.cc:1306-1371)."""
+    from .columnar import encode_columns_dataset, eq_scan_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    enc = encode_columns_dataset(ds)
+    return enc.map_batches(
+        lambda b: eq_scan_batch(
+            b, "source", "src7", out_columns=["doc_id", "lang", "n_chars"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_columnar_pruned_read(sf_dir: str):
+    """Column-pruned read of a parquet-persisted encoded table: only the
+    requested columns' blk/payload fields leave storage (read_parquet
+    columns=), then only those decode. North-star 'prune at the read' on
+    the encoded layout."""
+    import tempfile
+
+    from .columnar import encode_columns_dataset, read_encoded_columns
+
+    out = tempfile.mkdtemp(prefix="columnar_pruned_")
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    encode_columns_dataset(ds).write_parquet(out)
+    return read_encoded_columns(out, ["doc_id", "lang"])
+
+
 def q_columnar_ratio_gate(sf_dir: str):
     """Per-column compression accounting as a boolean gate: documents
     encodes ≥3x overall AND ≥3x on the text column AND strictly smaller
@@ -6503,6 +6535,8 @@ def build_queries() -> dict:
     q["columnar_roundtrip_events"] = q_columnar_roundtrip_events
     q["columnar_roundtrip_embeddings"] = q_columnar_roundtrip_embeddings
     q["columnar_ratio_gate"] = q_columnar_ratio_gate
+    q["columnar_eq_scan"] = q_columnar_eq_scan
+    q["columnar_pruned_read"] = q_columnar_pruned_read
     q["dedup_exact"] = q_dedup_exact
     q["dedup_exact_tokens"] = q_dedup_exact_tokens
     q["dedup_minhash"] = make_dedup("minhash")
@@ -6708,6 +6742,10 @@ def build_oracle_sql() -> dict:
         SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS n_dims
         FROM embeddings
     """
+    sql["columnar_eq_scan"] = """
+        SELECT doc_id, lang, n_chars FROM documents WHERE source = 'src7'
+    """
+    sql["columnar_pruned_read"] = "SELECT doc_id, lang FROM documents"
     sql["columnar_ratio_gate"] = (
         "SELECT CAST(5 AS BIGINT) AS n_columns, (1=1) AS total_ratio_ge_3, "
         "(1=1) AS text_ratio_ge_3, (1=1) AS every_column_smaller"

@@ -248,6 +248,63 @@ def test_fsstb_sample_byte_cap():
     _assert_tables_equal(t, dec)
 
 
+def test_eq_scan_all_schemes():
+    from fsst_like_ray.pipelines.columnar import eq_scan_batch
+
+    rng = np.random.default_rng(1)
+    n = 3000
+    src = rng.choice(["web", "books", "code"], n)
+    blob = [bytes(rng.integers(0, 256, 12).astype(np.uint8)) for _ in range(n)]
+    blob[5] = b"NEEDLE-BYTES"
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            # nulls never match an equality literal
+            "source": pa.array(
+                [None if i % 17 == 0 else s for i, s in enumerate(src)],
+                type=pa.string(),
+            ),
+            "text": pa.array(
+                ["the document number %06d body" % i for i in range(n)]
+            ),
+            "blob": pa.array(blob, type=pa.binary()),
+        }
+    )
+    enc = encode_columns_batch(t)
+    by = dict(
+        zip(*columnar_stats_batch(enc).to_pandas()[["column", "scheme"]].T.values)
+    )
+    assert (by["source"], by["text"], by["blob"]) == ("strdict", "fsstb", "plainb")
+
+    out = eq_scan_batch(enc, "source", "web", out_columns=["doc_id", "source"])
+    exp = [i for i in range(n) if i % 17 and src[i] == "web"]
+    assert out["doc_id"].to_pylist() == exp
+    assert set(out["source"].to_pylist()) == {"web"}
+    assert eq_scan_batch(enc, "text", "the document number 000123 body")[
+        "doc_id"
+    ].to_pylist() == [123]
+    assert eq_scan_batch(enc, "blob", b"NEEDLE-BYTES")["doc_id"].to_pylist() == [5]
+    assert eq_scan_batch(enc, "source", "absent").num_rows == 0
+    # sliced encoded batch still scans correctly
+    out4 = eq_scan_batch(enc.slice(100, 500), "source", "books", out_columns=["doc_id"])
+    assert out4["doc_id"].to_pylist() == [
+        i for i in range(100, 600) if i % 17 and src[i] == "books"
+    ]
+    with pytest.raises(TypeError):
+        eq_scan_batch(enc, "doc_id", "5")
+
+
+def test_pruned_decode_and_read(tmp_path):
+    from fsst_like_ray.pipelines.columnar import _encoded_field_names
+
+    t = _wide_table(n=200)
+    enc = encode_columns_batch(t)
+    keep = _encoded_field_names(enc, ["doc_id", "tokens"])
+    dec = decode_columns_batch(enc.select(keep))
+    assert dec.column_names == ["doc_id", "tokens"]
+    _assert_tables_equal(t.select(["doc_id", "tokens"]), dec)
+
+
 def test_unsupported_type_raises():
     t = pa.table({"x": pa.array([{"a": 1}], type=pa.struct([("a", pa.int32())]))})
     with pytest.raises(NotImplementedError):
