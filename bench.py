@@ -202,6 +202,39 @@ def run_window(sf_dir: str) -> dict:
     return {"sec": time.time() - t0, "rows": n}
 
 
+def run_columnar_table(sf_dir: str) -> dict:
+    """Whole-table per-column encode + decode-verify over the events table
+    (every Arrow family: int64 ids, timestamps, doubles, strings) — the
+    session-4 per-column engine. Returns the measured all-column ratio."""
+    import pyarrow as pa
+    import ray.data
+    from fsst_like_ray.pipelines.columnar import (
+        columnar_stats_batch,
+        decode_columns_batch,
+        encode_columns_batch,
+    )
+
+    t0 = time.time()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+    def enc_stats(b: pa.Table) -> pa.Table:
+        enc = encode_columns_batch(b)
+        dec = decode_columns_batch(enc)  # decode-verify rides the same pass
+        assert dec.num_rows == b.num_rows
+        return columnar_stats_batch(enc)
+
+    plain = enc = 0
+    for b in ds.map_batches(
+        enc_stats, batch_format="pyarrow", batch_size=8192
+    ).iter_batches(batch_format="pyarrow"):
+        plain += int(pa.compute.sum(b["plain_nbytes"]).as_py() or 0)
+        enc += int(pa.compute.sum(b["encoded_nbytes"]).as_py() or 0)
+    return {
+        "sec": time.time() - t0,
+        "ratio": round(plain / max(enc, 1), 3),
+    }
+
+
 def run_join_q3(sf_dir: str) -> dict:
     """Three-way join (broadcast semi + co-partitioned shuffle) — the
     round-3 join-family composition (TPC-H Q3 shape)."""
@@ -392,6 +425,8 @@ def main():
         queries["dedup_minhash"] = round(run_dedup(sf_dir)["sec"], 3)
         queries["ann_topk"] = round(run_ann(sf_dir)["sec"], 3)
         queries["window_rolling"] = round(run_window(sf_dir)["sec"], 3)
+        col = run_columnar_table(sf_dir)
+        queries["columnar_table"] = round(col["sec"], 3)
         queries["join_tpch_q3"] = round(run_join_q3(sf_dir)["sec"], 3)
 
         total = sum(queries.values())
@@ -422,6 +457,7 @@ def main():
                         / max(head.get("encoded_bytes", 1), 1),
                         3,
                     ),
+                    "columnar_table_ratio": col["ratio"],
                     "engine_rank_file": rank_path,
                 }
             )
