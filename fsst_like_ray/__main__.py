@@ -355,6 +355,73 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_table_encode(args) -> int:
+    """Whole-table per-column encode of ANY parquet table (each column
+    gets its own per-block auto-selected codec) → encoded parquet +
+    per-column accounting from the PERSISTED files."""
+    ray = _ray()
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .pipelines.columnar import columnar_stats_batch, encode_columns_dataset
+
+    t0 = time.time()
+    ds = rd.read_parquet(args.input)
+    encode_columns_dataset(ds, batch_size=args.batch_size).write_parquet(
+        args.out_dir
+    )
+    acc: dict[str, list] = {}
+    for b in (
+        rd.read_parquet(args.out_dir)
+        .map_batches(columnar_stats_batch, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for r in b.to_pylist():
+            a = acc.setdefault(r["column"], [0, 0, set()])
+            a[0] += int(r["plain_nbytes"])
+            a[1] += int(r["encoded_nbytes"])
+            a[2].add(r["scheme"])
+    cols = {
+        c: {"plain": a[0], "encoded": a[1], "ratio": round(a[0] / max(a[1], 1), 3),
+            "schemes": sorted(a[2])}
+        for c, a in sorted(acc.items())
+    }
+    tot_p = sum(a[0] for a in acc.values())
+    tot_e = sum(a[1] for a in acc.values())
+    print(json.dumps({
+        "columns": cols,
+        "total_ratio": round(tot_p / max(tot_e, 1), 3),
+        "out": args.out_dir,
+        "sec": round(time.time() - t0, 3),
+    }))
+    ray.shutdown()
+    return 0
+
+
+def cmd_table_decode(args) -> int:
+    """Decode an encoded table back to plain parquet; --columns prunes at
+    the read (only the requested columns' fields leave storage)."""
+    ray = _ray()
+    import ray.data as rd
+
+    from .pipelines.columnar import decode_columns_dataset, read_encoded_columns
+
+    t0 = time.time()
+    if args.columns:
+        dec = read_encoded_columns(args.input, args.columns.split(","))
+    else:
+        dec = decode_columns_dataset(rd.read_parquet(args.input))
+    dec.write_parquet(args.dest)
+    n = rd.read_parquet(args.dest).count()
+    print(json.dumps({
+        "rows": n,
+        "out": args.dest,
+        "sec": round(time.time() - t0, 3),
+    }))
+    ray.shutdown()
+    return 0
+
+
 def cmd_word_index(args) -> int:
     ray = _ray()
     from .pipelines.postings import build_word_index
@@ -515,6 +582,24 @@ def main(argv=None) -> int:
     pk.add_argument("out_dir")
     pk.add_argument("--seq-len", type=int, default=512)
     pk.set_defaults(fn=cmd_pack)
+
+    te = sub.add_parser(
+        "table-encode",
+        help="per-column compress ANY parquet table (auto codec per column/block)",
+    )
+    te.add_argument("input")
+    te.add_argument("out_dir")
+    te.add_argument("--batch-size", type=int, default=None)
+    te.set_defaults(fn=cmd_table_encode)
+
+    td = sub.add_parser(
+        "table-decode",
+        help="decode an encoded table; --columns a,b prunes at the read",
+    )
+    td.add_argument("input")
+    td.add_argument("dest")
+    td.add_argument("--columns", default=None)
+    td.set_defaults(fn=cmd_table_decode)
 
     wi = sub.add_parser(
         "word-index",
