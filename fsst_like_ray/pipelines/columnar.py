@@ -55,7 +55,7 @@ from ..stages.decode import _binary_buffers, _group_indices
 from ..stages.encode import payload_array
 from ..stages.text import string_buffers
 
-ENV_VERSION = 1
+ENV_VERSION = 2  # v2: numeric families carry a (vmin, vmax) zone map
 
 # type codes (envelope byte 1)
 T_INT32, T_INT64, T_FLOAT32, T_FLOAT64, T_BOOL, T_DATE32, T_TS = range(7)
@@ -355,8 +355,14 @@ def _encode_column(
         else:
             v = np.ascontiguousarray(v, dtype=np.int32)
         name, state, payload = _encode_stream(v, codec_names)
+        # zone map over the stored int32 view (logical values for
+        # int/bool/date; bit patterns for float32 — range_scan rejects
+        # floats, the fields just keep the layout uniform)
+        vmin = int(v.min()) if n else 0
+        vmax = int(v.max()) if n else 0
         env = (
             _head(tc, unit, tz, n, valid, plain)
+            + struct.pack("<qq", vmin, vmax)
             + _pack_codec(name, state)
             + _pb64(payload)
         )
@@ -374,6 +380,7 @@ def _encode_column(
         else:
             v = np.ascontiguousarray(v, dtype=np.int64)
         base = int(v.min()) if n else 0
+        vmax = int(v.max()) if n else 0  # zone map: base IS vmin
         # wrap-around shift in uint64: exact for ANY int64 range
         u = v.view(np.uint64) - np.uint64(base & 0xFFFFFFFFFFFFFFFF)
         lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
@@ -382,7 +389,7 @@ def _encode_column(
         hname, hstate, hpay = _encode_stream(hi, codec_names)
         env = (
             _head(tc, unit, tz, n, valid, plain)
-            + struct.pack("<q", base)
+            + struct.pack("<qq", base, vmax)
             + _pack_codec(lname, lstate)
             + _pb64(lpay)
             + _pack_codec(hname, hstate)
@@ -604,6 +611,7 @@ def _decode_segment(
         return cls.from_arrays(offs, child, mask=mask)
 
     if tc in _I32_FAMILY:
+        r.take(16)  # zone map (vmin, vmax) — scan-path only
         name, state = r.codec()
         payload = r.b64()
         full = _cached_block(env, lambda: _decode_stream(name, state, payload, n_block))
@@ -618,6 +626,7 @@ def _decode_segment(
 
     if tc in _I64_FAMILY:
         base = r.i64()
+        r.take(8)  # zone-map vmax (base is vmin)
         lname, lstate = r.codec()
         lpay = r.b64()
         hname, hstate = r.codec()
@@ -751,9 +760,10 @@ def columnar_stats_batch(batch: pa.Table) -> pa.Table:
             if tc in _LIST_FAMILY:
                 scheme, _ = r.codec()
             elif tc in _I32_FAMILY:
+                r.take(16)  # zone map
                 scheme, _ = r.codec()
             elif tc in _I64_FAMILY:
-                r.i64()
+                r.take(16)  # base/vmin + vmax
                 a, _ = r.codec()
                 r.b64()
                 b, _ = r.codec()
@@ -848,6 +858,83 @@ def eq_scan_batch(
             rowidx = batch["__rowidx"].to_numpy().astype(np.int64)[sel]
             m &= valid[rowidx]
         mask[sel] = m
+    keep = batch.take(pa.array(np.flatnonzero(mask)))
+    dec = decode_columns_batch(keep)
+    return dec.select(list(out_columns)) if out_columns else dec
+
+
+_RANGE_TYPES = frozenset((T_INT32, T_DATE32, T_INT64, T_TS))
+
+
+def range_scan_batch(
+    batch: pa.Table,
+    column: str,
+    lo=None,
+    hi=None,
+    out_columns=None,
+    stats_out: dict | None = None,
+) -> pa.Table:
+    """Inclusive-range filter on an ENCODED integer-logical column
+    (int32/date32/int64/timestamp; bounds in the column's storage unit —
+    days for date32, the timestamp's unit for ts). Every numeric block
+    envelope carries a (vmin, vmax) zone map: blocks whose range is
+    disjoint from [lo, hi] are SKIPPED without decoding a single value —
+    the parquet row-group-stats trick applied to the encoded layout.
+    ``stats_out`` (optional dict) receives blocks_scanned/blocks_skipped."""
+    n = batch.num_rows
+    gi, envs = _group_indices(batch[f"{column}__blk"])
+    rowidx_all = batch["__rowidx"].to_numpy().astype(np.int64)
+    mask = np.zeros(n, dtype=bool)
+    scanned = skipped = 0
+    for k, env in enumerate(envs):
+        env = bytes(env)
+        sel = np.flatnonzero(gi == k)
+        if not len(sel):
+            continue
+        r = _Reader(env)
+        tc, unit, tz, n_block, valid, _plain = _parse_head(r)
+        if tc not in _RANGE_TYPES:
+            raise TypeError(
+                f"range_scan: column {column!r} is not integer-kind"
+            )
+        if tc in _I32_FAMILY:
+            vmin, vmax = struct.unpack("<qq", r.take(16))
+            name, state = r.codec()
+            payload = r.b64()
+
+            def blk():
+                return _decode_stream(name, state, payload, n_block)
+
+        else:
+            vmin = r.i64()
+            vmax = struct.unpack("<q", r.take(8))[0]
+            lname, lstate = r.codec()
+            lpay = r.b64()
+            hname, hstate = r.codec()
+            hpay = r.b64()
+
+            def blk():
+                l32 = _decode_stream(lname, lstate, lpay, n_block).view(np.uint32)
+                h32 = _decode_stream(hname, hstate, hpay, n_block).view(np.uint32)
+                u = l32.astype(np.uint64) | (h32.astype(np.uint64) << np.uint64(32))
+                return (u + np.uint64(vmin & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
+
+        if (lo is not None and vmax < lo) or (hi is not None and vmin > hi):
+            skipped += 1
+            continue
+        scanned += 1
+        v = _cached_block(env, blk)[rowidx_all[sel]].astype(np.int64)
+        m = np.ones(len(sel), dtype=bool)
+        if lo is not None:
+            m &= v >= lo
+        if hi is not None:
+            m &= v <= hi
+        if valid is not None:
+            m &= valid[rowidx_all[sel]]
+        mask[sel] = m
+    if stats_out is not None:
+        stats_out["blocks_scanned"] = scanned
+        stats_out["blocks_skipped"] = skipped
     keep = batch.take(pa.array(np.flatnonzero(mask)))
     dec = decode_columns_batch(keep)
     return dec.select(list(out_columns)) if out_columns else dec

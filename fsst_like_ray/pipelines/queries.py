@@ -497,6 +497,25 @@ def q_columnar_eq_scan(sf_dir: str):
     )
 
 
+def q_columnar_range_scan(sf_dir: str):
+    """Zone-map range scan on an encoded int64 column: every numeric block
+    envelope carries (vmin, vmax); blocks disjoint from the predicate skip
+    without decoding a value (parquet row-group stats applied to the
+    encoded layout). batch_size=2048 forces multiple blocks so the skip
+    path actually exercises."""
+    from .columnar import encode_columns_dataset, range_scan_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    enc = encode_columns_dataset(ds, batch_size=2048)
+    return enc.map_batches(
+        lambda b: range_scan_batch(
+            b, "event_id", lo=100, hi=900,
+            out_columns=["event_id", "event_type", "user_id"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_columnar_pruned_read(sf_dir: str):
     """Column-pruned read of a parquet-persisted encoded table: only the
     requested columns' blk/payload fields leave storage (read_parquet
@@ -6536,6 +6555,7 @@ def build_queries() -> dict:
     q["columnar_roundtrip_embeddings"] = q_columnar_roundtrip_embeddings
     q["columnar_ratio_gate"] = q_columnar_ratio_gate
     q["columnar_eq_scan"] = q_columnar_eq_scan
+    q["columnar_range_scan"] = q_columnar_range_scan
     q["columnar_pruned_read"] = q_columnar_pruned_read
     q["dedup_exact"] = q_dedup_exact
     q["dedup_exact_tokens"] = q_dedup_exact_tokens
@@ -6744,6 +6764,10 @@ def build_oracle_sql() -> dict:
     """
     sql["columnar_eq_scan"] = """
         SELECT doc_id, lang, n_chars FROM documents WHERE source = 'src7'
+    """
+    sql["columnar_range_scan"] = """
+        SELECT event_id, event_type, user_id FROM events
+        WHERE event_id BETWEEN 100 AND 900
     """
     sql["columnar_pruned_read"] = "SELECT doc_id, lang FROM documents"
     sql["columnar_ratio_gate"] = (

@@ -294,6 +294,58 @@ def test_eq_scan_all_schemes():
         eq_scan_batch(enc, "doc_id", "5")
 
 
+def test_range_scan_zone_maps():
+    from fsst_like_ray.pipelines.columnar import range_scan_batch
+
+    parts = []
+    for blk in range(4):  # 4 blocks with disjoint id ranges
+        ids = np.arange(blk * 1000, (blk + 1) * 1000, dtype=np.int64)
+        t = pa.table(
+            {
+                "event_id": pa.array(ids),
+                "ts": pa.array(
+                    ids * 1_000_000 + 1_600_000_000_000_000,
+                    type=pa.timestamp("us"),
+                ),
+                "val32": pa.array((ids % 97).astype(np.int32)),
+            }
+        )
+        parts.append(encode_columns_batch(t))
+    enc = pa.concat_tables(parts).combine_chunks()
+
+    stats = {}
+    out = range_scan_batch(enc, "event_id", lo=1500, hi=1600, stats_out=stats)
+    assert out["event_id"].to_pylist() == list(range(1500, 1601))
+    # the zone maps must SKIP the three disjoint blocks without decoding
+    assert stats == {"blocks_scanned": 1, "blocks_skipped": 3}
+
+    s2 = {}
+    out2 = range_scan_batch(enc, "val32", lo=0, hi=1, out_columns=["event_id"], stats_out=s2)
+    assert out2["event_id"].to_pylist() == [i for i in range(4000) if i % 97 <= 1]
+    assert s2["blocks_scanned"] == 4  # every block overlaps [0, 1]
+
+    s3 = {}
+    out3 = range_scan_batch(enc, "ts", hi=1_600_000_500_000_000, stats_out=s3)
+    assert out3.num_rows == 501 and s3["blocks_skipped"] == 3
+    assert range_scan_batch(enc, "event_id", lo=3990).num_rows == 10
+
+    with pytest.raises(TypeError):
+        range_scan_batch(
+            encode_columns_batch(pa.table({"s": pa.array(["a", "b"])})), "s", lo=0
+        )
+
+
+def test_range_scan_nulls():
+    from fsst_like_ray.pipelines.columnar import range_scan_batch
+
+    t = pa.table(
+        {"x": pa.array([1, None, 3, None, 5], type=pa.int64()),
+         "y": pa.array(list("abcde"))}
+    )
+    out = range_scan_batch(encode_columns_batch(t), "x", lo=1, hi=5)
+    assert out["x"].to_pylist() == [1, 3, 5]  # nulls never match a range
+
+
 def test_pruned_decode_and_read(tmp_path):
     from fsst_like_ray.pipelines.columnar import _encoded_field_names
 
