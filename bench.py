@@ -209,6 +209,7 @@ def run_columnar_table(sf_dir: str) -> dict:
     import pyarrow as pa
     import ray.data
     from fsst_like_ray.pipelines.columnar import (
+        assert_bit_equal,
         columnar_stats_batch,
         decode_columns_batch,
         encode_columns_batch,
@@ -219,8 +220,8 @@ def run_columnar_table(sf_dir: str) -> dict:
 
     def enc_stats(b: pa.Table) -> pa.Table:
         enc = encode_columns_batch(b)
-        dec = decode_columns_batch(enc)  # decode-verify rides the same pass
-        assert dec.num_rows == b.num_rows
+        # decode-verify rides the same pass: BIT-exact per column
+        assert_bit_equal(b, decode_columns_batch(enc))
         return columnar_stats_batch(enc)
 
     plain = enc = 0

@@ -408,7 +408,8 @@ def cmd_table_decode(args) -> int:
 
     t0 = time.time()
     if args.columns:
-        dec = read_encoded_columns(args.input, args.columns.split(","))
+        cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+        dec = read_encoded_columns(args.input, cols)
     else:
         dec = decode_columns_dataset(rd.read_parquet(args.input))
     dec.write_parquet(args.dest)

@@ -55,7 +55,10 @@ from ..stages.decode import _binary_buffers, _group_indices
 from ..stages.encode import payload_array
 from ..stages.text import string_buffers
 
-ENV_VERSION = 2  # v2: numeric families carry a (vmin, vmax) zone map
+# v2: numeric families carry a (vmin, vmax) zone map. No v1 read shim on
+# purpose: v1 existed for one session with no persisted artifacts beyond
+# /tmp scratch; decode hard-rejects the version byte rather than guessing.
+ENV_VERSION = 2
 
 # type codes (envelope byte 1)
 T_INT32, T_INT64, T_FLOAT32, T_FLOAT64, T_BOOL, T_DATE32, T_TS = range(7)
@@ -805,6 +808,7 @@ def eq_scan_batch(
         value = value.encode()
     gi, envs = _group_indices(batch[f"{column}__blk"])
     pay_buf, pay_off = _binary_buffers(batch[f"{column}__payload"])
+    rowidx_all = batch["__rowidx"].to_numpy().astype(np.int64)
     mask = np.zeros(n, dtype=bool)
     for k, env in enumerate(envs):
         env = bytes(env)
@@ -836,8 +840,7 @@ def eq_scan_batch(
             idx = _cached_block(
                 env, lambda: _decode_stream(iname, istate, ipay, n_block)
             )
-            rowidx = batch["__rowidx"].to_numpy().astype(np.int64)[sel]
-            m = idx[rowidx] == target
+            m = idx[rowidx_all[sel]] == target
         else:
             if scheme == S_FSSTB:
                 table = fsstlib.SymbolTable.deserialize(r.b32())
@@ -855,10 +858,56 @@ def eq_scan_batch(
                 pos = lo[cand, None] + np.arange(len(needle))[None, :]
                 m[cand] = (pay_buf[pos] == needle[None, :]).all(axis=1)
         if valid is not None:
-            rowidx = batch["__rowidx"].to_numpy().astype(np.int64)[sel]
-            m &= valid[rowidx]
+            m &= valid[rowidx_all[sel]]
         mask[sel] = m
+    return _decode_survivors(batch, mask, out_columns)
+
+
+def assert_bit_equal(orig: pa.Table, dec: pa.Table) -> None:
+    """Assert per-column BIT-exact equality between a source table and its
+    decoded round-trip: floats compare as int bit views (``equals`` would
+    miss NaN payload / signed-zero changes), list columns compare lengths
+    plus flattened bit views, everything else via Arrow equals. Raises
+    ValueError on the first mismatching column."""
+    for name in orig.column_names:
+        a = orig[name]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        d = dec[name].combine_chunks() if isinstance(
+            dec[name], pa.ChunkedArray
+        ) else dec[name]
+        t = a.type
+        if pa.types.is_floating(t):
+            if a.null_count or d.null_count:
+                raise ValueError(f"unexpected nulls in float column {name!r}")
+            w = np.int32 if pa.types.is_float32(t) else np.int64
+            ok = np.array_equal(
+                a.to_numpy(zero_copy_only=False).view(w),
+                d.to_numpy(zero_copy_only=False).view(w),
+            )
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            fa = a.flatten().to_numpy(zero_copy_only=False)
+            fd = d.flatten().to_numpy(zero_copy_only=False)
+            if fa.dtype.kind == "f":
+                fa, fd = fa.view(np.int32), fd.view(np.int32)
+            ok = pc.list_value_length(a).equals(
+                pc.list_value_length(d)
+            ) and np.array_equal(fa, fd)
+        else:
+            ok = a.equals(d)
+        if not ok:
+            raise ValueError(f"columnar round-trip mismatch in column {name!r}")
+
+
+def _decode_survivors(
+    batch: pa.Table, mask: np.ndarray, out_columns
+) -> pa.Table:
+    """Decode only the rows the scan kept — and only the REQUESTED columns:
+    the encoded field set prunes BEFORE decode, so a scan projecting two
+    columns never pays the text column's FSST decode for survivors."""
     keep = batch.take(pa.array(np.flatnonzero(mask)))
+    if out_columns:
+        keep = keep.select(_encoded_field_names(keep, out_columns))
     dec = decode_columns_batch(keep)
     return dec.select(list(out_columns)) if out_columns else dec
 
@@ -935,9 +984,7 @@ def range_scan_batch(
     if stats_out is not None:
         stats_out["blocks_scanned"] = scanned
         stats_out["blocks_skipped"] = skipped
-    keep = batch.take(pa.array(np.flatnonzero(mask)))
-    dec = decode_columns_batch(keep)
-    return dec.select(list(out_columns)) if out_columns else dec
+    return _decode_survivors(batch, mask, out_columns)
 
 
 # ------------------------------------------------------------- datasets
@@ -945,6 +992,14 @@ def _encoded_field_names(b_or_names, columns) -> list[str]:
     names = (
         b_or_names if isinstance(b_or_names, list) else b_or_names.column_names
     )
+    unknown = [c for c in columns if f"{c}__blk" not in names]
+    if unknown:
+        have = sorted(
+            n[: -len("__blk")] for n in names if n.endswith("__blk")
+        )
+        raise KeyError(
+            f"columnar: unknown column(s) {unknown!r}; encoded table has {have!r}"
+        )
     keep = ["__rowidx"]
     for c in columns:
         for suffix in ("__blk", "__payload", "__n"):
@@ -994,8 +1049,14 @@ def read_encoded_columns(path, columns, **read_kwargs):
 
     p = str(path)
     if not p.endswith(".parquet"):
-        first = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))[0]
-        p = os.path.join(p, first)
+        frags = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        if not frags:
+            raise FileNotFoundError(
+                f"read_encoded_columns: no .parquet files under {p!r}"
+            )
+        # encode_columns_dataset writes one uniform schema across fragments,
+        # so the first file's schema speaks for the table
+        p = os.path.join(p, frags[0])
     names = pq.read_schema(p).names
     keep = _encoded_field_names(list(names), columns)
     ds = ray.data.read_parquet(path, columns=keep, **read_kwargs)

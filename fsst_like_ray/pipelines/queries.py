@@ -398,38 +398,12 @@ def q_columnar_roundtrip_docs(sf_dir: str):
 
 def _columnar_verify_batch(b: pa.Table) -> pa.Table:
     """encode→decode one batch and assert BIT-exact equality per column
-    (floats compared as int bit views — `equals` would miss NaN payload /
-    signed-zero changes). Raises on any mismatch, so a passing query IS
-    the round-trip proof; the returned table is the decoded data."""
-    from .columnar import decode_columns_batch, encode_columns_batch
+    (columnar.assert_bit_equal). Raises on any mismatch, so a passing
+    query IS the round-trip proof; the returned table is the decoded data."""
+    from .columnar import assert_bit_equal, decode_columns_batch, encode_columns_batch
 
     dec = decode_columns_batch(encode_columns_batch(b))
-    for name in b.column_names:
-        a = b[name]
-        if isinstance(a, pa.ChunkedArray):
-            a = a.combine_chunks()
-        d = dec[name].combine_chunks()
-        t = a.type
-        if pa.types.is_floating(t):
-            if a.null_count or d.null_count:
-                raise ValueError(f"unexpected nulls in float column {name!r}")
-            w = np.int32 if pa.types.is_float32(t) else np.int64
-            ok = np.array_equal(
-                a.to_numpy(zero_copy_only=False).view(w),
-                d.to_numpy(zero_copy_only=False).view(w),
-            )
-        elif pa.types.is_list(t) or pa.types.is_large_list(t):
-            lens_a = pa.compute.list_value_length(a)
-            lens_d = pa.compute.list_value_length(d)
-            fa = a.flatten().to_numpy(zero_copy_only=False)
-            fd = d.flatten().to_numpy(zero_copy_only=False)
-            if fa.dtype.kind == "f":
-                fa, fd = fa.view(np.int32), fd.view(np.int32)
-            ok = lens_a.equals(lens_d) and np.array_equal(fa, fd)
-        else:
-            ok = a.equals(d)
-        if not ok:
-            raise ValueError(f"columnar round-trip mismatch in column {name!r}")
+    assert_bit_equal(b, dec)
     return dec
 
 

@@ -347,7 +347,10 @@ def test_range_scan_nulls():
 
 
 def test_pruned_decode_and_read(tmp_path):
-    from fsst_like_ray.pipelines.columnar import _encoded_field_names
+    from fsst_like_ray.pipelines.columnar import (
+        _encoded_field_names,
+        read_encoded_columns,
+    )
 
     t = _wide_table(n=200)
     enc = encode_columns_batch(t)
@@ -355,6 +358,22 @@ def test_pruned_decode_and_read(tmp_path):
     dec = decode_columns_batch(enc.select(keep))
     assert dec.column_names == ["doc_id", "tokens"]
     _assert_tables_equal(t.select(["doc_id", "tokens"]), dec)
+    # a typo'd column must FAIL, not silently return an empty table
+    with pytest.raises(KeyError, match="typo"):
+        _encoded_field_names(enc, ["doc_id", "typo"])
+    with pytest.raises(FileNotFoundError):
+        read_encoded_columns(str(tmp_path), ["doc_id"])
+
+
+def test_eq_scan_empty_string():
+    from fsst_like_ray.pipelines.columnar import eq_scan_batch
+
+    t = pa.table(
+        {"id": pa.array([0, 1, 2], type=pa.int64()),
+         "s": pa.array(["", "x", ""])}
+    )
+    out = eq_scan_batch(encode_columns_batch(t), "s", "")
+    assert out["id"].to_pylist() == [0, 2]
 
 
 def test_unsupported_type_raises():
