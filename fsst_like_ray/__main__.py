@@ -423,6 +423,23 @@ def cmd_table_decode(args) -> int:
     return 0
 
 
+def cmd_table_store(args) -> int:
+    """Resumable whole-table encode: per-fragment lineage manifest; a
+    re-run after a kill skips committed fragments. --verify re-reads the
+    source and asserts bit-exact decode per fragment."""
+    ray = _ray()
+    from .pipelines.tablestore import compress_table, verify_table_store
+
+    t0 = time.time()
+    stats = compress_table(args.input, args.out_dir, batch_rows=args.batch_rows)
+    out = {**stats, "sec": round(time.time() - t0, 3)}
+    if args.verify:
+        out["verify"] = verify_table_store(args.input, args.out_dir)
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
 def cmd_word_index(args) -> int:
     ray = _ray()
     from .pipelines.postings import build_word_index
@@ -601,6 +618,16 @@ def main(argv=None) -> int:
     td.add_argument("dest")
     td.add_argument("--columns", default=None)
     td.set_defaults(fn=cmd_table_decode)
+
+    ts = sub.add_parser(
+        "table-store",
+        help="resumable per-column encode with lineage manifest (+--verify)",
+    )
+    ts.add_argument("input")
+    ts.add_argument("out_dir")
+    ts.add_argument("--batch-rows", type=int, default=8192)
+    ts.add_argument("--verify", action="store_true")
+    ts.set_defaults(fn=cmd_table_store)
 
     wi = sub.add_parser(
         "word-index",

@@ -505,6 +505,24 @@ def q_columnar_pruned_read(sf_dir: str):
     return read_encoded_columns(out, ["doc_id", "lang"])
 
 
+def q_columnar_store_roundtrip(sf_dir: str):
+    """The resumable whole-table store end to end: compress documents into
+    a manifest-backed store (pipelines/tablestore.py), run the distributed
+    per-fragment bit-exact verify (raises on mismatch), then stream the
+    decoded table back — the north rule's lineage/resume contract applied
+    to the per-column engine."""
+    import tempfile
+
+    from .tablestore import compress_table, read_table_store, verify_table_store
+
+    out = tempfile.mkdtemp(prefix="columnar_store_")
+    compress_table(f"{sf_dir}/documents.parquet", out)
+    v = verify_table_store(f"{sf_dir}/documents.parquet", out)
+    if not v["ok"]:
+        raise ValueError(f"store verify failed: {v}")
+    return read_table_store(out)
+
+
 def q_columnar_ratio_gate(sf_dir: str):
     """Per-column compression accounting as a boolean gate: documents
     encodes ≥3x overall AND ≥3x on the text column AND strictly smaller
@@ -6531,6 +6549,7 @@ def build_queries() -> dict:
     q["columnar_eq_scan"] = q_columnar_eq_scan
     q["columnar_range_scan"] = q_columnar_range_scan
     q["columnar_pruned_read"] = q_columnar_pruned_read
+    q["columnar_store_roundtrip"] = q_columnar_store_roundtrip
     q["dedup_exact"] = q_dedup_exact
     q["dedup_exact_tokens"] = q_dedup_exact_tokens
     q["dedup_minhash"] = make_dedup("minhash")
@@ -6744,6 +6763,9 @@ def build_oracle_sql() -> dict:
         WHERE event_id BETWEEN 100 AND 900
     """
     sql["columnar_pruned_read"] = "SELECT doc_id, lang FROM documents"
+    sql["columnar_store_roundtrip"] = (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents"
+    )
     sql["columnar_ratio_gate"] = (
         "SELECT CAST(5 AS BIGINT) AS n_columns, (1=1) AS total_ratio_ge_3, "
         "(1=1) AS text_ratio_ge_3, (1=1) AS every_column_smaller"

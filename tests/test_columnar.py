@@ -382,6 +382,64 @@ def test_unsupported_type_raises():
         encode_columns_batch(t)
 
 
+def test_table_store_resume(ray_session, tmp_path):
+    import json
+    import os
+
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        read_table_store,
+        verify_table_store,
+    )
+    from fsst_like_ray.state.manifest import fragment_key
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    rng = np.random.default_rng(4)
+    n = 2000
+    for f in range(3):
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(f * n, (f + 1) * n, dtype=np.int64)),
+                "text": pa.array(
+                    ["fragment %d row %06d lorem ipsum" % (f, i) for i in range(n)]
+                ),
+                "source": pa.array(rng.choice(["web", "books"], n)),
+                "score": pa.array(rng.random(n)),
+            }
+        )
+        pq.write_table(t, src / f"part-{f}.parquet", row_group_size=700)
+
+    stats = compress_table(str(src), out, batch_rows=900)
+    assert stats["fragments"] == 3 and stats["rows"] == 3 * n
+    v = verify_table_store(str(src), out)
+    assert v == {"fragments": 3, "rows": 3 * n, "ok": True}
+    assert read_table_store(out).count() == 3 * n
+
+    # kill-resume contract: an uncommitted fragment (no manifest record,
+    # partial data) is rewritten; committed fragments are never touched
+    frag1 = str(src / "part-1.parquet")
+    key1 = fragment_key(frag1)
+    os.remove(f"{out}/_manifest/{key1}.json")
+    part1 = f"{out}/data/frag={key1}/part-0.parquet"
+    with open(part1, "wb") as fh:
+        fh.write(b"partial garbage")  # simulate a mid-write kill
+    others = [
+        f"{out}/data/frag={fragment_key(str(src / f'part-{i}.parquet'))}/part-0.parquet"
+        for i in (0, 2)
+    ]
+    mtimes = [os.path.getmtime(p) for p in others]
+    compress_table(str(src), out, batch_rows=900)
+    assert [os.path.getmtime(p) for p in others] == mtimes
+    assert verify_table_store(str(src), out)["ok"]
+
+    # lineage record carries per-column scheme + byte accounting
+    rec = json.load(open(f"{out}/_manifest/{key1}.json"))
+    assert set(rec["columns"]) == {"doc_id", "text", "source", "score"}
+    assert rec["encoded_bytes"] < rec["plain_bytes"]
+
+
 def test_dataset_level_roundtrip(ray_session):
     import ray.data
 
