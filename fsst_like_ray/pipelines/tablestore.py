@@ -69,9 +69,16 @@ def _encode_fragment(
             )
             writer = pq.ParquetWriter(out_path, enc.schema)
             writer.write_table(enc)
-    finally:
+        writer.close()
+    except BaseException:
+        # never leave a VALID-LOOKING parquet footer behind a failed
+        # fragment — delete the partial so only the manifest gate decides
+        # what counts as data
         if writer is not None:
             writer.close()
+        if os.path.exists(out_path):
+            os.remove(out_path)
+        raise
     return {
         "rows": n_rows,
         "plain_bytes": sum(a[0] for a in acc.values()),
@@ -172,7 +179,8 @@ def compress_table(
             if ray.is_initialized()
             else 4
         )
-        n_groups = max(1, min(len(round_frags), 4 * ncpu))
+        # wave floor of 16: same straggler-tail bound as compress.py:563
+        n_groups = max(1, min(len(round_frags), max(4 * ncpu, 16)))
         stat_rows = (
             ray.data.range(len(round_frags), override_num_blocks=n_groups)
             .map_batches(
@@ -200,27 +208,83 @@ def compress_table(
 
 
 def read_table_store(out_dir: str):
-    """Encoded store → decoded streaming Dataset."""
-    import ray.data
-
-    return decode_columns_dataset(
-        ray.data.read_parquet(os.path.join(out_dir, "data"))
-    )
-
-
-def verify_table_store(input_path: str | list[str], out_dir: str) -> dict:
-    """Distributed decode-verify: one task per fragment re-reads its source
-    and asserts BIT-exact equality (columnar.assert_bit_equal) against the
-    decoded store partition. Only manifest-committed fragments verify;
-    raises on the first mismatch."""
-    import ray
-    import ray.data
-
-    from .columnar import decode_columns_batch
+    """Encoded store → decoded streaming Dataset. Reads ONLY
+    manifest-committed fragment dirs — a killed run's uncommitted partial
+    never serves as data — with read parallelism floored at cluster width
+    (compress.read_parquet_blocks, same layout contract as read_encoded)."""
+    from .compress import read_parquet_blocks
 
     manifest = Manifest(out_dir)
     done = manifest.completed()
-    fragments = [f for f in discover_fragments(input_path) if f in done]
+    data_dir = os.path.join(out_dir, "data")
+    paths = sorted(
+        os.path.join(data_dir, f"frag={rec['frag_key']}", "part-0.parquet")
+        for rec in done.values()
+    )
+    if not paths:
+        raise FileNotFoundError(
+            f"read_table_store: no committed fragments under {out_dir!r}"
+        )
+    return decode_columns_dataset(read_parquet_blocks(paths))
+
+
+def _zip_compare(src_path: str, enc_path: str, batch_rows: int) -> int:
+    """Stream-compare a source fragment against its decoded store partition
+    with a re-chunking zipper: both sides iterate in batches (the two
+    chunkings need not align) and compare bit-exact heads of min length —
+    peak memory is one batch per side, never the fragment. Returns the
+    verified row count; raises ValueError on any mismatch."""
+    from .columnar import decode_columns_batch
+
+    src_iter = pq.ParquetFile(src_path).iter_batches(batch_size=batch_rows)
+    enc_iter = (
+        decode_columns_batch(pa.Table.from_batches([rb]))
+        for rb in pq.ParquetFile(enc_path).iter_batches(batch_size=batch_rows)
+    )
+    a = b = None
+    rows = 0
+    while True:
+        if a is None or a.num_rows == 0:
+            nxt = next(src_iter, None)
+            a = pa.Table.from_batches([nxt]) if nxt is not None else None
+        if b is None or b.num_rows == 0:
+            b = next(enc_iter, None)
+        a_live = a is not None and a.num_rows > 0
+        b_live = b is not None and b.num_rows > 0
+        if not a_live or not b_live:
+            if a_live != b_live:
+                raise ValueError(
+                    f"row-count mismatch verifying {src_path!r}: "
+                    f"{'source' if a_live else 'store'} has extra rows"
+                )
+            return rows
+        k = min(a.num_rows, b.num_rows)
+        assert_bit_equal(a.slice(0, k), b.slice(0, k))
+        rows += k
+        a, b = a.slice(k), b.slice(k)
+
+
+def verify_table_store(
+    input_path: str | list[str],
+    out_dir: str,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+) -> dict:
+    """Distributed decode-verify: one task per committed fragment
+    stream-compares its source against the decoded store partition
+    (bit-exact, one batch per side in memory). Input fragments WITHOUT a
+    manifest record are reported in ``uncommitted`` and make ``ok`` False
+    — a verify that checked nothing (or skipped a killed run's leftovers)
+    never reports success."""
+    import ray
+    import ray.data
+
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    all_frags = discover_fragments(input_path)
+    fragments = [f for f in all_frags if f in done]
+    uncommitted = len(all_frags) - len(fragments)
+    if not fragments:
+        return {"fragments": 0, "rows": 0, "uncommitted": uncommitted, "ok": False}
     data_dir = os.path.join(out_dir, "data")
     paths_ref = ray.put(fragments)
 
@@ -228,16 +292,15 @@ def verify_table_store(input_path: str | list[str], out_dir: str) -> dict:
         paths = ray.get(paths_ref)
         out = []
         for i in ids["id"].to_pylist():
-            src = pq.read_table(paths[i])
             key = fragment_key(paths[i])
-            enc = pq.read_table(
-                os.path.join(data_dir, f"frag={key}", "part-0.parquet")
-            ).combine_chunks()
-            dec = decode_columns_batch(enc)
-            assert_bit_equal(src, dec)
-            out.append({"rows": src.num_rows, "ok": True})
+            n = _zip_compare(
+                paths[i],
+                os.path.join(data_dir, f"frag={key}", "part-0.parquet"),
+                batch_rows,
+            )
+            out.append({"rows": n})
         return pa.Table.from_pylist(
-            out, schema=pa.schema([("rows", pa.int64()), ("ok", pa.bool_())])
+            out, schema=pa.schema([("rows", pa.int64())])
         )
 
     rows = (
@@ -248,5 +311,6 @@ def verify_table_store(input_path: str | list[str], out_dir: str) -> dict:
     return {
         "fragments": len(fragments),
         "rows": int(sum(r["rows"] for r in rows)),
-        "ok": all(r["ok"] for r in rows),
+        "uncommitted": uncommitted,
+        "ok": uncommitted == 0,
     }

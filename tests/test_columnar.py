@@ -414,7 +414,7 @@ def test_table_store_resume(ray_session, tmp_path):
     stats = compress_table(str(src), out, batch_rows=900)
     assert stats["fragments"] == 3 and stats["rows"] == 3 * n
     v = verify_table_store(str(src), out)
-    assert v == {"fragments": 3, "rows": 3 * n, "ok": True}
+    assert v == {"fragments": 3, "rows": 3 * n, "uncommitted": 0, "ok": True}
     assert read_table_store(out).count() == 3 * n
 
     # kill-resume contract: an uncommitted fragment (no manifest record,
@@ -429,6 +429,11 @@ def test_table_store_resume(ray_session, tmp_path):
         f"{out}/data/frag={fragment_key(str(src / f'part-{i}.parquet'))}/part-0.parquet"
         for i in (0, 2)
     ]
+    # an uncommitted fragment makes verify honest-fail (never vacuous ok),
+    # and the committed-only read path never serves the partial
+    v_partial = verify_table_store(str(src), out)
+    assert v_partial["uncommitted"] == 1 and not v_partial["ok"]
+    assert read_table_store(out).count() == 2 * n
     mtimes = [os.path.getmtime(p) for p in others]
     compress_table(str(src), out, batch_rows=900)
     assert [os.path.getmtime(p) for p in others] == mtimes
