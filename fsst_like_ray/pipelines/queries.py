@@ -6458,6 +6458,7 @@ DRIVER_WINDOW = [
     "decode_selected",
     # whole-table per-column engine (north-rule flagship generalization)
     "columnar_roundtrip_docs",
+    "columnar_store_roundtrip",
     # compressed-domain LIKE engines
     "like_contains",
     "like_kmp",
@@ -6504,7 +6505,6 @@ DRIVER_WINDOW = [
     # relational joins / TPC-H shapes
     "tpch_q1",
     "tpch_q10",
-    "tpch_q4_exists",
     # persisted index, ingestion, multimodal
     "docs_word_search_indexed",
     "ingest_jsonl",

@@ -445,6 +445,60 @@ def test_table_store_resume(ray_session, tmp_path):
     assert rec["encoded_bytes"] < rec["plain_bytes"]
 
 
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _random_table(draw):
+    n = draw(st.integers(min_value=0, max_value=60))
+    opt = lambda s: st.one_of(st.none(), s)
+    i64 = draw(st.lists(opt(st.integers(-(2**63), 2**63 - 1)), min_size=n, max_size=n))
+    f64 = draw(
+        st.lists(
+            # nulls excluded: float columns assert bit-exactness via views
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    txt = draw(st.lists(opt(st.text(max_size=25)), min_size=n, max_size=n))
+    lst = draw(
+        st.lists(
+            opt(st.lists(st.integers(-(2**31), 2**31 - 1), max_size=12)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return pa.table(
+        {
+            "i": pa.array(i64, type=pa.int64()),
+            "f": pa.array(f64, type=pa.float64()),
+            "s": pa.array(txt, type=pa.string()),
+            "l": pa.array(lst, type=pa.list_(pa.int32())),
+        }
+    )
+
+
+@given(t=_random_table())
+@settings(max_examples=40, deadline=None)
+def test_roundtrip_hypothesis(t):
+    """Random schemas/values (full int64 range, NaN/inf floats, unicode
+    strings, ragged nullable lists, empty tables) round-trip bit-exactly,
+    whole and re-sliced."""
+    from fsst_like_ray.pipelines.columnar import assert_bit_equal
+
+    enc = encode_columns_batch(t)
+    dec = decode_columns_batch(enc)
+    assert_bit_equal(t, dec)
+    # null equality separately (assert_bit_equal's float path forbids nulls,
+    # so the composite draws none; validity is still exercised on s/l)
+    for c in ("s", "l"):
+        assert t[c].null_count == dec[c].combine_chunks().null_count
+    if t.num_rows > 3:
+        sl = enc.slice(1, t.num_rows - 2)
+        assert_bit_equal(t.slice(1, t.num_rows - 2), decode_columns_batch(sl))
+
+
 def test_dataset_level_roundtrip(ray_session):
     import ray.data
 
