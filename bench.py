@@ -215,24 +215,37 @@ def run_columnar_table(sf_dir: str) -> dict:
         encode_columns_batch,
     )
 
-    t0 = time.time()
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    import pyarrow.parquet as pq
+    from fsst_like_ray.pipelines.columnar import train_columnar_spec
 
-    def enc_stats(b: pa.Table) -> pa.Table:
-        enc = encode_columns_batch(b)
-        # decode-verify rides the same pass: BIT-exact per column
-        assert_bit_equal(b, decode_columns_batch(enc))
-        return columnar_stats_batch(enc)
+    def run(spec):
+        t0 = time.time()
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
 
-    plain = enc = 0
-    for b in ds.map_batches(
-        enc_stats, batch_format="pyarrow", batch_size=8192
-    ).iter_batches(batch_format="pyarrow"):
-        plain += int(pa.compute.sum(b["plain_nbytes"]).as_py() or 0)
-        enc += int(pa.compute.sum(b["encoded_nbytes"]).as_py() or 0)
+        def enc_stats(b: pa.Table) -> pa.Table:
+            enc = encode_columns_batch(b, spec=spec)
+            # decode-verify rides the same pass: BIT-exact per column
+            assert_bit_equal(b, decode_columns_batch(enc))
+            return columnar_stats_batch(enc)
+
+        plain = enc = 0
+        for b in ds.map_batches(
+            enc_stats, batch_format="pyarrow", batch_size=8192
+        ).iter_batches(batch_format="pyarrow"):
+            plain += int(pa.compute.sum(b["plain_nbytes"]).as_py() or 0)
+            enc += int(pa.compute.sum(b["encoded_nbytes"]).as_py() or 0)
+        return time.time() - t0, round(plain / max(enc, 1), 3)
+
+    auto_sec, ratio = run(None)
+    spec = train_columnar_spec(
+        pq.read_table(f"{sf_dir}/events.parquet").slice(0, 2048)
+    )
+    spec_sec, spec_ratio = run(spec)
     return {
-        "sec": time.time() - t0,
-        "ratio": round(plain / max(enc, 1), 3),
+        "sec": auto_sec,
+        "ratio": ratio,
+        "spec_sec": round(spec_sec, 3),
+        "spec_ratio": spec_ratio,
     }
 
 
@@ -428,6 +441,7 @@ def main():
         queries["window_rolling"] = round(run_window(sf_dir)["sec"], 3)
         col = run_columnar_table(sf_dir)
         queries["columnar_table"] = round(col["sec"], 3)
+        queries["columnar_table_spec"] = col["spec_sec"]
         queries["join_tpch_q3"] = round(run_join_q3(sf_dir)["sec"], 3)
 
         total = sum(queries.values())

@@ -198,7 +198,7 @@ _SEL_ROWS = 32  # strided windows sampled per stream
 
 
 def _encode_stream(
-    v: np.ndarray, codec_names=None
+    v: np.ndarray, codec_names=None, pinned: str | None = None
 ) -> tuple[str, bytes, bytes]:
     """Auto-encode a flat int32 stream as ONE codec row →
     (codec name, state, payload bytes).
@@ -215,6 +215,9 @@ def _encode_stream(
     off = np.array([0, n], dtype=np.int64)
     if n == 0:
         return "plain", b"", b""
+    if pinned is not None:  # spec mode: the choice was trained on a sample
+        state, buf, _po = CODECS[pinned].train_encode(v, off)
+        return pinned, bytes(state), buf.tobytes()
     seg = np.arange(0, n + _SEL_SEG, _SEL_SEG, dtype=np.int64)
     seg = seg[seg < n]
     seg = np.append(seg, n)
@@ -330,9 +333,11 @@ def _plain_nbytes(arr: pa.Array) -> int:
 
 
 def _encode_column(
-    arr: pa.Array, n: int, codec_names=None
+    arr: pa.Array, n: int, codec_names=None, col_spec: dict | None = None
 ) -> tuple[bytes, pa.Array, np.ndarray | None]:
-    """→ (envelope, per-row payload array, per-row counts or None)."""
+    """→ (envelope, per-row payload array, per-row counts or None).
+    ``col_spec`` (from train_columnar_spec) pins this column's choices
+    and skips all selection work."""
     tc, unit, tz = _type_code(arr.type)
     valid = _validity(arr)
     plain = _plain_nbytes(arr)
@@ -360,6 +365,11 @@ def _encode_column(
             name, state, buf, po = "plain", b"", np.zeros(0, np.uint8), np.zeros(
                 n + 1, np.int64
             )
+        elif col_spec is not None:
+            name = col_spec["codec"]
+            state, buf, po = CODECS[name].train_encode(
+                np.ascontiguousarray(vals, np.int32), off
+            )
         else:
             name, _est, state = select_codec(
                 np.ascontiguousarray(vals, np.int32), off, codec_names
@@ -385,7 +395,9 @@ def _encode_column(
             v = np.ascontiguousarray(v, dtype=np.float32).view(np.int32)
         else:
             v = np.ascontiguousarray(v, dtype=np.int32)
-        name, state, payload = _encode_stream(v, codec_names)
+        name, state, payload = _encode_stream(
+            v, codec_names, col_spec["codec"] if col_spec else None
+        )
         # zone map over the stored int32 view (logical values for
         # int/bool/date; bit patterns for float32 — range_scan rejects
         # floats, the fields just keep the layout uniform)
@@ -416,8 +428,12 @@ def _encode_column(
         u = v.view(np.uint64) - np.uint64(base & 0xFFFFFFFFFFFFFFFF)
         lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
         hi = (u >> np.uint64(32)).astype(np.uint32).view(np.int32)
-        lname, lstate, lpay = _encode_stream(lo, codec_names)
-        hname, hstate, hpay = _encode_stream(hi, codec_names)
+        lname, lstate, lpay = _encode_stream(
+            lo, codec_names, col_spec["lo"] if col_spec else None
+        )
+        hname, hstate, hpay = _encode_stream(
+            hi, codec_names, col_spec["hi"] if col_spec else None
+        )
         env = (
             _head(tc, unit, tz, n, valid, plain)
             + struct.pack("<qq", base, vmax)
@@ -435,33 +451,53 @@ def _encode_column(
     data, off = string_buffers(a)
     total = int(off[-1])
 
-    # --- scheme selection (per block, by estimated encoded bytes)
-    est = {S_PLAINB: total + 16}
-    denc = a.dictionary_encode()
-    if isinstance(denc, pa.ChunkedArray):
-        denc = denc.combine_chunks()
-    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
-    dvals = denc.dictionary.cast(pa.large_binary())
-    ddata, doff = string_buffers(dvals)
-    nd = len(dvals)
-    iname0, iest, istate0 = (
-        select_codec(idx, np.array([0, n], dtype=np.int64), codec_names)
-        if n
-        else ("plain", {"plain": 0}, None)
-    )
-    est[S_STRDICT] = int(doff[-1]) + 4 * (nd + 1) + int(min(iest.values())) + 32
-    ftable = None
-    if total:
-        # byte-capped sample → train → sampled-ratio extrapolation. The cap
-        # is on BYTES, not rows: per-row contributions clip at 4 KiB and the
-        # cumulative budget cuts the row set, so one giant document can't
-        # blow the training cost (codecs/auto._sample's skew contract).
-        sdata, soff = _sample_bytes(data, off, FSSTB_SAMPLE_BYTES)
-        ftable = fsstlib.train(sdata, soff)
-        sbuf, _spo = fsstlib.encode(sdata, soff, ftable)
-        sb = max(int(soff[-1]), 1)
-        est[S_FSSTB] = int(len(sbuf) / sb * total) + len(ftable.serialize())
-    scheme = min(est, key=lambda s: (est[s], s))
+    def _dict_parts():
+        denc = a.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+        dvals = denc.dictionary.cast(pa.large_binary())
+        ddata, doff = string_buffers(dvals)
+        return idx, ddata, doff, len(dvals)
+
+    if col_spec is not None:  # spec mode: scheme pinned, no estimation
+        scheme = col_spec["scheme"]
+        ftable = None
+        if scheme == S_FSSTB:
+            shared = col_spec.get("fsst_table")
+            if shared:
+                ftable = fsstlib.SymbolTable.deserialize(bytes(shared))
+            elif total:
+                sdata, soff = _sample_bytes(data, off, FSSTB_SAMPLE_BYTES)
+                ftable = fsstlib.train(sdata, soff)
+            else:
+                scheme = S_PLAINB  # empty block, nothing to train on
+        if scheme == S_STRDICT:
+            idx, ddata, doff, nd = _dict_parts()
+            iname0, istate0 = col_spec.get("idx_codec", "plain"), None
+    else:
+        # --- scheme selection (per block, by estimated encoded bytes)
+        est = {S_PLAINB: total + 16}
+        idx, ddata, doff, nd = _dict_parts()
+        iname0, iest, istate0 = (
+            select_codec(idx, np.array([0, n], dtype=np.int64), codec_names)
+            if n
+            else ("plain", {"plain": 0}, None)
+        )
+        est[S_STRDICT] = int(doff[-1]) + 4 * (nd + 1) + int(min(iest.values())) + 32
+        ftable = None
+        if total:
+            # byte-capped sample → train → sampled-ratio extrapolation. The
+            # cap is on BYTES, not rows: per-row contributions clip at 4 KiB
+            # and the cumulative budget cuts the row set, so one giant
+            # document can't blow the training cost (codecs/auto._sample's
+            # skew contract).
+            sdata, soff = _sample_bytes(data, off, FSSTB_SAMPLE_BYTES)
+            ftable = fsstlib.train(sdata, soff)
+            sbuf, _spo = fsstlib.encode(sdata, soff, ftable)
+            sb = max(int(soff[-1]), 1)
+            est[S_FSSTB] = int(len(sbuf) / sb * total) + len(ftable.serialize())
+        scheme = min(est, key=lambda s: (est[s], s))
 
     if scheme == S_PLAINB:
         body = bytes([S_PLAINB])
@@ -491,8 +527,55 @@ def _encode_column(
     return env, payload, None
 
 
+def train_columnar_spec(sample: pa.Table, codec_names=None) -> dict:
+    """Train a per-column codec SPEC on a bounded sample (north rule:
+    "first train symbol tables / dictionaries on a reservoir sample …
+    then encode"): encode the sample once with full auto-selection, parse
+    the self-describing envelopes back into {column: choice}, and ship
+    that to every block — per-block encode then skips ALL selection work
+    (every-codec estimates + fsstb sample training, the profiled majority
+    of encode cost). Choices pin codec NAMES (and the trained fsst table
+    for fsstb columns); width-trained states still retrain per block, so
+    a block outside the sample's value range stays exact."""
+    enc = encode_columns_batch(sample, codec_names)
+    spec: dict[str, dict] = {}
+    for enc_name in enc.column_names:
+        if not enc_name.endswith("__blk"):
+            continue
+        name = enc_name[: -len("__blk")]
+        env = bytes(enc[enc_name].combine_chunks().dictionary[0].as_py())
+        r = _Reader(env)
+        tc, _unit, _tz, _nb, _valid, _plain = _parse_head(r)
+        if tc in _LIST_FAMILY:
+            cname, _ = r.codec()
+            spec[name] = {"codec": cname}
+        elif tc in _I32_FAMILY:
+            r.take(16)
+            cname, _ = r.codec()
+            spec[name] = {"codec": cname}
+        elif tc in _I64_FAMILY:
+            r.take(16)
+            lname, _ = r.codec()
+            r.b64()
+            hname, _ = r.codec()
+            spec[name] = {"lo": lname, "hi": hname}
+        else:
+            scheme = r.u8()
+            s = {"scheme": scheme}
+            if scheme == S_FSSTB:
+                s["fsst_table"] = r.b32()  # shared symbol table (escape-safe)
+            elif scheme == S_STRDICT:
+                r.u32()  # nd
+                r.b64()  # doff
+                r.b64()  # ddata
+                cname, _ = r.codec()
+                s["idx_codec"] = cname
+            spec[name] = s
+    return spec
+
+
 def encode_columns_batch(
-    batch: pa.Table, codec_names=None
+    batch: pa.Table, codec_names=None, spec: dict | None = None
 ) -> pa.Table:
     """One source block → its per-column-encoded form (see module doc).
     Each ``__blk`` field carries the source type in its Arrow field
@@ -508,7 +591,9 @@ def encode_columns_batch(
         arr = batch[name]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        env, payload, counts = _encode_column(arr, n, codec_names)
+        env, payload, counts = _encode_column(
+            arr, n, codec_names, (spec or {}).get(name)
+        )
         tc, unit, tz = _type_code(arr.type)
         field_meta[f"{name}__blk"] = {
             b"columnar_tc": str(tc).encode(),
@@ -1036,12 +1121,16 @@ def _encoded_field_names(b_or_names, columns) -> list[str]:
     return keep
 
 
-def encode_columns_dataset(ds, codec_names=None, batch_size: int | None = None):
+def encode_columns_dataset(
+    ds, codec_names=None, batch_size: int | None = None, spec: dict | None = None
+):
     """Dataset → per-column-encoded Dataset (streaming map_batches; the
-    per-block codec selection is stateless, so plain tasks suffice)."""
+    per-block codec selection is stateless, so plain tasks suffice).
+    ``spec`` (train_columnar_spec output) pins per-column choices — the
+    sample-trained amortization path for 10^12-sequence jobs."""
     kw = {"batch_size": batch_size} if batch_size else {}
     return ds.map_batches(
-        lambda b: encode_columns_batch(b, codec_names),
+        lambda b: encode_columns_batch(b, codec_names, spec),
         batch_format="pyarrow",
         zero_copy_batch=True,
         **kw,

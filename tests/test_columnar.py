@@ -382,6 +382,45 @@ def test_unsupported_type_raises():
         encode_columns_batch(t)
 
 
+def test_spec_mode_roundtrip():
+    from fsst_like_ray.pipelines.columnar import train_columnar_spec
+
+    t = _wide_table(n=600, null_frac=0.1)
+    spec = train_columnar_spec(t.slice(0, 100))
+    assert set(spec) == set(t.column_names)
+    dec = decode_columns_batch(encode_columns_batch(t, spec=spec))
+    _assert_tables_equal(t, dec)
+
+
+def test_spec_mode_out_of_sample_values():
+    from fsst_like_ray.pipelines.columnar import train_columnar_spec
+
+    # sample sees tiny ints + ASCII; the block brings huge ints and unicode
+    # the sample never saw — pinned codecs retrain per block (widths) and
+    # the shared fsst table escapes unseen bytes, so both stay exact
+    small = pa.table(
+        {
+            "x": pa.array(np.arange(50, dtype=np.int64)),
+            "s": pa.array(["plain ascii %d" % i for i in range(50)]),
+        }
+    )
+    spec = train_columnar_spec(small)
+    wild = pa.table(
+        {
+            "x": pa.array([-(2**62), 2**62, 0, 7], type=pa.int64()),
+            "s": pa.array(["日本語テキスト", "πδλ", "", "\x00\xff bytes"]),
+        }
+    )
+    dec = decode_columns_batch(encode_columns_batch(wild, spec=spec))
+    _assert_tables_equal(wild, dec)
+    if spec["s"].get("fsst_table"):
+        # the text column really rides the SHARED table, not a retrain
+        st = columnar_stats_batch(encode_columns_batch(wild, spec=spec))
+        assert dict(zip(st["column"].to_pylist(), st["scheme"].to_pylist()))[
+            "s"
+        ] in ("fsstb", "plainb", "strdict")
+
+
 def test_table_store_resume(ray_session, tmp_path):
     import json
     import os
