@@ -237,9 +237,10 @@ def run_columnar_table(sf_dir: str) -> dict:
         return time.time() - t0, round(plain / max(enc, 1), 3)
 
     auto_sec, ratio = run(None)
-    spec = train_columnar_spec(
-        pq.read_table(f"{sf_dir}/events.parquet").slice(0, 2048)
+    sample = pa.Table.from_batches(
+        [next(pq.ParquetFile(f"{sf_dir}/events.parquet").iter_batches(2048))]
     )
+    spec = train_columnar_spec(sample)
     spec_sec, spec_ratio = run(spec)
     return {
         "sec": auto_sec,
@@ -439,9 +440,10 @@ def main():
         queries["dedup_minhash"] = round(run_dedup(sf_dir)["sec"], 3)
         queries["ann_topk"] = round(run_ann(sf_dir)["sec"], 3)
         queries["window_rolling"] = round(run_window(sf_dir)["sec"], 3)
+        # spec leg reported OUTSIDE queries: pipeline_suite_sec keeps the
+        # definition the BASELINE records compare against
         col = run_columnar_table(sf_dir)
         queries["columnar_table"] = round(col["sec"], 3)
-        queries["columnar_table_spec"] = col["spec_sec"]
         queries["join_tpch_q3"] = round(run_join_q3(sf_dir)["sec"], 3)
 
         total = sum(queries.values())
@@ -473,6 +475,8 @@ def main():
                         3,
                     ),
                     "columnar_table_ratio": col["ratio"],
+                    "columnar_spec_sec": col["spec_sec"],
+                    "columnar_spec_ratio": col["spec_ratio"],
                     "engine_rank_file": rank_path,
                 }
             )

@@ -466,7 +466,9 @@ def _encode_column(
         if scheme == S_FSSTB:
             shared = col_spec.get("fsst_table")
             if shared:
-                ftable = fsstlib.SymbolTable.deserialize(bytes(shared))
+                # LRU: rebuilding lookup structures costs ~0.8 ms — ~25% of
+                # a whole spec-mode batch encode if paid per block
+                ftable = fsstlib.cached_table(bytes(shared))
             elif total:
                 sdata, soff = _sample_bytes(data, off, FSSTB_SAMPLE_BYTES)
                 ftable = fsstlib.train(sdata, soff)
@@ -527,6 +529,38 @@ def _encode_column(
     return env, payload, None
 
 
+def _read_choices(r: _Reader, tc: int) -> tuple[str, dict]:
+    """Walk an envelope PAST the head and return (scheme label, spec dict)
+    — the one shared reader for 'what was chosen' consumers (stats and
+    spec training). Decode/scan paths keep their own walks: they consume
+    payloads mid-stream."""
+    if tc in _LIST_FAMILY:
+        name, _ = r.codec()
+        return name, {"codec": name}
+    if tc in _I32_FAMILY:
+        r.take(16)  # zone map
+        name, _ = r.codec()
+        return name, {"codec": name}
+    if tc in _I64_FAMILY:
+        r.take(16)  # base/vmin + vmax
+        a, _ = r.codec()
+        r.b64()
+        b, _ = r.codec()
+        return f"{a}+{b}", {"lo": a, "hi": b}
+    scheme = r.u8()
+    label = {S_PLAINB: "plainb", S_FSSTB: "fsstb", S_STRDICT: "strdict"}[scheme]
+    d: dict = {"scheme": scheme}
+    if scheme == S_FSSTB:
+        d["fsst_table"] = r.b32()  # shared symbol table (escape-safe)
+    elif scheme == S_STRDICT:
+        r.u32()  # nd
+        r.b64()  # doff
+        r.b64()  # ddata
+        cname, _ = r.codec()
+        d["idx_codec"] = cname
+    return label, d
+
+
 def train_columnar_spec(sample: pa.Table, codec_names=None) -> dict:
     """Train a per-column codec SPEC on a bounded sample (north rule:
     "first train symbol tables / dictionaries on a reservoir sample …
@@ -546,31 +580,7 @@ def train_columnar_spec(sample: pa.Table, codec_names=None) -> dict:
         env = bytes(enc[enc_name].combine_chunks().dictionary[0].as_py())
         r = _Reader(env)
         tc, _unit, _tz, _nb, _valid, _plain = _parse_head(r)
-        if tc in _LIST_FAMILY:
-            cname, _ = r.codec()
-            spec[name] = {"codec": cname}
-        elif tc in _I32_FAMILY:
-            r.take(16)
-            cname, _ = r.codec()
-            spec[name] = {"codec": cname}
-        elif tc in _I64_FAMILY:
-            r.take(16)
-            lname, _ = r.codec()
-            r.b64()
-            hname, _ = r.codec()
-            spec[name] = {"lo": lname, "hi": hname}
-        else:
-            scheme = r.u8()
-            s = {"scheme": scheme}
-            if scheme == S_FSSTB:
-                s["fsst_table"] = r.b32()  # shared symbol table (escape-safe)
-            elif scheme == S_STRDICT:
-                r.u32()  # nd
-                r.b64()  # doff
-                r.b64()  # ddata
-                cname, _ = r.codec()
-                s["idx_codec"] = cname
-            spec[name] = s
+        _label, spec[name] = _read_choices(r, tc)
     return spec
 
 
@@ -873,20 +883,7 @@ def columnar_stats_batch(batch: pa.Table) -> pa.Table:
                 continue
             r = _Reader(env)
             tc, unit, tz, n_block, _valid, plain = _parse_head(r)
-            if tc in _LIST_FAMILY:
-                scheme, _ = r.codec()
-            elif tc in _I32_FAMILY:
-                r.take(16)  # zone map
-                scheme, _ = r.codec()
-            elif tc in _I64_FAMILY:
-                r.take(16)  # base/vmin + vmax
-                a, _ = r.codec()
-                r.b64()
-                b, _ = r.codec()
-                scheme = f"{a}+{b}"
-            else:
-                s = r.u8()
-                scheme = {S_PLAINB: "plainb", S_FSSTB: "fsstb", S_STRDICT: "strdict"}[s]
+            scheme, _choices = _read_choices(r, tc)
             pay = int((pay_off[sel + 1] - pay_off[sel]).sum())
             frac = len(sel) / max(n_block, 1)
             names.append(name)

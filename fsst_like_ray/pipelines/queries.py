@@ -536,7 +536,9 @@ def q_columnar_spec_roundtrip(sf_dir: str):
         train_columnar_spec,
     )
 
-    sample = pq.read_table(f"{sf_dir}/documents.parquet").slice(0, 64)
+    sample = pa.Table.from_batches(
+        [next(pq.ParquetFile(f"{sf_dir}/documents.parquet").iter_batches(64))]
+    )
     spec = train_columnar_spec(sample)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     return decode_columns_dataset(encode_columns_dataset(ds, spec=spec))

@@ -416,9 +416,10 @@ def test_spec_mode_out_of_sample_values():
     if spec["s"].get("fsst_table"):
         # the text column really rides the SHARED table, not a retrain
         st = columnar_stats_batch(encode_columns_batch(wild, spec=spec))
-        assert dict(zip(st["column"].to_pylist(), st["scheme"].to_pylist()))[
-            "s"
-        ] in ("fsstb", "plainb", "strdict")
+        assert (
+            dict(zip(st["column"].to_pylist(), st["scheme"].to_pylist()))["s"]
+            == "fsstb"
+        )
 
 
 def test_table_store_resume(ray_session, tmp_path):
