@@ -431,7 +431,12 @@ def cmd_table_store(args) -> int:
     from .pipelines.tablestore import compress_table, verify_table_store
 
     t0 = time.time()
-    stats = compress_table(args.input, args.out_dir, batch_rows=args.batch_rows)
+    stats = compress_table(
+        args.input,
+        args.out_dir,
+        batch_rows=args.batch_rows,
+        spec_sample_rows=args.spec_sample,
+    )
     out = {**stats, "sec": round(time.time() - t0, 3)}
     if args.verify:
         out["verify"] = verify_table_store(args.input, args.out_dir)
@@ -627,6 +632,10 @@ def main(argv=None) -> int:
     ts.add_argument("out_dir")
     ts.add_argument("--batch-rows", type=int, default=8192)
     ts.add_argument("--verify", action="store_true")
+    ts.add_argument(
+        "--spec-sample", type=int, default=None,
+        help="train per-column codec spec ONCE on N sample rows (amortized)",
+    )
     ts.set_defaults(fn=cmd_table_store)
 
     wi = sub.add_parser(

@@ -570,7 +570,12 @@ def train_columnar_spec(sample: pa.Table, codec_names=None) -> dict:
     (every-codec estimates + fsstb sample training, the profiled majority
     of encode cost). Choices pin codec NAMES (and the trained fsst table
     for fsstb columns); width-trained states still retrain per block, so
-    a block outside the sample's value range stays exact."""
+    a block outside the sample's value range stays exact.
+
+    Tradeoff: partitions that differ from the sample (other text domain,
+    other value distributions) can compress worse under pinned choices —
+    spec mode trades ratio for encode CPU; keep auto on heterogeneous
+    corpora."""
     enc = encode_columns_batch(sample, codec_names)
     spec: dict[str, dict] = {}
     for enc_name in enc.column_names:

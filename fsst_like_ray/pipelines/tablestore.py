@@ -40,7 +40,11 @@ DEFAULT_BATCH_ROWS = 8192
 
 
 def _encode_fragment(
-    path: str, fdir: str, codec_names=None, batch_rows: int = DEFAULT_BATCH_ROWS
+    path: str,
+    fdir: str,
+    codec_names=None,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+    spec: dict | None = None,
 ) -> dict:
     """Stream one source fragment → one encoded part file + a stats dict."""
     os.makedirs(fdir, exist_ok=True)
@@ -53,7 +57,7 @@ def _encode_fragment(
         batches = pf.iter_batches(batch_size=batch_rows)
         for rb in batches:
             t = pa.Table.from_batches([rb])
-            enc = encode_columns_batch(t, codec_names)
+            enc = encode_columns_batch(t, codec_names, spec)
             if writer is None:
                 writer = pq.ParquetWriter(out_path, enc.schema)
             writer.write_table(enc)
@@ -65,7 +69,7 @@ def _encode_fragment(
                 a[2].add(r["scheme"])
         if writer is None:  # zero-row fragment: keep the (encoded) schema
             enc = encode_columns_batch(
-                pf.schema_arrow.empty_table(), codec_names
+                pf.schema_arrow.empty_table(), codec_names, spec
             )
             writer = pq.ParquetWriter(out_path, enc.schema)
             writer.write_table(enc)
@@ -95,11 +99,14 @@ class _EncodeFragmentsTask:
     sequentially (peak memory = one batch) and returns one stats row per
     fragment. Fragment paths ride the object store once via ray.put."""
 
-    def __init__(self, data_dir: str, paths_ref, codec_names, batch_rows: int):
+    def __init__(
+        self, data_dir: str, paths_ref, codec_names, batch_rows: int, spec=None
+    ):
         self.data_dir = data_dir
         self.paths_ref = paths_ref  # ray.put ONCE; workers read shared memory
         self.codec_names = codec_names
         self.batch_rows = batch_rows
+        self.spec = spec  # small dict; rides the task closure
 
     def __call__(self, ids: pa.Table) -> pa.Table:
         import json
@@ -116,6 +123,7 @@ class _EncodeFragmentsTask:
                 os.path.join(self.data_dir, f"frag={key}"),
                 self.codec_names,
                 self.batch_rows,
+                self.spec,
             )
             rows.append(
                 {
@@ -149,6 +157,7 @@ def compress_table(
     resume: bool = True,
     batch_rows: int = DEFAULT_BATCH_ROWS,
     fragments_per_round: int = 64,
+    spec_sample_rows: int | None = None,
 ) -> dict:
     """Encode every column of a parquet corpus into a resumable store.
 
@@ -166,6 +175,20 @@ def compress_table(
     manifest = Manifest(out_dir)
     pending = manifest.pending(fragments) if resume else fragments
     data_dir = os.path.join(out_dir, "data")
+    spec = None
+    if spec_sample_rows and pending:
+        # trained from the FIRST fragment of the FULL list (not the pending
+        # set) so a resumed run derives the IDENTICAL spec — same contract
+        # as compress.compress_dataset's shared table
+        from .columnar import train_columnar_spec
+
+        first = next(
+            pq.ParquetFile(fragments[0]).iter_batches(spec_sample_rows), None
+        )
+        if first is not None and first.num_rows:
+            spec = train_columnar_spec(
+                pa.Table.from_batches([first]), codec_names
+            )
     for start in range(0, len(pending), fragments_per_round):
         round_frags = pending[start : start + fragments_per_round]
         for f in round_frags:  # clear (by definition uncommitted) partials
@@ -185,7 +208,7 @@ def compress_table(
             ray.data.range(len(round_frags), override_num_blocks=n_groups)
             .map_batches(
                 _EncodeFragmentsTask(
-                    data_dir, paths_ref, codec_names, batch_rows
+                    data_dir, paths_ref, codec_names, batch_rows, spec
                 ),
                 batch_format="pyarrow",
                 batch_size=None,

@@ -484,6 +484,12 @@ def test_table_store_resume(ray_session, tmp_path):
     assert set(rec["columns"]) == {"doc_id", "text", "source", "score"}
     assert rec["encoded_bytes"] < rec["plain_bytes"]
 
+    # spec mode: sample-trained choices, still bit-exact per fragment
+    out2 = str(tmp_path / "out_spec")
+    stats2 = compress_table(str(src), out2, batch_rows=900, spec_sample_rows=256)
+    assert stats2["rows"] == 3 * n
+    assert verify_table_store(str(src), out2)["ok"]
+
 
 from hypothesis import given, settings, strategies as st
 
