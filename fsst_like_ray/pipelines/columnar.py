@@ -1102,6 +1102,104 @@ def range_scan_batch(
     return _decode_survivors(batch, mask, out_columns)
 
 
+def agg_scan_batch(
+    batch: pa.Table, column: str, ops=("min", "max", "sum", "count")
+) -> pa.Table:
+    """Per-batch aggregate partials of an ENCODED integer-logical column.
+    When a block is fully present and null-free, min/max come straight
+    from the envelope's zone map and count from the block header — with
+    ``ops`` excluding "sum", such a block aggregates with ZERO values
+    decoded; sum decodes the (LRU-cached) stream. Partials combine by
+    min/min, max/max, sum/sum, count/count — one tiny row per batch."""
+    want_sum = "sum" in ops
+    gi, envs = _group_indices(batch[f"{column}__blk"])
+    rowidx_all = batch["__rowidx"].to_numpy().astype(np.int64)
+    vmin_acc, vmax_acc, sum_acc, cnt_acc = None, None, 0, 0
+    for k, env in enumerate(envs):
+        env = bytes(env)
+        sel = np.flatnonzero(gi == k)
+        if not len(sel):
+            continue
+        r = _Reader(env)
+        tc, unit, tz, n_block, valid, _plain = _parse_head(r)
+        if tc not in _RANGE_TYPES:
+            raise TypeError(f"agg_scan: column {column!r} is not integer-kind")
+        if tc in _I32_FAMILY:
+            zmin, zmax = struct.unpack("<qq", r.take(16))
+            name, state = r.codec()
+            payload = r.b64()
+
+            def blk():
+                return _decode_stream(name, state, payload, n_block)
+
+        else:
+            zmin = r.i64()
+            zmax = struct.unpack("<q", r.take(8))[0]
+            lname, lstate = r.codec()
+            lpay = r.b64()
+            hname, hstate = r.codec()
+            hpay = r.b64()
+
+            def blk():
+                l32 = _decode_stream(lname, lstate, lpay, n_block).view(np.uint32)
+                h32 = _decode_stream(hname, hstate, hpay, n_block).view(np.uint32)
+                u = l32.astype(np.uint64) | (h32.astype(np.uint64) << np.uint64(32))
+                return (u + np.uint64(zmin & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
+
+        whole = len(sel) == n_block and valid is None
+        if whole and not want_sum:
+            bmin, bmax, n_valid = zmin, zmax, n_block  # zero decode
+        else:
+            v = _cached_block(env, blk)[rowidx_all[sel]].astype(np.int64)
+            if valid is not None:
+                v = v[valid[rowidx_all[sel]]]
+            if not len(v):
+                continue
+            bmin, bmax, n_valid = int(v.min()), int(v.max()), len(v)
+            if want_sum:
+                # overflow-proof exact sum: arithmetic-shift hi + unsigned
+                # lo parts each sum in int64 safely (|hi| <= n*2^31,
+                # lo <= n*2^32, n < 2^30), recombined as python ints
+                lo_sum = int((v & np.int64(0xFFFFFFFF)).sum())
+                hi_sum = int((v >> np.int64(32)).sum())
+                sum_acc += hi_sum * (1 << 32) + lo_sum
+        cnt_acc += n_valid
+        vmin_acc = bmin if vmin_acc is None else min(vmin_acc, bmin)
+        vmax_acc = bmax if vmax_acc is None else max(vmax_acc, bmax)
+    import decimal
+
+    return pa.table(
+        {
+            "vmin": pa.array([vmin_acc], type=pa.int64()),
+            "vmax": pa.array([vmax_acc], type=pa.int64()),
+            # a batch of near-2^62 values legitimately sums past int64 —
+            # the partial rides as decimal128 (exact to ~10^38)
+            "vsum": pa.array(
+                [decimal.Decimal(sum_acc)], type=pa.decimal128(38, 0)
+            ),
+            "cnt": pa.array([cnt_acc], type=pa.int64()),
+        }
+    )
+
+
+def columnar_agg(enc_ds, column: str, ops=("min", "max", "sum", "count")) -> dict:
+    """Dataset-level (min, max, sum, count) over an encoded int column:
+    one partial row per batch crosses the cluster; the driver folds a
+    handful of tiny rows."""
+    vmin = vmax = None
+    vsum = cnt = 0
+    for b in enc_ds.map_batches(
+        lambda t: agg_scan_batch(t, column, ops), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            if row["cnt"]:
+                cnt += row["cnt"]
+                vsum += int(row["vsum"])
+                vmin = row["vmin"] if vmin is None else min(vmin, row["vmin"])
+                vmax = row["vmax"] if vmax is None else max(vmax, row["vmax"])
+    return {"min": vmin, "max": vmax, "sum": vsum, "count": cnt}
+
+
 # ------------------------------------------------------------- datasets
 def _encoded_field_names(b_or_names, columns) -> list[str]:
     names = (

@@ -544,6 +544,27 @@ def q_columnar_spec_roundtrip(sf_dir: str):
     return decode_columns_dataset(encode_columns_dataset(ds, spec=spec))
 
 
+def q_columnar_agg_events(sf_dir: str):
+    """Aggregates over the ENCODED column: per-batch (min,max,sum,count)
+    partials — min/max/count of a full null-free block come straight from
+    the envelope zone map with zero values decoded (pytest-pinned); sum
+    decodes the LRU-cached stream. One tiny partial row per batch crosses
+    the cluster."""
+    from .columnar import columnar_agg, encode_columns_dataset
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    enc = encode_columns_dataset(ds, batch_size=2048)
+    a = columnar_agg(enc, "event_id")
+    return pa.table(
+        {
+            "vmin": pa.array([a["min"]], type=pa.int64()),
+            "vmax": pa.array([a["max"]], type=pa.int64()),
+            "vsum": pa.array([a["sum"]], type=pa.int64()),
+            "cnt": pa.array([a["count"]], type=pa.int64()),
+        }
+    )
+
+
 def q_columnar_ratio_gate(sf_dir: str):
     """Per-column compression accounting as a boolean gate: documents
     encodes ≥3x overall AND ≥3x on the text column AND strictly smaller
@@ -6572,6 +6593,7 @@ def build_queries() -> dict:
     q["columnar_pruned_read"] = q_columnar_pruned_read
     q["columnar_store_roundtrip"] = q_columnar_store_roundtrip
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
+    q["columnar_agg_events"] = q_columnar_agg_events
     q["dedup_exact"] = q_dedup_exact
     q["dedup_exact_tokens"] = q_dedup_exact_tokens
     q["dedup_minhash"] = make_dedup("minhash")
@@ -6791,6 +6813,13 @@ def build_oracle_sql() -> dict:
     sql["columnar_spec_roundtrip"] = (
         "SELECT doc_id, text, lang, source, n_chars FROM documents"
     )
+    sql["columnar_agg_events"] = """
+        SELECT CAST(min(event_id) AS BIGINT) AS vmin,
+               CAST(max(event_id) AS BIGINT) AS vmax,
+               CAST(sum(event_id) AS BIGINT) AS vsum,
+               CAST(count(event_id) AS BIGINT) AS cnt
+        FROM events
+    """
     sql["columnar_ratio_gate"] = (
         "SELECT CAST(5 AS BIGINT) AS n_columns, (1=1) AS total_ratio_ge_3, "
         "(1=1) AS text_ratio_ge_3, (1=1) AS every_column_smaller"

@@ -335,6 +335,57 @@ def test_range_scan_zone_maps():
         )
 
 
+def test_agg_scan():
+    import fsst_like_ray.pipelines.columnar as C
+
+    rng = np.random.default_rng(2)
+    n = 5000
+    ids = rng.integers(-(2**62), 2**62, n)
+    t = pa.table(
+        {
+            "x": pa.array(ids, type=pa.int64()),
+            "y": pa.array(rng.integers(0, 1000, n).astype(np.int32)),
+            "xn": pa.array(
+                [None if i % 7 == 0 else int(v) for i, v in enumerate(ids)],
+                type=pa.int64(),
+            ),
+        }
+    )
+    enc = C.encode_columns_batch(t)
+    out = C.agg_scan_batch(enc, "x").to_pylist()[0]
+    assert out["vmin"] == ids.min() and out["vmax"] == ids.max()
+    # python-int expected sum: near-2^62 values overflow a naive int64 sum
+    assert int(out["vsum"]) == sum(int(v) for v in ids) and out["cnt"] == n
+
+    # zero-decode claim: min/max/count of full null-free blocks must not
+    # touch _decode_stream at all
+    calls = []
+    orig = C._decode_stream
+    C._decode_stream = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    try:
+        C._BLK_CACHE.clear()
+        out2 = C.agg_scan_batch(enc, "x", ops=("min", "max", "count")).to_pylist()[0]
+    finally:
+        C._decode_stream = orig
+    assert not calls and out2["vmin"] == ids.min() and out2["cnt"] == n
+
+    # nulls excluded exactly (decode path)
+    exp = [int(v) for i, v in enumerate(ids) if i % 7]
+    o3 = C.agg_scan_batch(enc, "xn").to_pylist()[0]
+    assert o3["cnt"] == len(exp) and int(o3["vsum"]) == sum(exp)
+    assert o3["vmin"] == min(exp) and o3["vmax"] == max(exp)
+
+    # partial block: the zone map is a superset, so the decode path runs
+    sl = enc.slice(100, 700)
+    o5 = C.agg_scan_batch(sl, "x").to_pylist()[0]
+    assert o5["vmin"] == ids[100:800].min() and o5["cnt"] == 700
+
+    with pytest.raises(TypeError):
+        C.agg_scan_batch(
+            encode_columns_batch(pa.table({"s": pa.array(["a"])})), "s"
+        )
+
+
 def test_range_scan_nulls():
     from fsst_like_ray.pipelines.columnar import range_scan_batch
 
