@@ -1200,6 +1200,89 @@ def columnar_agg(enc_ds, column: str, ops=("min", "max", "sum", "count")) -> dic
     return {"min": vmin, "max": vmax, "sum": vsum, "count": cnt}
 
 
+def group_count_batch(batch: pa.Table, column: str) -> pa.Table:
+    """Per-batch GROUP BY count over an ENCODED string column. strdict
+    blocks never materialize a string: counts come from a bincount over
+    the (LRU-cached) index stream, keyed by the per-block dictionary's
+    raw bytes. fsstb/plainb blocks fall back to decoding just this
+    column. Emits (value, n) partial rows — combine with one tiny
+    groupby-sum downstream."""
+    gi, envs = _group_indices(batch[f"{column}__blk"])
+    pay_buf, pay_off = _binary_buffers(batch[f"{column}__payload"])
+    rowidx_all = batch["__rowidx"].to_numpy().astype(np.int64)
+    counts: dict[bytes, int] = {}
+    for k, env in enumerate(envs):
+        env = bytes(env)
+        sel = np.flatnonzero(gi == k)
+        if not len(sel):
+            continue
+        r = _Reader(env)
+        tc, unit, tz, n_block, valid, _plain = _parse_head(r)
+        if tc not in _STR_FAMILY:
+            raise TypeError(f"group_count: column {column!r} is not string-kind")
+        scheme = r.u8()
+        vmask = valid[rowidx_all[sel]] if valid is not None else None
+        if scheme == S_STRDICT:
+            nd = r.u32()
+            doff = np.frombuffer(r.b64(), dtype=np.uint32).astype(np.int64)
+            ddata = np.frombuffer(r.b64(), dtype=np.uint8)
+            iname, istate = r.codec()
+            ipay = r.b64()
+            idx = _cached_block(
+                env, lambda: _decode_stream(iname, istate, ipay, n_block)
+            )[rowidx_all[sel]]
+            if vmask is not None:
+                idx = idx[vmask]
+            bc = np.bincount(idx, minlength=nd)
+            for j in np.flatnonzero(bc):
+                key = ddata[doff[j] : doff[j + 1]].tobytes()
+                counts[key] = counts.get(key, 0) + int(bc[j])
+        else:
+            if scheme == S_FSSTB:
+                table = fsstlib.cached_table(bytes(r.b32()))
+                lens = (pay_off[sel + 1] - pay_off[sel]).astype(np.int64)
+                dense, dpo = _gather_bytes(pay_buf, pay_off[sel], lens)
+                data, off = fsstlib.decode(dense, dpo, table)
+            else:  # S_PLAINB
+                lens = (pay_off[sel + 1] - pay_off[sel]).astype(np.int64)
+                data, off = _gather_bytes(pay_buf, pay_off[sel], lens)
+            arr = _binary_from(data, off, vmask)
+            vc = pc.value_counts(arr.cast(pa.large_binary()))
+            for item in vc:
+                val = item["values"].as_py()
+                if val is None:
+                    continue
+                counts[val] = counts.get(val, 0) + int(item["counts"].as_py())
+    return pa.table(
+        {
+            "value": pa.array(list(counts.keys()), type=pa.large_binary()),
+            "n": pa.array(list(counts.values()), type=pa.int64()),
+        }
+    )
+
+
+def columnar_group_count(enc_ds, column: str) -> pa.Table:
+    """Dataset-level GROUP BY count over an encoded string column: one
+    (value, n) partial row per distinct value per batch crosses the
+    cluster; the driver folds partials (bounded by the column's
+    cardinality, which for a groupable column is small by contract)."""
+    acc: dict[bytes, int] = {}
+    for b in enc_ds.map_batches(
+        lambda t: group_count_batch(t, column), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            acc[row["value"]] = acc.get(row["value"], 0) + int(row["n"])
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "value": pa.array(
+                [k.decode("utf-8", "replace") for k in keys], type=pa.string()
+            ),
+            "n": pa.array([acc[k] for k in keys], type=pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------------- datasets
 def _encoded_field_names(b_or_names, columns) -> list[str]:
     names = (

@@ -565,6 +565,19 @@ def q_columnar_agg_events(sf_dir: str):
     )
 
 
+def q_columnar_group_count(sf_dir: str):
+    """Compressed-domain GROUP BY count: strdict blocks bincount their
+    (cached) index stream keyed by the per-block dictionary bytes — no
+    string materializes; partials fold driver-side bounded by the
+    column's cardinality."""
+    from .columnar import columnar_group_count, encode_columns_dataset
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    enc = encode_columns_dataset(ds)
+    out = columnar_group_count(enc, "source")
+    return out.rename_columns(["source", "n"])
+
+
 def q_columnar_ratio_gate(sf_dir: str):
     """Per-column compression accounting as a boolean gate: documents
     encodes ≥3x overall AND ≥3x on the text column AND strictly smaller
@@ -6594,6 +6607,7 @@ def build_queries() -> dict:
     q["columnar_store_roundtrip"] = q_columnar_store_roundtrip
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["columnar_agg_events"] = q_columnar_agg_events
+    q["columnar_group_count"] = q_columnar_group_count
     q["dedup_exact"] = q_dedup_exact
     q["dedup_exact_tokens"] = q_dedup_exact_tokens
     q["dedup_minhash"] = make_dedup("minhash")
@@ -6813,6 +6827,10 @@ def build_oracle_sql() -> dict:
     sql["columnar_spec_roundtrip"] = (
         "SELECT doc_id, text, lang, source, n_chars FROM documents"
     )
+    sql["columnar_group_count"] = """
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+        WHERE source IS NOT NULL GROUP BY source
+    """
     sql["columnar_agg_events"] = """
         SELECT CAST(min(event_id) AS BIGINT) AS vmin,
                CAST(max(event_id) AS BIGINT) AS vmax,

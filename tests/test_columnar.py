@@ -386,6 +386,44 @@ def test_agg_scan():
         )
 
 
+def test_group_count():
+    import collections
+
+    import fsst_like_ray.pipelines.columnar as C
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    src = rng.choice(["web", "books", "code"], n)
+    srcn = [None if i % 13 == 0 else s for i, s in enumerate(src)]
+    t = pa.table(
+        {
+            "source": pa.array(srcn, type=pa.string()),
+            "text": pa.array(["unique doc %06d body" % i for i in range(n)]),
+        }
+    )
+    enc = C.encode_columns_batch(t)
+    got = {
+        r["value"].decode(): r["n"]
+        for r in C.group_count_batch(enc, "source").to_pylist()
+    }
+    assert got == dict(collections.Counter(s for s in srcn if s is not None))
+    # strdict path is decode-free for the VALUES: it bincounts the cached
+    # index stream (unique-text fsstb column takes the decode fallback)
+    o2 = C.group_count_batch(enc, "text").to_pylist()
+    assert len(o2) == n and all(r["n"] == 1 for r in o2)
+    o3 = {
+        r["value"].decode(): r["n"]
+        for r in C.group_count_batch(enc.slice(13, 700), "source").to_pylist()
+    }
+    assert o3 == dict(
+        collections.Counter(s for s in srcn[13:713] if s is not None)
+    )
+    with pytest.raises(TypeError):
+        C.group_count_batch(
+            encode_columns_batch(pa.table({"x": pa.array([1])})), "x"
+        )
+
+
 def test_range_scan_nulls():
     from fsst_like_ray.pipelines.columnar import range_scan_batch
 
