@@ -703,6 +703,52 @@ def _binary_from(
     )
 
 
+def _int_block_reader(r: _Reader, tc: int, n_block: int):
+    """(zmin, zmax, blk) for an int-family envelope positioned past the
+    head — THE one walk of the numeric body (decode, range scan and
+    aggregate paths all consume it; a layout change edits one place).
+    ``blk()`` decodes the whole block's logical int stream; callers LRU it
+    via ``_cached_block(env, blk)``."""
+    if tc in _I32_FAMILY:
+        zmin, zmax = struct.unpack("<qq", r.take(16))
+        name, state = r.codec()
+        payload = r.b64()
+
+        def blk():
+            return _decode_stream(name, state, payload, n_block)
+
+        return zmin, zmax, blk
+    zmin = r.i64()
+    zmax = struct.unpack("<q", r.take(8))[0]
+    lname, lstate = r.codec()
+    lpay = r.b64()
+    hname, hstate = r.codec()
+    hpay = r.b64()
+
+    def blk():
+        lo = _decode_stream(lname, lstate, lpay, n_block).view(np.uint32)
+        hi = _decode_stream(hname, hstate, hpay, n_block).view(np.uint32)
+        u = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+        return (u + np.uint64(zmin & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
+
+    return zmin, zmax, blk
+
+
+def _strdict_reader(r: _Reader, n_block: int):
+    """(nd, doff, ddata, idx_blk) for a strdict envelope positioned past
+    the scheme byte — the one walk of the strdict body."""
+    nd = r.u32()
+    doff = np.frombuffer(r.b64(), dtype=np.uint32).astype(np.int64)
+    ddata = np.frombuffer(r.b64(), dtype=np.uint8)
+    iname, istate = r.codec()
+    ipay = r.b64()
+
+    def idx_blk():
+        return _decode_stream(iname, istate, ipay, n_block)
+
+    return nd, doff, ddata, idx_blk
+
+
 def _decode_segment(
     env: bytes,
     rowidx: np.ndarray,
@@ -742,11 +788,8 @@ def _decode_segment(
         return cls.from_arrays(offs, child, mask=mask)
 
     if tc in _I32_FAMILY:
-        r.take(16)  # zone map (vmin, vmax) — scan-path only
-        name, state = r.codec()
-        payload = r.b64()
-        full = _cached_block(env, lambda: _decode_stream(name, state, payload, n_block))
-        v = full[rowidx]
+        _zmin, _zmax, blk = _int_block_reader(r, tc, n_block)
+        v = _cached_block(env, blk)[rowidx]
         mask = None if vseg is None else ~vseg
         if tc == T_FLOAT32:
             return pa.array(v.view(np.float32), type=pa.float32(), mask=mask)
@@ -756,19 +799,7 @@ def _decode_segment(
         return arr.cast(t) if tc == T_DATE32 else arr
 
     if tc in _I64_FAMILY:
-        base = r.i64()
-        r.take(8)  # zone-map vmax (base is vmin)
-        lname, lstate = r.codec()
-        lpay = r.b64()
-        hname, hstate = r.codec()
-        hpay = r.b64()
-
-        def blk():
-            lo = _decode_stream(lname, lstate, lpay, n_block).view(np.uint32)
-            hi = _decode_stream(hname, hstate, hpay, n_block).view(np.uint32)
-            u = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
-            return (u + np.uint64(base & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
-
+        _zmin, _zmax, blk = _int_block_reader(r, tc, n_block)
         v = _cached_block(env, blk)[rowidx]
         mask = None if vseg is None else ~vseg
         if tc == T_FLOAT64:
@@ -785,14 +816,8 @@ def _decode_segment(
         data, off = fsstlib.decode(pay_buf, pay_off, table)
         out = _binary_from(data, off, vseg)
     else:  # S_STRDICT
-        nd = r.u32()
-        doff = np.frombuffer(r.b64(), dtype=np.uint32).astype(np.int64)
-        ddata = np.frombuffer(r.b64(), dtype=np.uint8)
-        iname, istate = r.codec()
-        ipay = r.b64()
-        idx = _cached_block(
-            env, lambda: _decode_stream(iname, istate, ipay, n_block)
-        )[rowidx]
+        _nd, doff, ddata, idx_blk = _strdict_reader(r, n_block)
+        idx = _cached_block(env, idx_blk)[rowidx]
         data, off = _gather_bytes(
             ddata, doff[idx], (doff[idx + 1] - doff[idx]).astype(np.int64)
         )
@@ -936,9 +961,7 @@ def eq_scan_batch(
             raise TypeError(f"eq_scan: column {column!r} is not string-kind")
         scheme = r.u8()
         if scheme == S_STRDICT:
-            nd = r.u32()
-            doff = np.frombuffer(r.b64(), dtype=np.uint32).astype(np.int64)
-            ddata = np.frombuffer(r.b64(), dtype=np.uint8)
+            nd, doff, ddata, idx_blk = _strdict_reader(r, n_block)
             target = -1
             vb = np.frombuffer(value, dtype=np.uint8)
             for j in range(nd):  # bounded by dictionary size, not rows
@@ -950,11 +973,7 @@ def eq_scan_batch(
                     break
             if target < 0:
                 continue
-            iname, istate = r.codec()
-            ipay = r.b64()
-            idx = _cached_block(
-                env, lambda: _decode_stream(iname, istate, ipay, n_block)
-            )
+            idx = _cached_block(env, idx_blk)
             m = idx[rowidx_all[sel]] == target
         else:
             if scheme == S_FSSTB:
@@ -1061,28 +1080,7 @@ def range_scan_batch(
             raise TypeError(
                 f"range_scan: column {column!r} is not integer-kind"
             )
-        if tc in _I32_FAMILY:
-            vmin, vmax = struct.unpack("<qq", r.take(16))
-            name, state = r.codec()
-            payload = r.b64()
-
-            def blk():
-                return _decode_stream(name, state, payload, n_block)
-
-        else:
-            vmin = r.i64()
-            vmax = struct.unpack("<q", r.take(8))[0]
-            lname, lstate = r.codec()
-            lpay = r.b64()
-            hname, hstate = r.codec()
-            hpay = r.b64()
-
-            def blk():
-                l32 = _decode_stream(lname, lstate, lpay, n_block).view(np.uint32)
-                h32 = _decode_stream(hname, hstate, hpay, n_block).view(np.uint32)
-                u = l32.astype(np.uint64) | (h32.astype(np.uint64) << np.uint64(32))
-                return (u + np.uint64(vmin & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
-
+        vmin, vmax, blk = _int_block_reader(r, tc, n_block)
         if (lo is not None and vmax < lo) or (hi is not None and vmin > hi):
             skipped += 1
             continue
@@ -1124,38 +1122,28 @@ def agg_scan_batch(
         tc, unit, tz, n_block, valid, _plain = _parse_head(r)
         if tc not in _RANGE_TYPES:
             raise TypeError(f"agg_scan: column {column!r} is not integer-kind")
-        if tc in _I32_FAMILY:
-            zmin, zmax = struct.unpack("<qq", r.take(16))
-            name, state = r.codec()
-            payload = r.b64()
-
-            def blk():
-                return _decode_stream(name, state, payload, n_block)
-
-        else:
-            zmin = r.i64()
-            zmax = struct.unpack("<q", r.take(8))[0]
-            lname, lstate = r.codec()
-            lpay = r.b64()
-            hname, hstate = r.codec()
-            hpay = r.b64()
-
-            def blk():
-                l32 = _decode_stream(lname, lstate, lpay, n_block).view(np.uint32)
-                h32 = _decode_stream(hname, hstate, hpay, n_block).view(np.uint32)
-                u = l32.astype(np.uint64) | (h32.astype(np.uint64) << np.uint64(32))
-                return (u + np.uint64(zmin & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
-
+        zmin, zmax, blk = _int_block_reader(r, tc, n_block)
+        need_minmax = "min" in ops or "max" in ops
         whole = len(sel) == n_block and valid is None
-        if whole and not want_sum:
-            bmin, bmax, n_valid = zmin, zmax, n_block  # zero decode
+        bmin = bmax = None
+        if not want_sum and (whole or not need_minmax):
+            # header/bitmap-only: zero values decode — count comes from
+            # the selection length (or the validity bitmap), min/max from
+            # the zone map when the whole null-free block is present
+            n_valid = (
+                len(sel) if valid is None else int(valid[rowidx_all[sel]].sum())
+            )
+            if need_minmax:
+                bmin, bmax = zmin, zmax
         else:
             v = _cached_block(env, blk)[rowidx_all[sel]].astype(np.int64)
             if valid is not None:
                 v = v[valid[rowidx_all[sel]]]
             if not len(v):
                 continue
-            bmin, bmax, n_valid = int(v.min()), int(v.max()), len(v)
+            n_valid = len(v)
+            if need_minmax:
+                bmin, bmax = int(v.min()), int(v.max())
             if want_sum:
                 # overflow-proof exact sum: arithmetic-shift hi + unsigned
                 # lo parts each sum in int64 safely (|hi| <= n*2^31,
@@ -1164,8 +1152,9 @@ def agg_scan_batch(
                 hi_sum = int((v >> np.int64(32)).sum())
                 sum_acc += hi_sum * (1 << 32) + lo_sum
         cnt_acc += n_valid
-        vmin_acc = bmin if vmin_acc is None else min(vmin_acc, bmin)
-        vmax_acc = bmax if vmax_acc is None else max(vmax_acc, bmax)
+        if bmin is not None:
+            vmin_acc = bmin if vmin_acc is None else min(vmin_acc, bmin)
+            vmax_acc = bmax if vmax_acc is None else max(vmax_acc, bmax)
     import decimal
 
     return pa.table(
@@ -1197,7 +1186,18 @@ def columnar_agg(enc_ds, column: str, ops=("min", "max", "sum", "count")) -> dic
                 vsum += int(row["vsum"])
                 vmin = row["vmin"] if vmin is None else min(vmin, row["vmin"])
                 vmax = row["vmax"] if vmax is None else max(vmax, row["vmax"])
-    return {"min": vmin, "max": vmax, "sum": vsum, "count": cnt}
+    # only the REQUESTED aggregates appear: a sum nobody asked for would
+    # read as a (fabricated) 0 indistinguishable from a true zero sum
+    out = {}
+    if "min" in ops:
+        out["min"] = vmin
+    if "max" in ops:
+        out["max"] = vmax
+    if "sum" in ops:
+        out["sum"] = vsum
+    if "count" in ops:
+        out["count"] = cnt
+    return out
 
 
 def group_count_batch(batch: pa.Table, column: str) -> pa.Table:
@@ -1211,6 +1211,7 @@ def group_count_batch(batch: pa.Table, column: str) -> pa.Table:
     pay_buf, pay_off = _binary_buffers(batch[f"{column}__payload"])
     rowidx_all = batch["__rowidx"].to_numpy().astype(np.int64)
     counts: dict[bytes, int] = {}
+    is_text = True
     for k, env in enumerate(envs):
         env = bytes(env)
         sel = np.flatnonzero(gi == k)
@@ -1220,17 +1221,12 @@ def group_count_batch(batch: pa.Table, column: str) -> pa.Table:
         tc, unit, tz, n_block, valid, _plain = _parse_head(r)
         if tc not in _STR_FAMILY:
             raise TypeError(f"group_count: column {column!r} is not string-kind")
+        is_text &= tc in (T_STRING, T_LARGE_STRING)
         scheme = r.u8()
         vmask = valid[rowidx_all[sel]] if valid is not None else None
         if scheme == S_STRDICT:
-            nd = r.u32()
-            doff = np.frombuffer(r.b64(), dtype=np.uint32).astype(np.int64)
-            ddata = np.frombuffer(r.b64(), dtype=np.uint8)
-            iname, istate = r.codec()
-            ipay = r.b64()
-            idx = _cached_block(
-                env, lambda: _decode_stream(iname, istate, ipay, n_block)
-            )[rowidx_all[sel]]
+            nd, doff, ddata, idx_blk = _strdict_reader(r, n_block)
+            idx = _cached_block(env, idx_blk)[rowidx_all[sel]]
             if vmask is not None:
                 idx = idx[vmask]
             bc = np.bincount(idx, minlength=nd)
@@ -1257,6 +1253,9 @@ def group_count_batch(batch: pa.Table, column: str) -> pa.Table:
         {
             "value": pa.array(list(counts.keys()), type=pa.large_binary()),
             "n": pa.array(list(counts.values()), type=pa.int64()),
+            # one scalar rides per row: lets the combiner know whether the
+            # source column was utf-8 text (string family) or raw binary
+            "is_text": pa.array([is_text] * len(counts), type=pa.bool_()),
         }
     )
 
@@ -1265,19 +1264,26 @@ def columnar_group_count(enc_ds, column: str) -> pa.Table:
     """Dataset-level GROUP BY count over an encoded string column: one
     (value, n) partial row per distinct value per batch crosses the
     cluster; the driver folds partials (bounded by the column's
-    cardinality, which for a groupable column is small by contract)."""
+    cardinality, which for a groupable column is small by contract).
+    Keys decode to utf-8 ONLY for string-family columns — binary columns
+    keep large_binary keys (a lossy decode would merge distinct groups)."""
     acc: dict[bytes, int] = {}
+    text = True
     for b in enc_ds.map_batches(
         lambda t: group_count_batch(t, column), batch_format="pyarrow"
     ).iter_batches(batch_format="pyarrow"):
         for row in b.to_pylist():
             acc[row["value"]] = acc.get(row["value"], 0) + int(row["n"])
+            text &= bool(row["is_text"])
     keys = sorted(acc)
+    vals = (
+        pa.array([k.decode() for k in keys], type=pa.string())
+        if text
+        else pa.array(keys, type=pa.large_binary())
+    )
     return pa.table(
         {
-            "value": pa.array(
-                [k.decode("utf-8", "replace") for k in keys], type=pa.string()
-            ),
+            "value": vals,
             "n": pa.array([acc[k] for k in keys], type=pa.int64()),
         }
     )

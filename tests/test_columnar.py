@@ -423,6 +423,42 @@ def test_group_count():
             encode_columns_batch(pa.table({"x": pa.array([1])})), "x"
         )
 
+    # binary columns keep BINARY keys: a lossy utf-8 decode would merge
+    # distinct non-utf8 groups into one replacement-char bucket
+    tb = pa.table(
+        {"b": pa.array([b"\xff"] * 3 + [b"\xfe"] * 2 + [b"ok"], type=pa.binary())}
+    )
+    encb = C.encode_columns_batch(tb)
+    part = C.group_count_batch(encb, "b")
+    assert not part["is_text"].to_pylist()[0]
+    got_b = {r["value"]: r["n"] for r in part.to_pylist()}
+    assert got_b == {b"\xff": 3, b"\xfe": 2, b"ok": 1}
+
+
+def test_agg_count_only_never_decodes():
+    import fsst_like_ray.pipelines.columnar as C
+
+    t = pa.table(
+        {"x": pa.array([1, None, 3, None, 5] * 100, type=pa.int64())}
+    )
+    enc = C.encode_columns_batch(t)
+    calls = []
+    orig = C._decode_stream
+    C._decode_stream = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    try:
+        C._BLK_CACHE.clear()
+        # count-only over a NULL-carrying block: bitmap answers it
+        out = C.agg_scan_batch(enc, "x", ops=("count",)).to_pylist()[0]
+        # ...even for a partial slice of the block
+        out2 = C.agg_scan_batch(enc.slice(10, 200), "x", ops=("count",)).to_pylist()[0]
+    finally:
+        C._decode_stream = orig
+    assert not calls
+    assert out["cnt"] == 300 and out2["cnt"] == 120
+    # unrequested aggregates are absent, not fabricated zeros
+    assert out["vmin"] is None and out["vsum"] == 0  # partial row padding
+
+
 
 def test_range_scan_nulls():
     from fsst_like_ray.pipelines.columnar import range_scan_batch
