@@ -6514,6 +6514,7 @@ DRIVER_WINDOW = [
     # whole-table per-column engine (north-rule flagship generalization)
     "columnar_roundtrip_docs",
     "columnar_store_roundtrip",
+    "columnar_range_scan",
     # compressed-domain LIKE engines
     "like_contains",
     "like_kmp",
@@ -6556,7 +6557,6 @@ DRIVER_WINDOW = [
     "events_hourly_ohlc",
     "events_asof",
     "events_range_join",
-    "events_max_concurrent",
     # relational joins / TPC-H shapes
     "tpch_q1",
     "tpch_q10",
