@@ -251,40 +251,190 @@ def read_table_store(out_dir: str):
     return decode_columns_dataset(read_parquet_blocks(paths))
 
 
-def _zip_compare(src_path: str, enc_path: str, batch_rows: int) -> int:
-    """Stream-compare a source fragment against its decoded store partition
-    with a re-chunking zipper: both sides iterate in batches (the two
-    chunkings need not align) and compare bit-exact heads of min length —
-    peak memory is one batch per side, never the fragment. Returns the
-    verified row count; raises ValueError on any mismatch."""
+def transcode_table_store(
+    src_out: str,
+    dst_out: str,
+    codec_names=None,
+    spec: dict | None = None,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+    resume: bool = True,
+) -> dict:
+    """Re-encode a committed store WITHOUT its source (codec upgrade /
+    spec switch), fragment by fragment: stream-decode each committed src
+    partition, encode with the new choices, write the dst store, and
+    SELF-VERIFY — the dst fragment must stream-compare bit-exact against
+    the decoded src partition and match the src lineage row count before
+    its manifest record commits (compress.transcode_encoded's contract on
+    the whole-table layout)."""
+    import json
+
+    import ray
+    import ray.data
+
     from .columnar import decode_columns_batch
 
-    src_iter = pq.ParquetFile(src_path).iter_batches(batch_size=batch_rows)
-    enc_iter = (
-        decode_columns_batch(pa.Table.from_batches([rb]))
-        for rb in pq.ParquetFile(enc_path).iter_batches(batch_size=batch_rows)
-    )
+    src_manifest = Manifest(src_out)
+    done = src_manifest.completed()
+    if not done:
+        raise FileNotFoundError(f"transcode: no committed fragments in {src_out!r}")
+    dst_manifest = Manifest(dst_out)
+    dst_data = os.path.join(dst_out, "data")
+    recs = sorted(done.values(), key=lambda rec: rec["frag_key"])
+    pending = [
+        rec
+        for rec in recs
+        if not resume or rec["fragment"] not in dst_manifest.completed()
+    ]
+    for rec in pending:
+        shutil.rmtree(
+            os.path.join(dst_data, f"frag={rec['frag_key']}"), ignore_errors=True
+        )
+    recs_ref = ray.put(pending)
+    src_data = os.path.join(src_out, "data")
+
+    def work(ids: pa.Table) -> pa.Table:
+        out = []
+        for i in ids["id"].to_pylist():
+            rec = ray.get(recs_ref)[i]
+            key = rec["frag_key"]
+            src_part = os.path.join(src_data, f"frag={key}", "part-0.parquet")
+            fdir = os.path.join(dst_data, f"frag={key}")
+            os.makedirs(fdir, exist_ok=True)
+            dst_part = os.path.join(fdir, "part-0.parquet")
+            writer = None
+            n_rows = 0
+            enc_bytes = 0
+            try:
+                for rb in pq.ParquetFile(src_part).iter_batches(batch_rows):
+                    dec = decode_columns_batch(pa.Table.from_batches([rb]))
+                    enc = encode_columns_batch(dec, codec_names, spec)
+                    if writer is None:
+                        writer = pq.ParquetWriter(dst_part, enc.schema)
+                    writer.write_table(enc)
+                    n_rows += dec.num_rows
+                    enc_bytes += sum(
+                        int(r["encoded_nbytes"])
+                        for r in columnar_stats_batch(enc).to_pylist()
+                    )
+                if writer is None:
+                    dec = decode_columns_batch(
+                        pq.read_table(src_part).combine_chunks()
+                    )
+                    enc = encode_columns_batch(dec, codec_names, spec)
+                    writer = pq.ParquetWriter(dst_part, enc.schema)
+                    writer.write_table(enc)
+                writer.close()
+            except BaseException:
+                if writer is not None:
+                    writer.close()
+                if os.path.exists(dst_part):
+                    os.remove(dst_part)
+                raise
+            if n_rows != rec["rows"]:
+                raise ValueError(
+                    f"transcode row mismatch for {key}: {n_rows} vs lineage "
+                    f"{rec['rows']}"
+                )
+            # bit-exact self-verify: decoded dst vs decoded src, streaming
+            n_v = _zip_compare_decoded(src_part, dst_part, batch_rows)
+            if n_v != n_rows:
+                raise ValueError(f"transcode verify count mismatch for {key}")
+            out.append(
+                {
+                    "fragment": rec["fragment"],
+                    "frag_key": key,
+                    "rows": n_rows,
+                    "plain_bytes": int(rec["plain_bytes"]),
+                    "encoded_bytes": enc_bytes,
+                    "columns_json": json.dumps({}),
+                }
+            )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [
+                    ("fragment", pa.string()),
+                    ("frag_key", pa.string()),
+                    ("rows", pa.int64()),
+                    ("plain_bytes", pa.int64()),
+                    ("encoded_bytes", pa.int64()),
+                    ("columns_json", pa.string()),
+                ]
+            ),
+        )
+
+    if pending:
+        rows = (
+            ray.data.range(len(pending), override_num_blocks=max(1, len(pending)))
+            .map_batches(work, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+        for r in rows:
+            dst_manifest.commit(
+                {
+                    "fragment": r["fragment"],
+                    "frag_key": r["frag_key"],
+                    "rows": int(r["rows"]),
+                    "plain_bytes": int(r["plain_bytes"]),
+                    "encoded_bytes": int(r["encoded_bytes"]),
+                    "columns": {},
+                    "transcoded_from": src_out,
+                }
+            )
+    return dst_manifest.stats()
+
+
+def _zip_tables(it_a, it_b, what: str) -> int:
+    """Re-chunking zipper over two pa.Table iterators: compare bit-exact
+    heads of min length until both exhaust — the chunkings need not align;
+    peak memory is one batch per side. Returns the verified row count;
+    raises ValueError on any mismatch."""
     a = b = None
     rows = 0
     while True:
         if a is None or a.num_rows == 0:
-            nxt = next(src_iter, None)
-            a = pa.Table.from_batches([nxt]) if nxt is not None else None
+            a = next(it_a, None)
         if b is None or b.num_rows == 0:
-            b = next(enc_iter, None)
+            b = next(it_b, None)
         a_live = a is not None and a.num_rows > 0
         b_live = b is not None and b.num_rows > 0
         if not a_live or not b_live:
             if a_live != b_live:
                 raise ValueError(
-                    f"row-count mismatch verifying {src_path!r}: "
-                    f"{'source' if a_live else 'store'} has extra rows"
+                    f"row-count mismatch verifying {what}: one side has "
+                    f"extra rows"
                 )
             return rows
         k = min(a.num_rows, b.num_rows)
         assert_bit_equal(a.slice(0, k), b.slice(0, k))
         rows += k
         a, b = a.slice(k), b.slice(k)
+
+
+def _decoded_iter(enc_path: str, batch_rows: int):
+    from .columnar import decode_columns_batch
+
+    return (
+        decode_columns_batch(pa.Table.from_batches([rb]))
+        for rb in pq.ParquetFile(enc_path).iter_batches(batch_size=batch_rows)
+    )
+
+
+def _zip_compare_decoded(enc_a: str, enc_b: str, batch_rows: int) -> int:
+    """Stream-compare the DECODED rows of two encoded part files."""
+    return _zip_tables(
+        _decoded_iter(enc_a, batch_rows), _decoded_iter(enc_b, batch_rows), enc_b
+    )
+
+
+def _zip_compare(src_path: str, enc_path: str, batch_rows: int) -> int:
+    """Stream-compare a source fragment against its decoded store
+    partition — one batch per side in memory, never the fragment."""
+    src_iter = (
+        pa.Table.from_batches([rb])
+        for rb in pq.ParquetFile(src_path).iter_batches(batch_size=batch_rows)
+    )
+    return _zip_tables(src_iter, _decoded_iter(enc_path, batch_rows), src_path)
 
 
 def verify_table_store(

@@ -615,6 +615,31 @@ def test_table_store_resume(ray_session, tmp_path):
     assert stats2["rows"] == 3 * n
     assert verify_table_store(str(src), out2)["ok"]
 
+    # transcode WITHOUT the source: auto store -> spec store, self-verified
+    # bit-exact against the decoded src partitions + lineage row counts
+    from fsst_like_ray.pipelines.columnar import train_columnar_spec
+    from fsst_like_ray.pipelines.tablestore import transcode_table_store
+
+    from fsst_like_ray.state.manifest import Manifest
+
+    spec = train_columnar_spec(pq.read_table(str(src / "part-0.parquet")).slice(0, 200))
+    out3 = str(tmp_path / "out_tc")
+    st3 = transcode_table_store(out, out3, spec=spec, batch_rows=900)
+    assert st3["fragments"] == 3
+    # the transcoded store decodes identically to the original source
+    assert verify_table_store(str(src), out3)["ok"]
+
+    def part_mtimes():
+        return sorted(
+            os.path.getmtime(f"{out3}/data/frag={r['frag_key']}/part-0.parquet")
+            for r in Manifest(out3).completed().values()
+        )
+
+    # resume: a second transcode run is a no-op on committed fragments
+    m3 = part_mtimes()
+    transcode_table_store(out, out3, spec=spec, batch_rows=900)
+    assert part_mtimes() == m3
+
 
 from hypothesis import given, settings, strategies as st
 
