@@ -45,8 +45,12 @@ def _encode_fragment(
     codec_names=None,
     batch_rows: int = DEFAULT_BATCH_ROWS,
     spec: dict | None = None,
+    transform=None,
 ) -> dict:
-    """Stream one source fragment → one encoded part file + a stats dict."""
+    """Stream one source fragment → one encoded part file + a stats dict.
+    ``transform`` (optional) maps each read batch before encoding — the
+    transcode path passes decode_columns_batch so an already-encoded
+    partition re-encodes through the same write/zero-row/cleanup path."""
     os.makedirs(fdir, exist_ok=True)
     pf = pq.ParquetFile(path)
     writer = None
@@ -57,6 +61,8 @@ def _encode_fragment(
         batches = pf.iter_batches(batch_size=batch_rows)
         for rb in batches:
             t = pa.Table.from_batches([rb])
+            if transform is not None:
+                t = transform(t)
             enc = encode_columns_batch(t, codec_names, spec)
             if writer is None:
                 writer = pq.ParquetWriter(out_path, enc.schema)
@@ -68,9 +74,10 @@ def _encode_fragment(
                 a[1] += int(r["encoded_nbytes"])
                 a[2].add(r["scheme"])
         if writer is None:  # zero-row fragment: keep the (encoded) schema
-            enc = encode_columns_batch(
-                pf.schema_arrow.empty_table(), codec_names, spec
-            )
+            t = pf.schema_arrow.empty_table()
+            if transform is not None:
+                t = transform(t)
+            enc = encode_columns_batch(t, codec_names, spec)
             writer = pq.ParquetWriter(out_path, enc.schema)
             writer.write_table(enc)
         writer.close()
@@ -251,102 +258,83 @@ def read_table_store(out_dir: str):
     return decode_columns_dataset(read_parquet_blocks(paths))
 
 
-def transcode_table_store(
-    src_out: str,
-    dst_out: str,
-    codec_names=None,
-    spec: dict | None = None,
-    batch_rows: int = DEFAULT_BATCH_ROWS,
-    resume: bool = True,
+def _transform_fragment(
+    src_part: str,
+    fdir: str,
+    codec_names,
+    spec,
+    batch_rows: int,
+    expect_rows: int,
 ) -> dict:
-    """Re-encode a committed store WITHOUT its source (codec upgrade /
-    spec switch), fragment by fragment: stream-decode each committed src
-    partition, encode with the new choices, write the dst store, and
-    SELF-VERIFY — the dst fragment must stream-compare bit-exact against
-    the decoded src partition and match the src lineage row count before
-    its manifest record commits (compress.transcode_encoded's contract on
-    the whole-table layout)."""
-    import json
-
-    import ray
-    import ray.data
-
+    """Transcode ONE committed partition: stream-decode → re-encode via
+    _encode_fragment (same write/zero-row/cleanup path and per-column
+    lineage stats as a fresh encode), then self-verify — lineage row count
+    and a bit-exact stream-compare of decoded dst vs decoded src. ANY
+    failure removes the destination part before raising: no valid-looking
+    footer survives a refused fragment."""
     from .columnar import decode_columns_batch
 
-    src_manifest = Manifest(src_out)
-    done = src_manifest.completed()
-    if not done:
-        raise FileNotFoundError(f"transcode: no committed fragments in {src_out!r}")
-    dst_manifest = Manifest(dst_out)
-    dst_data = os.path.join(dst_out, "data")
-    recs = sorted(done.values(), key=lambda rec: rec["frag_key"])
-    pending = [
-        rec
-        for rec in recs
-        if not resume or rec["fragment"] not in dst_manifest.completed()
-    ]
-    for rec in pending:
-        shutil.rmtree(
-            os.path.join(dst_data, f"frag={rec['frag_key']}"), ignore_errors=True
-        )
-    recs_ref = ray.put(pending)
-    src_data = os.path.join(src_out, "data")
+    stats = _encode_fragment(
+        src_part, fdir, codec_names, batch_rows, spec,
+        transform=decode_columns_batch,
+    )
+    dst_part = os.path.join(fdir, "part-0.parquet")
+    try:
+        if stats["rows"] != expect_rows:
+            raise ValueError(
+                f"transcode row mismatch: {stats['rows']} vs lineage "
+                f"{expect_rows}"
+            )
+        n_v = _zip_compare_decoded(src_part, dst_part, batch_rows)
+        if n_v != stats["rows"]:
+            raise ValueError("transcode verify count mismatch")
+    except BaseException:
+        if os.path.exists(dst_part):
+            os.remove(dst_part)
+        raise
+    return stats
 
-    def work(ids: pa.Table) -> pa.Table:
+
+class _TranscodeTask:
+    """Grouped per-round transcode tasks (same scale contract as
+    _EncodeFragmentsTask: the round's record list rides the object store
+    once, ray.get ONCE per task, group count bounded by 4*ncpu with the
+    16-wave floor)."""
+
+    def __init__(self, src_data, dst_data, recs_ref, codec_names, spec, batch_rows):
+        self.src_data = src_data
+        self.dst_data = dst_data
+        self.recs_ref = recs_ref
+        self.codec_names = codec_names
+        self.spec = spec
+        self.batch_rows = batch_rows
+
+    def __call__(self, ids: pa.Table) -> pa.Table:
+        import json
+
+        import ray
+
+        recs = ray.get(self.recs_ref)
         out = []
         for i in ids["id"].to_pylist():
-            rec = ray.get(recs_ref)[i]
+            rec = recs[i]
             key = rec["frag_key"]
-            src_part = os.path.join(src_data, f"frag={key}", "part-0.parquet")
-            fdir = os.path.join(dst_data, f"frag={key}")
-            os.makedirs(fdir, exist_ok=True)
-            dst_part = os.path.join(fdir, "part-0.parquet")
-            writer = None
-            n_rows = 0
-            enc_bytes = 0
-            try:
-                for rb in pq.ParquetFile(src_part).iter_batches(batch_rows):
-                    dec = decode_columns_batch(pa.Table.from_batches([rb]))
-                    enc = encode_columns_batch(dec, codec_names, spec)
-                    if writer is None:
-                        writer = pq.ParquetWriter(dst_part, enc.schema)
-                    writer.write_table(enc)
-                    n_rows += dec.num_rows
-                    enc_bytes += sum(
-                        int(r["encoded_nbytes"])
-                        for r in columnar_stats_batch(enc).to_pylist()
-                    )
-                if writer is None:
-                    dec = decode_columns_batch(
-                        pq.read_table(src_part).combine_chunks()
-                    )
-                    enc = encode_columns_batch(dec, codec_names, spec)
-                    writer = pq.ParquetWriter(dst_part, enc.schema)
-                    writer.write_table(enc)
-                writer.close()
-            except BaseException:
-                if writer is not None:
-                    writer.close()
-                if os.path.exists(dst_part):
-                    os.remove(dst_part)
-                raise
-            if n_rows != rec["rows"]:
-                raise ValueError(
-                    f"transcode row mismatch for {key}: {n_rows} vs lineage "
-                    f"{rec['rows']}"
-                )
-            # bit-exact self-verify: decoded dst vs decoded src, streaming
-            n_v = _zip_compare_decoded(src_part, dst_part, batch_rows)
-            if n_v != n_rows:
-                raise ValueError(f"transcode verify count mismatch for {key}")
+            stats = _transform_fragment(
+                os.path.join(self.src_data, f"frag={key}", "part-0.parquet"),
+                os.path.join(self.dst_data, f"frag={key}"),
+                self.codec_names,
+                self.spec,
+                self.batch_rows,
+                int(rec["rows"]),
+            )
             out.append(
                 {
                     "fragment": rec["fragment"],
                     "frag_key": key,
-                    "rows": n_rows,
-                    "plain_bytes": int(rec["plain_bytes"]),
-                    "encoded_bytes": enc_bytes,
-                    "columns_json": json.dumps({}),
+                    "rows": stats["rows"],
+                    "plain_bytes": stats["plain_bytes"],
+                    "encoded_bytes": stats["encoded_bytes"],
+                    "columns_json": json.dumps(stats["columns"]),
                 }
             )
         return pa.Table.from_pylist(
@@ -363,10 +351,62 @@ def transcode_table_store(
             ),
         )
 
-    if pending:
+
+def transcode_table_store(
+    src_out: str,
+    dst_out: str,
+    codec_names=None,
+    spec: dict | None = None,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+    resume: bool = True,
+    fragments_per_round: int = 64,
+) -> dict:
+    """Re-encode a committed store WITHOUT its source (codec upgrade /
+    spec switch), fragment by fragment, with full per-column lineage in
+    the destination manifest. Each fragment SELF-VERIFIES bit-exact
+    against its decoded source partition before committing
+    (compress.transcode_encoded's contract on the whole-table layout).
+    Resumable, rounds-bounded driver state — same 10^12-scale contract
+    as compress_table."""
+    import json
+
+    import ray
+    import ray.data
+
+    src_manifest = Manifest(src_out)
+    done_src = src_manifest.completed()
+    if not done_src:
+        raise FileNotFoundError(f"transcode: no committed fragments in {src_out!r}")
+    dst_manifest = Manifest(dst_out)
+    done_dst = dst_manifest.completed() if resume else {}
+    recs = sorted(done_src.values(), key=lambda rec: rec["frag_key"])
+    pending = [rec for rec in recs if rec["fragment"] not in done_dst]
+    src_data = os.path.join(src_out, "data")
+    dst_data = os.path.join(dst_out, "data")
+    for start in range(0, len(pending), fragments_per_round):
+        round_recs = pending[start : start + fragments_per_round]
+        for rec in round_recs:  # clear uncommitted partials
+            shutil.rmtree(
+                os.path.join(dst_data, f"frag={rec['frag_key']}"),
+                ignore_errors=True,
+            )
+        recs_ref = ray.put(round_recs)
+        ncpu = (
+            int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized()
+            else 4
+        )
+        n_groups = max(1, min(len(round_recs), max(4 * ncpu, 16)))
         rows = (
-            ray.data.range(len(pending), override_num_blocks=max(1, len(pending)))
-            .map_batches(work, batch_format="pyarrow", batch_size=None)
+            ray.data.range(len(round_recs), override_num_blocks=n_groups)
+            .map_batches(
+                _TranscodeTask(
+                    src_data, dst_data, recs_ref, codec_names, spec, batch_rows
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
             .take_all()
         )
         for r in rows:
@@ -377,14 +417,14 @@ def transcode_table_store(
                     "rows": int(r["rows"]),
                     "plain_bytes": int(r["plain_bytes"]),
                     "encoded_bytes": int(r["encoded_bytes"]),
-                    "columns": {},
+                    "columns": json.loads(r["columns_json"]),
                     "transcoded_from": src_out,
                 }
             )
     return dst_manifest.stats()
 
 
-def _zip_tables(it_a, it_b, what: str) -> int:
+def _zip_tables(it_a, it_b, what: str, sides=("left", "right")) -> int:
     """Re-chunking zipper over two pa.Table iterators: compare bit-exact
     heads of min length until both exhaust — the chunkings need not align;
     peak memory is one batch per side. Returns the verified row count;
@@ -401,8 +441,8 @@ def _zip_tables(it_a, it_b, what: str) -> int:
         if not a_live or not b_live:
             if a_live != b_live:
                 raise ValueError(
-                    f"row-count mismatch verifying {what}: one side has "
-                    f"extra rows"
+                    f"row-count mismatch verifying {what}: "
+                    f"{sides[0] if a_live else sides[1]} has extra rows"
                 )
             return rows
         k = min(a.num_rows, b.num_rows)
@@ -423,7 +463,10 @@ def _decoded_iter(enc_path: str, batch_rows: int):
 def _zip_compare_decoded(enc_a: str, enc_b: str, batch_rows: int) -> int:
     """Stream-compare the DECODED rows of two encoded part files."""
     return _zip_tables(
-        _decoded_iter(enc_a, batch_rows), _decoded_iter(enc_b, batch_rows), enc_b
+        _decoded_iter(enc_a, batch_rows),
+        _decoded_iter(enc_b, batch_rows),
+        enc_b,
+        sides=("transcode source", "transcode destination"),
     )
 
 
@@ -434,7 +477,12 @@ def _zip_compare(src_path: str, enc_path: str, batch_rows: int) -> int:
         pa.Table.from_batches([rb])
         for rb in pq.ParquetFile(src_path).iter_batches(batch_size=batch_rows)
     )
-    return _zip_tables(src_iter, _decoded_iter(enc_path, batch_rows), src_path)
+    return _zip_tables(
+        src_iter,
+        _decoded_iter(enc_path, batch_rows),
+        src_path,
+        sides=("source", "store"),
+    )
 
 
 def verify_table_store(
