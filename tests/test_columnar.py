@@ -695,6 +695,40 @@ def test_roundtrip_hypothesis(t):
         assert_bit_equal(t.slice(1, t.num_rows - 2), decode_columns_batch(sl))
 
 
+def test_table_store_detects_corruption(ray_session, tmp_path):
+    """A committed fragment whose decoded content drifts from the source
+    (here: the store silently serving a DIFFERENT row) must fail
+    verify_table_store loudly, not hash-wave through."""
+    from fsst_like_ray.pipelines.tablestore import compress_table, verify_table_store
+    from fsst_like_ray.state.manifest import fragment_key
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(500, dtype=np.int64)),
+            "text": pa.array(["row %d payload" % i for i in range(500)]),
+        }
+    )
+    pq.write_table(t, src / "part-0.parquet")
+    out = str(tmp_path / "out")
+    compress_table(str(src), out)
+    assert verify_table_store(str(src), out)["ok"]
+
+    # swap the committed part for an encode of ALTERED data
+    from fsst_like_ray.pipelines.columnar import encode_columns_batch
+
+    bad = t.set_column(1, "text", pa.array(
+        ["row %d payload" % i for i in range(499)] + ["TAMPERED"]
+    ))
+    key = fragment_key(str(src / "part-0.parquet"))
+    pq.write_table(
+        encode_columns_batch(bad), f"{out}/data/frag={key}/part-0.parquet"
+    )
+    with pytest.raises(Exception, match="mismatch"):
+        verify_table_store(str(src), out)
+
+
 def test_dataset_level_roundtrip(ray_session):
     import ray.data
 
