@@ -237,11 +237,14 @@ def compress_table(
     return manifest.stats()
 
 
-def read_table_store(out_dir: str):
+def read_table_store(out_dir: str, columns=None):
     """Encoded store → decoded streaming Dataset. Reads ONLY
     manifest-committed fragment dirs — a killed run's uncommitted partial
     never serves as data — with read parallelism floored at cluster width
-    (compress.read_parquet_blocks, same layout contract as read_encoded)."""
+    (compress.read_parquet_blocks, same layout contract as read_encoded).
+    ``columns`` prunes AT THE READ: only the selected columns' encoded
+    fields leave storage, and only they decode."""
+    from .columnar import _encoded_field_names
     from .compress import read_parquet_blocks
 
     manifest = Manifest(out_dir)
@@ -255,7 +258,12 @@ def read_table_store(out_dir: str):
         raise FileNotFoundError(
             f"read_table_store: no committed fragments under {out_dir!r}"
         )
-    return decode_columns_dataset(read_parquet_blocks(paths))
+    kw = {}
+    if columns is not None:
+        kw["columns"] = _encoded_field_names(
+            list(pq.read_schema(paths[0]).names), columns
+        )
+    return decode_columns_dataset(read_parquet_blocks(paths, **kw))
 
 
 def _transform_fragment(

@@ -581,6 +581,9 @@ def test_table_store_resume(ray_session, tmp_path):
     v = verify_table_store(str(src), out)
     assert v == {"fragments": 3, "rows": 3 * n, "uncommitted": 0, "ok": True}
     assert read_table_store(out).count() == 3 * n
+    pruned = read_table_store(out, columns=["doc_id", "source"])
+    assert pruned.schema().names == ["doc_id", "source"]
+    assert pruned.count() == 3 * n
 
     # kill-resume contract: an uncommitted fragment (no manifest record,
     # partial data) is rewritten; committed fragments are never touched
