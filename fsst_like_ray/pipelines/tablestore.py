@@ -6,9 +6,11 @@ way pipelines/compress.py applies it to the tokens pipeline.
 
 Layout under ``out_dir``:
 
-- ``data/frag=<key>/part-0.parquet`` — the fragment's per-column-encoded
-  rows (columnar.encode_columns_batch layout), one directory per INPUT
-  fragment so a resumed run skips finished partitions wholesale.
+- ``data/frag=<key>/part-<rg0:06d>.parquet`` — the fragment's
+  per-column-encoded rows (columnar.encode_columns_batch layout), one
+  directory per INPUT fragment (resume skips finished fragments
+  wholesale), one part per row-group SPEC so a multi-GB fragment
+  encodes as many parallel tasks, not one straggler.
 - ``_manifest/<key>.json`` — lineage: input fragment, rows, per-column
   plain/encoded bytes and the scheme histogram, committed atomically
   AFTER the fragment's data is fully written (state/manifest.py).
@@ -46,19 +48,26 @@ def _encode_fragment(
     batch_rows: int = DEFAULT_BATCH_ROWS,
     spec: dict | None = None,
     transform=None,
+    row_groups=None,
+    part_name: str = "part-000000.parquet",
 ) -> dict:
-    """Stream one source fragment → one encoded part file + a stats dict.
-    ``transform`` (optional) maps each read batch before encoding — the
-    transcode path passes decode_columns_batch so an already-encoded
-    partition re-encodes through the same write/zero-row/cleanup path."""
+    """Stream one source fragment (or the ``row_groups`` slice of one) →
+    one encoded part file + a stats dict. ``transform`` (optional) maps
+    each read batch before encoding — the transcode path passes
+    decode_columns_batch so an already-encoded partition re-encodes
+    through the same write/zero-row/cleanup path."""
     os.makedirs(fdir, exist_ok=True)
     pf = pq.ParquetFile(path)
     writer = None
-    out_path = os.path.join(fdir, "part-0.parquet")
+    out_path = os.path.join(fdir, part_name)
     acc: dict[str, list] = {}  # column -> [plain, encoded, set(schemes)]
     n_rows = 0
     try:
-        batches = pf.iter_batches(batch_size=batch_rows)
+        batches = (
+            pf.iter_batches(batch_size=batch_rows)
+            if row_groups is None
+            else pf.iter_batches(batch_size=batch_rows, row_groups=row_groups)
+        )
         for rb in batches:
             t = pa.Table.from_batches([rb])
             if transform is not None:
@@ -101,16 +110,41 @@ def _encode_fragment(
     }
 
 
-class _EncodeFragmentsTask:
-    """Actor-pool stage: each task encodes a GROUP of fragments
-    sequentially (peak memory = one batch) and returns one stats row per
-    fragment. Fragment paths ride the object store once via ray.put."""
+_STATS_SCHEMA = pa.schema(
+    [
+        ("fragment", pa.string()),
+        ("frag_key", pa.string()),
+        ("rows", pa.int64()),
+        ("plain_bytes", pa.int64()),
+        ("encoded_bytes", pa.int64()),
+        ("columns_json", pa.string()),
+    ]
+)
+
+
+def _fragment_parts(data_dir: str, frag_key: str) -> list[str]:
+    """A committed fragment's part files, in row order (part-<rg0:06d>
+    names sort lexicographically with row-group position)."""
+    d = os.path.join(data_dir, f"frag={frag_key}")
+    return sorted(
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+
+
+class _EncodeSpecsTask:
+    """Grouped tasks over ROW-GROUP SPECS (compress.py's skew answer at
+    the whole-table layer): a multi-GB source fragment splits into many
+    specs that encode in parallel as part-<rg0>.parquet files, instead of
+    one straggler task per fragment. Spec list rides the object store
+    once; ray.get ONCE per task; peak memory = one batch."""
 
     def __init__(
-        self, data_dir: str, paths_ref, codec_names, batch_rows: int, spec=None
+        self, data_dir: str, specs_ref, codec_names, batch_rows: int, spec=None
     ):
         self.data_dir = data_dir
-        self.paths_ref = paths_ref  # ray.put ONCE; workers read shared memory
+        self.specs_ref = specs_ref
         self.codec_names = codec_names
         self.batch_rows = batch_rows
         self.spec = spec  # small dict; rides the task closure
@@ -120,41 +154,32 @@ class _EncodeFragmentsTask:
 
         import ray
 
-        paths = ray.get(self.paths_ref)
+        specs = ray.get(self.specs_ref)
         rows = []
         for i in ids["id"].to_pylist():
-            path = paths[i]
-            key = fragment_key(path)
+            s = specs[i]
             stats = _encode_fragment(
-                path,
-                os.path.join(self.data_dir, f"frag={key}"),
+                s["path"],
+                os.path.join(self.data_dir, f"frag={s['frag']}"),
                 self.codec_names,
                 self.batch_rows,
                 self.spec,
+                row_groups=(
+                    None if s["rg1"] < 0 else list(range(s["rg0"], s["rg1"]))
+                ),
+                part_name=f"part-{s['rg0']:06d}.parquet",
             )
             rows.append(
                 {
-                    "fragment": path,
-                    "frag_key": key,
+                    "fragment": s["path"],
+                    "frag_key": s["frag"],
                     "rows": stats["rows"],
                     "plain_bytes": stats["plain_bytes"],
                     "encoded_bytes": stats["encoded_bytes"],
                     "columns_json": json.dumps(stats["columns"]),
                 }
             )
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [
-                    ("fragment", pa.string()),
-                    ("frag_key", pa.string()),
-                    ("rows", pa.int64()),
-                    ("plain_bytes", pa.int64()),
-                    ("encoded_bytes", pa.int64()),
-                    ("columns_json", pa.string()),
-                ]
-            ),
-        )
+        return pa.Table.from_pylist(rows, schema=_STATS_SCHEMA)
 
 
 def compress_table(
@@ -203,19 +228,27 @@ def compress_table(
                 os.path.join(data_dir, f"frag={fragment_key(f)}"),
                 ignore_errors=True,
             )
-        paths_ref = ray.put(round_frags)
         ncpu = (
             int(ray.cluster_resources().get("CPU", 4))
             if ray.is_initialized()
             else 4
         )
+        # row-group specs level content skew (compress._rowgroup_specs):
+        # a giant fragment becomes many parallel specs, not one straggler
+        from .compress import _rowgroup_specs
+
+        path_to_key = {f: fragment_key(f) for f in round_frags}
+        specs = _rowgroup_specs(
+            round_frags, 8 * batch_rows, path_to_key, target_specs=4 * ncpu
+        )
+        specs_ref = ray.put(specs)
         # wave floor of 16: same straggler-tail bound as compress.py:563
-        n_groups = max(1, min(len(round_frags), max(4 * ncpu, 16)))
+        n_groups = max(1, min(len(specs), max(4 * ncpu, 16)))
         stat_rows = (
-            ray.data.range(len(round_frags), override_num_blocks=n_groups)
+            ray.data.range(len(specs), override_num_blocks=n_groups)
             .map_batches(
-                _EncodeFragmentsTask(
-                    data_dir, paths_ref, codec_names, batch_rows, spec
+                _EncodeSpecsTask(
+                    data_dir, specs_ref, codec_names, batch_rows, spec
                 ),
                 batch_format="pyarrow",
                 batch_size=None,
@@ -223,17 +256,41 @@ def compress_table(
             )
             .take_all()
         )
+        expected = {}
+        for s in specs:
+            expected[s["frag"]] = expected.get(s["frag"], 0) + 1
+        merged: dict[str, dict] = {}
         for r in stat_rows:
-            manifest.commit(
+            m = merged.setdefault(
+                r["frag_key"],
                 {
                     "fragment": r["fragment"],
                     "frag_key": r["frag_key"],
-                    "rows": int(r["rows"]),
-                    "plain_bytes": int(r["plain_bytes"]),
-                    "encoded_bytes": int(r["encoded_bytes"]),
-                    "columns": json.loads(r["columns_json"]),
-                }
+                    "rows": 0,
+                    "plain_bytes": 0,
+                    "encoded_bytes": 0,
+                    "columns": {},
+                    "n_specs": 0,
+                },
             )
+            m["rows"] += int(r["rows"])
+            m["plain_bytes"] += int(r["plain_bytes"])
+            m["encoded_bytes"] += int(r["encoded_bytes"])
+            m["n_specs"] += 1
+            for c, st in json.loads(r["columns_json"]).items():
+                mc = m["columns"].setdefault(
+                    c, {"plain": 0, "encoded": 0, "schemes": []}
+                )
+                mc["plain"] += st["plain"]
+                mc["encoded"] += st["encoded"]
+                mc["schemes"] = sorted(set(mc["schemes"]) | set(st["schemes"]))
+        for key, m in merged.items():
+            # a fragment commits only when EVERY one of its specs reported
+            if m.pop("n_specs") != expected.get(key):
+                raise RuntimeError(
+                    f"compress_table: fragment {key} missing spec results"
+                )
+            manifest.commit(m)
     return manifest.stats()
 
 
@@ -250,10 +307,9 @@ def read_table_store(out_dir: str, columns=None):
     manifest = Manifest(out_dir)
     done = manifest.completed()
     data_dir = os.path.join(out_dir, "data")
-    paths = sorted(
-        os.path.join(data_dir, f"frag={rec['frag_key']}", "part-0.parquet")
-        for rec in done.values()
-    )
+    paths = []
+    for rec in sorted(done.values(), key=lambda rec: rec["frag_key"]):
+        paths.extend(_fragment_parts(data_dir, rec["frag_key"]))
     if not paths:
         raise FileNotFoundError(
             f"read_table_store: no committed fragments under {out_dir!r}"
@@ -267,38 +323,56 @@ def read_table_store(out_dir: str, columns=None):
 
 
 def _transform_fragment(
-    src_part: str,
+    src_data: str,
     fdir: str,
+    frag_key: str,
     codec_names,
     spec,
     batch_rows: int,
     expect_rows: int,
 ) -> dict:
-    """Transcode ONE committed partition: stream-decode → re-encode via
-    _encode_fragment (same write/zero-row/cleanup path and per-column
-    lineage stats as a fresh encode), then self-verify — lineage row count
-    and a bit-exact stream-compare of decoded dst vs decoded src. ANY
-    failure removes the destination part before raising: no valid-looking
-    footer survives a refused fragment."""
+    """Transcode ONE committed fragment (all its part files, 1:1 part
+    names preserved): stream-decode → re-encode via _encode_fragment
+    (same write/zero-row/cleanup path and per-column lineage stats as a
+    fresh encode), then self-verify — lineage row count and a bit-exact
+    stream-compare of decoded dst parts vs decoded src parts. ANY failure
+    removes every written destination part before raising: no
+    valid-looking footer survives a refused fragment."""
     from .columnar import decode_columns_batch
 
-    stats = _encode_fragment(
-        src_part, fdir, codec_names, batch_rows, spec,
-        transform=decode_columns_batch,
-    )
-    dst_part = os.path.join(fdir, "part-0.parquet")
+    src_parts = _fragment_parts(src_data, frag_key)
+    stats = {"rows": 0, "plain_bytes": 0, "encoded_bytes": 0, "columns": {}}
+    written = []
     try:
+        for part in src_parts:
+            name = os.path.basename(part)
+            st = _encode_fragment(
+                part, fdir, codec_names, batch_rows, spec,
+                transform=decode_columns_batch, part_name=name,
+            )
+            written.append(os.path.join(fdir, name))
+            stats["rows"] += st["rows"]
+            stats["plain_bytes"] += st["plain_bytes"]
+            stats["encoded_bytes"] += st["encoded_bytes"]
+            for c, cst in st["columns"].items():
+                mc = stats["columns"].setdefault(
+                    c, {"plain": 0, "encoded": 0, "schemes": []}
+                )
+                mc["plain"] += cst["plain"]
+                mc["encoded"] += cst["encoded"]
+                mc["schemes"] = sorted(set(mc["schemes"]) | set(cst["schemes"]))
         if stats["rows"] != expect_rows:
             raise ValueError(
                 f"transcode row mismatch: {stats['rows']} vs lineage "
                 f"{expect_rows}"
             )
-        n_v = _zip_compare_decoded(src_part, dst_part, batch_rows)
+        n_v = _zip_compare_decoded(src_parts, written, batch_rows)
         if n_v != stats["rows"]:
             raise ValueError("transcode verify count mismatch")
     except BaseException:
-        if os.path.exists(dst_part):
-            os.remove(dst_part)
+        for w in written:
+            if os.path.exists(w):
+                os.remove(w)
         raise
     return stats
 
@@ -328,8 +402,9 @@ class _TranscodeTask:
             rec = recs[i]
             key = rec["frag_key"]
             stats = _transform_fragment(
-                os.path.join(self.src_data, f"frag={key}", "part-0.parquet"),
+                self.src_data,
                 os.path.join(self.dst_data, f"frag={key}"),
+                key,
                 self.codec_names,
                 self.spec,
                 self.batch_rows,
@@ -459,35 +534,40 @@ def _zip_tables(it_a, it_b, what: str, sides=("left", "right")) -> int:
         a, b = a.slice(k), b.slice(k)
 
 
-def _decoded_iter(enc_path: str, batch_rows: int):
+def _decoded_iter(enc_paths, batch_rows: int):
+    """Decoded-batch iterator over one part path or a list of parts."""
     from .columnar import decode_columns_batch
 
+    if isinstance(enc_paths, str):
+        enc_paths = [enc_paths]
     return (
         decode_columns_batch(pa.Table.from_batches([rb]))
-        for rb in pq.ParquetFile(enc_path).iter_batches(batch_size=batch_rows)
+        for path in enc_paths
+        for rb in pq.ParquetFile(path).iter_batches(batch_size=batch_rows)
     )
 
 
-def _zip_compare_decoded(enc_a: str, enc_b: str, batch_rows: int) -> int:
-    """Stream-compare the DECODED rows of two encoded part files."""
+def _zip_compare_decoded(enc_a, enc_b, batch_rows: int) -> int:
+    """Stream-compare the DECODED rows of two encoded part sets."""
     return _zip_tables(
         _decoded_iter(enc_a, batch_rows),
         _decoded_iter(enc_b, batch_rows),
-        enc_b,
+        str(enc_b),
         sides=("transcode source", "transcode destination"),
     )
 
 
-def _zip_compare(src_path: str, enc_path: str, batch_rows: int) -> int:
+def _zip_compare(src_path: str, enc_paths, batch_rows: int) -> int:
     """Stream-compare a source fragment against its decoded store
-    partition — one batch per side in memory, never the fragment."""
+    partition (one or many part files) — one batch per side in memory,
+    never the fragment."""
     src_iter = (
         pa.Table.from_batches([rb])
         for rb in pq.ParquetFile(src_path).iter_batches(batch_size=batch_rows)
     )
     return _zip_tables(
         src_iter,
-        _decoded_iter(enc_path, batch_rows),
+        _decoded_iter(enc_paths, batch_rows),
         src_path,
         sides=("source", "store"),
     )
@@ -523,9 +603,7 @@ def verify_table_store(
         for i in ids["id"].to_pylist():
             key = fragment_key(paths[i])
             n = _zip_compare(
-                paths[i],
-                os.path.join(data_dir, f"frag={key}", "part-0.parquet"),
-                batch_rows,
+                paths[i], _fragment_parts(data_dir, key), batch_rows
             )
             out.append({"rows": n})
         return pa.Table.from_pylist(

@@ -590,11 +590,11 @@ def test_table_store_resume(ray_session, tmp_path):
     frag1 = str(src / "part-1.parquet")
     key1 = fragment_key(frag1)
     os.remove(f"{out}/_manifest/{key1}.json")
-    part1 = f"{out}/data/frag={key1}/part-0.parquet"
+    part1 = f"{out}/data/frag={key1}/part-000000.parquet"
     with open(part1, "wb") as fh:
         fh.write(b"partial garbage")  # simulate a mid-write kill
     others = [
-        f"{out}/data/frag={fragment_key(str(src / f'part-{i}.parquet'))}/part-0.parquet"
+        f"{out}/data/frag={fragment_key(str(src / f'part-{i}.parquet'))}/part-000000.parquet"
         for i in (0, 2)
     ]
     # an uncommitted fragment makes verify honest-fail (never vacuous ok),
@@ -634,7 +634,7 @@ def test_table_store_resume(ray_session, tmp_path):
 
     def part_mtimes():
         return sorted(
-            os.path.getmtime(f"{out3}/data/frag={r['frag_key']}/part-0.parquet")
+            os.path.getmtime(f"{out3}/data/frag={r['frag_key']}/part-000000.parquet")
             for r in Manifest(out3).completed().values()
         )
 
@@ -726,7 +726,7 @@ def test_table_store_detects_corruption(ray_session, tmp_path):
     ))
     key = fragment_key(str(src / "part-0.parquet"))
     pq.write_table(
-        encode_columns_batch(bad), f"{out}/data/frag={key}/part-0.parquet"
+        encode_columns_batch(bad), f"{out}/data/frag={key}/part-000000.parquet"
     )
     with pytest.raises(Exception, match="mismatch"):
         verify_table_store(str(src), out)
