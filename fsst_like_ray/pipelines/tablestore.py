@@ -110,6 +110,15 @@ def _encode_fragment(
     }
 
 
+def _merge_column_stats(dst: dict, src: dict) -> None:
+    """Accumulate per-column (plain, encoded, schemes) lineage dicts."""
+    for c, st in src.items():
+        mc = dst.setdefault(c, {"plain": 0, "encoded": 0, "schemes": []})
+        mc["plain"] += st["plain"]
+        mc["encoded"] += st["encoded"]
+        mc["schemes"] = sorted(set(mc["schemes"]) | set(st["schemes"]))
+
+
 _STATS_SCHEMA = pa.schema(
     [
         ("fragment", pa.string()),
@@ -122,14 +131,22 @@ _STATS_SCHEMA = pa.schema(
 )
 
 
+def _part_rg0(name: str) -> int:
+    return int(os.path.basename(name)[len("part-") : -len(".parquet")])
+
+
 def _fragment_parts(data_dir: str, frag_key: str) -> list[str]:
-    """A committed fragment's part files, in row order (part-<rg0:06d>
-    names sort lexicographically with row-group position)."""
+    """A committed fragment's part files, in row order — sorted by the
+    NUMERIC row-group index in the name (lexicographic order would break
+    past part-999999, i.e. ~2B rows per fragment at 2048-row groups)."""
     d = os.path.join(data_dir, f"frag={frag_key}")
     return sorted(
-        os.path.join(d, f)
-        for f in os.listdir(d)
-        if f.startswith("part-") and f.endswith(".parquet")
+        (
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.startswith("part-") and f.endswith(".parquet")
+        ),
+        key=_part_rg0,
     )
 
 
@@ -228,10 +245,13 @@ def compress_table(
                 os.path.join(data_dir, f"frag={fragment_key(f)}"),
                 ignore_errors=True,
             )
+        # host-cpu fallback: Ray may not be initialized yet on round 1
+        # (ray.put below auto-inits) and a hardcoded 4 would cap the first
+        # round's parallelism on a big machine
         ncpu = (
             int(ray.cluster_resources().get("CPU", 4))
             if ray.is_initialized()
-            else 4
+            else (os.cpu_count() or 4)
         )
         # row-group specs level content skew (compress._rowgroup_specs):
         # a giant fragment becomes many parallel specs, not one straggler
@@ -277,16 +297,12 @@ def compress_table(
             m["plain_bytes"] += int(r["plain_bytes"])
             m["encoded_bytes"] += int(r["encoded_bytes"])
             m["n_specs"] += 1
-            for c, st in json.loads(r["columns_json"]).items():
-                mc = m["columns"].setdefault(
-                    c, {"plain": 0, "encoded": 0, "schemes": []}
-                )
-                mc["plain"] += st["plain"]
-                mc["encoded"] += st["encoded"]
-                mc["schemes"] = sorted(set(mc["schemes"]) | set(st["schemes"]))
-        for key, m in merged.items():
-            # a fragment commits only when EVERY one of its specs reported
-            if m.pop("n_specs") != expected.get(key):
+            _merge_column_stats(m["columns"], json.loads(r["columns_json"]))
+        # a fragment commits only when EVERY one of its specs reported —
+        # iterate EXPECTED so a fragment with zero returned rows raises too
+        for key, n_expected in expected.items():
+            m = merged.get(key)
+            if m is None or m.pop("n_specs") != n_expected:
                 raise RuntimeError(
                     f"compress_table: fragment {key} missing spec results"
                 )
@@ -354,13 +370,7 @@ def _transform_fragment(
             stats["rows"] += st["rows"]
             stats["plain_bytes"] += st["plain_bytes"]
             stats["encoded_bytes"] += st["encoded_bytes"]
-            for c, cst in st["columns"].items():
-                mc = stats["columns"].setdefault(
-                    c, {"plain": 0, "encoded": 0, "schemes": []}
-                )
-                mc["plain"] += cst["plain"]
-                mc["encoded"] += cst["encoded"]
-                mc["schemes"] = sorted(set(mc["schemes"]) | set(cst["schemes"]))
+            _merge_column_stats(stats["columns"], st["columns"])
         if stats["rows"] != expect_rows:
             raise ValueError(
                 f"transcode row mismatch: {stats['rows']} vs lineage "
@@ -379,7 +389,7 @@ def _transform_fragment(
 
 class _TranscodeTask:
     """Grouped per-round transcode tasks (same scale contract as
-    _EncodeFragmentsTask: the round's record list rides the object store
+    _EncodeSpecsTask: the round's record list rides the object store
     once, ray.get ONCE per task, group count bounded by 4*ncpu with the
     16-wave floor)."""
 
@@ -420,19 +430,7 @@ class _TranscodeTask:
                     "columns_json": json.dumps(stats["columns"]),
                 }
             )
-        return pa.Table.from_pylist(
-            out,
-            schema=pa.schema(
-                [
-                    ("fragment", pa.string()),
-                    ("frag_key", pa.string()),
-                    ("rows", pa.int64()),
-                    ("plain_bytes", pa.int64()),
-                    ("encoded_bytes", pa.int64()),
-                    ("columns_json", pa.string()),
-                ]
-            ),
-        )
+        return pa.Table.from_pylist(out, schema=_STATS_SCHEMA)
 
 
 def transcode_table_store(
@@ -474,10 +472,13 @@ def transcode_table_store(
                 ignore_errors=True,
             )
         recs_ref = ray.put(round_recs)
+        # host-cpu fallback: Ray may not be initialized yet on round 1
+        # (ray.put below auto-inits) and a hardcoded 4 would cap the first
+        # round's parallelism on a big machine
         ncpu = (
             int(ray.cluster_resources().get("CPU", 4))
             if ray.is_initialized()
-            else 4
+            else (os.cpu_count() or 4)
         )
         n_groups = max(1, min(len(round_recs), max(4 * ncpu, 16)))
         rows = (
@@ -557,33 +558,19 @@ def _zip_compare_decoded(enc_a, enc_b, batch_rows: int) -> int:
     )
 
 
-def _zip_compare(src_path: str, enc_paths, batch_rows: int) -> int:
-    """Stream-compare a source fragment against its decoded store
-    partition (one or many part files) — one batch per side in memory,
-    never the fragment."""
-    src_iter = (
-        pa.Table.from_batches([rb])
-        for rb in pq.ParquetFile(src_path).iter_batches(batch_size=batch_rows)
-    )
-    return _zip_tables(
-        src_iter,
-        _decoded_iter(enc_paths, batch_rows),
-        src_path,
-        sides=("source", "store"),
-    )
-
-
 def verify_table_store(
     input_path: str | list[str],
     out_dir: str,
     batch_rows: int = DEFAULT_BATCH_ROWS,
 ) -> dict:
-    """Distributed decode-verify: one task per committed fragment
-    stream-compares its source against the decoded store partition
-    (bit-exact, one batch per side in memory). Input fragments WITHOUT a
-    manifest record are reported in ``uncommitted`` and make ``ok`` False
-    — a verify that checked nothing (or skipped a killed run's leftovers)
-    never reports success."""
+    """Distributed decode-verify at PART granularity: each unit
+    stream-compares one store part against its source row-group range
+    (bit-exact, one batch per side in memory) — a multi-GB fragment
+    verifies as many parallel units, not one straggler, mirroring the
+    encode side's spec split. Input fragments WITHOUT a manifest record
+    are reported in ``uncommitted`` and make ``ok`` False — a verify that
+    checked nothing (or skipped a killed run's leftovers) never reports
+    success."""
     import ray
     import ray.data
 
@@ -595,23 +582,54 @@ def verify_table_store(
     if not fragments:
         return {"fragments": 0, "rows": 0, "uncommitted": uncommitted, "ok": False}
     data_dir = os.path.join(out_dir, "data")
-    paths_ref = ray.put(fragments)
+    units = []
+    for f in fragments:
+        parts = _fragment_parts(data_dir, fragment_key(f))
+        rg0s = [_part_rg0(p) for p in parts]
+        for j, p in enumerate(parts):
+            units.append(
+                {
+                    "src": f,
+                    "part": p,
+                    "rg0": rg0s[j],
+                    "rg1": rg0s[j + 1] if j + 1 < len(parts) else -1,
+                }
+            )
+    units_ref = ray.put(units)
 
     def check(ids: pa.Table) -> pa.Table:
-        paths = ray.get(paths_ref)
+        us = ray.get(units_ref)
         out = []
         for i in ids["id"].to_pylist():
-            key = fragment_key(paths[i])
-            n = _zip_compare(
-                paths[i], _fragment_parts(data_dir, key), batch_rows
+            u = us[i]
+            pf = pq.ParquetFile(u["src"])
+            rg1 = pf.metadata.num_row_groups if u["rg1"] < 0 else u["rg1"]
+            rgs = list(range(u["rg0"], rg1))
+            src_iter = (
+                pa.Table.from_batches([rb])
+                for rb in pf.iter_batches(
+                    batch_size=batch_rows, row_groups=rgs or None
+                )
+            )
+            n = _zip_tables(
+                src_iter,
+                _decoded_iter(u["part"], batch_rows),
+                u["src"],
+                sides=("source", "store"),
             )
             out.append({"rows": n})
         return pa.Table.from_pylist(
             out, schema=pa.schema([("rows", pa.int64())])
         )
 
+    ncpu = (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized()
+        else (os.cpu_count() or 4)
+    )
+    n_groups = max(1, min(len(units), max(4 * ncpu, 16)))
     rows = (
-        ray.data.range(len(fragments), override_num_blocks=max(1, len(fragments)))
+        ray.data.range(len(units), override_num_blocks=n_groups)
         .map_batches(check, batch_format="pyarrow", batch_size=None)
         .take_all()
     )
