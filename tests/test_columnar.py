@@ -783,6 +783,75 @@ def test_table_store_detects_corruption(ray_session, tmp_path):
         verify_table_store(str(src), out)
 
 
+@st.composite
+def _scan_table(draw):
+    n = draw(st.integers(min_value=1, max_value=80))
+    ints = draw(
+        st.lists(
+            st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    strs = draw(
+        st.lists(
+            st.one_of(st.none(), st.sampled_from(["a", "bb", "ccc", "", "ddd"])),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    lo = draw(st.integers(-(2**40), 2**40))
+    hi = draw(st.integers(-(2**40), 2**40))
+    needle = draw(st.sampled_from(["a", "bb", "zz", ""]))
+    return ints, strs, min(lo, hi), max(lo, hi), needle
+
+
+@given(args=_scan_table())
+@settings(max_examples=40, deadline=None)
+def test_scans_match_bruteforce_hypothesis(args):
+    """eq_scan / range_scan / agg_scan against brute-force references on
+    random nullable tables, whole and re-sliced."""
+    from fsst_like_ray.pipelines.columnar import (
+        agg_scan_batch,
+        eq_scan_batch,
+        range_scan_batch,
+    )
+
+    ints, strs, lo, hi, needle = args
+    t = pa.table(
+        {
+            "i": pa.array(ints, type=pa.int64()),
+            "s": pa.array(strs, type=pa.string()),
+            "rid": pa.array(np.arange(len(ints)), type=pa.int32()),
+        }
+    )
+    for enc in (
+        encode_columns_batch(t),
+        encode_columns_batch(t).slice(1) if len(ints) > 1 else None,
+    ):
+        if enc is None:
+            continue
+        base = t if enc.num_rows == t.num_rows else t.slice(1)
+        exp_rng = [
+            r["rid"]
+            for r in base.to_pylist()
+            if r["i"] is not None and lo <= r["i"] <= hi
+        ]
+        got = range_scan_batch(enc, "i", lo=lo, hi=hi, out_columns=["rid"])
+        assert got["rid"].to_pylist() == exp_rng
+
+        exp_eq = [r["rid"] for r in base.to_pylist() if r["s"] == needle]
+        got_eq = eq_scan_batch(enc, "s", needle, out_columns=["rid"])
+        assert got_eq["rid"].to_pylist() == exp_eq
+
+        vals = [r["i"] for r in base.to_pylist() if r["i"] is not None]
+        a = agg_scan_batch(enc, "i").to_pylist()[0]
+        assert a["cnt"] == len(vals)
+        if vals:
+            assert a["vmin"] == min(vals) and a["vmax"] == max(vals)
+            assert int(a["vsum"]) == sum(vals)
+
+
 def test_dataset_level_roundtrip(ray_session):
     import ray.data
 
