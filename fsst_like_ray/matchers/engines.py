@@ -680,82 +680,104 @@ def like_on_encoded(
         gpay = pay[po[lo] : po[hi]]
         gpo = po[lo : hi + 1] - po[lo]
 
-        eng = engine
-        if eng == "dummy":
-            result[rows] = dummy_walk(gpay, gpo)
-            continue
-        if eng == "auto":
-            if shape == "exact":
-                # compressed-domain equality: deterministic encoder ⇒ the
-                # re-encoded constant IS the payload of any equal row
-                result[rows] = exact_payload_match(
-                    gpay, gpo, table,
-                    pat.segments[0] if pat.segments else b"",
-                )
-                continue
-            if shape == "prefix" and len(pat.segments[0]) > fsstlib.MAX_SYMBOL_LEN:
-                eng = "prefix"
-            elif shape in ("contains", "multi", "suffix"):
-                eng = "skipping"
-            else:
-                eng = "decoded"
+        def decode_fn(cidx, _rows=rows):
+            sub = batch.take(pa.array(_rows[cidx]))
+            return decode_text_table(sub)["text"]
 
-        if eng == "kmp" and shape == "contains":
-            result[rows] = kmp_code_match(gpay, gpo, table, pat.segments[0])
-            continue
-        if eng == "kmp" and shape == "multi":
-            result[rows] = meta_kmp_code_match(gpay, gpo, table, pat.segments)
-            continue
+        result[rows] = match_block(gpay, gpo, table, used, pat, engine, decode_fn)
+    return result
 
-        cand = np.ones(len(rows), dtype=bool)
-        if pat.has_underscore:
-            # '_' sits INSIDE segments, so they are not literal needles —
-            # any compressed-domain prefilter would prune wrongly; force
-            # decode-verify regardless of the explicitly requested engine
+
+def match_block(
+    gpay: np.ndarray,
+    gpo: np.ndarray,
+    table: fsstlib.SymbolTable,
+    used: bytes | None,
+    pat: LikePattern,
+    engine: str,
+    decode_fn,
+) -> np.ndarray:
+    """Row mask for ``pat`` over ONE encoded block: payload bytes ``gpay``
+    sliced by ``gpo``, symbol table ``table``, optional escaped-literal
+    bitmap ``used``. ``decode_fn(cidx) -> pa.Array`` must return the decoded
+    text of block-local rows ``cidx`` — the decode-verify step for
+    candidates a prefilter cannot settle. This is the shared engine core
+    behind ``like_on_encoded`` (token-corpus schema) and the whole-table
+    engine's fsstb LIKE scan (pipelines/columnar.like_scan_batch)."""
+    n_rows = len(gpo) - 1
+    shape = pat.shape
+    result = np.zeros(n_rows, dtype=bool)
+    if shape == "all":
+        result[:] = True
+        return result
+
+    eng = engine
+    if eng == "dummy":
+        return dummy_walk(gpay, gpo)
+    if eng == "auto":
+        if shape == "exact":
+            # compressed-domain equality: deterministic encoder ⇒ the
+            # re-encoded constant IS the payload of any equal row
+            return exact_payload_match(
+                gpay, gpo, table,
+                pat.segments[0] if pat.segments else b"",
+            )
+        if shape == "prefix" and len(pat.segments[0]) > fsstlib.MAX_SYMBOL_LEN:
+            eng = "prefix"
+        elif shape in ("contains", "multi", "suffix"):
+            eng = "skipping"
+        else:
             eng = "decoded"
-        if eng == "prefix" and shape == "prefix" and len(
-            pat.segments[0]
-        ) > fsstlib.MAX_SYMBOL_LEN:
-            cand = first_code_prefilter(gpay, gpo, table, pat.segments[0])
-        elif eng == "skipping":
-            # cost-based dispatch under auto (reference factory-decline
-            # contract, src/algos/StdFind.hpp:102-135): sample the
-            # requirements' candidate fraction; when dense, a low-yield
-            # prefilter pass can't pay for itself — dense single-segment
-            # contains routes to the C KMP walk (exact, no decode, early
-            # exit on match: fastest engine on dense blocks), other shapes
-            # fall back to plain decode+find
-            reqs = _segments_requirements(table, tuple(pat.segments), used)
-            if reqs is None:
-                continue  # block pruned: no code/escape can spell a segment
-            adaptive = engine == "auto" and len(rows) > 2 * _SKIP_SAMPLE_ROWS
-            declined = kmp_route = False
-            if adaptive and reqs:
-                frac = _sampled_candidate_fraction(gpay, gpo, reqs)
-                cutoff = (
-                    _SKIP_CUTOFF_NATIVE if _native.lib is not None
-                    else _SKIP_CUTOFF_NUMPY
-                )
-                declined = frac >= cutoff
-                kmp_route = (
-                    shape == "contains"
-                    and _native.lib is not None
-                    and frac >= _KMP_ROUTE_CUTOFF
-                )
-            if kmp_route:
-                result[rows] = kmp_code_match(
-                    gpay, gpo, table, pat.segments[0]
-                )
-                continue
-            if not declined and reqs:
-                cand = _apply_requirements(gpay, gpo, reqs)
-            if shape == "suffix":
-                cand &= last_code_prefilter(gpay, gpo, table, pat.segments[0])
-        # decode-verify the candidates (or everything on the decoded path)
-        cidx = np.flatnonzero(cand)
-        if cidx.size == 0:
-            continue
-        sub = batch.take(pa.array(rows[cidx]))
-        text = decode_text_table(sub)["text"]
-        result[rows[cidx]] = match_decoded(text, pat)
+
+    if eng == "kmp" and shape == "contains":
+        return kmp_code_match(gpay, gpo, table, pat.segments[0])
+    if eng == "kmp" and shape == "multi":
+        return meta_kmp_code_match(gpay, gpo, table, pat.segments)
+
+    cand = np.ones(n_rows, dtype=bool)
+    if pat.has_underscore:
+        # '_' sits INSIDE segments, so they are not literal needles —
+        # any compressed-domain prefilter would prune wrongly; force
+        # decode-verify regardless of the explicitly requested engine
+        eng = "decoded"
+    if eng == "prefix" and shape == "prefix" and len(
+        pat.segments[0]
+    ) > fsstlib.MAX_SYMBOL_LEN:
+        cand = first_code_prefilter(gpay, gpo, table, pat.segments[0])
+    elif eng == "skipping":
+        # cost-based dispatch under auto (reference factory-decline
+        # contract, src/algos/StdFind.hpp:102-135): sample the
+        # requirements' candidate fraction; when dense, a low-yield
+        # prefilter pass can't pay for itself — dense single-segment
+        # contains routes to the C KMP walk (exact, no decode, early
+        # exit on match: fastest engine on dense blocks), other shapes
+        # fall back to plain decode+find
+        reqs = _segments_requirements(table, tuple(pat.segments), used)
+        if reqs is None:
+            return result  # block pruned: no code/escape can spell a segment
+        adaptive = engine == "auto" and n_rows > 2 * _SKIP_SAMPLE_ROWS
+        declined = kmp_route = False
+        if adaptive and reqs:
+            frac = _sampled_candidate_fraction(gpay, gpo, reqs)
+            cutoff = (
+                _SKIP_CUTOFF_NATIVE if _native.lib is not None
+                else _SKIP_CUTOFF_NUMPY
+            )
+            declined = frac >= cutoff
+            kmp_route = (
+                shape == "contains"
+                and _native.lib is not None
+                and frac >= _KMP_ROUTE_CUTOFF
+            )
+        if kmp_route:
+            return kmp_code_match(gpay, gpo, table, pat.segments[0])
+        if not declined and reqs:
+            cand = _apply_requirements(gpay, gpo, reqs)
+        if shape == "suffix":
+            cand &= last_code_prefilter(gpay, gpo, table, pat.segments[0])
+    # decode-verify the candidates (or everything on the decoded path)
+    cidx = np.flatnonzero(cand)
+    if cidx.size == 0:
+        return result
+    result[cidx] = match_decoded(decode_fn(cidx), pat)
     return result

@@ -997,6 +997,84 @@ def eq_scan_batch(
     return _decode_survivors(batch, mask, out_columns)
 
 
+def like_scan_batch(
+    batch: pa.Table,
+    column: str,
+    pattern: str,
+    out_columns=None,
+    engine: str = "auto",
+) -> pa.Table:
+    """SQL LIKE filter on an ENCODED string column — the reference's
+    flagship capability (LIKE pushdown for FSST, README.md:1) lifted onto
+    the whole-table engine's layout:
+
+    - ``strdict`` blocks evaluate the pattern ONCE over the dictionary
+      (O(distinct), never O(rows)) and map the verdicts to rows through the
+      int index stream — classic dictionary pushdown;
+    - ``fsstb`` blocks run the full compressed-domain engine stack
+      (matchers/engines.match_block: required-code prefilters, C KMP walk,
+      cost-based auto dispatch) against the block's symbol table, decoding
+      only candidate rows;
+    - ``plainb`` blocks match the raw bytes directly.
+
+    Only surviving rows decode, through the pruned ``out_columns`` set."""
+    from ..matchers.engines import match_block, match_decoded
+    from ..matchers.pattern import parse_like
+
+    pat = parse_like(pattern)
+    n = batch.num_rows
+    gi, envs = _group_indices(batch[f"{column}__blk"])
+    pay_buf, pay_off = _binary_buffers(batch[f"{column}__payload"])
+    rowidx_all = batch["__rowidx"].to_numpy().astype(np.int64)
+    mask = np.zeros(n, dtype=bool)
+    for k, env in enumerate(envs):
+        env = bytes(env)
+        sel = np.flatnonzero(gi == k)
+        if not len(sel):
+            continue
+        r = _Reader(env)
+        tc, unit, tz, n_block, valid, _plain = _parse_head(r)
+        if tc not in (T_STRING, T_LARGE_STRING):
+            raise TypeError(f"like_scan: column {column!r} is not a string")
+        scheme = r.u8()
+        if scheme == S_STRDICT:
+            nd, doff, ddata, idx_blk = _strdict_reader(r, n_block)
+            dict_arr = _binary_from(ddata, doff, None).cast(pa.large_string())
+            dmask = match_decoded(dict_arr, pat)
+            idx = _cached_block(env, idx_blk)
+            m = dmask[idx[rowidx_all[sel]]]
+        elif scheme == S_FSSTB:
+            table = fsstlib.cached_table(r.b32())
+            starts = pay_off[sel]
+            lens = pay_off[sel + 1] - starts
+            gpay, gpo = _gather_bytes(pay_buf, starts, lens)
+            # escaped-literal bitmap of exactly the rows under scan — the
+            # block-prune statistic the token-corpus schema persists
+            # (src/BenchmarkDriver.cpp:128-137), recomputed here in one
+            # vectorized pass since the envelope doesn't carry it
+            used = fsstlib.escaped_literal_bitmap(gpay, gpo)
+
+            def decode_fn(cidx, _gpay=gpay, _gpo=gpo, _table=table):
+                spay, spo = _gather_bytes(
+                    _gpay, _gpo[cidx], _gpo[cidx + 1] - _gpo[cidx]
+                )
+                dbuf, dof = fsstlib.decode(spay, spo, _table)
+                return _binary_from(dbuf, np.asarray(dof), None).cast(
+                    pa.large_string()
+                )
+
+            m = match_block(gpay, gpo, table, bytes(used), pat, engine, decode_fn)
+        else:  # S_PLAINB
+            text = batch[f"{column}__payload"].take(pa.array(sel))
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            m = match_decoded(text.cast(pa.large_string()), pat)
+        if valid is not None:
+            m &= valid[rowidx_all[sel]]
+        mask[sel] = m
+    return _decode_survivors(batch, mask, out_columns)
+
+
 def assert_bit_equal(orig: pa.Table, dec: pa.Table) -> None:
     """Assert per-column BIT-exact equality between a source table and its
     decoded round-trip: floats compare as int bit views (``equals`` would

@@ -471,6 +471,43 @@ def q_columnar_eq_scan(sf_dir: str):
     )
 
 
+def q_columnar_like_scan(sf_dir: str):
+    """Compressed-domain LIKE over the whole-table engine's fsstb text
+    column — the reference's flagship capability (LIKE pushdown for FSST,
+    README.md:1) on the per-column layout: required-code prefilters /
+    C KMP walk run against each block's own symbol table
+    (matchers/engines.match_block), and only surviving rows decode,
+    through the pruned output-column set."""
+    from .columnar import encode_columns_dataset, like_scan_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    enc = encode_columns_dataset(ds)
+    return enc.map_batches(
+        lambda b: like_scan_batch(
+            b, "text", "%merge%sort%",
+            out_columns=["doc_id", "source", "n_chars"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_columnar_like_dict_scan(sf_dir: str):
+    """Dictionary-pushdown LIKE on a strdict-encoded column: the pattern
+    evaluates ONCE over the block's dictionary (O(distinct), never O(rows))
+    and verdicts map to rows through the int index stream — no row string
+    materializes for misses."""
+    from .columnar import encode_columns_dataset, like_scan_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    enc = encode_columns_dataset(ds)
+    return enc.map_batches(
+        lambda b: like_scan_batch(
+            b, "source", "src1%", out_columns=["doc_id", "lang"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_columnar_range_scan(sf_dir: str):
     """Zone-map range scan on an encoded int64 column: every numeric block
     envelope carries (vmin, vmax); blocks disjoint from the predicate skip
@@ -6515,11 +6552,14 @@ DRIVER_WINDOW = [
     "columnar_roundtrip_docs",
     "columnar_store_roundtrip",
     "columnar_range_scan",
-    # compressed-domain LIKE engines
+    # compressed-domain LIKE engines (like_skipping stays oracle-verified
+    # outside the window via engine_rank_counts, which asserts EVERY
+    # engine's match counts; columnar_like_scan is the flagship fusion —
+    # the LIKE engine stack running on the whole-table per-column layout)
     "like_contains",
     "like_kmp",
     "like_multi_kmp",
-    "like_skipping",
+    "columnar_like_scan",
     "engine_rank_counts",
     # text analysis
     "token_count",
@@ -6602,6 +6642,8 @@ def build_queries() -> dict:
     q["columnar_roundtrip_embeddings"] = q_columnar_roundtrip_embeddings
     q["columnar_ratio_gate"] = q_columnar_ratio_gate
     q["columnar_eq_scan"] = q_columnar_eq_scan
+    q["columnar_like_scan"] = q_columnar_like_scan
+    q["columnar_like_dict_scan"] = q_columnar_like_dict_scan
     q["columnar_range_scan"] = q_columnar_range_scan
     q["columnar_pruned_read"] = q_columnar_pruned_read
     q["columnar_store_roundtrip"] = q_columnar_store_roundtrip
@@ -6815,6 +6857,13 @@ def build_oracle_sql() -> dict:
     """
     sql["columnar_eq_scan"] = """
         SELECT doc_id, lang, n_chars FROM documents WHERE source = 'src7'
+    """
+    sql["columnar_like_scan"] = """
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE text LIKE '%merge%sort%'
+    """
+    sql["columnar_like_dict_scan"] = """
+        SELECT doc_id, lang FROM documents WHERE source LIKE 'src1%'
     """
     sql["columnar_range_scan"] = """
         SELECT event_id, event_type, user_id FROM events

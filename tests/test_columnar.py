@@ -294,6 +294,76 @@ def test_eq_scan_all_schemes():
         eq_scan_batch(enc, "doc_id", "5")
 
 
+def test_like_scan_all_schemes():
+    """Compressed-domain LIKE on encoded string columns: fsstb (full
+    matcher engine stack), strdict (dictionary pushdown), plainb (direct
+    bytes) — every scheme and engine vs a Python LIKE oracle."""
+    import re
+
+    from fsst_like_ray.pipelines.columnar import like_scan_batch
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    words = ["merge", "sort", "ray", "data", "plasma", "join", "scan"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(2, 10))) for _ in range(n)
+    ]
+    texts[7] = None
+    src = [f"src{i % 13}" for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+            "source": pa.array(src),
+            "blob": pa.array(
+                [(x or "").encode() for x in texts], type=pa.binary()
+            ),
+        }
+    )
+    enc = encode_columns_batch(t)
+    by = dict(
+        zip(*columnar_stats_batch(enc).to_pandas()[["column", "scheme"]].T.values)
+    )
+    assert (by["text"], by["source"]) == ("fsstb", "strdict")
+
+    def oracle(col_vals, pattern):
+        rx = re.compile(
+            "^" + re.escape(pattern).replace("%", ".*").replace("_", ".") + "$",
+            re.S,
+        )
+        return [
+            i for i, v in enumerate(col_vals) if v is not None and rx.match(v)
+        ]
+
+    for col, vals in (("text", texts), ("source", src)):
+        for pat in (
+            "%merge%sort%", "%plasma%", "ray%", "%join", "%m_rge%",
+            "%zzz_absent%", "src1%", "%rc3%", "src2", "%",
+        ):
+            got = like_scan_batch(enc, col, pat, out_columns=["doc_id"])
+            assert got["doc_id"].to_pylist() == oracle(vals, pat), (col, pat)
+    # every engine agrees on the fsstb path
+    exp = oracle(texts, "%merge%")
+    for eng in ("decoded", "prefix", "skipping", "kmp", "auto"):
+        got = like_scan_batch(
+            enc, "text", "%merge%", out_columns=["doc_id"], engine=eng
+        )
+        assert got["doc_id"].to_pylist() == exp, eng
+    # sliced encoded batch scans correctly
+    got = like_scan_batch(enc.slice(50, 900), "text", "%plasma%",
+                          out_columns=["doc_id"])
+    assert got["doc_id"].to_pylist() == [
+        i for i in oracle(texts, "%plasma%") if 50 <= i < 950
+    ]
+    # null text never matches, even the match-all pattern
+    assert 7 not in like_scan_batch(enc, "text", "%")["doc_id"].to_pylist()
+    # non-string columns refuse loudly (binary LIKE is undefined here)
+    with pytest.raises(TypeError):
+        like_scan_batch(enc, "blob", "%merge%")
+    with pytest.raises(TypeError):
+        like_scan_batch(enc, "doc_id", "%1%")
+
+
 def test_range_scan_zone_maps():
     from fsst_like_ray.pipelines.columnar import range_scan_batch
 
