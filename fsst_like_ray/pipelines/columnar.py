@@ -933,6 +933,38 @@ def columnar_stats_batch(batch: pa.Table) -> pa.Table:
 
 
 # ----------------------------------------------- compressed-domain scan
+def columnar_zones_batch(batch: pa.Table) -> dict[str, tuple[int, int]]:
+    """Per-column (vmin, vmax) over a batch's INT-LOGICAL block envelopes
+    (int32/bool/date32/int64/timestamp — float zone maps hold raw bit
+    patterns and are excluded, matching range_scan_batch's type gate).
+    Zero-row blocks contribute nothing. The store layer rolls these up to
+    per-FRAGMENT zones in the lineage manifest, so a range scan prunes
+    whole fragments before any part file opens."""
+    out: dict[str, tuple[int, int]] = {}
+    for name in batch.column_names:
+        if not name.endswith("__blk"):
+            continue
+        col = name[: -len("__blk")]
+        _gi, envs = _group_indices(batch[name])
+        for env in envs:
+            r = _Reader(bytes(env))
+            tc, _unit, _tz, n_block, _valid, _plain = _parse_head(r)
+            if tc not in _RANGE_TYPES or n_block == 0:
+                continue
+            if tc in _I32_FAMILY:
+                zmin, zmax = struct.unpack("<qq", r.take(16))
+            else:
+                zmin = r.i64()
+                zmax = struct.unpack("<q", r.take(8))[0]
+            cur = out.get(col)
+            out[col] = (
+                (zmin, zmax)
+                if cur is None
+                else (min(cur[0], zmin), max(cur[1], zmax))
+            )
+    return out
+
+
 def eq_scan_batch(
     batch: pa.Table, column: str, value, out_columns=None
 ) -> pa.Table:

@@ -560,6 +560,48 @@ def q_columnar_store_roundtrip(sf_dir: str):
     return read_table_store(out)
 
 
+def q_columnar_store_range_scan(sf_dir: str):
+    """Fragment-level zone pruning on the whole-table store: events split
+    into four event_id-ordered source fragments → compress_table records
+    per-fragment (vmin, vmax) zone envelopes in the lineage manifest →
+    scan_table_store opens ONLY fragments intersecting the predicate
+    (asserted: ≥2 of 4 skip before any part file opens), then block zone
+    maps and column pruning take over inside the survivors. The 100-TB
+    path: a selective range over time-ordered data touches a handful of
+    fragments."""
+    import tempfile
+
+    from .tablestore import compress_table, scan_table_store
+
+    base = tempfile.mkdtemp(prefix="columnar_store_range_")
+    src = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
+    frag_dir = os.path.join(base, "src")
+    os.makedirs(frag_dir)
+    n = src.num_rows
+    step = max(1, (n + 3) // 4)
+    for i in range(4):
+        part = src.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(frag_dir, f"f{i}.parquet"))
+    store = os.path.join(base, "store")
+    compress_table(frag_dir, store)
+    # scale-free bounds — the first eighth of the id range lies inside the
+    # first of four row-balanced fragments at every sf (mirrored in SQL)
+    import pyarrow.compute as pc
+
+    ids = src["event_id"]
+    mn = pc.min(ids).as_py()
+    mx = pc.max(ids).as_py()
+    stats: dict = {}
+    out = scan_table_store(
+        store, "event_id", lo=mn, hi=mn + (mx - mn) // 8,
+        columns=["event_id", "event_type", "user_id"], stats_out=stats,
+    )
+    if stats["fragments_skipped"] < 2:
+        raise ValueError(f"zone pruning did not engage: {stats}")
+    return out
+
+
 def q_columnar_spec_roundtrip(sf_dir: str):
     """Sample-trained spec mode (north rule: "first train symbol tables /
     dictionaries on a reservoir sample … then encode"): per-column codec
@@ -6647,6 +6689,7 @@ def build_queries() -> dict:
     q["columnar_range_scan"] = q_columnar_range_scan
     q["columnar_pruned_read"] = q_columnar_pruned_read
     q["columnar_store_roundtrip"] = q_columnar_store_roundtrip
+    q["columnar_store_range_scan"] = q_columnar_store_range_scan
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["columnar_agg_events"] = q_columnar_agg_events
     q["columnar_group_count"] = q_columnar_group_count
@@ -6873,6 +6916,12 @@ def build_oracle_sql() -> dict:
     sql["columnar_store_roundtrip"] = (
         "SELECT doc_id, text, lang, source, n_chars FROM documents"
     )
+    sql["columnar_store_range_scan"] = """
+        SELECT event_id, event_type, user_id FROM events
+        WHERE event_id BETWEEN (SELECT min(event_id) FROM events)
+          AND (SELECT min(event_id)
+                 + (max(event_id) - min(event_id)) // 8 FROM events)
+    """
     sql["columnar_spec_roundtrip"] = (
         "SELECT doc_id, text, lang, source, n_chars FROM documents"
     )

@@ -33,6 +33,7 @@ from ..state.manifest import Manifest, fragment_key
 from .columnar import (
     assert_bit_equal,
     columnar_stats_batch,
+    columnar_zones_batch,
     decode_columns_dataset,
     encode_columns_batch,
 )
@@ -61,6 +62,7 @@ def _encode_fragment(
     writer = None
     out_path = os.path.join(fdir, part_name)
     acc: dict[str, list] = {}  # column -> [plain, encoded, set(schemes)]
+    zones: dict[str, list] = {}  # column -> [vmin, vmax] (int-logical only)
     n_rows = 0
     try:
         batches = (
@@ -82,6 +84,7 @@ def _encode_fragment(
                 a[0] += int(r["plain_nbytes"])
                 a[1] += int(r["encoded_nbytes"])
                 a[2].add(r["scheme"])
+            _merge_zones(zones, columnar_zones_batch(enc))
         if writer is None:  # zero-row fragment: keep the (encoded) schema
             t = pf.schema_arrow.empty_table()
             if transform is not None:
@@ -107,6 +110,7 @@ def _encode_fragment(
             c: {"plain": a[0], "encoded": a[1], "schemes": sorted(a[2])}
             for c, a in sorted(acc.items())
         },
+        "zones": {c: list(z) for c, z in sorted(zones.items())},
     }
 
 
@@ -119,6 +123,17 @@ def _merge_column_stats(dst: dict, src: dict) -> None:
         mc["schemes"] = sorted(set(mc["schemes"]) | set(st["schemes"]))
 
 
+def _merge_zones(dst: dict, src: dict) -> None:
+    """Widen per-column [vmin, vmax] zone envelopes in place."""
+    for c, z in src.items():
+        cur = dst.get(c)
+        dst[c] = (
+            [int(z[0]), int(z[1])]
+            if cur is None
+            else [min(cur[0], int(z[0])), max(cur[1], int(z[1]))]
+        )
+
+
 _STATS_SCHEMA = pa.schema(
     [
         ("fragment", pa.string()),
@@ -127,6 +142,7 @@ _STATS_SCHEMA = pa.schema(
         ("plain_bytes", pa.int64()),
         ("encoded_bytes", pa.int64()),
         ("columns_json", pa.string()),
+        ("zones_json", pa.string()),
     ]
 )
 
@@ -194,6 +210,7 @@ class _EncodeSpecsTask:
                     "plain_bytes": stats["plain_bytes"],
                     "encoded_bytes": stats["encoded_bytes"],
                     "columns_json": json.dumps(stats["columns"]),
+                    "zones_json": json.dumps(stats["zones"]),
                 }
             )
         return pa.Table.from_pylist(rows, schema=_STATS_SCHEMA)
@@ -290,6 +307,7 @@ def compress_table(
                     "plain_bytes": 0,
                     "encoded_bytes": 0,
                     "columns": {},
+                    "zones": {},
                     "n_specs": 0,
                 },
             )
@@ -298,6 +316,7 @@ def compress_table(
             m["encoded_bytes"] += int(r["encoded_bytes"])
             m["n_specs"] += 1
             _merge_column_stats(m["columns"], json.loads(r["columns_json"]))
+            _merge_zones(m["zones"], json.loads(r["zones_json"]))
         # a fragment commits only when EVERY one of its specs reported —
         # iterate EXPECTED so a fragment with zero returned rows raises too
         for key, n_expected in expected.items():
@@ -338,6 +357,80 @@ def read_table_store(out_dir: str, columns=None):
     return decode_columns_dataset(read_parquet_blocks(paths, **kw))
 
 
+def scan_table_store(
+    out_dir: str,
+    column: str,
+    lo=None,
+    hi=None,
+    columns=None,
+    stats_out: dict | None = None,
+):
+    """Inclusive-range scan over a committed store with THREE pruning
+    tiers: (1) whole FRAGMENTS whose manifest zone envelope for ``column``
+    is disjoint from [lo, hi] never open a part file — at 100-TB scale a
+    selective range over roughly-time-ordered data touches a handful of
+    fragments; (2) inside surviving parts, only the scan + output columns'
+    encoded fields leave storage; (3) per-BLOCK envelope zone maps skip
+    blocks without decoding a value (columnar.range_scan_batch). Fragments
+    whose lineage predates zone maps scan unconditionally — pruning is
+    only ever an optimization, never a filter.
+
+    ``stats_out`` (optional dict) receives fragments_scanned /
+    fragments_skipped."""
+    import ray.data
+
+    from .columnar import (
+        _encoded_field_names,
+        decode_columns_batch,
+        range_scan_batch,
+    )
+    from .compress import read_parquet_blocks
+
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    if not done:
+        raise FileNotFoundError(
+            f"scan_table_store: no committed fragments under {out_dir!r}"
+        )
+    data_dir = os.path.join(out_dir, "data")
+    paths, any_parts, skipped = [], [], 0
+    for rec in sorted(done.values(), key=lambda rec: rec["frag_key"]):
+        parts = _fragment_parts(data_dir, rec["frag_key"])
+        any_parts = any_parts or parts
+        z = (rec.get("zones") or {}).get(column)
+        if z is not None and (
+            (lo is not None and z[1] < lo) or (hi is not None and z[0] > hi)
+        ):
+            skipped += 1
+            continue
+        paths.extend(parts)
+    if stats_out is not None:
+        stats_out["fragments_scanned"] = len(done) - skipped
+        stats_out["fragments_skipped"] = skipped
+    read_cols = (
+        None
+        if columns is None
+        else sorted(set(columns) | {column})
+    )
+    if not paths:
+        # every fragment pruned: an empty result that still carries the
+        # decoded schema (zero-row parts preserve the encoded schema)
+        empty = pq.ParquetFile(any_parts[0]).schema_arrow.empty_table()
+        dec = decode_columns_batch(empty)
+        if columns is not None:
+            dec = dec.select(list(columns))
+        return ray.data.from_arrow(dec)
+    kw = {}
+    if read_cols is not None:
+        kw["columns"] = _encoded_field_names(
+            list(pq.read_schema(paths[0]).names), read_cols
+        )
+    return read_parquet_blocks(paths, **kw).map_batches(
+        lambda b: range_scan_batch(b, column, lo=lo, hi=hi, out_columns=columns),
+        batch_format="pyarrow",
+    )
+
+
 def _transform_fragment(
     src_data: str,
     fdir: str,
@@ -357,7 +450,10 @@ def _transform_fragment(
     from .columnar import decode_columns_batch
 
     src_parts = _fragment_parts(src_data, frag_key)
-    stats = {"rows": 0, "plain_bytes": 0, "encoded_bytes": 0, "columns": {}}
+    stats = {
+        "rows": 0, "plain_bytes": 0, "encoded_bytes": 0,
+        "columns": {}, "zones": {},
+    }
     written = []
     try:
         for part in src_parts:
@@ -371,6 +467,7 @@ def _transform_fragment(
             stats["plain_bytes"] += st["plain_bytes"]
             stats["encoded_bytes"] += st["encoded_bytes"]
             _merge_column_stats(stats["columns"], st["columns"])
+            _merge_zones(stats["zones"], st["zones"])
         if stats["rows"] != expect_rows:
             raise ValueError(
                 f"transcode row mismatch: {stats['rows']} vs lineage "
@@ -428,6 +525,7 @@ class _TranscodeTask:
                     "plain_bytes": stats["plain_bytes"],
                     "encoded_bytes": stats["encoded_bytes"],
                     "columns_json": json.dumps(stats["columns"]),
+                    "zones_json": json.dumps(stats["zones"]),
                 }
             )
         return pa.Table.from_pylist(out, schema=_STATS_SCHEMA)
@@ -502,6 +600,7 @@ def transcode_table_store(
                     "plain_bytes": int(r["plain_bytes"]),
                     "encoded_bytes": int(r["encoded_bytes"]),
                     "columns": json.loads(r["columns_json"]),
+                    "zones": json.loads(r["zones_json"]),
                     "transcoded_from": src_out,
                 }
             )

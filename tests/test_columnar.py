@@ -617,6 +617,86 @@ def test_spec_mode_out_of_sample_values():
         )
 
 
+def test_store_zone_pruned_scan(ray_session, tmp_path):
+    """Fragment-level zone maps: compress_table records per-fragment
+    (vmin, vmax) per int-logical column in the manifest; scan_table_store
+    prunes disjoint fragments before opening a part file; legacy records
+    without zones scan unconditionally; an all-pruned scan returns an
+    empty dataset that keeps the decoded schema."""
+    import json
+    import os
+
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        scan_table_store,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    n = 1500
+    for f in range(3):  # disjoint id ranges per fragment
+        ids = np.arange(f * 10_000, f * 10_000 + n, dtype=np.int64)
+        t = pa.table(
+            {
+                "event_id": pa.array(ids),
+                "ts": pa.array(
+                    ids * 1_000_000 + 1_600_000_000_000_000,
+                    type=pa.timestamp("us"),
+                ),
+                "kind": pa.array(["k%d" % (i % 5) for i in range(n)]),
+            }
+        )
+        pq.write_table(t, src / f"part-{f}.parquet", row_group_size=600)
+    compress_table(str(src), out, batch_rows=512)
+
+    mdir = os.path.join(out, "_manifest")
+    recs = [json.load(open(os.path.join(mdir, f))) for f in os.listdir(mdir)]
+    by_lo = sorted(r["zones"]["event_id"][0] for r in recs)
+    assert by_lo == [0, 10_000, 20_000]
+    for r in recs:
+        lo = r["zones"]["event_id"][0]
+        assert r["zones"]["event_id"] == [lo, lo + n - 1]
+        assert r["zones"]["ts"] == [
+            lo * 1_000_000 + 1_600_000_000_000_000,
+            (lo + n - 1) * 1_000_000 + 1_600_000_000_000_000,
+        ]
+        assert "kind" not in r["zones"]  # strings carry no zone envelope
+
+    stats: dict = {}
+    got = scan_table_store(
+        out, "event_id", lo=10_100, hi=10_200,
+        columns=["event_id", "kind"], stats_out=stats,
+    ).to_pandas()
+    assert stats == {"fragments_scanned": 1, "fragments_skipped": 2}
+    assert sorted(got["event_id"]) == list(range(10_100, 10_201))
+    assert set(got.columns) == {"event_id", "kind"}
+
+    # all fragments pruned: zero rows, schema intact at the Dataset level
+    stats2: dict = {}
+    empty = scan_table_store(
+        out, "event_id", lo=99_999, hi=100_000,
+        columns=["event_id", "kind"], stats_out=stats2,
+    )
+    assert stats2["fragments_skipped"] == 3 and empty.count() == 0
+    assert empty.schema().names == ["event_id", "kind"]
+
+    # legacy manifests (pre-zones) scan everything — pruning is only ever
+    # an optimization
+    for f in os.listdir(mdir):
+        p = os.path.join(mdir, f)
+        r = json.load(open(p))
+        r.pop("zones")
+        json.dump(r, open(p, "w"))
+    stats3: dict = {}
+    got3 = scan_table_store(
+        out, "event_id", lo=10_100, hi=10_200,
+        columns=["event_id", "kind"], stats_out=stats3,
+    ).to_pandas()
+    assert stats3 == {"fragments_scanned": 3, "fragments_skipped": 0}
+    assert sorted(got3["event_id"]) == list(range(10_100, 10_201))
+
+
 def test_table_store_resume(ray_session, tmp_path):
     import json
     import os
