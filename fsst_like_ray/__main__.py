@@ -445,6 +445,48 @@ def cmd_table_store(args) -> int:
     return 0
 
 
+def cmd_table_scan(args) -> int:
+    """Predicate scan over a committed whole-table store: --like runs the
+    compressed-domain LIKE engines (dictionary pushdown / fsstb matcher
+    stack); --lo/--hi runs the zone-pruned range scan (manifest fragment
+    zones, then block zone maps). Prints match count + pruning stats."""
+    ray = _ray()
+    from .pipelines.tablestore import like_table_store, scan_table_store
+
+    cols = (
+        [c.strip() for c in args.columns.split(",") if c.strip()]
+        if args.columns
+        else None
+    )
+    t0 = time.time()
+    stats: dict = {}
+    if args.like is not None:
+        ds = like_table_store(args.store, args.column, args.like, columns=cols)
+    else:
+        if args.lo is None and args.hi is None:
+            print("table-scan: need --like PATTERN or --lo/--hi", file=sys.stderr)
+            return 2
+        ds = scan_table_store(
+            args.store, args.column, lo=args.lo, hi=args.hi,
+            columns=cols, stats_out=stats,
+        )
+    if args.dest:
+        ds.write_parquet(args.dest)
+        import ray.data as rd
+
+        n = rd.read_parquet(args.dest).count()
+    else:
+        n = ds.count()
+    print(json.dumps({
+        "matches": n,
+        **stats,
+        "sec": round(time.time() - t0, 3),
+        **({"out": args.dest} if args.dest else {}),
+    }))
+    ray.shutdown()
+    return 0
+
+
 def cmd_word_index(args) -> int:
     ray = _ray()
     from .pipelines.postings import build_word_index
@@ -637,6 +679,19 @@ def main(argv=None) -> int:
         help="train per-column codec spec ONCE on N sample rows (amortized)",
     )
     ts.set_defaults(fn=cmd_table_store)
+
+    tsc = sub.add_parser(
+        "table-scan",
+        help="LIKE / zone-pruned range scan over a whole-table store",
+    )
+    tsc.add_argument("store")
+    tsc.add_argument("column")
+    tsc.add_argument("--like", default=None, metavar="PATTERN")
+    tsc.add_argument("--lo", type=int, default=None)
+    tsc.add_argument("--hi", type=int, default=None)
+    tsc.add_argument("--columns", default=None, help="comma-separated output columns")
+    tsc.add_argument("--dest", default=None, help="write survivors as parquet")
+    tsc.set_defaults(fn=cmd_table_scan)
 
     wi = sub.add_parser(
         "word-index",

@@ -431,6 +431,44 @@ def scan_table_store(
     )
 
 
+def like_table_store(
+    out_dir: str,
+    column: str,
+    pattern: str,
+    columns=None,
+    engine: str = "auto",
+):
+    """LIKE scan over a committed store's encoded string column
+    (columnar.like_scan_batch: dictionary pushdown for strdict blocks, the
+    full compressed-domain engine stack for fsstb). Only the scan + output
+    columns' encoded fields leave storage; only surviving rows decode."""
+    from .columnar import _encoded_field_names, like_scan_batch
+    from .compress import read_parquet_blocks
+
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    if not done:
+        raise FileNotFoundError(
+            f"like_table_store: no committed fragments under {out_dir!r}"
+        )
+    data_dir = os.path.join(out_dir, "data")
+    paths = []
+    for rec in sorted(done.values(), key=lambda rec: rec["frag_key"]):
+        paths.extend(_fragment_parts(data_dir, rec["frag_key"]))
+    kw = {}
+    if columns is not None:
+        kw["columns"] = _encoded_field_names(
+            list(pq.read_schema(paths[0]).names),
+            sorted(set(columns) | {column}),
+        )
+    return read_parquet_blocks(paths, **kw).map_batches(
+        lambda b: like_scan_batch(
+            b, column, pattern, out_columns=columns, engine=engine
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _transform_fragment(
     src_data: str,
     fdir: str,

@@ -697,6 +697,62 @@ def test_store_zone_pruned_scan(ray_session, tmp_path):
     assert sorted(got3["event_id"]) == list(range(10_100, 10_201))
 
 
+def test_store_like_scan_and_append(ray_session, tmp_path):
+    """like_table_store runs the compressed-domain LIKE engines over a
+    committed store; appending NEW source fragments is just compress_table
+    with resume=True — committed fragments skip untouched, new ones encode
+    and join subsequent scans."""
+    import os
+    import re
+
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        like_table_store,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    rng = np.random.default_rng(9)
+    words = ["merge", "sort", "ray", "plasma", "join"]
+
+    def frag(f, n=800):
+        texts = [
+            "frag%d " % f + " ".join(rng.choice(words, size=rng.integers(2, 8)))
+            for _ in range(n)
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(f * n, (f + 1) * n, dtype=np.int64)),
+                "text": pa.array(texts),
+            }
+        )
+        pq.write_table(t, src / f"part-{f}.parquet")
+        return texts
+
+    texts = frag(0) + frag(1)
+    compress_table(str(src), out)
+
+    rx = re.compile(".*merge.*sort.*", re.S)
+    exp = [i for i, v in enumerate(texts) if rx.match(v)]
+    got = like_table_store(out, "text", "%merge%sort%", columns=["doc_id"])
+    assert sorted(r["doc_id"] for r in got.take_all()) == exp
+
+    # append: new fragment only; committed part files keep their mtimes
+    part0 = os.path.join(out, "data", "frag={}".format(
+        __import__("fsst_like_ray.state.manifest", fromlist=["fragment_key"])
+        .fragment_key(str(src / "part-0.parquet"))
+    ), "part-000000.parquet")
+    mtime0 = os.path.getmtime(part0)
+    texts += frag(2)
+    st = compress_table(str(src), out)  # resume=True is the default
+    assert st["fragments"] == 3
+    assert os.path.getmtime(part0) == mtime0  # untouched by the append
+    exp = [i for i, v in enumerate(texts) if rx.match(v)]
+    got = like_table_store(out, "text", "%merge%sort%", columns=["doc_id"])
+    assert sorted(r["doc_id"] for r in got.take_all()) == exp
+
+
 def test_table_store_resume(ray_session, tmp_path):
     import json
     import os
