@@ -250,6 +250,59 @@ def run_columnar_table(sf_dir: str) -> dict:
     }
 
 
+def run_columnar_like(sf_dir: str) -> dict:
+    """Compressed-domain LIKE on the per-column layout vs decode-everything-
+    then-match over the SAME encoded dataset — the reference's headline A/B
+    (compressed scan vs full decompression, sketch.cc:1306-1371) lifted to
+    the whole-table engine. Interleaved repeats; counts asserted equal."""
+    import pyarrow as pa
+    import ray.data
+    from fsst_like_ray.matchers.engines import match_decoded
+    from fsst_like_ray.matchers.pattern import parse_like
+    from fsst_like_ray.pipelines.columnar import (
+        decode_columns_batch,
+        encode_columns_dataset,
+        like_scan_batch,
+    )
+
+    enc = encode_columns_dataset(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    ).materialize()  # both legs scan the same encoded blocks
+    pattern = "%merge%sort%"
+    pat = parse_like(pattern)
+
+    def dec_match(b: pa.Table) -> pa.Table:
+        dec = decode_columns_batch(b)
+        m = match_decoded(dec["text"], pat)
+        return dec.select(["doc_id"]).filter(pa.array(m))
+
+    enc_secs, dec_secs, counts = [], [], set()
+    for _ in range(2):
+        t0 = time.time()
+        counts.add(
+            enc.map_batches(
+                lambda b: like_scan_batch(
+                    b, "text", pattern, out_columns=["doc_id"]
+                ),
+                batch_format="pyarrow",
+            ).count()
+        )
+        enc_secs.append(time.time() - t0)
+        t0 = time.time()
+        counts.add(
+            enc.map_batches(dec_match, batch_format="pyarrow").count()
+        )
+        dec_secs.append(time.time() - t0)
+    assert len(counts) == 1, f"columnar LIKE legs disagree: {counts}"
+    return {
+        "sec": round(min(enc_secs), 3),
+        "decoded_sec": round(min(dec_secs), 3),
+        "matches": counts.pop(),
+    }
+
+
 def run_join_q3(sf_dir: str) -> dict:
     """Three-way join (broadcast semi + co-partitioned shuffle) — the
     round-3 join-family composition (TPC-H Q3 shape)."""
@@ -444,6 +497,7 @@ def main():
         # definition the BASELINE records compare against
         col = run_columnar_table(sf_dir)
         queries["columnar_table"] = round(col["sec"], 3)
+        clike = run_columnar_like(sf_dir)
         queries["join_tpch_q3"] = round(run_join_q3(sf_dir)["sec"], 3)
 
         total = sum(queries.values())
@@ -477,6 +531,8 @@ def main():
                     "columnar_table_ratio": col["ratio"],
                     "columnar_spec_sec": col["spec_sec"],
                     "columnar_spec_ratio": col["spec_ratio"],
+                    "columnar_like_sec": clike["sec"],
+                    "columnar_like_decoded_sec": clike["decoded_sec"],
                     "engine_rank_file": rank_path,
                 }
             )
