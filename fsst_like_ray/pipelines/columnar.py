@@ -975,6 +975,13 @@ def eq_scan_batch(
     so equal strings encode to equal payloads — the constant re-encode
     trick of matchers/engines.py exact_payload_match, sketch.cc:1306-1371);
     plainb compares raw bytes. Only SURVIVING rows decode."""
+    return _decode_survivors(
+        batch, eq_scan_mask(batch, column, value), out_columns
+    )
+
+
+def eq_scan_mask(batch: pa.Table, column: str, value) -> np.ndarray:
+    """Row mask of eq_scan_batch, decoding nothing (predicate composition)."""
     n = batch.num_rows
     if isinstance(value, str):
         value = value.encode()
@@ -1026,7 +1033,7 @@ def eq_scan_batch(
         if valid is not None:
             m &= valid[rowidx_all[sel]]
         mask[sel] = m
-    return _decode_survivors(batch, mask, out_columns)
+    return mask
 
 
 def like_scan_batch(
@@ -1050,6 +1057,16 @@ def like_scan_batch(
     - ``plainb`` blocks match the raw bytes directly.
 
     Only surviving rows decode, through the pruned ``out_columns`` set."""
+    return _decode_survivors(
+        batch, like_scan_mask(batch, column, pattern, engine), out_columns
+    )
+
+
+def like_scan_mask(
+    batch: pa.Table, column: str, pattern: str, engine: str = "auto"
+) -> np.ndarray:
+    """Row mask of like_scan_batch, decoding nothing beyond candidate
+    verification (predicate composition)."""
     from ..matchers.engines import match_block, match_decoded
     from ..matchers.pattern import parse_like
 
@@ -1104,7 +1121,7 @@ def like_scan_batch(
         if valid is not None:
             m &= valid[rowidx_all[sel]]
         mask[sel] = m
-    return _decode_survivors(batch, mask, out_columns)
+    return mask
 
 
 def assert_bit_equal(orig: pa.Table, dec: pa.Table) -> None:
@@ -1174,6 +1191,22 @@ def range_scan_batch(
     disjoint from [lo, hi] are SKIPPED without decoding a single value —
     the parquet row-group-stats trick applied to the encoded layout.
     ``stats_out`` (optional dict) receives blocks_scanned/blocks_skipped."""
+    return _decode_survivors(
+        batch,
+        range_scan_mask(batch, column, lo, hi, stats_out=stats_out),
+        out_columns,
+    )
+
+
+def range_scan_mask(
+    batch: pa.Table,
+    column: str,
+    lo=None,
+    hi=None,
+    stats_out: dict | None = None,
+) -> np.ndarray:
+    """Row mask of range_scan_batch, decoding nothing when the block zone
+    map is disjoint (predicate composition)."""
     n = batch.num_rows
     gi, envs = _group_indices(batch[f"{column}__blk"])
     rowidx_all = batch["__rowidx"].to_numpy().astype(np.int64)
@@ -1207,6 +1240,48 @@ def range_scan_batch(
     if stats_out is not None:
         stats_out["blocks_scanned"] = scanned
         stats_out["blocks_skipped"] = skipped
+    return mask
+
+
+def predicate_scan_batch(
+    batch: pa.Table,
+    preds,
+    out_columns=None,
+    engine: str = "auto",
+) -> pa.Table:
+    """Conjunctive compound filter on an ENCODED table — every predicate
+    evaluates in the compressed domain and survivors decode ONCE at the
+    end, through the pruned ``out_columns`` set.
+
+    ``preds`` is an iterable of tuples:
+
+    - ``("range", col, lo, hi)`` — inclusive bounds (either may be None);
+      block zone maps skip disjoint blocks;
+    - ``("eq", col, value)`` — dictionary probe / constant re-encode;
+    - ``("in", col, values)`` — OR of equality probes (bounded by the
+      value-list length, each O(dictionary) on strdict blocks);
+    - ``("like", col, pattern)`` — the LIKE engine stack.
+
+    Predicates are evaluated in the given order with an any-rows-left
+    short-circuit, so put the most selective / cheapest first."""
+    mask = np.ones(batch.num_rows, dtype=bool)
+    for p in preds:
+        op = p[0]
+        if op == "range":
+            m = range_scan_mask(batch, p[1], p[2], p[3])
+        elif op == "eq":
+            m = eq_scan_mask(batch, p[1], p[2])
+        elif op == "in":
+            m = np.zeros(batch.num_rows, dtype=bool)
+            for v in p[2]:
+                m |= eq_scan_mask(batch, p[1], v)
+        elif op == "like":
+            m = like_scan_mask(batch, p[1], p[2], engine)
+        else:
+            raise ValueError(f"predicate_scan: unknown op {op!r}")
+        mask &= m
+        if not mask.any():
+            break
     return _decode_survivors(batch, mask, out_columns)
 
 

@@ -508,6 +508,28 @@ def q_columnar_like_dict_scan(sf_dir: str):
     )
 
 
+def q_columnar_predicate_scan(sf_dir: str):
+    """Conjunctive compound predicate on the encoded table — range (zone
+    maps), IN (dictionary probes) and LIKE (engine stack) all evaluate in
+    the compressed domain; survivors decode ONCE through the pruned
+    output-column set (columnar.predicate_scan_batch)."""
+    from .columnar import encode_columns_dataset, predicate_scan_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    enc = encode_columns_dataset(ds)
+    preds = [
+        ("range", "n_chars", 200, None),
+        ("in", "source", ["src1", "src4", "src7"]),
+        ("like", "text", "%merge%"),
+    ]
+    return enc.map_batches(
+        lambda b: predicate_scan_batch(
+            b, preds, out_columns=["doc_id", "source", "n_chars"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_columnar_range_scan(sf_dir: str):
     """Zone-map range scan on an encoded int64 column: every numeric block
     envelope carries (vmin, vmax); blocks disjoint from the predicate skip
@@ -6686,6 +6708,7 @@ def build_queries() -> dict:
     q["columnar_eq_scan"] = q_columnar_eq_scan
     q["columnar_like_scan"] = q_columnar_like_scan
     q["columnar_like_dict_scan"] = q_columnar_like_dict_scan
+    q["columnar_predicate_scan"] = q_columnar_predicate_scan
     q["columnar_range_scan"] = q_columnar_range_scan
     q["columnar_pruned_read"] = q_columnar_pruned_read
     q["columnar_store_roundtrip"] = q_columnar_store_roundtrip
@@ -6907,6 +6930,12 @@ def build_oracle_sql() -> dict:
     """
     sql["columnar_like_dict_scan"] = """
         SELECT doc_id, lang FROM documents WHERE source LIKE 'src1%'
+    """
+    sql["columnar_predicate_scan"] = """
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE n_chars >= 200
+          AND source IN ('src1', 'src4', 'src7')
+          AND text LIKE '%merge%'
     """
     sql["columnar_range_scan"] = """
         SELECT event_id, event_type, user_id FROM events

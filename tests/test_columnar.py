@@ -364,6 +364,64 @@ def test_like_scan_all_schemes():
         like_scan_batch(enc, "doc_id", "%1%")
 
 
+def test_predicate_scan_compound():
+    """Conjunctive range+eq+in+like over one encoded batch vs a Python
+    oracle; short-circuit on an impossible leading predicate; unknown op
+    raises."""
+    from fsst_like_ray.pipelines.columnar import predicate_scan_batch
+
+    rng = np.random.default_rng(12)
+    n = 3000
+    words = ["merge", "sort", "ray", "plasma"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(2, 8))) for _ in range(n)
+    ]
+    src = [f"s{i % 5}" for i in range(n)]
+    score = (np.arange(n) % 499).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "source": pa.array(src),
+            "score": pa.array(score),
+        }
+    )
+    enc = encode_columns_batch(t)
+    exp = [
+        i
+        for i in range(n)
+        if 50 <= score[i] <= 400
+        and src[i] in ("s1", "s3")
+        and "merge" in texts[i]
+    ]
+    got = predicate_scan_batch(
+        enc,
+        [
+            ("range", "score", 50, 400),
+            ("in", "source", ["s1", "s3"]),
+            ("like", "text", "%merge%"),
+        ],
+        out_columns=["doc_id"],
+    )
+    assert got["doc_id"].to_pylist() == exp
+    # eq + open-ended range
+    exp2 = [i for i in range(n) if src[i] == "s2" and score[i] >= 450]
+    got2 = predicate_scan_batch(
+        enc,
+        [("eq", "source", "s2"), ("range", "score", 450, None)],
+        out_columns=["doc_id"],
+    )
+    assert got2["doc_id"].to_pylist() == exp2
+    # impossible first predicate short-circuits to empty
+    got3 = predicate_scan_batch(
+        enc,
+        [("eq", "source", "absent"), ("like", "text", "%merge%")],
+    )
+    assert got3.num_rows == 0
+    with pytest.raises(ValueError):
+        predicate_scan_batch(enc, [("between", "score", 1, 2)])
+
+
 def test_range_scan_zone_maps():
     from fsst_like_ray.pipelines.columnar import range_scan_batch
 
