@@ -624,6 +624,54 @@ def q_columnar_store_range_scan(sf_dir: str):
     return out
 
 
+def q_columnar_store_like_prune(sf_dir: str):
+    """Gate: fragment-level trigram pruning for LIKE on the store. The
+    documents table splits into four fragments with a marker literal
+    planted ONLY in the last; the manifest blooms must prune the other
+    three before any part file opens, and the matched doc_ids must equal
+    the planted set exactly. All-true booleans, SQL-gated."""
+    import tempfile
+
+    from .tablestore import compress_table, like_table_store
+
+    base = tempfile.mkdtemp(prefix="columnar_store_likeprune_")
+    src = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    frag_dir = os.path.join(base, "src")
+    os.makedirs(frag_dir)
+    n = src.num_rows
+    step = max(1, (n + 3) // 4)
+    planted: list[int] = []
+    for i in range(4):
+        part = src.slice(i * step, step)
+        if not part.num_rows:
+            continue
+        if i == 3:  # plant the marker in every 7th row of the LAST slice
+            ids = part["doc_id"].to_pylist()
+            texts = part["text"].to_pylist()
+            for j in range(0, len(texts), 7):
+                texts[j] = (texts[j] or "") + " zqmarker"
+                planted.append(ids[j])
+            part = pa.table(
+                {"doc_id": part["doc_id"], "text": pa.array(texts)}
+            )
+        pq.write_table(part, os.path.join(frag_dir, f"f{i}.parquet"))
+    store = os.path.join(base, "store")
+    compress_table(frag_dir, store)
+    stats: dict = {}
+    got = like_table_store(
+        store, "text", "%zqmarker%", columns=["doc_id"], stats_out=stats
+    )
+    ids = sorted(r["doc_id"] for r in got.take_all())
+    return pa.table(
+        {
+            "pruned_ge_3": pa.array([stats["fragments_skipped"] >= 3]),
+            "matches_exact": pa.array([ids == sorted(planted)]),
+        }
+    )
+
+
 def q_columnar_spec_roundtrip(sf_dir: str):
     """Sample-trained spec mode (north rule: "first train symbol tables /
     dictionaries on a reservoir sample … then encode"): per-column codec
@@ -6713,6 +6761,7 @@ def build_queries() -> dict:
     q["columnar_pruned_read"] = q_columnar_pruned_read
     q["columnar_store_roundtrip"] = q_columnar_store_roundtrip
     q["columnar_store_range_scan"] = q_columnar_store_range_scan
+    q["columnar_store_like_prune"] = q_columnar_store_like_prune
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["columnar_agg_events"] = q_columnar_agg_events
     q["columnar_group_count"] = q_columnar_group_count
@@ -6944,6 +6993,9 @@ def build_oracle_sql() -> dict:
     sql["columnar_pruned_read"] = "SELECT doc_id, lang FROM documents"
     sql["columnar_store_roundtrip"] = (
         "SELECT doc_id, text, lang, source, n_chars FROM documents"
+    )
+    sql["columnar_store_like_prune"] = (
+        "SELECT (1=1) AS pruned_ge_3, (1=1) AS matches_exact"
     )
     sql["columnar_store_range_scan"] = """
         SELECT event_id, event_type, user_id FROM events

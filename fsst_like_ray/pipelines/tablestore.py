@@ -22,6 +22,7 @@ single batch, never the fragment.
 
 from __future__ import annotations
 
+import base64
 import os
 import shutil
 
@@ -40,6 +41,48 @@ from .columnar import (
 from .compress import discover_fragments
 
 DEFAULT_BATCH_ROWS = 8192
+
+# per-(fragment, string column) trigram bloom recorded in the lineage
+# manifest (base64) — like_table_store prunes fragments whose bloom lacks a
+# pattern trigram before opening any part file. 8 KB/column balances
+# manifest size against fpr (a fragment is ~one row group; the standalone
+# trigram index, pipelines/trigram.py, spends 32 KB per FILE).
+TRI_BLOOM_BYTES = 1 << 13
+_TRI_K = 4
+
+
+def _tri_accumulate(blooms: dict, t: pa.Table) -> None:
+    """OR each string column's within-row trigram keys into its bloom."""
+    from .trigram import _trigram_keys, _utf8_flat
+
+    from ..functions.bloom import bloom_insert
+
+    for name in t.column_names:
+        f = t.schema.field(name)
+        if not (pa.types.is_string(f.type) or pa.types.is_large_string(f.type)):
+            continue
+        col = t[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keys = _trigram_keys(*_utf8_flat(col))
+        bl = blooms.get(name)
+        if bl is None:
+            bl = blooms[name] = np.zeros(TRI_BLOOM_BYTES, dtype=np.uint8)
+        bloom_insert(bl, keys, _TRI_K)
+
+
+def _merge_tri(dst: dict, src: dict) -> None:
+    """OR per-column base64 bloom blobs in place (dst/src: col → b64)."""
+    for c, b64 in src.items():
+        b = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+        cur = dst.get(c)
+        if cur is None:
+            dst[c] = b64
+        else:
+            merged = np.frombuffer(
+                base64.b64decode(cur), dtype=np.uint8
+            ) | b
+            dst[c] = base64.b64encode(merged.tobytes()).decode()
 
 
 def _encode_fragment(
@@ -63,6 +106,7 @@ def _encode_fragment(
     out_path = os.path.join(fdir, part_name)
     acc: dict[str, list] = {}  # column -> [plain, encoded, set(schemes)]
     zones: dict[str, list] = {}  # column -> [vmin, vmax] (int-logical only)
+    tri: dict[str, np.ndarray] = {}  # string column -> trigram bloom
     n_rows = 0
     try:
         batches = (
@@ -85,6 +129,7 @@ def _encode_fragment(
                 a[1] += int(r["encoded_nbytes"])
                 a[2].add(r["scheme"])
             _merge_zones(zones, columnar_zones_batch(enc))
+            _tri_accumulate(tri, t)
         if writer is None:  # zero-row fragment: keep the (encoded) schema
             t = pf.schema_arrow.empty_table()
             if transform is not None:
@@ -111,6 +156,10 @@ def _encode_fragment(
             for c, a in sorted(acc.items())
         },
         "zones": {c: list(z) for c, z in sorted(zones.items())},
+        "trigrams": {
+            c: base64.b64encode(b.tobytes()).decode()
+            for c, b in sorted(tri.items())
+        },
     }
 
 
@@ -143,6 +192,7 @@ _STATS_SCHEMA = pa.schema(
         ("encoded_bytes", pa.int64()),
         ("columns_json", pa.string()),
         ("zones_json", pa.string()),
+        ("tri_json", pa.string()),
     ]
 )
 
@@ -211,6 +261,7 @@ class _EncodeSpecsTask:
                     "encoded_bytes": stats["encoded_bytes"],
                     "columns_json": json.dumps(stats["columns"]),
                     "zones_json": json.dumps(stats["zones"]),
+                    "tri_json": json.dumps(stats["trigrams"]),
                 }
             )
         return pa.Table.from_pylist(rows, schema=_STATS_SCHEMA)
@@ -308,6 +359,7 @@ def compress_table(
                     "encoded_bytes": 0,
                     "columns": {},
                     "zones": {},
+                    "trigrams": {},
                     "n_specs": 0,
                 },
             )
@@ -317,6 +369,7 @@ def compress_table(
             m["n_specs"] += 1
             _merge_column_stats(m["columns"], json.loads(r["columns_json"]))
             _merge_zones(m["zones"], json.loads(r["zones_json"]))
+            _merge_tri(m["trigrams"], json.loads(r["tri_json"]))
         # a fragment commits only when EVERY one of its specs reported —
         # iterate EXPECTED so a fragment with zero returned rows raises too
         for key, n_expected in expected.items():
@@ -437,13 +490,24 @@ def like_table_store(
     pattern: str,
     columns=None,
     engine: str = "auto",
+    stats_out: dict | None = None,
 ):
     """LIKE scan over a committed store's encoded string column
     (columnar.like_scan_batch: dictionary pushdown for strdict blocks, the
-    full compressed-domain engine stack for fsstb). Only the scan + output
-    columns' encoded fields leave storage; only surviving rows decode."""
-    from .columnar import _encoded_field_names, like_scan_batch
+    full compressed-domain engine stack for fsstb), with FRAGMENT-level
+    trigram pruning first: the lineage manifest carries a per-(fragment,
+    string column) trigram bloom, so a fragment whose bloom lacks one of
+    the pattern's trigrams never opens a part file (no false negatives —
+    pipelines/trigram.py's per-file prune lifted into the store manifest;
+    the reference's used_chars block prune, src/BenchmarkDriver.cpp:128-137,
+    at fragment granularity). Fragments whose lineage predates trigram
+    blooms, and patterns with no sound trigram evidence, scan
+    unconditionally. Only the scan + output columns' encoded fields leave
+    storage; only surviving rows decode."""
+    from ..functions.bloom import bloom_contains
+    from .columnar import _encoded_field_names, decode_columns_batch, like_scan_batch
     from .compress import read_parquet_blocks
+    from .trigram import pattern_trigrams
 
     manifest = Manifest(out_dir)
     done = manifest.completed()
@@ -452,9 +516,29 @@ def like_table_store(
             f"like_table_store: no committed fragments under {out_dir!r}"
         )
     data_dir = os.path.join(out_dir, "data")
-    paths = []
+    tris = pattern_trigrams(pattern)
+    paths, any_parts, skipped = [], [], 0
     for rec in sorted(done.values(), key=lambda rec: rec["frag_key"]):
-        paths.extend(_fragment_parts(data_dir, rec["frag_key"]))
+        parts = _fragment_parts(data_dir, rec["frag_key"])
+        any_parts = any_parts or parts
+        b64 = (rec.get("trigrams") or {}).get(column)
+        if tris is not None and b64 is not None:
+            bl = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+            if not bool(bloom_contains(bl, tris, _TRI_K).all()):
+                skipped += 1
+                continue
+        paths.extend(parts)
+    if stats_out is not None:
+        stats_out["fragments_scanned"] = len(done) - skipped
+        stats_out["fragments_skipped"] = skipped
+    if not paths:
+        import ray.data
+
+        empty = pq.ParquetFile(any_parts[0]).schema_arrow.empty_table()
+        dec = decode_columns_batch(empty)
+        if columns is not None:
+            dec = dec.select(list(columns))
+        return ray.data.from_arrow(dec)
     kw = {}
     if columns is not None:
         kw["columns"] = _encoded_field_names(
@@ -490,7 +574,7 @@ def _transform_fragment(
     src_parts = _fragment_parts(src_data, frag_key)
     stats = {
         "rows": 0, "plain_bytes": 0, "encoded_bytes": 0,
-        "columns": {}, "zones": {},
+        "columns": {}, "zones": {}, "trigrams": {},
     }
     written = []
     try:
@@ -506,6 +590,7 @@ def _transform_fragment(
             stats["encoded_bytes"] += st["encoded_bytes"]
             _merge_column_stats(stats["columns"], st["columns"])
             _merge_zones(stats["zones"], st["zones"])
+            _merge_tri(stats["trigrams"], st["trigrams"])
         if stats["rows"] != expect_rows:
             raise ValueError(
                 f"transcode row mismatch: {stats['rows']} vs lineage "
@@ -564,6 +649,7 @@ class _TranscodeTask:
                     "encoded_bytes": stats["encoded_bytes"],
                     "columns_json": json.dumps(stats["columns"]),
                     "zones_json": json.dumps(stats["zones"]),
+                    "tri_json": json.dumps(stats["trigrams"]),
                 }
             )
         return pa.Table.from_pylist(out, schema=_STATS_SCHEMA)
@@ -639,6 +725,7 @@ def transcode_table_store(
                     "encoded_bytes": int(r["encoded_bytes"]),
                     "columns": json.loads(r["columns_json"]),
                     "zones": json.loads(r["zones_json"]),
+                    "trigrams": json.loads(r["tri_json"]),
                     "transcoded_from": src_out,
                 }
             )

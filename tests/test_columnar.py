@@ -811,6 +811,84 @@ def test_store_like_scan_and_append(ray_session, tmp_path):
     assert sorted(r["doc_id"] for r in got.take_all()) == exp
 
 
+def test_store_trigram_pruned_like(ray_session, tmp_path):
+    """Per-fragment trigram blooms in the lineage manifest: a LIKE scan
+    skips fragments whose bloom lacks a pattern trigram (no false
+    negatives); `_`-patterns give no trigram evidence and scan everything;
+    legacy manifests without blooms scan unconditionally."""
+    import json
+    import os
+
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        like_table_store,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    rng = np.random.default_rng(21)
+    words = ["merge", "sort", "ray", "plasma"]
+    all_texts = []
+    for f in range(4):
+        texts = [
+            " ".join(rng.choice(words, size=rng.integers(2, 8)))
+            for _ in range(500)
+        ]
+        if f == 2:  # only fragment 2 holds the marker
+            for i in range(0, 500, 40):
+                texts[i] += " xylophone"
+        all_texts += texts
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(f * 500, (f + 1) * 500, dtype=np.int64)
+                ),
+                "text": pa.array(texts),
+            }
+        )
+        pq.write_table(t, src / f"p{f}.parquet")
+    compress_table(str(src), out)
+    exp = [i for i, v in enumerate(all_texts) if "xylophone" in v]
+
+    stats: dict = {}
+    got = like_table_store(
+        out, "text", "%xylophone%", columns=["doc_id"], stats_out=stats
+    )
+    assert stats == {"fragments_scanned": 1, "fragments_skipped": 3}
+    assert sorted(r["doc_id"] for r in got.take_all()) == exp
+
+    # underscore → no trigram evidence → full scan, same rows
+    stats2: dict = {}
+    got2 = like_table_store(
+        out, "text", "%xyl_phone%", columns=["doc_id"], stats_out=stats2
+    )
+    assert stats2["fragments_skipped"] == 0
+    assert sorted(r["doc_id"] for r in got2.take_all()) == exp
+
+    # absent literal → every fragment prunes, schema survives
+    stats3: dict = {}
+    empty = like_table_store(
+        out, "text", "%notanywhere%", columns=["doc_id"], stats_out=stats3
+    )
+    assert stats3["fragments_skipped"] == 4 and empty.count() == 0
+    assert empty.schema().names == ["doc_id"]
+
+    # legacy manifests (no trigrams key) scan everything
+    mdir = os.path.join(out, "_manifest")
+    for f in os.listdir(mdir):
+        p = os.path.join(mdir, f)
+        r = json.load(open(p))
+        r.pop("trigrams")
+        json.dump(r, open(p, "w"))
+    stats4: dict = {}
+    got4 = like_table_store(
+        out, "text", "%xylophone%", columns=["doc_id"], stats_out=stats4
+    )
+    assert stats4["fragments_skipped"] == 0
+    assert sorted(r["doc_id"] for r in got4.take_all()) == exp
+
+
 def test_table_store_resume(ray_session, tmp_path):
     import json
     import os
