@@ -461,7 +461,15 @@ def cmd_table_scan(args) -> int:
     t0 = time.time()
     stats: dict = {}
     if args.like is not None:
-        ds = like_table_store(args.store, args.column, args.like, columns=cols)
+        if args.lo is not None or args.hi is not None:
+            print(
+                "table-scan: --like and --lo/--hi are mutually exclusive",
+                file=sys.stderr,
+            )
+            return 2
+        ds = like_table_store(
+            args.store, args.column, args.like, columns=cols, stats_out=stats
+        )
     else:
         if args.lo is None and args.hi is None:
             print("table-scan: need --like PATTERN or --lo/--hi", file=sys.stderr)

@@ -699,8 +699,10 @@ def match_block(
 ) -> np.ndarray:
     """Row mask for ``pat`` over ONE encoded block: payload bytes ``gpay``
     sliced by ``gpo``, symbol table ``table``, optional escaped-literal
-    bitmap ``used``. ``decode_fn(cidx) -> pa.Array`` must return the decoded
-    text of block-local rows ``cidx`` — the decode-verify step for
+    bitmap ``used`` (bytes, None, or a zero-arg callable resolved lazily —
+    only the skipping path consumes it, so callers whose bitmap costs a
+    payload pass defer it). ``decode_fn(cidx) -> pa.Array`` must return the
+    decoded text of block-local rows ``cidx`` — the decode-verify step for
     candidates a prefilter cannot settle. This is the shared engine core
     behind ``like_on_encoded`` (token-corpus schema) and the whole-table
     engine's fsstb LIKE scan (pipelines/columnar.like_scan_batch)."""
@@ -752,7 +754,9 @@ def match_block(
         # contains routes to the C KMP walk (exact, no decode, early
         # exit on match: fastest engine on dense blocks), other shapes
         # fall back to plain decode+find
-        reqs = _segments_requirements(table, tuple(pat.segments), used)
+        reqs = _segments_requirements(
+            table, tuple(pat.segments), used() if callable(used) else used
+        )
         if reqs is None:
             return result  # block pruned: no code/escape can spell a segment
         adaptive = engine == "auto" and n_rows > 2 * _SKIP_SAMPLE_ROWS

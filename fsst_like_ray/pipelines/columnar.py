@@ -934,12 +934,12 @@ def columnar_stats_batch(batch: pa.Table) -> pa.Table:
 
 # ----------------------------------------------- compressed-domain scan
 def columnar_zones_batch(batch: pa.Table) -> dict[str, tuple[int, int]]:
-    """Per-column (vmin, vmax) over a batch's INT-LOGICAL block envelopes
-    (int32/bool/date32/int64/timestamp — float zone maps hold raw bit
-    patterns and are excluded, matching range_scan_batch's type gate).
-    Zero-row blocks contribute nothing. The store layer rolls these up to
-    per-FRAGMENT zones in the lineage manifest, so a range scan prunes
-    whole fragments before any part file opens."""
+    """Per-column (vmin, vmax) over a batch's block envelopes for the types
+    range_scan_batch accepts (_RANGE_TYPES: int32/date32/int64/timestamp —
+    float zone fields hold raw bit patterns and bool adds no pruning
+    value, both excluded). Zero-row blocks contribute nothing. The store
+    layer rolls these up to per-FRAGMENT zones in the lineage manifest,
+    so a range scan prunes whole fragments before any part file opens."""
     out: dict[str, tuple[int, int]] = {}
     for name in batch.column_names:
         if not name.endswith("__blk"):
@@ -951,11 +951,8 @@ def columnar_zones_batch(batch: pa.Table) -> dict[str, tuple[int, int]]:
             tc, _unit, _tz, n_block, _valid, _plain = _parse_head(r)
             if tc not in _RANGE_TYPES or n_block == 0:
                 continue
-            if tc in _I32_FAMILY:
-                zmin, zmax = struct.unpack("<qq", r.take(16))
-            else:
-                zmin = r.i64()
-                zmax = struct.unpack("<q", r.take(8))[0]
+            # _int_block_reader owns the numeric-body layout — one walker
+            zmin, zmax, _blk = _int_block_reader(r, tc, n_block)
             cur = out.get(col)
             out[col] = (
                 (zmin, zmax)
@@ -1094,14 +1091,23 @@ def like_scan_mask(
             m = dmask[idx[rowidx_all[sel]]]
         elif scheme == S_FSSTB:
             table = fsstlib.cached_table(r.b32())
-            starts = pay_off[sel]
-            lens = pay_off[sel + 1] - starts
-            gpay, gpo = _gather_bytes(pay_buf, starts, lens)
-            # escaped-literal bitmap of exactly the rows under scan — the
-            # block-prune statistic the token-corpus schema persists
-            # (src/BenchmarkDriver.cpp:128-137), recomputed here in one
-            # vectorized pass since the envelope doesn't carry it
-            used = fsstlib.escaped_literal_bitmap(gpay, gpo)
+            if len(sel) and np.all(np.diff(sel) == 1):
+                # contiguous row run (the common whole-block batch):
+                # zero-copy payload slice, no gather temporaries
+                lo0, hi0 = int(sel[0]), int(sel[-1]) + 1
+                gpay = pay_buf[pay_off[lo0] : pay_off[hi0]]
+                gpo = pay_off[lo0 : hi0 + 1] - pay_off[lo0]
+            else:
+                gpay, gpo = _gather_bytes(
+                    pay_buf, pay_off[sel], pay_off[sel + 1] - pay_off[sel]
+                )
+
+            def used_fn(_gpay=gpay, _gpo=gpo):
+                # escaped-literal bitmap of exactly the rows under scan —
+                # the block-prune statistic the token-corpus schema persists
+                # (src/BenchmarkDriver.cpp:128-137), recomputed lazily (one
+                # vectorized pass) only when the engine path consumes it
+                return bytes(fsstlib.escaped_literal_bitmap(_gpay, _gpo))
 
             def decode_fn(cidx, _gpay=gpay, _gpo=gpo, _table=table):
                 spay, spo = _gather_bytes(
@@ -1112,7 +1118,7 @@ def like_scan_mask(
                     pa.large_string()
                 )
 
-            m = match_block(gpay, gpo, table, bytes(used), pat, engine, decode_fn)
+            m = match_block(gpay, gpo, table, used_fn, pat, engine, decode_fn)
         else:  # S_PLAINB
             text = batch[f"{column}__payload"].take(pa.array(sel))
             if isinstance(text, pa.ChunkedArray):

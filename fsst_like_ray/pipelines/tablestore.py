@@ -410,6 +410,61 @@ def read_table_store(out_dir: str, columns=None):
     return decode_columns_dataset(read_parquet_blocks(paths, **kw))
 
 
+def _pruned_parts(out_dir: str, what: str, keep_rec, stats_out):
+    """Shared manifest walk of the store scans: committed fragments in
+    frag_key order, each kept or pruned by ``keep_rec(rec)``. Returns
+    (kept part paths, fallback parts for schema recovery)."""
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    if not done:
+        raise FileNotFoundError(
+            f"{what}: no committed fragments under {out_dir!r}"
+        )
+    data_dir = os.path.join(out_dir, "data")
+    paths, any_parts, skipped = [], [], 0
+    for rec in sorted(done.values(), key=lambda rec: rec["frag_key"]):
+        parts = _fragment_parts(data_dir, rec["frag_key"])
+        any_parts = any_parts or parts
+        if not keep_rec(rec):
+            skipped += 1
+            continue
+        paths.extend(parts)
+    if not any_parts:
+        raise FileNotFoundError(
+            f"{what}: committed fragments have no part files in {out_dir!r}"
+        )
+    if stats_out is not None:
+        stats_out["fragments_scanned"] = len(done) - skipped
+        stats_out["fragments_skipped"] = skipped
+    return paths, any_parts
+
+
+def _scan_pruned(paths, any_parts, columns, scan_col, batch_fn):
+    """Shared tail of the store scans: all-pruned → empty Dataset that
+    keeps the decoded schema (zero-row parts preserve the encoded schema);
+    else a column-pruned encoded read + the per-batch scan."""
+    import ray.data
+
+    from .columnar import _encoded_field_names, decode_columns_batch
+    from .compress import read_parquet_blocks
+
+    if not paths:
+        empty = pq.ParquetFile(any_parts[0]).schema_arrow.empty_table()
+        dec = decode_columns_batch(empty)
+        if columns is not None:
+            dec = dec.select(list(columns))
+        return ray.data.from_arrow(dec)
+    kw = {}
+    if columns is not None:
+        kw["columns"] = _encoded_field_names(
+            list(pq.read_schema(paths[0]).names),
+            sorted(set(columns) | {scan_col}),
+        )
+    return read_parquet_blocks(paths, **kw).map_batches(
+        batch_fn, batch_format="pyarrow"
+    )
+
+
 def scan_table_store(
     out_dir: str,
     column: str,
@@ -430,57 +485,20 @@ def scan_table_store(
 
     ``stats_out`` (optional dict) receives fragments_scanned /
     fragments_skipped."""
-    import ray.data
+    from .columnar import range_scan_batch
 
-    from .columnar import (
-        _encoded_field_names,
-        decode_columns_batch,
-        range_scan_batch,
-    )
-    from .compress import read_parquet_blocks
-
-    manifest = Manifest(out_dir)
-    done = manifest.completed()
-    if not done:
-        raise FileNotFoundError(
-            f"scan_table_store: no committed fragments under {out_dir!r}"
-        )
-    data_dir = os.path.join(out_dir, "data")
-    paths, any_parts, skipped = [], [], 0
-    for rec in sorted(done.values(), key=lambda rec: rec["frag_key"]):
-        parts = _fragment_parts(data_dir, rec["frag_key"])
-        any_parts = any_parts or parts
+    def keep(rec) -> bool:
         z = (rec.get("zones") or {}).get(column)
-        if z is not None and (
+        return z is None or not (
             (lo is not None and z[1] < lo) or (hi is not None and z[0] > hi)
-        ):
-            skipped += 1
-            continue
-        paths.extend(parts)
-    if stats_out is not None:
-        stats_out["fragments_scanned"] = len(done) - skipped
-        stats_out["fragments_skipped"] = skipped
-    read_cols = (
-        None
-        if columns is None
-        else sorted(set(columns) | {column})
-    )
-    if not paths:
-        # every fragment pruned: an empty result that still carries the
-        # decoded schema (zero-row parts preserve the encoded schema)
-        empty = pq.ParquetFile(any_parts[0]).schema_arrow.empty_table()
-        dec = decode_columns_batch(empty)
-        if columns is not None:
-            dec = dec.select(list(columns))
-        return ray.data.from_arrow(dec)
-    kw = {}
-    if read_cols is not None:
-        kw["columns"] = _encoded_field_names(
-            list(pq.read_schema(paths[0]).names), read_cols
         )
-    return read_parquet_blocks(paths, **kw).map_batches(
+
+    paths, any_parts = _pruned_parts(
+        out_dir, "scan_table_store", keep, stats_out
+    )
+    return _scan_pruned(
+        paths, any_parts, columns, column,
         lambda b: range_scan_batch(b, column, lo=lo, hi=hi, out_columns=columns),
-        batch_format="pyarrow",
     )
 
 
@@ -505,51 +523,26 @@ def like_table_store(
     unconditionally. Only the scan + output columns' encoded fields leave
     storage; only surviving rows decode."""
     from ..functions.bloom import bloom_contains
-    from .columnar import _encoded_field_names, decode_columns_batch, like_scan_batch
-    from .compress import read_parquet_blocks
+    from .columnar import like_scan_batch
     from .trigram import pattern_trigrams
 
-    manifest = Manifest(out_dir)
-    done = manifest.completed()
-    if not done:
-        raise FileNotFoundError(
-            f"like_table_store: no committed fragments under {out_dir!r}"
-        )
-    data_dir = os.path.join(out_dir, "data")
     tris = pattern_trigrams(pattern)
-    paths, any_parts, skipped = [], [], 0
-    for rec in sorted(done.values(), key=lambda rec: rec["frag_key"]):
-        parts = _fragment_parts(data_dir, rec["frag_key"])
-        any_parts = any_parts or parts
-        b64 = (rec.get("trigrams") or {}).get(column)
-        if tris is not None and b64 is not None:
-            bl = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
-            if not bool(bloom_contains(bl, tris, _TRI_K).all()):
-                skipped += 1
-                continue
-        paths.extend(parts)
-    if stats_out is not None:
-        stats_out["fragments_scanned"] = len(done) - skipped
-        stats_out["fragments_skipped"] = skipped
-    if not paths:
-        import ray.data
 
-        empty = pq.ParquetFile(any_parts[0]).schema_arrow.empty_table()
-        dec = decode_columns_batch(empty)
-        if columns is not None:
-            dec = dec.select(list(columns))
-        return ray.data.from_arrow(dec)
-    kw = {}
-    if columns is not None:
-        kw["columns"] = _encoded_field_names(
-            list(pq.read_schema(paths[0]).names),
-            sorted(set(columns) | {column}),
-        )
-    return read_parquet_blocks(paths, **kw).map_batches(
+    def keep(rec) -> bool:
+        b64 = (rec.get("trigrams") or {}).get(column)
+        if tris is None or b64 is None:
+            return True
+        bl = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+        return bool(bloom_contains(bl, tris, _TRI_K).all())
+
+    paths, any_parts = _pruned_parts(
+        out_dir, "like_table_store", keep, stats_out
+    )
+    return _scan_pruned(
+        paths, any_parts, columns, column,
         lambda b: like_scan_batch(
             b, column, pattern, out_columns=columns, engine=engine
         ),
-        batch_format="pyarrow",
     )
 
 
