@@ -439,10 +439,11 @@ def _pruned_parts(out_dir: str, what: str, keep_rec, stats_out):
     return paths, any_parts
 
 
-def _scan_pruned(paths, any_parts, columns, scan_col, batch_fn):
+def _scan_pruned(paths, any_parts, out_cols, read_cols, batch_fn):
     """Shared tail of the store scans: all-pruned → empty Dataset that
-    keeps the decoded schema (zero-row parts preserve the encoded schema);
-    else a column-pruned encoded read + the per-batch scan."""
+    keeps the decoded schema projected to ``out_cols`` (zero-row parts
+    preserve the encoded schema); else an encoded read pruned to
+    ``read_cols`` (output + scan columns) + the per-batch scan."""
     import ray.data
 
     from .columnar import _encoded_field_names, decode_columns_batch
@@ -451,14 +452,13 @@ def _scan_pruned(paths, any_parts, columns, scan_col, batch_fn):
     if not paths:
         empty = pq.ParquetFile(any_parts[0]).schema_arrow.empty_table()
         dec = decode_columns_batch(empty)
-        if columns is not None:
-            dec = dec.select(list(columns))
+        if out_cols is not None:
+            dec = dec.select(list(out_cols))
         return ray.data.from_arrow(dec)
     kw = {}
-    if columns is not None:
+    if read_cols is not None:
         kw["columns"] = _encoded_field_names(
-            list(pq.read_schema(paths[0]).names),
-            sorted(set(columns) | {scan_col}),
+            list(pq.read_schema(paths[0]).names), sorted(read_cols)
         )
     return read_parquet_blocks(paths, **kw).map_batches(
         batch_fn, batch_format="pyarrow"
@@ -497,7 +497,8 @@ def scan_table_store(
         out_dir, "scan_table_store", keep, stats_out
     )
     return _scan_pruned(
-        paths, any_parts, columns, column,
+        paths, any_parts, columns,
+        None if columns is None else set(columns) | {column},
         lambda b: range_scan_batch(b, column, lo=lo, hi=hi, out_columns=columns),
     )
 
@@ -539,11 +540,109 @@ def like_table_store(
         out_dir, "like_table_store", keep, stats_out
     )
     return _scan_pruned(
-        paths, any_parts, columns, column,
+        paths, any_parts, columns,
+        None if columns is None else set(columns) | {column},
         lambda b: like_scan_batch(
             b, column, pattern, out_columns=columns, engine=engine
         ),
     )
+
+
+def predicate_scan_table_store(
+    out_dir: str,
+    preds,
+    columns=None,
+    engine: str = "auto",
+    stats_out: dict | None = None,
+):
+    """Conjunctive compound scan over a committed store
+    (columnar.predicate_scan_batch semantics) with EVERY predicate also
+    pruning at the FRAGMENT tier first:
+
+    - ``("range", col, lo, hi)`` prunes on the manifest zone envelope;
+    - ``("eq", col, v)`` / ``("in", col, vs)`` / ``("like", col, pat)``
+      prune on the trigram bloom — a fragment whose bloom lacks one of a
+      literal's trigrams cannot contain it (for IN, the fragment survives
+      if ANY value's trigrams are all present).
+
+    Fragments with legacy lineage (no zones/blooms) and predicates with no
+    sound trigram evidence keep the fragment — pruning is only ever an
+    optimization. Survivors run the full in-batch compound scan and decode
+    ONCE through the pruned output columns."""
+    from ..functions.bloom import bloom_contains
+    from .columnar import predicate_scan_batch
+    from .trigram import pattern_trigrams
+
+    def _tri_ok(rec, col, tris) -> bool:
+        b64 = (rec.get("trigrams") or {}).get(col)
+        if tris is None or b64 is None:
+            return True
+        bl = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+        return bool(bloom_contains(bl, tris, _TRI_K).all())
+
+    scan_cols = set()
+    checks = []  # rec -> bool, one per predicate
+    for p in preds:
+        op = p[0]
+        scan_cols.add(p[1])
+        if op == "range":
+            _, col, lo, hi = p
+
+            def zk(rec, _c=col, _lo=lo, _hi=hi):
+                z = (rec.get("zones") or {}).get(_c)
+                return z is None or not (
+                    (_lo is not None and z[1] < _lo)
+                    or (_hi is not None and z[0] > _hi)
+                )
+
+            checks.append(zk)
+        elif op in ("eq", "like"):
+            pat = p[2] if op == "like" else _as_exact_pattern(p[2])
+            tris = None if pat is None else pattern_trigrams(pat)
+            checks.append(
+                lambda rec, _c=p[1], _t=tris: _tri_ok(rec, _c, _t)
+            )
+        elif op == "in":
+            pats = [_as_exact_pattern(v) for v in p[2]]
+            tri_list = [
+                None if pt is None else pattern_trigrams(pt) for pt in pats
+            ]
+            checks.append(
+                lambda rec, _c=p[1], _ts=tri_list: any(
+                    _tri_ok(rec, _c, t) for t in _ts
+                )
+            )
+        else:
+            raise ValueError(f"predicate_scan: unknown op {op!r}")
+
+    paths, any_parts = _pruned_parts(
+        out_dir,
+        "predicate_scan_table_store",
+        lambda rec: all(c(rec) for c in checks),
+        stats_out,
+    )
+    return _scan_pruned(
+        paths,
+        any_parts,
+        columns,
+        None if columns is None else scan_cols | set(columns),
+        lambda b: predicate_scan_batch(
+            b, preds, out_columns=columns, engine=engine
+        ),
+    )
+
+
+def _as_exact_pattern(value) -> str | None:
+    """An equality literal as a LIKE pattern for trigram evidence, or None
+    (no evidence) for non-UTF-8 bytes. LIKE metacharacters inside the
+    literal only WEAKEN the evidence (pattern_trigrams treats % as a gap,
+    _ as no-evidence), never tighten it — the prune stays sound."""
+    if isinstance(value, bytes):
+        try:
+            return value.decode()
+        except UnicodeDecodeError:
+            return None
+    return str(value)
 
 
 def _transform_fragment(

@@ -889,6 +889,82 @@ def test_store_trigram_pruned_like(ray_session, tmp_path):
     assert sorted(r["doc_id"] for r in got4.take_all()) == exp
 
 
+def test_store_predicate_scan_combined_pruning(ray_session, tmp_path):
+    """predicate_scan_table_store prunes fragments through EVERY
+    predicate's evidence — zone envelopes for ranges, trigram blooms for
+    eq/IN/LIKE literals — then runs the in-batch compound scan on the
+    survivors."""
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        predicate_scan_table_store,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    rng = np.random.default_rng(31)
+    words = ["merge", "sort", "ray"]
+    rows = []
+    for f in range(4):
+        for i in range(300):
+            txt = "frag%d " % f + " ".join(rng.choice(words, size=4))
+            if f == 1 and i % 25 == 0:
+                txt += " needletok"
+            rows.append((f * 300 + i, txt, f * 1000 + i))
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    [r[0] for r in rows[-300:]], type=pa.int64()
+                ),
+                "text": pa.array([r[1] for r in rows[-300:]]),
+                "score": pa.array(
+                    [r[2] for r in rows[-300:]], type=pa.int64()
+                ),
+            }
+        )
+        pq.write_table(t, src / f"p{f}.parquet")
+    compress_table(str(src), out)
+
+    # LIKE evidence keeps only fragment 1; the range already excludes 2-3
+    stats: dict = {}
+    got = predicate_scan_table_store(
+        out,
+        [("like", "text", "%needletok%"), ("range", "score", None, 1200)],
+        columns=["doc_id"],
+        stats_out=stats,
+    )
+    exp = [r[0] for r in rows if "needletok" in r[1] and r[2] <= 1200]
+    assert stats == {"fragments_scanned": 1, "fragments_skipped": 3}
+    assert sorted(r["doc_id"] for r in got.take_all()) == exp
+
+    # eq / IN literals absent from every bloom prune everything
+    for preds in (
+        [("eq", "text", "totallyabsentvalue")],
+        [("in", "text", ["zzzabsent1", "zzzabsent2"])],
+    ):
+        s: dict = {}
+        empty = predicate_scan_table_store(
+            out, preds, columns=["doc_id"], stats_out=s
+        )
+        assert s["fragments_skipped"] == 4 and empty.count() == 0
+
+    # range-only pruning composes with a present literal: zones drop 0-1,
+    # bloom keeps all (word appears everywhere), intersection = 2-3
+    s2: dict = {}
+    got2 = predicate_scan_table_store(
+        out,
+        [("range", "score", 2000, None), ("like", "text", "%merge%")],
+        columns=["doc_id"],
+        stats_out=s2,
+    )
+    exp2 = [r[0] for r in rows if r[2] >= 2000 and "merge" in r[1]]
+    assert s2 == {"fragments_scanned": 2, "fragments_skipped": 2}
+    assert sorted(r["doc_id"] for r in got2.take_all()) == exp2
+
+    with pytest.raises(ValueError):
+        predicate_scan_table_store(out, [("between", "score", 1, 2)])
+
+
 def test_table_store_resume(ray_session, tmp_path):
     import json
     import os
