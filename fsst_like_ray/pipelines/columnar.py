@@ -1291,6 +1291,47 @@ def predicate_scan_batch(
     return _decode_survivors(batch, mask, out_columns)
 
 
+def column_topk_batch(
+    batch: pa.Table,
+    column: str,
+    k: int,
+    descending: bool = True,
+    out_columns=None,
+) -> pa.Table:
+    """Per-batch top-k rows by an ENCODED int-logical column: ranking
+    values come straight from the cached block int streams (no other
+    column touches memory); only the ≤k winning rows decode, through the
+    pruned ``out_columns`` set. Null rows never rank. The store-level
+    operator (tablestore.topk_table_store) merges these bounded partials
+    and prunes whole fragments via the manifest zone envelopes."""
+    n = batch.num_rows
+    gi, envs = _group_indices(batch[f"{column}__blk"])
+    rowidx_all = batch["__rowidx"].to_numpy().astype(np.int64)
+    vals = np.zeros(n, dtype=np.int64)
+    ok = np.zeros(n, dtype=bool)
+    for kk, env in enumerate(envs):
+        env = bytes(env)
+        sel = np.flatnonzero(gi == kk)
+        if not len(sel):
+            continue
+        r = _Reader(env)
+        tc, _unit, _tz, n_block, valid, _plain = _parse_head(r)
+        if tc not in _RANGE_TYPES:
+            raise TypeError(f"topk: column {column!r} is not integer-kind")
+        _zmin, _zmax, blk = _int_block_reader(r, tc, n_block)
+        vals[sel] = _cached_block(env, blk)[rowidx_all[sel]].astype(np.int64)
+        ok[sel] = True if valid is None else valid[rowidx_all[sel]]
+    cand = np.flatnonzero(ok)
+    if len(cand) > k:
+        key = -vals[cand] if descending else vals[cand]
+        cand = cand[np.argpartition(key, k - 1)[:k]]
+    mask = np.zeros(n, dtype=bool)
+    mask[cand] = True
+    keep = None if out_columns is None else sorted(set(out_columns) | {column})
+    dec = _decode_survivors(batch, mask, keep)
+    return dec
+
+
 def agg_scan_batch(
     batch: pa.Table, column: str, ops=("min", "max", "sum", "count")
 ) -> pa.Table:

@@ -624,6 +624,37 @@ def q_columnar_store_range_scan(sf_dir: str):
     return out
 
 
+def q_columnar_store_topk(sf_dir: str):
+    """Zone-pruned top-k on the store: fragments process in zone-bound
+    order and the scan STOPS once the k-th best beats every remaining
+    fragment's envelope — only the winning rows ever decode
+    (tablestore.topk_table_store; asserted: ≥2 of 4 fragments skip)."""
+    import tempfile
+
+    from .tablestore import compress_table, topk_table_store
+
+    base = tempfile.mkdtemp(prefix="columnar_store_topk_")
+    src = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
+    frag_dir = os.path.join(base, "src")
+    os.makedirs(frag_dir)
+    n = src.num_rows
+    step = max(1, (n + 3) // 4)
+    for i in range(4):
+        part = src.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(frag_dir, f"f{i}.parquet"))
+    store = os.path.join(base, "store")
+    compress_table(frag_dir, store)
+    stats: dict = {}
+    top = topk_table_store(
+        store, "event_id", 20, descending=True,
+        columns=["event_id", "event_type", "user_id"], stats_out=stats,
+    )
+    if stats["fragments_skipped"] < 2:
+        raise ValueError(f"top-k zone pruning did not engage: {stats}")
+    return top
+
+
 def q_columnar_store_like_prune(sf_dir: str):
     """Gate: fragment-level trigram pruning for LIKE on the store. The
     documents table splits into four fragments with a marker literal
@@ -6762,6 +6793,7 @@ def build_queries() -> dict:
     q["columnar_store_roundtrip"] = q_columnar_store_roundtrip
     q["columnar_store_range_scan"] = q_columnar_store_range_scan
     q["columnar_store_like_prune"] = q_columnar_store_like_prune
+    q["columnar_store_topk"] = q_columnar_store_topk
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["columnar_agg_events"] = q_columnar_agg_events
     q["columnar_group_count"] = q_columnar_group_count
@@ -6997,6 +7029,10 @@ def build_oracle_sql() -> dict:
     sql["columnar_store_like_prune"] = (
         "SELECT (1=1) AS pruned_ge_3, (1=1) AS matches_exact"
     )
+    sql["columnar_store_topk"] = """
+        SELECT event_id, event_type, user_id FROM events
+        ORDER BY event_id DESC LIMIT 20
+    """
     sql["columnar_store_range_scan"] = """
         SELECT event_id, event_type, user_id FROM events
         WHERE event_id BETWEEN (SELECT min(event_id) FROM events)

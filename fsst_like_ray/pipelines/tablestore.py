@@ -632,7 +632,91 @@ def predicate_scan_table_store(
     )
 
 
-def _as_exact_pattern(value) -> str | None:
+def topk_table_store(
+    out_dir: str,
+    column: str,
+    k: int,
+    descending: bool = True,
+    columns=None,
+    stats_out: dict | None = None,
+) -> pa.Table:
+    """Top-k rows by an encoded int-logical column with FRAGMENT-level
+    zone pruning: fragments process in best-possible-value order (zone
+    zmax for descending, zmin for ascending); once k rows are held and
+    the current k-th best already beats every remaining fragment's zone
+    bound, the scan STOPS — at 100-TB scale a top-k over roughly-ordered
+    data opens a handful of fragments. Fragments with legacy lineage (no
+    zones) give no bound and scan first. Inside a fragment, ranking
+    values come straight from the encoded int streams and only ≤k rows
+    per batch decode (columnar.column_topk_batch). Returns a pa.Table of
+    the k winners (driver-side state is O(k), never rows)."""
+    from .columnar import column_topk_batch
+    from .compress import read_parquet_blocks
+
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    if not done:
+        raise FileNotFoundError(
+            f"topk_table_store: no committed fragments under {out_dir!r}"
+        )
+    data_dir = os.path.join(out_dir, "data")
+
+    def bound(rec):
+        z = (rec.get("zones") or {}).get(column)
+        if z is None:
+            return None
+        return z[1] if descending else z[0]
+
+    recs = sorted(done.values(), key=lambda rec: rec["frag_key"])
+    # no-bound fragments first (they must always scan), then best-first
+    recs.sort(
+        key=lambda rec: (
+            bound(rec) is not None,
+            -(bound(rec) or 0) if descending else (bound(rec) or 0),
+        )
+    )
+    best: pa.Table | None = None
+    scanned = skipped = 0
+    stopped = False
+    for i, rec in enumerate(recs):
+        b = bound(rec)
+        if stopped or (
+            b is not None
+            and best is not None
+            and best.num_rows >= k
+            and (
+                (descending and int(best[column][-1].as_py()) >= b)
+                or (not descending and int(best[column][-1].as_py()) <= b)
+            )
+        ):
+            # every remaining fragment has an equal-or-worse bound
+            stopped = True
+            skipped += 1
+            continue
+        scanned += 1
+        parts = _fragment_parts(data_dir, rec["frag_key"])
+        got = read_parquet_blocks(parts).map_batches(
+            lambda bt: column_topk_batch(
+                bt, column, k, descending=descending, out_columns=columns
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        if got:
+            t = pa.Table.from_pylist(got)
+            best = t if best is None else pa.concat_tables(
+                [best.select(t.column_names), t]
+            )
+            best = best.sort_by(
+                [(column, "descending" if descending else "ascending")]
+            ).slice(0, k)
+    if stats_out is not None:
+        stats_out["fragments_scanned"] = scanned
+        stats_out["fragments_skipped"] = skipped
+    if best is None:
+        raise ValueError(f"topk_table_store: column {column!r} has no rows")
+    # ties at the k-th value are broken arbitrarily — rank on a unique
+    # column when deterministic row identity matters
+    return best if columns is None else best.select(list(columns))
     """An equality literal as a LIKE pattern for trigram evidence, or None
     (no evidence) for non-UTF-8 bytes. LIKE metacharacters inside the
     literal only WEAKEN the evidence (pattern_trigrams treats % as a gap,

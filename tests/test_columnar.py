@@ -965,6 +965,80 @@ def test_store_predicate_scan_combined_pruning(ray_session, tmp_path):
         predicate_scan_table_store(out, [("between", "score", 1, 2)])
 
 
+def test_store_zone_pruned_topk(ray_session, tmp_path):
+    """topk_table_store: fragments process best-bound-first and the scan
+    stops when the k-th best beats every remaining zone; legacy records
+    (no zones) always scan; asc and desc both oracle-exact."""
+    import json
+    import os
+
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        topk_table_store,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    rng = np.random.default_rng(17)
+    all_ids = rng.permutation(6000).astype(np.int64)
+    # fragment f covers ids [f*1500, (f+1)*1500) — shuffled inside
+    parts = np.sort(all_ids).reshape(4, 1500)
+    for f in range(4):
+        ids = rng.permutation(parts[f])
+        t = pa.table(
+            {
+                "event_id": pa.array(ids),
+                "kind": pa.array(["k%d" % (i % 3) for i in range(1500)]),
+            }
+        )
+        pq.write_table(t, src / f"p{f}.parquet")
+    compress_table(str(src), out)
+
+    stats: dict = {}
+    top = topk_table_store(
+        out, "event_id", 25, descending=True,
+        columns=["event_id", "kind"], stats_out=stats,
+    )
+    assert stats == {"fragments_scanned": 1, "fragments_skipped": 3}
+    assert sorted(top["event_id"].to_pylist(), reverse=True) == list(
+        range(5999, 5974, -1)
+    )
+    assert set(top.column_names) == {"event_id", "kind"}
+
+    stats2: dict = {}
+    bot = topk_table_store(
+        out, "event_id", 10, descending=False,
+        columns=["event_id"], stats_out=stats2,
+    )
+    assert stats2 == {"fragments_scanned": 1, "fragments_skipped": 3}
+    assert sorted(bot["event_id"].to_pylist()) == list(range(10))
+
+    # k larger than one fragment: a second fragment must scan
+    stats3: dict = {}
+    top3 = topk_table_store(
+        out, "event_id", 2000, descending=True,
+        columns=["event_id"], stats_out=stats3,
+    )
+    assert stats3["fragments_scanned"] == 2
+    assert sorted(top3["event_id"].to_pylist()) == list(range(4000, 6000))
+
+    # legacy manifests (no zones) scan every fragment, same result
+    mdir = os.path.join(out, "_manifest")
+    for f in os.listdir(mdir):
+        p = os.path.join(mdir, f)
+        r = json.load(open(p))
+        r.pop("zones")
+        json.dump(r, open(p, "w"))
+    stats4: dict = {}
+    top4 = topk_table_store(
+        out, "event_id", 25, descending=True,
+        columns=["event_id"], stats_out=stats4,
+    )
+    assert stats4 == {"fragments_scanned": 4, "fragments_skipped": 0}
+    assert sorted(top4["event_id"].to_pylist()) == list(range(5975, 6000))
+
+
 def test_table_store_resume(ray_session, tmp_path):
     import json
     import os
