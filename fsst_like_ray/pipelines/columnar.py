@@ -962,6 +962,31 @@ def columnar_zones_batch(batch: pa.Table) -> dict[str, tuple[int, int]]:
     return out
 
 
+def columnar_nulls_batch(batch: pa.Table) -> dict[str, int]:
+    """Per-column null counts from the block envelope validity bitmaps
+    alone (head parse, no payload bytes). Rolled up to per-FRAGMENT null
+    counts in the store lineage, enabling metadata-only COUNT answers:
+    a fragment whose zone is fully covered by a range predicate and whose
+    null count is zero contributes its row count without opening a file.
+    Counts are per ENVELOPE (whole block): callers must pass full-block
+    batches, as the encode path does — a re-sliced batch repeating an
+    envelope would double-count."""
+    out: dict[str, int] = {}
+    for name in batch.column_names:
+        if not name.endswith("__blk"):
+            continue
+        col = name[: -len("__blk")]
+        _gi, envs = _group_indices(batch[name])
+        total = 0
+        for env in envs:
+            r = _Reader(bytes(env))
+            _tc, _unit, _tz, n_block, valid, _plain = _parse_head(r)
+            if valid is not None:
+                total += int(n_block - valid.sum())
+        out[col] = out.get(col, 0) + total
+    return out
+
+
 def eq_scan_batch(
     batch: pa.Table, column: str, value, out_columns=None
 ) -> pa.Table:

@@ -624,6 +624,43 @@ def q_columnar_store_range_scan(sf_dir: str):
     return out
 
 
+def q_columnar_store_count(sf_dir: str):
+    """Metadata-only COUNT on the store: fragments fully covered by the
+    range (zone inside bounds, zero recorded nulls) contribute their
+    manifest row counts without opening a file; boundary fragments count
+    zone-mask bits over ONE column's encoded fields; disjoint fragments
+    skip (tablestore.count_table_store; asserted: ≥1 metadata-only and
+    ≥1 skipped)."""
+    import tempfile
+
+    from .tablestore import compress_table, count_table_store
+
+    base = tempfile.mkdtemp(prefix="columnar_store_count_")
+    src = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
+    frag_dir = os.path.join(base, "src")
+    os.makedirs(frag_dir)
+    n = src.num_rows
+    step = max(1, (n + 3) // 4)
+    for i in range(4):
+        part = src.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(frag_dir, f"f{i}.parquet"))
+    store = os.path.join(base, "store")
+    compress_table(frag_dir, store)
+    import pyarrow.compute as pc
+
+    ids = src["event_id"]
+    mn = pc.min(ids).as_py()
+    mx = pc.max(ids).as_py()
+    stats: dict = {}
+    total = count_table_store(
+        store, "event_id", lo=mn, hi=mn + (mx - mn) // 2, stats_out=stats
+    )
+    if stats["fragments_meta"] < 1 or stats["fragments_skipped"] < 1:
+        raise ValueError(f"metadata count did not engage: {stats}")
+    return pa.table({"n": pa.array([total], type=pa.int64())})
+
+
 def q_columnar_store_topk(sf_dir: str):
     """Zone-pruned top-k on the store: fragments process in zone-bound
     order and the scan STOPS once the k-th best beats every remaining
@@ -6794,6 +6831,7 @@ def build_queries() -> dict:
     q["columnar_store_range_scan"] = q_columnar_store_range_scan
     q["columnar_store_like_prune"] = q_columnar_store_like_prune
     q["columnar_store_topk"] = q_columnar_store_topk
+    q["columnar_store_count"] = q_columnar_store_count
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["columnar_agg_events"] = q_columnar_agg_events
     q["columnar_group_count"] = q_columnar_group_count
@@ -7032,6 +7070,12 @@ def build_oracle_sql() -> dict:
     sql["columnar_store_topk"] = """
         SELECT event_id, event_type, user_id FROM events
         ORDER BY event_id DESC LIMIT 20
+    """
+    sql["columnar_store_count"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n FROM events
+        WHERE event_id BETWEEN (SELECT min(event_id) FROM events)
+          AND (SELECT min(event_id)
+                 + (max(event_id) - min(event_id)) // 2 FROM events)
     """
     sql["columnar_store_range_scan"] = """
         SELECT event_id, event_type, user_id FROM events

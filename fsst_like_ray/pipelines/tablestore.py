@@ -33,6 +33,7 @@ import pyarrow.parquet as pq
 from ..state.manifest import Manifest, fragment_key
 from .columnar import (
     assert_bit_equal,
+    columnar_nulls_batch,
     columnar_stats_batch,
     columnar_zones_batch,
     decode_columns_dataset,
@@ -107,6 +108,7 @@ def _encode_fragment(
     acc: dict[str, list] = {}  # column -> [plain, encoded, set(schemes)]
     zones: dict[str, list] = {}  # column -> [vmin, vmax] (int-logical only)
     tri: dict[str, np.ndarray] = {}  # string column -> trigram bloom
+    nulls: dict[str, int] = {}  # column -> null count
     n_rows = 0
     try:
         batches = (
@@ -130,6 +132,8 @@ def _encode_fragment(
                 a[2].add(r["scheme"])
             _merge_zones(zones, columnar_zones_batch(enc))
             _tri_accumulate(tri, t)
+            for c, nc in columnar_nulls_batch(enc).items():
+                nulls[c] = nulls.get(c, 0) + nc
         if writer is None:  # zero-row fragment: keep the (encoded) schema
             t = pf.schema_arrow.empty_table()
             if transform is not None:
@@ -160,6 +164,7 @@ def _encode_fragment(
             c: base64.b64encode(b.tobytes()).decode()
             for c, b in sorted(tri.items())
         },
+        "nulls": dict(sorted(nulls.items())),
     }
 
 
@@ -193,6 +198,7 @@ _STATS_SCHEMA = pa.schema(
         ("columns_json", pa.string()),
         ("zones_json", pa.string()),
         ("tri_json", pa.string()),
+        ("nulls_json", pa.string()),
     ]
 )
 
@@ -262,6 +268,7 @@ class _EncodeSpecsTask:
                     "columns_json": json.dumps(stats["columns"]),
                     "zones_json": json.dumps(stats["zones"]),
                     "tri_json": json.dumps(stats["trigrams"]),
+                    "nulls_json": json.dumps(stats["nulls"]),
                 }
             )
         return pa.Table.from_pylist(rows, schema=_STATS_SCHEMA)
@@ -360,6 +367,7 @@ def compress_table(
                     "columns": {},
                     "zones": {},
                     "trigrams": {},
+                    "nulls": {},
                     "n_specs": 0,
                 },
             )
@@ -370,6 +378,8 @@ def compress_table(
             _merge_column_stats(m["columns"], json.loads(r["columns_json"]))
             _merge_zones(m["zones"], json.loads(r["zones_json"]))
             _merge_tri(m["trigrams"], json.loads(r["tri_json"]))
+            for c, nc in json.loads(r["nulls_json"]).items():
+                m["nulls"][c] = m["nulls"].get(c, 0) + int(nc)
         # a fragment commits only when EVERY one of its specs reported —
         # iterate EXPECTED so a fragment with zero returned rows raises too
         for key, n_expected in expected.items():
@@ -717,6 +727,9 @@ def topk_table_store(
     # ties at the k-th value are broken arbitrarily — rank on a unique
     # column when deterministic row identity matters
     return best if columns is None else best.select(list(columns))
+
+
+def _as_exact_pattern(value) -> str | None:
     """An equality literal as a LIKE pattern for trigram evidence, or None
     (no evidence) for non-UTF-8 bytes. LIKE metacharacters inside the
     literal only WEAKEN the evidence (pattern_trigrams treats % as a gap,
@@ -727,6 +740,90 @@ def topk_table_store(
         except UnicodeDecodeError:
             return None
     return str(value)
+
+
+def count_table_store(
+    out_dir: str,
+    column: str | None = None,
+    lo=None,
+    hi=None,
+    stats_out: dict | None = None,
+) -> int:
+    """COUNT over a committed store, answered from METADATA wherever the
+    lineage allows:
+
+    - no predicate → the sum of manifest row counts, zero files opened;
+    - with a range on ``column`` → fragments whose zone envelope is
+      DISJOINT contribute 0; fragments FULLY COVERED by [lo, hi] with a
+      recorded zero null count contribute their manifest row count;
+      only boundary fragments (or legacy lineage without zones/nulls)
+      open files, and even they read just the one column's encoded
+      fields and count mask bits — no row decodes.
+
+    ``stats_out`` receives fragments_meta / fragments_scanned /
+    fragments_skipped."""
+    from .columnar import _encoded_field_names, range_scan_mask
+    from .compress import read_parquet_blocks
+
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    if not done:
+        raise FileNotFoundError(
+            f"count_table_store: no committed fragments under {out_dir!r}"
+        )
+    data_dir = os.path.join(out_dir, "data")
+    recs = sorted(done.values(), key=lambda rec: rec["frag_key"])
+    if column is None or (lo is None and hi is None):
+        if stats_out is not None:
+            stats_out.update(
+                fragments_meta=len(recs), fragments_scanned=0,
+                fragments_skipped=0,
+            )
+        return sum(int(rec["rows"]) for rec in recs)
+
+    total = 0
+    meta = skipped = 0
+    scan_paths: list[str] = []
+    for rec in recs:
+        z = (rec.get("zones") or {}).get(column)
+        nn = (rec.get("nulls") or {}).get(column)
+        if z is not None and (
+            (lo is not None and z[1] < lo) or (hi is not None and z[0] > hi)
+        ):
+            skipped += 1
+            continue
+        if (
+            z is not None
+            and nn == 0
+            and (lo is None or z[0] >= lo)
+            and (hi is None or z[1] <= hi)
+        ):
+            meta += 1
+            total += int(rec["rows"])
+            continue
+        scan_paths.extend(_fragment_parts(data_dir, rec["frag_key"]))
+    if stats_out is not None:
+        stats_out.update(
+            fragments_meta=meta,
+            fragments_scanned=len(recs) - meta - skipped,
+            fragments_skipped=skipped,
+        )
+    if scan_paths:
+        cols = _encoded_field_names(
+            list(pq.read_schema(scan_paths[0]).names), [column]
+        )
+
+        def cnt(b: pa.Table) -> pa.Table:
+            m = range_scan_mask(b, column, lo=lo, hi=hi)
+            return pa.table({"n": pa.array([int(m.sum())], type=pa.int64())})
+
+        parts = (
+            read_parquet_blocks(scan_paths, columns=cols)
+            .map_batches(cnt, batch_format="pyarrow")
+            .take_all()
+        )
+        total += sum(int(r["n"]) for r in parts)
+    return total
 
 
 def _transform_fragment(
@@ -750,7 +847,7 @@ def _transform_fragment(
     src_parts = _fragment_parts(src_data, frag_key)
     stats = {
         "rows": 0, "plain_bytes": 0, "encoded_bytes": 0,
-        "columns": {}, "zones": {}, "trigrams": {},
+        "columns": {}, "zones": {}, "trigrams": {}, "nulls": {},
     }
     written = []
     try:
@@ -767,6 +864,8 @@ def _transform_fragment(
             _merge_column_stats(stats["columns"], st["columns"])
             _merge_zones(stats["zones"], st["zones"])
             _merge_tri(stats["trigrams"], st["trigrams"])
+            for c, nc in st["nulls"].items():
+                stats["nulls"][c] = stats["nulls"].get(c, 0) + int(nc)
         if stats["rows"] != expect_rows:
             raise ValueError(
                 f"transcode row mismatch: {stats['rows']} vs lineage "
@@ -826,6 +925,7 @@ class _TranscodeTask:
                     "columns_json": json.dumps(stats["columns"]),
                     "zones_json": json.dumps(stats["zones"]),
                     "tri_json": json.dumps(stats["trigrams"]),
+                    "nulls_json": json.dumps(stats["nulls"]),
                 }
             )
         return pa.Table.from_pylist(out, schema=_STATS_SCHEMA)
@@ -902,6 +1002,7 @@ def transcode_table_store(
                     "columns": json.loads(r["columns_json"]),
                     "zones": json.loads(r["zones_json"]),
                     "trigrams": json.loads(r["tri_json"]),
+                    "nulls": json.loads(r["nulls_json"]),
                     "transcoded_from": src_out,
                 }
             )

@@ -1039,6 +1039,57 @@ def test_store_zone_pruned_topk(ray_session, tmp_path):
     assert sorted(top4["event_id"].to_pylist()) == list(range(5975, 6000))
 
 
+def test_store_metadata_count(ray_session, tmp_path):
+    """count_table_store: no-predicate counts and fully-covered fragments
+    answer from the manifest alone; boundary fragments count mask bits;
+    fragments with nulls in the counted column never take the metadata
+    path (NULLs don't satisfy a range predicate)."""
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        count_table_store,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    n = 1000
+    for f in range(3):
+        vals = list(range(f * n, (f + 1) * n))
+        if f == 1:  # fragment 1 gets nulls → must scan even when covered
+            vals = [None if i % 10 == 0 else v for i, v in enumerate(vals)]
+        t = pa.table(
+            {
+                "event_id": pa.array(vals, type=pa.int64()),
+                "kind": pa.array(["k"] * n),
+            }
+        )
+        pq.write_table(t, src / f"p{f}.parquet")
+    compress_table(str(src), out)
+
+    s0: dict = {}
+    assert count_table_store(out, stats_out=s0) == 3 * n
+    assert s0 == {
+        "fragments_meta": 3, "fragments_scanned": 0, "fragments_skipped": 0
+    }
+
+    # covers all of fragment 0 (meta), all of 1 (scan: nulls), none of 2
+    s1: dict = {}
+    got = count_table_store(out, "event_id", lo=0, hi=2 * n - 1, stats_out=s1)
+    assert s1 == {
+        "fragments_meta": 1, "fragments_scanned": 1, "fragments_skipped": 1
+    }
+    assert got == n + sum(1 for i in range(n) if i % 10)
+
+    # boundary cut through fragment 0. Fragment 1 also scans: its nulls
+    # were zone-mapped as fill-0, widening its envelope to [0, 2n-1] —
+    # conservative, and its valid-masked scan contributes 0. Fragment 2
+    # is genuinely disjoint and skips.
+    s2: dict = {}
+    got2 = count_table_store(out, "event_id", lo=100, hi=199, stats_out=s2)
+    assert got2 == 100 and s2["fragments_meta"] == 0
+    assert s2["fragments_scanned"] == 2 and s2["fragments_skipped"] == 1
+
+
 def test_table_store_resume(ray_session, tmp_path):
     import json
     import os
