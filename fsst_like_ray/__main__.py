@@ -449,17 +449,54 @@ def cmd_table_scan(args) -> int:
     """Predicate scan over a committed whole-table store: --like runs the
     compressed-domain LIKE engines (dictionary pushdown / fsstb matcher
     stack); --lo/--hi runs the zone-pruned range scan (manifest fragment
-    zones, then block zone maps). Prints match count + pruning stats."""
+    zones, then block zone maps); --top K the zone-pruned top-k; --count
+    the metadata-first COUNT. Prints match count + pruning stats."""
     ray = _ray()
-    from .pipelines.tablestore import like_table_store, scan_table_store
+    from .pipelines.tablestore import (
+        count_table_store,
+        like_table_store,
+        scan_table_store,
+        topk_table_store,
+    )
 
     cols = (
         [c.strip() for c in args.columns.split(",") if c.strip()]
         if args.columns
         else None
     )
+    modes = sum(
+        (args.like is not None, args.top is not None, bool(args.count))
+    )
+    if modes > 1:
+        print(
+            "table-scan: --like / --top / --count are mutually exclusive",
+            file=sys.stderr,
+        )
+        return 2
     t0 = time.time()
     stats: dict = {}
+    if args.count:
+        n = count_table_store(
+            args.store, args.column, lo=args.lo, hi=args.hi, stats_out=stats
+        )
+        print(json.dumps(
+            {"matches": n, **stats, "sec": round(time.time() - t0, 3)}
+        ))
+        ray.shutdown()
+        return 0
+    if args.top is not None:
+        t = topk_table_store(
+            args.store, args.column, args.top,
+            descending=not args.asc, columns=cols, stats_out=stats,
+        )
+        print(json.dumps({
+            "matches": t.num_rows,
+            "rows": t.to_pylist(),
+            **stats,
+            "sec": round(time.time() - t0, 3),
+        }, default=str))
+        ray.shutdown()
+        return 0
     if args.like is not None:
         if args.lo is not None or args.hi is not None:
             print(
@@ -472,7 +509,10 @@ def cmd_table_scan(args) -> int:
         )
     else:
         if args.lo is None and args.hi is None:
-            print("table-scan: need --like PATTERN or --lo/--hi", file=sys.stderr)
+            print(
+                "table-scan: need --like / --lo/--hi / --top / --count",
+                file=sys.stderr,
+            )
             return 2
         ds = scan_table_store(
             args.store, args.column, lo=args.lo, hi=args.hi,
@@ -697,6 +737,12 @@ def main(argv=None) -> int:
     tsc.add_argument("--like", default=None, metavar="PATTERN")
     tsc.add_argument("--lo", type=int, default=None)
     tsc.add_argument("--hi", type=int, default=None)
+    tsc.add_argument("--top", type=int, default=None, metavar="K")
+    tsc.add_argument("--asc", action="store_true", help="with --top: smallest K")
+    tsc.add_argument(
+        "--count", action="store_true",
+        help="metadata-first COUNT (with optional --lo/--hi)",
+    )
     tsc.add_argument("--columns", default=None, help="comma-separated output columns")
     tsc.add_argument("--dest", default=None, help="write survivors as parquet")
     tsc.set_defaults(fn=cmd_table_scan)
