@@ -535,6 +535,21 @@ def cmd_table_scan(args) -> int:
     return 0
 
 
+def cmd_table_cluster(args) -> int:
+    """Cluster-while-encoding: one distributed range sort, then the
+    resumable store encode — fragment zone envelopes come out disjoint."""
+    ray = _ray()
+    from .pipelines.tablestore import cluster_table_store
+
+    t0 = time.time()
+    stats = cluster_table_store(
+        args.input, args.out_dir, args.column, batch_rows=args.batch_rows
+    )
+    print(json.dumps({**stats, "sec": round(time.time() - t0, 3)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_word_index(args) -> int:
     ray = _ray()
     from .pipelines.postings import build_word_index
@@ -727,6 +742,17 @@ def main(argv=None) -> int:
         help="train per-column codec spec ONCE on N sample rows (amortized)",
     )
     ts.set_defaults(fn=cmd_table_store)
+
+    tcl = sub.add_parser(
+        "table-cluster",
+        help="range-sort by a column while encoding into the store "
+        "(disjoint fragment zones → scans open ~1 file)",
+    )
+    tcl.add_argument("input")
+    tcl.add_argument("out_dir")
+    tcl.add_argument("column")
+    tcl.add_argument("--batch-rows", type=int, default=8192)
+    tcl.set_defaults(fn=cmd_table_cluster)
 
     tsc = sub.add_parser(
         "table-scan",

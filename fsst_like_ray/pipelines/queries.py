@@ -624,6 +624,41 @@ def q_columnar_store_range_scan(sf_dir: str):
     return out
 
 
+def q_columnar_store_cluster_scan(sf_dir: str):
+    """Cluster-while-encoding on UNSORTED input: events shuffled by a
+    seeded permutation, range-sorted into the store by ONE distributed
+    sort (tablestore.cluster_table_store), then the same zone-pruned
+    range scan as columnar_store_range_scan — fragment envelopes come
+    out disjoint, so pruning engages on data that arrived unordered
+    (asserted: more fragments skipped than scanned)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from .tablestore import cluster_table_store, scan_table_store
+
+    base = tempfile.mkdtemp(prefix="columnar_store_cluster_")
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    rng = np.random.default_rng(41)
+    src = src.take(pa.array(rng.permutation(src.num_rows)))
+    frag_dir = os.path.join(base, "src")
+    os.makedirs(frag_dir)
+    pq.write_table(src, os.path.join(frag_dir, "shuffled.parquet"))
+    store = os.path.join(base, "store")
+    cluster_table_store(frag_dir, store, "event_id")
+    ids = src["event_id"]
+    mn = pc.min(ids).as_py()
+    mx = pc.max(ids).as_py()
+    stats: dict = {}
+    out = scan_table_store(
+        store, "event_id", lo=mn, hi=mn + (mx - mn) // 8,
+        columns=["event_id", "event_type", "user_id"], stats_out=stats,
+    )
+    if stats["fragments_skipped"] <= stats["fragments_scanned"]:
+        raise ValueError(f"cluster pruning did not engage: {stats}")
+    return out
+
+
 def q_columnar_store_count(sf_dir: str):
     """Metadata-only COUNT on the store: fragments fully covered by the
     range (zone inside bounds, zero recorded nulls) contribute their
@@ -6832,6 +6867,7 @@ def build_queries() -> dict:
     q["columnar_store_like_prune"] = q_columnar_store_like_prune
     q["columnar_store_topk"] = q_columnar_store_topk
     q["columnar_store_count"] = q_columnar_store_count
+    q["columnar_store_cluster_scan"] = q_columnar_store_cluster_scan
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["columnar_agg_events"] = q_columnar_agg_events
     q["columnar_group_count"] = q_columnar_group_count
@@ -7070,6 +7106,12 @@ def build_oracle_sql() -> dict:
     sql["columnar_store_topk"] = """
         SELECT event_id, event_type, user_id FROM events
         ORDER BY event_id DESC LIMIT 20
+    """
+    sql["columnar_store_cluster_scan"] = """
+        SELECT event_id, event_type, user_id FROM events
+        WHERE event_id BETWEEN (SELECT min(event_id) FROM events)
+          AND (SELECT min(event_id)
+                 + (max(event_id) - min(event_id)) // 8 FROM events)
     """
     sql["columnar_store_count"] = """
         SELECT CAST(count(*) AS BIGINT) AS n FROM events

@@ -742,6 +742,52 @@ def _as_exact_pattern(value) -> str | None:
     return str(value)
 
 
+def cluster_table_store(
+    input_path: str | list[str],
+    out_dir: str,
+    column: str,
+    codec_names=None,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+    fragments_per_round: int = 64,
+    spec_sample_rows: int | None = None,
+) -> dict:
+    """CLUSTER a parquet corpus by ``column`` while encoding it into the
+    store: one distributed range sort (Ray Data sort — the only
+    all-to-all this op ever does), written back as ordered parquet
+    fragments, then the normal resumable compress_table pass. The payoff
+    is fragment-tier statistics that actually bite: after clustering,
+    zone envelopes are DISJOINT across fragments, so range scans, top-k
+    and metadata counts touch ~1 fragment instead of all of them — the
+    difference between opening 4 files and 4,000 at 100-TB scale.
+
+    The sorted intermediate lands under ``<out_dir>/_sorted`` behind a
+    success marker: a kill during the SORT redoes it from scratch (no
+    marker → wipe + re-sort), while a kill during the ENCODE reuses the
+    identical sorted files so compress_table's manifest resume stays
+    sound — re-sorting under a committed manifest could shift block
+    boundaries and serve stale fragments."""
+    import ray.data
+
+    sorted_dir = os.path.join(out_dir, "_sorted")
+    marker = os.path.join(sorted_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(sorted_dir, ignore_errors=True)
+        os.makedirs(sorted_dir, exist_ok=True)
+        ray.data.read_parquet(input_path).sort(column).write_parquet(
+            sorted_dir
+        )
+        with open(marker, "w") as f:
+            f.write(column)
+    return compress_table(
+        sorted_dir,
+        out_dir,
+        codec_names=codec_names,
+        batch_rows=batch_rows,
+        fragments_per_round=fragments_per_round,
+        spec_sample_rows=spec_sample_rows,
+    )
+
+
 def count_table_store(
     out_dir: str,
     column: str | None = None,

@@ -1090,6 +1090,71 @@ def test_store_metadata_count(ray_session, tmp_path):
     assert s2["fragments_scanned"] == 2 and s2["fragments_skipped"] == 1
 
 
+def test_cluster_table_store(ray_session, tmp_path):
+    """cluster_table_store: unsorted input → disjoint fragment zones →
+    scans open ~1 fragment; the sorted intermediate sits behind a
+    _SUCCESS marker so an encode-phase kill resumes against identical
+    files instead of re-sorting under a committed manifest."""
+    import os
+
+    from fsst_like_ray.pipelines.tablestore import (
+        cluster_table_store,
+        count_table_store,
+        scan_table_store,
+    )
+    from fsst_like_ray.state.manifest import Manifest
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    rng = np.random.default_rng(23)
+    ids = rng.permutation(9000).astype(np.int64)
+    for f in range(3):
+        t = pa.table(
+            {
+                "event_id": pa.array(ids[f * 3000 : (f + 1) * 3000]),
+                "kind": pa.array(["k%d" % (i % 4) for i in range(3000)]),
+            }
+        )
+        pq.write_table(t, src / f"p{f}.parquet")
+    st = cluster_table_store(str(src), out, "event_id")
+    assert st["rows"] == 9000 and st["fragments"] >= 3
+
+    stats: dict = {}
+    got = scan_table_store(
+        out, "event_id", lo=100, hi=300, columns=["event_id"],
+        stats_out=stats,
+    ).to_pandas()
+    assert sorted(got["event_id"]) == list(range(100, 301))
+    assert stats["fragments_skipped"] > stats["fragments_scanned"]
+    assert count_table_store(out) == 9000
+
+    # encode-phase kill: drop one manifest record; the re-run must NOT
+    # re-sort (marker present) and must restore the fragment bit-exactly
+    marker = os.path.join(out, "_sorted", "_SUCCESS")
+    assert os.path.exists(marker)
+    sorted_mtime = max(
+        os.path.getmtime(os.path.join(out, "_sorted", f))
+        for f in os.listdir(os.path.join(out, "_sorted"))
+        if f.endswith(".parquet")
+    )
+    mdir = os.path.join(out, "_manifest")
+    victim = sorted(os.listdir(mdir))[0]
+    os.remove(os.path.join(mdir, victim))
+    st2 = cluster_table_store(str(src), out, "event_id")
+    assert st2["rows"] == 9000 and st2["fragments"] == st["fragments"]
+    assert max(
+        os.path.getmtime(os.path.join(out, "_sorted", f))
+        for f in os.listdir(os.path.join(out, "_sorted"))
+        if f.endswith(".parquet")
+    ) == sorted_mtime  # no re-sort happened
+    got2 = scan_table_store(
+        out, "event_id", lo=100, hi=300, columns=["event_id"]
+    ).to_pandas()
+    assert sorted(got2["event_id"]) == list(range(100, 301))
+    assert len(Manifest(out).completed()) == st["fragments"]
+
+
 def test_table_store_resume(ray_session, tmp_path):
     import json
     import os
