@@ -1058,6 +1058,71 @@ def eq_scan_mask(batch: pa.Table, column: str, value) -> np.ndarray:
     return mask
 
 
+def in_scan_mask(batch: pa.Table, column: str, values) -> np.ndarray:
+    """Membership mask for a value SET on an encoded string column.
+    strdict blocks test the DICTIONARY against a hash set in one pass
+    (O(distinct + |values|), independent of the list length per row) —
+    the semi-join building block; fsstb/plainb blocks compare each row's
+    payload bytes against the set of re-encoded needles grouped by
+    length (equal strings encode to equal payloads, the eq_scan_mask
+    contract), so cost stays one pass over payload bytes regardless of
+    |values|."""
+    n = batch.num_rows
+    vset = {v.encode() if isinstance(v, str) else bytes(v) for v in values}
+    gi, envs = _group_indices(batch[f"{column}__blk"])
+    pay_buf, pay_off = _binary_buffers(batch[f"{column}__payload"])
+    rowidx_all = batch["__rowidx"].to_numpy().astype(np.int64)
+    mask = np.zeros(n, dtype=bool)
+    if not vset:
+        return mask
+    for k, env in enumerate(envs):
+        env = bytes(env)
+        sel = np.flatnonzero(gi == k)
+        if not len(sel):
+            continue
+        r = _Reader(env)
+        tc, unit, tz, n_block, valid, _plain = _parse_head(r)
+        if tc not in _STR_FAMILY:
+            raise TypeError(f"in_scan: column {column!r} is not string-kind")
+        scheme = r.u8()
+        if scheme == S_STRDICT:
+            nd, doff, ddata, idx_blk = _strdict_reader(r, n_block)
+            db = ddata.tobytes()
+            dmask = np.fromiter(
+                (db[doff[j] : doff[j + 1]] in vset for j in range(nd)),
+                dtype=bool,
+                count=nd,
+            )
+            idx = _cached_block(env, idx_blk)
+            m = dmask[idx[rowidx_all[sel]]]
+        else:
+            if scheme == S_FSSTB:
+                table = fsstlib.cached_table(r.b32())
+                needles = set()
+                for v in vset:
+                    vdat = np.frombuffer(v, dtype=np.uint8)
+                    voff = np.array([0, len(vdat)], dtype=np.int64)
+                    ebuf, _epo = fsstlib.encode(vdat, voff, table)
+                    needles.add(ebuf.tobytes())
+            else:  # S_PLAINB
+                needles = vset
+            lens = pay_off[sel + 1] - pay_off[sel]
+            wanted_lens = np.array(
+                sorted({len(x) for x in needles}), dtype=lens.dtype
+            )
+            m = np.zeros(len(sel), dtype=bool)
+            # only rows whose payload LENGTH matches some needle's are
+            # candidates — byte materialization is per candidate slice
+            for j in np.flatnonzero(np.isin(lens, wanted_lens)):
+                lo = int(pay_off[sel[j]])
+                if pay_buf[lo : lo + int(lens[j])].tobytes() in needles:
+                    m[j] = True
+        if valid is not None:
+            m &= valid[rowidx_all[sel]]
+        mask[sel] = m
+    return mask
+
+
 def like_scan_batch(
     batch: pa.Table,
     column: str,
@@ -1303,9 +1368,7 @@ def predicate_scan_batch(
         elif op == "eq":
             m = eq_scan_mask(batch, p[1], p[2])
         elif op == "in":
-            m = np.zeros(batch.num_rows, dtype=bool)
-            for v in p[2]:
-                m |= eq_scan_mask(batch, p[1], v)
+            m = in_scan_mask(batch, p[1], p[2])
         elif op == "like":
             m = like_scan_mask(batch, p[1], p[2], engine)
         else:

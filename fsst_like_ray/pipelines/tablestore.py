@@ -613,15 +613,22 @@ def predicate_scan_table_store(
                 lambda rec, _c=p[1], _t=tris: _tri_ok(rec, _c, _t)
             )
         elif op == "in":
-            pats = [_as_exact_pattern(v) for v in p[2]]
-            tri_list = [
-                None if pt is None else pattern_trigrams(pt) for pt in pats
-            ]
-            checks.append(
-                lambda rec, _c=p[1], _ts=tri_list: any(
-                    _tri_ok(rec, _c, t) for t in _ts
+            if len(p[2]) > 64:
+                # semi-join-sized value lists: per-(fragment, value) bloom
+                # probes would dominate — skip the fragment tier, the
+                # in-batch dictionary probe stays O(distinct + |values|)
+                checks.append(lambda rec: True)
+            else:
+                pats = [_as_exact_pattern(v) for v in p[2]]
+                tri_list = [
+                    None if pt is None else pattern_trigrams(pt)
+                    for pt in pats
+                ]
+                checks.append(
+                    lambda rec, _c=p[1], _ts=tri_list: any(
+                        _tri_ok(rec, _c, t) for t in _ts
+                    )
                 )
-            )
         else:
             raise ValueError(f"predicate_scan: unknown op {op!r}")
 

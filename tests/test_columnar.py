@@ -421,6 +421,23 @@ def test_predicate_scan_compound():
     with pytest.raises(ValueError):
         predicate_scan_batch(enc, [("between", "score", 1, 2)])
 
+    # set-membership kernel: strdict dictionary hash pass and fsstb
+    # re-encoded-needle compare agree with Python membership, large lists
+    # included; empty set matches nothing
+    from fsst_like_ray.pipelines.columnar import in_scan_mask
+
+    vals = ["s1", "s4", "absent"]
+    m = in_scan_mask(enc, "source", vals)
+    assert (m == np.array([s in set(vals) for s in src])).all()
+    tv = [texts[5], texts[17], "no such doc"] + [
+        "filler %d" % i for i in range(200)
+    ]
+    m2 = in_scan_mask(enc, "text", tv)
+    assert (m2 == np.array([x in set(tv) for x in texts])).all()
+    assert not in_scan_mask(enc, "source", []).any()
+    with pytest.raises(TypeError):
+        in_scan_mask(enc, "score", ["1"])
+
 
 def test_range_scan_zone_maps():
     from fsst_like_ray.pipelines.columnar import range_scan_batch
