@@ -1476,6 +1476,42 @@ def test_scans_match_bruteforce_hypothesis(args):
             assert a["vmin"] == min(vals) and a["vmax"] == max(vals)
             assert int(a["vsum"]) == sum(vals)
 
+        # LIKE, IN, and the compound predicate against the same oracle set
+        from fsst_like_ray.pipelines.columnar import (
+            in_scan_mask,
+            like_scan_batch,
+            predicate_scan_batch,
+        )
+
+        pat = f"%{needle}%" if needle else "%"
+        exp_like = [
+            r["rid"]
+            for r in base.to_pylist()
+            if r["s"] is not None and needle in r["s"]
+        ]
+        got_like = like_scan_batch(enc, "s", pat, out_columns=["rid"])
+        assert got_like["rid"].to_pylist() == exp_like
+
+        inset = {needle, "bb"}
+        m_in = in_scan_mask(enc, "s", sorted(inset))
+        exp_in = np.array([r["s"] in inset for r in base.to_pylist()])
+        assert (m_in == exp_in).all()
+
+        got_pred = predicate_scan_batch(
+            enc,
+            [("range", "i", lo, hi), ("like", "s", pat)],
+            out_columns=["rid"],
+        )
+        exp_pred = [
+            r["rid"]
+            for r in base.to_pylist()
+            if r["i"] is not None
+            and lo <= r["i"] <= hi
+            and r["s"] is not None
+            and needle in r["s"]
+        ]
+        assert got_pred["rid"].to_pylist() == exp_pred
+
 
 def test_dataset_level_roundtrip(ray_session):
     import ray.data
