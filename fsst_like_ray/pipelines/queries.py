@@ -834,11 +834,14 @@ def q_columnar_ratio_gate(sf_dir: str):
     """Per-column compression accounting as a boolean gate: documents
     encodes ≥3x overall AND ≥3x on the text column AND strictly smaller
     than plain on EVERY column (measured 5.3-5.7x total, text 5.1-5.4x,
-    per-column min >5x across sf0.001-0.1)."""
+    per-column min >5x across sf0.001-0.1). batch_size pins the
+    production block size: without it Ray's read splits a small file
+    into per-CPU slivers (~16-row codec blocks at 32 CPUs) and the gate
+    would measure degenerate training, not the engine."""
     from .columnar import columnar_stats_batch, encode_columns_dataset
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    st = encode_columns_dataset(ds).map_batches(
+    st = encode_columns_dataset(ds, batch_size=8192).map_batches(
         columnar_stats_batch, batch_format="pyarrow"
     )
     acc: dict[str, list[int]] = {}
