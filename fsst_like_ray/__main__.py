@@ -485,6 +485,12 @@ def cmd_table_scan(args) -> int:
         ray.shutdown()
         return 0
     if args.top is not None:
+        if args.lo is not None or args.hi is not None:
+            print(
+                "table-scan: --top and --lo/--hi are mutually exclusive",
+                file=sys.stderr,
+            )
+            return 2
         t = topk_table_store(
             args.store, args.column, args.top,
             descending=not args.asc, columns=cols, stats_out=stats,
@@ -552,61 +558,14 @@ def cmd_table_cluster(args) -> int:
 
 def cmd_table_stats(args) -> int:
     """Lineage rollup of a committed store from the manifest alone (no
-    Ray session, no file opens): fragments, rows, byte totals + ratio,
-    per-column scheme/byte/null accounting and zone spans."""
-    import json as _json
-    import os
+    Ray session, no file opens) — tablestore.store_lineage_rollup."""
+    from .pipelines.tablestore import store_lineage_rollup
 
-    from .state.manifest import Manifest
-
-    manifest = Manifest(args.store)
-    done = manifest.completed()
-    if not done:
-        print(f"table-stats: no committed fragments under {args.store!r}",
-              file=sys.stderr)
+    try:
+        print(json.dumps(store_lineage_rollup(args.store)))
+    except FileNotFoundError as e:
+        print(f"table-stats: {e}", file=sys.stderr)
         return 1
-    cols: dict = {}
-    zones: dict = {}
-    nulls: dict = {}
-    rows = plain = enc = 0
-    for rec in done.values():
-        rows += int(rec.get("rows", 0))
-        plain += int(rec.get("plain_bytes", 0))
-        enc += int(rec.get("encoded_bytes", 0))
-        for c, st in (rec.get("columns") or {}).items():
-            mc = cols.setdefault(
-                c, {"plain": 0, "encoded": 0, "schemes": set()}
-            )
-            mc["plain"] += int(st["plain"])
-            mc["encoded"] += int(st["encoded"])
-            mc["schemes"] |= set(st["schemes"])
-        for c, z in (rec.get("zones") or {}).items():
-            cur = zones.get(c)
-            zones[c] = (
-                [int(z[0]), int(z[1])]
-                if cur is None
-                else [min(cur[0], int(z[0])), max(cur[1], int(z[1]))]
-            )
-        for c, nc in (rec.get("nulls") or {}).items():
-            nulls[c] = nulls.get(c, 0) + int(nc)
-    print(_json.dumps({
-        "fragments": len(done),
-        "rows": rows,
-        "plain_bytes": plain,
-        "encoded_bytes": enc,
-        "ratio": round(plain / max(enc, 1), 3),
-        "columns": {
-            c: {
-                "plain": m["plain"],
-                "encoded": m["encoded"],
-                "ratio": round(m["plain"] / max(m["encoded"], 1), 3),
-                "schemes": sorted(m["schemes"]),
-                **({"zone": zones[c]} if c in zones else {}),
-                "nulls": nulls.get(c, 0),
-            }
-            for c, m in sorted(cols.items())
-        },
-    }))
     return 0
 
 

@@ -1068,7 +1068,18 @@ def in_scan_mask(batch: pa.Table, column: str, values) -> np.ndarray:
     contract), so cost stays one pass over payload bytes regardless of
     |values|."""
     n = batch.num_rows
-    vset = {v.encode() if isinstance(v, str) else bytes(v) for v in values}
+    vset = set()
+    for v in values:
+        if isinstance(v, str):
+            vset.add(v.encode())
+        elif isinstance(v, (bytes, bytearray)):
+            vset.add(bytes(v))
+        else:
+            # bytes(int) would build NUL padding and silently match
+            # nothing — surface the caller bug instead
+            raise TypeError(
+                f"in_scan: values must be str/bytes, got {type(v).__name__}"
+            )
     gi, envs = _group_indices(batch[f"{column}__blk"])
     pay_buf, pay_off = _binary_buffers(batch[f"{column}__payload"])
     rowidx_all = batch["__rowidx"].to_numpy().astype(np.int64)
@@ -1107,16 +1118,35 @@ def in_scan_mask(batch: pa.Table, column: str, values) -> np.ndarray:
             else:  # S_PLAINB
                 needles = vset
             lens = pay_off[sel + 1] - pay_off[sel]
-            wanted_lens = np.array(
-                sorted({len(x) for x in needles}), dtype=lens.dtype
-            )
             m = np.zeros(len(sel), dtype=bool)
-            # only rows whose payload LENGTH matches some needle's are
-            # candidates — byte materialization is per candidate slice
-            for j in np.flatnonzero(np.isin(lens, wanted_lens)):
-                lo = int(pay_off[sel[j]])
-                if pay_buf[lo : lo + int(lens[j])].tobytes() in needles:
-                    m[j] = True
+            by_len: dict[int, list[bytes]] = {}
+            for x in needles:
+                by_len.setdefault(len(x), []).append(x)
+            for L, group in by_len.items():
+                cand = np.flatnonzero(lens == L)
+                if not len(cand):
+                    continue
+                if L == 0:
+                    m[cand] = True
+                    continue
+                if len(group) <= 16 or len(cand) < 4 * len(group):
+                    # few needles (or few candidates): vectorized byte
+                    # compare per needle over ALL candidates at once
+                    pos = pay_off[sel[cand], None] + np.arange(L)[None, :]
+                    cb = pay_buf[pos]
+                    hit = np.zeros(len(cand), dtype=bool)
+                    for x in group:
+                        hit |= (
+                            cb == np.frombuffer(x, dtype=np.uint8)[None, :]
+                        ).all(axis=1)
+                    m[cand] = hit
+                else:
+                    # many needles: per-candidate hash-set membership
+                    gs = set(group)
+                    for j in cand:
+                        lo = int(pay_off[sel[j]])
+                        if pay_buf[lo : lo + L].tobytes() in gs:
+                            m[j] = True
         if valid is not None:
             m &= valid[rowidx_all[sel]]
         mask[sel] = m

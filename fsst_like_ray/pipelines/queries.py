@@ -645,7 +645,13 @@ def q_columnar_store_cluster_scan(sf_dir: str):
     os.makedirs(frag_dir)
     pq.write_table(src, os.path.join(frag_dir, "shuffled.parquet"))
     store = os.path.join(base, "store")
-    cluster_table_store(frag_dir, store, "event_id")
+    # rows_per_fragment pins the output fragment count: without it a
+    # single-block sort (small sf / few CPUs) would yield one fragment
+    # and the prune assertion below could never engage
+    cluster_table_store(
+        frag_dir, store, "event_id",
+        rows_per_fragment=max(1, src.num_rows // 6),
+    )
     ids = src["event_id"]
     mn = pc.min(ids).as_py()
     mx = pc.max(ids).as_py()

@@ -420,6 +420,61 @@ def read_table_store(out_dir: str, columns=None):
     return decode_columns_dataset(read_parquet_blocks(paths, **kw))
 
 
+def _bloom_keeps(rec: dict, column: str, tris) -> bool:
+    """Fragment-tier trigram test: False only when the lineage bloom
+    PROVES the fragment cannot hold the needle trigrams (no evidence —
+    legacy record or None tris — keeps the fragment)."""
+    from ..functions.bloom import bloom_contains
+
+    b64 = (rec.get("trigrams") or {}).get(column)
+    if tris is None or b64 is None:
+        return True
+    bl = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+    return bool(bloom_contains(bl, tris, _TRI_K).all())
+
+
+def store_lineage_rollup(out_dir: str) -> dict:
+    """Manifest-only rollup of a committed store (no Ray session, no file
+    opens): fragments, rows, byte totals + ratio, per-column
+    scheme/zone/null accounting. The table-stats CLI prints this."""
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    if not done:
+        raise FileNotFoundError(
+            f"store_lineage_rollup: no committed fragments under {out_dir!r}"
+        )
+    cols: dict = {}
+    zones: dict = {}
+    nulls: dict = {}
+    rows = plain = enc = 0
+    for rec in done.values():
+        rows += int(rec.get("rows", 0))
+        plain += int(rec.get("plain_bytes", 0))
+        enc += int(rec.get("encoded_bytes", 0))
+        _merge_column_stats(cols, rec.get("columns") or {})
+        _merge_zones(zones, rec.get("zones") or {})
+        for c, nc in (rec.get("nulls") or {}).items():
+            nulls[c] = nulls.get(c, 0) + int(nc)
+    return {
+        "fragments": len(done),
+        "rows": rows,
+        "plain_bytes": plain,
+        "encoded_bytes": enc,
+        "ratio": round(plain / max(enc, 1), 3),
+        "columns": {
+            c: {
+                "plain": m["plain"],
+                "encoded": m["encoded"],
+                "ratio": round(m["plain"] / max(m["encoded"], 1), 3),
+                "schemes": sorted(m["schemes"]),
+                **({"zone": zones[c]} if c in zones else {}),
+                "nulls": nulls.get(c, 0),
+            }
+            for c, m in sorted(cols.items())
+        },
+    }
+
+
 def _pruned_parts(out_dir: str, what: str, keep_rec, stats_out):
     """Shared manifest walk of the store scans: committed fragments in
     frag_key order, each kept or pruned by ``keep_rec(rec)``. Returns
@@ -533,21 +588,15 @@ def like_table_store(
     blooms, and patterns with no sound trigram evidence, scan
     unconditionally. Only the scan + output columns' encoded fields leave
     storage; only surviving rows decode."""
-    from ..functions.bloom import bloom_contains
     from .columnar import like_scan_batch
     from .trigram import pattern_trigrams
 
     tris = pattern_trigrams(pattern)
-
-    def keep(rec) -> bool:
-        b64 = (rec.get("trigrams") or {}).get(column)
-        if tris is None or b64 is None:
-            return True
-        bl = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
-        return bool(bloom_contains(bl, tris, _TRI_K).all())
-
     paths, any_parts = _pruned_parts(
-        out_dir, "like_table_store", keep, stats_out
+        out_dir,
+        "like_table_store",
+        lambda rec: _bloom_keeps(rec, column, tris),
+        stats_out,
     )
     return _scan_pruned(
         paths, any_parts, columns,
@@ -579,16 +628,8 @@ def predicate_scan_table_store(
     sound trigram evidence keep the fragment — pruning is only ever an
     optimization. Survivors run the full in-batch compound scan and decode
     ONCE through the pruned output columns."""
-    from ..functions.bloom import bloom_contains
     from .columnar import predicate_scan_batch
     from .trigram import pattern_trigrams
-
-    def _tri_ok(rec, col, tris) -> bool:
-        b64 = (rec.get("trigrams") or {}).get(col)
-        if tris is None or b64 is None:
-            return True
-        bl = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
-        return bool(bloom_contains(bl, tris, _TRI_K).all())
 
     scan_cols = set()
     checks = []  # rec -> bool, one per predicate
@@ -610,7 +651,7 @@ def predicate_scan_table_store(
             pat = p[2] if op == "like" else _as_exact_pattern(p[2])
             tris = None if pat is None else pattern_trigrams(pat)
             checks.append(
-                lambda rec, _c=p[1], _t=tris: _tri_ok(rec, _c, _t)
+                lambda rec, _c=p[1], _t=tris: _bloom_keeps(rec, _c, _t)
             )
         elif op == "in":
             if len(p[2]) > 64:
@@ -626,7 +667,7 @@ def predicate_scan_table_store(
                 ]
                 checks.append(
                     lambda rec, _c=p[1], _ts=tri_list: any(
-                        _tri_ok(rec, _c, t) for t in _ts
+                        _bloom_keeps(rec, _c, t) for t in _ts
                     )
                 )
         else:
@@ -663,11 +704,14 @@ def topk_table_store(
     the current k-th best already beats every remaining fragment's zone
     bound, the scan STOPS — at 100-TB scale a top-k over roughly-ordered
     data opens a handful of fragments. Fragments with legacy lineage (no
-    zones) give no bound and scan first. Inside a fragment, ranking
+    zones) give no bound and scan first. Inside a fragment, only the
+    ranking + output columns' encoded fields leave storage, ranking
     values come straight from the encoded int streams and only ≤k rows
-    per batch decode (columnar.column_topk_batch). Returns a pa.Table of
-    the k winners (driver-side state is O(k), never rows)."""
-    from .columnar import column_topk_batch
+    per batch decode (columnar.column_topk_batch); the per-batch ≤k-row
+    partials STREAM through the driver's running best-k fold, so driver
+    state is O(k + one batch), never rows. Returns a pa.Table of the k
+    winners with the store's decoded Arrow schema."""
+    from .columnar import _encoded_field_names, column_topk_batch
     from .compress import read_parquet_blocks
 
     manifest = Manifest(out_dir)
@@ -712,20 +756,32 @@ def topk_table_store(
             continue
         scanned += 1
         parts = _fragment_parts(data_dir, rec["frag_key"])
-        got = read_parquet_blocks(parts).map_batches(
-            lambda bt: column_topk_batch(
-                bt, column, k, descending=descending, out_columns=columns
-            ),
-            batch_format="pyarrow",
-        ).take_all()
-        if got:
-            t = pa.Table.from_pylist(got)
+        kw = {}
+        if columns is not None:
+            kw["columns"] = _encoded_field_names(
+                list(pq.read_schema(parts[0]).names),
+                sorted(set(columns) | {column}),
+            )
+        order = [(column, "descending" if descending else "ascending")]
+        # each partial batch holds ≤k rows WITH the decoded Arrow schema;
+        # fold them into the running best-k as they stream — never
+        # materialize all partials (O(k × batches)) on the driver
+        for t in (
+            read_parquet_blocks(parts, **kw)
+            .map_batches(
+                lambda bt: column_topk_batch(
+                    bt, column, k, descending=descending, out_columns=columns
+                ),
+                batch_format="pyarrow",
+            )
+            .iter_batches(batch_format="pyarrow")
+        ):
+            if not t.num_rows:
+                continue
             best = t if best is None else pa.concat_tables(
                 [best.select(t.column_names), t]
             )
-            best = best.sort_by(
-                [(column, "descending" if descending else "ascending")]
-            ).slice(0, k)
+            best = best.sort_by(order).slice(0, k)
     if stats_out is not None:
         stats_out["fragments_scanned"] = scanned
         stats_out["fragments_skipped"] = skipped
@@ -757,6 +813,7 @@ def cluster_table_store(
     batch_rows: int = DEFAULT_BATCH_ROWS,
     fragments_per_round: int = 64,
     spec_sample_rows: int | None = None,
+    rows_per_fragment: int | None = None,
 ) -> dict:
     """CLUSTER a parquet corpus by ``column`` while encoding it into the
     store: one distributed range sort (Ray Data sort — the only
@@ -768,23 +825,48 @@ def cluster_table_store(
     difference between opening 4 files and 4,000 at 100-TB scale.
 
     The sorted intermediate lands under ``<out_dir>/_sorted`` behind a
-    success marker: a kill during the SORT redoes it from scratch (no
-    marker → wipe + re-sort), while a kill during the ENCODE reuses the
-    identical sorted files so compress_table's manifest resume stays
-    sound — re-sorting under a committed manifest could shift block
-    boundaries and serve stale fragments."""
+    success marker recording (column, input fragments): a kill during
+    the SORT redoes it from scratch (no marker → wipe + re-sort); a kill
+    during the ENCODE reuses the identical sorted files so
+    compress_table's manifest resume stays sound — re-sorting under a
+    committed manifest could shift block boundaries and serve stale
+    fragments. A rerun with a DIFFERENT column or input against a
+    committed store refuses loudly (use a fresh out_dir); with no
+    commits yet it simply re-sorts. ``rows_per_fragment`` bounds output
+    fragment size (passed to the sorted parquet writer)."""
+    import json as _json
+
     import ray.data
 
     sorted_dir = os.path.join(out_dir, "_sorted")
     marker = os.path.join(sorted_dir, "_SUCCESS")
-    if not os.path.exists(marker):
+    want = {"column": column, "inputs": discover_fragments(input_path)}
+    stale = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            try:
+                have = _json.load(f)
+            except ValueError:
+                have = None
+        stale = have != want
+        if stale and Manifest(out_dir).completed():
+            raise ValueError(
+                "cluster_table_store: _sorted was built for a different "
+                "column/input and the store already has committed "
+                "fragments — re-sorting would serve stale data; use a "
+                "fresh out_dir"
+            )
+    if stale or not os.path.exists(marker):
         shutil.rmtree(sorted_dir, ignore_errors=True)
         os.makedirs(sorted_dir, exist_ok=True)
+        wkw = {}
+        if rows_per_fragment:
+            wkw["num_rows_per_file"] = rows_per_fragment
         ray.data.read_parquet(input_path).sort(column).write_parquet(
-            sorted_dir
+            sorted_dir, **wkw
         )
         with open(marker, "w") as f:
-            f.write(column)
+            _json.dump(want, f)
     return compress_table(
         sorted_dir,
         out_dir,
