@@ -541,6 +541,49 @@ def cmd_table_scan(args) -> int:
     return 0
 
 
+def cmd_table_agg(args) -> int:
+    """Aggregates over a committed store: --group-by runs the
+    compressed-domain GROUP BY (dictionary group keys, cached int
+    streams); without it, scalar MIN/MAX/COUNT answer from the manifest
+    metadata where lineage allows and SUM scans one column's encoded
+    fields. --distinct folds per-block dictionary entries."""
+    ray = _ray()
+    from .pipelines.tablestore import (
+        agg_table_store,
+        distinct_table_store,
+        group_agg_table_store,
+    )
+
+    t0 = time.time()
+    stats: dict = {}
+    if args.distinct:
+        t = distinct_table_store(args.store, args.column, stats_out=stats)
+        print(json.dumps({
+            "distinct": t.num_rows,
+            "values": t["value"].to_pylist() if t.num_rows <= 50 else None,
+            **stats,
+            "sec": round(time.time() - t0, 3),
+        }, default=str))
+    elif args.group_by:
+        t = group_agg_table_store(
+            args.store, args.group_by, args.column, ops=tuple(args.ops)
+        )
+        print(json.dumps({
+            "groups": t.num_rows,
+            "rows": t.to_pylist() if t.num_rows <= 50 else None,
+            "sec": round(time.time() - t0, 3),
+        }, default=str))
+    else:
+        a = agg_table_store(
+            args.store, args.column, ops=tuple(args.ops), stats_out=stats
+        )
+        print(json.dumps(
+            {**a, **stats, "sec": round(time.time() - t0, 3)}
+        ))
+    ray.shutdown()
+    return 0
+
+
 def cmd_table_cluster(args) -> int:
     """Cluster-while-encoding: one distributed range sort, then the
     resumable store encode — fragment zone envelopes come out disjoint."""
@@ -798,6 +841,20 @@ def main(argv=None) -> int:
     tsc.add_argument("--columns", default=None, help="comma-separated output columns")
     tsc.add_argument("--dest", default=None, help="write survivors as parquet")
     tsc.set_defaults(fn=cmd_table_scan)
+
+    tag = sub.add_parser(
+        "table-agg",
+        help="metadata-first aggregates / GROUP BY / DISTINCT over a store",
+    )
+    tag.add_argument("store")
+    tag.add_argument("column", help="aggregate (or distinct) column")
+    tag.add_argument("--group-by", default=None, metavar="COL")
+    tag.add_argument(
+        "--ops", nargs="+", default=("min", "max", "sum", "count"),
+        choices=("min", "max", "sum", "count"),
+    )
+    tag.add_argument("--distinct", action="store_true")
+    tag.set_defaults(fn=cmd_table_agg)
 
     wi = sub.add_parser(
         "word-index",

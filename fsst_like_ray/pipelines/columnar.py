@@ -1639,6 +1639,280 @@ def columnar_group_count(enc_ds, column: str) -> pa.Table:
     )
 
 
+def _group_codes(
+    batch: pa.Table, column: str
+) -> tuple[np.ndarray, list[bytes], bool]:
+    """Row-aligned group ids for an ENCODED string column: ``codes[i]``
+    indexes the returned key list (−1 for null rows — GROUP BY here
+    follows the aggregate convention of dropping null keys; callers'
+    oracles mirror with ``WHERE col IS NOT NULL``). strdict blocks map
+    through the block dictionary — O(distinct) strings touched, the index
+    stream never materializes a value; fsstb/plainb blocks decode THIS
+    column only, then dictionary-encode. Key ids are batch-local:
+    partials combine on the key BYTES downstream."""
+    gi, envs = _group_indices(batch[f"{column}__blk"])
+    pay_buf, pay_off = _binary_buffers(batch[f"{column}__payload"])
+    rowidx_all = batch["__rowidx"].to_numpy().astype(np.int64)
+    codes = np.full(len(rowidx_all), -1, dtype=np.int64)
+    keys: list[bytes] = []
+    gid: dict[bytes, int] = {}
+    is_text = True
+    for k, env in enumerate(envs):
+        env = bytes(env)
+        sel = np.flatnonzero(gi == k)
+        if not len(sel):
+            continue
+        r = _Reader(env)
+        tc, _unit, _tz, n_block, valid, _plain = _parse_head(r)
+        if tc not in _STR_FAMILY:
+            raise TypeError(
+                f"group codes: column {column!r} is not string-kind"
+            )
+        is_text &= tc in (T_STRING, T_LARGE_STRING)
+        scheme = r.u8()
+        ri = rowidx_all[sel]
+        vmask = valid[ri] if valid is not None else None
+        if scheme == S_STRDICT:
+            nd, doff, ddata, idx_blk = _strdict_reader(r, n_block)
+            lut = np.empty(nd, dtype=np.int64)
+            for j in range(nd):
+                key = ddata[doff[j] : doff[j + 1]].tobytes()
+                g = gid.get(key)
+                if g is None:
+                    g = gid[key] = len(keys)
+                    keys.append(key)
+                lut[j] = g
+            c = lut[_cached_block(env, idx_blk)[ri]]
+        else:
+            lens = (pay_off[sel + 1] - pay_off[sel]).astype(np.int64)
+            if scheme == S_FSSTB:
+                table = fsstlib.cached_table(bytes(r.b32()))
+                dense, dpo = _gather_bytes(pay_buf, pay_off[sel], lens)
+                data, off = fsstlib.decode(dense, dpo, table)
+            else:  # S_PLAINB
+                data, off = _gather_bytes(pay_buf, pay_off[sel], lens)
+            de = _binary_from(data, off, None).dictionary_encode()
+            lut = np.empty(len(de.dictionary), dtype=np.int64)
+            for j, v in enumerate(de.dictionary):
+                key = v.as_py()
+                g = gid.get(key)
+                if g is None:
+                    g = gid[key] = len(keys)
+                    keys.append(key)
+                lut[j] = g
+            c = lut[de.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        if vmask is not None:
+            c = np.where(vmask, c, np.int64(-1))
+        codes[sel] = c
+    return codes, keys, is_text
+
+
+def _int_values(batch: pa.Table, column: str) -> tuple[np.ndarray, np.ndarray]:
+    """Row-aligned (int64 logical values, validity) for an encoded
+    int-family column — shares _int_block_reader and the block LRU with
+    the range/agg/top-k scans (null slots hold the encode-time 0 fill and
+    are masked False)."""
+    gi, envs = _group_indices(batch[f"{column}__blk"])
+    rowidx_all = batch["__rowidx"].to_numpy().astype(np.int64)
+    vals = np.zeros(len(rowidx_all), dtype=np.int64)
+    ok = np.ones(len(rowidx_all), dtype=bool)
+    for k, env in enumerate(envs):
+        env = bytes(env)
+        sel = np.flatnonzero(gi == k)
+        if not len(sel):
+            continue
+        r = _Reader(env)
+        tc, _unit, _tz, n_block, valid, _plain = _parse_head(r)
+        if tc not in _RANGE_TYPES:
+            raise TypeError(
+                f"int values: column {column!r} is not integer-kind"
+            )
+        _zmin, _zmax, blk = _int_block_reader(r, tc, n_block)
+        ri = rowidx_all[sel]
+        vals[sel] = _cached_block(env, blk)[ri].astype(np.int64)
+        if valid is not None:
+            ok[sel] = valid[ri]
+    return vals, ok
+
+
+def group_agg_batch(
+    batch: pa.Table, group_col: str, agg_col: str | None = None
+) -> pa.Table:
+    """Per-batch GROUP BY aggregate partials over ENCODED columns: group
+    keys from the string column's dictionaries (_group_codes), aggregate
+    values from the int column's (LRU-cached) block streams. Emits one
+    (value, is_text, n_rows, n_vals, vsum, vmin, vmax) row per group per
+    batch — COUNT(*) semantics for ``n_rows``, null-skipping SQL
+    semantics for the value aggregates; sums ride as decimal128 so a
+    near-2^62 batch can't overflow the partial."""
+    import decimal
+
+    codes, keys, is_text = _group_codes(batch, group_col)
+    ng = len(keys)
+    m = codes >= 0
+    n_rows = np.bincount(codes[m], minlength=ng).astype(np.int64)
+    if agg_col is None:
+        n_vals = n_rows
+        lo = hi = np.zeros(ng, dtype=np.int64)
+        vmin = vmax = None
+    else:
+        vals, ok = _int_values(batch, agg_col)
+        mv = m & ok
+        cv, v = codes[mv], vals[mv]
+        n_vals = np.bincount(cv, minlength=ng).astype(np.int64)
+        # overflow-proof grouped sum: signed-hi + unsigned-lo 32-bit parts
+        # each accumulate safely in int64 (same split as agg_scan_batch)
+        lo = np.zeros(ng, dtype=np.int64)
+        hi = np.zeros(ng, dtype=np.int64)
+        np.add.at(lo, cv, v & np.int64(0xFFFFFFFF))
+        np.add.at(hi, cv, v >> np.int64(32))
+        vmin = np.full(ng, np.iinfo(np.int64).max)
+        vmax = np.full(ng, np.iinfo(np.int64).min)
+        np.minimum.at(vmin, cv, v)
+        np.maximum.at(vmax, cv, v)
+    emit = np.flatnonzero(n_rows)
+    return pa.table(
+        {
+            "value": pa.array(
+                [keys[g] for g in emit], type=pa.large_binary()
+            ),
+            "is_text": pa.array([is_text] * len(emit), type=pa.bool_()),
+            "n_rows": pa.array(n_rows[emit], type=pa.int64()),
+            "n_vals": pa.array(n_vals[emit], type=pa.int64()),
+            "vsum": pa.array(
+                [
+                    decimal.Decimal(int(hi[g]) * (1 << 32) + int(lo[g]))
+                    for g in emit
+                ],
+                type=pa.decimal128(38, 0),
+            ),
+            "vmin": pa.array(
+                [
+                    int(vmin[g]) if vmin is not None and n_vals[g] else None
+                    for g in emit
+                ],
+                type=pa.int64(),
+            ),
+            "vmax": pa.array(
+                [
+                    int(vmax[g]) if vmax is not None and n_vals[g] else None
+                    for g in emit
+                ],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+def columnar_group_agg(
+    enc_ds,
+    group_col: str,
+    agg_col: str | None = None,
+    ops=("count", "sum", "min", "max"),
+) -> pa.Table:
+    """Dataset-level GROUP BY <string col> with COUNT/SUM/MIN/MAX over an
+    int column, computed entirely in the compressed domain: one partial
+    row per group per batch crosses the cluster; the driver folds rows
+    bounded by group cardinality × batches (small by the groupable-column
+    contract — same contract as columnar_group_count). Output sorts by
+    key; only the REQUESTED aggregates appear, named n_rows / vsum /
+    vmin / vmax (sum raises past int64 rather than wrap)."""
+    acc: dict[bytes, list] = {}
+    text = True
+    for b in enc_ds.map_batches(
+        lambda t: group_agg_batch(t, group_col, agg_col),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            a = acc.setdefault(row["value"], [0, 0, 0, None, None])
+            a[0] += int(row["n_rows"])
+            a[1] += int(row["n_vals"])
+            a[2] += int(row["vsum"])
+            if row["vmin"] is not None:
+                a[3] = (
+                    row["vmin"] if a[3] is None else min(a[3], row["vmin"])
+                )
+                a[4] = (
+                    row["vmax"] if a[4] is None else max(a[4], row["vmax"])
+                )
+            text &= bool(row["is_text"])
+    keys = sorted(acc)
+    cols: dict = {
+        "value": pa.array([k.decode() for k in keys], type=pa.string())
+        if text
+        else pa.array(keys, type=pa.large_binary())
+    }
+    if "count" in ops:
+        cols["n_rows"] = pa.array([acc[k][0] for k in keys], type=pa.int64())
+    if agg_col is not None and "sum" in ops:
+        for k in keys:
+            if not -(1 << 63) <= acc[k][2] < (1 << 63):
+                raise OverflowError(
+                    f"group sum of {agg_col!r} exceeds int64 for key {k!r}"
+                )
+        cols["vsum"] = pa.array([acc[k][2] for k in keys], type=pa.int64())
+    if agg_col is not None and "min" in ops:
+        cols["vmin"] = pa.array([acc[k][3] for k in keys], type=pa.int64())
+    if agg_col is not None and "max" in ops:
+        cols["vmax"] = pa.array([acc[k][4] for k in keys], type=pa.int64())
+    return pa.table(cols)
+
+
+def distinct_scan_batch(batch: pa.Table, column: str) -> pa.Table:
+    """Per-batch DISTINCT partial over an encoded column. String columns
+    go through the dictionary path (_group_codes — only referenced,
+    non-null entries emit; a strdict block touches O(distinct) strings);
+    int columns np.unique their (cached) block streams. One row per
+    distinct value per batch."""
+    probe = bytes(batch[f"{column}__blk"][0].as_py())[:2]
+    tc = probe[1] if len(probe) == 2 else -1
+    if tc in _STR_FAMILY:
+        codes, keys, is_text = _group_codes(batch, column)
+        seen = np.flatnonzero(np.bincount(codes[codes >= 0], minlength=len(keys)))
+        return pa.table(
+            {
+                "value": pa.array([keys[g] for g in seen], pa.large_binary()),
+                "is_text": pa.array([is_text] * len(seen), pa.bool_()),
+            }
+        )
+    vals, ok = _int_values(batch, column)
+    uniq = np.unique(vals[ok])
+    return pa.table({"ivalue": pa.array(uniq, type=pa.int64())})
+
+
+def columnar_distinct(enc_ds, column: str) -> pa.Table:
+    """Dataset-level DISTINCT over an encoded column: per-batch partials
+    (bounded by per-batch cardinality) fold driver-side into one sorted
+    column — strings never materialize beyond dictionary entries, ints
+    never ship more than each batch's unique set."""
+    svals: set[bytes] = set()
+    ivals: set[int] = set()
+    text = True
+    for b in enc_ds.map_batches(
+        lambda t: distinct_scan_batch(t, column), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        if "ivalue" in b.column_names:
+            ivals.update(b["ivalue"].to_pylist())
+        else:
+            svals.update(b["value"].to_pylist())
+            for t in b["is_text"].to_pylist():
+                text &= bool(t)
+    if ivals and svals:
+        raise TypeError(f"distinct: column {column!r} mixed int/string blocks")
+    if ivals:
+        return pa.table(
+            {"value": pa.array(sorted(ivals), type=pa.int64())}
+        )
+    keys = sorted(svals)
+    return pa.table(
+        {
+            "value": pa.array([k.decode() for k in keys], type=pa.string())
+            if text
+            else pa.array(keys, type=pa.large_binary())
+        }
+    )
+
+
 # ------------------------------------------------------------- datasets
 def _encoded_field_names(b_or_names, columns) -> list[str]:
     names = (

@@ -781,6 +781,77 @@ def q_columnar_store_like_prune(sf_dir: str):
     )
 
 
+def q_columnar_store_groupby(sf_dir: str):
+    """Compressed-domain GROUP BY on the whole-table store: documents
+    compress into a manifest-backed store, then group keys stream through
+    the per-block string dictionaries and COUNT/SUM/MIN/MAX(n_chars)
+    through (LRU-cached) int block streams — neither column decodes to
+    rows, only the two columns' encoded fields leave storage, and one
+    cardinality-bounded partial row per group per batch crosses the
+    cluster (tablestore.group_agg_table_store)."""
+    import tempfile
+
+    from .tablestore import compress_table, group_agg_table_store
+
+    out = tempfile.mkdtemp(prefix="columnar_store_groupby_")
+    compress_table(f"{sf_dir}/documents.parquet", out)
+    return group_agg_table_store(out, "source", "n_chars")
+
+
+def q_columnar_store_agg_meta(sf_dir: str):
+    """Metadata-only scalar aggregates on the store: over a 4-fragment
+    events store, MIN/MAX/COUNT(event_id) answer purely from the lineage
+    manifest's zone envelopes and null counts — asserted ZERO part files
+    open — while SUM(user_id) scans just that one column's encoded
+    fields (tablestore.agg_table_store)."""
+    import tempfile
+
+    from .tablestore import agg_table_store, compress_table
+
+    base = tempfile.mkdtemp(prefix="columnar_store_aggmeta_")
+    src = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
+    frag_dir = os.path.join(base, "src")
+    os.makedirs(frag_dir)
+    n = src.num_rows
+    step = max(1, (n + 3) // 4)
+    for i in range(4):
+        part = src.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(frag_dir, f"f{i}.parquet"))
+    store = os.path.join(base, "store")
+    compress_table(frag_dir, store)
+    stats: dict = {}
+    a = agg_table_store(
+        store, "event_id", ops=("min", "max", "count"), stats_out=stats
+    )
+    if stats["fragments_scanned"]:
+        raise ValueError(f"metadata aggregate opened files: {stats}")
+    s = agg_table_store(store, "user_id", ops=("sum",))
+    return pa.table(
+        {
+            "vmin": pa.array([a["min"]], type=pa.int64()),
+            "vmax": pa.array([a["max"]], type=pa.int64()),
+            "cnt": pa.array([a["count"]], type=pa.int64()),
+            "usum": pa.array([s["sum"]], type=pa.int64()),
+        }
+    )
+
+
+def q_columnar_store_distinct(sf_dir: str):
+    """DISTINCT from the dictionaries: over the documents store, the
+    distinct lang values fold from per-block dictionary entries (only
+    referenced, non-null entries emit; the index stream never
+    materializes a row) reading one column's encoded fields
+    (tablestore.distinct_table_store)."""
+    import tempfile
+
+    from .tablestore import compress_table, distinct_table_store
+
+    out = tempfile.mkdtemp(prefix="columnar_store_distinct_")
+    compress_table(f"{sf_dir}/documents.parquet", out)
+    return distinct_table_store(out, "lang")
+
+
 def q_columnar_spec_roundtrip(sf_dir: str):
     """Sample-trained spec mode (north rule: "first train symbol tables /
     dictionaries on a reservoir sample … then encode"): per-column codec
@@ -6877,6 +6948,9 @@ def build_queries() -> dict:
     q["columnar_store_topk"] = q_columnar_store_topk
     q["columnar_store_count"] = q_columnar_store_count
     q["columnar_store_cluster_scan"] = q_columnar_store_cluster_scan
+    q["columnar_store_groupby"] = q_columnar_store_groupby
+    q["columnar_store_agg_meta"] = q_columnar_store_agg_meta
+    q["columnar_store_distinct"] = q_columnar_store_distinct
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["columnar_agg_events"] = q_columnar_agg_events
     q["columnar_group_count"] = q_columnar_group_count
@@ -7137,6 +7211,25 @@ def build_oracle_sql() -> dict:
     sql["columnar_spec_roundtrip"] = (
         "SELECT doc_id, text, lang, source, n_chars FROM documents"
     )
+    sql["columnar_store_groupby"] = """
+        SELECT source AS value, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS vsum,
+               CAST(min(n_chars) AS BIGINT) AS vmin,
+               CAST(max(n_chars) AS BIGINT) AS vmax
+        FROM documents WHERE source IS NOT NULL
+        GROUP BY source ORDER BY source
+    """
+    sql["columnar_store_agg_meta"] = """
+        SELECT CAST(min(event_id) AS BIGINT) AS vmin,
+               CAST(max(event_id) AS BIGINT) AS vmax,
+               CAST(count(event_id) AS BIGINT) AS cnt,
+               CAST(sum(user_id) AS BIGINT) AS usum
+        FROM events
+    """
+    sql["columnar_store_distinct"] = """
+        SELECT DISTINCT lang AS value FROM documents
+        WHERE lang IS NOT NULL ORDER BY lang
+    """
     sql["columnar_group_count"] = """
         SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
         WHERE source IS NOT NULL GROUP BY source

@@ -961,6 +961,156 @@ def count_table_store(
     return total
 
 
+def agg_table_store(
+    out_dir: str,
+    column: str,
+    ops=("min", "max", "sum", "count"),
+    stats_out: dict | None = None,
+) -> dict:
+    """Scalar aggregates over one store column, answered from METADATA
+    wherever the lineage allows:
+
+    - ``count`` (= COUNT(col), null-skipping) is ALWAYS manifest rows −
+      recorded nulls — zero file opens — unless a legacy record lacks a
+      null count;
+    - ``min``/``max`` come from fragment zone envelopes when the fragment
+      records a zone AND zero nulls for the column (the encode-time null
+      fill rides the stored stream, so a nulled fragment's zone may
+      reflect fill values — those fragments scan);
+    - ``sum`` always scans, but reads ONLY this column's encoded fields
+      and folds one tiny partial row per batch (columnar.agg_scan_batch).
+
+    A min/max/count request over a fully-zoned null-free store opens no
+    files at all. ``stats_out`` receives fragments_meta /
+    fragments_scanned."""
+    from .columnar import _encoded_field_names, agg_scan_batch
+    from .compress import read_parquet_blocks
+
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    if not done:
+        raise FileNotFoundError(
+            f"agg_table_store: no committed fragments under {out_dir!r}"
+        )
+    data_dir = os.path.join(out_dir, "data")
+    recs = sorted(done.values(), key=lambda rec: rec["frag_key"])
+    want_scan = set(ops) & {"sum"}
+    vmin = vmax = None
+    cnt = 0
+    scan_paths: list[str] = []
+    meta = 0
+    for rec in recs:
+        z = (rec.get("zones") or {}).get(column)
+        nn = (rec.get("nulls") or {}).get(column)
+        meta_ok = not want_scan and z is not None and nn == 0
+        if meta_ok:
+            meta += 1
+            cnt += int(rec["rows"])
+            vmin = z[0] if vmin is None else min(vmin, z[0])
+            vmax = z[1] if vmax is None else max(vmax, z[1])
+        else:
+            scan_paths.extend(_fragment_parts(data_dir, rec["frag_key"]))
+    if stats_out is not None:
+        stats_out.update(
+            fragments_meta=meta, fragments_scanned=len(recs) - meta
+        )
+    vsum = 0
+    if scan_paths:
+        cols = _encoded_field_names(
+            list(pq.read_schema(scan_paths[0]).names), [column]
+        )
+        scan_ops = tuple(set(ops) | {"count"})
+        parts = (
+            read_parquet_blocks(scan_paths, columns=cols)
+            .map_batches(
+                lambda b: agg_scan_batch(b, column, scan_ops),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+        for row in parts:
+            if not row["cnt"]:
+                continue
+            cnt += int(row["cnt"])
+            vsum += int(row["vsum"])
+            if row["vmin"] is not None:
+                vmin = (
+                    row["vmin"] if vmin is None else min(vmin, row["vmin"])
+                )
+                vmax = (
+                    row["vmax"] if vmax is None else max(vmax, row["vmax"])
+                )
+    out = {}
+    if "min" in ops:
+        out["min"] = vmin
+    if "max" in ops:
+        out["max"] = vmax
+    if "sum" in ops:
+        out["sum"] = vsum
+    if "count" in ops:
+        out["count"] = cnt
+    return out
+
+
+def group_agg_table_store(
+    out_dir: str,
+    group_col: str,
+    agg_col: str | None = None,
+    ops=("count", "sum", "min", "max"),
+) -> "pa.Table":
+    """GROUP BY <string column> with COUNT/SUM/MIN/MAX over an int column,
+    computed against the committed store without decoding either column
+    to rows: group keys stream through block dictionaries, aggregate
+    values through cached int streams, and only the two columns' encoded
+    fields leave storage (columnar.columnar_group_agg per-batch partials,
+    cardinality-bounded fold)."""
+    from .columnar import _encoded_field_names, columnar_group_agg
+    from .compress import read_parquet_blocks
+
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    if not done:
+        raise FileNotFoundError(
+            f"group_agg_table_store: no committed fragments under {out_dir!r}"
+        )
+    data_dir = os.path.join(out_dir, "data")
+    paths: list[str] = []
+    for rec in sorted(done.values(), key=lambda rec: rec["frag_key"]):
+        paths.extend(_fragment_parts(data_dir, rec["frag_key"]))
+    need = [group_col] + ([agg_col] if agg_col else [])
+    cols = _encoded_field_names(list(pq.read_schema(paths[0]).names), need)
+    enc = read_parquet_blocks(paths, columns=cols)
+    return columnar_group_agg(enc, group_col, agg_col, ops)
+
+
+def distinct_table_store(
+    out_dir: str, column: str, stats_out: dict | None = None
+) -> "pa.Table":
+    """DISTINCT over one store column: string columns fold per-block
+    dictionary entries (only referenced, non-null values; never more than
+    O(distinct) strings per block materialize), int columns fold
+    per-batch unique sets — reading ONLY this column's encoded fields
+    (columnar.columnar_distinct)."""
+    from .columnar import _encoded_field_names, columnar_distinct
+    from .compress import read_parquet_blocks
+
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    if not done:
+        raise FileNotFoundError(
+            f"distinct_table_store: no committed fragments under {out_dir!r}"
+        )
+    data_dir = os.path.join(out_dir, "data")
+    paths: list[str] = []
+    for rec in sorted(done.values(), key=lambda rec: rec["frag_key"]):
+        paths.extend(_fragment_parts(data_dir, rec["frag_key"]))
+    if stats_out is not None:
+        stats_out["fragments_scanned"] = len(done)
+    cols = _encoded_field_names(list(pq.read_schema(paths[0]).names), [column])
+    enc = read_parquet_blocks(paths, columns=cols)
+    return columnar_distinct(enc, column)
+
+
 def _transform_fragment(
     src_data: str,
     fdir: str,

@@ -1528,3 +1528,175 @@ def test_dataset_level_roundtrip(ray_session):
     got = got.sort_by("doc_id").combine_chunks()
     exp = t.sort_by("doc_id").combine_chunks()
     _assert_tables_equal(exp, got)
+
+
+def test_group_agg_batch():
+    import fsst_like_ray.pipelines.columnar as C
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    grp = [
+        None if i % 13 == 0 else s
+        for i, s in enumerate(rng.choice(["web", "books", "code"], n))
+    ]
+    val = [
+        None if i % 7 == 0 else int(v)
+        for i, v in enumerate(rng.integers(-(10**12), 10**12, n))
+    ]
+    t = pa.table(
+        {
+            "g": pa.array(grp, type=pa.string()),
+            "x": pa.array(val, type=pa.int64()),
+            "text": pa.array(["unique doc %06d body" % i for i in range(n)]),
+        }
+    )
+    enc = C.encode_columns_batch(t)
+
+    def ref(rows):
+        exp: dict = {}
+        for g, v in rows:
+            if g is None:
+                continue
+            a = exp.setdefault(g, [0, 0, 0, None, None])
+            a[0] += 1
+            if v is not None:
+                a[1] += 1
+                a[2] += v
+                a[3] = v if a[3] is None else min(a[3], v)
+                a[4] = v if a[4] is None else max(a[4], v)
+        return exp
+
+    def fold(part):
+        got: dict = {}
+        for r in part.to_pylist():
+            a = got.setdefault(r["value"].decode(), [0, 0, 0, None, None])
+            a[0] += r["n_rows"]
+            a[1] += r["n_vals"]
+            a[2] += int(r["vsum"])
+            if r["vmin"] is not None:
+                a[3] = r["vmin"] if a[3] is None else min(a[3], r["vmin"])
+                a[4] = r["vmax"] if a[4] is None else max(a[4], r["vmax"])
+        return got
+
+    assert fold(C.group_agg_batch(enc, "g", "x")) == ref(zip(grp, val))
+    # partial-block slice: rowidx selection on both columns
+    assert fold(C.group_agg_batch(enc.slice(13, 700), "g", "x")) == ref(
+        zip(grp[13:713], val[13:713])
+    )
+    # fsstb group fallback (unique text column): every group is one row
+    per_row = C.group_agg_batch(enc, "text", "x").to_pylist()
+    assert len(per_row) == n
+    by_key = {r["value"].decode(): r for r in per_row}
+    for i in (1, 2, 500):
+        r = by_key["unique doc %06d body" % i]
+        assert r["n_rows"] == 1
+        assert (int(r["vsum"]) if val[i] is not None else 0) == (val[i] or 0)
+    # count-only (no aggregate column) matches group_count
+    only = C.group_agg_batch(enc, "g")
+    cc = {
+        r["value"]: r["n"] for r in C.group_count_batch(enc, "g").to_pylist()
+    }
+    assert {
+        r["value"]: r["n_rows"] for r in only.to_pylist()
+    } == cc
+    assert all(r["vmin"] is None for r in only.to_pylist())
+    with pytest.raises(TypeError):
+        C.group_agg_batch(enc, "x")  # int group column
+    with pytest.raises(TypeError):
+        C.group_agg_batch(enc, "g", "text")  # string aggregate column
+
+
+def test_distinct_scan_batch():
+    import fsst_like_ray.pipelines.columnar as C
+
+    rng = np.random.default_rng(8)
+    n = 2500
+    grp = [None if i % 11 == 0 else s for i, s in enumerate(rng.choice(["a", "b", "c", "d"], n))]
+    iv = [None if i % 5 == 0 else int(v) for i, v in enumerate(rng.integers(0, 40, n))]
+    t = pa.table(
+        {
+            "g": pa.array(grp, type=pa.string()),
+            "x": pa.array(iv, type=pa.int64()),
+        }
+    )
+    enc = C.encode_columns_batch(t)
+    got_s = sorted(
+        v.decode() for v in C.distinct_scan_batch(enc, "g")["value"].to_pylist()
+    )
+    assert got_s == sorted({g for g in grp if g is not None})
+    got_i = C.distinct_scan_batch(enc, "x")["ivalue"].to_pylist()
+    assert sorted(got_i) == sorted({v for v in iv if v is not None})
+    # a slice must not surface dictionary entries its rows never reference
+    sl = C.distinct_scan_batch(enc.slice(0, 12), "g")["value"].to_pylist()
+    assert sorted(v.decode() for v in sl) == sorted(
+        {g for g in grp[:12] if g is not None}
+    )
+
+
+def test_store_group_agg_distinct(ray_session, tmp_path):
+    import pandas as pd
+
+    from fsst_like_ray.pipelines.tablestore import (
+        agg_table_store,
+        compress_table,
+        distinct_table_store,
+        group_agg_table_store,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    grp = [None if i % 17 == 0 else s for i, s in enumerate(rng.choice(["web", "books", "code"], n))]
+    val = [
+        None if i % 6 == 0 else int(v)
+        for i, v in enumerate(rng.integers(-(10**9), 10**9, n))
+    ]
+    t = pa.table(
+        {
+            "id": pa.array(ids),
+            "g": pa.array(grp, type=pa.string()),
+            "x": pa.array(val, type=pa.int64()),
+        }
+    )
+    frag = tmp_path / "src"
+    frag.mkdir()
+    step = (n + 3) // 4
+    for i in range(4):
+        part = t.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, frag / f"f{i}.parquet")
+    store = str(tmp_path / "store")
+    compress_table(str(frag), store)
+
+    # null-free id column: min/max/count answer WITHOUT opening any file
+    stats: dict = {}
+    a = agg_table_store(store, "id", ops=("min", "max", "count"), stats_out=stats)
+    assert a == {"min": 0, "max": n - 1, "count": n}
+    assert stats == {"fragments_meta": 4, "fragments_scanned": 0}
+    # nulled x column: every fragment holds nulls, so min/max/count SCAN —
+    # and the encode-time 0 fill must not leak into min/max
+    stats = {}
+    ax = agg_table_store(store, "x", stats_out=stats)
+    xs = [v for v in val if v is not None]
+    assert ax == {
+        "min": min(xs), "max": max(xs), "sum": sum(xs), "count": len(xs)
+    }
+    assert stats["fragments_scanned"] == 4
+
+    g = group_agg_table_store(store, "g", "x")
+    df = pd.DataFrame({"g": grp, "x": pd.array(val, dtype="Int64")})
+    df = df[df["g"].notna()]
+    ref = df.groupby("g").agg(
+        n_rows=("x", "size"), n_sum=("x", "sum"),
+        n_min=("x", "min"), n_max=("x", "max"),
+    ).sort_index()
+    assert g["value"].to_pylist() == list(ref.index)
+    assert g["n_rows"].to_pylist() == ref["n_rows"].tolist()
+    assert g["vsum"].to_pylist() == [int(v) for v in ref["n_sum"]]
+    assert g["vmin"].to_pylist() == [int(v) for v in ref["n_min"]]
+    assert g["vmax"].to_pylist() == [int(v) for v in ref["n_max"]]
+
+    d = distinct_table_store(store, "g")
+    assert d["value"].to_pylist() == sorted({v for v in grp if v is not None})
+    di = distinct_table_store(store, "x")
+    assert di["value"].to_pylist() == sorted({v for v in val if v is not None})
