@@ -1390,6 +1390,15 @@ def predicate_scan_batch(
 
     Predicates are evaluated in the given order with an any-rows-left
     short-circuit, so put the most selective / cheapest first."""
+    return _decode_survivors(
+        batch, predicate_mask(batch, preds, engine), out_columns
+    )
+
+
+def predicate_mask(batch: pa.Table, preds, engine: str = "auto") -> np.ndarray:
+    """The conjunctive compound-filter mask of predicate_scan_batch,
+    without the survivor decode — shared by the scan and the
+    predicate-composed aggregates (same op tuples, same short-circuit)."""
     mask = np.ones(batch.num_rows, dtype=bool)
     for p in preds:
         op = p[0]
@@ -1406,7 +1415,7 @@ def predicate_scan_batch(
         mask &= m
         if not mask.any():
             break
-    return _decode_survivors(batch, mask, out_columns)
+    return mask
 
 
 def column_topk_batch(
@@ -1736,7 +1745,10 @@ def _int_values(batch: pa.Table, column: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def group_agg_batch(
-    batch: pa.Table, group_col: str, agg_col: str | None = None
+    batch: pa.Table,
+    group_col: str,
+    agg_col: str | None = None,
+    mask: np.ndarray | None = None,
 ) -> pa.Table:
     """Per-batch GROUP BY aggregate partials over ENCODED columns: group
     keys from the string column's dictionaries (_group_codes), aggregate
@@ -1744,10 +1756,14 @@ def group_agg_batch(
     (value, is_text, n_rows, n_vals, vsum, vmin, vmax) row per group per
     batch — COUNT(*) semantics for ``n_rows``, null-skipping SQL
     semantics for the value aggregates; sums ride as decimal128 so a
-    near-2^62 batch can't overflow the partial."""
+    near-2^62 batch can't overflow the partial. ``mask`` (e.g. a
+    predicate_mask) drops rows from every aggregate — a masked-out row
+    counts nowhere."""
     import decimal
 
     codes, keys, is_text = _group_codes(batch, group_col)
+    if mask is not None:
+        codes = np.where(mask, codes, np.int64(-1))
     ng = len(keys)
     m = codes >= 0
     n_rows = np.bincount(codes[m], minlength=ng).astype(np.int64)
@@ -1809,6 +1825,8 @@ def columnar_group_agg(
     group_col: str,
     agg_col: str | None = None,
     ops=("count", "sum", "min", "max"),
+    preds=None,
+    engine: str = "auto",
 ) -> pa.Table:
     """Dataset-level GROUP BY <string col> with COUNT/SUM/MIN/MAX over an
     int column, computed entirely in the compressed domain: one partial
@@ -1816,12 +1834,19 @@ def columnar_group_agg(
     bounded by group cardinality × batches (small by the groupable-column
     contract — same contract as columnar_group_count). Output sorts by
     key; only the REQUESTED aggregates appear, named n_rows / vsum /
-    vmin / vmax (sum raises past int64 rather than wrap)."""
+    vmin / vmax (sum raises past int64 rather than wrap). ``preds``
+    (predicate_scan_batch op tuples) filter rows in the compressed
+    domain before any aggregate sees them — GROUP BY ... WHERE without a
+    row decode."""
     acc: dict[bytes, list] = {}
     text = True
+
+    def part(t: pa.Table) -> pa.Table:
+        mask = predicate_mask(t, preds, engine) if preds else None
+        return group_agg_batch(t, group_col, agg_col, mask=mask)
+
     for b in enc_ds.map_batches(
-        lambda t: group_agg_batch(t, group_col, agg_col),
-        batch_format="pyarrow",
+        part, batch_format="pyarrow"
     ).iter_batches(batch_format="pyarrow"):
         for row in b.to_pylist():
             a = acc.setdefault(row["value"], [0, 0, 0, None, None])

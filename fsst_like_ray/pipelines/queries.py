@@ -798,6 +798,49 @@ def q_columnar_store_groupby(sf_dir: str):
     return group_agg_table_store(out, "source", "n_chars")
 
 
+def q_columnar_store_groupby_where(sf_dir: str):
+    """GROUP BY ... WHERE entirely in the compressed domain: over a
+    4-fragment doc_id-ordered documents store, a compound predicate
+    (doc_id range + LIKE on text) prunes whole fragments via manifest
+    zone envelopes first (asserted ≥2 of 4 skip), survivors filter per
+    batch through the predicate masks, and only then do the dictionary
+    group keys and cached n_chars streams aggregate — no row ever
+    decodes (tablestore.group_agg_table_store(preds=...))."""
+    import tempfile
+
+    from .tablestore import compress_table, group_agg_table_store
+
+    base = tempfile.mkdtemp(prefix="columnar_store_groupby_where_")
+    src = pq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
+    frag_dir = os.path.join(base, "src")
+    os.makedirs(frag_dir)
+    n = src.num_rows
+    step = max(1, (n + 3) // 4)
+    for i in range(4):
+        part = src.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(frag_dir, f"f{i}.parquet"))
+    store = os.path.join(base, "store")
+    compress_table(frag_dir, store)
+    ids = src["doc_id"]
+    mn = pa.compute.min(ids).as_py()
+    mx = pa.compute.max(ids).as_py()
+    stats: dict = {}
+    out = group_agg_table_store(
+        store,
+        "source",
+        "n_chars",
+        preds=[
+            ("range", "doc_id", mn, mn + (mx - mn) // 4),
+            ("like", "text", "%the%"),
+        ],
+        stats_out=stats,
+    )
+    if stats["fragments_skipped"] < 2:
+        raise ValueError(f"groupby-where pruning did not engage: {stats}")
+    return out
+
+
 def q_columnar_store_agg_meta(sf_dir: str):
     """Metadata-only scalar aggregates on the store: over a 4-fragment
     events store, MIN/MAX/COUNT(event_id) answer purely from the lineage
@@ -6949,6 +6992,7 @@ def build_queries() -> dict:
     q["columnar_store_count"] = q_columnar_store_count
     q["columnar_store_cluster_scan"] = q_columnar_store_cluster_scan
     q["columnar_store_groupby"] = q_columnar_store_groupby
+    q["columnar_store_groupby_where"] = q_columnar_store_groupby_where
     q["columnar_store_agg_meta"] = q_columnar_store_agg_meta
     q["columnar_store_distinct"] = q_columnar_store_distinct
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
@@ -7217,6 +7261,19 @@ def build_oracle_sql() -> dict:
                CAST(min(n_chars) AS BIGINT) AS vmin,
                CAST(max(n_chars) AS BIGINT) AS vmax
         FROM documents WHERE source IS NOT NULL
+        GROUP BY source ORDER BY source
+    """
+    sql["columnar_store_groupby_where"] = """
+        SELECT source AS value, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS vsum,
+               CAST(min(n_chars) AS BIGINT) AS vmin,
+               CAST(max(n_chars) AS BIGINT) AS vmax
+        FROM documents
+        WHERE source IS NOT NULL
+          AND doc_id BETWEEN (SELECT min(doc_id) FROM documents)
+            AND (SELECT min(doc_id)
+                   + (max(doc_id) - min(doc_id)) // 4 FROM documents)
+          AND text LIKE '%the%'
         GROUP BY source ORDER BY source
     """
     sql["columnar_store_agg_meta"] = """

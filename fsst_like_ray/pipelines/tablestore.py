@@ -607,28 +607,13 @@ def like_table_store(
     )
 
 
-def predicate_scan_table_store(
-    out_dir: str,
-    preds,
-    columns=None,
-    engine: str = "auto",
-    stats_out: dict | None = None,
-):
-    """Conjunctive compound scan over a committed store
-    (columnar.predicate_scan_batch semantics) with EVERY predicate also
-    pruning at the FRAGMENT tier first:
-
-    - ``("range", col, lo, hi)`` prunes on the manifest zone envelope;
-    - ``("eq", col, v)`` / ``("in", col, vs)`` / ``("like", col, pat)``
-      prune on the trigram bloom — a fragment whose bloom lacks one of a
-      literal's trigrams cannot contain it (for IN, the fragment survives
-      if ANY value's trigrams are all present).
-
-    Fragments with legacy lineage (no zones/blooms) and predicates with no
-    sound trigram evidence keep the fragment — pruning is only ever an
-    optimization. Survivors run the full in-batch compound scan and decode
-    ONCE through the pruned output columns."""
-    from .columnar import predicate_scan_batch
+def _predicate_checks(preds):
+    """Fragment-tier pruning tests for predicate op tuples → (columns the
+    predicates touch, per-predicate ``rec -> bool`` checks). range prunes
+    on the manifest zone envelope; eq/like/in on the trigram bloom; a
+    predicate with no sound evidence keeps the fragment (pruning is only
+    ever an optimization). Shared by the compound scan and the
+    predicate-composed aggregates."""
     from .trigram import pattern_trigrams
 
     scan_cols = set()
@@ -672,7 +657,33 @@ def predicate_scan_table_store(
                 )
         else:
             raise ValueError(f"predicate_scan: unknown op {op!r}")
+    return scan_cols, checks
 
+
+def predicate_scan_table_store(
+    out_dir: str,
+    preds,
+    columns=None,
+    engine: str = "auto",
+    stats_out: dict | None = None,
+):
+    """Conjunctive compound scan over a committed store
+    (columnar.predicate_scan_batch semantics) with EVERY predicate also
+    pruning at the FRAGMENT tier first:
+
+    - ``("range", col, lo, hi)`` prunes on the manifest zone envelope;
+    - ``("eq", col, v)`` / ``("in", col, vs)`` / ``("like", col, pat)``
+      prune on the trigram bloom — a fragment whose bloom lacks one of a
+      literal's trigrams cannot contain it (for IN, the fragment survives
+      if ANY value's trigrams are all present).
+
+    Fragments with legacy lineage (no zones/blooms) and predicates with no
+    sound trigram evidence keep the fragment — pruning is only ever an
+    optimization. Survivors run the full in-batch compound scan and decode
+    ONCE through the pruned output columns."""
+    from .columnar import predicate_scan_batch
+
+    scan_cols, checks = _predicate_checks(preds)
     paths, any_parts = _pruned_parts(
         out_dir,
         "predicate_scan_table_store",
@@ -1057,30 +1068,51 @@ def group_agg_table_store(
     group_col: str,
     agg_col: str | None = None,
     ops=("count", "sum", "min", "max"),
+    preds=None,
+    engine: str = "auto",
+    stats_out: dict | None = None,
 ) -> "pa.Table":
     """GROUP BY <string column> with COUNT/SUM/MIN/MAX over an int column,
     computed against the committed store without decoding either column
     to rows: group keys stream through block dictionaries, aggregate
-    values through cached int streams, and only the two columns' encoded
-    fields leave storage (columnar.columnar_group_agg per-batch partials,
-    cardinality-bounded fold)."""
+    values through cached int streams, and only the needed columns'
+    encoded fields leave storage (columnar.columnar_group_agg per-batch
+    partials, cardinality-bounded fold). ``preds``
+    (predicate_scan_table_store op tuples) compose a WHERE clause: whole
+    fragments prune on zone envelopes / trigram blooms first, survivors
+    filter per batch in the compressed domain before any aggregate."""
     from .columnar import _encoded_field_names, columnar_group_agg
     from .compress import read_parquet_blocks
 
-    manifest = Manifest(out_dir)
-    done = manifest.completed()
-    if not done:
-        raise FileNotFoundError(
-            f"group_agg_table_store: no committed fragments under {out_dir!r}"
+    need = {group_col} | ({agg_col} if agg_col else set())
+    if preds:
+        scan_cols, checks = _predicate_checks(preds)
+        need |= scan_cols
+        keep = lambda rec: all(c(rec) for c in checks)  # noqa: E731
+    else:
+        keep = lambda rec: True  # noqa: E731
+    paths, any_parts = _pruned_parts(
+        out_dir, "group_agg_table_store", keep, stats_out
+    )
+    if not paths:
+        return columnar_group_agg(
+            _empty_encoded_ds(any_parts), group_col, agg_col, ops
         )
-    data_dir = os.path.join(out_dir, "data")
-    paths: list[str] = []
-    for rec in sorted(done.values(), key=lambda rec: rec["frag_key"]):
-        paths.extend(_fragment_parts(data_dir, rec["frag_key"]))
-    need = [group_col] + ([agg_col] if agg_col else [])
-    cols = _encoded_field_names(list(pq.read_schema(paths[0]).names), need)
+    cols = _encoded_field_names(
+        list(pq.read_schema(paths[0]).names), sorted(need)
+    )
     enc = read_parquet_blocks(paths, columns=cols)
-    return columnar_group_agg(enc, group_col, agg_col, ops)
+    return columnar_group_agg(enc, group_col, agg_col, ops, preds, engine)
+
+
+def _empty_encoded_ds(any_parts):
+    """Zero-row encoded Dataset carrying a committed part's schema — the
+    all-fragments-pruned result for aggregate scans."""
+    import ray.data
+
+    return ray.data.from_arrow(
+        pq.ParquetFile(any_parts[0]).schema_arrow.empty_table()
+    )
 
 
 def distinct_table_store(

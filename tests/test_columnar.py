@@ -1700,3 +1700,65 @@ def test_store_group_agg_distinct(ray_session, tmp_path):
     assert d["value"].to_pylist() == sorted({v for v in grp if v is not None})
     di = distinct_table_store(store, "x")
     assert di["value"].to_pylist() == sorted({v for v in val if v is not None})
+
+
+def test_store_group_agg_where(ray_session, tmp_path):
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        group_agg_table_store,
+    )
+
+    rng = np.random.default_rng(10)
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    grp = rng.choice(["web", "books", "code"], n).tolist()
+    val = rng.integers(0, 1000, n).tolist()
+    txt = [
+        ("needle row %d" % i) if i % 3 == 0 else ("plain row %d" % i)
+        for i in range(n)
+    ]
+    t = pa.table(
+        {
+            "id": pa.array(ids),
+            "g": pa.array(grp, type=pa.string()),
+            "x": pa.array(val, type=pa.int64()),
+            "s": pa.array(txt, type=pa.string()),
+        }
+    )
+    frag = tmp_path / "src"
+    frag.mkdir()
+    step = (n + 3) // 4
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step), frag / f"f{i}.parquet")
+    store = str(tmp_path / "store")
+    compress_table(str(frag), store)
+
+    stats: dict = {}
+    got = group_agg_table_store(
+        store, "g", "x",
+        preds=[("range", "id", 0, n // 4 - 1), ("like", "s", "%needle%")],
+        stats_out=stats,
+    )
+    # the id range covers exactly the first of four fragments
+    assert stats["fragments_skipped"] >= 2
+    exp: dict = {}
+    for i in range(n // 4):
+        if i % 3 == 0:
+            a = exp.setdefault(grp[i], [0, 0, None, None])
+            a[0] += 1
+            a[1] += val[i]
+            a[2] = val[i] if a[2] is None else min(a[2], val[i])
+            a[3] = val[i] if a[3] is None else max(a[3], val[i])
+    assert got["value"].to_pylist() == sorted(exp)
+    for row in got.to_pylist():
+        e = exp[row["value"]]
+        assert (row["n_rows"], row["vsum"], row["vmin"], row["vmax"]) == (
+            e[0], e[1], e[2], e[3],
+        )
+    # a disjoint range prunes EVERY fragment: empty result, no crash
+    stats = {}
+    empty = group_agg_table_store(
+        store, "g", "x", preds=[("range", "id", n * 10, n * 20)],
+        stats_out=stats,
+    )
+    assert stats["fragments_skipped"] == 4 and empty.num_rows == 0
