@@ -566,7 +566,8 @@ def cmd_table_agg(args) -> int:
         }, default=str))
     elif args.group_by:
         t = group_agg_table_store(
-            args.store, args.group_by, args.column, ops=tuple(args.ops)
+            args.store, args.group_by, args.column, ops=tuple(args.ops),
+            bucket=args.bucket,
         )
         print(json.dumps({
             "groups": t.num_rows,
@@ -854,6 +855,10 @@ def main(argv=None) -> int:
         choices=("min", "max", "sum", "count"),
     )
     tag.add_argument("--distinct", action="store_true")
+    tag.add_argument(
+        "--bucket", type=int, default=None,
+        help="floor-bucket an int group key (e.g. 86400000000 = day of us-ts)",
+    )
     tag.set_defaults(fn=cmd_table_agg)
 
     wi = sub.add_parser(

@@ -1744,11 +1744,111 @@ def _int_values(batch: pa.Table, column: str) -> tuple[np.ndarray, np.ndarray]:
     return vals, ok
 
 
+_FLOAT_TYPES = frozenset((T_FLOAT32, T_FLOAT64))
+
+
+def _float_values(batch: pa.Table, column: str) -> tuple[np.ndarray, np.ndarray]:
+    """Row-aligned (float64 logical values, validity) for an encoded
+    float column: the stored streams hold the IEEE bit patterns
+    (float32 as int32, float64 as split int64), so the decoded ints view
+    back bit-exactly (null slots carry the 0.0 encode fill, masked
+    False)."""
+    gi, envs = _group_indices(batch[f"{column}__blk"])
+    rowidx_all = batch["__rowidx"].to_numpy().astype(np.int64)
+    vals = np.zeros(len(rowidx_all), dtype=np.float64)
+    ok = np.ones(len(rowidx_all), dtype=bool)
+    for k, env in enumerate(envs):
+        env = bytes(env)
+        sel = np.flatnonzero(gi == k)
+        if not len(sel):
+            continue
+        r = _Reader(env)
+        tc, _unit, _tz, n_block, valid, _plain = _parse_head(r)
+        if tc not in _FLOAT_TYPES:
+            raise TypeError(
+                f"float values: column {column!r} is not float-kind"
+            )
+        _zmin, _zmax, blk = _int_block_reader(r, tc, n_block)
+        ri = rowidx_all[sel]
+        bits = _cached_block(env, blk)[ri]
+        vals[sel] = (
+            bits.view(np.float32).astype(np.float64)
+            if tc == T_FLOAT32
+            else bits.view(np.float64)
+        )
+        if valid is not None:
+            ok[sel] = valid[ri]
+    return vals, ok
+
+
+def float_agg_scan_batch(
+    batch: pa.Table, column: str, ops=("min", "max", "sum", "count")
+) -> pa.Table:
+    """Per-batch aggregate partials of an ENCODED float column — the
+    float sibling of agg_scan_batch. Values come from the (cached) bit
+    streams; nulls skip (SQL semantics); sums accumulate in float64
+    (pairwise np.sum — exactness is inherently rounding-order-dependent
+    for floats, which is why the store query gates float sums on a
+    tolerance instead of a hash). NaNs propagate (NaN-naive, unlike SQL
+    aggregates which skip only NULLs)."""
+    vals, ok = _float_values(batch, column)
+    v = vals[ok]
+    n = int(len(v))
+    return pa.table(
+        {
+            "fmin": pa.array(
+                [float(v.min()) if n else None], type=pa.float64()
+            ),
+            "fmax": pa.array(
+                [float(v.max()) if n else None], type=pa.float64()
+            ),
+            "fsum": pa.array([float(v.sum()) if n else 0.0], type=pa.float64()),
+            "cnt": pa.array([n], type=pa.int64()),
+        }
+    )
+
+
+def columnar_agg_float(
+    enc_ds, column: str, ops=("min", "max", "sum", "count")
+) -> dict:
+    """Dataset-level (min, max, sum, count) over an encoded float column:
+    one tiny partial row per batch crosses the cluster (float sibling of
+    columnar_agg)."""
+    vmin = vmax = None
+    vsum = 0.0
+    cnt = 0
+    for b in enc_ds.map_batches(
+        lambda t: float_agg_scan_batch(t, column, ops),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            if row["cnt"]:
+                cnt += row["cnt"]
+                vsum += row["fsum"]
+                vmin = (
+                    row["fmin"] if vmin is None else min(vmin, row["fmin"])
+                )
+                vmax = (
+                    row["fmax"] if vmax is None else max(vmax, row["fmax"])
+                )
+    out = {}
+    if "min" in ops:
+        out["min"] = vmin
+    if "max" in ops:
+        out["max"] = vmax
+    if "sum" in ops:
+        out["sum"] = vsum
+    if "count" in ops:
+        out["count"] = cnt
+    return out
+
+
 def group_agg_batch(
     batch: pa.Table,
     group_col: str,
     agg_col: str | None = None,
     mask: np.ndarray | None = None,
+    bucket: int | None = None,
 ) -> pa.Table:
     """Per-batch GROUP BY aggregate partials over ENCODED columns: group
     keys from the string column's dictionaries (_group_codes), aggregate
@@ -1758,15 +1858,102 @@ def group_agg_batch(
     semantics for the value aggregates; sums ride as decimal128 so a
     near-2^62 batch can't overflow the partial. ``mask`` (e.g. a
     predicate_mask) drops rows from every aggregate — a masked-out row
-    counts nowhere."""
+    counts nowhere.
+
+    Int-family group columns (ids, dates, timestamps) group on the
+    (cached) block int streams; ``bucket`` floor-buckets the keys first
+    (``key // bucket * bucket`` — e.g. 86_400_000_000 buckets a
+    microsecond timestamp by day), giving time-windowed rollups in one
+    pass. Int-keyed partials carry an ``ivalue`` int64 key column in
+    place of ``value``.
+
+    Float aggregate columns emit float64 partials (fsum/fmin/fmax in
+    place of vsum/vmin/vmax) — min/max bit-exact, sums
+    rounding-order-dependent like any float reduction."""
     import decimal
 
-    codes, keys, is_text = _group_codes(batch, group_col)
-    if mask is not None:
-        codes = np.where(mask, codes, np.int64(-1))
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "value": pa.array([], type=pa.large_binary()),
+                "is_text": pa.array([], type=pa.bool_()),
+                "n_rows": pa.array([], type=pa.int64()),
+                "n_vals": pa.array([], type=pa.int64()),
+                "vsum": pa.array([], type=pa.decimal128(38, 0)),
+                "vmin": pa.array([], type=pa.int64()),
+                "vmax": pa.array([], type=pa.int64()),
+            }
+        )
+    probe = bytes(batch[f"{group_col}__blk"][0].as_py())[:2]
+    int_keys = len(probe) == 2 and probe[1] not in _STR_FAMILY
+    if int_keys:
+        gvals, gok = _int_values(batch, group_col)
+        if bucket:
+            gvals = gvals // np.int64(bucket) * np.int64(bucket)
+        sel = gok if mask is None else (gok & mask)
+        uk, inv = np.unique(gvals[sel], return_inverse=True)
+        codes = np.full(len(gvals), -1, dtype=np.int64)
+        codes[sel] = inv
+        keys, is_text = uk, False
+    else:
+        if bucket:
+            raise TypeError(
+                f"group bucket: column {group_col!r} is not integer-kind"
+            )
+        codes, keys, is_text = _group_codes(batch, group_col)
+        if mask is not None:
+            codes = np.where(mask, codes, np.int64(-1))
     ng = len(keys)
     m = codes >= 0
     n_rows = np.bincount(codes[m], minlength=ng).astype(np.int64)
+    float_agg = (
+        agg_col is not None
+        and bytes(batch[f"{agg_col}__blk"][0].as_py())[1] in _FLOAT_TYPES
+    )
+    if float_agg:
+        vals, ok = _float_values(batch, agg_col)
+        mv = m & ok
+        cv, v = codes[mv], vals[mv]
+        n_vals = np.bincount(cv, minlength=ng).astype(np.int64)
+        fsum = np.zeros(ng, dtype=np.float64)
+        np.add.at(fsum, cv, v)
+        fmin = np.full(ng, np.inf)
+        fmax = np.full(ng, -np.inf)
+        np.minimum.at(fmin, cv, v)
+        np.maximum.at(fmax, cv, v)
+        emit = np.flatnonzero(n_rows)
+        key_col = (
+            {"ivalue": pa.array(keys[emit], type=pa.int64())}
+            if int_keys
+            else {
+                "value": pa.array(
+                    [keys[g] for g in emit], type=pa.large_binary()
+                ),
+            }
+        )
+        return pa.table(
+            {
+                **key_col,
+                "is_text": pa.array([is_text] * len(emit), type=pa.bool_()),
+                "n_rows": pa.array(n_rows[emit], type=pa.int64()),
+                "n_vals": pa.array(n_vals[emit], type=pa.int64()),
+                "fsum": pa.array(fsum[emit], type=pa.float64()),
+                "fmin": pa.array(
+                    [
+                        float(fmin[g]) if n_vals[g] else None
+                        for g in emit
+                    ],
+                    type=pa.float64(),
+                ),
+                "fmax": pa.array(
+                    [
+                        float(fmax[g]) if n_vals[g] else None
+                        for g in emit
+                    ],
+                    type=pa.float64(),
+                ),
+            }
+        )
     if agg_col is None:
         n_vals = n_rows
         lo = hi = np.zeros(ng, dtype=np.int64)
@@ -1787,11 +1974,18 @@ def group_agg_batch(
         np.minimum.at(vmin, cv, v)
         np.maximum.at(vmax, cv, v)
     emit = np.flatnonzero(n_rows)
-    return pa.table(
-        {
+    key_col = (
+        {"ivalue": pa.array(keys[emit], type=pa.int64())}
+        if int_keys
+        else {
             "value": pa.array(
                 [keys[g] for g in emit], type=pa.large_binary()
             ),
+        }
+    )
+    return pa.table(
+        {
+            **key_col,
             "is_text": pa.array([is_text] * len(emit), type=pa.bool_()),
             "n_rows": pa.array(n_rows[emit], type=pa.int64()),
             "n_vals": pa.array(n_vals[emit], type=pa.int64()),
@@ -1827,6 +2021,7 @@ def columnar_group_agg(
     ops=("count", "sum", "min", "max"),
     preds=None,
     engine: str = "auto",
+    bucket: int | None = None,
 ) -> pa.Table:
     """Dataset-level GROUP BY <string col> with COUNT/SUM/MIN/MAX over an
     int column, computed entirely in the compressed domain: one partial
@@ -1837,50 +2032,131 @@ def columnar_group_agg(
     vmin / vmax (sum raises past int64 rather than wrap). ``preds``
     (predicate_scan_batch op tuples) filter rows in the compressed
     domain before any aggregate sees them — GROUP BY ... WHERE without a
-    row decode."""
-    acc: dict[bytes, list] = {}
+    row decode. Int-family group columns key on their int64 logical
+    values (``bucket`` floor-buckets them — time-windowed rollups); the
+    output ``value`` column is then int64. Float aggregate columns fold
+    in float64 (vsum/vmin/vmax come out float64; no overflow check —
+    float sums saturate to inf rather than wrap)."""
+    acc: dict = {}
     text = True
+    int_keys = False
+    float_mode = False
 
     def part(t: pa.Table) -> pa.Table:
         mask = predicate_mask(t, preds, engine) if preds else None
-        return group_agg_batch(t, group_col, agg_col, mask=mask)
+        return group_agg_batch(t, group_col, agg_col, mask=mask, bucket=bucket)
 
     for b in enc_ds.map_batches(
         part, batch_format="pyarrow"
     ).iter_batches(batch_format="pyarrow"):
+        key_name = "ivalue" if "ivalue" in b.column_names else "value"
+        int_keys |= key_name == "ivalue"
+        flt = "fsum" in b.column_names
+        float_mode |= flt
         for row in b.to_pylist():
-            a = acc.setdefault(row["value"], [0, 0, 0, None, None])
+            a = acc.setdefault(
+                row[key_name], [0, 0, 0.0 if flt else 0, None, None]
+            )
             a[0] += int(row["n_rows"])
             a[1] += int(row["n_vals"])
-            a[2] += int(row["vsum"])
-            if row["vmin"] is not None:
-                a[3] = (
-                    row["vmin"] if a[3] is None else min(a[3], row["vmin"])
-                )
-                a[4] = (
-                    row["vmax"] if a[4] is None else max(a[4], row["vmax"])
-                )
+            a[2] += row["fsum"] if flt else int(row["vsum"])
+            rmin = row["fmin"] if flt else row["vmin"]
+            rmax = row["fmax"] if flt else row["vmax"]
+            if rmin is not None:
+                a[3] = rmin if a[3] is None else min(a[3], rmin)
+                a[4] = rmax if a[4] is None else max(a[4], rmax)
             text &= bool(row["is_text"])
     keys = sorted(acc)
-    cols: dict = {
-        "value": pa.array([k.decode() for k in keys], type=pa.string())
-        if text
-        else pa.array(keys, type=pa.large_binary())
-    }
+    if int_keys:
+        cols: dict = {"value": pa.array(keys, type=pa.int64())}
+    else:
+        cols = {
+            "value": pa.array([k.decode() for k in keys], type=pa.string())
+            if text
+            else pa.array(keys, type=pa.large_binary())
+        }
+    agg_t = pa.float64() if float_mode else pa.int64()
     if "count" in ops:
         cols["n_rows"] = pa.array([acc[k][0] for k in keys], type=pa.int64())
     if agg_col is not None and "sum" in ops:
-        for k in keys:
-            if not -(1 << 63) <= acc[k][2] < (1 << 63):
+        if not float_mode:
+            for k in keys:
+                if not -(1 << 63) <= acc[k][2] < (1 << 63):
+                    raise OverflowError(
+                        f"group sum of {agg_col!r} exceeds int64 for key {k!r}"
+                    )
+        cols["vsum"] = pa.array([acc[k][2] for k in keys], type=agg_t)
+    if agg_col is not None and "min" in ops:
+        cols["vmin"] = pa.array([acc[k][3] for k in keys], type=agg_t)
+    if agg_col is not None and "max" in ops:
+        cols["vmax"] = pa.array([acc[k][4] for k in keys], type=agg_t)
+    return pa.table(cols)
+
+
+def columnar_group_agg_ds(
+    enc_ds,
+    group_col: str,
+    agg_col: str | None = None,
+    ops=("count", "sum", "min", "max"),
+    preds=None,
+    engine: str = "auto",
+    bucket: int | None = None,
+):
+    """The UNBOUNDED-cardinality fold of columnar_group_agg: per-batch
+    compressed-domain partials (one row per group per batch) shuffle ONCE
+    through ``groupby(key)`` and merge exactly inside ``map_groups`` —
+    the driver never holds the key space, so ``GROUP BY user_id`` over
+    100 TB streams. Returns a Dataset of (value, requested aggregates);
+    sums merge through python ints off the decimal128 partials, so no
+    combiner overflow at any row count (still raising past int64 in the
+    final value). Prefer columnar_group_agg when cardinality is small —
+    this path pays an all-to-all shuffle."""
+
+    def part(t: pa.Table) -> pa.Table:
+        mask = predicate_mask(t, preds, engine) if preds else None
+        return group_agg_batch(t, group_col, agg_col, mask=mask, bucket=bucket)
+
+    parts = enc_ds.map_batches(part, batch_format="pyarrow")
+    key = "ivalue" if "ivalue" in parts.schema().names else "value"
+
+    def merge(g: pa.Table) -> pa.Table:
+        flt = "fsum" in g.column_names
+        n_rows = n_vals = 0
+        vsum = 0.0 if flt else 0
+        vmin = vmax = None
+        for r in g.to_pylist():
+            n_rows += int(r["n_rows"])
+            n_vals += int(r["n_vals"])
+            vsum += r["fsum"] if flt else int(r["vsum"])
+            rmin = r["fmin"] if flt else r["vmin"]
+            rmax = r["fmax"] if flt else r["vmax"]
+            if rmin is not None:
+                vmin = rmin if vmin is None else min(vmin, rmin)
+                vmax = rmax if vmax is None else max(vmax, rmax)
+        k = g[key][0]
+        if key == "ivalue":
+            val = pa.array([k.as_py()], type=pa.int64())
+        elif g["is_text"][0].as_py():
+            val = pa.array([k.as_py().decode()], type=pa.string())
+        else:
+            val = pa.array([k.as_py()], type=pa.large_binary())
+        cols: dict = {"value": val}
+        agg_t = pa.float64() if flt else pa.int64()
+        if "count" in ops:
+            cols["n_rows"] = pa.array([n_rows], type=pa.int64())
+        if agg_col is not None and "sum" in ops:
+            if not flt and not -(1 << 63) <= vsum < (1 << 63):
                 raise OverflowError(
                     f"group sum of {agg_col!r} exceeds int64 for key {k!r}"
                 )
-        cols["vsum"] = pa.array([acc[k][2] for k in keys], type=pa.int64())
-    if agg_col is not None and "min" in ops:
-        cols["vmin"] = pa.array([acc[k][3] for k in keys], type=pa.int64())
-    if agg_col is not None and "max" in ops:
-        cols["vmax"] = pa.array([acc[k][4] for k in keys], type=pa.int64())
-    return pa.table(cols)
+            cols["vsum"] = pa.array([vsum], type=agg_t)
+        if agg_col is not None and "min" in ops:
+            cols["vmin"] = pa.array([vmin], type=agg_t)
+        if agg_col is not None and "max" in ops:
+            cols["vmax"] = pa.array([vmax], type=agg_t)
+        return pa.table(cols)
+
+    return parts.groupby(key).map_groups(merge, batch_format="pyarrow")
 
 
 def distinct_scan_batch(batch: pa.Table, column: str) -> pa.Table:
@@ -1889,6 +2165,13 @@ def distinct_scan_batch(batch: pa.Table, column: str) -> pa.Table:
     non-null entries emit; a strdict block touches O(distinct) strings);
     int columns np.unique their (cached) block streams. One row per
     distinct value per batch."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "value": pa.array([], type=pa.large_binary()),
+                "is_text": pa.array([], type=pa.bool_()),
+            }
+        )
     probe = bytes(batch[f"{column}__blk"][0].as_py())[:2]
     tc = probe[1] if len(probe) == 2 else -1
     if tc in _STR_FAMILY:

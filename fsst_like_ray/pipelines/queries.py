@@ -841,6 +841,40 @@ def q_columnar_store_groupby_where(sf_dir: str):
     return out
 
 
+def q_columnar_store_groupby_time(sf_dir: str):
+    """Time-windowed rollup in the compressed domain: events grouped by
+    DAY — the microsecond timestamp column floor-bucketed by
+    86_400_000_000 straight off its cached int streams (no timestamp
+    object ever materializes) — with COUNT/MIN/MAX(event_id) per day
+    (tablestore.group_agg_table_store(bucket=...), int-keyed output)."""
+    import tempfile
+
+    from .tablestore import compress_table, group_agg_table_store
+
+    out = tempfile.mkdtemp(prefix="columnar_store_groupby_time_")
+    compress_table(f"{sf_dir}/events.parquet", out)
+    return group_agg_table_store(
+        out, "ts", "event_id", ops=("count", "min", "max"),
+        bucket=86_400_000_000,
+    )
+
+
+def q_columnar_store_groupby_dist(sf_dir: str):
+    """The unbounded-cardinality GROUP BY path: documents grouped by
+    doc_id (every key distinct — the shape where a driver-side fold
+    cannot hold the key space) with COUNT/SUM/MIN/MAX(n_chars); partials
+    stream through ONE groupby shuffle and merge inside map_groups,
+    returning a Dataset (tablestore.group_agg_table_store(
+    distributed=True) → columnar.columnar_group_agg_ds)."""
+    import tempfile
+
+    from .tablestore import compress_table, group_agg_table_store
+
+    out = tempfile.mkdtemp(prefix="columnar_store_groupby_dist_")
+    compress_table(f"{sf_dir}/documents.parquet", out)
+    return group_agg_table_store(out, "doc_id", "n_chars", distributed=True)
+
+
 def q_columnar_store_agg_meta(sf_dir: str):
     """Metadata-only scalar aggregates on the store: over a 4-fragment
     events store, MIN/MAX/COUNT(event_id) answer purely from the lineage
@@ -876,6 +910,44 @@ def q_columnar_store_agg_meta(sf_dir: str):
             "vmax": pa.array([a["max"]], type=pa.int64()),
             "cnt": pa.array([a["count"]], type=pa.int64()),
             "usum": pa.array([s["sum"]], type=pa.int64()),
+        }
+    )
+
+
+def q_columnar_store_agg_float(sf_dir: str):
+    """Gate: float aggregates over the store. MIN/MAX/COUNT(value) of the
+    events double column computed in the compressed domain (bit-pattern
+    streams view back to float64 bit-exactly) must equal the plain-Arrow
+    aggregates of the source; SUM matches within 1e-9 relative (float
+    summation is rounding-order-dependent, so a hash compare would be
+    wrong by construction — the CMS/KLL gate pattern). All-true booleans,
+    SQL-gated."""
+    import tempfile
+
+    from .tablestore import agg_table_store, compress_table
+
+    out = tempfile.mkdtemp(prefix="columnar_store_aggfloat_")
+    compress_table(f"{sf_dir}/events.parquet", out)
+    a = agg_table_store(out, "value")
+    src = pq.read_table(f"{sf_dir}/events.parquet", columns=["value"])[
+        "value"
+    ]
+    vals = src.drop_null()
+    emin = pa.compute.min(vals).as_py()
+    emax = pa.compute.max(vals).as_py()
+    esum = float(np.sum(vals.to_numpy(zero_copy_only=False), dtype=np.float64))
+    stats: dict = {}
+    c = agg_table_store(out, "value", ops=("count",), stats_out=stats)
+    return pa.table(
+        {
+            "minmax_exact": pa.array([a["min"] == emin and a["max"] == emax]),
+            "sum_close": pa.array(
+                [abs(a["sum"] - esum) <= 1e-9 * max(abs(esum), 1.0)]
+            ),
+            "count_match": pa.array([a["count"] == len(vals)]),
+            "count_meta_only": pa.array(
+                [c["count"] == len(vals) and stats["fragments_scanned"] == 0]
+            ),
         }
     )
 
@@ -6993,8 +7065,11 @@ def build_queries() -> dict:
     q["columnar_store_cluster_scan"] = q_columnar_store_cluster_scan
     q["columnar_store_groupby"] = q_columnar_store_groupby
     q["columnar_store_groupby_where"] = q_columnar_store_groupby_where
+    q["columnar_store_groupby_time"] = q_columnar_store_groupby_time
+    q["columnar_store_groupby_dist"] = q_columnar_store_groupby_dist
     q["columnar_store_agg_meta"] = q_columnar_store_agg_meta
     q["columnar_store_distinct"] = q_columnar_store_distinct
+    q["columnar_store_agg_float"] = q_columnar_store_agg_float
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["columnar_agg_events"] = q_columnar_agg_events
     q["columnar_group_count"] = q_columnar_group_count
@@ -7276,6 +7351,21 @@ def build_oracle_sql() -> dict:
           AND text LIKE '%the%'
         GROUP BY source ORDER BY source
     """
+    sql["columnar_store_groupby_time"] = """
+        SELECT CAST(epoch_us(ts) // 86400000000 * 86400000000 AS BIGINT)
+                 AS value,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(event_id) AS BIGINT) AS vmin,
+               CAST(max(event_id) AS BIGINT) AS vmax
+        FROM events GROUP BY 1 ORDER BY 1
+    """
+    sql["columnar_store_groupby_dist"] = """
+        SELECT doc_id AS value, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS vsum,
+               CAST(min(n_chars) AS BIGINT) AS vmin,
+               CAST(max(n_chars) AS BIGINT) AS vmax
+        FROM documents GROUP BY doc_id ORDER BY doc_id
+    """
     sql["columnar_store_agg_meta"] = """
         SELECT CAST(min(event_id) AS BIGINT) AS vmin,
                CAST(max(event_id) AS BIGINT) AS vmax,
@@ -7283,6 +7373,10 @@ def build_oracle_sql() -> dict:
                CAST(sum(user_id) AS BIGINT) AS usum
         FROM events
     """
+    sql["columnar_store_agg_float"] = (
+        "SELECT (1=1) AS minmax_exact, (1=1) AS sum_close, "
+        "(1=1) AS count_match, (1=1) AS count_meta_only"
+    )
     sql["columnar_store_distinct"] = """
         SELECT DISTINCT lang AS value FROM documents
         WHERE lang IS NOT NULL ORDER BY lang

@@ -972,6 +972,17 @@ def count_table_store(
     return total
 
 
+def _column_type_code(paths: list[str], column: str) -> int:
+    """Envelope type code of one encoded column, probed from the first
+    part's first row (one small column read — the envelope's second byte
+    is the type code, columnar._parse_head layout)."""
+    pf = pq.ParquetFile(paths[0])
+    for b in pf.iter_batches(batch_size=1, columns=[f"{column}__blk"]):
+        if b.num_rows:
+            return bytes(b.column(0)[0].as_py())[1]
+    return -1
+
+
 def agg_table_store(
     out_dir: str,
     column: str,
@@ -993,8 +1004,17 @@ def agg_table_store(
 
     A min/max/count request over a fully-zoned null-free store opens no
     files at all. ``stats_out`` receives fragments_meta /
-    fragments_scanned."""
-    from .columnar import _encoded_field_names, agg_scan_batch
+    fragments_scanned.
+
+    Float columns aggregate too (float_agg_scan_batch): their zone fields
+    hold bit patterns, so min/max/sum always scan — but a count-only
+    request still answers from manifest rows − recorded nulls."""
+    from .columnar import (
+        _FLOAT_TYPES,
+        _encoded_field_names,
+        agg_scan_batch,
+        float_agg_scan_batch,
+    )
     from .compress import read_parquet_blocks
 
     manifest = Manifest(out_dir)
@@ -1005,6 +1025,12 @@ def agg_table_store(
         )
     data_dir = os.path.join(out_dir, "data")
     recs = sorted(done.values(), key=lambda rec: rec["frag_key"])
+
+    probe = _fragment_parts(data_dir, recs[0]["frag_key"])
+    if probe and _column_type_code(probe, column) in _FLOAT_TYPES:
+        return _agg_store_float(
+            out_dir, data_dir, recs, column, ops, stats_out
+        )
     want_scan = set(ops) & {"sum"}
     vmin = vmax = None
     cnt = 0
@@ -1063,6 +1089,63 @@ def agg_table_store(
     return out
 
 
+def _agg_store_float(
+    out_dir, data_dir, recs, column, ops, stats_out
+) -> dict:
+    """Float tail of agg_table_store: count-only answers from manifest
+    rows − recorded nulls (zero file opens); anything else scans just
+    this column's encoded fields and folds one float partial per batch."""
+    from .columnar import _encoded_field_names, float_agg_scan_batch
+    from .compress import read_parquet_blocks
+
+    meta_ok = not (set(ops) - {"count"}) and all(
+        (rec.get("nulls") or {}).get(column) is not None for rec in recs
+    )
+    if meta_ok:
+        if stats_out is not None:
+            stats_out.update(fragments_meta=len(recs), fragments_scanned=0)
+        return {
+            "count": sum(
+                int(rec["rows"]) - int(rec["nulls"][column]) for rec in recs
+            )
+        }
+    paths: list[str] = []
+    for rec in recs:
+        paths.extend(_fragment_parts(data_dir, rec["frag_key"]))
+    if stats_out is not None:
+        stats_out.update(fragments_meta=0, fragments_scanned=len(recs))
+    cols = _encoded_field_names(
+        list(pq.read_schema(paths[0]).names), [column]
+    )
+    vmin = vmax = None
+    vsum = 0.0
+    cnt = 0
+    parts = (
+        read_parquet_blocks(paths, columns=cols)
+        .map_batches(
+            lambda b: float_agg_scan_batch(b, column, ops),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    for row in parts:
+        if row["cnt"]:
+            cnt += int(row["cnt"])
+            vsum += row["fsum"]
+            vmin = row["fmin"] if vmin is None else min(vmin, row["fmin"])
+            vmax = row["fmax"] if vmax is None else max(vmax, row["fmax"])
+    out = {}
+    if "min" in ops:
+        out["min"] = vmin
+    if "max" in ops:
+        out["max"] = vmax
+    if "sum" in ops:
+        out["sum"] = vsum
+    if "count" in ops:
+        out["count"] = cnt
+    return out
+
+
 def group_agg_table_store(
     out_dir: str,
     group_col: str,
@@ -1070,9 +1153,12 @@ def group_agg_table_store(
     ops=("count", "sum", "min", "max"),
     preds=None,
     engine: str = "auto",
+    bucket: int | None = None,
+    distributed: bool = False,
     stats_out: dict | None = None,
-) -> "pa.Table":
-    """GROUP BY <string column> with COUNT/SUM/MIN/MAX over an int column,
+):
+    """GROUP BY <string or int column> with COUNT/SUM/MIN/MAX over an int
+    column,
     computed against the committed store without decoding either column
     to rows: group keys stream through block dictionaries, aggregate
     values through cached int streams, and only the needed columns'
@@ -1080,8 +1166,19 @@ def group_agg_table_store(
     partials, cardinality-bounded fold). ``preds``
     (predicate_scan_table_store op tuples) compose a WHERE clause: whole
     fragments prune on zone envelopes / trigram blooms first, survivors
-    filter per batch in the compressed domain before any aggregate."""
-    from .columnar import _encoded_field_names, columnar_group_agg
+    filter per batch in the compressed domain before any aggregate.
+    ``bucket`` floor-buckets an int-family group key (e.g. a microsecond
+    timestamp by 86_400_000_000 → per-day rollups).
+
+    ``distributed=True`` routes the fold through ONE groupby shuffle and
+    returns a Dataset — the 100-TB path for unbounded-cardinality keys
+    (GROUP BY user_id) where the default driver fold's
+    cardinality-bounded contract would not hold."""
+    from .columnar import (
+        _encoded_field_names,
+        columnar_group_agg,
+        columnar_group_agg_ds,
+    )
     from .compress import read_parquet_blocks
 
     need = {group_col} | ({agg_col} if agg_col else set())
@@ -1095,14 +1192,14 @@ def group_agg_table_store(
         out_dir, "group_agg_table_store", keep, stats_out
     )
     if not paths:
-        return columnar_group_agg(
-            _empty_encoded_ds(any_parts), group_col, agg_col, ops
-        )
+        empty_fold = columnar_group_agg_ds if distributed else columnar_group_agg
+        return empty_fold(_empty_encoded_ds(any_parts), group_col, agg_col, ops)
     cols = _encoded_field_names(
         list(pq.read_schema(paths[0]).names), sorted(need)
     )
     enc = read_parquet_blocks(paths, columns=cols)
-    return columnar_group_agg(enc, group_col, agg_col, ops, preds, engine)
+    fold = columnar_group_agg_ds if distributed else columnar_group_agg
+    return fold(enc, group_col, agg_col, ops, preds, engine, bucket)
 
 
 def _empty_encoded_ds(any_parts):

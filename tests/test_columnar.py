@@ -1600,10 +1600,16 @@ def test_group_agg_batch():
         r["value"]: r["n_rows"] for r in only.to_pylist()
     } == cc
     assert all(r["vmin"] is None for r in only.to_pylist())
-    with pytest.raises(TypeError):
-        C.group_agg_batch(enc, "x")  # int group column
+    # int group columns key on their logical values (ivalue partials)
+    gi2 = C.group_agg_batch(enc, "x")
+    assert set(gi2.column_names) >= {"ivalue", "n_rows"}
+    assert sorted(gi2["ivalue"].to_pylist()) == sorted(
+        {v for v in val if v is not None}
+    )
     with pytest.raises(TypeError):
         C.group_agg_batch(enc, "g", "text")  # string aggregate column
+    with pytest.raises(TypeError):
+        C.group_agg_batch(enc, "g", bucket=7)  # bucket needs int keys
 
 
 def test_distinct_scan_batch():
@@ -1762,3 +1768,182 @@ def test_store_group_agg_where(ray_session, tmp_path):
         stats_out=stats,
     )
     assert stats["fragments_skipped"] == 4 and empty.num_rows == 0
+
+
+def test_store_group_agg_int_keys(ray_session, tmp_path):
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        group_agg_table_store,
+    )
+
+    rng = np.random.default_rng(12)
+    n = 3000
+    uid = [None if i % 19 == 0 else int(u) for i, u in enumerate(rng.integers(0, 12, n))]
+    val = [None if i % 7 == 0 else int(v) for i, v in enumerate(rng.integers(-500, 500, n))]
+    ts = rng.integers(1_700_000_000_000_000, 1_700_000_000_000_000 + 10 * 86_400_000_000, n)
+    t = pa.table(
+        {
+            "uid": pa.array(uid, type=pa.int64()),
+            "x": pa.array(val, type=pa.int64()),
+            "ts": pa.array(ts, type=pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "t.parquet")
+    store = str(tmp_path / "store")
+    compress_table(str(tmp_path / "t.parquet"), store)
+
+    # int-keyed GROUP BY: null keys drop, null aggregates skip
+    g = group_agg_table_store(store, "uid", "x")
+    exp: dict = {}
+    for u, v in zip(uid, val):
+        if u is None:
+            continue
+        a = exp.setdefault(u, [0, 0, 0, None, None])
+        a[0] += 1
+        if v is not None:
+            a[1] += 1
+            a[2] += v
+            a[3] = v if a[3] is None else min(a[3], v)
+            a[4] = v if a[4] is None else max(a[4], v)
+    assert g["value"].to_pylist() == sorted(exp)
+    for row in g.to_pylist():
+        e = exp[row["value"]]
+        assert (row["n_rows"], row["vsum"], row["vmin"], row["vmax"]) == (
+            e[0], e[2], e[3], e[4],
+        )
+
+    # day-bucketed rollup over the raw int64 "timestamp"
+    day = 86_400_000_000
+    gb = group_agg_table_store(store, "ts", ops=("count",), bucket=day)
+    expb: dict = {}
+    for v in ts:
+        expb[int(v) // day * day] = expb.get(int(v) // day * day, 0) + 1
+    assert gb["value"].to_pylist() == sorted(expb)
+    assert gb["n_rows"].to_pylist() == [expb[k] for k in sorted(expb)]
+
+    # bucketing a string column is a loud error
+    s = pa.table({"s": pa.array(["a", "b"])})
+    pq.write_table(s, tmp_path / "s.parquet")
+    store2 = str(tmp_path / "store2")
+    compress_table(str(tmp_path / "s.parquet"), store2)
+    # surfaces through Ray as a wrapped task error — match the message
+    with pytest.raises(Exception, match="not integer-kind"):
+        group_agg_table_store(store2, "s", bucket=10)
+
+
+def test_group_agg_distributed_fold(ray_session, tmp_path):
+    import ray.data
+
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        group_agg_table_store,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    # high-cardinality string keys AND int keys, nulls in the aggregate
+    skey = ["k%04d" % (i % 997) for i in range(n)]
+    ikey = rng.integers(0, 1500, n)
+    val = [None if i % 9 == 0 else int(v) for i, v in enumerate(rng.integers(-100, 100, n))]
+    t = pa.table(
+        {
+            "sk": pa.array(skey),
+            "ik": pa.array(ikey, type=pa.int64()),
+            "x": pa.array(val, type=pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "t.parquet")
+    store = str(tmp_path / "store")
+    compress_table(str(tmp_path / "t.parquet"), store)
+
+    for key in ("sk", "ik"):
+        driver = group_agg_table_store(store, key, "x")
+        ds = group_agg_table_store(store, key, "x", distributed=True)
+        assert isinstance(ds, ray.data.Dataset)
+        got = pa.concat_tables(
+            b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows
+        ).sort_by("value")
+        assert got.select(driver.column_names).to_pydict() == driver.to_pydict()
+
+
+def test_store_float_agg(ray_session, tmp_path):
+    from fsst_like_ray.pipelines.tablestore import (
+        agg_table_store,
+        compress_table,
+    )
+
+    rng = np.random.default_rng(14)
+    n = 3000
+    f64 = [None if i % 8 == 0 else float(v) for i, v in enumerate(rng.normal(0, 1e6, n))]
+    f32 = np.asarray(rng.normal(0, 10, n), dtype=np.float32)
+    t = pa.table(
+        {
+            "a": pa.array(f64, type=pa.float64()),
+            "b": pa.array(f32, type=pa.float32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "t.parquet")
+    store = str(tmp_path / "store")
+    compress_table(str(tmp_path / "t.parquet"), store)
+
+    a = agg_table_store(store, "a")
+    xs = np.array([v for v in f64 if v is not None])
+    assert a["min"] == xs.min() and a["max"] == xs.max()  # bit-exact
+    assert a["count"] == len(xs)
+    assert abs(a["sum"] - xs.sum()) <= 1e-9 * abs(xs.sum())
+    # float32 widens losslessly to float64
+    b = agg_table_store(store, "b")
+    assert b["min"] == float(f32.min()) and b["max"] == float(f32.max())
+    # count-only on a float column stays metadata-only
+    stats: dict = {}
+    c = agg_table_store(store, "a", ops=("count",), stats_out=stats)
+    assert c == {"count": len(xs)} and stats["fragments_scanned"] == 0
+
+
+def test_store_group_agg_float_values(ray_session, tmp_path):
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        group_agg_table_store,
+    )
+
+    rng = np.random.default_rng(15)
+    n = 2500
+    grp = rng.choice(["a", "b", "c"], n).tolist()
+    val = [None if i % 6 == 0 else float(v) for i, v in enumerate(rng.normal(0, 100, n))]
+    t = pa.table(
+        {
+            "g": pa.array(grp),
+            "v": pa.array(val, type=pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "t.parquet")
+    store = str(tmp_path / "store")
+    compress_table(str(tmp_path / "t.parquet"), store)
+
+    got = group_agg_table_store(store, "g", "v")
+    exp: dict = {}
+    for g, v in zip(grp, val):
+        a = exp.setdefault(g, [0, 0.0, None, None])
+        a[0] += 1
+        if v is not None:
+            a[1] += v
+            a[2] = v if a[2] is None else min(a[2], v)
+            a[3] = v if a[3] is None else max(a[3], v)
+    assert got["value"].to_pylist() == sorted(exp)
+    assert got.schema.field("vsum").type == pa.float64()
+    for row in got.to_pylist():
+        e = exp[row["value"]]
+        assert row["n_rows"] == e[0]
+        assert abs(row["vsum"] - e[1]) <= 1e-9 * max(abs(e[1]), 1.0)
+        assert row["vmin"] == e[2] and row["vmax"] == e[3]  # bit-exact
+    # distributed fold agrees
+    ds = group_agg_table_store(store, "g", "v", distributed=True)
+    dd = pa.concat_tables(
+        b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows
+    ).sort_by("value")
+    assert dd["vmin"].to_pylist() == got["vmin"].to_pylist()
+    assert dd["vmax"].to_pylist() == got["vmax"].to_pylist()
+    assert all(
+        abs(x - y) <= 1e-9 * max(abs(y), 1.0)
+        for x, y in zip(dd["vsum"].to_pylist(), got["vsum"].to_pylist())
+    )
