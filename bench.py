@@ -303,6 +303,57 @@ def run_columnar_like(sf_dir: str) -> dict:
     }
 
 
+def run_columnar_groupby(sf_dir: str) -> dict:
+    """Compressed-domain GROUP BY (dictionary keys + cached int streams)
+    vs decode-then-Arrow-group_by over the SAME encoded events blocks —
+    the aggregate sibling of the LIKE A/B. Interleaved repeats; results
+    asserted equal."""
+    import pyarrow as pa
+    import ray.data
+    from fsst_like_ray.pipelines.columnar import (
+        columnar_group_agg,
+        decode_columns_batch,
+        encode_columns_dataset,
+    )
+
+    enc = encode_columns_dataset(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+    ).materialize()
+
+    def dec_group(b: pa.Table) -> pa.Table:
+        dec = decode_columns_batch(b)
+        g = dec.group_by("event_type").aggregate(
+            [("user_id", "sum"), ("user_id", "count")]
+        )
+        return g
+
+    enc_secs, dec_secs, sums = [], [], set()
+    for _ in range(2):
+        t0 = time.time()
+        t = columnar_group_agg(enc, "event_type", "user_id", ("count", "sum"))
+        enc_secs.append(time.time() - t0)
+        sums.add(tuple(t["vsum"].to_pylist()))
+        t0 = time.time()
+        acc: dict = {}
+        for b in enc.map_batches(
+            dec_group, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for r in b.to_pylist():
+                a = acc.setdefault(r["event_type"], [0, 0])
+                a[0] += int(r["user_id_sum"])
+                a[1] += int(r["user_id_count"])
+        dec_secs.append(time.time() - t0)
+        sums.add(tuple(acc[k][0] for k in sorted(acc)))
+    assert len(sums) == 1, f"columnar GROUP BY legs disagree: {sums}"
+    return {
+        "sec": round(min(enc_secs), 3),
+        "decoded_sec": round(min(dec_secs), 3),
+        "groups": t.num_rows,
+    }
+
+
 def run_join_q3(sf_dir: str) -> dict:
     """Three-way join (broadcast semi + co-partitioned shuffle) — the
     round-3 join-family composition (TPC-H Q3 shape)."""
@@ -498,6 +549,7 @@ def main():
         col = run_columnar_table(sf_dir)
         queries["columnar_table"] = round(col["sec"], 3)
         clike = run_columnar_like(sf_dir)
+        cgrp = run_columnar_groupby(sf_dir)
         queries["join_tpch_q3"] = round(run_join_q3(sf_dir)["sec"], 3)
 
         total = sum(queries.values())
@@ -533,6 +585,8 @@ def main():
                     "columnar_spec_ratio": col["spec_ratio"],
                     "columnar_like_sec": clike["sec"],
                     "columnar_like_decoded_sec": clike["decoded_sec"],
+                    "columnar_groupby_sec": cgrp["sec"],
+                    "columnar_groupby_decoded_sec": cgrp["decoded_sec"],
                     "engine_rank_file": rank_path,
                 }
             )
