@@ -914,6 +914,40 @@ def q_columnar_store_agg_meta(sf_dir: str):
     )
 
 
+def q_columnar_store_semijoin(sf_dir: str):
+    """Store-to-store semi-join from committed-store operators alone: the
+    two lexicographically-first event types become a dimension STORE;
+    its key set folds back out of the per-block dictionaries
+    (distinct_table_store — never a row decode), and the fact store
+    scans with an IN predicate (dictionary probes per block, trigram
+    bloom pruning at the fragment tier). The broadcast-small-side
+    semi-join pattern, expressed entirely in the compressed domain."""
+    import tempfile
+
+    from .tablestore import (
+        compress_table,
+        distinct_table_store,
+        predicate_scan_table_store,
+    )
+
+    base = tempfile.mkdtemp(prefix="columnar_store_semijoin_")
+    fact = os.path.join(base, "fact")
+    compress_table(f"{sf_dir}/events.parquet", fact)
+    keys = distinct_table_store(fact, "event_type")["value"].to_pylist()[:2]
+    dim_src = os.path.join(base, "dim.parquet")
+    pq.write_table(
+        pa.table({"event_type": pa.array(keys, type=pa.string())}), dim_src
+    )
+    dim = os.path.join(base, "dim_store")
+    compress_table(dim_src, dim)
+    dim_keys = distinct_table_store(dim, "event_type")["value"].to_pylist()
+    return predicate_scan_table_store(
+        fact,
+        [("in", "event_type", dim_keys)],
+        columns=["event_id", "event_type", "user_id"],
+    )
+
+
 def q_columnar_store_agg_float(sf_dir: str):
     """Gate: float aggregates over the store. MIN/MAX/COUNT(value) of the
     events double column computed in the compressed domain (bit-pattern
@@ -7070,6 +7104,7 @@ def build_queries() -> dict:
     q["columnar_store_agg_meta"] = q_columnar_store_agg_meta
     q["columnar_store_distinct"] = q_columnar_store_distinct
     q["columnar_store_agg_float"] = q_columnar_store_agg_float
+    q["columnar_store_semijoin"] = q_columnar_store_semijoin
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["columnar_agg_events"] = q_columnar_agg_events
     q["columnar_group_count"] = q_columnar_group_count
@@ -7372,6 +7407,13 @@ def build_oracle_sql() -> dict:
                CAST(count(event_id) AS BIGINT) AS cnt,
                CAST(sum(user_id) AS BIGINT) AS usum
         FROM events
+    """
+    sql["columnar_store_semijoin"] = """
+        SELECT event_id, event_type, user_id FROM events
+        WHERE event_type IN (
+          SELECT DISTINCT event_type FROM events
+          ORDER BY event_type LIMIT 2
+        )
     """
     sql["columnar_store_agg_float"] = (
         "SELECT (1=1) AS minmax_exact, (1=1) AS sum_close, "
