@@ -2188,6 +2188,30 @@ def distinct_scan_batch(batch: pa.Table, column: str) -> pa.Table:
     return pa.table({"ivalue": pa.array(uniq, type=pa.int64())})
 
 
+def columnar_distinct_ds(enc_ds, column: str):
+    """Unbounded-cardinality DISTINCT: per-batch partials (dictionary
+    entries / per-batch uniques) dedupe through ONE groupby shuffle —
+    the driver never holds the value set. Returns a Dataset with a
+    single ``value`` column (utf-8 for text, large_binary for binary,
+    int64 for ints)."""
+
+    def first(g: pa.Table) -> pa.Table:
+        if "ivalue" in g.column_names:
+            return pa.table(
+                {"value": pa.array([g["ivalue"][0].as_py()], type=pa.int64())}
+            )
+        k = g["value"][0].as_py()
+        if g["is_text"][0].as_py():
+            return pa.table({"value": pa.array([k.decode()], type=pa.string())})
+        return pa.table({"value": pa.array([k], type=pa.large_binary())})
+
+    parts = enc_ds.map_batches(
+        lambda t: distinct_scan_batch(t, column), batch_format="pyarrow"
+    )
+    key = "ivalue" if "ivalue" in parts.schema().names else "value"
+    return parts.groupby(key).map_groups(first, batch_format="pyarrow")
+
+
 def columnar_distinct(enc_ds, column: str) -> pa.Table:
     """Dataset-level DISTINCT over an encoded column: per-batch partials
     (bounded by per-batch cardinality) fold driver-side into one sorted

@@ -1213,14 +1213,23 @@ def _empty_encoded_ds(any_parts):
 
 
 def distinct_table_store(
-    out_dir: str, column: str, stats_out: dict | None = None
-) -> "pa.Table":
+    out_dir: str,
+    column: str,
+    distributed: bool = False,
+    stats_out: dict | None = None,
+):
     """DISTINCT over one store column: string columns fold per-block
     dictionary entries (only referenced, non-null values; never more than
     O(distinct) strings per block materialize), int columns fold
     per-batch unique sets — reading ONLY this column's encoded fields
-    (columnar.columnar_distinct)."""
-    from .columnar import _encoded_field_names, columnar_distinct
+    (columnar.columnar_distinct). ``distributed=True`` dedupes the
+    partials through one groupby shuffle and returns a Dataset — the
+    unbounded-cardinality path where a driver-side set would not fit."""
+    from .columnar import (
+        _encoded_field_names,
+        columnar_distinct,
+        columnar_distinct_ds,
+    )
     from .compress import read_parquet_blocks
 
     manifest = Manifest(out_dir)
@@ -1237,7 +1246,8 @@ def distinct_table_store(
         stats_out["fragments_scanned"] = len(done)
     cols = _encoded_field_names(list(pq.read_schema(paths[0]).names), [column])
     enc = read_parquet_blocks(paths, columns=cols)
-    return columnar_distinct(enc, column)
+    fold = columnar_distinct_ds if distributed else columnar_distinct
+    return fold(enc, column)
 
 
 def _transform_fragment(

@@ -1947,3 +1947,31 @@ def test_store_group_agg_float_values(ray_session, tmp_path):
         abs(x - y) <= 1e-9 * max(abs(y), 1.0)
         for x, y in zip(dd["vsum"].to_pylist(), got["vsum"].to_pylist())
     )
+
+
+def test_distinct_distributed_fold(ray_session, tmp_path):
+    import ray.data
+
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        distinct_table_store,
+    )
+
+    rng = np.random.default_rng(16)
+    n = 2000
+    sk = ["v%04d" % (i % 733) for i in range(n)]
+    ik = [None if i % 10 == 0 else int(v) for i, v in enumerate(rng.integers(0, 900, n))]
+    t = pa.table({"sk": pa.array(sk), "ik": pa.array(ik, type=pa.int64())})
+    pq.write_table(t, tmp_path / "t.parquet")
+    store = str(tmp_path / "store")
+    compress_table(str(tmp_path / "t.parquet"), store)
+    for col in ("sk", "ik"):
+        driver = distinct_table_store(store, col)
+        ds = distinct_table_store(store, col, distributed=True)
+        assert isinstance(ds, ray.data.Dataset)
+        got = sorted(
+            v
+            for b in ds.iter_batches(batch_format="pyarrow")
+            for v in b["value"].to_pylist()
+        )
+        assert got == driver["value"].to_pylist()
