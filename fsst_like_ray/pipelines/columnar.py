@@ -1418,6 +1418,32 @@ def predicate_mask(batch: pa.Table, preds, engine: str = "auto") -> np.ndarray:
     return mask
 
 
+_SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
+_SAMPLE_MOD = 1 << 32
+
+
+def sample_scan_batch(
+    batch: pa.Table,
+    id_col: str,
+    rate: float,
+    seed: int = 0,
+    out_columns=None,
+) -> pa.Table:
+    """Deterministic hash sample of an ENCODED table: the keep decision
+    is ``((id + seed) * 2654435761) mod 2^32 < rate * 2^32`` over the
+    (cached) int id stream — exactly mirrorable in SQL, stable across
+    read parallelism and resume (the id decides, not the batch), and
+    only the SAMPLED rows ever decode. The mixture-sampling primitive
+    for training-data pipelines at store scale."""
+    vals, ok = _int_values(batch, id_col)
+    thresh = np.uint64(min(max(rate, 0.0), 1.0) * _SAMPLE_MOD)
+    h = (
+        (vals.view(np.uint64) + np.uint64(seed)) * np.uint64(_SAMPLE_MULT)
+    ) % np.uint64(_SAMPLE_MOD)
+    mask = ok & (h < thresh)
+    return _decode_survivors(batch, mask, out_columns)
+
+
 def column_topk_batch(
     batch: pa.Table,
     column: str,

@@ -948,6 +948,24 @@ def q_columnar_store_semijoin(sf_dir: str):
     )
 
 
+def q_columnar_store_sample(sf_dir: str):
+    """Deterministic hash sample over the store: the keep decision is a
+    multiplicative hash of the id read from the cached int streams —
+    SQL-mirrorable bit for bit, stable under read parallelism and
+    resume, and only sampled rows decode
+    (tablestore.sample_table_store)."""
+    import tempfile
+
+    from .tablestore import compress_table, sample_table_store
+
+    out = tempfile.mkdtemp(prefix="columnar_store_sample_")
+    compress_table(f"{sf_dir}/events.parquet", out)
+    return sample_table_store(
+        out, "event_id", rate=0.25, seed=7,
+        columns=["event_id", "event_type", "user_id"],
+    )
+
+
 def q_columnar_store_agg_float(sf_dir: str):
     """Gate: float aggregates over the store. MIN/MAX/COUNT(value) of the
     events double column computed in the compressed domain (bit-pattern
@@ -7105,6 +7123,7 @@ def build_queries() -> dict:
     q["columnar_store_distinct"] = q_columnar_store_distinct
     q["columnar_store_agg_float"] = q_columnar_store_agg_float
     q["columnar_store_semijoin"] = q_columnar_store_semijoin
+    q["columnar_store_sample"] = q_columnar_store_sample
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["columnar_agg_events"] = q_columnar_agg_events
     q["columnar_group_count"] = q_columnar_group_count
@@ -7407,6 +7426,11 @@ def build_oracle_sql() -> dict:
                CAST(count(event_id) AS BIGINT) AS cnt,
                CAST(sum(user_id) AS BIGINT) AS usum
         FROM events
+    """
+    sql["columnar_store_sample"] = """
+        SELECT event_id, event_type, user_id FROM events
+        WHERE ((event_id + 7) * 2654435761) % 4294967296
+              < CAST(0.25 * 4294967296 AS BIGINT)
     """
     sql["columnar_store_semijoin"] = """
         SELECT event_id, event_type, user_id FROM events

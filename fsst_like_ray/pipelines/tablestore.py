@@ -1250,6 +1250,42 @@ def distinct_table_store(
     return fold(enc, column)
 
 
+def sample_table_store(
+    out_dir: str,
+    id_col: str,
+    rate: float,
+    seed: int = 0,
+    columns=None,
+    stats_out: dict | None = None,
+):
+    """Deterministic hash sample over a committed store
+    (columnar.sample_scan_batch): the multiplicative hash of the id
+    column decides each row, so the sample is stable across read
+    parallelism, resume, and re-runs; only sampled rows decode, through
+    the pruned output columns. Streams — never materializes the store."""
+    from .columnar import sample_scan_batch
+
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    if not done:
+        raise FileNotFoundError(
+            f"sample_table_store: no committed fragments under {out_dir!r}"
+        )
+    data_dir = os.path.join(out_dir, "data")
+    paths: list[str] = []
+    for rec in sorted(done.values(), key=lambda rec: rec["frag_key"]):
+        paths.extend(_fragment_parts(data_dir, rec["frag_key"]))
+    if stats_out is not None:
+        stats_out["fragments_scanned"] = len(done)
+    return _scan_pruned(
+        paths,
+        paths,
+        columns,
+        None if columns is None else {id_col} | set(columns),
+        lambda b: sample_scan_batch(b, id_col, rate, seed, columns),
+    )
+
+
 def _transform_fragment(
     src_data: str,
     fdir: str,

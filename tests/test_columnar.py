@@ -1975,3 +1975,58 @@ def test_distinct_distributed_fold(ray_session, tmp_path):
             for v in b["value"].to_pylist()
         )
         assert got == driver["value"].to_pylist()
+
+
+def test_store_hash_sample(ray_session, tmp_path):
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        sample_table_store,
+    )
+
+    n = 5000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array(["row %d" % i for i in range(n)]),
+        }
+    )
+    pq.write_table(t, tmp_path / "t.parquet")
+    store = str(tmp_path / "store")
+    compress_table(str(tmp_path / "t.parquet"), store)
+
+    def ref_ids(rate, seed):
+        h = ((np.arange(n, dtype=np.uint64) + np.uint64(seed))
+             * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return set(np.flatnonzero(h < np.uint64(rate * (1 << 32))).tolist())
+
+    got = pa.concat_tables(
+        b
+        for b in sample_table_store(store, "id", 0.3, seed=5).iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    )
+    ids = set(got["id"].to_pylist())
+    assert ids == ref_ids(0.3, 5)
+    # rough rate sanity and determinism across runs
+    assert 0.25 * n < len(ids) < 0.35 * n
+    again = set(
+        v
+        for b in sample_table_store(
+            store, "id", 0.3, seed=5, columns=["id"]
+        ).iter_batches(batch_format="pyarrow")
+        for v in b["id"].to_pylist()
+    )
+    assert again == ids
+    # different seed, different (deterministic) sample
+    other = set(
+        v
+        for b in sample_table_store(
+            store, "id", 0.3, seed=6, columns=["id"]
+        ).iter_batches(batch_format="pyarrow")
+        for v in b["id"].to_pylist()
+    )
+    assert other == ref_ids(0.3, 6) and other != ids
+    # rate 0 and 1 are exact
+    assert sample_table_store(store, "id", 0.0).count() == 0
+    assert sample_table_store(store, "id", 1.0).count() == n
