@@ -1773,6 +1773,32 @@ def _int_values(batch: pa.Table, column: str) -> tuple[np.ndarray, np.ndarray]:
 _FLOAT_TYPES = frozenset((T_FLOAT32, T_FLOAT64))
 
 
+def _group_head(batch, group_col, mask, bucket):
+    """Shared group-key resolution of the GROUP BY kernels →
+    (row codes, keys, int_keys, is_text): string columns through
+    _group_codes, int-family columns on their logical values with
+    optional floor-bucketing; ``mask`` drops rows (code −1)."""
+    probe = bytes(batch[f"{group_col}__blk"][0].as_py())[:2]
+    int_keys = len(probe) == 2 and probe[1] not in _STR_FAMILY
+    if int_keys:
+        gvals, gok = _int_values(batch, group_col)
+        if bucket:
+            gvals = gvals // np.int64(bucket) * np.int64(bucket)
+        sel = gok if mask is None else (gok & mask)
+        uk, inv = np.unique(gvals[sel], return_inverse=True)
+        codes = np.full(len(gvals), -1, dtype=np.int64)
+        codes[sel] = inv
+        return codes, uk, True, False
+    if bucket:
+        raise TypeError(
+            f"group bucket: column {group_col!r} is not integer-kind"
+        )
+    codes, keys, is_text = _group_codes(batch, group_col)
+    if mask is not None:
+        codes = np.where(mask, codes, np.int64(-1))
+    return codes, keys, False, is_text
+
+
 def _float_values(batch: pa.Table, column: str) -> tuple[np.ndarray, np.ndarray]:
     """Row-aligned (float64 logical values, validity) for an encoded
     float column: the stored streams hold the IEEE bit patterns
@@ -1910,25 +1936,9 @@ def group_agg_batch(
                 "vmax": pa.array([], type=pa.int64()),
             }
         )
-    probe = bytes(batch[f"{group_col}__blk"][0].as_py())[:2]
-    int_keys = len(probe) == 2 and probe[1] not in _STR_FAMILY
-    if int_keys:
-        gvals, gok = _int_values(batch, group_col)
-        if bucket:
-            gvals = gvals // np.int64(bucket) * np.int64(bucket)
-        sel = gok if mask is None else (gok & mask)
-        uk, inv = np.unique(gvals[sel], return_inverse=True)
-        codes = np.full(len(gvals), -1, dtype=np.int64)
-        codes[sel] = inv
-        keys, is_text = uk, False
-    else:
-        if bucket:
-            raise TypeError(
-                f"group bucket: column {group_col!r} is not integer-kind"
-            )
-        codes, keys, is_text = _group_codes(batch, group_col)
-        if mask is not None:
-            codes = np.where(mask, codes, np.int64(-1))
+    codes, keys, int_keys, is_text = _group_head(
+        batch, group_col, mask, bucket
+    )
     ng = len(keys)
     m = codes >= 0
     n_rows = np.bincount(codes[m], minlength=ng).astype(np.int64)
@@ -2117,6 +2127,189 @@ def columnar_group_agg(
     if agg_col is not None and "max" in ops:
         cols["vmax"] = pa.array([acc[k][4] for k in keys], type=agg_t)
     return pa.table(cols)
+
+
+def group_multi_agg_batch(
+    batch: pa.Table,
+    group_col: str,
+    aggs: dict,
+    mask: np.ndarray | None = None,
+    bucket: int | None = None,
+) -> pa.Table:
+    """Per-batch GROUP BY partials over SEVERAL aggregate columns in one
+    pass — each column's streams decode once for all its ops
+    (``aggs = {col: ("sum", "min", ...), ...}``; int columns ride the
+    overflow-proof decimal128 sums, float columns float64). Emits
+    per-column suffixed partial fields (n_vals__c, vsum__c/fsum__c,
+    vmin__c, vmax__c) plus the shared key/n_rows head."""
+    import decimal
+
+    if batch.num_rows == 0:
+        empty: dict = {
+            "value": pa.array([], type=pa.large_binary()),
+            "is_text": pa.array([], type=pa.bool_()),
+            "n_rows": pa.array([], type=pa.int64()),
+        }
+        for c in aggs:
+            empty[f"n_vals__{c}"] = pa.array([], type=pa.int64())
+            empty[f"vsum__{c}"] = pa.array([], type=pa.decimal128(38, 0))
+            empty[f"vmin__{c}"] = pa.array([], type=pa.int64())
+            empty[f"vmax__{c}"] = pa.array([], type=pa.int64())
+        return pa.table(empty)
+    codes, keys, int_keys, is_text = _group_head(
+        batch, group_col, mask, bucket
+    )
+    ng = len(keys)
+    m = codes >= 0
+    n_rows = np.bincount(codes[m], minlength=ng).astype(np.int64)
+    emit = np.flatnonzero(n_rows)
+    cols: dict = (
+        {"ivalue": pa.array(keys[emit], type=pa.int64())}
+        if int_keys
+        else {
+            "value": pa.array([keys[g] for g in emit], type=pa.large_binary())
+        }
+    )
+    cols["is_text"] = pa.array([is_text] * len(emit), type=pa.bool_())
+    cols["n_rows"] = pa.array(n_rows[emit], type=pa.int64())
+    for c in aggs:
+        flt = bytes(batch[f"{c}__blk"][0].as_py())[1] in _FLOAT_TYPES
+        vals, ok = (_float_values if flt else _int_values)(batch, c)
+        mv = m & ok
+        cv, v = codes[mv], vals[mv]
+        n_vals = np.bincount(cv, minlength=ng).astype(np.int64)
+        cols[f"n_vals__{c}"] = pa.array(n_vals[emit], type=pa.int64())
+        if flt:
+            fsum = np.zeros(ng, dtype=np.float64)
+            np.add.at(fsum, cv, v)
+            fmin = np.full(ng, np.inf)
+            fmax = np.full(ng, -np.inf)
+            np.minimum.at(fmin, cv, v)
+            np.maximum.at(fmax, cv, v)
+            cols[f"fsum__{c}"] = pa.array(fsum[emit], type=pa.float64())
+            cols[f"vmin__{c}"] = pa.array(
+                [float(fmin[g]) if n_vals[g] else None for g in emit],
+                type=pa.float64(),
+            )
+            cols[f"vmax__{c}"] = pa.array(
+                [float(fmax[g]) if n_vals[g] else None for g in emit],
+                type=pa.float64(),
+            )
+        else:
+            lo = np.zeros(ng, dtype=np.int64)
+            hi = np.zeros(ng, dtype=np.int64)
+            np.add.at(lo, cv, v & np.int64(0xFFFFFFFF))
+            np.add.at(hi, cv, v >> np.int64(32))
+            vmin = np.full(ng, np.iinfo(np.int64).max)
+            vmax = np.full(ng, np.iinfo(np.int64).min)
+            np.minimum.at(vmin, cv, v)
+            np.maximum.at(vmax, cv, v)
+            cols[f"vsum__{c}"] = pa.array(
+                [
+                    decimal.Decimal(int(hi[g]) * (1 << 32) + int(lo[g]))
+                    for g in emit
+                ],
+                type=pa.decimal128(38, 0),
+            )
+            cols[f"vmin__{c}"] = pa.array(
+                [int(vmin[g]) if n_vals[g] else None for g in emit],
+                type=pa.int64(),
+            )
+            cols[f"vmax__{c}"] = pa.array(
+                [int(vmax[g]) if n_vals[g] else None for g in emit],
+                type=pa.int64(),
+            )
+    return pa.table(cols)
+
+
+def columnar_group_multi_agg(
+    enc_ds,
+    group_col: str,
+    aggs: dict,
+    preds=None,
+    engine: str = "auto",
+    bucket: int | None = None,
+) -> pa.Table:
+    """Dataset-level multi-aggregate GROUP BY: one compressed-domain pass
+    emits partials for every (column, op) at once; the driver folds
+    (cardinality-bounded contract). Output columns: value, n_rows (always),
+    then ``{op}_{col}`` per requested op — e.g.
+    aggs={"user_id": ("sum", "max")} → sum_user_id, max_user_id. Int
+    sums raise past int64; float sums fold in float64."""
+    acc: dict = {}
+    text = True
+    int_keys = False
+    float_cols: set = set()
+
+    def part(t: pa.Table) -> pa.Table:
+        m = predicate_mask(t, preds, engine) if preds else None
+        return group_multi_agg_batch(t, group_col, aggs, mask=m, bucket=bucket)
+
+    for b in enc_ds.map_batches(
+        part, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        key_name = "ivalue" if "ivalue" in b.column_names else "value"
+        int_keys |= key_name == "ivalue"
+        names = set(b.column_names)
+        for c in aggs:
+            if f"fsum__{c}" in names:
+                float_cols.add(c)
+        for row in b.to_pylist():
+            a = acc.setdefault(
+                row[key_name],
+                {
+                    "n_rows": 0,
+                    **{
+                        c: [0, 0.0 if f"fsum__{c}" in names else 0, None, None]
+                        for c in aggs
+                    },
+                },
+            )
+            a["n_rows"] += int(row["n_rows"])
+            for c in aggs:
+                e = a[c]
+                e[0] += int(row[f"n_vals__{c}"])
+                e[1] += (
+                    row[f"fsum__{c}"]
+                    if f"fsum__{c}" in names
+                    else int(row[f"vsum__{c}"])
+                )
+                rmin, rmax = row[f"vmin__{c}"], row[f"vmax__{c}"]
+                if rmin is not None:
+                    e[2] = rmin if e[2] is None else min(e[2], rmin)
+                    e[3] = rmax if e[3] is None else max(e[3], rmax)
+            text &= bool(row["is_text"])
+    keys = sorted(acc)
+    if int_keys:
+        out: dict = {"value": pa.array(keys, type=pa.int64())}
+    else:
+        out = {
+            "value": pa.array([k.decode() for k in keys], type=pa.string())
+            if text
+            else pa.array(keys, type=pa.large_binary())
+        }
+    out["n_rows"] = pa.array(
+        [acc[k]["n_rows"] for k in keys], type=pa.int64()
+    )
+    for c, cops in aggs.items():
+        t = pa.float64() if c in float_cols else pa.int64()
+        if "sum" in cops:
+            if c not in float_cols:
+                for k in keys:
+                    if not -(1 << 63) <= acc[k][c][1] < (1 << 63):
+                        raise OverflowError(
+                            f"group sum of {c!r} exceeds int64 for key {k!r}"
+                        )
+            out[f"sum_{c}"] = pa.array([acc[k][c][1] for k in keys], type=t)
+        if "min" in cops:
+            out[f"min_{c}"] = pa.array([acc[k][c][2] for k in keys], type=t)
+        if "max" in cops:
+            out[f"max_{c}"] = pa.array([acc[k][c][3] for k in keys], type=t)
+        if "count" in cops:
+            out[f"count_{c}"] = pa.array(
+                [acc[k][c][0] for k in keys], type=pa.int64()
+            )
+    return pa.table(out)
 
 
 def columnar_group_agg_ds(

@@ -948,6 +948,28 @@ def q_columnar_store_semijoin(sf_dir: str):
     )
 
 
+def q_columnar_store_groupby_multi(sf_dir: str):
+    """Multi-aggregate GROUP BY in one compressed-domain pass: events by
+    event_type with SUM/MIN/MAX(user_id) AND MIN/MAX(event_id) — each
+    aggregate column's cached streams decode once for all its ops,
+    output columns named {op}_{col}
+    (tablestore.group_agg_table_store(aggs=...))."""
+    import tempfile
+
+    from .tablestore import compress_table, group_agg_table_store
+
+    out = tempfile.mkdtemp(prefix="columnar_store_groupby_multi_")
+    compress_table(f"{sf_dir}/events.parquet", out)
+    return group_agg_table_store(
+        out,
+        "event_type",
+        aggs={
+            "user_id": ("sum", "min", "max"),
+            "event_id": ("min", "max"),
+        },
+    )
+
+
 def q_columnar_store_sample(sf_dir: str):
     """Deterministic hash sample over the store: the keep decision is a
     multiplicative hash of the id read from the cached int streams —
@@ -7124,6 +7146,7 @@ def build_queries() -> dict:
     q["columnar_store_agg_float"] = q_columnar_store_agg_float
     q["columnar_store_semijoin"] = q_columnar_store_semijoin
     q["columnar_store_sample"] = q_columnar_store_sample
+    q["columnar_store_groupby_multi"] = q_columnar_store_groupby_multi
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["columnar_agg_events"] = q_columnar_agg_events
     q["columnar_group_count"] = q_columnar_group_count
@@ -7426,6 +7449,16 @@ def build_oracle_sql() -> dict:
                CAST(count(event_id) AS BIGINT) AS cnt,
                CAST(sum(user_id) AS BIGINT) AS usum
         FROM events
+    """
+    sql["columnar_store_groupby_multi"] = """
+        SELECT event_type AS value, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+               CAST(min(user_id) AS BIGINT) AS min_user_id,
+               CAST(max(user_id) AS BIGINT) AS max_user_id,
+               CAST(min(event_id) AS BIGINT) AS min_event_id,
+               CAST(max(event_id) AS BIGINT) AS max_event_id
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
     """
     sql["columnar_store_sample"] = """
         SELECT event_id, event_type, user_id FROM events

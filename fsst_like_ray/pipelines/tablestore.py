@@ -1155,6 +1155,7 @@ def group_agg_table_store(
     engine: str = "auto",
     bucket: int | None = None,
     distributed: bool = False,
+    aggs: dict | None = None,
     stats_out: dict | None = None,
 ):
     """GROUP BY <string or int column> with COUNT/SUM/MIN/MAX over an int
@@ -1173,15 +1174,25 @@ def group_agg_table_store(
     ``distributed=True`` routes the fold through ONE groupby shuffle and
     returns a Dataset — the 100-TB path for unbounded-cardinality keys
     (GROUP BY user_id) where the default driver fold's
-    cardinality-bounded contract would not hold."""
+    cardinality-bounded contract would not hold.
+
+    ``aggs={col: (op, ...), ...}`` aggregates SEVERAL columns in one
+    pass (columnar.columnar_group_multi_agg; output columns {op}_{col});
+    mutually exclusive with ``agg_col``/``distributed``."""
     from .columnar import (
         _encoded_field_names,
         columnar_group_agg,
         columnar_group_agg_ds,
+        columnar_group_multi_agg,
     )
     from .compress import read_parquet_blocks
 
-    need = {group_col} | ({agg_col} if agg_col else set())
+    if aggs and (agg_col is not None or distributed):
+        raise ValueError(
+            "group_agg_table_store: aggs= is exclusive with agg_col/distributed"
+        )
+
+    need = {group_col} | ({agg_col} if agg_col else set()) | set(aggs or ())
     if preds:
         scan_cols, checks = _predicate_checks(preds)
         need |= scan_cols
@@ -1192,12 +1203,19 @@ def group_agg_table_store(
         out_dir, "group_agg_table_store", keep, stats_out
     )
     if not paths:
+        empty = _empty_encoded_ds(any_parts)
+        if aggs:
+            return columnar_group_multi_agg(empty, group_col, aggs)
         empty_fold = columnar_group_agg_ds if distributed else columnar_group_agg
-        return empty_fold(_empty_encoded_ds(any_parts), group_col, agg_col, ops)
+        return empty_fold(empty, group_col, agg_col, ops)
     cols = _encoded_field_names(
         list(pq.read_schema(paths[0]).names), sorted(need)
     )
     enc = read_parquet_blocks(paths, columns=cols)
+    if aggs:
+        return columnar_group_multi_agg(
+            enc, group_col, aggs, preds, engine, bucket
+        )
     fold = columnar_group_agg_ds if distributed else columnar_group_agg
     return fold(enc, group_col, agg_col, ops, preds, engine, bucket)
 

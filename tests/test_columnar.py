@@ -2030,3 +2030,53 @@ def test_store_hash_sample(ray_session, tmp_path):
     # rate 0 and 1 are exact
     assert sample_table_store(store, "id", 0.0).count() == 0
     assert sample_table_store(store, "id", 1.0).count() == n
+
+
+def test_store_group_multi_agg(ray_session, tmp_path):
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        group_agg_table_store,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    grp = rng.choice(["x", "y", "z"], n).tolist()
+    a = [None if i % 5 == 0 else int(v) for i, v in enumerate(rng.integers(-1000, 1000, n))]
+    f = rng.normal(0, 10, n)
+    t = pa.table(
+        {
+            "g": pa.array(grp),
+            "a": pa.array(a, type=pa.int64()),
+            "f": pa.array(f, type=pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "t.parquet")
+    store = str(tmp_path / "store")
+    compress_table(str(tmp_path / "t.parquet"), store)
+
+    got = group_agg_table_store(
+        store, "g",
+        aggs={"a": ("sum", "min", "max", "count"), "f": ("sum", "min")},
+    )
+    import pandas as pd
+
+    df = pd.DataFrame({"g": grp, "a": pd.array(a, dtype="Int64"), "f": f})
+    ref = df.groupby("g").agg(
+        n_rows=("g", "size"),
+        sum_a=("a", "sum"), min_a=("a", "min"), max_a=("a", "max"),
+        count_a=("a", "count"), sum_f=("f", "sum"), min_f=("f", "min"),
+    ).sort_index()
+    assert got["value"].to_pylist() == list(ref.index)
+    assert got["n_rows"].to_pylist() == ref["n_rows"].tolist()
+    assert got["sum_a"].to_pylist() == [int(v) for v in ref["sum_a"]]
+    assert got["min_a"].to_pylist() == [int(v) for v in ref["min_a"]]
+    assert got["max_a"].to_pylist() == [int(v) for v in ref["max_a"]]
+    assert got["count_a"].to_pylist() == [int(v) for v in ref["count_a"]]
+    assert got["min_f"].to_pylist() == ref["min_f"].tolist()  # bit-exact
+    assert all(
+        abs(x - y) <= 1e-9 * max(abs(y), 1.0)
+        for x, y in zip(got["sum_f"].to_pylist(), ref["sum_f"])
+    )
+    # exclusivity guard
+    with pytest.raises(ValueError):
+        group_agg_table_store(store, "g", "a", aggs={"a": ("sum",)})
