@@ -585,6 +585,30 @@ def cmd_table_agg(args) -> int:
     return 0
 
 
+def cmd_table_filter(args) -> int:
+    """Predicate-filtered store rewrite: fragments provably irrelevant
+    drop without opening a file, provably all-matching ones copy their
+    encoded parts verbatim, boundary fragments rewrite their predicate
+    survivors (tablestore.filter_table_store)."""
+    ray = _ray()
+    from .pipelines.tablestore import filter_table_store
+
+    preds = []
+    if args.lo is not None or args.hi is not None:
+        preds.append(("range", args.column, args.lo, args.hi))
+    if args.like is not None:
+        preds.append(("like", args.column, args.like))
+    if not preds:
+        print("table-filter: need --lo/--hi and/or --like", file=sys.stderr)
+        return 2
+    t0 = time.time()
+    stats: dict = {}
+    out = filter_table_store(args.src, args.dst, preds, stats_out=stats)
+    print(json.dumps({**out, **stats, "sec": round(time.time() - t0, 3)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_table_cluster(args) -> int:
     """Cluster-while-encoding: one distributed range sort, then the
     resumable store encode — fragment zone envelopes come out disjoint."""
@@ -860,6 +884,18 @@ def main(argv=None) -> int:
         help="floor-bucket an int group key (e.g. 86400000000 = day of us-ts)",
     )
     tag.set_defaults(fn=cmd_table_agg)
+
+    tf = sub.add_parser(
+        "table-filter",
+        help="predicate-filtered store rewrite (drop/copy/rewrite per fragment)",
+    )
+    tf.add_argument("src")
+    tf.add_argument("dst")
+    tf.add_argument("column")
+    tf.add_argument("--lo", type=int, default=None)
+    tf.add_argument("--hi", type=int, default=None)
+    tf.add_argument("--like", default=None, metavar="PATTERN")
+    tf.set_defaults(fn=cmd_table_filter)
 
     wi = sub.add_parser(
         "word-index",

@@ -970,6 +970,49 @@ def q_columnar_store_groupby_multi(sf_dir: str):
     )
 
 
+def q_columnar_store_filter(sf_dir: str):
+    """Predicate-filtered store rewrite (retention / targeted delete):
+    over a 4-fragment event_id-ordered store, a range keeping the first
+    ~3/8 of the id span DROPS the two disjoint fragments via zero-row
+    markers (no file opens), COPIES the fully-covered fragment's encoded
+    parts verbatim (no re-encode), and REWRITES only the one boundary
+    fragment (survivors picked by the compressed-domain mask,
+    self-verified). The filtered store streams back for the oracle
+    (tablestore.filter_table_store)."""
+    import tempfile
+
+    from .tablestore import (
+        compress_table,
+        filter_table_store,
+        read_table_store,
+    )
+
+    base = tempfile.mkdtemp(prefix="columnar_store_filter_")
+    src_tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
+    frag_dir = os.path.join(base, "src")
+    os.makedirs(frag_dir)
+    n = src_tbl.num_rows
+    step = max(1, (n + 3) // 4)
+    for i in range(4):
+        part = src_tbl.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(frag_dir, f"f{i}.parquet"))
+    src = os.path.join(base, "store")
+    compress_table(frag_dir, src)
+    ids = src_tbl["event_id"]
+    mn = pa.compute.min(ids).as_py()
+    mx = pa.compute.max(ids).as_py()
+    dst = os.path.join(base, "filtered")
+    stats: dict = {}
+    filter_table_store(
+        src, dst, [("range", "event_id", mn, mn + (mx - mn) * 3 // 8)],
+        stats_out=stats,
+    )
+    if stats["fragments_dropped"] < 2 or stats["fragments_copied"] < 1:
+        raise ValueError(f"filter fast paths did not engage: {stats}")
+    return read_table_store(dst)
+
+
 def q_columnar_store_sample(sf_dir: str):
     """Deterministic hash sample over the store: the keep decision is a
     multiplicative hash of the id read from the cached int streams —
@@ -7147,6 +7190,7 @@ def build_queries() -> dict:
     q["columnar_store_semijoin"] = q_columnar_store_semijoin
     q["columnar_store_sample"] = q_columnar_store_sample
     q["columnar_store_groupby_multi"] = q_columnar_store_groupby_multi
+    q["columnar_store_filter"] = q_columnar_store_filter
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["columnar_agg_events"] = q_columnar_agg_events
     q["columnar_group_count"] = q_columnar_group_count
@@ -7449,6 +7493,12 @@ def build_oracle_sql() -> dict:
                CAST(count(event_id) AS BIGINT) AS cnt,
                CAST(sum(user_id) AS BIGINT) AS usum
         FROM events
+    """
+    sql["columnar_store_filter"] = """
+        SELECT * FROM events
+        WHERE event_id BETWEEN (SELECT min(event_id) FROM events)
+          AND (SELECT min(event_id)
+                 + (max(event_id) - min(event_id)) * 3 // 8 FROM events)
     """
     sql["columnar_store_groupby_multi"] = """
         SELECT event_type AS value, CAST(count(*) AS BIGINT) AS n_rows,

@@ -210,8 +210,12 @@ def _part_rg0(name: str) -> int:
 def _fragment_parts(data_dir: str, frag_key: str) -> list[str]:
     """A committed fragment's part files, in row order — sorted by the
     NUMERIC row-group index in the name (lexicographic order would break
-    past part-999999, i.e. ~2B rows per fragment at 2048-row groups)."""
+    past part-999999, i.e. ~2B rows per fragment at 2048-row groups).
+    A committed fragment with no directory (a filter_table_store drop
+    marker) has no parts."""
     d = os.path.join(data_dir, f"frag={frag_key}")
+    if not os.path.isdir(d):
+        return []
     return sorted(
         (
             os.path.join(d, f)
@@ -1407,6 +1411,263 @@ class _TranscodeTask:
                 }
             )
         return pa.Table.from_pylist(out, schema=_STATS_SCHEMA)
+
+
+def _filter_fragment(
+    src_data: str,
+    fdir: str,
+    frag_key: str,
+    preds,
+    engine: str,
+    batch_rows: int,
+) -> dict:
+    """Filter-rewrite ONE committed fragment: each part streams through
+    the compressed-domain predicate mask (only survivors decode), the
+    survivors re-encode through _encode_fragment's write path, then the
+    fragment SELF-VERIFIES by zip-comparing the decoded destination
+    against a recomputed filtered decode of the source. Any failure
+    removes every written destination part."""
+    from .columnar import _decode_survivors, predicate_mask
+
+    def filt(b: pa.Table) -> pa.Table:
+        return _decode_survivors(b, predicate_mask(b, preds, engine), None)
+
+    src_parts = _fragment_parts(src_data, frag_key)
+    stats = {
+        "rows": 0, "plain_bytes": 0, "encoded_bytes": 0,
+        "columns": {}, "zones": {}, "trigrams": {}, "nulls": {},
+    }
+    written = []
+    try:
+        for part in src_parts:
+            name = os.path.basename(part)
+            st = _encode_fragment(
+                part, fdir, None, batch_rows, None,
+                transform=filt, part_name=name,
+            )
+            written.append(os.path.join(fdir, name))
+            stats["rows"] += st["rows"]
+            stats["plain_bytes"] += st["plain_bytes"]
+            stats["encoded_bytes"] += st["encoded_bytes"]
+            _merge_column_stats(stats["columns"], st["columns"])
+            _merge_zones(stats["zones"], st["zones"])
+            _merge_tri(stats["trigrams"], st["trigrams"])
+            for c, nc in st["nulls"].items():
+                stats["nulls"][c] = stats["nulls"].get(c, 0) + int(nc)
+        src_filtered = (
+            filt(pa.Table.from_batches([rb]))
+            for p in src_parts
+            for rb in pq.ParquetFile(p).iter_batches(batch_size=batch_rows)
+        )
+        n_v = _zip_tables(
+            src_filtered,
+            _decoded_iter(written, batch_rows),
+            frag_key,
+            sides=("filter source", "filter destination"),
+        )
+        if n_v != stats["rows"]:
+            raise ValueError("filter verify count mismatch")
+    except BaseException:
+        for w in written:
+            if os.path.exists(w):
+                os.remove(w)
+        raise
+    return stats
+
+
+class _FilterTask:
+    """Grouped per-round filter-rewrite tasks (same object-store contract
+    as _TranscodeTask: record list ships once, ray.get once per task)."""
+
+    def __init__(self, src_data, dst_data, recs_ref, preds, engine, batch_rows):
+        self.src_data = src_data
+        self.dst_data = dst_data
+        self.recs_ref = recs_ref
+        self.preds = preds
+        self.engine = engine
+        self.batch_rows = batch_rows
+
+    def __call__(self, ids: pa.Table) -> pa.Table:
+        import json
+
+        import ray
+
+        recs = ray.get(self.recs_ref)
+        out = []
+        for i in ids["id"].to_pylist():
+            rec = recs[i]
+            key = rec["frag_key"]
+            stats = _filter_fragment(
+                self.src_data,
+                os.path.join(self.dst_data, f"frag={key}"),
+                key,
+                self.preds,
+                self.engine,
+                self.batch_rows,
+            )
+            out.append(
+                {
+                    "fragment": rec["fragment"],
+                    "frag_key": key,
+                    "rows": stats["rows"],
+                    "plain_bytes": stats["plain_bytes"],
+                    "encoded_bytes": stats["encoded_bytes"],
+                    "columns_json": json.dumps(stats["columns"]),
+                    "zones_json": json.dumps(stats["zones"]),
+                    "tri_json": json.dumps(stats["trigrams"]),
+                    "nulls_json": json.dumps(stats["nulls"]),
+                }
+            )
+        return pa.Table.from_pylist(out, schema=_STATS_SCHEMA)
+
+
+def _preds_prove_all_match(rec: dict, preds) -> bool:
+    """True only when the lineage PROVES every row of the fragment
+    passes every predicate: all predicates are ranges whose bounds fully
+    cover the fragment's zone envelope, with zero recorded nulls. Any
+    eq/in/like predicate, missing zone, or null makes this False —
+    copy-through is only ever an optimization."""
+    for p in preds:
+        if p[0] != "range":
+            return False
+        _, col, lo, hi = p
+        z = (rec.get("zones") or {}).get(col)
+        nn = (rec.get("nulls") or {}).get(col)
+        if z is None or nn != 0:
+            return False
+        if (lo is not None and z[0] < lo) or (hi is not None and z[1] > hi):
+            return False
+    return True
+
+
+def filter_table_store(
+    src_out: str,
+    dst_out: str,
+    preds,
+    engine: str = "auto",
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+    resume: bool = True,
+    fragments_per_round: int = 64,
+    stats_out: dict | None = None,
+) -> dict:
+    """Predicate-filtered store rewrite (WHERE → a new committed store):
+    the retention / targeted-delete shape at 100 TB.
+
+    Per committed source fragment, the lineage decides first:
+
+    - metadata proves NO row matches (zone disjoint / bloom lacks the
+      literal's trigrams) → the fragment is DROPPED: a zero-row marker
+      commits and no file ever opens;
+    - metadata proves EVERY row matches (all-range predicates fully
+      covering a null-free zone) → the encoded parts COPY verbatim and
+      the source lineage record carries over — no decode, no re-encode;
+    - otherwise the fragment rewrites: the compressed-domain predicate
+      mask picks survivors (only they decode), the fragment re-encodes
+      with fresh lineage and self-verifies against a recomputed filtered
+      decode of its source.
+
+    Resumable: committed destination fragments (including drop markers)
+    skip on re-run; uncommitted partials clear first. ``stats_out``
+    receives fragments_dropped / fragments_copied /
+    fragments_rewritten."""
+    import json
+
+    import ray
+    import ray.data
+
+    src_manifest = Manifest(src_out)
+    done_src = src_manifest.completed()
+    if not done_src:
+        raise FileNotFoundError(
+            f"filter_table_store: no committed fragments in {src_out!r}"
+        )
+    _scan_cols, checks = _predicate_checks(preds)
+    dst_manifest = Manifest(dst_out)
+    done_dst = dst_manifest.completed() if resume else {}
+    recs = sorted(done_src.values(), key=lambda rec: rec["frag_key"])
+    pending = [rec for rec in recs if rec["fragment"] not in done_dst]
+    src_data = os.path.join(src_out, "data")
+    dst_data = os.path.join(dst_out, "data")
+    dropped = copied = rewritten = 0
+    rewrite_recs = []
+    for rec in pending:
+        if not all(c(rec) for c in checks):
+            # provably no match: zero-row marker, no files touched
+            dst_manifest.commit(
+                {
+                    "fragment": rec["fragment"],
+                    "frag_key": rec["frag_key"],
+                    "rows": 0,
+                    "plain_bytes": 0,
+                    "encoded_bytes": 0,
+                    "columns": {},
+                    "zones": {},
+                    "trigrams": {},
+                    "nulls": {},
+                    "filtered_from": src_out,
+                    "filter_dropped": True,
+                }
+            )
+            dropped += 1
+        elif _preds_prove_all_match(rec, preds):
+            fdir = os.path.join(dst_data, f"frag={rec['frag_key']}")
+            shutil.rmtree(fdir, ignore_errors=True)
+            os.makedirs(fdir, exist_ok=True)
+            for part in _fragment_parts(src_data, rec["frag_key"]):
+                shutil.copy2(part, os.path.join(fdir, os.path.basename(part)))
+            dst_manifest.commit({**rec, "filtered_from": src_out})
+            copied += 1
+        else:
+            rewrite_recs.append(rec)
+    for start in range(0, len(rewrite_recs), fragments_per_round):
+        round_recs = rewrite_recs[start : start + fragments_per_round]
+        for rec in round_recs:
+            shutil.rmtree(
+                os.path.join(dst_data, f"frag={rec['frag_key']}"),
+                ignore_errors=True,
+            )
+        recs_ref = ray.put(round_recs)
+        ncpu = (
+            int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized()
+            else (os.cpu_count() or 4)
+        )
+        n_groups = max(1, min(len(round_recs), max(4 * ncpu, 16)))
+        rows = (
+            ray.data.range(len(round_recs), override_num_blocks=n_groups)
+            .map_batches(
+                _FilterTask(
+                    src_data, dst_data, recs_ref, preds, engine, batch_rows
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+            .take_all()
+        )
+        for r in rows:
+            dst_manifest.commit(
+                {
+                    "fragment": r["fragment"],
+                    "frag_key": r["frag_key"],
+                    "rows": int(r["rows"]),
+                    "plain_bytes": int(r["plain_bytes"]),
+                    "encoded_bytes": int(r["encoded_bytes"]),
+                    "columns": json.loads(r["columns_json"]),
+                    "zones": json.loads(r["zones_json"]),
+                    "trigrams": json.loads(r["tri_json"]),
+                    "nulls": json.loads(r["nulls_json"]),
+                    "filtered_from": src_out,
+                }
+            )
+            rewritten += 1
+    if stats_out is not None:
+        stats_out.update(
+            fragments_dropped=dropped,
+            fragments_copied=copied,
+            fragments_rewritten=rewritten,
+        )
+    return dst_manifest.stats()
 
 
 def transcode_table_store(

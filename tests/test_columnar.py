@@ -2080,3 +2080,79 @@ def test_store_group_multi_agg(ray_session, tmp_path):
     # exclusivity guard
     with pytest.raises(ValueError):
         group_agg_table_store(store, "g", "a", aggs={"a": ("sum",)})
+
+
+def test_filter_table_store(ray_session, tmp_path):
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        filter_table_store,
+        read_table_store,
+        store_lineage_rollup,
+    )
+
+    rng = np.random.default_rng(18)
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    txt = [
+        ("drop-me row %d" % i) if (n // 2 <= i < n // 2 + 300) else ("keep row %d" % i)
+        for i in range(n)
+    ]
+    t = pa.table({"id": pa.array(ids), "s": pa.array(txt)})
+    frag = tmp_path / "src"
+    frag.mkdir()
+    step = (n + 3) // 4
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step), frag / f"f{i}.parquet")
+    src = str(tmp_path / "src_store")
+    compress_table(str(frag), src)
+
+    # range filter: frag 0 fully inside → COPY; frags 2,3 disjoint → DROP;
+    # frag 1 boundary → REWRITE
+    dst = str(tmp_path / "dst_store")
+    stats: dict = {}
+    filter_table_store(
+        src, dst, [("range", "id", 0, step + step // 2)], stats_out=stats
+    )
+    assert stats == {
+        "fragments_dropped": 2, "fragments_copied": 1, "fragments_rewritten": 1,
+    }, stats
+    got = pa.concat_tables(
+        b
+        for b in read_table_store(dst).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ).sort_by("id")
+    keep = t.filter(pa.compute.less_equal(t["id"], step + step // 2))
+    assert got["id"].to_pylist() == keep["id"].to_pylist()
+    assert got["s"].to_pylist() == keep["s"].to_pylist()
+    # lineage reflects the rewrite
+    roll = store_lineage_rollup(dst)
+    assert roll["rows"] == keep.num_rows
+    # resume: a second run touches nothing new
+    stats2: dict = {}
+    filter_table_store(
+        src, dst, [("range", "id", 0, step + step // 2)], stats_out=stats2
+    )
+    assert stats2 == {
+        "fragments_dropped": 0, "fragments_copied": 0, "fragments_rewritten": 0,
+    }
+
+    # LIKE-based delete: drop rows containing the marker (keep the rest)
+    dst2 = str(tmp_path / "dst2")
+    stats3: dict = {}
+    filter_table_store(
+        src, dst2, [("like", "s", "keep%")], stats_out=stats3
+    )
+    got2 = pa.concat_tables(
+        b
+        for b in read_table_store(dst2).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ).sort_by("id")
+    exp2 = t.filter(
+        pa.compute.starts_with(t["s"], "keep")
+    )
+    assert got2["id"].to_pylist() == exp2["id"].to_pylist()
+    # the marker rows live in ONE fragment; the other three can't prove
+    # all-match via LIKE, so they rewrite (no copy path for LIKE)
+    assert stats3["fragments_dropped"] == 0
+    assert stats3["fragments_copied"] == 0
+    assert stats3["fragments_rewritten"] == 4
