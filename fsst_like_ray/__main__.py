@@ -609,6 +609,24 @@ def cmd_table_filter(args) -> int:
     return 0
 
 
+def cmd_table_compact(args) -> int:
+    """Fragment compaction without re-encoding: byte-identical part
+    copies packed into fewer fragments, lineage merged exactly
+    (tablestore.compact_table_store)."""
+    ray = _ray()
+    from .pipelines.tablestore import compact_table_store
+
+    t0 = time.time()
+    stats: dict = {}
+    out = compact_table_store(
+        args.src, args.dst, target_rows=args.target_rows,
+        order_by=args.order_by, stats_out=stats,
+    )
+    print(json.dumps({**out, **stats, "sec": round(time.time() - t0, 3)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_table_cluster(args) -> int:
     """Cluster-while-encoding: one distributed range sort, then the
     resumable store encode — fragment zone envelopes come out disjoint."""
@@ -884,6 +902,19 @@ def main(argv=None) -> int:
         help="floor-bucket an int group key (e.g. 86400000000 = day of us-ts)",
     )
     tag.set_defaults(fn=cmd_table_agg)
+
+    tcp = sub.add_parser(
+        "table-compact",
+        help="pack small store fragments into fewer (byte-identical copies)",
+    )
+    tcp.add_argument("src")
+    tcp.add_argument("dst")
+    tcp.add_argument("--target-rows", type=int, default=1_000_000)
+    tcp.add_argument(
+        "--order-by", default=None,
+        help="pack in zone order on this int column (keeps range pruning)",
+    )
+    tcp.set_defaults(fn=cmd_table_compact)
 
     tf = sub.add_parser(
         "table-filter",

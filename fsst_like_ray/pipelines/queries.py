@@ -1013,6 +1013,53 @@ def q_columnar_store_filter(sf_dir: str):
     return read_table_store(dst)
 
 
+def q_columnar_store_compact(sf_dir: str):
+    """Fragment compaction without re-encoding: an 8-fragment
+    event_id-ordered store packs into ≤3 fragments by zone order —
+    part files copy byte-identical (encoded bytes asserted unchanged),
+    lineage merges exactly, and a range scan still prunes on the merged
+    envelopes (tablestore.compact_table_store). The compacted store
+    streams back for the oracle."""
+    import tempfile
+
+    from .tablestore import (
+        compact_table_store,
+        compress_table,
+        read_table_store,
+        scan_table_store,
+        store_lineage_rollup,
+    )
+
+    base = tempfile.mkdtemp(prefix="columnar_store_compact_")
+    src_tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
+    frag_dir = os.path.join(base, "src")
+    os.makedirs(frag_dir)
+    n = src_tbl.num_rows
+    step = max(1, (n + 7) // 8)
+    for i in range(8):
+        part = src_tbl.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(frag_dir, f"f{i}.parquet"))
+    src = os.path.join(base, "store")
+    compress_table(frag_dir, src)
+    dst = os.path.join(base, "compacted")
+    compact_table_store(src, dst, target_rows=max(1, n // 3), order_by="event_id")
+    if store_lineage_rollup(dst)["encoded_bytes"] != store_lineage_rollup(
+        src
+    )["encoded_bytes"]:
+        raise ValueError("compaction re-encoded data")
+    ids = src_tbl["event_id"]
+    mn = pa.compute.min(ids).as_py()
+    mx = pa.compute.max(ids).as_py()
+    stats: dict = {}
+    scan_table_store(
+        dst, "event_id", lo=mn, hi=mn + (mx - mn) // 8, stats_out=stats
+    )
+    if stats["fragments_skipped"] < 1:
+        raise ValueError(f"compacted zones lost pruning: {stats}")
+    return read_table_store(dst)
+
+
 def q_columnar_store_sample(sf_dir: str):
     """Deterministic hash sample over the store: the keep decision is a
     multiplicative hash of the id read from the cached int streams —
@@ -7191,6 +7238,7 @@ def build_queries() -> dict:
     q["columnar_store_sample"] = q_columnar_store_sample
     q["columnar_store_groupby_multi"] = q_columnar_store_groupby_multi
     q["columnar_store_filter"] = q_columnar_store_filter
+    q["columnar_store_compact"] = q_columnar_store_compact
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["columnar_agg_events"] = q_columnar_agg_events
     q["columnar_group_count"] = q_columnar_group_count
@@ -7494,6 +7542,7 @@ def build_oracle_sql() -> dict:
                CAST(sum(user_id) AS BIGINT) AS usum
         FROM events
     """
+    sql["columnar_store_compact"] = "SELECT * FROM events"
     sql["columnar_store_filter"] = """
         SELECT * FROM events
         WHERE event_id BETWEEN (SELECT min(event_id) FROM events)

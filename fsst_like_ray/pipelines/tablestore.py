@@ -1413,6 +1413,122 @@ class _TranscodeTask:
         return pa.Table.from_pylist(out, schema=_STATS_SCHEMA)
 
 
+def compact_table_store(
+    src_out: str,
+    dst_out: str,
+    target_rows: int = 1_000_000,
+    order_by: str | None = None,
+    resume: bool = True,
+    stats_out: dict | None = None,
+) -> dict:
+    """Fragment compaction WITHOUT re-encoding: committed source
+    fragments pack greedily (frag_key order, cumulative rows up to
+    ``target_rows``) into destination fragments whose part files are
+    byte-identical COPIES of the source parts, renumbered sequentially;
+    the lineage records merge exactly (row/byte sums, zone envelope and
+    null-count unions, OR-ed trigram blooms). Fixes the
+    small-fragment problem after many incremental appends — fewer
+    manifest records and directories to plan — while every scan
+    statistic stays exact, because each merged statistic is the exact
+    union of per-fragment exact values. Zero-row drop markers (from
+    filter_table_store) are elided. Each copied part verifies by size
+    against its source before the group commits; resumable per
+    destination group.
+
+    ``order_by=<int column>`` packs fragments in zone order on that
+    column, so merged envelopes stay near-disjoint and range pruning
+    survives the merge; without it fragments pack in frag_key (hash)
+    order and a merged zone spans its members' union — fine for
+    unclustered data, ruinous for a range-sorted store."""
+    src_manifest = Manifest(src_out)
+    done_src = src_manifest.completed()
+    if not done_src:
+        raise FileNotFoundError(
+            f"compact_table_store: no committed fragments in {src_out!r}"
+        )
+    recs = [
+        rec
+        for rec in sorted(done_src.values(), key=lambda rec: rec["frag_key"])
+        if int(rec.get("rows", 0)) > 0
+    ]
+    if order_by is not None:
+        missing = [
+            rec["frag_key"]
+            for rec in recs
+            if (rec.get("zones") or {}).get(order_by) is None
+        ]
+        if missing:
+            raise ValueError(
+                f"compact order_by={order_by!r}: fragments without a zone "
+                f"for that column: {missing[:3]}..."
+            )
+        recs.sort(key=lambda rec: tuple(rec["zones"][order_by]))
+    groups: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_rows = 0
+    for rec in recs:
+        cur.append(rec)
+        cur_rows += int(rec["rows"])
+        if cur_rows >= target_rows:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        groups.append(cur)
+    dst_manifest = Manifest(dst_out)
+    done_dst = dst_manifest.completed() if resume else {}
+    src_data = os.path.join(src_out, "data")
+    dst_data = os.path.join(dst_out, "data")
+    merged = reused = 0
+    for grp in groups:
+        members = [rec["frag_key"] for rec in grp]
+        ident = "compact:" + "|".join(members)
+        if ident in done_dst:
+            continue
+        key = fragment_key(ident)
+        fdir = os.path.join(dst_data, f"frag={key}")
+        shutil.rmtree(fdir, ignore_errors=True)
+        os.makedirs(fdir, exist_ok=True)
+        stats = {
+            "rows": 0, "plain_bytes": 0, "encoded_bytes": 0,
+            "columns": {}, "zones": {}, "trigrams": {}, "nulls": {},
+        }
+        part_i = 0
+        for rec in grp:
+            for part in _fragment_parts(src_data, rec["frag_key"]):
+                dstp = os.path.join(fdir, f"part-{part_i:06d}.parquet")
+                shutil.copy2(part, dstp)
+                if os.path.getsize(dstp) != os.path.getsize(part):
+                    raise ValueError(
+                        f"compact copy size mismatch for {part!r}"
+                    )
+                part_i += 1
+            stats["rows"] += int(rec["rows"])
+            stats["plain_bytes"] += int(rec.get("plain_bytes", 0))
+            stats["encoded_bytes"] += int(rec.get("encoded_bytes", 0))
+            _merge_column_stats(stats["columns"], rec.get("columns") or {})
+            _merge_zones(stats["zones"], rec.get("zones") or {})
+            _merge_tri(stats["trigrams"], rec.get("trigrams") or {})
+            for c, nc in (rec.get("nulls") or {}).items():
+                stats["nulls"][c] = stats["nulls"].get(c, 0) + int(nc)
+        dst_manifest.commit(
+            {
+                "fragment": ident,
+                "frag_key": key,
+                **{k: v for k, v in stats.items()},
+                "compacted_from": members,
+            }
+        )
+        merged += 1
+        reused += len(grp)
+    if stats_out is not None:
+        stats_out.update(
+            fragments_out=len(groups),
+            fragments_in=len(recs),
+            groups_written=merged,
+        )
+    return dst_manifest.stats()
+
+
 def _filter_fragment(
     src_data: str,
     fdir: str,

@@ -2156,3 +2156,55 @@ def test_filter_table_store(ray_session, tmp_path):
     assert stats3["fragments_dropped"] == 0
     assert stats3["fragments_copied"] == 0
     assert stats3["fragments_rewritten"] == 4
+
+
+def test_compact_table_store(ray_session, tmp_path):
+    from fsst_like_ray.pipelines.tablestore import (
+        compact_table_store,
+        compress_table,
+        count_table_store,
+        read_table_store,
+        scan_table_store,
+        store_lineage_rollup,
+    )
+
+    rng = np.random.default_rng(19)
+    n = 4000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array(["doc %d body" % i for i in range(n)]),
+        }
+    )
+    frag = tmp_path / "src"
+    frag.mkdir()
+    step = (n + 7) // 8
+    for i in range(8):
+        pq.write_table(t.slice(i * step, step), frag / f"f{i}.parquet")
+    src = str(tmp_path / "src_store")
+    compress_table(str(frag), src)
+    assert store_lineage_rollup(src)["fragments"] == 8
+
+    dst = str(tmp_path / "dst_store")
+    stats: dict = {}
+    compact_table_store(src, dst, target_rows=n // 2, order_by="id", stats_out=stats)
+    roll = store_lineage_rollup(dst)
+    assert roll["fragments"] < 8 and roll["rows"] == n
+    # encoded bytes identical: compaction never re-encodes
+    assert roll["encoded_bytes"] == store_lineage_rollup(src)["encoded_bytes"]
+    got = pa.concat_tables(
+        b
+        for b in read_table_store(dst).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ).sort_by("id")
+    assert got["id"].to_pylist() == t["id"].to_pylist()
+    assert got["s"].to_pylist() == t["s"].to_pylist()
+    # merged zones stay exact: a range over the first half still prunes
+    pst: dict = {}
+    scan_table_store(dst, "id", lo=0, hi=n // 4, stats_out=pst)
+    assert pst["fragments_skipped"] >= 1
+    assert count_table_store(dst, "id", lo=0, hi=n // 4) == n // 4 + 1
+    # resume: second run rewrites nothing
+    s2: dict = {}
+    compact_table_store(src, dst, target_rows=n // 2, order_by="id", stats_out=s2)
+    assert s2["groups_written"] == 0
