@@ -135,17 +135,25 @@ class QuantileSketch:
         return v[idx]
 
 
-def sketch_dataset(ds, col: str, capacity: int = 2048) -> QuantileSketch:
+def sketch_dataset(
+    ds, col: str, capacity: int = 2048, values_fn=None
+) -> QuantileSketch:
     """ONE sketch per block (a few KB each, emitted as a single Arrow row
     of nested lists), merged on the driver — the shuffle-free mergeable-
     partial shape shared with the HLL/CMS/Misra-Gries sketches. Ray's
-    exactly-once block semantics mean a retried task cannot double-merge."""
+    exactly-once block semantics mean a retried task cannot double-merge.
+    ``values_fn(batch) -> np.ndarray`` overrides the plain-column read —
+    the whole-table store sketches straight off its cached encoded
+    streams through this hook."""
     import pyarrow as pa
 
     def partial(b: pa.Table) -> pa.Table:
-        sk = QuantileSketch(capacity).add(
-            b[col].to_numpy(zero_copy_only=False)
+        vals = (
+            values_fn(b)
+            if values_fn is not None
+            else b[col].to_numpy(zero_copy_only=False)
         )
+        sk = QuantileSketch(capacity).add(vals)
         rows = sk.to_rows()
         return pa.table(
             {

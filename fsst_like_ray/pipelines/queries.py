@@ -1078,6 +1078,80 @@ def q_columnar_store_sample(sf_dir: str):
     )
 
 
+def q_columnar_store_quantiles(sf_dir: str):
+    """Gate: quantiles over the store without decoding a row. p50/p90/p99
+    of events.user_id sketch from the cached encoded streams
+    (tablestore.quantiles_table_store — few-KB compactor partials,
+    driver merge), then each estimate's TRUE rank verifies against
+    exact </<= counts computed from the SAME encoded streams, within
+    the sketch's self-reported worst-case tolerance (the
+    quantile_sketch_gate pattern, lifted whole onto the store)."""
+    import tempfile
+
+    from .columnar import _encoded_field_names, _int_values
+    from .compress import read_parquet_blocks as _rpb
+    from .tablestore import (
+        Manifest,
+        _fragment_parts,
+        compress_table,
+        quantiles_table_store,
+    )
+
+    out = tempfile.mkdtemp(prefix="columnar_store_quantiles_")
+    compress_table(f"{sf_dir}/events.parquet", out)
+    QS = (0.5, 0.9, 0.99)
+    sk = quantiles_table_store(out, "user_id", capacity=1024)
+    est = sk.quantile(QS)
+    tol = sk.rank_tolerance()
+
+    done = Manifest(out).completed()
+    paths: list[str] = []
+    for rec in sorted(done.values(), key=lambda rec: rec["frag_key"]):
+        paths.extend(_fragment_parts(os.path.join(out, "data"), rec["frag_key"]))
+    cols = _encoded_field_names(
+        list(pq.read_schema(paths[0]).names), ["user_id"]
+    )
+
+    def counts(b: pa.Table) -> pa.Table:
+        vals, ok = _int_values(b, "user_id")
+        v = vals[ok]
+        return pa.table(
+            {
+                **{
+                    f"lt{i}": pa.array([int((v < est[i]).sum())], pa.int64())
+                    for i in range(len(QS))
+                },
+                **{
+                    f"le{i}": pa.array([int((v <= est[i]).sum())], pa.int64())
+                    for i in range(len(QS))
+                },
+            }
+        )
+
+    aggs = [
+        Sum(f"{p}{i}", alias_name=f"{p}{i}")
+        for i in range(len(QS))
+        for p in ("lt", "le")
+    ]
+    tot = (
+        _rpb(paths, columns=cols)
+        .map_batches(counts, batch_format="pyarrow")
+        .aggregate(*aggs)
+    )
+    oks = []
+    for i, q in enumerate(QS):
+        target = int(np.ceil(q * sk.n))
+        lo = int(tot[f"lt{i}"] or 0) + 1
+        hi = int(tot[f"le{i}"] or 0)
+        oks.append((target >= lo - tol) and (target <= hi + tol))
+    return pa.table(
+        {
+            "q": pa.array([str(q) for q in QS], type=pa.string()),
+            "ok": pa.array(oks, type=pa.bool_()),
+        }
+    )
+
+
 def q_columnar_store_agg_float(sf_dir: str):
     """Gate: float aggregates over the store. MIN/MAX/COUNT(value) of the
     events double column computed in the compressed domain (bit-pattern
@@ -7239,6 +7313,7 @@ def build_queries() -> dict:
     q["columnar_store_groupby_multi"] = q_columnar_store_groupby_multi
     q["columnar_store_filter"] = q_columnar_store_filter
     q["columnar_store_compact"] = q_columnar_store_compact
+    q["columnar_store_quantiles"] = q_columnar_store_quantiles
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["columnar_agg_events"] = q_columnar_agg_events
     q["columnar_group_count"] = q_columnar_group_count
@@ -7543,6 +7618,12 @@ def build_oracle_sql() -> dict:
         FROM events
     """
     sql["columnar_store_compact"] = "SELECT * FROM events"
+    sql["columnar_store_quantiles"] = """
+        SELECT '0.5' AS q, TRUE AS ok
+        UNION ALL SELECT '0.9', TRUE
+        UNION ALL SELECT '0.99', TRUE
+        ORDER BY q
+    """
     sql["columnar_store_filter"] = """
         SELECT * FROM events
         WHERE event_id BETWEEN (SELECT min(event_id) FROM events)

@@ -1413,6 +1413,45 @@ class _TranscodeTask:
         return pa.Table.from_pylist(out, schema=_STATS_SCHEMA)
 
 
+def quantiles_table_store(
+    out_dir: str, column: str, capacity: int = 2048
+):
+    """Mergeable quantile sketch (functions/kll.py) over one store
+    column, built straight from the (LRU-cached) encoded int/float
+    streams — only this column's fields leave storage, one few-KB
+    compactor partial per batch, driver merge, no shuffle. Returns the
+    merged QuantileSketch (``.quantile(qs)`` / ``.rank_tolerance()``)."""
+    from ..functions.kll import sketch_dataset
+    from .columnar import (
+        _FLOAT_TYPES,
+        _encoded_field_names,
+        _float_values,
+        _int_values,
+    )
+    from .compress import read_parquet_blocks
+
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    if not done:
+        raise FileNotFoundError(
+            f"quantiles_table_store: no committed fragments under {out_dir!r}"
+        )
+    data_dir = os.path.join(out_dir, "data")
+    paths: list[str] = []
+    for rec in sorted(done.values(), key=lambda rec: rec["frag_key"]):
+        paths.extend(_fragment_parts(data_dir, rec["frag_key"]))
+    flt = _column_type_code(paths, column) in _FLOAT_TYPES
+    extract = _float_values if flt else _int_values
+
+    def values(b: pa.Table) -> np.ndarray:
+        vals, ok = extract(b, column)
+        return vals[ok]
+
+    cols = _encoded_field_names(list(pq.read_schema(paths[0]).names), [column])
+    enc = read_parquet_blocks(paths, columns=cols)
+    return sketch_dataset(enc, column, capacity, values_fn=values)
+
+
 def compact_table_store(
     src_out: str,
     dst_out: str,

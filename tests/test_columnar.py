@@ -2208,3 +2208,38 @@ def test_compact_table_store(ray_session, tmp_path):
     s2: dict = {}
     compact_table_store(src, dst, target_rows=n // 2, order_by="id", stats_out=s2)
     assert s2["groups_written"] == 0
+
+
+def test_quantiles_table_store(ray_session, tmp_path):
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        quantiles_table_store,
+    )
+
+    rng = np.random.default_rng(20)
+    n = 20000
+    iv = [None if i % 11 == 0 else int(v) for i, v in enumerate(rng.integers(0, 10**6, n))]
+    fv = rng.normal(0, 100, n)
+    t = pa.table(
+        {
+            "i": pa.array(iv, type=pa.int64()),
+            "f": pa.array(fv, type=pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "t.parquet")
+    store = str(tmp_path / "store")
+    compress_table(str(tmp_path / "t.parquet"), store)
+
+    for col, ref in (
+        ("i", np.array([v for v in iv if v is not None], dtype=np.float64)),
+        ("f", fv),
+    ):
+        sk = quantiles_table_store(store, col, capacity=1024)
+        assert sk.n == len(ref)
+        tol = sk.rank_tolerance()
+        ref_sorted = np.sort(ref)
+        for q in (0.5, 0.9, 0.99):
+            est = sk.quantile((q,))[0]
+            rank = int(np.searchsorted(ref_sorted, est, side="right"))
+            target = int(np.ceil(q * len(ref)))
+            assert abs(rank - target) <= tol + 1, (col, q, rank, target, tol)
