@@ -54,24 +54,34 @@ def heavy_hitters(
     items_fn,
     support: float,
     min_k: int = 16,
+    pairs_fn=None,
 ) -> pa.Table:
     """Items with exact frequency ≥ ``support`` of the total item stream.
 
     ``items_fn(batch) -> np.ndarray`` flattens a batch into its item
     stream (strings or ints; must never yield nulls — a null item row is
-    the per-block total-weight sentinel). Returns an Arrow table
-    (item, n) with EXACT counts, guaranteed complete: phase-1 recall is
-    the MG bound, phase 2 re-counts candidates exactly."""
+    the per-block total-weight sentinel). ``pairs_fn(batch) ->
+    (unique items, counts)`` replaces the flatten+unique when the caller
+    already holds the batch's multiset — the whole-table store feeds
+    dictionary bincounts through this hook, never materializing a row.
+    Returns an Arrow table (item, n) with EXACT counts, guaranteed
+    complete: phase-1 recall is the MG bound, phase 2 re-counts
+    candidates exactly."""
     if not (0 < support < 1):
         raise ValueError("support must be in (0, 1)")
     k = max(min_k, math.ceil(2.0 / support))
 
+    def batch_pairs(b: pa.Table):
+        if pairs_fn is not None:
+            u, c = pairs_fn(b)
+            return np.asarray(u), np.asarray(c)
+        return np.unique(items_fn(b), return_counts=True)
+
     def partial(b: pa.Table) -> pa.Table:
-        stream = items_fn(b)
+        u, c = batch_pairs(b)
         item_type = (
-            pa.int64() if stream.dtype.kind in ("i", "u") else pa.string()
+            pa.int64() if u.dtype.kind in ("i", "u") else pa.string()
         )
-        u, c = np.unique(stream, return_counts=True)
         u2, c2 = mg_compress(u, c.astype(np.int64), k)
         item_arr = (
             pa.array(u2).cast(item_type)
@@ -85,7 +95,7 @@ def heavy_hitters(
                     [item_arr, pa.nulls(1, type=item_type)]
                 ),
                 "cnt": pa.array(
-                    np.r_[c2, len(stream)].astype(np.int64), type=pa.int64()
+                    np.r_[c2, int(c.sum())].astype(np.int64), type=pa.int64()
                 ),
             }
         )
@@ -134,8 +144,7 @@ def heavy_hitters(
     # phase 2: exact recount of candidates only
     def recount(b: pa.Table) -> pa.Table:
         cs = get_broadcast(ref)
-        stream = items_fn(b)
-        u, c = np.unique(stream, return_counts=True)
+        u, c = batch_pairs(b)
         idx = np.searchsorted(cs, u)
         np.minimum(idx, len(cs) - 1, out=idx)
         hit = cs[idx] == u

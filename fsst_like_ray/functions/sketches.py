@@ -34,6 +34,15 @@ def hll_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     else:
         data, offsets = string_buffers(batch[col])
         h = _poly_rowhash(data.astype(np.uint64), offsets)
+    return pa.table(
+        {"hll": pa.array([regs_from_hashes(h).tobytes()], type=pa.binary())}
+    )
+
+
+def regs_from_hashes(h: np.ndarray) -> np.ndarray:
+    """HLL register array from a batch of 64-bit row hashes — the
+    reusable core of hll_batch (the whole-table store feeds it hashes
+    computed from dictionary entries instead of row values)."""
     regs = np.zeros(_M, dtype=np.uint8)
     if len(h):
         # murmur3-style finalizer: the polynomial row hash is not uniform
@@ -61,7 +70,7 @@ def hll_batch(batch: pa.Table, col: str = "text") -> pa.Table:
         rank = np.where(rest == 0, 64 - _P + 1, 64 - bl + 1).astype(np.int64)
         np.minimum(rank, 64 - _P + 1, out=rank)
         np.maximum.at(regs, idx, rank.astype(np.uint8))
-    return pa.table({"hll": pa.array([regs.tobytes()], type=pa.binary())})
+    return regs
 
 
 def hll_merge_estimate(sketch_rows) -> int:

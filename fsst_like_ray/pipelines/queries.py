@@ -1078,6 +1078,56 @@ def q_columnar_store_sample(sf_dir: str):
     )
 
 
+def q_columnar_store_heavy_hitters(sf_dir: str):
+    """EXACT heavy hitters over the store without materializing a row:
+    event_type values with frequency ≥ 15% — per-batch (value, count)
+    multisets from the dictionary bincounts, Misra-Gries partial
+    compression, exact candidate recount through the same dictionary
+    probes (tablestore.heavy_hitters_table_store). SQL-exact oracle
+    (GROUP BY ... HAVING count ≥ ceil(0.15 · total))."""
+    import tempfile
+
+    from .tablestore import compress_table, heavy_hitters_table_store
+
+    out = tempfile.mkdtemp(prefix="columnar_store_hh_")
+    compress_table(f"{sf_dir}/events.parquet", out)
+    t = heavy_hitters_table_store(out, "event_type", support=0.15)
+    return t.sort_by("item")
+
+
+def q_columnar_store_approx_distinct(sf_dir: str):
+    """Gate: HLL distinct count over the store — string blocks hash only
+    their dictionary entries, int blocks their cached streams
+    (tablestore.distinct_count_table_store). Estimates must land within
+    10% of the exact distinct counts (HLL at 2^12 registers carries
+    ~1.6% standard error). All-true booleans, SQL-gated."""
+    import tempfile
+
+    from .tablestore import compress_table, distinct_count_table_store
+
+    ev = tempfile.mkdtemp(prefix="columnar_store_ad_ev_")
+    compress_table(f"{sf_dir}/events.parquet", ev)
+    est_u = distinct_count_table_store(ev, "user_id")
+    est_t = distinct_count_table_store(ev, "event_type")
+    import duckdb
+
+    con = duckdb.connect()
+    exact_u, exact_t = con.execute(
+        f"SELECT count(DISTINCT user_id), count(DISTINCT event_type) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    return pa.table(
+        {
+            "user_id_close": pa.array(
+                [abs(est_u - exact_u) <= 0.1 * exact_u]
+            ),
+            "event_type_close": pa.array(
+                [abs(est_t - exact_t) <= max(0.1 * exact_t, 1)]
+            ),
+        }
+    )
+
+
 def q_columnar_store_quantiles(sf_dir: str):
     """Gate: quantiles over the store without decoding a row. p50/p90/p99
     of events.user_id sketch from the cached encoded streams
@@ -7314,6 +7364,8 @@ def build_queries() -> dict:
     q["columnar_store_filter"] = q_columnar_store_filter
     q["columnar_store_compact"] = q_columnar_store_compact
     q["columnar_store_quantiles"] = q_columnar_store_quantiles
+    q["columnar_store_heavy_hitters"] = q_columnar_store_heavy_hitters
+    q["columnar_store_approx_distinct"] = q_columnar_store_approx_distinct
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
     q["columnar_agg_events"] = q_columnar_agg_events
     q["columnar_group_count"] = q_columnar_group_count
@@ -7618,6 +7670,15 @@ def build_oracle_sql() -> dict:
         FROM events
     """
     sql["columnar_store_compact"] = "SELECT * FROM events"
+    sql["columnar_store_heavy_hitters"] = """
+        SELECT event_type AS item, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+        HAVING count(*) >= CEIL(0.15 * (SELECT count(*) FROM events))
+        ORDER BY item
+    """
+    sql["columnar_store_approx_distinct"] = (
+        "SELECT (1=1) AS user_id_close, (1=1) AS event_type_close"
+    )
     sql["columnar_store_quantiles"] = """
         SELECT '0.5' AS q, TRUE AS ok
         UNION ALL SELECT '0.9', TRUE

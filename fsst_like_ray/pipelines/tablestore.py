@@ -1452,6 +1452,98 @@ def quantiles_table_store(
     return sketch_dataset(enc, column, capacity, values_fn=values)
 
 
+def _store_column_enc(out_dir: str, column: str):
+    """(encoded Dataset pruned to one column, its part paths) — the
+    shared read head of the single-column store sketches."""
+    from .columnar import _encoded_field_names
+    from .compress import read_parquet_blocks
+
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    if not done:
+        raise FileNotFoundError(
+            f"store column read: no committed fragments under {out_dir!r}"
+        )
+    data_dir = os.path.join(out_dir, "data")
+    paths: list[str] = []
+    for rec in sorted(done.values(), key=lambda rec: rec["frag_key"]):
+        paths.extend(_fragment_parts(data_dir, rec["frag_key"]))
+    cols = _encoded_field_names(list(pq.read_schema(paths[0]).names), [column])
+    return read_parquet_blocks(paths, columns=cols), paths
+
+
+def distinct_count_table_store(out_dir: str, column: str) -> int:
+    """Approximate distinct count (HLL) over one store column without
+    materializing rows: string blocks hash ONLY their dictionary entries
+    (O(distinct) hashing, scattered through the index stream via
+    _group_codes); int blocks hash the cached streams. One 4 KB register
+    sketch per batch reaches the driver (functions/sketches.py)."""
+    from ..functions.sketches import (
+        _poly_rowhash,
+        hll_merge_estimate,
+        regs_from_hashes,
+    )
+    from .columnar import _STR_FAMILY, _group_codes, _int_values
+
+    enc, paths = _store_column_enc(out_dir, column)
+    is_str = _column_type_code(paths, column) in _STR_FAMILY
+
+    def partial(b: pa.Table) -> pa.Table:
+        if is_str:
+            codes, keys, _text = _group_codes(b, column)
+            flat = np.frombuffer(b"".join(keys), dtype=np.uint8)
+            off = np.zeros(len(keys) + 1, dtype=np.int64)
+            np.cumsum([len(k) for k in keys], out=off[1:])
+            kh = _poly_rowhash(flat.astype(np.uint64), off)
+            h = kh[codes[codes >= 0]]
+        else:
+            vals, ok = _int_values(b, column)
+            v = vals[ok].view(np.uint64)
+            h = _poly_rowhash(v, np.arange(len(v) + 1, dtype=np.int64))
+        return pa.table(
+            {"hll": pa.array([regs_from_hashes(h).tobytes()], pa.binary())}
+        )
+
+    rows = [
+        r["hll"]
+        for blk in enc.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_size=256, batch_format="pyarrow")
+        for r in blk.to_pylist()
+    ]
+    return hll_merge_estimate(rows)
+
+
+def heavy_hitters_table_store(
+    out_dir: str, column: str, support: float, min_k: int = 16
+) -> "pa.Table":
+    """Exact heavy hitters (frequency ≥ support) over one store string
+    column without materializing a row: each batch's (value, count)
+    multiset comes from the dictionary bincount path (group_count_batch
+    — O(distinct) strings touched), Misra-Gries-compressed partials
+    merge on the driver, and phase 2 recounts candidates exactly
+    through the same dictionary probes (functions/heavy.py
+    pairs_fn hook)."""
+    from ..functions.heavy import heavy_hitters
+    from .columnar import group_count_batch
+
+    enc, _paths = _store_column_enc(out_dir, column)
+
+    def pairs(b: pa.Table):
+        t = group_count_batch(b, column)
+        text = bool(t["is_text"][0].as_py()) if t.num_rows else True
+        vals = np.array(
+            [
+                v.decode() if text else v
+                for v in t["value"].to_pylist()
+            ],
+            dtype=object,
+        )
+        return vals, t["n"].to_numpy(zero_copy_only=False)
+
+    return heavy_hitters(enc, None, support, min_k=min_k, pairs_fn=pairs)
+
+
 def compact_table_store(
     src_out: str,
     dst_out: str,

@@ -2243,3 +2243,47 @@ def test_quantiles_table_store(ray_session, tmp_path):
             rank = int(np.searchsorted(ref_sorted, est, side="right"))
             target = int(np.ceil(q * len(ref)))
             assert abs(rank - target) <= tol + 1, (col, q, rank, target, tol)
+
+
+def test_store_sketches(ray_session, tmp_path):
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        distinct_count_table_store,
+        heavy_hitters_table_store,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 20000
+    # zipf-ish string column: few heavy values + a long tail
+    tail = ["tail%05d" % i for i in range(5000)]
+    pool = ["alpha"] * 30 + ["beta"] * 20 + ["gamma"] * 10
+    sv = [
+        pool[int(v) % len(pool)] if v < 60 else tail[int(v) % len(tail)]
+        for v in rng.integers(0, 100, n)
+    ]
+    iv = rng.integers(0, 3000, n)
+    t = pa.table(
+        {
+            "s": pa.array(sv),
+            "i": pa.array(iv, type=pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "t.parquet")
+    store = str(tmp_path / "store")
+    compress_table(str(tmp_path / "t.parquet"), store)
+
+    for col, exact in (
+        ("s", len(set(sv))),
+        ("i", len(set(iv.tolist()))),
+    ):
+        est = distinct_count_table_store(store, col)
+        assert abs(est - exact) <= 0.1 * exact, (col, est, exact)
+
+    hh = heavy_hitters_table_store(store, "s", support=0.1)
+    import collections
+
+    cnt = collections.Counter(sv)
+    thresh = int(np.ceil(0.1 * n))
+    exp = sorted((k, v) for k, v in cnt.items() if v >= thresh)
+    got = sorted(zip(hh["item"].to_pylist(), hh["n"].to_pylist()))
+    assert got == exp, (got[:5], exp[:5])
