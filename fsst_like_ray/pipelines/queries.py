@@ -1078,6 +1078,32 @@ def q_columnar_store_sample(sf_dir: str):
     )
 
 
+def q_columnar_store_ann(sf_dir: str):
+    """Similarity search served FROM the compressed store: embeddings
+    (list<float> column) compress into the manifest-backed store, then
+    brute-force cosine top-k streams off the store read — only the two
+    columns' encoded fields leave storage, list streams decode per
+    batch, per-batch top-k partials merge on the driver
+    (functions/similarity.brute_force_topk over
+    tablestore.read_table_store)."""
+    import tempfile
+
+    from .tablestore import compress_table, read_table_store
+
+    out = tempfile.mkdtemp(prefix="columnar_store_ann_")
+    compress_table(f"{sf_dir}/embeddings.parquet", out)
+    q0 = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))[
+            "embedding"
+        ][0]
+        .as_py()
+    )
+    ds = read_table_store(out, columns=["vec_id", "embedding"])
+    res = F_sim.brute_force_topk(ds, np.asarray(q0, dtype=np.float64), k=10)
+    return pd.DataFrame({"vec_id": res["vec_id"].astype("int64")})
+
+
 def q_columnar_store_heavy_hitters(sf_dir: str):
     """EXACT heavy hitters over the store without materializing a row:
     event_type values with frequency ≥ 15% — per-batch (value, count)
@@ -7364,6 +7390,7 @@ def build_queries() -> dict:
     q["columnar_store_filter"] = q_columnar_store_filter
     q["columnar_store_compact"] = q_columnar_store_compact
     q["columnar_store_quantiles"] = q_columnar_store_quantiles
+    q["columnar_store_ann"] = q_columnar_store_ann
     q["columnar_store_heavy_hitters"] = q_columnar_store_heavy_hitters
     q["columnar_store_approx_distinct"] = q_columnar_store_approx_distinct
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
@@ -7670,6 +7697,13 @@ def build_oracle_sql() -> dict:
         FROM events
     """
     sql["columnar_store_compact"] = "SELECT * FROM events"
+    sql["columnar_store_ann"] = """
+        SELECT vec_id FROM embeddings
+        ORDER BY list_cosine_similarity(embedding,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                 vec_id
+        LIMIT 10
+    """
     sql["columnar_store_heavy_hitters"] = """
         SELECT event_type AS item, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY event_type
