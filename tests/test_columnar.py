@@ -2287,3 +2287,95 @@ def test_store_sketches(ray_session, tmp_path):
     exp = sorted((k, v) for k, v in cnt.items() if v >= thresh)
     got = sorted(zip(hh["item"].to_pylist(), hh["n"].to_pylist()))
     assert got == exp, (got[:5], exp[:5])
+
+
+def test_filter_table_store_crash_resume(ray_session, tmp_path, monkeypatch):
+    import fsst_like_ray.pipelines.tablestore as TS
+
+    n = 2000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array(["row %d" % i for i in range(n)]),
+        }
+    )
+    frag = tmp_path / "src"
+    frag.mkdir()
+    step = (n + 3) // 4
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step), frag / f"f{i}.parquet")
+    src = str(tmp_path / "src_store")
+    TS.compress_table(str(frag), src)
+    dst = str(tmp_path / "dst")
+
+    # every fragment needs a rewrite (LIKE predicate, no copy/drop path);
+    # the DRIVER dies before the second commit — rewritten files exist
+    # but only the manifest gate decides what counts as data
+    calls = {"n": 0}
+    orig_commit = TS.Manifest.commit
+
+    def dying(self, record):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash")
+        return orig_commit(self, record)
+
+    monkeypatch.setattr(TS.Manifest, "commit", dying)
+    with pytest.raises(Exception, match="injected crash"):
+        TS.filter_table_store(
+            src, dst, [("like", "s", "row%")], fragments_per_round=1
+        )
+    committed = TS.Manifest(dst).completed()
+    assert len(committed) == 1  # only the fragment BEFORE the crash
+    monkeypatch.setattr(TS.Manifest, "commit", orig_commit)
+    stats: dict = {}
+    TS.filter_table_store(
+        src, dst, [("like", "s", "row%")], stats_out=stats
+    )
+    assert stats["fragments_rewritten"] == 3  # resumed, not restarted
+    got = pa.concat_tables(
+        b
+        for b in TS.read_table_store(dst).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ).sort_by("id")
+    assert got["id"].to_pylist() == t["id"].to_pylist()
+
+
+def test_compact_table_store_crash_resume(ray_session, tmp_path, monkeypatch):
+    import shutil as _shutil
+
+    import fsst_like_ray.pipelines.tablestore as TS
+
+    n = 2000
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64))})
+    frag = tmp_path / "src"
+    frag.mkdir()
+    step = (n + 3) // 4
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step), frag / f"f{i}.parquet")
+    src = str(tmp_path / "src_store")
+    TS.compress_table(str(frag), src)
+    dst = str(tmp_path / "dst")
+
+    calls = {"n": 0}
+    orig = _shutil.copy2
+
+    def dying(a, b, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected copy crash")
+        return orig(a, b, **k)
+
+    monkeypatch.setattr(TS.shutil, "copy2", dying)
+    with pytest.raises(Exception, match="injected copy crash"):
+        TS.compact_table_store(src, dst, target_rows=n // 2, order_by="id")
+    # the dying group never committed; rerun clears its partial and finishes
+    monkeypatch.setattr(TS.shutil, "copy2", orig)
+    TS.compact_table_store(src, dst, target_rows=n // 2, order_by="id")
+    got = pa.concat_tables(
+        b
+        for b in TS.read_table_store(dst).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ).sort_by("id")
+    assert got["id"].to_pylist() == t["id"].to_pylist()
+    assert TS.store_lineage_rollup(dst)["rows"] == n

@@ -180,3 +180,96 @@ def test_like_all_shapes_agree(seed):
         oracle = _like_oracle(pattern, texts)
         mask = like_on_encoded(enc, pattern, engine="auto")
         assert (mask == oracle).all(), pattern
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_group_agg_matches_bruteforce(seed):
+    """Seeded randomized GROUP BY property: encoded-domain partials must
+    equal a pure-python fold over the raw rows — across random null
+    densities, key cardinalities (forcing strdict vs fsstb group blocks),
+    negative values, and slices."""
+    from fsst_like_ray.pipelines.columnar import (
+        encode_columns_batch,
+        group_agg_batch,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(500, 3000))
+    card = int(rng.choice([3, 17, 900]))
+    keys = [
+        None if rng.random() < 0.07 else f"k{int(v):05d}"
+        for v in rng.integers(0, card, n)
+    ]
+    vals = [
+        None if rng.random() < 0.1 else int(v)
+        for v in rng.integers(-(10**14), 10**14, n)
+    ]
+    t = pa.table(
+        {
+            "g": pa.array(keys, type=pa.string()),
+            "x": pa.array(vals, type=pa.int64()),
+        }
+    )
+    enc = encode_columns_batch(t)
+    lo = int(rng.integers(0, n // 2))
+    ln = int(rng.integers(1, n - lo))
+    for sl, kk, vv in (
+        (enc, keys, vals),
+        (enc.slice(lo, ln), keys[lo : lo + ln], vals[lo : lo + ln]),
+    ):
+        got = {}
+        for r in group_agg_batch(sl, "g", "x").to_pylist():
+            got[r["value"].decode()] = (
+                r["n_rows"], r["n_vals"], int(r["vsum"]), r["vmin"], r["vmax"]
+            )
+        exp = {}
+        for g, v in zip(kk, vv):
+            if g is None:
+                continue
+            a = exp.setdefault(g, [0, 0, 0, None, None])
+            a[0] += 1
+            if v is not None:
+                a[1] += 1
+                a[2] += v
+                a[3] = v if a[3] is None else min(a[3], v)
+                a[4] = v if a[4] is None else max(a[4], v)
+        assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_sample_mask_matches_reference(seed):
+    """The hash-sample mask must equal the closed-form reference for any
+    int64 ids (including negatives) and survive slicing."""
+    from fsst_like_ray.pipelines.columnar import (
+        _SAMPLE_MOD,
+        _SAMPLE_MULT,
+        encode_columns_batch,
+        sample_scan_batch,
+    )
+
+    rng = np.random.default_rng(seed + 50)
+    n = 3000
+    ids = rng.integers(-(10**17), 10**17, n)
+    t = pa.table(
+        {
+            "id": pa.array(ids, type=pa.int64()),
+            "s": pa.array(["r%d" % i for i in range(n)]),
+        }
+    )
+    enc = encode_columns_batch(t)
+    rate, sd = 0.37, int(rng.integers(0, 1000))
+    got = sample_scan_batch(enc, "id", rate, seed=sd)["id"].to_pylist()
+    h = (
+        (ids.view(np.uint64) + np.uint64(sd)) * np.uint64(_SAMPLE_MULT)
+    ) % np.uint64(_SAMPLE_MOD)
+    exp = ids[h < np.uint64(rate * _SAMPLE_MOD)].tolist()
+    assert got == exp
+    sl = sample_scan_batch(enc.slice(100, 1000), "id", rate, seed=sd)[
+        "id"
+    ].to_pylist()
+    exp_sl = [v for v in ids[100:1100][
+        ((ids[100:1100].view(np.uint64) + np.uint64(sd))
+         * np.uint64(_SAMPLE_MULT)) % np.uint64(_SAMPLE_MOD)
+        < np.uint64(rate * _SAMPLE_MOD)
+    ]]
+    assert sl == exp_sl
