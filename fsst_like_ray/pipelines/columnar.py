@@ -2320,6 +2320,7 @@ def columnar_group_agg_ds(
     preds=None,
     engine: str = "auto",
     bucket: int | None = None,
+    int_keys: bool | None = None,
 ):
     """The UNBOUNDED-cardinality fold of columnar_group_agg: per-batch
     compressed-domain partials (one row per group per batch) shuffle ONCE
@@ -2336,7 +2337,14 @@ def columnar_group_agg_ds(
         return group_agg_batch(t, group_col, agg_col, mask=mask, bucket=bucket)
 
     parts = enc_ds.map_batches(part, batch_format="pyarrow")
-    key = "ivalue" if "ivalue" in parts.schema().names else "value"
+    # callers that know the key kind (the store tier probes the envelope
+    # type code) skip the schema() peek, which would execute the partial
+    # pipeline once just to read a column name
+    key = (
+        ("ivalue" if int_keys else "value")
+        if int_keys is not None
+        else ("ivalue" if "ivalue" in parts.schema().names else "value")
+    )
 
     def merge(g: pa.Table) -> pa.Table:
         flt = "fsum" in g.column_names
@@ -2407,7 +2415,7 @@ def distinct_scan_batch(batch: pa.Table, column: str) -> pa.Table:
     return pa.table({"ivalue": pa.array(uniq, type=pa.int64())})
 
 
-def columnar_distinct_ds(enc_ds, column: str):
+def columnar_distinct_ds(enc_ds, column: str, int_keys: bool | None = None):
     """Unbounded-cardinality DISTINCT: per-batch partials (dictionary
     entries / per-batch uniques) dedupe through ONE groupby shuffle —
     the driver never holds the value set. Returns a Dataset with a
@@ -2427,7 +2435,11 @@ def columnar_distinct_ds(enc_ds, column: str):
     parts = enc_ds.map_batches(
         lambda t: distinct_scan_batch(t, column), batch_format="pyarrow"
     )
-    key = "ivalue" if "ivalue" in parts.schema().names else "value"
+    key = (
+        ("ivalue" if int_keys else "value")
+        if int_keys is not None
+        else ("ivalue" if "ivalue" in parts.schema().names else "value")
+    )
     return parts.groupby(key).map_groups(first, batch_format="pyarrow")
 
 

@@ -1220,8 +1220,16 @@ def group_agg_table_store(
         return columnar_group_multi_agg(
             enc, group_col, aggs, preds, engine, bucket
         )
-    fold = columnar_group_agg_ds if distributed else columnar_group_agg
-    return fold(enc, group_col, agg_col, ops, preds, engine, bucket)
+    if distributed:
+        from .columnar import _STR_FAMILY
+
+        return columnar_group_agg_ds(
+            enc, group_col, agg_col, ops, preds, engine, bucket,
+            int_keys=_column_type_code(paths, group_col) not in _STR_FAMILY,
+        )
+    return columnar_group_agg(
+        enc, group_col, agg_col, ops, preds, engine, bucket
+    )
 
 
 def _empty_encoded_ds(any_parts):
@@ -1268,8 +1276,14 @@ def distinct_table_store(
         stats_out["fragments_scanned"] = len(done)
     cols = _encoded_field_names(list(pq.read_schema(paths[0]).names), [column])
     enc = read_parquet_blocks(paths, columns=cols)
-    fold = columnar_distinct_ds if distributed else columnar_distinct
-    return fold(enc, column)
+    if distributed:
+        from .columnar import _STR_FAMILY
+
+        return columnar_distinct_ds(
+            enc, column,
+            int_keys=_column_type_code(paths, column) not in _STR_FAMILY,
+        )
+    return columnar_distinct(enc, column)
 
 
 def sample_table_store(
