@@ -1066,8 +1066,20 @@ def in_scan_mask(batch: pa.Table, column: str, values) -> np.ndarray:
     payload bytes against the set of re-encoded needles grouped by
     length (equal strings encode to equal payloads, the eq_scan_mask
     contract), so cost stays one pass over payload bytes regardless of
-    |values|."""
+    |values|.
+
+    Int-family columns take a sorted-searchsorted membership pass over
+    the (cached) block streams — IN on ids, the semi-join-on-key
+    building block (values must then be ints)."""
     n = batch.num_rows
+    if n and bytes(batch[f"{column}__blk"][0].as_py())[1] not in _STR_FAMILY:
+        ivals = np.sort(np.fromiter((int(v) for v in values), dtype=np.int64))
+        if not len(ivals):
+            return np.zeros(n, dtype=bool)
+        vals, ok = _int_values(batch, column)
+        idx = np.searchsorted(ivals, vals)
+        np.minimum(idx, len(ivals) - 1, out=idx)
+        return ok & (ivals[idx] == vals)
     vset = set()
     for v in values:
         if isinstance(v, str):

@@ -1078,6 +1078,31 @@ def q_columnar_store_sample(sf_dir: str):
     )
 
 
+def q_columnar_store_semijoin_int(sf_dir: str):
+    """Semi-join on INT keys, compressed-domain end to end: the three
+    smallest distinct user_ids fold from the store's cached int streams
+    (distinct_table_store), then the fact store scans with an int IN
+    predicate — sorted-searchsorted membership over the block streams,
+    zone pruning at the fragment tier (columnar.in_scan_mask int
+    branch)."""
+    import tempfile
+
+    from .tablestore import (
+        compress_table,
+        distinct_table_store,
+        predicate_scan_table_store,
+    )
+
+    out = tempfile.mkdtemp(prefix="columnar_store_semijoin_int_")
+    compress_table(f"{sf_dir}/events.parquet", out)
+    keys = distinct_table_store(out, "user_id")["value"].to_pylist()[:3]
+    return predicate_scan_table_store(
+        out,
+        [("in", "user_id", keys)],
+        columns=["event_id", "event_type", "user_id"],
+    )
+
+
 def q_columnar_store_ann(sf_dir: str):
     """Similarity search served FROM the compressed store: embeddings
     (list<float> column) compress into the manifest-backed store, then
@@ -7391,6 +7416,7 @@ def build_queries() -> dict:
     q["columnar_store_compact"] = q_columnar_store_compact
     q["columnar_store_quantiles"] = q_columnar_store_quantiles
     q["columnar_store_ann"] = q_columnar_store_ann
+    q["columnar_store_semijoin_int"] = q_columnar_store_semijoin_int
     q["columnar_store_heavy_hitters"] = q_columnar_store_heavy_hitters
     q["columnar_store_approx_distinct"] = q_columnar_store_approx_distinct
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
@@ -7697,6 +7723,12 @@ def build_oracle_sql() -> dict:
         FROM events
     """
     sql["columnar_store_compact"] = "SELECT * FROM events"
+    sql["columnar_store_semijoin_int"] = """
+        SELECT event_id, event_type, user_id FROM events
+        WHERE user_id IN (
+          SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 3
+        )
+    """
     sql["columnar_store_ann"] = """
         SELECT vec_id FROM embeddings
         ORDER BY list_cosine_similarity(embedding,

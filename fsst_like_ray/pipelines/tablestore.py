@@ -643,7 +643,25 @@ def _predicate_checks(preds):
                 lambda rec, _c=p[1], _t=tris: _bloom_keeps(rec, _c, _t)
             )
         elif op == "in":
-            if len(p[2]) > 64:
+            vlist = list(p[2])
+            if vlist and all(
+                isinstance(v, (int, np.integer)) for v in vlist
+            ):
+                # int id list: a fragment survives only if some value
+                # falls inside its zone envelope (sorted bisect — O(log))
+                iv = sorted(int(v) for v in vlist)
+
+                def zk_in(rec, _c=p[1], _iv=iv):
+                    z = (rec.get("zones") or {}).get(_c)
+                    if z is None:
+                        return True
+                    import bisect
+
+                    j = bisect.bisect_left(_iv, z[0])
+                    return j < len(_iv) and _iv[j] <= z[1]
+
+                checks.append(zk_in)
+            elif len(p[2]) > 64:
                 # semi-join-sized value lists: per-(fragment, value) bloom
                 # probes would dominate — skip the fragment tier, the
                 # in-batch dictionary probe stays O(distinct + |values|)

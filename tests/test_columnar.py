@@ -2379,3 +2379,64 @@ def test_compact_table_store_crash_resume(ray_session, tmp_path, monkeypatch):
     ).sort_by("id")
     assert got["id"].to_pylist() == t["id"].to_pylist()
     assert TS.store_lineage_rollup(dst)["rows"] == n
+
+
+def test_int_in_scan(ray_session, tmp_path):
+    from fsst_like_ray.pipelines.columnar import (
+        encode_columns_batch,
+        in_scan_mask,
+    )
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        group_agg_table_store,
+        predicate_scan_table_store,
+    )
+
+    rng = np.random.default_rng(22)
+    n = 3000
+    ids = [None if i % 13 == 0 else int(v) for i, v in enumerate(rng.integers(0, 5000, n))]
+    t = pa.table(
+        {
+            "uid": pa.array(ids, type=pa.int64()),
+            "g": pa.array(rng.choice(["a", "b"], n)),
+        }
+    )
+    enc = encode_columns_batch(t)
+    keys = {7, 42, 4999, 1234, 777}
+    m = in_scan_mask(enc, "uid", keys)
+    exp = np.array([v in keys if v is not None else False for v in ids])
+    assert (m == exp).all()
+    assert not in_scan_mask(enc, "uid", []).any()
+
+    # store tier: zone pruning on an int id list over sorted fragments
+    srt = pa.table(
+        {
+            "uid": pa.array(np.arange(n, dtype=np.int64)),
+            "g": pa.array(["x"] * n),
+        }
+    )
+    frag = tmp_path / "src"
+    frag.mkdir()
+    step = (n + 3) // 4
+    for i in range(4):
+        pq.write_table(srt.slice(i * step, step), frag / f"f{i}.parquet")
+    store = str(tmp_path / "store")
+    compress_table(str(frag), store)
+    stats: dict = {}
+    got = predicate_scan_table_store(
+        store, [("in", "uid", [3, 5, step - 1])], columns=["uid"],
+        stats_out=stats,
+    )
+    rows = sorted(
+        v
+        for b in got.iter_batches(batch_format="pyarrow")
+        for v in b["uid"].to_pylist()
+    )
+    assert rows == [3, 5, step - 1]
+    assert stats["fragments_skipped"] == 3  # ids all in fragment 0
+
+    # GROUP BY ... WHERE uid IN (...) composes
+    g = group_agg_table_store(
+        store, "g", "uid", preds=[("in", "uid", [1, 2, 3])]
+    )
+    assert g["n_rows"].to_pylist() == [3] and g["vsum"].to_pylist() == [6]
