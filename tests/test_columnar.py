@@ -435,8 +435,12 @@ def test_predicate_scan_compound():
     m2 = in_scan_mask(enc, "text", tv)
     assert (m2 == np.array([x in set(tv) for x in texts])).all()
     assert not in_scan_mask(enc, "source", []).any()
+    # int columns take the stream-membership branch — but never coerce
+    # strings (a silent int("1") would mask schema confusion)
     with pytest.raises(TypeError):
         in_scan_mask(enc, "score", ["1"])
+    with pytest.raises(TypeError):
+        in_scan_mask(enc, "source", [1])
 
 
 def test_range_scan_zone_maps():
