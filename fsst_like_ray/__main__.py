@@ -565,9 +565,23 @@ def cmd_table_agg(args) -> int:
             "sec": round(time.time() - t0, 3),
         }, default=str))
     elif args.group_by:
+        aggs = None
+        if args.agg:
+            aggs = {}
+            for spec in args.agg:
+                op, _, col = spec.partition(":")
+                if op not in ("sum", "min", "max", "count") or not col:
+                    print(
+                        f"table-agg: bad --agg {spec!r} (want OP:COL)",
+                        file=sys.stderr,
+                    )
+                    return 2
+                aggs.setdefault(col, []).append(op)
+            aggs = {c: tuple(o) for c, o in aggs.items()}
         t = group_agg_table_store(
-            args.store, args.group_by, args.column, ops=tuple(args.ops),
-            bucket=args.bucket,
+            args.store, args.group_by,
+            None if aggs else args.column,
+            ops=tuple(args.ops), bucket=args.bucket, aggs=aggs,
         )
         print(json.dumps({
             "groups": t.num_rows,
@@ -605,6 +619,31 @@ def cmd_table_filter(args) -> int:
     stats: dict = {}
     out = filter_table_store(args.src, args.dst, preds, stats_out=stats)
     print(json.dumps({**out, **stats, "sec": round(time.time() - t0, 3)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_table_restore(args) -> int:
+    """Decode a committed whole-table store back to plain parquet
+    (tablestore.read_table_store → write_parquet), streaming — the
+    exit ramp of the store lifecycle."""
+    ray = _ray()
+    from .pipelines.tablestore import read_table_store
+
+    cols = (
+        [c.strip() for c in args.columns.split(",") if c.strip()]
+        if args.columns
+        else None
+    )
+    t0 = time.time()
+    ds = read_table_store(args.store, columns=cols)
+    ds.write_parquet(args.dest)
+    import ray.data as rd
+
+    n = rd.read_parquet(args.dest).count()
+    print(json.dumps({
+        "rows": n, "out": args.dest, "sec": round(time.time() - t0, 3),
+    }))
     ray.shutdown()
     return 0
 
@@ -901,7 +940,20 @@ def main(argv=None) -> int:
         "--bucket", type=int, default=None,
         help="floor-bucket an int group key (e.g. 86400000000 = day of us-ts)",
     )
+    tag.add_argument(
+        "--agg", action="append", default=None, metavar="OP:COL",
+        help="with --group-by: multi-column aggregate (repeatable)",
+    )
     tag.set_defaults(fn=cmd_table_agg)
+
+    tr = sub.add_parser(
+        "table-restore",
+        help="decode a whole-table store back to plain parquet",
+    )
+    tr.add_argument("store")
+    tr.add_argument("dest")
+    tr.add_argument("--columns", default=None, help="comma-separated subset")
+    tr.set_defaults(fn=cmd_table_restore)
 
     tcp = sub.add_parser(
         "table-compact",
