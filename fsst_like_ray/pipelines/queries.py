@@ -1160,13 +1160,11 @@ def q_columnar_store_approx_distinct(sf_dir: str):
     compress_table(f"{sf_dir}/events.parquet", ev)
     est_u = distinct_count_table_store(ev, "user_id")
     est_t = distinct_count_table_store(ev, "event_type")
-    import duckdb
-
-    con = duckdb.connect()
-    exact_u, exact_t = con.execute(
-        f"SELECT count(DISTINCT user_id), count(DISTINCT event_type) "
-        f"FROM '{sf_dir}/events.parquet'"
-    ).fetchone()
+    src = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    exact_u = len(np.unique(src["user_id"].to_numpy(zero_copy_only=False)))
+    exact_t = pa.compute.count_distinct(src["event_type"]).as_py()
     return pa.table(
         {
             "user_id_close": pa.array(
