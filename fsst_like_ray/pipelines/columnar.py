@@ -1469,6 +1469,7 @@ def column_topk_batch(
     k: int,
     descending: bool = True,
     out_columns=None,
+    mask: np.ndarray | None = None,
 ) -> pa.Table:
     """Per-batch top-k rows by an ENCODED int-logical column: ranking
     values come straight from the cached block int streams (no other
@@ -1493,6 +1494,8 @@ def column_topk_batch(
         _zmin, _zmax, blk = _int_block_reader(r, tc, n_block)
         vals[sel] = _cached_block(env, blk)[rowidx_all[sel]].astype(np.int64)
         ok[sel] = True if valid is None else valid[rowidx_all[sel]]
+    if mask is not None:
+        ok &= mask
     cand = np.flatnonzero(ok)
     if len(cand) > k:
         key = -vals[cand] if descending else vals[cand]

@@ -733,6 +733,39 @@ def q_columnar_store_topk(sf_dir: str):
     return top
 
 
+def q_columnar_store_topk_where(sf_dir: str):
+    """Top-k WHERE on the store: the 20 highest event_ids among 'click'
+    events — fragments process best-zone-first and the scan still stops
+    early, the equality predicate masks rows in the compressed domain
+    (dictionary probe) before ranking, only winners decode
+    (tablestore.topk_table_store(preds=...))."""
+    import tempfile
+
+    from .tablestore import compress_table, topk_table_store
+
+    base = tempfile.mkdtemp(prefix="columnar_store_topk_where_")
+    src = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
+    frag_dir = os.path.join(base, "src")
+    os.makedirs(frag_dir)
+    n = src.num_rows
+    step = max(1, (n + 3) // 4)
+    for i in range(4):
+        part = src.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(frag_dir, f"f{i}.parquet"))
+    store = os.path.join(base, "store")
+    compress_table(frag_dir, store)
+    stats: dict = {}
+    top = topk_table_store(
+        store, "event_id", 20, descending=True,
+        columns=["event_id", "event_type", "user_id"],
+        preds=[("eq", "event_type", "click")], stats_out=stats,
+    )
+    if stats["fragments_skipped"] < 1:
+        raise ValueError(f"top-k-where pruning did not engage: {stats}")
+    return top
+
+
 def q_columnar_store_like_prune(sf_dir: str):
     """Gate: fragment-level trigram pruning for LIKE on the store. The
     documents table splits into four fragments with a marker literal
@@ -7415,6 +7448,7 @@ def build_queries() -> dict:
     q["columnar_store_quantiles"] = q_columnar_store_quantiles
     q["columnar_store_ann"] = q_columnar_store_ann
     q["columnar_store_semijoin_int"] = q_columnar_store_semijoin_int
+    q["columnar_store_topk_where"] = q_columnar_store_topk_where
     q["columnar_store_heavy_hitters"] = q_columnar_store_heavy_hitters
     q["columnar_store_approx_distinct"] = q_columnar_store_approx_distinct
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
@@ -7721,6 +7755,11 @@ def build_oracle_sql() -> dict:
         FROM events
     """
     sql["columnar_store_compact"] = "SELECT * FROM events"
+    sql["columnar_store_topk_where"] = """
+        SELECT event_id, event_type, user_id FROM events
+        WHERE event_type = 'click'
+        ORDER BY event_id DESC LIMIT 20
+    """
     sql["columnar_store_semijoin_int"] = """
         SELECT event_id, event_type, user_id FROM events
         WHERE user_id IN (

@@ -729,6 +729,8 @@ def topk_table_store(
     k: int,
     descending: bool = True,
     columns=None,
+    preds=None,
+    engine: str = "auto",
     stats_out: dict | None = None,
 ) -> pa.Table:
     """Top-k rows by an encoded int-logical column with FRAGMENT-level
@@ -743,8 +745,18 @@ def topk_table_store(
     per batch decode (columnar.column_topk_batch); the per-batch ≤k-row
     partials STREAM through the driver's running best-k fold, so driver
     state is O(k + one batch), never rows. Returns a pa.Table of the k
-    winners with the store's decoded Arrow schema."""
-    from .columnar import _encoded_field_names, column_topk_batch
+    winners with the store's decoded Arrow schema.
+
+    ``preds`` (predicate op tuples) turn this into top-k WHERE: whole
+    fragments additionally prune on zones/blooms, survivors mask per
+    batch in the compressed domain before ranking — the zone-ordered
+    early stop stays sound because a fragment's zone bound upper-bounds
+    any row subset."""
+    from .columnar import (
+        _encoded_field_names,
+        column_topk_batch,
+        predicate_mask,
+    )
     from .compress import read_parquet_blocks
 
     manifest = Manifest(out_dir)
@@ -754,6 +766,10 @@ def topk_table_store(
             f"topk_table_store: no committed fragments under {out_dir!r}"
         )
     data_dir = os.path.join(out_dir, "data")
+    pred_cols: set = set()
+    pred_checks: list = []
+    if preds:
+        pred_cols, pred_checks = _predicate_checks(preds)
 
     def bound(rec):
         z = (rec.get("zones") or {}).get(column)
@@ -773,6 +789,9 @@ def topk_table_store(
     scanned = skipped = 0
     stopped = False
     for i, rec in enumerate(recs):
+        if pred_checks and not all(c(rec) for c in pred_checks):
+            skipped += 1
+            continue
         b = bound(rec)
         if stopped or (
             b is not None
@@ -793,7 +812,7 @@ def topk_table_store(
         if columns is not None:
             kw["columns"] = _encoded_field_names(
                 list(pq.read_schema(parts[0]).names),
-                sorted(set(columns) | {column}),
+                sorted(set(columns) | {column} | pred_cols),
             )
         order = [(column, "descending" if descending else "ascending")]
         # each partial batch holds ≤k rows WITH the decoded Arrow schema;
@@ -803,7 +822,9 @@ def topk_table_store(
             read_parquet_blocks(parts, **kw)
             .map_batches(
                 lambda bt: column_topk_batch(
-                    bt, column, k, descending=descending, out_columns=columns
+                    bt, column, k, descending=descending,
+                    out_columns=columns,
+                    mask=predicate_mask(bt, preds, engine) if preds else None,
                 ),
                 batch_format="pyarrow",
             )
@@ -819,6 +840,16 @@ def topk_table_store(
         stats_out["fragments_scanned"] = scanned
         stats_out["fragments_skipped"] = skipped
     if best is None:
+        if preds:
+            # a predicate may legitimately match nothing: empty result
+            # with the decoded schema, not an error
+            any_parts = _fragment_parts(data_dir, recs[0]["frag_key"])
+            from .columnar import decode_columns_batch
+
+            dec = decode_columns_batch(
+                pq.ParquetFile(any_parts[0]).schema_arrow.empty_table()
+            )
+            return dec if columns is None else dec.select(list(columns))
         raise ValueError(f"topk_table_store: column {column!r} has no rows")
     # ties at the k-th value are broken arbitrarily — rank on a unique
     # column when deterministic row identity matters

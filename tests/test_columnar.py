@@ -2444,3 +2444,54 @@ def test_int_in_scan(ray_session, tmp_path):
         store, "g", "uid", preds=[("in", "uid", [1, 2, 3])]
     )
     assert g["n_rows"].to_pylist() == [3] and g["vsum"].to_pylist() == [6]
+
+
+def test_topk_with_predicate(ray_session, tmp_path):
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        topk_table_store,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "g": pa.array(rng.choice(["a", "b", "c"], n)),
+            "s": pa.array(["m%d" % i for i in range(n)]),
+        }
+    )
+    frag = tmp_path / "src"
+    frag.mkdir()
+    step = (n + 3) // 4
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step), frag / f"f{i}.parquet")
+    store = str(tmp_path / "store")
+    compress_table(str(frag), store)
+
+    # top-10 ids WHERE g == 'a': matches a brute-force reference
+    stats: dict = {}
+    got = topk_table_store(
+        store, "id", 10, columns=["id", "g"],
+        preds=[("eq", "g", "a")], stats_out=stats,
+    )
+    exp = [i for i in range(n - 1, -1, -1) if t["g"][i].as_py() == "a"][:10]
+    assert got["id"].to_pylist() == exp
+    assert set(got["g"].to_pylist()) == {"a"}
+    # zone-ordered early stop still engages under the predicate
+    assert stats["fragments_skipped"] >= 1
+
+    # range predicate prunes fragments before ranking
+    stats = {}
+    got2 = topk_table_store(
+        store, "id", 5, columns=["id"],
+        preds=[("range", "id", 0, step - 1)], stats_out=stats,
+    )
+    assert got2["id"].to_pylist() == list(range(step - 1, step - 6, -1))
+    assert stats["fragments_skipped"] == 3
+
+    # a predicate matching nothing returns an empty decoded table
+    empty = topk_table_store(
+        store, "id", 5, columns=["id"], preds=[("eq", "g", "zzz")]
+    )
+    assert empty.num_rows == 0 and empty.column_names == ["id"]
