@@ -733,6 +733,44 @@ def q_columnar_store_topk(sf_dir: str):
     return top
 
 
+def q_columnar_store_count_where(sf_dir: str):
+    """COUNT(*) under a compound predicate, no row decode: events in the
+    first quarter of the id span AND of type 'click' — disjoint
+    fragments prune on zones (asserted), survivors count predicate-mask
+    bits per batch (tablestore.count_where_table_store)."""
+    import tempfile
+
+    from .tablestore import compress_table, count_where_table_store
+
+    base = tempfile.mkdtemp(prefix="columnar_store_count_where_")
+    src = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
+    frag_dir = os.path.join(base, "src")
+    os.makedirs(frag_dir)
+    n = src.num_rows
+    step = max(1, (n + 3) // 4)
+    for i in range(4):
+        part = src.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(frag_dir, f"f{i}.parquet"))
+    store = os.path.join(base, "store")
+    compress_table(frag_dir, store)
+    ids = src["event_id"]
+    mn = pa.compute.min(ids).as_py()
+    mx = pa.compute.max(ids).as_py()
+    stats: dict = {}
+    total = count_where_table_store(
+        store,
+        [
+            ("range", "event_id", mn, mn + (mx - mn) // 4),
+            ("eq", "event_type", "click"),
+        ],
+        stats_out=stats,
+    )
+    if stats["fragments_skipped"] < 2:
+        raise ValueError(f"count-where pruning did not engage: {stats}")
+    return pa.table({"n": pa.array([total], type=pa.int64())})
+
+
 def q_columnar_store_topk_where(sf_dir: str):
     """Top-k WHERE on the store: the 20 highest event_ids among 'click'
     events — fragments process best-zone-first and the scan still stops
@@ -7449,6 +7487,7 @@ def build_queries() -> dict:
     q["columnar_store_ann"] = q_columnar_store_ann
     q["columnar_store_semijoin_int"] = q_columnar_store_semijoin_int
     q["columnar_store_topk_where"] = q_columnar_store_topk_where
+    q["columnar_store_count_where"] = q_columnar_store_count_where
     q["columnar_store_heavy_hitters"] = q_columnar_store_heavy_hitters
     q["columnar_store_approx_distinct"] = q_columnar_store_approx_distinct
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
@@ -7755,6 +7794,13 @@ def build_oracle_sql() -> dict:
         FROM events
     """
     sql["columnar_store_compact"] = "SELECT * FROM events"
+    sql["columnar_store_count_where"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n FROM events
+        WHERE event_id BETWEEN (SELECT min(event_id) FROM events)
+          AND (SELECT min(event_id)
+                 + (max(event_id) - min(event_id)) // 4 FROM events)
+          AND event_type = 'click'
+    """
     sql["columnar_store_topk_where"] = """
         SELECT event_id, event_type, user_id FROM events
         WHERE event_type = 'click'

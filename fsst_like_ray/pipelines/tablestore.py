@@ -723,6 +723,44 @@ def predicate_scan_table_store(
     )
 
 
+def count_where_table_store(
+    out_dir: str,
+    preds,
+    engine: str = "auto",
+    stats_out: dict | None = None,
+) -> int:
+    """COUNT(*) under a compound predicate: fragments prune on
+    zones/blooms first, survivors count predicate-mask bits per batch —
+    no row ever decodes (the compound sibling of count_table_store's
+    range counting; one tiny count row per batch reaches the driver)."""
+    from .columnar import predicate_mask
+
+    scan_cols, checks = _predicate_checks(preds)
+    paths, any_parts = _pruned_parts(
+        out_dir,
+        "count_where_table_store",
+        lambda rec: all(c(rec) for c in checks),
+        stats_out,
+    )
+    if not paths:
+        return 0
+    ds = _scan_pruned(
+        paths,
+        any_parts,
+        None,
+        scan_cols,
+        lambda b: pa.table(
+            {
+                "n": pa.array(
+                    [int(predicate_mask(b, preds, engine).sum())],
+                    type=pa.int64(),
+                )
+            }
+        ),
+    )
+    return sum(int(r["n"]) for r in ds.take_all())
+
+
 def topk_table_store(
     out_dir: str,
     column: str,
