@@ -1507,6 +1507,47 @@ def column_topk_batch(
     return dec
 
 
+def group_topk_batch(
+    batch: pa.Table,
+    group_col: str,
+    rank_col: str,
+    k: int,
+    descending: bool = True,
+    out_columns=None,
+    mask: np.ndarray | None = None,
+) -> pa.Table:
+    """Per-batch top-k rows PER GROUP: group codes from the dictionary
+    path (_group_head), ranking values from the cached int streams; one
+    lexsort picks ≤k candidates per group and only those rows decode.
+    Null group keys and null ranks never rank. Partials are ≤ k ×
+    groups-per-batch rows; the store fold re-ranks them per group."""
+    codes, _keys, _ik, _it = _group_head(batch, group_col, mask, None)
+    vals, ok = _int_values(batch, rank_col)
+    live = ok & (codes >= 0)
+    idx = np.flatnonzero(live)
+    if len(idx):
+        key_v = vals[idx]
+        order = np.lexsort(
+            (-key_v if descending else key_v, codes[idx])
+        )
+        sc = codes[idx][order]
+        run_start = np.r_[0, 1 + np.flatnonzero(sc[1:] != sc[:-1])]
+        rank = np.arange(len(sc)) - np.repeat(
+            run_start, np.diff(np.r_[run_start, len(sc)])
+        )
+        winners = idx[order[rank < k]]
+    else:
+        winners = idx
+    keep_mask = np.zeros(batch.num_rows, dtype=bool)
+    keep_mask[winners] = True
+    keep = (
+        None
+        if out_columns is None
+        else sorted(set(out_columns) | {group_col, rank_col})
+    )
+    return _decode_survivors(batch, keep_mask, keep)
+
+
 def agg_scan_batch(
     batch: pa.Table, column: str, ops=("min", "max", "sum", "count")
 ) -> pa.Table:

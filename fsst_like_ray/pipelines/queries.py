@@ -733,6 +733,24 @@ def q_columnar_store_topk(sf_dir: str):
     return top
 
 
+def q_columnar_store_group_topk(sf_dir: str):
+    """Top-N-per-key over the store: the 3 highest event_ids per
+    event_type — group keys from block dictionaries, ranks from cached
+    int streams, only ≤k-per-group candidates decode per batch, the
+    driver re-ranks a cardinality-bounded candidate set
+    (tablestore.group_topk_table_store)."""
+    import tempfile
+
+    from .tablestore import compress_table, group_topk_table_store
+
+    out = tempfile.mkdtemp(prefix="columnar_store_group_topk_")
+    compress_table(f"{sf_dir}/events.parquet", out)
+    return group_topk_table_store(
+        out, "event_type", "event_id", 3,
+        columns=["event_type", "event_id", "user_id"],
+    )
+
+
 def q_columnar_store_count_where(sf_dir: str):
     """COUNT(*) under a compound predicate, no row decode: events in the
     first quarter of the id span AND of type 'click' — disjoint
@@ -7488,6 +7506,7 @@ def build_queries() -> dict:
     q["columnar_store_semijoin_int"] = q_columnar_store_semijoin_int
     q["columnar_store_topk_where"] = q_columnar_store_topk_where
     q["columnar_store_count_where"] = q_columnar_store_count_where
+    q["columnar_store_group_topk"] = q_columnar_store_group_topk
     q["columnar_store_heavy_hitters"] = q_columnar_store_heavy_hitters
     q["columnar_store_approx_distinct"] = q_columnar_store_approx_distinct
     q["columnar_spec_roundtrip"] = q_columnar_spec_roundtrip
@@ -7794,6 +7813,15 @@ def build_oracle_sql() -> dict:
         FROM events
     """
     sql["columnar_store_compact"] = "SELECT * FROM events"
+    sql["columnar_store_group_topk"] = """
+        SELECT event_type, event_id, user_id FROM (
+          SELECT event_type, event_id, user_id,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY event_id DESC
+                 ) AS rn
+          FROM events
+        ) WHERE rn <= 3
+    """
     sql["columnar_store_count_where"] = """
         SELECT CAST(count(*) AS BIGINT) AS n FROM events
         WHERE event_id BETWEEN (SELECT min(event_id) FROM events)

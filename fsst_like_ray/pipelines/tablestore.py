@@ -723,6 +723,88 @@ def predicate_scan_table_store(
     )
 
 
+def group_topk_table_store(
+    out_dir: str,
+    group_col: str,
+    rank_col: str,
+    k: int,
+    descending: bool = True,
+    columns=None,
+    preds=None,
+    engine: str = "auto",
+    stats_out: dict | None = None,
+) -> pa.Table:
+    """Top-k rows PER GROUP over the committed store (top-N-per-key):
+    each batch decodes only its ≤k-per-group candidates (group keys from
+    block dictionaries, ranks from cached int streams —
+    columnar.group_topk_batch), the driver folds candidates bounded by
+    k × cardinality × batches and re-ranks per group. Predicates
+    compose (fragment zone/bloom pruning + in-batch masks). Ties at the
+    k-th rank break arbitrarily — rank on a unique column when
+    deterministic identity matters. Output sorts by (group, rank)."""
+    from .columnar import (
+        _encoded_field_names,
+        group_topk_batch,
+        predicate_mask,
+    )
+    from .compress import read_parquet_blocks
+
+    need = {group_col, rank_col} | set(columns or ())
+    if preds:
+        scan_cols, checks = _predicate_checks(preds)
+        need |= scan_cols
+        keep = lambda rec: all(c(rec) for c in checks)  # noqa: E731
+    else:
+        keep = lambda rec: True  # noqa: E731
+    paths, any_parts = _pruned_parts(
+        out_dir, "group_topk_table_store", keep, stats_out
+    )
+    out_cols = (
+        None if columns is None else sorted(set(columns) | {group_col, rank_col})
+    )
+    if not paths:
+        from .columnar import decode_columns_batch
+
+        dec = decode_columns_batch(
+            pq.ParquetFile(any_parts[0]).schema_arrow.empty_table()
+        )
+        return dec if out_cols is None else dec.select(out_cols)
+    cols = _encoded_field_names(
+        list(pq.read_schema(paths[0]).names), sorted(need)
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        m = predicate_mask(b, preds, engine) if preds else None
+        return group_topk_batch(
+            b, group_col, rank_col, k, descending, columns, mask=m
+        )
+
+    cands = []
+    for t in (
+        read_parquet_blocks(paths, columns=cols)
+        .map_batches(part, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        if t.num_rows:
+            cands.append(t)
+    if not cands:
+        from .columnar import decode_columns_batch
+
+        dec = decode_columns_batch(
+            pq.ParquetFile(any_parts[0]).schema_arrow.empty_table()
+        )
+        return dec if out_cols is None else dec.select(out_cols)
+    df = pa.concat_tables(cands).to_pandas()
+    df = df.sort_values(
+        [group_col, rank_col],
+        ascending=[True, not descending],
+        kind="mergesort",
+    )
+    top = df.groupby(group_col, sort=True).head(k).reset_index(drop=True)
+    out = pa.Table.from_pandas(top, preserve_index=False)
+    return out if out_cols is None else out.select(out_cols)
+
+
 def count_where_table_store(
     out_dir: str,
     preds,

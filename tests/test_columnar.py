@@ -2495,3 +2495,59 @@ def test_topk_with_predicate(ray_session, tmp_path):
         store, "id", 5, columns=["id"], preds=[("eq", "g", "zzz")]
     )
     assert empty.num_rows == 0 and empty.column_names == ["id"]
+
+
+def test_group_topk_table_store(ray_session, tmp_path):
+    import pandas as pd
+
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        group_topk_table_store,
+    )
+
+    rng = np.random.default_rng(24)
+    n = 4000
+    grp = rng.choice(["a", "b", "c", "d"], n).tolist()
+    rank = rng.permutation(n).astype(np.int64)  # unique → deterministic
+    t = pa.table(
+        {
+            "g": pa.array(grp),
+            "r": pa.array(rank),
+            "payload": pa.array(["p%d" % i for i in range(n)]),
+        }
+    )
+    pq.write_table(t, tmp_path / "t.parquet")
+    store = str(tmp_path / "store")
+    compress_table(str(tmp_path / "t.parquet"), store)
+
+    got = group_topk_table_store(store, "g", "r", 5, columns=["g", "r", "payload"])
+    df = pd.DataFrame({"g": grp, "r": rank, "payload": ["p%d" % i for i in range(n)]})
+    exp = (
+        df.sort_values(["g", "r"], ascending=[True, False], kind="mergesort")
+        .groupby("g", sort=True)
+        .head(5)
+        .reset_index(drop=True)
+    )
+    assert got["g"].to_pylist() == exp["g"].tolist()
+    assert got["r"].to_pylist() == exp["r"].tolist()
+    assert got["payload"].to_pylist() == exp["payload"].tolist()
+
+    # ascending + predicate compose
+    got2 = group_topk_table_store(
+        store, "g", "r", 3, descending=False, columns=["g", "r"],
+        preds=[("range", "r", 100, n - 1)],
+    )
+    exp2 = (
+        df[df["r"] >= 100]
+        .sort_values(["g", "r"], ascending=[True, True], kind="mergesort")
+        .groupby("g", sort=True)
+        .head(3)
+        .reset_index(drop=True)
+    )
+    assert got2["r"].to_pylist() == exp2["r"].tolist()
+    # nothing matches → empty with schema
+    empty = group_topk_table_store(
+        store, "g", "r", 3, columns=["g", "r"],
+        preds=[("range", "r", n * 10, n * 20)],
+    )
+    assert empty.num_rows == 0 and empty.column_names == ["g", "r"]
