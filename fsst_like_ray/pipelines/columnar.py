@@ -58,7 +58,76 @@ from ..stages.text import string_buffers
 # v2: numeric families carry a (vmin, vmax) zone map. No v1 read shim on
 # purpose: v1 existed for one session with no persisted artifacts beyond
 # /tmp scratch; decode hard-rejects the version byte rather than guessing.
-ENV_VERSION = 2
+ENV_VERSION = 3
+
+# float64 stream transforms (envelope tag, T_FLOAT64 only). F64_BITS stores
+# the raw IEEE bit view (the only exact option for arbitrary doubles);
+# F64_ALP is the ALP-style decimal transform (Afroozeh & Boncz, SIGMOD'23,
+# public): when the block's doubles are decimal-rounded (prices, scores,
+# rounded measurements — events.value here), round(v*10^e) is a SMALL
+# integer whose division by 10^e reproduces the original bits exactly for
+# almost every row; rows where it does not (and NaN/inf) ride a patched
+# exception sidecar (position + raw bits), so the transform is bit-exact
+# for ANY input. The int stream then compresses ~4x better than the
+# near-random mantissa bits (17-bit bitpack vs 8-byte raw on the fixture).
+F64_BITS, F64_ALP = 0, 1
+_ALP_MAX_E = 14  # 10^14 < 2^51: round-trip stays exact in float64
+_ALP_EXC_FRAC = 0.05  # accept a decimal exponent only below this rate
+
+
+def _alp_try(f: np.ndarray, e: int) -> tuple[np.ndarray, np.ndarray]:
+    """(scaled-int candidates as float64, exception mask) for one decimal
+    exponent. Non-finite and |scaled| > 2^51 rows are exceptions (the
+    int→float division is only exact below 2^52)."""
+    s = 10.0**e
+    d = np.round(f * s)
+    okf = np.isfinite(d) & (np.abs(d) <= 2.0**51)
+    di = np.where(okf, d, 0.0)
+    exc = (di / s).view(np.int64) != f.view(np.int64)
+    return di, exc
+
+
+def _alp_split(f: np.ndarray, pinned_e: int | None = None):
+    """ALP-decompose a contiguous float64 block: → (e, int64 stream,
+    exception positions uint32, exception raw bits int64), or None when
+    the block is not decimal-like (caller stores raw bits). ``pinned_e``
+    (spec mode) skips the exponent probe; a hostile block under a pinned
+    exponent still bails to bits above 25% exceptions — the per-block
+    transform tag keeps every block self-describing."""
+    n = len(f)
+    if n == 0:
+        return None
+    if pinned_e is None:
+        probe = (
+            f
+            if n <= 3072
+            else np.ascontiguousarray(f[:: max(1, n // 2048)][:3072])
+        )
+        e = next(
+            (
+                ee
+                for ee in range(_ALP_MAX_E + 1)
+                if _alp_try(probe, ee)[1].mean() <= _ALP_EXC_FRAC
+            ),
+            None,
+        )
+        if e is None:
+            return None
+    else:
+        e = pinned_e
+    di, exc = _alp_try(f, e)
+    frac = float(exc.mean())
+    if frac > (0.25 if pinned_e is not None else _ALP_EXC_FRAC):
+        return None
+    ints = di.astype(np.int64)
+    if exc.any():
+        ints[exc] = 0
+        pos = np.flatnonzero(exc).astype(np.uint32)
+        excbits = np.ascontiguousarray(f.view(np.int64)[exc])
+    else:
+        pos = np.zeros(0, dtype=np.uint32)
+        excbits = np.zeros(0, dtype=np.int64)
+    return e, ints, pos, excbits
 
 # type codes (envelope byte 1)
 T_INT32, T_INT64, T_FLOAT32, T_FLOAT64, T_BOOL, T_DATE32, T_TS = range(7)
@@ -418,8 +487,28 @@ def _encode_column(
         if a.null_count:
             a = pc.fill_null(a, 0)
         v = a.to_numpy(zero_copy_only=False)
+        pre = b""
         if tc == T_FLOAT64:
-            v = np.ascontiguousarray(v, dtype=np.float64).view(np.int64)
+            f = np.ascontiguousarray(v, dtype=np.float64)
+            spec_f64 = col_spec.get("f64") if col_spec else None
+            alp = (
+                None
+                if spec_f64 == "bits"
+                else _alp_split(
+                    f,
+                    col_spec.get("alp_e") if spec_f64 == "alp" else None,
+                )
+            )
+            if alp is not None:
+                e_dec, v, pos, excbits = alp
+                pre = (
+                    bytes([F64_ALP, e_dec])
+                    + _pb32(pos.tobytes())
+                    + _pb32(excbits.tobytes())
+                )
+            else:
+                v = f.view(np.int64)
+                pre = bytes([F64_BITS])
         else:
             v = np.ascontiguousarray(v, dtype=np.int64)
         base = int(v.min()) if n else 0
@@ -436,6 +525,7 @@ def _encode_column(
         )
         env = (
             _head(tc, unit, tz, n, valid, plain)
+            + pre
             + struct.pack("<qq", base, vmax)
             + _pack_codec(lname, lstate)
             + _pb64(lpay)
@@ -542,11 +632,23 @@ def _read_choices(r: _Reader, tc: int) -> tuple[str, dict]:
         name, _ = r.codec()
         return name, {"codec": name}
     if tc in _I64_FAMILY:
+        d: dict = {}
+        if tc == T_FLOAT64:
+            if r.u8() == F64_ALP:
+                d["f64"], d["alp_e"] = "alp", r.u8()
+                r.b32()  # exception positions
+                r.b32()  # exception bits
+            else:
+                d["f64"] = "bits"
         r.take(16)  # base/vmin + vmax
         a, _ = r.codec()
         r.b64()
         b, _ = r.codec()
-        return f"{a}+{b}", {"lo": a, "hi": b}
+        d.update({"lo": a, "hi": b})
+        label = f"{a}+{b}"
+        if d.get("f64") == "alp":
+            label = f"alp{d['alp_e']}({label})"
+        return label, d
     scheme = r.u8()
     label = {S_PLAINB: "plainb", S_FSSTB: "fsstb", S_STRDICT: "strdict"}[scheme]
     d: dict = {"scheme": scheme}
@@ -718,6 +820,20 @@ def _int_block_reader(r: _Reader, tc: int, n_block: int):
             return _decode_stream(name, state, payload, n_block)
 
         return zmin, zmax, blk
+    post = None
+    if tc == T_FLOAT64 and r.u8() == F64_ALP:
+        e_dec = r.u8()
+        pos = np.frombuffer(r.b32(), dtype=np.uint32)
+        excbits = np.frombuffer(r.b32(), dtype=np.int64)
+        s = 10.0**e_dec
+
+        def post(ints, pos=pos, excbits=excbits, s=s):
+            # same operands, same IEEE division as encode → identical bits
+            bits = (ints.astype(np.float64) / s).view(np.int64)
+            if len(pos):
+                bits[pos] = excbits
+            return bits
+
     zmin = r.i64()
     zmax = struct.unpack("<q", r.take(8))[0]
     lname, lstate = r.codec()
@@ -729,7 +845,8 @@ def _int_block_reader(r: _Reader, tc: int, n_block: int):
         lo = _decode_stream(lname, lstate, lpay, n_block).view(np.uint32)
         hi = _decode_stream(hname, hstate, hpay, n_block).view(np.uint32)
         u = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
-        return (u + np.uint64(zmin & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
+        out = (u + np.uint64(zmin & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
+        return out if post is None else post(out)
 
     return zmin, zmax, blk
 

@@ -2551,3 +2551,62 @@ def test_group_topk_table_store(ray_session, tmp_path):
         preds=[("range", "r", n * 10, n * 20)],
     )
     assert empty.num_rows == 0 and empty.column_names == ["g", "r"]
+
+
+def test_alp_decimal_floats():
+    """ALP transform (columnar.F64_ALP): decimal-rounded doubles encode as
+    small scaled ints (~4x smaller than raw bit views) and decode
+    bit-exactly; exceptions (non-decimal rows, NaN/inf) are patched; truly
+    random doubles fall back to the bits path with no ratio regression."""
+    from fsst_like_ray.pipelines.columnar import (
+        _read_choices,
+        _parse_head,
+        _Reader,
+        train_columnar_spec,
+    )
+
+    rng = np.random.default_rng(7)
+    dec2 = np.round(rng.uniform(0, 500, 8192), 2)
+    mixed = np.where(
+        rng.random(8192) < 0.03,
+        rng.standard_normal(8192),
+        np.round(rng.uniform(0, 100, 8192), 2),
+    )
+    rnd = rng.standard_normal(8192)
+
+    def enc_stats(v):
+        t = pa.table({"v": pa.array(v, type=pa.float64())})
+        enc = encode_columns_batch(t)
+        got = decode_columns_batch(enc)
+        assert got["v"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).view(np.int64).tolist() == v.view(np.int64).tolist()
+        st = columnar_stats_batch(enc)
+        env = bytes(enc["v__blk"].combine_chunks().dictionary[0].as_py())
+        r = _Reader(env)
+        tc, _u, _tz, _n, _valid, _plain = _parse_head(r)
+        label, spec = _read_choices(r, tc)
+        return st["encoded_nbytes"][0].as_py(), label, spec
+
+    enc_dec2, label2, spec2 = enc_stats(dec2)
+    assert spec2["f64"] == "alp" and spec2["alp_e"] == 2, (label2, spec2)
+    assert enc_dec2 < 8192 * 8 / 3  # >3x vs the raw 8-byte bit view
+
+    enc_mixed, _, specm = enc_stats(mixed)
+    assert specm["f64"] == "alp"  # 3% exceptions ride the sidecar
+    assert enc_mixed < 8192 * 8 / 3
+
+    _enc_rnd, _, specr = enc_stats(rnd)
+    assert specr["f64"] == "bits"  # non-decimal: honest fallback
+
+    # spec mode pins the transform; a hostile block under a pinned alp
+    # spec bails to bits per-block and stays exact
+    spec = train_columnar_spec(
+        pa.table({"v": pa.array(dec2[:2048], type=pa.float64())})
+    )
+    assert spec["v"]["f64"] == "alp"
+    hostile = pa.table({"v": pa.array(rnd, type=pa.float64())})
+    got = decode_columns_batch(encode_columns_batch(hostile, spec=spec))
+    assert got["v"].combine_chunks().to_numpy(zero_copy_only=False).view(
+        np.int64
+    ).tolist() == rnd.view(np.int64).tolist()
