@@ -74,6 +74,39 @@ F64_BITS, F64_ALP = 0, 1
 _ALP_MAX_E = 14  # 10^14 < 2^51: round-trip stays exact in float64
 _ALP_EXC_FRAC = 0.05  # accept a decimal exponent only below this rate
 
+# int64/timestamp stream transforms (envelope tag). I64_RAW: wrap-around
+# base-shift of the values themselves (exact for any range). I64_DELTA:
+# zigzag(v[i]-v[i-1]) mod 2^64 with the first value in the envelope —
+# chosen when the delta span needs fewer bits than the value span, which
+# is the normal case for event-log timestamps at scale: a fragment's
+# microsecond span exceeds 32 bits after ~71 minutes of data (defeating
+# the lo/hi split: the low word goes incompressible), while inter-event
+# gaps stay small. All arithmetic is mod-2^64, so the inverse cumsum is
+# exact for ANY int64 input, sorted or not; the zone map keeps LOGICAL
+# min/max (stored beside the first value) so range pruning is unaffected.
+I64_RAW, I64_DELTA = 0, 2
+
+
+def _delta64_fwd(v: np.ndarray) -> tuple[np.ndarray, int]:
+    """int64 values → (zigzag-delta stream as int64, first value).
+    Stream slot 0 is 0 (the first value rides the envelope)."""
+    u = v.view(np.uint64)
+    du = np.empty_like(u)
+    du[0] = 0
+    np.subtract(u[1:], u[:-1], out=du[1:])
+    ds = du.view(np.int64)
+    zz = ((ds << 1) ^ (ds >> 63)).view(np.uint64)
+    return zz.view(np.int64), int(v[0])
+
+
+def _delta64_inv(w: np.ndarray, first: int) -> np.ndarray:
+    """Exact inverse of _delta64_fwd (mod-2^64 cumulative sum)."""
+    zz = w.view(np.uint64)
+    du = (zz >> np.uint64(1)) ^ (np.uint64(0) - (zz & np.uint64(1)))
+    u = np.cumsum(du, dtype=np.uint64)
+    u += np.uint64(first & 0xFFFFFFFFFFFFFFFF)
+    return u.view(np.int64)
+
 
 def _alp_try(f: np.ndarray, e: int) -> tuple[np.ndarray, np.ndarray]:
     """(scaled-int candidates as float64, exception mask) for one decimal
@@ -511,6 +544,30 @@ def _encode_column(
                 pre = bytes([F64_BITS])
         else:
             v = np.ascontiguousarray(v, dtype=np.int64)
+            spec_i64 = col_spec.get("i64") if col_spec else None
+            delta = None
+            if n >= 8 and spec_i64 != "raw":
+                cand = _delta64_fwd(v)
+                if spec_i64 == "delta":
+                    delta = cand
+                else:
+                    # width proxy: delta wins only when the zigzag-delta
+                    # span fits UNDER the 32-bit lo word and shrinks it —
+                    # if deltas still need ≥32 bits, both candidates
+                    # carry a random low word and raw's sorted hi word
+                    # compresses at least as well as delta's
+                    span_raw = (int(v.max()) - int(v.min())) & (2**64 - 1)
+                    span_zz = int(cand[0].view(np.uint64).max())
+                    zb, rb = span_zz.bit_length(), span_raw.bit_length()
+                    if zb < 32 and zb + 1 < min(rb, 32):
+                        delta = cand
+            if delta is not None:
+                pre = bytes([I64_DELTA]) + struct.pack(
+                    "<qqq", delta[1], int(v.min()), int(v.max())
+                )
+                v = delta[0]
+            else:
+                pre = bytes([I64_RAW])
         base = int(v.min()) if n else 0
         vmax = int(v.max()) if n else 0  # zone map: base IS vmin
         # wrap-around shift in uint64: exact for ANY int64 range
@@ -640,6 +697,11 @@ def _read_choices(r: _Reader, tc: int) -> tuple[str, dict]:
                 r.b32()  # exception bits
             else:
                 d["f64"] = "bits"
+        elif r.u8() == I64_DELTA:
+            d["i64"] = "delta"
+            r.take(24)  # first value + logical zone
+        else:
+            d["i64"] = "raw"
         r.take(16)  # base/vmin + vmax
         a, _ = r.codec()
         r.b64()
@@ -648,6 +710,8 @@ def _read_choices(r: _Reader, tc: int) -> tuple[str, dict]:
         label = f"{a}+{b}"
         if d.get("f64") == "alp":
             label = f"alp{d['alp_e']}({label})"
+        elif d.get("i64") == "delta":
+            label = f"d64({label})"
         return label, d
     scheme = r.u8()
     label = {S_PLAINB: "plainb", S_FSSTB: "fsstb", S_STRDICT: "strdict"}[scheme]
@@ -821,21 +885,34 @@ def _int_block_reader(r: _Reader, tc: int, n_block: int):
 
         return zmin, zmax, blk
     post = None
-    if tc == T_FLOAT64 and r.u8() == F64_ALP:
-        e_dec = r.u8()
-        pos = np.frombuffer(r.b32(), dtype=np.uint32)
-        excbits = np.frombuffer(r.b32(), dtype=np.int64)
-        s = 10.0**e_dec
+    zone = None
+    if tc == T_FLOAT64:
+        if r.u8() == F64_ALP:
+            e_dec = r.u8()
+            pos = np.frombuffer(r.b32(), dtype=np.uint32)
+            excbits = np.frombuffer(r.b32(), dtype=np.int64)
+            s = 10.0**e_dec
 
-        def post(ints, pos=pos, excbits=excbits, s=s):
-            # same operands, same IEEE division as encode → identical bits
-            bits = (ints.astype(np.float64) / s).view(np.int64)
-            if len(pos):
-                bits[pos] = excbits
-            return bits
+            def post(ints, pos=pos, excbits=excbits, s=s):
+                # same operands, same IEEE division as encode →
+                # identical bits
+                bits = (ints.astype(np.float64) / s).view(np.int64)
+                if len(pos):
+                    bits[pos] = excbits
+                return bits
 
-    zmin = r.i64()
+    elif r.u8() == I64_DELTA:
+        first, zlo, zhi = struct.unpack("<qqq", r.take(24))
+        zone = (zlo, zhi)  # logical zone map (stream min/max is deltas)
+
+        def post(w, first=first):
+            return _delta64_inv(w, first)
+
+    sbase = r.i64()  # stream base: values for RAW, zigzag deltas for DELTA
     zmax = struct.unpack("<q", r.take(8))[0]
+    zmin = sbase
+    if zone is not None:
+        zmin, zmax = zone
     lname, lstate = r.codec()
     lpay = r.b64()
     hname, hstate = r.codec()
@@ -845,7 +922,7 @@ def _int_block_reader(r: _Reader, tc: int, n_block: int):
         lo = _decode_stream(lname, lstate, lpay, n_block).view(np.uint32)
         hi = _decode_stream(hname, hstate, hpay, n_block).view(np.uint32)
         u = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
-        out = (u + np.uint64(zmin & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
+        out = (u + np.uint64(sbase & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
         return out if post is None else post(out)
 
     return zmin, zmax, blk

@@ -2610,3 +2610,67 @@ def test_alp_decimal_floats():
     assert got["v"].combine_chunks().to_numpy(zero_copy_only=False).view(
         np.int64
     ).tolist() == rnd.view(np.int64).tolist()
+
+
+def test_delta64_int_streams():
+    """delta64 transform (columnar.I64_DELTA): sorted int64/timestamp
+    streams whose deltas fit under the 32-bit lo word encode as zigzag
+    deltas (dense event-log timestamps ~4x smaller; constant-stride ids
+    ~500x); unsorted / wide-delta streams keep the raw base-shift; the
+    zone map stays LOGICAL min/max so range pruning is unaffected."""
+    from fsst_like_ray.pipelines.columnar import (
+        _parse_head,
+        _read_choices,
+        _Reader,
+        range_scan_batch,
+        train_columnar_spec,
+    )
+
+    rng = np.random.default_rng(3)
+    dense = (
+        np.cumsum(rng.integers(100, 5000, 8192)).astype(np.int64)
+        + 1_700_000_000_000_000
+    )
+    ramp = np.arange(8192, dtype=np.int64) * 1_000_003 + 10**15
+    unsorted = rng.integers(-(2**62), 2**62, 8192, dtype=np.int64)
+    extremes = np.array([-(2**63), 2**63 - 1, 0, -1, 5] * 2000, np.int64)
+
+    def enc_spec(v):
+        t = pa.table({"x": pa.array(v, type=pa.int64())})
+        enc = encode_columns_batch(t)
+        got = decode_columns_batch(enc)
+        assert got["x"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).tolist() == v.tolist()
+        st = columnar_stats_batch(enc)
+        env = bytes(enc["x__blk"].combine_chunks().dictionary[0].as_py())
+        r = _Reader(env)
+        tc, _u, _tz, _n, _valid, _plain = _parse_head(r)
+        _label, spec = _read_choices(r, tc)
+        return st["encoded_nbytes"][0].as_py(), spec, enc, t
+
+    nb, spec, enc, t = enc_spec(dense)
+    assert spec["i64"] == "delta" and nb < 8192 * 8 / 4
+    # zone map is logical under delta: range scan matches Arrow filter
+    lo, hi = int(dense[2000]), int(dense[6000])
+    got = range_scan_batch(enc, "x", lo, hi, out_columns=["x"])
+    assert got.num_rows == 4001
+
+    nb_r, spec_r, _, _ = enc_spec(ramp)
+    assert spec_r["i64"] == "delta" and nb_r < 1024
+
+    _, spec_u, _, _ = enc_spec(unsorted)
+    assert spec_u["i64"] == "raw"
+
+    _, spec_e, _, _ = enc_spec(extremes)  # wraparound-adversarial
+
+    # spec mode pins the transform and stays exact out-of-sample
+    sp = train_columnar_spec(
+        pa.table({"x": pa.array(dense[:2048], type=pa.int64())})
+    )
+    assert sp["x"]["i64"] == "delta"
+    other = pa.table({"x": pa.array(unsorted, type=pa.int64())})
+    got = decode_columns_batch(encode_columns_batch(other, spec=sp))
+    assert got["x"].combine_chunks().to_numpy(
+        zero_copy_only=False
+    ).tolist() == unsorted.tolist()
