@@ -1483,6 +1483,43 @@ def q_columnar_ratio_gate(sf_dir: str):
     )
 
 
+def q_columnar_events_ratio_gate(sf_dir: str):
+    """Numeric-transform accounting as a boolean gate over the events
+    table: ALP (decimal float64 → scaled ints, value column 4.1-4.2x
+    across sf0.001-0.1) and delta64 (sorted int64 → zigzag deltas,
+    event_id 70-431x) must hold their floors, the table must encode ≥4x
+    overall (measured 5.5-6.5x), and every column must beat plain.
+    batch_size pins the production block size (same rationale as
+    q_columnar_ratio_gate)."""
+    from .columnar import columnar_stats_batch, encode_columns_dataset
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    st = encode_columns_dataset(ds, batch_size=8192).map_batches(
+        columnar_stats_batch, batch_format="pyarrow"
+    )
+    acc: dict[str, list[int]] = {}
+    for b in st.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            a = acc.setdefault(r["column"], [0, 0])
+            a[0] += int(r["plain_nbytes"])
+            a[1] += int(r["encoded_nbytes"])
+    tot_p = sum(a[0] for a in acc.values())
+    tot_e = sum(a[1] for a in acc.values())
+    val_p, val_e = acc.get("value", (0, 1))
+    eid_p, eid_e = acc.get("event_id", (0, 1))
+    return pa.table(
+        {
+            "n_columns": pa.array([len(acc)], type=pa.int64()),
+            "total_ratio_ge_4": pa.array([bool(tot_p >= 4 * tot_e)]),
+            "alp_value_ge_3": pa.array([bool(val_p >= 3 * val_e)]),
+            "delta64_event_id_ge_20": pa.array([bool(eid_p >= 20 * eid_e)]),
+            "every_column_smaller": pa.array(
+                [bool(all(a[1] < a[0] for a in acc.values()))]
+            ),
+        }
+    )
+
+
 # ------------------------------------------------------------------ dedup
 def q_dedup_exact(sf_dir: str):
     import ray
@@ -7477,6 +7514,7 @@ def build_queries() -> dict:
     q["columnar_roundtrip_events"] = q_columnar_roundtrip_events
     q["columnar_roundtrip_embeddings"] = q_columnar_roundtrip_embeddings
     q["columnar_ratio_gate"] = q_columnar_ratio_gate
+    q["columnar_events_ratio_gate"] = q_columnar_events_ratio_gate
     q["columnar_eq_scan"] = q_columnar_eq_scan
     q["columnar_like_scan"] = q_columnar_like_scan
     q["columnar_like_dict_scan"] = q_columnar_like_dict_scan
@@ -7912,6 +7950,11 @@ def build_oracle_sql() -> dict:
     sql["columnar_ratio_gate"] = (
         "SELECT CAST(5 AS BIGINT) AS n_columns, (1=1) AS total_ratio_ge_3, "
         "(1=1) AS text_ratio_ge_3, (1=1) AS every_column_smaller"
+    )
+    sql["columnar_events_ratio_gate"] = (
+        "SELECT CAST(6 AS BIGINT) AS n_columns, (1=1) AS total_ratio_ge_4, "
+        "(1=1) AS alp_value_ge_3, (1=1) AS delta64_event_id_ge_20, "
+        "(1=1) AS every_column_smaller"
     )
     # gate queries: the Ray side computes real precision/recall/accuracy
     # booleans; the oracle is the all-true expectation (CMS/KLL gate pattern)
