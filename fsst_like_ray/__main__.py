@@ -450,11 +450,14 @@ def cmd_table_scan(args) -> int:
     compressed-domain LIKE engines (dictionary pushdown / fsstb matcher
     stack); --lo/--hi runs the zone-pruned range scan (manifest fragment
     zones, then block zone maps); --top K the zone-pruned top-k; --count
-    the metadata-first COUNT. Prints match count + pruning stats."""
+    the metadata-first COUNT; --isnull/--notnull the validity-bitmap
+    null scan (lineage null counts prune fragments). Prints match count
+    + pruning stats."""
     ray = _ray()
     from .pipelines.tablestore import (
         count_table_store,
         like_table_store,
+        predicate_scan_table_store,
         scan_table_store,
         topk_table_store,
     )
@@ -464,17 +467,38 @@ def cmd_table_scan(args) -> int:
         if args.columns
         else None
     )
+    null_mode = bool(getattr(args, "isnull", False)) or bool(
+        getattr(args, "notnull", False)
+    )
     modes = sum(
-        (args.like is not None, args.top is not None, bool(args.count))
+        (
+            args.like is not None,
+            args.top is not None,
+            bool(args.count),
+            null_mode,
+        )
     )
     if modes > 1:
         print(
-            "table-scan: --like / --top / --count are mutually exclusive",
+            "table-scan: --like / --top / --count / --isnull/--notnull "
+            "are mutually exclusive",
             file=sys.stderr,
         )
         return 2
     t0 = time.time()
     stats: dict = {}
+    if null_mode:
+        op = "isnull" if args.isnull else "notnull"
+        ds = predicate_scan_table_store(
+            args.store, [(op, args.column)], columns=cols, stats_out=stats
+        )
+        print(json.dumps({
+            "matches": ds.count(),
+            **stats,
+            "sec": round(time.time() - t0, 3),
+        }))
+        ray.shutdown()
+        return 0
     if args.count:
         n = count_table_store(
             args.store, args.column, lo=args.lo, hi=args.hi, stats_out=stats
@@ -919,6 +943,14 @@ def main(argv=None) -> int:
     tsc.add_argument(
         "--count", action="store_true",
         help="metadata-first COUNT (with optional --lo/--hi)",
+    )
+    tsc.add_argument(
+        "--isnull", action="store_true",
+        help="rows where COLUMN IS NULL (validity bitmaps only)",
+    )
+    tsc.add_argument(
+        "--notnull", action="store_true",
+        help="rows where COLUMN IS NOT NULL (validity bitmaps only)",
     )
     tsc.add_argument("--columns", default=None, help="comma-separated output columns")
     tsc.add_argument("--dest", default=None, help="write survivors as parquet")

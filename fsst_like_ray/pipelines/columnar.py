@@ -1599,13 +1599,40 @@ def predicate_scan_batch(
     - ``("eq", col, value)`` — dictionary probe / constant re-encode;
     - ``("in", col, values)`` — OR of equality probes (bounded by the
       value-list length, each O(dictionary) on strdict blocks);
-    - ``("like", col, pattern)`` — the LIKE engine stack.
+    - ``("like", col, pattern)`` — the LIKE engine stack;
+    - ``("isnull", col)`` / ``("notnull", col)`` — envelope validity
+      bitmaps only (head parse, zero payload decode).
 
     Predicates are evaluated in the given order with an any-rows-left
     short-circuit, so put the most selective / cheapest first."""
     return _decode_survivors(
         batch, predicate_mask(batch, preds, engine), out_columns
     )
+
+
+def null_scan_mask(
+    batch: pa.Table, column: str, want_null: bool = True
+) -> np.ndarray:
+    """Row mask for ``col IS [NOT] NULL`` on an ENCODED table from the
+    envelope validity bitmaps alone — a head parse, zero payload bytes
+    decode (a null-free block answers from the absent bitmap). Works for
+    every column family."""
+    gi, envs = _group_indices(batch[f"{column}__blk"])
+    rowidx_all = batch["__rowidx"].to_numpy().astype(np.int64)
+    mask = np.zeros(batch.num_rows, dtype=bool)
+    for k, env in enumerate(envs):
+        env = bytes(env)
+        sel = np.flatnonzero(gi == k)
+        if not len(sel):
+            continue
+        r = _Reader(env)
+        _tc, _u, _tz, _nb, valid, _plain = _parse_head(r)
+        if valid is None:
+            mask[sel] = not want_null
+        else:
+            v = valid[rowidx_all[sel]]
+            mask[sel] = ~v if want_null else v
+    return mask
 
 
 def predicate_mask(batch: pa.Table, preds, engine: str = "auto") -> np.ndarray:
@@ -1623,6 +1650,10 @@ def predicate_mask(batch: pa.Table, preds, engine: str = "auto") -> np.ndarray:
             m = in_scan_mask(batch, p[1], p[2])
         elif op == "like":
             m = like_scan_mask(batch, p[1], p[2], engine)
+        elif op == "isnull":
+            m = null_scan_mask(batch, p[1], want_null=True)
+        elif op == "notnull":
+            m = null_scan_mask(batch, p[1], want_null=False)
         else:
             raise ValueError(f"predicate_scan: unknown op {op!r}")
         mask &= m

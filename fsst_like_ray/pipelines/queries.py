@@ -509,15 +509,21 @@ def q_columnar_like_dict_scan(sf_dir: str):
 
 
 def q_columnar_predicate_scan(sf_dir: str):
-    """Conjunctive compound predicate on the encoded table — range (zone
-    maps), IN (dictionary probes) and LIKE (engine stack) all evaluate in
-    the compressed domain; survivors decode ONCE through the pruned
-    output-column set (columnar.predicate_scan_batch)."""
+    """Conjunctive compound predicate on the encoded table — IS NOT NULL
+    (validity bitmaps, head-only), range (zone maps), IN (dictionary
+    probes) and LIKE (engine stack) all evaluate in the compressed
+    domain; survivors decode ONCE through the pruned output-column set
+    (columnar.predicate_scan_batch). The notnull term matches every row
+    on this null-free corpus — the oracle's WHERE clause says the same —
+    so it verifies the op's pass-through end, while
+    tests/test_columnar.py::test_store_null_predicates covers the
+    null-present end."""
     from .columnar import encode_columns_dataset, predicate_scan_batch
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     enc = encode_columns_dataset(ds)
     preds = [
+        ("notnull", "text"),
         ("range", "n_chars", 200, None),
         ("in", "source", ["src1", "src4", "src7"]),
         ("like", "text", "%merge%"),
@@ -7767,7 +7773,8 @@ def build_oracle_sql() -> dict:
     """
     sql["columnar_predicate_scan"] = """
         SELECT doc_id, source, n_chars FROM documents
-        WHERE n_chars >= 200
+        WHERE text IS NOT NULL
+          AND n_chars >= 200
           AND source IN ('src1', 'src4', 'src7')
           AND text LIKE '%merge%'
     """

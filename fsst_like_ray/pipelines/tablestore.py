@@ -677,6 +677,19 @@ def _predicate_checks(preds):
                         _bloom_keeps(rec, _c, t) for t in _ts
                     )
                 )
+        elif op in ("isnull", "notnull"):
+            # lineage null counts prune whole fragments: a null-free
+            # fragment can't satisfy IS NULL; an all-null one can't
+            # satisfy IS NOT NULL. Missing counts keep the fragment.
+            want_null = op == "isnull"
+
+            def nk(rec, _c=p[1], _w=want_null):
+                nn = (rec.get("nulls") or {}).get(_c)
+                if nn is None:
+                    return True
+                return nn > 0 if _w else nn < int(rec.get("rows", 1))
+
+            checks.append(nk)
         else:
             raise ValueError(f"predicate_scan: unknown op {op!r}")
     return scan_cols, checks

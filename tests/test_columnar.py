@@ -2674,3 +2674,67 @@ def test_delta64_int_streams():
     assert got["x"].combine_chunks().to_numpy(
         zero_copy_only=False
     ).tolist() == unsorted.tolist()
+
+
+def test_store_null_predicates(ray_session, tmp_path):
+    """IS NULL / IS NOT NULL over the store: masks come from envelope
+    validity bitmaps alone (zero payload decode), fragments prune through
+    the lineage null counts (null-free fragment can't satisfy IS NULL;
+    all-null can't satisfy IS NOT NULL), and both compose with other
+    predicates."""
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        predicate_scan_table_store,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    # frag 0: no nulls; frag 1: some nulls; frag 2: all-null score
+    for f, nullrate in enumerate((0.0, 0.3, 1.0)):
+        n = 300
+        ids = np.arange(f * n, (f + 1) * n, dtype=np.int64)
+        rng = np.random.default_rng(f)
+        nullmask = rng.random(n) < nullrate
+        score = [None if m else int(i) for i, m in zip(ids, nullmask)]
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "score": pa.array(score, type=pa.int64()),
+                "text": pa.array([f"doc {i} frag{f}" for i in ids]),
+            }
+        )
+        pq.write_table(t, src / f"p{f}.parquet")
+    compress_table(str(src), out)
+
+    # IS NULL: fragment 0 (null-free) prunes
+    s: dict = {}
+    got = predicate_scan_table_store(
+        out, [("isnull", "score")], columns=["doc_id"], stats_out=s
+    )
+    ids_null = sorted(r["doc_id"] for r in got.take_all())
+    assert s == {"fragments_scanned": 2, "fragments_skipped": 1}
+    assert len(ids_null) > 0 and all(i >= 300 for i in ids_null)
+
+    # IS NOT NULL: fragment 2 (all-null) prunes; counts complement
+    s2: dict = {}
+    got2 = predicate_scan_table_store(
+        out, [("notnull", "score")], columns=["doc_id"], stats_out=s2
+    )
+    ids_nn = sorted(r["doc_id"] for r in got2.take_all())
+    assert s2 == {"fragments_scanned": 2, "fragments_skipped": 1}
+    assert len(ids_null) + len(ids_nn) == 900
+    assert not (set(ids_null) & set(ids_nn))
+
+    # composes: notnull AND range — range zone drops frag 0 and 2
+    s3: dict = {}
+    got3 = predicate_scan_table_store(
+        out,
+        [("notnull", "score"), ("range", "doc_id", 300, 599)],
+        columns=["doc_id", "score"],
+        stats_out=s3,
+    )
+    rows3 = got3.take_all()
+    assert s3["fragments_scanned"] == 1
+    assert all(r["score"] is not None and 300 <= r["doc_id"] <= 599 for r in rows3)
+    assert len(rows3) == len([i for i in ids_nn if 300 <= i <= 599])
