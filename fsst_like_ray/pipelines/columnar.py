@@ -58,7 +58,7 @@ from ..stages.text import string_buffers
 # v2: numeric families carry a (vmin, vmax) zone map. No v1 read shim on
 # purpose: v1 existed for one session with no persisted artifacts beyond
 # /tmp scratch; decode hard-rejects the version byte rather than guessing.
-ENV_VERSION = 3
+ENV_VERSION = 4
 
 # float64 stream transforms (envelope tag, T_FLOAT64 only). F64_BITS stores
 # the raw IEEE bit view (the only exact option for arbitrary doubles);
@@ -422,6 +422,17 @@ def _head(tc: int, unit: int, tz: str, n: int, valid, plain_nbytes: int) -> byte
     )
 
 
+def _float_zone(arr: pa.Array) -> tuple[float, float]:
+    """LOGICAL (fmin, fmax) of a float column's non-null, non-NaN values
+    (±inf participate). All-null/NaN blocks return NaN sentinels, whose
+    comparisons are all False — they never prune."""
+    v = arr.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+    v = v[~np.isnan(v)]
+    if not len(v):
+        return (float("nan"), float("nan"))
+    return (float(v.min()), float(v.max()))
+
+
 def _plain_nbytes(arr: pa.Array) -> int:
     """In-memory data bytes of the column (buffers, excluding the top-level
     validity bitmap) — the honest 'plain' side of the ratio accounting.
@@ -500,14 +511,19 @@ def _encode_column(
         name, state, payload = _encode_stream(
             v, codec_names, col_spec["codec"] if col_spec else None
         )
-        # zone map over the stored int32 view (logical values for
-        # int/bool/date; bit patterns for float32 — range_scan rejects
-        # floats, the fields just keep the layout uniform)
-        vmin = int(v.min()) if n else 0
-        vmax = int(v.max()) if n else 0
+        # zone map: logical (vmin, vmax) for int/bool/date as int64 pair;
+        # for float32 the same 16 bytes hold LOGICAL (fmin, fmax) as a
+        # float64 pair (NaN/null-excluded; all-NaN → NaN sentinels that
+        # never prune) — float range predicates prune like int ones
+        if tc == T_FLOAT32:
+            zone = struct.pack("<dd", *_float_zone(arr))
+        else:
+            vmin = int(v.min()) if n else 0
+            vmax = int(v.max()) if n else 0
+            zone = struct.pack("<qq", vmin, vmax)
         env = (
             _head(tc, unit, tz, n, valid, plain)
-            + struct.pack("<qq", vmin, vmax)
+            + zone
             + _pack_codec(name, state)
             + _pb64(payload)
         )
@@ -542,6 +558,7 @@ def _encode_column(
             else:
                 v = f.view(np.int64)
                 pre = bytes([F64_BITS])
+            pre += struct.pack("<dd", *_float_zone(arr))
         else:
             v = np.ascontiguousarray(v, dtype=np.int64)
             spec_i64 = col_spec.get("i64") if col_spec else None
@@ -697,6 +714,7 @@ def _read_choices(r: _Reader, tc: int) -> tuple[str, dict]:
                 r.b32()  # exception bits
             else:
                 d["f64"] = "bits"
+            r.take(16)  # logical float zone
         elif r.u8() == I64_DELTA:
             d["i64"] = "delta"
             r.take(24)  # first value + logical zone
@@ -873,10 +891,15 @@ def _int_block_reader(r: _Reader, tc: int, n_block: int):
     """(zmin, zmax, blk) for an int-family envelope positioned past the
     head — THE one walk of the numeric body (decode, range scan and
     aggregate paths all consume it; a layout change edits one place).
-    ``blk()`` decodes the whole block's logical int stream; callers LRU it
-    via ``_cached_block(env, blk)``."""
+    ``blk()`` decodes the whole block's stored int stream (bit patterns
+    for floats); callers LRU it via ``_cached_block(env, blk)``. For
+    float columns zmin/zmax are the LOGICAL float zone (Python floats,
+    NaN when the block has no comparable values)."""
     if tc in _I32_FAMILY:
-        zmin, zmax = struct.unpack("<qq", r.take(16))
+        if tc == T_FLOAT32:
+            zmin, zmax = struct.unpack("<dd", r.take(16))
+        else:
+            zmin, zmax = struct.unpack("<qq", r.take(16))
         name, state = r.codec()
         payload = r.b64()
 
@@ -901,6 +924,7 @@ def _int_block_reader(r: _Reader, tc: int, n_block: int):
                     bits[pos] = excbits
                 return bits
 
+        zone = struct.unpack("<dd", r.take(16))  # logical float zone
     elif r.u8() == I64_DELTA:
         first, zlo, zhi = struct.unpack("<qqq", r.take(24))
         zone = (zlo, zhi)  # logical zone map (stream min/max is deltas)
@@ -1129,12 +1153,16 @@ def columnar_stats_batch(batch: pa.Table) -> pa.Table:
 # ----------------------------------------------- compressed-domain scan
 def columnar_zones_batch(batch: pa.Table) -> dict[str, tuple[int, int]]:
     """Per-column (vmin, vmax) over a batch's block envelopes for the types
-    range_scan_batch accepts (_RANGE_TYPES: int32/date32/int64/timestamp —
-    float zone fields hold raw bit patterns and bool adds no pruning
-    value, both excluded). Zero-row blocks contribute nothing. The store
+    range_scan_batch accepts — _RANGE_TYPES (int32/date32/int64/timestamp,
+    int zones) plus the float families, whose envelopes carry LOGICAL
+    (fmin, fmax) float zones (bool adds no pruning value and stays
+    excluded). All-NaN/null float blocks carry NaN sentinels and
+    contribute nothing. Zero-row blocks contribute nothing. The store
     layer rolls these up to per-FRAGMENT zones in the lineage manifest,
     so a range scan prunes whole fragments before any part file opens."""
-    out: dict[str, tuple[int, int]] = {}
+    import math
+
+    out: dict[str, tuple] = {}
     for name in batch.column_names:
         if not name.endswith("__blk"):
             continue
@@ -1143,10 +1171,15 @@ def columnar_zones_batch(batch: pa.Table) -> dict[str, tuple[int, int]]:
         for env in envs:
             r = _Reader(bytes(env))
             tc, _unit, _tz, n_block, _valid, _plain = _parse_head(r)
-            if tc not in _RANGE_TYPES or n_block == 0:
+            rangeable = tc in _RANGE_TYPES or tc in _FLOAT_TYPES
+            if not rangeable or n_block == 0:
                 continue
             # _int_block_reader owns the numeric-body layout — one walker
             zmin, zmax, _blk = _int_block_reader(r, tc, n_block)
+            if isinstance(zmin, float) and (
+                math.isnan(zmin) or math.isnan(zmax)
+            ):
+                continue
             cur = out.get(col)
             out[col] = (
                 (zmin, zmax)
@@ -1523,13 +1556,16 @@ def range_scan_batch(
     out_columns=None,
     stats_out: dict | None = None,
 ) -> pa.Table:
-    """Inclusive-range filter on an ENCODED integer-logical column
-    (int32/date32/int64/timestamp; bounds in the column's storage unit —
-    days for date32, the timestamp's unit for ts). Every numeric block
-    envelope carries a (vmin, vmax) zone map: blocks whose range is
-    disjoint from [lo, hi] are SKIPPED without decoding a single value —
-    the parquet row-group-stats trick applied to the encoded layout.
-    ``stats_out`` (optional dict) receives blocks_scanned/blocks_skipped."""
+    """Inclusive-range filter on an ENCODED numeric column
+    (int32/date32/int64/timestamp with int bounds in the column's storage
+    unit — days for date32, the timestamp's unit for ts — and
+    float32/float64 with float-logical bounds; NaN rows never match, SQL
+    comparison semantics). Every numeric block envelope carries a
+    (vmin, vmax) zone map — logical floats for float columns: blocks
+    whose range is disjoint from [lo, hi] are SKIPPED without decoding a
+    single value — the parquet row-group-stats trick applied to the
+    encoded layout. ``stats_out`` (optional dict) receives
+    blocks_scanned/blocks_skipped."""
     return _decode_survivors(
         batch,
         range_scan_mask(batch, column, lo, hi, stats_out=stats_out),
@@ -1558,16 +1594,27 @@ def range_scan_mask(
             continue
         r = _Reader(env)
         tc, unit, tz, n_block, valid, _plain = _parse_head(r)
-        if tc not in _RANGE_TYPES:
+        flt = tc in _FLOAT_TYPES
+        if tc not in _RANGE_TYPES and not flt:
             raise TypeError(
-                f"range_scan: column {column!r} is not integer-kind"
+                f"range_scan: column {column!r} is not numeric-kind"
             )
         vmin, vmax, blk = _int_block_reader(r, tc, n_block)
+        # float zones can be NaN (all-null/NaN block): comparisons are
+        # False, the block is kept, and the NaN rows fail the row test
         if (lo is not None and vmax < lo) or (hi is not None and vmin > hi):
             skipped += 1
             continue
         scanned += 1
-        v = _cached_block(env, blk)[rowidx_all[sel]].astype(np.int64)
+        bits = _cached_block(env, blk)[rowidx_all[sel]]
+        if flt:
+            v = (
+                bits.view(np.float32).astype(np.float64)
+                if tc == T_FLOAT32
+                else bits.view(np.float64)
+            )
+        else:
+            v = bits.astype(np.int64)
         m = np.ones(len(sel), dtype=bool)
         if lo is not None:
             m &= v >= lo

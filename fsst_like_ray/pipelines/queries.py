@@ -1489,6 +1489,26 @@ def q_columnar_ratio_gate(sf_dir: str):
     )
 
 
+def q_columnar_float_range_scan(sf_dir: str):
+    """Range predicate on an ENCODED float64 column: block envelopes
+    carry LOGICAL (fmin, fmax) float zones (NaN/null-excluded), so
+    blocks disjoint from the predicate skip without decoding — parquet
+    row-group float statistics applied to the encoded layout. NaN rows
+    never match (SQL comparison semantics). batch_size=2048 forces
+    multiple blocks so the skip path exercises."""
+    from .columnar import encode_columns_dataset, range_scan_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    enc = encode_columns_dataset(ds, batch_size=2048)
+    return enc.map_batches(
+        lambda b: range_scan_batch(
+            b, "value", 100.5, 200.25,
+            out_columns=["event_id", "event_type", "value"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_columnar_events_ratio_gate(sf_dir: str):
     """Numeric-transform accounting as a boolean gate over the events
     table: ALP (decimal float64 → scaled ints, value column 4.1-4.2x
@@ -7521,6 +7541,7 @@ def build_queries() -> dict:
     q["columnar_roundtrip_embeddings"] = q_columnar_roundtrip_embeddings
     q["columnar_ratio_gate"] = q_columnar_ratio_gate
     q["columnar_events_ratio_gate"] = q_columnar_events_ratio_gate
+    q["columnar_float_range_scan"] = q_columnar_float_range_scan
     q["columnar_eq_scan"] = q_columnar_eq_scan
     q["columnar_like_scan"] = q_columnar_like_scan
     q["columnar_like_dict_scan"] = q_columnar_like_dict_scan
@@ -7958,6 +7979,10 @@ def build_oracle_sql() -> dict:
         "SELECT CAST(5 AS BIGINT) AS n_columns, (1=1) AS total_ratio_ge_3, "
         "(1=1) AS text_ratio_ge_3, (1=1) AS every_column_smaller"
     )
+    sql["columnar_float_range_scan"] = """
+        SELECT event_id, event_type, value FROM events
+        WHERE value >= 100.5 AND value <= 200.25
+    """
     sql["columnar_events_ratio_gate"] = (
         "SELECT CAST(6 AS BIGINT) AS n_columns, (1=1) AS total_ratio_ge_4, "
         "(1=1) AS alp_value_ge_3, (1=1) AS delta64_event_id_ge_20, "

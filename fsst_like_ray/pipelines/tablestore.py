@@ -178,13 +178,15 @@ def _merge_column_stats(dst: dict, src: dict) -> None:
 
 
 def _merge_zones(dst: dict, src: dict) -> None:
-    """Widen per-column [vmin, vmax] zone envelopes in place."""
+    """Widen per-column [vmin, vmax] zone envelopes in place (int
+    columns carry int zones, float columns float zones — JSON keeps
+    the distinction and the range checks compare either)."""
     for c, z in src.items():
         cur = dst.get(c)
+        lo = z[0] if isinstance(z[0], float) else int(z[0])
+        hi = z[1] if isinstance(z[1], float) else int(z[1])
         dst[c] = (
-            [int(z[0]), int(z[1])]
-            if cur is None
-            else [min(cur[0], int(z[0])), max(cur[1], int(z[1]))]
+            [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
         )
 
 

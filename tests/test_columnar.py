@@ -2738,3 +2738,79 @@ def test_store_null_predicates(ray_session, tmp_path):
     assert s3["fragments_scanned"] == 1
     assert all(r["score"] is not None and 300 <= r["doc_id"] <= 599 for r in rows3)
     assert len(rows3) == len([i for i in ids_nn if 300 <= i <= 599])
+
+
+def test_float_range_scan_and_zones(ray_session, tmp_path):
+    """Float range predicates: block envelopes carry LOGICAL (fmin, fmax)
+    float zones (NaN/null-excluded), range_scan accepts float columns
+    with SQL comparison semantics (NaN/null rows never match), zones
+    prune blocks and — through the lineage rollup — whole store
+    fragments; all-NaN blocks carry NaN sentinels that never prune."""
+    import pyarrow.compute as pc
+    from fsst_like_ray.pipelines.columnar import (
+        columnar_zones_batch,
+        range_scan_batch,
+    )
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        scan_table_store,
+    )
+
+    rng = np.random.default_rng(5)
+    f32 = rng.uniform(-50, 50, 4096).astype(np.float32)
+    f32[::17] = np.nan
+    arr = pc.if_else(
+        pa.array(rng.random(4096) < 0.1),
+        pa.scalar(None, type=pa.float32()),
+        pa.array(f32, type=pa.float32()),
+    )
+    t = pa.table({"x": arr})
+    enc = encode_columns_batch(t)
+    src_col = t["x"].combine_chunks()
+    dec = decode_columns_batch(enc)["x"].combine_chunks()
+    assert dec.null_count == src_col.null_count
+    assert (
+        src_col.drop_null().to_numpy(zero_copy_only=False).view(np.int32)
+        == dec.drop_null().to_numpy(zero_copy_only=False).view(np.int32)
+    ).all()
+    z = columnar_zones_batch(enc)
+    assert -50 <= z["x"][0] <= z["x"][1] <= 50
+    got = range_scan_batch(enc, "x", -10.0, 10.0, out_columns=["x"])
+    exp = t.filter(
+        pc.and_(pc.greater_equal(src_col, -10.0), pc.less_equal(src_col, 10.0))
+    )
+    assert got.num_rows == exp.num_rows
+
+    # all-NaN block: no zone entry, block kept, no row matches
+    tn = pa.table({"x": pa.array(np.full(256, np.nan), type=pa.float64())})
+    en = encode_columns_batch(tn)
+    assert "x" not in columnar_zones_batch(en)
+    assert range_scan_batch(en, "x", 0.0, 1.0).num_rows == 0
+
+    # store tier: disjoint per-fragment float ranges prune via lineage
+    src = tmp_path / "src"
+    src.mkdir()
+    for f in range(3):
+        vals = np.round(
+            np.random.default_rng(f).uniform(f * 100, f * 100 + 90, 500), 2
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.arange(f * 500, (f + 1) * 500, dtype=np.int64)
+                    ),
+                    "score": pa.array(vals, type=pa.float64()),
+                }
+            ),
+            src / f"p{f}.parquet",
+        )
+    out = str(tmp_path / "store")
+    compress_table(str(src), out)
+    stats: dict = {}
+    rows = scan_table_store(
+        out, "score", lo=120.0, hi=170.0,
+        columns=["doc_id", "score"], stats_out=stats,
+    ).take_all()
+    assert stats == {"fragments_scanned": 1, "fragments_skipped": 2}
+    assert rows and all(120.0 <= r["score"] <= 170.0 for r in rows)
