@@ -1743,16 +1743,21 @@ def column_topk_batch(
     out_columns=None,
     mask: np.ndarray | None = None,
 ) -> pa.Table:
-    """Per-batch top-k rows by an ENCODED int-logical column: ranking
+    """Per-batch top-k rows by an ENCODED numeric column: ranking
     values come straight from the cached block int streams (no other
     column touches memory); only the ≤k winning rows decode, through the
-    pruned ``out_columns`` set. Null rows never rank. The store-level
-    operator (tablestore.topk_table_store) merges these bounded partials
-    and prunes whole fragments via the manifest zone envelopes."""
+    pruned ``out_columns`` set. Null rows never rank; float columns rank
+    on logical values and NaN rows never rank (SQL ordering would place
+    NaN above +inf — rank on a non-NaN column when that matters). The
+    store-level operator (tablestore.topk_table_store) merges these
+    bounded partials and prunes whole fragments via the manifest zone
+    envelopes."""
     n = batch.num_rows
     gi, envs = _group_indices(batch[f"{column}__blk"])
     rowidx_all = batch["__rowidx"].to_numpy().astype(np.int64)
-    vals = np.zeros(n, dtype=np.int64)
+    flt = len(envs) and bytes(envs[0])[1] in _FLOAT_TYPES
+    # int64 ranks stay int64: float64 keys would lose exactness > 2^53
+    vals = np.zeros(n, dtype=np.float64 if flt else np.int64)
     ok = np.zeros(n, dtype=bool)
     for kk, env in enumerate(envs):
         env = bytes(env)
@@ -1761,11 +1766,24 @@ def column_topk_batch(
             continue
         r = _Reader(env)
         tc, _unit, _tz, n_block, valid, _plain = _parse_head(r)
-        if tc not in _RANGE_TYPES:
-            raise TypeError(f"topk: column {column!r} is not integer-kind")
+        if tc not in _RANGE_TYPES and tc not in _FLOAT_TYPES:
+            raise TypeError(f"topk: column {column!r} is not numeric-kind")
         _zmin, _zmax, blk = _int_block_reader(r, tc, n_block)
-        vals[sel] = _cached_block(env, blk)[rowidx_all[sel]].astype(np.int64)
-        ok[sel] = True if valid is None else valid[rowidx_all[sel]]
+        bits = _cached_block(env, blk)[rowidx_all[sel]]
+        if tc in _FLOAT_TYPES:
+            fv = (
+                bits.view(np.float32).astype(np.float64)
+                if tc == T_FLOAT32
+                else bits.view(np.float64)
+            )
+            vals[sel] = fv
+            okk = ~np.isnan(fv)
+            if valid is not None:
+                okk &= valid[rowidx_all[sel]]
+            ok[sel] = okk
+        else:
+            vals[sel] = bits.astype(np.int64)
+            ok[sel] = True if valid is None else valid[rowidx_all[sel]]
     if mask is not None:
         ok &= mask
     cand = np.flatnonzero(ok)

@@ -933,8 +933,8 @@ def topk_table_store(
             and best is not None
             and best.num_rows >= k
             and (
-                (descending and int(best[column][-1].as_py()) >= b)
-                or (not descending and int(best[column][-1].as_py()) <= b)
+                (descending and best[column][-1].as_py() >= b)
+                or (not descending and best[column][-1].as_py() <= b)
             )
         ):
             # every remaining fragment has an equal-or-worse bound

@@ -2814,3 +2814,49 @@ def test_float_range_scan_and_zones(ray_session, tmp_path):
     ).take_all()
     assert stats == {"fragments_scanned": 1, "fragments_skipped": 2}
     assert rows and all(120.0 <= r["score"] <= 170.0 for r in rows)
+
+
+def test_float_topk_table_store(ray_session, tmp_path):
+    """Top-k by an encoded float column: ranks on logical values (NaN
+    and null rows never rank), zone-ordered fragment early stop works on
+    float zones — one fragment opens out of three disjoint ones."""
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        topk_table_store,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    allvals = []
+    for f in range(3):
+        vals = np.round(
+            np.random.default_rng(f).uniform(f * 100, f * 100 + 90, 500), 2
+        )
+        col = [float(v) for v in vals]
+        if f == 1:
+            col[10] = float("nan")
+            col[20] = None
+        allvals += [
+            v for v in col if v is not None and not np.isnan(v)
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.arange(f * 500, (f + 1) * 500, dtype=np.int64)
+                    ),
+                    "score": pa.array(col, type=pa.float64()),
+                }
+            ),
+            src / f"p{f}.parquet",
+        )
+    out = str(tmp_path / "store")
+    compress_table(str(src), out)
+    stats: dict = {}
+    t = topk_table_store(
+        out, "score", 5, columns=["doc_id", "score"], stats_out=stats
+    )
+    assert t["score"].to_pylist() == sorted(allvals, reverse=True)[:5]
+    assert stats["fragments_scanned"] == 1  # zone-ordered early stop
+    t2 = topk_table_store(out, "score", 3, descending=False, columns=["score"])
+    assert t2["score"].to_pylist() == sorted(allvals)[:3]
