@@ -425,12 +425,21 @@ def _head(tc: int, unit: int, tz: str, n: int, valid, plain_nbytes: int) -> byte
 def _float_zone(arr: pa.Array) -> tuple[float, float]:
     """LOGICAL (fmin, fmax) of a float column's non-null, non-NaN values
     (±inf participate). All-null/NaN blocks return NaN sentinels, whose
-    comparisons are all False — they never prune."""
+    comparisons are all False — they never prune. Blocks that CONTAIN
+    NaN report fmax = +inf ("upper bound unknown"): range pruning stays
+    sound (the real fmin still proves z[0] > hi disjointness; NaN rows
+    can never match a range anyway), while any full-coverage claim
+    (z[1] <= hi, e.g. count_table_store's metadata fast path) is
+    refused — a covered-zone fragment would otherwise count its NaN
+    rows as matches."""
     v = arr.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
-    v = v[~np.isnan(v)]
+    nan = np.isnan(v)
+    has_nan = bool(nan.any())
+    if has_nan:
+        v = v[~nan]
     if not len(v):
         return (float("nan"), float("nan"))
-    return (float(v.min()), float(v.max()))
+    return (float(v.min()), float("inf") if has_nan else float(v.max()))
 
 
 def _plain_nbytes(arr: pa.Array) -> int:

@@ -2774,7 +2774,9 @@ def test_float_range_scan_and_zones(ray_session, tmp_path):
         == dec.drop_null().to_numpy(zero_copy_only=False).view(np.int32)
     ).all()
     z = columnar_zones_batch(enc)
-    assert -50 <= z["x"][0] <= z["x"][1] <= 50
+    # NaN present → fmax reports +inf (upper bound unknown): full-
+    # coverage claims are refused while fmin-side pruning stays sound
+    assert -50 <= z["x"][0] <= 50 and z["x"][1] == float("inf")
     got = range_scan_batch(enc, "x", -10.0, 10.0, out_columns=["x"])
     exp = t.filter(
         pc.and_(pc.greater_equal(src_col, -10.0), pc.less_equal(src_col, 10.0))
@@ -2857,6 +2859,51 @@ def test_float_topk_table_store(ray_session, tmp_path):
         out, "score", 5, columns=["doc_id", "score"], stats_out=stats
     )
     assert t["score"].to_pylist() == sorted(allvals, reverse=True)[:5]
-    assert stats["fragments_scanned"] == 1  # zone-ordered early stop
+    # fragment 1 contains NaN → its zone hi is +inf ("unknown"), so it
+    # must scan before the early stop; the clean worst fragment still
+    # prunes (2 scanned, 1 skipped instead of 1/2)
+    assert stats == {"fragments_scanned": 2, "fragments_skipped": 1}
     t2 = topk_table_store(out, "score", 3, descending=False, columns=["score"])
     assert t2["score"].to_pylist() == sorted(allvals)[:3]
+
+
+def test_float_count_nan_soundness(ray_session, tmp_path):
+    """Metadata COUNT under float bounds: a NaN-bearing fragment's zone
+    reports fmax=+inf, so the fully-covered fast path refuses it and the
+    scan counts only real matches — NaN rows are not rows in range."""
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        count_table_store,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    v0 = np.round(rng.uniform(0, 90, 500), 2)
+    v1 = np.round(rng.uniform(100, 190, 500), 2)
+    v1[:5] = np.nan
+    for f, v in enumerate((v0, v1)):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.arange(f * 500, (f + 1) * 500, dtype=np.int64)
+                    ),
+                    "score": pa.array(v, type=pa.float64()),
+                }
+            ),
+            src / f"p{f}.parquet",
+        )
+    out = str(tmp_path / "store")
+    compress_table(str(src), out)
+
+    s: dict = {}
+    n = count_table_store(out, "score", lo=0.0, hi=1e6, stats_out=s)
+    assert n == 995  # 500 clean + 495 non-NaN, never 1000
+    assert s["fragments_meta"] == 1 and s["fragments_scanned"] == 1
+
+    s2: dict = {}
+    n2 = count_table_store(out, "score", lo=-1.0, hi=95.0, stats_out=s2)
+    assert n2 == 500 and s2 == {
+        "fragments_meta": 1, "fragments_scanned": 0, "fragments_skipped": 1,
+    }
