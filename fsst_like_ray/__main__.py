@@ -602,10 +602,25 @@ def cmd_table_agg(args) -> int:
                     return 2
                 aggs.setdefault(col, []).append(op)
             aggs = {c: tuple(o) for c, o in aggs.items()}
+        gb = args.group_by
+        bucket = args.bucket
+        if "," in gb:
+            gb = [c.strip() for c in gb.split(",") if c.strip()]
+            if aggs:
+                print(
+                    "table-agg: --agg is single-key; composite --group-by "
+                    "takes --column + --ops",
+                    file=sys.stderr,
+                )
+                return 2
+            if bucket is not None:
+                # with a composite key the bucket applies to the LAST
+                # listed column (the conventional time dimension)
+                bucket = {gb[-1]: bucket}
         t = group_agg_table_store(
-            args.store, args.group_by,
+            args.store, gb,
             None if aggs else args.column,
-            ops=tuple(args.ops), bucket=args.bucket, aggs=aggs,
+            ops=tuple(args.ops), bucket=bucket, aggs=aggs,
         )
         print(json.dumps({
             "groups": t.num_rows,

@@ -2161,6 +2161,88 @@ def _group_head(batch, group_col, mask, bucket):
     return codes, keys, False, is_text
 
 
+def _group_head_multi(batch, group_cols, mask, buckets):
+    """Composite group-key resolution for GROUP BY over SEVERAL columns:
+    per-column codes from _group_head compose positionally
+    (mixed-radix over per-batch cardinalities), rows where ANY key is
+    null drop (SQL GROUP BY semantics), and each emitted group's key
+    serializes to a self-describing bytes tuple — int parts as
+    order-preserving big-endian (offset by 2^63), text parts
+    length-prefixed — so composite partials ride the SAME binary
+    ``value`` fold as single text keys. ``buckets`` maps column →
+    floor-bucket for int-family parts. Returns
+    (row codes, serialized keys, int_keys=False, is_text=False)."""
+    n = batch.num_rows
+    part_codes, part_keys, part_int = [], [], []
+    valid = np.ones(n, dtype=bool) if mask is None else mask.copy()
+    for col in group_cols:
+        codes, keys, int_k, _is_text = _group_head(
+            batch, col, None, (buckets or {}).get(col)
+        )
+        part_codes.append(codes)
+        part_keys.append(keys)
+        part_int.append(int_k)
+        valid &= codes >= 0
+    card = 1
+    for keys in part_keys:
+        card *= max(len(keys), 1)
+    if card > (1 << 62):
+        raise ValueError(
+            "group multi: per-batch key-cardinality product exceeds 2^62 "
+            "— not a groupable-column combination"
+        )
+    combined = np.zeros(n, dtype=np.int64)
+    for codes, keys in zip(part_codes, part_keys):
+        combined = combined * np.int64(max(len(keys), 1)) + np.where(
+            valid, codes, 0
+        )
+    uk, inv = np.unique(combined[valid], return_inverse=True)
+    out_codes = np.full(n, -1, dtype=np.int64)
+    out_codes[valid] = inv
+    parts_idx = []
+    rem = uk.copy()
+    for keys in reversed(part_keys):
+        c = np.int64(max(len(keys), 1))
+        parts_idx.append(rem % c)
+        rem //= c
+    parts_idx.reverse()
+    key_bytes = []
+    for gi in range(len(uk)):
+        bs = b""
+        for j in range(len(group_cols)):
+            ki = int(parts_idx[j][gi])
+            if part_int[j]:
+                v = int(part_keys[j][ki])
+                bs += b"\x00" + struct.pack(
+                    ">Q", (v + (1 << 63)) & ((1 << 64) - 1)
+                )
+            else:
+                kb = bytes(part_keys[j][ki])
+                bs += b"\x01" + struct.pack(">I", len(kb)) + kb
+        key_bytes.append(bs)
+    return out_codes, key_bytes, False, False
+
+
+def _split_multi_key(bs: bytes) -> list:
+    """Inverse of _group_head_multi's key serialization → python values
+    (int for int parts, bytes for text parts)."""
+    out: list = []
+    i = 0
+    while i < len(bs):
+        tag = bs[i]
+        i += 1
+        if tag == 0:
+            (u,) = struct.unpack_from(">Q", bs, i)
+            i += 8
+            out.append(int(u) - (1 << 63))
+        else:
+            (ln,) = struct.unpack_from(">I", bs, i)
+            i += 4
+            out.append(bs[i : i + ln])
+            i += ln
+    return out
+
+
 def _float_values(batch: pa.Table, column: str) -> tuple[np.ndarray, np.ndarray]:
     """Row-aligned (float64 logical values, validity) for an encoded
     float column: the stored streams hold the IEEE bit patterns
@@ -2283,7 +2365,12 @@ def group_agg_batch(
 
     Float aggregate columns emit float64 partials (fsum/fmin/fmax in
     place of vsum/vmin/vmax) — min/max bit-exact, sums
-    rounding-order-dependent like any float reduction."""
+    rounding-order-dependent like any float reduction.
+
+    ``group_col`` may be a LIST of columns (composite GROUP BY): keys
+    serialize into self-describing byte tuples (_group_head_multi) and
+    ride the binary ``value`` partial path; ``bucket`` is then a
+    {column: bucket} dict."""
     import decimal
 
     if batch.num_rows == 0:
@@ -2298,9 +2385,14 @@ def group_agg_batch(
                 "vmax": pa.array([], type=pa.int64()),
             }
         )
-    codes, keys, int_keys, is_text = _group_head(
-        batch, group_col, mask, bucket
-    )
+    if isinstance(group_col, (list, tuple)):
+        codes, keys, int_keys, is_text = _group_head_multi(
+            batch, list(group_col), mask, bucket
+        )
+    else:
+        codes, keys, int_keys, is_text = _group_head(
+            batch, group_col, mask, bucket
+        )
     ng = len(keys)
     m = codes >= 0
     n_rows = np.bincount(codes[m], minlength=ng).astype(np.int64)
@@ -2465,8 +2557,23 @@ def columnar_group_agg(
                 a[4] = rmax if a[4] is None else max(a[4], rmax)
             text &= bool(row["is_text"])
     keys = sorted(acc)
-    if int_keys:
-        cols: dict = {"value": pa.array(keys, type=pa.int64())}
+    if isinstance(group_col, (list, tuple)):
+        # composite keys: decompose the serialized tuples into one
+        # output column per group column (int parts int64, text parts
+        # utf-8 strings), named after the source columns
+        parts = [_split_multi_key(k) for k in keys]
+        cols = {}
+        for j, cname in enumerate(group_col):
+            vals = [p[j] for p in parts]
+            cols[cname] = (
+                pa.array(
+                    [v.decode() for v in vals], type=pa.string()
+                )
+                if vals and isinstance(vals[0], bytes)
+                else pa.array(vals, type=pa.int64())
+            )
+    elif int_keys:
+        cols = {"value": pa.array(keys, type=pa.int64())}
     else:
         cols = {
             "value": pa.array([k.decode() for k in keys], type=pa.string())

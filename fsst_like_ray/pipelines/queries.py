@@ -1065,6 +1065,26 @@ def q_columnar_store_groupby_multi(sf_dir: str):
     )
 
 
+def q_columnar_store_group_multikey(sf_dir: str):
+    """Composite-key GROUP BY in the compressed domain: events by
+    (event_type, day-bucketed ts) with COUNT(*)/SUM(user_id) — string
+    keys from block dictionaries, time keys floor-bucketed off the
+    cached int streams, composed per batch into self-describing key
+    tuples that ride the same binary-value partial fold as single keys
+    (columnar._group_head_multi; output one column per key, named after
+    the source columns)."""
+    import tempfile
+
+    from .tablestore import compress_table, group_agg_table_store
+
+    out = tempfile.mkdtemp(prefix="columnar_store_group_multikey_")
+    compress_table(f"{sf_dir}/events.parquet", out)
+    return group_agg_table_store(
+        out, ["event_type", "ts"], "user_id",
+        ops=("count", "sum"), bucket={"ts": 86_400_000_000},
+    )
+
+
 def q_columnar_store_filter(sf_dir: str):
     """Predicate-filtered store rewrite (retention / targeted delete):
     over a 4-fragment event_id-ordered store, a range keeping the first
@@ -7564,6 +7584,7 @@ def build_queries() -> dict:
     q["columnar_store_semijoin"] = q_columnar_store_semijoin
     q["columnar_store_sample"] = q_columnar_store_sample
     q["columnar_store_groupby_multi"] = q_columnar_store_groupby_multi
+    q["columnar_store_group_multikey"] = q_columnar_store_group_multikey
     q["columnar_store_filter"] = q_columnar_store_filter
     q["columnar_store_compact"] = q_columnar_store_compact
     q["columnar_store_quantiles"] = q_columnar_store_quantiles
@@ -7943,6 +7964,14 @@ def build_oracle_sql() -> dict:
                CAST(max(event_id) AS BIGINT) AS max_event_id
         FROM events WHERE event_type IS NOT NULL
         GROUP BY event_type ORDER BY event_type
+    """
+    sql["columnar_store_group_multikey"] = """
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 * 86400000000 AS BIGINT)
+                 AS ts,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(user_id) AS BIGINT) AS vsum
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """
     sql["columnar_store_sample"] = """
         SELECT event_id, event_type, user_id FROM events

@@ -1366,7 +1366,14 @@ def group_agg_table_store(
 
     ``aggs={col: (op, ...), ...}`` aggregates SEVERAL columns in one
     pass (columnar.columnar_group_multi_agg; output columns {op}_{col});
-    mutually exclusive with ``agg_col``/``distributed``."""
+    mutually exclusive with ``agg_col``/``distributed``.
+
+    ``group_col`` may be a LIST of columns — composite-key GROUP BY:
+    per-column codes compose per batch, keys serialize into
+    self-describing tuples that ride the same binary-value fold, and
+    the output carries one key column per input column (named after
+    it); ``bucket`` is then a {column: bucket} dict. Composite keys use
+    the driver fold only (cardinality-bounded contract)."""
     from .columnar import (
         _encoded_field_names,
         columnar_group_agg,
@@ -1379,8 +1386,17 @@ def group_agg_table_store(
         raise ValueError(
             "group_agg_table_store: aggs= is exclusive with agg_col/distributed"
         )
+    multi = isinstance(group_col, (list, tuple))
+    if multi and (aggs or distributed):
+        raise ValueError(
+            "group_agg_table_store: composite group keys use the driver "
+            "fold (cardinality-bounded contract); aggs=/distributed= "
+            "are single-key"
+        )
 
-    need = {group_col} | ({agg_col} if agg_col else set()) | set(aggs or ())
+    need = (
+        set(group_col) if multi else {group_col}
+    ) | ({agg_col} if agg_col else set()) | set(aggs or ())
     if preds:
         scan_cols, checks = _predicate_checks(preds)
         need |= scan_cols

@@ -2907,3 +2907,70 @@ def test_float_count_nan_soundness(ray_session, tmp_path):
     assert n2 == 500 and s2 == {
         "fragments_meta": 1, "fragments_scanned": 0, "fragments_skipped": 1,
     }
+
+
+def test_group_multikey_table_store(ray_session, tmp_path):
+    """Composite-key GROUP BY over the store: per-column codes compose
+    per batch, keys serialize into self-describing tuples riding the
+    binary-value fold, output decomposes into one column per key.
+    Null keys in ANY part drop the row (SQL semantics); predicates and
+    per-column buckets compose."""
+    import pandas as pd
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        group_agg_table_store,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = np.random.default_rng(11)
+    n = 3000
+    cat = rng.choice(["a", "b", "c"], n)
+    grp = rng.integers(0, 5, n)
+    val = rng.integers(-100, 100, n)
+    catn = [None if i % 97 == 0 else str(c) for i, c in enumerate(cat)]
+    df = pd.DataFrame({"cat": catn, "grp": grp, "val": val})
+    t = pa.table(
+        {
+            "cat": pa.array(catn, type=pa.string()),
+            "grp": pa.array(grp, type=pa.int64()),
+            "val": pa.array(val, type=pa.int64()),
+        }
+    )
+    pq.write_table(t, src / "p0.parquet")
+    out = str(tmp_path / "store")
+    compress_table(str(src), out, batch_rows=512)
+
+    got = group_agg_table_store(
+        out, ["cat", "grp"], "val", ops=("count", "sum", "min", "max")
+    ).to_pandas()
+    exp = (
+        df.dropna(subset=["cat"])
+        .groupby(["cat", "grp"], as_index=False)
+        .agg(n_rows=("val", "size"), vsum=("val", "sum"),
+             vmin=("val", "min"), vmax=("val", "max"))
+        .sort_values(["cat", "grp"])
+        .reset_index(drop=True)
+    )
+    g = got.sort_values(["cat", "grp"]).reset_index(drop=True)
+    assert g["cat"].tolist() == exp["cat"].tolist()
+    assert g["grp"].tolist() == exp["grp"].tolist()
+    assert g["n_rows"].tolist() == exp["n_rows"].tolist()
+    assert g["vsum"].tolist() == exp["vsum"].tolist()
+    assert g["vmin"].tolist() == exp["vmin"].tolist()
+    assert g["vmax"].tolist() == exp["vmax"].tolist()
+
+    # bucket on one part + predicate
+    got2 = group_agg_table_store(
+        out, ["cat", "grp"], None, ops=("count",),
+        bucket={"grp": 2}, preds=[("range", "val", 0, None)],
+    ).to_pandas()
+    d2 = df[(df["val"] >= 0) & df["cat"].notna()].copy()
+    d2["grp"] = d2["grp"] // 2 * 2
+    exp2 = (
+        d2.groupby(["cat", "grp"], as_index=False)
+        .agg(n_rows=("val", "size"))
+        .sort_values(["cat", "grp"]).reset_index(drop=True)
+    )
+    g2 = got2.sort_values(["cat", "grp"]).reset_index(drop=True)
+    assert g2["n_rows"].tolist() == exp2["n_rows"].tolist()
