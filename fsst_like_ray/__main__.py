@@ -720,6 +720,48 @@ def cmd_table_cluster(args) -> int:
     return 0
 
 
+def cmd_table_join(args) -> int:
+    """Equi-join two committed stores (tablestore.join_table_store):
+    lineage key envelopes prune fragments on both sides before any part
+    file opens; small right sides broadcast, big ones take the one-shuffle
+    co-partitioned path. --dest streams the result to parquet; otherwise
+    prints row count + pruning/path stats."""
+    ray = _ray()
+    from .pipelines.tablestore import join_table_store
+
+    def _cols(s):
+        return [c.strip() for c in s.split(",") if c.strip()] if s else None
+
+    t0 = time.time()
+    stats: dict = {}
+    ds = join_table_store(
+        args.left,
+        args.right,
+        on=args.on,
+        right_on=args.right_on,
+        left_columns=_cols(args.left_columns),
+        right_columns=_cols(args.right_columns),
+        how=args.how,
+        distributed={"auto": None, "shuffle": True, "broadcast": False}[
+            args.path
+        ],
+        stats_out=stats,
+    )
+    if args.dest:
+        ds.write_parquet(args.dest)
+        import ray.data as rd
+
+        n = rd.read_parquet(args.dest).count()
+    else:
+        n = ds.count()
+    out = {"rows": n, "sec": round(time.time() - t0, 3), **stats}
+    if args.dest:
+        out["out"] = args.dest
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
 def cmd_table_stats(args) -> int:
     """Lineage rollup of a committed store from the manifest alone (no
     Ray session, no file opens) — tablestore.store_lineage_rollup."""
@@ -925,6 +967,23 @@ def main(argv=None) -> int:
         help="train per-column codec spec ONCE on N sample rows (amortized)",
     )
     ts.set_defaults(fn=cmd_table_store)
+
+    tj = sub.add_parser(
+        "table-join",
+        help="equi-join two stores (envelope-pruned; broadcast or shuffle)",
+    )
+    tj.add_argument("left")
+    tj.add_argument("right")
+    tj.add_argument("--on", required=True, help="left key column")
+    tj.add_argument("--right-on", default=None, help="right key (default: --on)")
+    tj.add_argument("--left-columns", default=None, help="comma-separated")
+    tj.add_argument("--right-columns", default=None, help="comma-separated")
+    tj.add_argument("--how", default="inner", choices=("inner", "left"))
+    tj.add_argument(
+        "--path", default="auto", choices=("auto", "broadcast", "shuffle")
+    )
+    tj.add_argument("--dest", default=None, help="write result parquet here")
+    tj.set_defaults(fn=cmd_table_join)
 
     tst = sub.add_parser(
         "table-stats",

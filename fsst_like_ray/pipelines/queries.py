@@ -1218,6 +1218,61 @@ def q_columnar_store_semijoin_int(sf_dir: str):
     )
 
 
+def _store_join_sides(sf_dir: str):
+    """Shared fixture for the store-join queries: orders (fact) and
+    customer (dim) each encoded into a committed store."""
+    import tempfile
+
+    from .tablestore import compress_table
+
+    lo = tempfile.mkdtemp(prefix="columnar_store_join_l_")
+    ro = tempfile.mkdtemp(prefix="columnar_store_join_r_")
+    compress_table(f"{sf_dir}/orders.parquet", lo)
+    compress_table(f"{sf_dir}/customer.parquet", ro)
+    return lo, ro
+
+
+def q_columnar_store_join(sf_dir: str):
+    """Store ⋈ store equi-join, broadcast path: orders and customer each
+    compress into a committed store; lineage key envelopes become range
+    predicates on the opposite side (fragment + block pruning before any
+    decode), the customer side materializes once and broadcasts, orders
+    stream through a map_batches probe with a compressed-domain status
+    predicate (tablestore.join_table_store)."""
+    from .tablestore import join_table_store
+
+    lo, ro = _store_join_sides(sf_dir)
+    return join_table_store(
+        lo,
+        ro,
+        on="o_custkey",
+        right_on="c_custkey",
+        left_columns=["o_orderkey", "o_totalprice"],
+        right_columns=["c_mktsegment"],
+        left_preds=[("eq", "o_orderstatus", "O")],
+    )
+
+
+def q_columnar_store_join_dist(sf_dir: str):
+    """Same join forced down the big⋈big path: both stores stream into
+    functions/join.shuffle_hash_join (ONE co-partitioning shuffle, int
+    keys) — the route a fact⋈fact join takes at 100 TB where neither
+    side fits a broadcast."""
+    from .tablestore import join_table_store
+
+    lo, ro = _store_join_sides(sf_dir)
+    return join_table_store(
+        lo,
+        ro,
+        on="o_custkey",
+        right_on="c_custkey",
+        left_columns=["o_orderkey", "o_totalprice"],
+        right_columns=["c_mktsegment"],
+        left_preds=[("eq", "o_orderstatus", "O")],
+        distributed=True,
+    )
+
+
 def q_columnar_store_ann(sf_dir: str):
     """Similarity search served FROM the compressed store: embeddings
     (list<float> column) compress into the manifest-backed store, then
@@ -7590,6 +7645,8 @@ def build_queries() -> dict:
     q["columnar_store_quantiles"] = q_columnar_store_quantiles
     q["columnar_store_ann"] = q_columnar_store_ann
     q["columnar_store_semijoin_int"] = q_columnar_store_semijoin_int
+    q["columnar_store_join"] = q_columnar_store_join
+    q["columnar_store_join_dist"] = q_columnar_store_join_dist
     q["columnar_store_topk_where"] = q_columnar_store_topk_where
     q["columnar_store_count_where"] = q_columnar_store_count_where
     q["columnar_store_group_topk"] = q_columnar_store_group_topk
@@ -7927,6 +7984,13 @@ def build_oracle_sql() -> dict:
           SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 3
         )
     """
+    _store_join_sql = """
+        SELECT o_custkey, o_orderkey, o_totalprice, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'O'
+    """
+    sql["columnar_store_join"] = _store_join_sql
+    sql["columnar_store_join_dist"] = _store_join_sql
     sql["columnar_store_ann"] = """
         SELECT vec_id FROM embeddings
         ORDER BY list_cosine_similarity(embedding,

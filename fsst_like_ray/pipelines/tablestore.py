@@ -2340,3 +2340,178 @@ def verify_table_store(
         "uncommitted": uncommitted,
         "ok": uncommitted == 0,
     }
+
+
+def _store_zone_envelope(out_dir: str, column: str):
+    """Global [min, max] of ``column`` across a committed store, computed
+    from the lineage manifest ALONE (zero data reads). Returns None when
+    any fragment lacks a zone for the column (legacy lineage, string
+    columns) — envelope consumers must treat None as "no evidence", never
+    as empty."""
+    done = Manifest(out_dir).completed()
+    if not done:
+        raise FileNotFoundError(
+            f"_store_zone_envelope: no committed fragments under {out_dir!r}"
+        )
+    lo = hi = None
+    for rec in done.values():
+        if not int(rec.get("rows", 0)):
+            continue  # zero-row fragments carry no values
+        z = (rec.get("zones") or {}).get(column)
+        if z is None:
+            return None
+        lo = z[0] if lo is None else min(lo, z[0])
+        hi = z[1] if hi is None else max(hi, z[1])
+    return None if lo is None else (lo, hi)
+
+
+def _materialize_store_side(ds) -> pa.Table:
+    """Small-side materialization for the broadcast join path: pull the
+    Dataset's Arrow blocks by reference (no row-dict conversion) and
+    concat. Only ever called on a side whose LINEAGE row count already
+    passed the broadcast threshold."""
+    import ray
+
+    refs = ray.get(ds.to_arrow_refs())
+    tbls = [t for t in refs if t.num_rows]
+    if tbls:
+        return pa.concat_tables(tbls, promote_options="default")
+    if refs:
+        return refs[0]  # all-pruned side: keep the (empty) schema
+    raise ValueError("_materialize_store_side: dataset produced no blocks")
+
+
+def join_table_store(
+    left_dir: str,
+    right_dir: str,
+    on: str,
+    right_on: str | None = None,
+    left_columns=None,
+    right_columns=None,
+    left_preds=None,
+    right_preds=None,
+    how: str = "inner",
+    broadcast_limit_rows: int = 4_000_000,
+    distributed: bool | None = None,
+    n_buckets: int = 64,
+    stats_out: dict | None = None,
+):
+    """Equi-join two committed stores with pruning at every tier.
+
+    Before any data moves, each side's lineage key envelope (manifest
+    zones — zero data reads) becomes a ``range`` predicate on the OTHER
+    side, so fragments whose key range provably cannot match never open a
+    part file and blocks outside the range never decode (the existing
+    predicate-scan tiers do the work). Inner joins prune both sides; left
+    joins prune only the right (unmatched left rows must survive). User
+    predicates (`left_preds`/`right_preds`, predicate_scan op tuples)
+    compose with the envelope predicate and prune the same way.
+
+    Path choice mirrors the 100-TB playbook: when the right side's
+    surviving LINEAGE row count (an upper bound — counted before user
+    predicates filter rows) fits ``broadcast_limit_rows``, the right side
+    decodes ONCE, is broadcast via ray.put, and the left side streams
+    through a map_batches probe (functions/join.broadcast_hash_join —
+    nothing shuffles). Bigger right sides co-partition both streams
+    through ONE shuffle (functions/join.shuffle_hash_join; integer keys).
+    ``distributed=True``/``False`` forces the path. A broadcast-sized
+    right side with DUPLICATE keys (not a dimension table) automatically
+    falls back to the shuffle join on the already-materialized table.
+
+    Output: left key + left columns + right columns (minus the right
+    key — USING semantics); column names must not collide. Returns a
+    streaming Dataset.
+    """
+    from ..functions.join import broadcast_hash_join, shuffle_hash_join
+
+    import ray.data
+
+    right_on = right_on or on
+    if how not in ("inner", "left"):
+        raise ValueError(f"join_table_store: how={how!r} (inner/left)")
+
+    lpreds = list(left_preds or ())
+    rpreds = list(right_preds or ())
+    r_env = _store_zone_envelope(right_dir, right_on)
+    l_env = _store_zone_envelope(left_dir, on)
+    if r_env is not None and how == "inner":
+        lpreds.append(("range", on, r_env[0], r_env[1]))
+    if l_env is not None:
+        rpreds.append(("range", right_on, l_env[0], l_env[1]))
+
+    lcols = (
+        None
+        if left_columns is None
+        else list(dict.fromkeys([on, *left_columns]))
+    )
+    rcols = (
+        None
+        if right_columns is None
+        else list(dict.fromkeys([right_on, *right_columns]))
+    )
+
+    def _side(out_dir, preds, cols, stats):
+        if preds:
+            return predicate_scan_table_store(
+                out_dir, preds, columns=cols, stats_out=stats
+            )
+        return read_table_store(out_dir, columns=cols)
+
+    lstats: dict = {}
+    rstats: dict = {}
+    left_ds = _side(left_dir, lpreds, lcols, lstats)
+    right_ds = _side(right_dir, rpreds, rcols, rstats)
+
+    if distributed is None:
+        if rpreds:
+            _, checks = _predicate_checks(rpreds)
+
+            def keep(rec):
+                return all(c(rec) for c in checks)
+
+        else:
+
+            def keep(rec):
+                return True
+
+        est = sum(
+            int(rec.get("rows", 0))
+            for rec in Manifest(right_dir).completed().values()
+            if keep(rec)
+        )
+        distributed = est > broadcast_limit_rows
+
+    path = "shuffle"
+    if not distributed:
+        rt = _materialize_store_side(right_ds)
+        keys = rt[right_on].to_numpy(zero_copy_only=False)
+        if len(np.unique(keys)) == len(keys):
+            path = "broadcast"
+            out = broadcast_hash_join(left_ds, rt, on, right_on, how=how)
+        else:  # many-to-many right side: shuffle the materialized table
+            out = shuffle_hash_join(
+                left_ds,
+                ray.data.from_arrow(rt),
+                on,
+                right_on,
+                how=how,
+                n_buckets=n_buckets,
+                right_suffix="",
+            )
+    else:
+        out = shuffle_hash_join(
+            left_ds,
+            right_ds,
+            on,
+            right_on,
+            how=how,
+            n_buckets=n_buckets,
+            right_suffix="",
+        )
+    if stats_out is not None:
+        stats_out["path"] = path
+        stats_out["left_fragments"] = lstats
+        stats_out["right_fragments"] = rstats
+        stats_out["left_key_envelope"] = l_env
+        stats_out["right_key_envelope"] = r_env
+    return out

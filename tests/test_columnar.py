@@ -2974,3 +2974,118 @@ def test_group_multikey_table_store(ray_session, tmp_path):
     )
     g2 = got2.sort_values(["cat", "grp"]).reset_index(drop=True)
     assert g2["n_rows"].tolist() == exp2["n_rows"].tolist()
+
+
+def test_join_table_store(ray_session, tmp_path):
+    """Store ⋈ store equi-join: lineage key envelopes prune whole
+    fragments on the opposite side before any part file opens; the
+    broadcast path (unique dim keys), the forced shuffle path, a
+    duplicate-key right side (auto fallback to shuffle) and a LEFT join
+    all match a pandas merge of the raw sides."""
+    import pandas as pd
+
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        join_table_store,
+    )
+
+    src = tmp_path / "fact"
+    src.mkdir()
+    rng = np.random.default_rng(7)
+    frames = []
+    for f in range(3):  # disjoint key ranges per fragment
+        keys = np.arange(f * 10_000, f * 10_000 + 800, dtype=np.int64)
+        t = pa.table(
+            {
+                "k": pa.array(keys),
+                "v": pa.array(rng.integers(0, 50, len(keys))),
+            }
+        )
+        pq.write_table(t, src / f"part-{f}.parquet")
+        frames.append(t.to_pandas())
+    fact = pd.concat(frames, ignore_index=True)
+
+    dim_dir = tmp_path / "dim"
+    dim_dir.mkdir()
+    dim = pa.table(
+        {
+            "dk": pa.array(np.arange(10_000, 10_500, dtype=np.int64)),
+            "label": pa.array(
+                [f"lbl{i % 7}" for i in range(500)], type=pa.string()
+            ),
+        }
+    )
+    pq.write_table(dim, dim_dir / "dim.parquet")
+
+    lo, ro = str(tmp_path / "lo"), str(tmp_path / "ro")
+    compress_table(str(src), lo)
+    compress_table(str(dim_dir), ro)
+
+    exp = fact.merge(
+        dim.to_pandas(), left_on="k", right_on="dk"
+    ).drop(columns=["dk"])
+
+    def _got(**kw):
+        stats = {}
+        t = (
+            join_table_store(
+                lo, ro, on="k", right_on="dk", stats_out=stats, **kw
+            )
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        return t, stats
+
+    got, stats = _got()
+    assert stats["path"] == "broadcast"
+    # right dim covers only the middle fragment's key range: the other
+    # two left fragments prune from the manifest alone
+    assert stats["left_fragments"]["fragments_skipped"] == 2
+    pd.testing.assert_frame_equal(
+        got,
+        exp.sort_values(["k", "v"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    got_d, stats_d = _got(distributed=True)
+    assert stats_d["path"] == "shuffle"
+    pd.testing.assert_frame_equal(got_d, got, check_dtype=False)
+
+    # LEFT join: every fact row survives; unmatched labels are null.
+    # Left fragments must NOT envelope-prune (stats say so), and the
+    # result keeps all rows.
+    got_l, stats_l = _got(how="left")
+    # no left predicates at all → the un-pruned read path (no stats keys)
+    assert stats_l["left_fragments"].get("fragments_skipped", 0) == 0
+    assert len(got_l) == len(fact)
+    assert got_l["label"].notna().sum() == len(exp)
+
+    # duplicate-key right side: auto path must fall back to shuffle and
+    # produce the full cross-product per key
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    dup = pa.table(
+        {
+            "dk": pa.array([10_001, 10_001, 10_002], type=pa.int64()),
+            "label": pa.array(["a", "b", "c"]),
+        }
+    )
+    pq.write_table(dup, dup_dir / "dup.parquet")
+    rd = str(tmp_path / "rd")
+    compress_table(str(dup_dir), rd)
+    stats2 = {}
+    got2 = (
+        join_table_store(lo, rd, on="k", right_on="dk", stats_out=stats2)
+        .to_pandas()
+        .sort_values(["k", "label"])
+        .reset_index(drop=True)
+    )
+    assert stats2["path"] == "shuffle"
+    exp2 = (
+        fact.merge(dup.to_pandas(), left_on="k", right_on="dk")
+        .drop(columns=["dk"])
+        .sort_values(["k", "label"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, exp2, check_dtype=False)
