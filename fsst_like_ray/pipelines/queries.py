@@ -1273,6 +1273,34 @@ def q_columnar_store_join_dist(sf_dir: str):
     )
 
 
+def q_columnar_store_append(sf_dir: str):
+    """Incremental ingest: the events table arrives as two parquet
+    deliveries; the store commits the first, then append_table_store
+    encodes ONLY the second (manifest resume contract as append ledger,
+    schema-gated). The full-store read must equal the whole table."""
+    import tempfile
+
+    from .tablestore import (
+        append_table_store,
+        compress_table,
+        read_table_store,
+    )
+
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    d = tempfile.mkdtemp(prefix="columnar_store_append_src_")
+    half = src.num_rows // 2
+    pq.write_table(src.slice(0, half), f"{d}/part-0.parquet")
+    pq.write_table(src.slice(half), f"{d}/part-1.parquet")
+    out = tempfile.mkdtemp(prefix="columnar_store_append_")
+    compress_table(f"{d}/part-0.parquet", out)
+    st = append_table_store(
+        [f"{d}/part-0.parquet", f"{d}/part-1.parquet"], out
+    )
+    if st["appended_fragments"] != 1 or st["rows"] != src.num_rows:
+        raise AssertionError(f"append_table_store lineage off: {st}")
+    return read_table_store(out)
+
+
 def q_columnar_store_ann(sf_dir: str):
     """Similarity search served FROM the compressed store: embeddings
     (list<float> column) compress into the manifest-backed store, then
@@ -7647,6 +7675,7 @@ def build_queries() -> dict:
     q["columnar_store_semijoin_int"] = q_columnar_store_semijoin_int
     q["columnar_store_join"] = q_columnar_store_join
     q["columnar_store_join_dist"] = q_columnar_store_join_dist
+    q["columnar_store_append"] = q_columnar_store_append
     q["columnar_store_topk_where"] = q_columnar_store_topk_where
     q["columnar_store_count_where"] = q_columnar_store_count_where
     q["columnar_store_group_topk"] = q_columnar_store_group_topk
@@ -7991,6 +8020,7 @@ def build_oracle_sql() -> dict:
     """
     sql["columnar_store_join"] = _store_join_sql
     sql["columnar_store_join_dist"] = _store_join_sql
+    sql["columnar_store_append"] = "SELECT * FROM events"
     sql["columnar_store_ann"] = """
         SELECT vec_id FROM embeddings
         ORDER BY list_cosine_similarity(embedding,

@@ -2515,3 +2515,46 @@ def join_table_store(
         stats_out["left_key_envelope"] = l_env
         stats_out["right_key_envelope"] = r_env
     return out
+
+
+def append_table_store(
+    input_path: str | list[str], out_dir: str, **compress_kw
+) -> dict:
+    """Incremental ingest: encode only NEW fragments into a committed
+    store (the manifest's per-fragment resume contract doubles as the
+    append ledger — a fragment path already committed is skipped, new
+    paths become new fragments with full lineage/zones/blooms, and every
+    store scan picks them up with no rebuild).
+
+    Schema gate: a committed store has one decoded schema; an appended
+    fragment whose parquet schema differs in names, order or types is
+    REJECTED before any work — a silent schema drift would poison every
+    later scan's column pruning. Fragments are identified by PATH (the
+    resume contract): re-appending a path whose content changed is NOT
+    detected here — use verify_table_store for content audits."""
+    from .columnar import decode_columns_batch
+
+    fragments = discover_fragments(input_path)
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    new = [f for f in fragments if f not in done]
+    if done and new:
+        data_dir = os.path.join(out_dir, "data")
+        rec = min(done.values(), key=lambda r: r["frag_key"])
+        parts = _fragment_parts(data_dir, rec["frag_key"])
+        store_fields = [
+            (f.name, f.type)
+            for f in decode_columns_batch(
+                pq.read_schema(parts[0]).empty_table()
+            ).schema
+        ]
+        for f in new:
+            got = [(fl.name, fl.type) for fl in pq.read_schema(f)]
+            if got != store_fields:
+                raise ValueError(
+                    f"append_table_store: fragment {f!r} schema {got} != "
+                    f"store schema {store_fields}"
+                )
+    stats = compress_table(fragments, out_dir, **compress_kw)
+    stats["appended_fragments"] = len(new)
+    return stats

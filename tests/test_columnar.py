@@ -3089,3 +3089,95 @@ def test_join_table_store(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got2, exp2, check_dtype=False)
+
+
+def test_append_table_store(ray_session, tmp_path):
+    """Incremental ingest: append encodes only NEW fragment paths (the
+    manifest resume contract as append ledger); re-append is a no-op;
+    an appended fragment's zones join fragment pruning immediately; a
+    schema-drifted fragment is rejected before any work."""
+    from fsst_like_ray.pipelines.tablestore import (
+        append_table_store,
+        compress_table,
+        read_table_store,
+        scan_table_store,
+    )
+
+    p0 = tmp_path / "part-0.parquet"
+    p1 = tmp_path / "part-1.parquet"
+    t0 = pa.table(
+        {
+            "id": pa.array(np.arange(0, 1000, dtype=np.int64)),
+            "tag": pa.array([f"t{i % 5}" for i in range(1000)]),
+        }
+    )
+    t1 = pa.table(
+        {
+            "id": pa.array(np.arange(50_000, 51_000, dtype=np.int64)),
+            "tag": pa.array([f"t{i % 3}" for i in range(1000)]),
+        }
+    )
+    pq.write_table(t0, p0)
+    pq.write_table(t1, p1)
+    out = str(tmp_path / "store")
+    compress_table(str(p0), out)
+
+    st = append_table_store([str(p0), str(p1)], out)
+    assert st["appended_fragments"] == 1
+    assert st["fragments"] == 2 and st["rows"] == 2000
+
+    again = append_table_store([str(p0), str(p1)], out)
+    assert again["appended_fragments"] == 0
+    assert again["rows"] == 2000
+
+    got = (
+        read_table_store(out)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pa.concat_tables([t0, t1])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp)
+
+    # the appended fragment's zones prune: a range over its ids must
+    # skip the original fragment from the manifest alone
+    stats = {}
+    hits = scan_table_store(
+        out, "id", lo=50_100, hi=50_200, stats_out=stats
+    ).to_pandas()
+    assert len(hits) == 101
+    assert stats["fragments_skipped"] == 1
+
+    # schema drift: renamed column rejected before any encode work
+    bad = tmp_path / "bad.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(np.arange(3, dtype=np.int64)),
+                "label": pa.array(["a", "b", "c"]),
+            }
+        ),
+        bad,
+    )
+    with pytest.raises(ValueError, match="schema"):
+        append_table_store([str(p0), str(p1), str(bad)], out)
+    # type drift too
+    bad2 = tmp_path / "bad2.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(np.arange(3, dtype=np.int32)),
+                "tag": pa.array(["a", "b", "c"]),
+            }
+        ),
+        bad2,
+    )
+    with pytest.raises(ValueError, match="schema"):
+        append_table_store([str(bad2)], out)
