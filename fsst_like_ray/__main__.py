@@ -720,6 +720,39 @@ def cmd_table_cluster(args) -> int:
     return 0
 
 
+def cmd_table_sort(args) -> int:
+    """Total-order export of a committed store with a global rownum
+    column (tablestore.sort_table_store): zonemerge (no shuffle) when
+    the lineage proves fragment envelopes disjoint on the leading key,
+    one range-partitioned sort otherwise. --dest streams parquet;
+    otherwise prints the first rows + the chosen physical path."""
+    ray = _ray()
+    from .pipelines.tablestore import sort_table_store
+
+    by = [c.strip() for c in args.by.split(",") if c.strip()]
+    cols = (
+        [c.strip() for c in args.columns.split(",") if c.strip()]
+        if args.columns
+        else None
+    )
+    t0 = time.time()
+    stats: dict = {}
+    ds = sort_table_store(
+        args.store, by, columns=cols, descending=args.desc,
+        stats_out=stats,
+    )
+    if args.dest:
+        ds.write_parquet(args.dest)
+        out = {**stats, "dest": args.dest}
+    else:
+        head = ds.to_pandas().sort_values("rownum").head(args.limit)
+        print(head.to_string(index=False))
+        out = stats
+    print(json.dumps({**out, "sec": round(time.time() - t0, 3)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_table_join(args) -> int:
     """Equi-join two committed stores (tablestore.join_table_store):
     lineage key envelopes prune fragments on both sides before any part
@@ -1002,6 +1035,19 @@ def main(argv=None) -> int:
     tcl.add_argument("column")
     tcl.add_argument("--batch-rows", type=int, default=8192)
     tcl.set_defaults(fn=cmd_table_cluster)
+
+    tso = sub.add_parser(
+        "table-sort",
+        help="total-order export with a global rownum (zonemerge when "
+        "fragment zones are disjoint, else one distributed sort)",
+    )
+    tso.add_argument("store")
+    tso.add_argument("by", help="comma-separated sort key columns")
+    tso.add_argument("--columns", default=None)
+    tso.add_argument("--desc", action="store_true")
+    tso.add_argument("--dest", default=None)
+    tso.add_argument("--limit", type=int, default=10)
+    tso.set_defaults(fn=cmd_table_sort)
 
     tsc = sub.add_parser(
         "table-scan",

@@ -1301,6 +1301,69 @@ def q_columnar_store_append(sf_dir: str):
     return read_table_store(out)
 
 
+def q_columnar_store_sort(sf_dir: str):
+    """Total-order export from the store, general path: ORDER BY a
+    float column whose fragment zones overlap (value), ties broken by
+    event_id so the order is total, with a GLOBAL 0-based rownum column
+    stamped from per-block row-count prefix sums — the sorted blocks
+    never land on the driver (tablestore.sort_table_store; asserted:
+    the shuffle path ran, not zonemerge)."""
+    import tempfile
+
+    from .tablestore import compress_table, sort_table_store
+
+    base = tempfile.mkdtemp(prefix="columnar_store_sort_")
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    frag_dir = os.path.join(base, "src")
+    os.makedirs(frag_dir)
+    # four delivery files in arrival order: value is i.i.d. per row, so
+    # every fragment's value envelope overlaps — zonemerge must decline
+    step = max(1, -(-src.num_rows // 4))
+    for i in range(0, src.num_rows, step):
+        pq.write_table(
+            src.slice(i, step),
+            os.path.join(frag_dir, f"part-{i // step}.parquet"),
+        )
+    out = os.path.join(base, "store")
+    compress_table(frag_dir, out)
+    stats: dict = {}
+    ds = sort_table_store(
+        out, ["value", "event_id"], columns=["event_id", "value"],
+        stats_out=stats,
+    )
+    if stats["path"] != "sort":
+        raise AssertionError(f"expected shuffle sort path: {stats}")
+    return ds
+
+
+def q_columnar_store_sort_merge(sf_dir: str):
+    """Total-order export from the store, zonemerge path: after
+    cluster_table_store the fragment envelopes on event_id are pairwise
+    disjoint, so the global ORDER BY decomposes into per-fragment local
+    sorts with rownum stamped from lineage row-count prefix sums — ZERO
+    rows cross tasks, no shuffle (tablestore.sort_table_store;
+    asserted: the zonemerge path ran over >1 fragment)."""
+    import tempfile
+
+    from .tablestore import cluster_table_store, sort_table_store
+
+    base = tempfile.mkdtemp(prefix="columnar_store_sortm_")
+    store = os.path.join(base, "store")
+    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    cluster_table_store(
+        f"{sf_dir}/events.parquet", store, "event_id",
+        rows_per_fragment=max(1, n // 6),
+    )
+    stats: dict = {}
+    ds = sort_table_store(
+        store, "event_id", columns=["event_id", "event_type", "user_id"],
+        stats_out=stats,
+    )
+    if stats["path"] != "zonemerge" or stats["fragments"] < 2:
+        raise AssertionError(f"expected zonemerge path: {stats}")
+    return ds
+
+
 def q_columnar_store_ann(sf_dir: str):
     """Similarity search served FROM the compressed store: embeddings
     (list<float> column) compress into the manifest-backed store, then
@@ -7676,6 +7739,8 @@ def build_queries() -> dict:
     q["columnar_store_join"] = q_columnar_store_join
     q["columnar_store_join_dist"] = q_columnar_store_join_dist
     q["columnar_store_append"] = q_columnar_store_append
+    q["columnar_store_sort"] = q_columnar_store_sort
+    q["columnar_store_sort_merge"] = q_columnar_store_sort_merge
     q["columnar_store_topk_where"] = q_columnar_store_topk_where
     q["columnar_store_count_where"] = q_columnar_store_count_where
     q["columnar_store_group_topk"] = q_columnar_store_group_topk
@@ -8021,6 +8086,18 @@ def build_oracle_sql() -> dict:
     sql["columnar_store_join"] = _store_join_sql
     sql["columnar_store_join_dist"] = _store_join_sql
     sql["columnar_store_append"] = "SELECT * FROM events"
+    sql["columnar_store_sort"] = """
+        SELECT event_id, value,
+               CAST(row_number() OVER (ORDER BY value, event_id) - 1
+                    AS BIGINT) AS rownum
+        FROM events
+    """
+    sql["columnar_store_sort_merge"] = """
+        SELECT event_id, event_type, user_id,
+               CAST(row_number() OVER (ORDER BY event_id) - 1
+                    AS BIGINT) AS rownum
+        FROM events
+    """
     sql["columnar_store_ann"] = """
         SELECT vec_id FROM embeddings
         ORDER BY list_cosine_similarity(embedding,

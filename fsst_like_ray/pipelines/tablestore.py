@@ -2558,3 +2558,184 @@ def append_table_store(
     stats = compress_table(fragments, out_dir, **compress_kw)
     stats["appended_fragments"] = len(new)
     return stats
+
+
+def sort_table_store(
+    out_dir: str,
+    by,
+    columns=None,
+    descending: bool = False,
+    rownum: str = "rownum",
+    stats_out: dict | None = None,
+):
+    """Total-order export of a committed store: ORDER BY ``by`` (one
+    column or a list — pass a key set that is actually total, e.g.
+    ``["value", "event_id"]``; ties otherwise number arbitrarily) with a
+    GLOBAL ``rownum`` column (0-based) carrying the order, so the result
+    stays a Dataset whose blocks can land in any order and a partitioned
+    parquet sink is resumable without losing the ordering.
+
+    Two physical paths, chosen from the lineage manifest alone:
+
+    - **zonemerge** (no shuffle): when every fragment carries a zone for
+      the leading key, records zero nulls in it, and the fragment zones
+      are pairwise DISJOINT (the natural state after
+      cluster_table_store, or time-ordered ingest at 100 TB), the global
+      sort decomposes into per-fragment local sorts — each task decodes
+      one fragment, sorts it, and stamps row numbers from the lineage
+      row-count prefix sums. Zero data crosses tasks.
+    - **sort** (one shuffle): otherwise the decoded stream goes through
+      Ray's range-partitioned sort; the sorted blocks' row counts come
+      back as tiny ints, prefix sums stamp per-block offsets, and the
+      blocks re-enter a Dataset by reference (never pulled to the
+      driver).
+    """
+    import ray
+    import ray.data
+
+    from .columnar import _encoded_field_names, decode_columns_batch
+
+    by = [by] if isinstance(by, str) else list(by)
+    if not by:
+        raise ValueError("sort_table_store: empty sort key")
+    if rownum in (columns or ()) or rownum in by:
+        raise ValueError(f"sort_table_store: rownum column {rownum!r} clashes")
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    if not done:
+        raise FileNotFoundError(
+            f"sort_table_store: no committed fragments under {out_dir!r}"
+        )
+    recs = [
+        r
+        for r in sorted(done.values(), key=lambda r: r["frag_key"])
+        if int(r.get("rows", 0))
+    ]
+    lead = by[0]
+
+    def _zone(rec):
+        return (rec.get("zones") or {}).get(lead)
+
+    def _nulls_zero(rec):
+        return (rec.get("nulls") or {}).get(lead) == 0
+
+    mergeable = bool(recs) and all(
+        _zone(r) is not None and _nulls_zero(r) for r in recs
+    )
+    if mergeable:
+        ordered = sorted(recs, key=lambda r: _zone(r)[0])
+        for a, b_ in zip(ordered, ordered[1:]):
+            if not (_zone(a)[1] < _zone(b_)[0]):
+                mergeable = False  # overlap (or touching: a tie could span)
+                break
+    out_cols = None if columns is None else list(columns)
+    read_cols = (
+        None if out_cols is None else sorted(set(out_cols) | set(by))
+    )
+    sort_keys = [
+        (c, "descending" if descending else "ascending") for c in by
+    ]
+
+    if mergeable:
+        if descending:
+            ordered = ordered[::-1]
+        offsets, acc = [], 0
+        for r in ordered:
+            offsets.append(acc)
+            acc += int(r["rows"])
+        data_dir = os.path.join(out_dir, "data")
+        units = [
+            {
+                "parts": _fragment_parts(data_dir, r["frag_key"]),
+                "offset": off,
+                "rows": int(r["rows"]),
+            }
+            for r, off in zip(ordered, offsets)
+        ]
+        units_ref = ray.put(units)
+
+        def sort_frag(ids: pa.Table) -> pa.Table:
+            us = ray.get(units_ref)
+            outs = []
+            for i in ids["id"].to_pylist():
+                u = us[i]
+                kw = {}
+                if read_cols is not None:
+                    kw["columns"] = _encoded_field_names(
+                        list(pq.read_schema(u["parts"][0]).names), read_cols
+                    )
+                t = pa.concat_tables(
+                    [
+                        decode_columns_batch(pq.read_table(p, **kw))
+                        for p in u["parts"]
+                    ]
+                )
+                if t.num_rows != u["rows"]:
+                    raise RuntimeError(
+                        "sort_table_store: lineage row count mismatch "
+                        f"({t.num_rows} != {u['rows']})"
+                    )
+                t = t.sort_by(sort_keys)
+                t = t.append_column(
+                    rownum,
+                    pa.array(
+                        np.arange(
+                            u["offset"], u["offset"] + t.num_rows,
+                            dtype=np.int64,
+                        )
+                    ),
+                )
+                if out_cols is not None:
+                    t = t.select([*out_cols, rownum])
+                outs.append(t)
+            return pa.concat_tables(outs)
+
+        if stats_out is not None:
+            stats_out["path"] = "zonemerge"
+            stats_out["fragments"] = len(units)
+        n_blocks = max(1, len(units))
+        return ray.data.range(
+            len(units), override_num_blocks=n_blocks
+        ).map_batches(sort_frag, batch_format="pyarrow", batch_size=None)
+
+    # general path: decoded stream → Ray range-partitioned sort →
+    # per-block offsets from tiny row counts → blocks re-enter by ref
+    ds = read_table_store(out_dir, columns=read_cols)
+    sorted_ds = ds.sort(by, descending=descending)
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _stamp(t: pa.Table, off: int) -> pa.Table:
+        t = t.append_column(
+            rownum,
+            pa.array(np.arange(off, off + t.num_rows, dtype=np.int64)),
+        )
+        return t.select([*out_cols, rownum]) if out_cols is not None else t
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offs, acc = [], 0
+    for c in counts:
+        offs.append(acc)
+        acc += c
+    stamped = [
+        _stamp.remote(r, off) for r, off, c in zip(refs, offs, counts) if c
+    ]
+    if not stamped:
+        # every committed fragment decoded to zero rows (post-filter
+        # stores can do this); keep the contract schema without a ref
+        if refs:
+            stamped = [_stamp.remote(refs[0], 0)]
+        else:
+            base = pa.schema(
+                [(c, pa.null()) for c in (out_cols or by)]
+                + [(rownum, pa.int64())]
+            )
+            return ray.data.from_arrow(base.empty_table())
+    if stats_out is not None:
+        stats_out["path"] = "sort"
+        stats_out["fragments"] = len(recs)
+    return ray.data.from_arrow_refs(stamped)

@@ -3181,3 +3181,107 @@ def test_append_table_store(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="schema"):
         append_table_store([str(bad2)], out)
+
+
+def test_sort_table_store(ray_session, tmp_path):
+    """Total-order export with a global rownum: the zonemerge (no
+    shuffle) path on disjoint fragment zones, the general shuffle path
+    on overlapping zones, descending on both, ties broken by a
+    composite key, column projection, and the rownum-clash guard."""
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        sort_table_store,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 1200
+    # three disjoint-id deliveries (zonemerge) with an unsorted tail
+    # inside each fragment so the per-fragment local sort matters
+    ids = np.arange(n, dtype=np.int64)
+    vals = rng.integers(0, 40, n).astype(np.int64)  # heavy ties
+    for k in range(3):
+        sl = slice(k * 400, (k + 1) * 400)
+        perm = rng.permutation(400)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids[sl][perm]),
+                    "v": pa.array(vals[sl][perm]),
+                }
+            ),
+            tmp_path / f"part-{k}.parquet",
+        )
+    store = str(tmp_path / "store")
+    compress_table(
+        [str(tmp_path / f"part-{k}.parquet") for k in range(3)], store
+    )
+
+    # zonemerge path: disjoint id envelopes, no shuffle
+    stats = {}
+    got = (
+        sort_table_store(store, "id", stats_out=stats)
+        .to_pandas()
+        .sort_values("rownum")
+        .reset_index(drop=True)
+    )
+    assert stats["path"] == "zonemerge" and stats["fragments"] == 3
+    assert got["id"].tolist() == ids.tolist()
+    assert got["rownum"].tolist() == list(range(n))
+    assert got["v"].tolist() == vals.tolist()
+
+    # zonemerge descending
+    stats = {}
+    got = (
+        sort_table_store(store, "id", descending=True, stats_out=stats)
+        .to_pandas()
+        .sort_values("rownum")
+        .reset_index(drop=True)
+    )
+    assert stats["path"] == "zonemerge"
+    assert got["id"].tolist() == ids[::-1].tolist()
+
+    # general path: v zones overlap → one distributed sort; composite
+    # key (v, id) makes the order total despite heavy ties
+    stats = {}
+    got = (
+        sort_table_store(
+            store, ["v", "id"], columns=["id", "v"], stats_out=stats
+        )
+        .to_pandas()
+        .sort_values("rownum")
+        .reset_index(drop=True)
+    )
+    assert stats["path"] == "sort"
+    order = np.lexsort((ids, vals))
+    assert got["id"].tolist() == ids[order].tolist()
+    assert got["v"].tolist() == vals[order].tolist()
+    assert got["rownum"].tolist() == list(range(n))
+    assert list(got.columns) == ["id", "v", "rownum"]
+
+    # general path descending
+    stats = {}
+    got = (
+        sort_table_store(
+            store, ["v", "id"], descending=True, stats_out=stats
+        )
+        .to_pandas()
+        .sort_values("rownum")
+        .reset_index(drop=True)
+    )
+    assert stats["path"] == "sort"
+    assert got["id"].tolist() == ids[order][::-1].tolist()
+
+    # projection that drops the sort key still works on zonemerge
+    got = (
+        sort_table_store(store, "id", columns=["v"])
+        .to_pandas()
+        .sort_values("rownum")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == ["v", "rownum"]
+    assert got["v"].tolist() == vals.tolist()
+
+    with pytest.raises(ValueError, match="rownum"):
+        sort_table_store(store, "rownum")
+    with pytest.raises(ValueError, match="empty"):
+        sort_table_store(store, [])
