@@ -753,6 +753,30 @@ def cmd_table_sort(args) -> int:
     return 0
 
 
+def cmd_table_upsert(args) -> int:
+    """CDC MERGE a delta parquet into a committed store → a new store
+    (tablestore.upsert_table_store): zone-disjoint fragments copy
+    verbatim, overlapping ones rewrite through the negated
+    compressed-domain IN mask, the delta appends with full lineage."""
+    ray = _ray()
+    from .pipelines.tablestore import upsert_table_store
+
+    t0 = time.time()
+    stats: dict = {}
+    st = upsert_table_store(
+        args.src, args.dst, args.delta, args.key,
+        batch_rows=args.batch_rows, stats_out=stats,
+    )
+    print(
+        json.dumps(
+            {**stats, "rows": st.get("rows"),
+             "sec": round(time.time() - t0, 3)}
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_table_join(args) -> int:
     """Equi-join two committed stores (tablestore.join_table_store):
     lineage key envelopes prune fragments on both sides before any part
@@ -1035,6 +1059,18 @@ def main(argv=None) -> int:
     tcl.add_argument("column")
     tcl.add_argument("--batch-rows", type=int, default=8192)
     tcl.set_defaults(fn=cmd_table_cluster)
+
+    tup = sub.add_parser(
+        "table-upsert",
+        help="CDC MERGE a delta parquet into a committed store → new "
+        "store (zone-disjoint fragments copy verbatim, no decode)",
+    )
+    tup.add_argument("src")
+    tup.add_argument("dst")
+    tup.add_argument("delta")
+    tup.add_argument("key")
+    tup.add_argument("--batch-rows", type=int, default=8192)
+    tup.set_defaults(fn=cmd_table_upsert)
 
     tso = sub.add_parser(
         "table-sort",

@@ -1309,14 +1309,20 @@ def in_scan_mask(batch: pa.Table, column: str, values) -> np.ndarray:
     building block (values must then be ints)."""
     n = batch.num_rows
     if n and bytes(batch[f"{column}__blk"][0].as_py())[1] not in _STR_FAMILY:
-        for v in values:
-            if not isinstance(v, (int, np.integer)):
-                # silent int("1") coercion would mask a schema confusion
-                raise TypeError(
-                    f"in_scan on int column {column!r}: values must be "
-                    f"ints, got {type(v).__name__}"
-                )
-        ivals = np.sort(np.fromiter((int(v) for v in values), dtype=np.int64))
+        if isinstance(values, np.ndarray) and values.dtype.kind in "iu":
+            # upsert-scale sets arrive pre-typed: skip the per-element walk
+            ivals = np.sort(values.astype(np.int64, copy=False))
+        else:
+            for v in values:
+                if not isinstance(v, (int, np.integer)):
+                    # silent int("1") coercion would mask a schema confusion
+                    raise TypeError(
+                        f"in_scan on int column {column!r}: values must be "
+                        f"ints, got {type(v).__name__}"
+                    )
+            ivals = np.sort(
+                np.fromiter((int(v) for v in values), dtype=np.int64)
+            )
         if not len(ivals):
             return np.zeros(n, dtype=bool)
         vals, ok = _int_values(batch, column)

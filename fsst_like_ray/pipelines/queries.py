@@ -1364,6 +1364,82 @@ def q_columnar_store_sort_merge(sf_dir: str):
     return ds
 
 
+def q_columnar_store_upsert(sf_dir: str):
+    """CDC MERGE into the store: a delta of updates (value+1000 on
+    event_id % 7 = 3 within the lowest third of the id range) and
+    inserts (ids shifted past max for event_id % 13 = 5) upserts into a
+    clustered events store — fragments whose id zones miss every delta
+    key COPY verbatim (no decode), overlapping ones rewrite through the
+    negated compressed-domain IN mask, the delta appends with full
+    lineage (tablestore.upsert_table_store; asserted: ≥1 copied AND ≥1
+    rewritten, replaced == update count)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from .tablestore import (
+        cluster_table_store,
+        read_table_store,
+        upsert_table_store,
+    )
+
+    base = tempfile.mkdtemp(prefix="columnar_store_upsert_")
+    src_tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    ids = src_tbl["event_id"]
+    lo = pc.min(ids).as_py()
+    hi = pc.max(ids).as_py()
+    cut = lo + (hi - lo) // 3
+
+    def _mod_mask(m, r):
+        return pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, m), m)), r
+        )
+
+    upd = src_tbl.filter(
+        pc.and_(_mod_mask(7, 3), pc.less_equal(ids, cut))
+    )
+    upd = upd.set_column(
+        upd.schema.get_field_index("event_type"),
+        "event_type",
+        pa.array(["upd"] * upd.num_rows),
+    )
+    upd = upd.set_column(
+        upd.schema.get_field_index("value"),
+        "value",
+        pc.add(upd["value"], 1000.0),
+    )
+    ins = src_tbl.filter(_mod_mask(13, 5))
+    ins = ins.set_column(
+        ins.schema.get_field_index("event_id"),
+        "event_id",
+        pc.add(ins["event_id"], hi + 1),
+    )
+    ins = ins.set_column(
+        ins.schema.get_field_index("event_type"),
+        "event_type",
+        pa.array(["ins"] * ins.num_rows),
+    )
+    delta_path = os.path.join(base, "delta-0.parquet")
+    pq.write_table(pa.concat_tables([upd, ins]), delta_path)
+
+    store = os.path.join(base, "store")
+    n = src_tbl.num_rows
+    cluster_table_store(
+        f"{sf_dir}/events.parquet", store, "event_id",
+        rows_per_fragment=max(1, n // 6),
+    )
+    dst = os.path.join(base, "merged")
+    stats: dict = {}
+    upsert_table_store(store, dst, delta_path, "event_id", stats_out=stats)
+    if stats["fragments_copied"] < 1 or stats["fragments_rewritten"] < 1:
+        raise AssertionError(f"upsert prune did not engage: {stats}")
+    if stats["rows_replaced"] != upd.num_rows:
+        raise AssertionError(
+            f"rows_replaced {stats['rows_replaced']} != {upd.num_rows}"
+        )
+    return read_table_store(dst)
+
+
 def q_columnar_store_ann(sf_dir: str):
     """Similarity search served FROM the compressed store: embeddings
     (list<float> column) compress into the manifest-backed store, then
@@ -7741,6 +7817,7 @@ def build_queries() -> dict:
     q["columnar_store_append"] = q_columnar_store_append
     q["columnar_store_sort"] = q_columnar_store_sort
     q["columnar_store_sort_merge"] = q_columnar_store_sort_merge
+    q["columnar_store_upsert"] = q_columnar_store_upsert
     q["columnar_store_topk_where"] = q_columnar_store_topk_where
     q["columnar_store_count_where"] = q_columnar_store_count_where
     q["columnar_store_group_topk"] = q_columnar_store_group_topk
@@ -8091,6 +8168,26 @@ def build_oracle_sql() -> dict:
                CAST(row_number() OVER (ORDER BY value, event_id) - 1
                     AS BIGINT) AS rownum
         FROM events
+    """
+    sql["columnar_store_upsert"] = """
+        WITH delta AS (
+            SELECT event_id, ts, user_id, 'upd' AS event_type,
+                   value + 1000 AS value, props
+            FROM events
+            WHERE event_id % 7 = 3
+              AND event_id <= (SELECT min(event_id)
+                                 + (max(event_id) - min(event_id)) // 3
+                               FROM events)
+            UNION ALL
+            SELECT event_id + (SELECT max(event_id) + 1 FROM events),
+                   ts, user_id, 'ins' AS event_type, value, props
+            FROM events
+            WHERE event_id % 13 = 5
+        )
+        SELECT * FROM events
+        WHERE event_id NOT IN (SELECT event_id FROM delta)
+        UNION ALL
+        SELECT * FROM delta
     """
     sql["columnar_store_sort_merge"] = """
         SELECT event_id, event_type, user_id,

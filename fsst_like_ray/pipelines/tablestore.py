@@ -1881,17 +1881,20 @@ def _filter_fragment(
     preds,
     engine: str,
     batch_rows: int,
+    negate: bool = False,
 ) -> dict:
     """Filter-rewrite ONE committed fragment: each part streams through
     the compressed-domain predicate mask (only survivors decode), the
     survivors re-encode through _encode_fragment's write path, then the
     fragment SELF-VERIFIES by zip-comparing the decoded destination
     against a recomputed filtered decode of the source. Any failure
-    removes every written destination part."""
+    removes every written destination part. ``negate=True`` keeps the
+    rows the predicates REJECT (the upsert anti-join shape)."""
     from .columnar import _decode_survivors, predicate_mask
 
     def filt(b: pa.Table) -> pa.Table:
-        return _decode_survivors(b, predicate_mask(b, preds, engine), None)
+        mask = predicate_mask(b, preds, engine)
+        return _decode_survivors(b, ~mask if negate else mask, None)
 
     src_parts = _fragment_parts(src_data, frag_key)
     stats = {
@@ -2558,6 +2561,261 @@ def append_table_store(
     stats = compress_table(fragments, out_dir, **compress_kw)
     stats["appended_fragments"] = len(new)
     return stats
+
+
+class _UpsertTask:
+    """Grouped per-round upsert-rewrite tasks: each fragment drops its
+    rows whose key appears in the delta key set (anti-join via the
+    negated compressed-domain IN mask), re-encodes and self-verifies.
+    The SORTED global key container ships once via ray.put; an int-keyed
+    fragment slices it to its own zone before the per-batch mask, so
+    membership cost tracks the fragment's overlap, not the delta size."""
+
+    def __init__(self, src_data, dst_data, recs_ref, key, keys_ref, batch_rows):
+        self.src_data = src_data
+        self.dst_data = dst_data
+        self.recs_ref = recs_ref
+        self.key = key
+        self.keys_ref = keys_ref
+        self.batch_rows = batch_rows
+
+    def __call__(self, ids: pa.Table) -> pa.Table:
+        import json
+
+        import ray
+
+        recs = ray.get(self.recs_ref)
+        keys = ray.get(self.keys_ref)
+        out = []
+        for i in ids["id"].to_pylist():
+            rec = recs[i]
+            fk = rec["frag_key"]
+            subset = keys
+            z = (rec.get("zones") or {}).get(self.key)
+            if isinstance(keys, np.ndarray) and z is not None:
+                i0 = np.searchsorted(keys, z[0], "left")
+                i1 = np.searchsorted(keys, z[1], "right")
+                subset = keys[i0:i1]
+            stats = _filter_fragment(
+                self.src_data,
+                os.path.join(self.dst_data, f"frag={fk}"),
+                fk,
+                [("in", self.key, subset)],
+                "auto",
+                self.batch_rows,
+                negate=True,
+            )
+            out.append(
+                {
+                    "fragment": rec["fragment"],
+                    "frag_key": fk,
+                    "rows": stats["rows"],
+                    "plain_bytes": stats["plain_bytes"],
+                    "encoded_bytes": stats["encoded_bytes"],
+                    "columns_json": json.dumps(stats["columns"]),
+                    "zones_json": json.dumps(stats["zones"]),
+                    "tri_json": json.dumps(stats["trigrams"]),
+                    "nulls_json": json.dumps(stats["nulls"]),
+                }
+            )
+        return pa.Table.from_pylist(out, schema=_STATS_SCHEMA)
+
+
+def upsert_table_store(
+    src_out: str,
+    dst_out: str,
+    delta_path: str | list[str],
+    key: str,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+    resume: bool = True,
+    fragments_per_round: int = 64,
+    stats_out: dict | None = None,
+    max_delta_keys: int = 16_000_000,
+) -> dict:
+    """MERGE a delta table into a committed store (the CDC upsert shape):
+    ``dst = (src rows whose key ∉ delta) ∪ delta`` — updates replace,
+    new keys insert, written as a NEW committed store (same src→dst
+    model as filter/compact/transcode; crash-safety stays the manifest's
+    per-fragment contract).
+
+    Physical plan, decided per src fragment from the lineage alone:
+
+    - key zone DISJOINT from the delta key set (int-zoned key, zero
+      recorded nulls, binary search over the sorted delta keys) → the
+      encoded parts COPY verbatim, lineage carries over — no decode;
+    - otherwise the fragment rewrites through the NEGATED compressed-
+      domain IN mask (rows whose key matches a delta key drop, survivors
+      re-encode and self-verify); an int-keyed task sees only the delta
+      keys inside its own zone;
+    - the delta files then append as new fragments (full lineage/zones/
+      blooms) through the same schema gate as append_table_store.
+
+    Scale contract: the delta is the SMALL side of a merge (one CDC
+    batch). Its key column is collected once — ≤ ``max_delta_keys``
+    (default 16 M ≈ 128 MB of int64) — and ships via a single ray.put;
+    the store side streams per fragment and never materializes. Bigger
+    deltas: split into multiple merges (each is resumable). The delta
+    must be UNIQUE by key and null-free in the key (both checked);
+    string keys are supported but skip the zone prune (zones are
+    int-logical), so every fragment rewrites."""
+    import json
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from .columnar import decode_columns_batch
+
+    src_manifest = Manifest(src_out)
+    done_src = src_manifest.completed()
+    if not done_src:
+        raise FileNotFoundError(
+            f"upsert_table_store: no committed fragments in {src_out!r}"
+        )
+    delta_files = discover_fragments(delta_path)
+    if not delta_files:
+        raise FileNotFoundError(
+            f"upsert_table_store: no delta parquet under {delta_path!r}"
+        )
+    clash = {r["fragment"] for r in done_src.values()} & set(delta_files)
+    if clash:
+        raise ValueError(
+            f"upsert_table_store: delta paths collide with src fragments: "
+            f"{sorted(clash)[:3]}"
+        )
+    src_data = os.path.join(src_out, "data")
+    rec0 = min(done_src.values(), key=lambda r: r["frag_key"])
+    parts0 = _fragment_parts(src_data, rec0["frag_key"])
+    store_fields = [
+        (f.name, f.type)
+        for f in decode_columns_batch(
+            pq.read_schema(parts0[0]).empty_table()
+        ).schema
+    ]
+    for f in delta_files:
+        got = [(fl.name, fl.type) for fl in pq.read_schema(f)]
+        if got != store_fields:
+            raise ValueError(
+                f"upsert_table_store: delta {f!r} schema {got} != store "
+                f"schema {store_fields}"
+            )
+    if key not in [n for n, _t in store_fields]:
+        raise ValueError(f"upsert_table_store: no column {key!r} in store")
+
+    kt = pa.concat_tables(
+        [pq.read_table(f, columns=[key]) for f in delta_files]
+    )
+    n_delta = kt.num_rows
+    ka = kt[key].combine_chunks()
+    if ka.null_count:
+        raise ValueError("upsert_table_store: delta key column has nulls")
+    if n_delta > max_delta_keys:
+        raise ValueError(
+            f"upsert_table_store: delta has {n_delta} keys > "
+            f"max_delta_keys={max_delta_keys}; split the delta into "
+            "multiple merges (each merge is independently resumable)"
+        )
+    if n_delta and pc.count_distinct(ka).as_py() != n_delta:
+        raise ValueError("upsert_table_store: delta is not unique by key")
+    if pa.types.is_integer(ka.type) or pa.types.is_temporal(ka.type):
+        keys_sorted = np.sort(
+            ka.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        int_keys = True
+    elif pa.types.is_string(ka.type) or pa.types.is_large_string(ka.type):
+        keys_sorted = sorted(ka.to_pylist())
+        int_keys = False
+    else:
+        raise ValueError(
+            f"upsert_table_store: unsupported key type {ka.type}"
+        )
+
+    dst_manifest = Manifest(dst_out)
+    done_dst = dst_manifest.completed() if resume else {}
+    recs = sorted(done_src.values(), key=lambda rec: rec["frag_key"])
+    pending = [rec for rec in recs if rec["fragment"] not in done_dst]
+    dst_data = os.path.join(dst_out, "data")
+    copied = 0
+    rewrite_recs = []
+    for rec in pending:
+        z = (rec.get("zones") or {}).get(key)
+        nn = (rec.get("nulls") or {}).get(key)
+        hit = True
+        if int_keys and z is not None and nn == 0:
+            i0 = np.searchsorted(keys_sorted, z[0], "left")
+            i1 = np.searchsorted(keys_sorted, z[1], "right")
+            hit = i1 > i0
+        if hit:
+            rewrite_recs.append(rec)
+            continue
+        fdir = os.path.join(dst_data, f"frag={rec['frag_key']}")
+        shutil.rmtree(fdir, ignore_errors=True)
+        os.makedirs(fdir, exist_ok=True)
+        for part in _fragment_parts(src_data, rec["frag_key"]):
+            shutil.copy2(part, os.path.join(fdir, os.path.basename(part)))
+        dst_manifest.commit({**rec, "upserted_from": src_out})
+        copied += 1
+
+    src_rows_by_key = {r["frag_key"]: int(r["rows"]) for r in recs}
+    rows_replaced = 0
+    rewritten = 0
+    keys_ref = ray.put(keys_sorted) if rewrite_recs else None
+    for start in range(0, len(rewrite_recs), fragments_per_round):
+        round_recs = rewrite_recs[start : start + fragments_per_round]
+        for rec in round_recs:
+            shutil.rmtree(
+                os.path.join(dst_data, f"frag={rec['frag_key']}"),
+                ignore_errors=True,
+            )
+        recs_ref = ray.put(round_recs)
+        ncpu = (
+            int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized()
+            else (os.cpu_count() or 4)
+        )
+        n_groups = max(1, min(len(round_recs), max(4 * ncpu, 16)))
+        rows = (
+            ray.data.range(len(round_recs), override_num_blocks=n_groups)
+            .map_batches(
+                _UpsertTask(
+                    src_data, dst_data, recs_ref, key, keys_ref, batch_rows
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+            .take_all()
+        )
+        for r in rows:
+            dst_manifest.commit(
+                {
+                    "fragment": r["fragment"],
+                    "frag_key": r["frag_key"],
+                    "rows": int(r["rows"]),
+                    "plain_bytes": int(r["plain_bytes"]),
+                    "encoded_bytes": int(r["encoded_bytes"]),
+                    "columns": json.loads(r["columns_json"]),
+                    "zones": json.loads(r["zones_json"]),
+                    "trigrams": json.loads(r["tri_json"]),
+                    "nulls": json.loads(r["nulls_json"]),
+                    "upserted_from": src_out,
+                }
+            )
+            rows_replaced += src_rows_by_key[r["frag_key"]] - int(r["rows"])
+            rewritten += 1
+
+    delta_stats = compress_table(
+        delta_files, dst_out, resume=resume, batch_rows=batch_rows
+    )
+    if stats_out is not None:
+        stats_out.update(
+            fragments_copied=copied,
+            fragments_rewritten=rewritten,
+            rows_replaced=rows_replaced,
+            delta_fragments=len(delta_files),
+            delta_rows=n_delta,
+        )
+    return delta_stats
 
 
 def sort_table_store(

@@ -3285,3 +3285,123 @@ def test_sort_table_store(ray_session, tmp_path):
         sort_table_store(store, "rownum")
     with pytest.raises(ValueError, match="empty"):
         sort_table_store(store, [])
+
+
+def test_upsert_table_store(ray_session, tmp_path):
+    """CDC MERGE: zone-pruned copy-through vs anti-join rewrite, pure
+    inserts, string keys (no zone prune → full rewrite), and the guard
+    rails: duplicate delta keys, null keys, schema drift, key-count cap,
+    delta/src path clash."""
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        read_table_store,
+        upsert_table_store,
+    )
+
+    def mk(frag, ids, tags=None):
+        p = tmp_path / frag
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(np.asarray(ids, dtype=np.int64)),
+                    "v": pa.array(np.asarray(ids, dtype=np.int64) * 2),
+                    "tag": pa.array(
+                        tags or [f"t{int(i) % 5}" for i in ids]
+                    ),
+                }
+            ),
+            p,
+        )
+        return str(p)
+
+    parts = [mk(f"part-{k}.parquet", range(k * 300, (k + 1) * 300)) for k in range(3)]
+    src = str(tmp_path / "src")
+    compress_table(parts, src)
+
+    # updates confined to fragment 0's zone + pure inserts beyond max
+    upd_ids = list(range(10, 60))
+    ins_ids = list(range(9000, 9030))
+    delta = mk("delta-0.parquet", upd_ids + ins_ids, tags=["u"] * 80)
+    dst = str(tmp_path / "dst")
+    stats: dict = {}
+    upsert_table_store(src, dst, delta, "id", stats_out=stats)
+    assert stats["fragments_copied"] == 2
+    assert stats["fragments_rewritten"] == 1
+    assert stats["rows_replaced"] == 50
+    got = read_table_store(dst).to_pandas().sort_values("id")
+    assert len(got) == 900 - 50 + 80
+    assert (got[got["id"].isin(upd_ids + ins_ids)]["tag"] == "u").all()
+    assert set(got["id"]) == (set(range(900)) | set(ins_ids))
+
+    # pure insert: zero overlap → every src fragment copies verbatim
+    delta2 = mk("delta-1.parquet", range(20_000, 20_010))
+    dst2 = str(tmp_path / "dst2")
+    stats2: dict = {}
+    upsert_table_store(src, dst2, delta2, "id", stats_out=stats2)
+    assert stats2["fragments_copied"] == 3
+    assert stats2["fragments_rewritten"] == 0
+    assert stats2["rows_replaced"] == 0
+    assert read_table_store(dst2).count() == 910
+
+    # string key: correct merge, conservative full rewrite (no int zone)
+    sp = tmp_path / "s-part.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([f"k{i:04d}" for i in range(200)]),
+                "x": pa.array(np.arange(200, dtype=np.int64)),
+            }
+        ),
+        sp,
+    )
+    ssrc = str(tmp_path / "ssrc")
+    compress_table(str(sp), ssrc)
+    sd = tmp_path / "s-delta.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(["k0005", "knew1"]),
+                "x": pa.array(np.array([-5, -1], dtype=np.int64)),
+            }
+        ),
+        sd,
+    )
+    sdst = str(tmp_path / "sdst")
+    sstats: dict = {}
+    upsert_table_store(ssrc, sdst, str(sd), "k", stats_out=sstats)
+    assert sstats["fragments_rewritten"] == 1 and sstats["fragments_copied"] == 0
+    sgot = read_table_store(sdst).to_pandas().set_index("k")["x"]
+    assert len(sgot) == 201
+    assert sgot["k0005"] == -5 and sgot["knew1"] == -1 and sgot["k0007"] == 7
+
+    # guard rails
+    dup = mk("delta-dup.parquet", [1, 1, 2])
+    with pytest.raises(ValueError, match="unique"):
+        upsert_table_store(src, str(tmp_path / "x1"), dup, "id")
+    nl = tmp_path / "delta-null.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, None], type=pa.int64()),
+                "v": pa.array([0, 0], type=pa.int64()),
+                "tag": pa.array(["a", "b"]),
+            }
+        ),
+        nl,
+    )
+    with pytest.raises(ValueError, match="null"):
+        upsert_table_store(src, str(tmp_path / "x2"), str(nl), "id")
+    drift = tmp_path / "delta-drift.parquet"
+    pq.write_table(
+        pa.table({"id": pa.array([1], type=pa.int64())}), drift
+    )
+    with pytest.raises(ValueError, match="schema"):
+        upsert_table_store(src, str(tmp_path / "x3"), str(drift), "id")
+    with pytest.raises(ValueError, match="max_delta_keys"):
+        upsert_table_store(
+            src, str(tmp_path / "x4"), delta, "id", max_delta_keys=10
+        )
+    with pytest.raises(ValueError, match="collide"):
+        upsert_table_store(src, str(tmp_path / "x5"), parts[0], "id")
+    with pytest.raises(ValueError, match="no column"):
+        upsert_table_store(src, str(tmp_path / "x6"), delta, "nope")
