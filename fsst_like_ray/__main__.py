@@ -777,6 +777,46 @@ def cmd_table_upsert(args) -> int:
     return 0
 
 
+def cmd_table_delete(args) -> int:
+    """Key-list delete (GDPR shape) → a new committed store
+    (tablestore.delete_keys_table_store). Keys come from --keys (comma
+    ints) or --keys-parquet (a parquet with the key column)."""
+    ray = _ray()
+    from .pipelines.tablestore import delete_keys_table_store
+
+    if bool(args.keys) == bool(args.keys_parquet):
+        print("exactly one of --keys / --keys-parquet required")
+        return 2
+    keys = (
+        args.keys_parquet
+        if args.keys_parquet
+        else [int(k) for k in args.keys.split(",") if k.strip()]
+    )
+    t0 = time.time()
+    stats: dict = {}
+    st = delete_keys_table_store(
+        args.src, args.dst, keys, args.key,
+        batch_rows=args.batch_rows, stats_out=stats,
+    )
+    print(
+        json.dumps(
+            {**stats, "rows": st.get("rows"),
+             "sec": round(time.time() - t0, 3)}
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def cmd_table_vacuum(args) -> int:
+    """GC crash leftovers from a store's data dir (offline maintenance;
+    no Ray session — pure manifest+filesystem work)."""
+    from .pipelines.tablestore import vacuum_table_store
+
+    print(json.dumps(vacuum_table_store(args.store, dry_run=args.dry_run)))
+    return 0
+
+
 def cmd_table_join(args) -> int:
     """Equi-join two committed stores (tablestore.join_table_store):
     lineage key envelopes prune fragments on both sides before any part
@@ -1071,6 +1111,27 @@ def main(argv=None) -> int:
     tup.add_argument("key")
     tup.add_argument("--batch-rows", type=int, default=8192)
     tup.set_defaults(fn=cmd_table_upsert)
+
+    tdl = sub.add_parser(
+        "table-delete",
+        help="key-list delete (GDPR shape) → new store; zone-disjoint "
+        "fragments copy verbatim",
+    )
+    tdl.add_argument("src")
+    tdl.add_argument("dst")
+    tdl.add_argument("key")
+    tdl.add_argument("--keys", default=None, help="comma-separated ints")
+    tdl.add_argument("--keys-parquet", default=None)
+    tdl.add_argument("--batch-rows", type=int, default=8192)
+    tdl.set_defaults(fn=cmd_table_delete)
+
+    tvc = sub.add_parser(
+        "table-vacuum",
+        help="GC orphan fragment dirs / stray files (offline; no Ray)",
+    )
+    tvc.add_argument("store")
+    tvc.add_argument("--dry-run", action="store_true")
+    tvc.set_defaults(fn=cmd_table_vacuum)
 
     tso = sub.add_parser(
         "table-sort",

@@ -1440,6 +1440,60 @@ def q_columnar_store_upsert(sf_dir: str):
     return read_table_store(dst)
 
 
+def q_columnar_store_delete(sf_dir: str):
+    """Key-list delete (the GDPR shape) from a clustered store: ids
+    with event_id % 11 = 0 inside the lowest half of the id range
+    delete by identity; fragments above the cut COPY verbatim — no
+    decode (tablestore.delete_keys_table_store; asserted: ≥1 copied,
+    ≥1 rewritten, deleted == key count). Then a vacuum over a planted
+    orphan fragment dir proves GC never touches committed data."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from .tablestore import (
+        cluster_table_store,
+        delete_keys_table_store,
+        read_table_store,
+        vacuum_table_store,
+    )
+
+    base = tempfile.mkdtemp(prefix="columnar_store_delete_")
+    src_tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    ids = src_tbl["event_id"]
+    lo = pc.min(ids).as_py()
+    hi = pc.max(ids).as_py()
+    cut = lo + (hi - lo) // 2
+    mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 11), 11))
+    doomed = src_tbl.filter(
+        pc.and_(pc.equal(mod, 0), pc.less_equal(ids, cut))
+    )["event_id"].to_numpy(zero_copy_only=False)
+
+    store = os.path.join(base, "store")
+    cluster_table_store(
+        f"{sf_dir}/events.parquet", store, "event_id",
+        rows_per_fragment=max(1, src_tbl.num_rows // 6),
+    )
+    dst = os.path.join(base, "pruned")
+    stats: dict = {}
+    delete_keys_table_store(store, dst, doomed, "event_id", stats_out=stats)
+    if stats["fragments_copied"] < 1 or stats["fragments_rewritten"] < 1:
+        raise AssertionError(f"delete prune did not engage: {stats}")
+    if stats["rows_deleted"] != len(doomed):
+        raise AssertionError(
+            f"rows_deleted {stats['rows_deleted']} != {len(doomed)}"
+        )
+    # vacuum gate: a planted orphan dir goes, committed data survives
+    orphan = os.path.join(dst, "data", "frag=deadbeefdeadbeef")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-000000.parquet"), "wb") as fh:
+        fh.write(b"x" * 512)
+    v = vacuum_table_store(dst)
+    if v["orphan_dirs"] != 1 or os.path.isdir(orphan):
+        raise AssertionError(f"vacuum did not reclaim the orphan: {v}")
+    return read_table_store(dst)
+
+
 def q_columnar_store_ann(sf_dir: str):
     """Similarity search served FROM the compressed store: embeddings
     (list<float> column) compress into the manifest-backed store, then
@@ -7818,6 +7872,7 @@ def build_queries() -> dict:
     q["columnar_store_sort"] = q_columnar_store_sort
     q["columnar_store_sort_merge"] = q_columnar_store_sort_merge
     q["columnar_store_upsert"] = q_columnar_store_upsert
+    q["columnar_store_delete"] = q_columnar_store_delete
     q["columnar_store_topk_where"] = q_columnar_store_topk_where
     q["columnar_store_count_where"] = q_columnar_store_count_where
     q["columnar_store_group_topk"] = q_columnar_store_group_topk
@@ -8188,6 +8243,13 @@ def build_oracle_sql() -> dict:
         WHERE event_id NOT IN (SELECT event_id FROM delta)
         UNION ALL
         SELECT * FROM delta
+    """
+    sql["columnar_store_delete"] = """
+        SELECT * FROM events
+        WHERE NOT (event_id % 11 = 0
+                   AND event_id <= (SELECT min(event_id)
+                                      + (max(event_id) - min(event_id)) // 2
+                                    FROM events))
     """
     sql["columnar_store_sort_merge"] = """
         SELECT event_id, event_type, user_id,

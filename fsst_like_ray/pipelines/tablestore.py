@@ -2658,11 +2658,7 @@ def upsert_table_store(
     must be UNIQUE by key and null-free in the key (both checked);
     string keys are supported but skip the zone prune (zones are
     int-logical), so every fragment rewrites."""
-    import json
-
     import pyarrow.compute as pc
-    import ray
-    import ray.data
 
     from .columnar import decode_columns_batch
 
@@ -2730,6 +2726,47 @@ def upsert_table_store(
             f"upsert_table_store: unsupported key type {ka.type}"
         )
 
+    copied, rewritten, rows_dropped = _drop_keys_rewrite(
+        src_out, dst_out, key, keys_sorted, int_keys,
+        batch_rows, resume, fragments_per_round,
+    )
+    delta_stats = compress_table(
+        delta_files, dst_out, resume=resume, batch_rows=batch_rows
+    )
+    if stats_out is not None:
+        stats_out.update(
+            fragments_copied=copied,
+            fragments_rewritten=rewritten,
+            rows_replaced=rows_dropped,
+            delta_fragments=len(delta_files),
+            delta_rows=n_delta,
+        )
+    return delta_stats
+
+
+def _drop_keys_rewrite(
+    src_out: str,
+    dst_out: str,
+    key: str,
+    keys_sorted,
+    int_keys: bool,
+    batch_rows: int,
+    resume: bool,
+    fragments_per_round: int,
+) -> tuple[int, int, int]:
+    """The shared src→dst anti-join core of upsert and key-list delete:
+    copy-through fragments whose int key zone misses every key, rewrite
+    the rest through the negated compressed-domain IN mask. Returns
+    (fragments_copied, fragments_rewritten, rows_dropped) for THIS run
+    (already-committed destination fragments skip under resume)."""
+    import json
+
+    import ray
+    import ray.data
+
+    src_manifest = Manifest(src_out)
+    done_src = src_manifest.completed()
+    src_data = os.path.join(src_out, "data")
     dst_manifest = Manifest(dst_out)
     done_dst = dst_manifest.completed() if resume else {}
     recs = sorted(done_src.values(), key=lambda rec: rec["frag_key"])
@@ -2757,7 +2794,7 @@ def upsert_table_store(
         copied += 1
 
     src_rows_by_key = {r["frag_key"]: int(r["rows"]) for r in recs}
-    rows_replaced = 0
+    rows_dropped = 0
     rewritten = 0
     keys_ref = ray.put(keys_sorted) if rewrite_recs else None
     for start in range(0, len(rewrite_recs), fragments_per_round):
@@ -2801,21 +2838,149 @@ def upsert_table_store(
                     "upserted_from": src_out,
                 }
             )
-            rows_replaced += src_rows_by_key[r["frag_key"]] - int(r["rows"])
+            rows_dropped += src_rows_by_key[r["frag_key"]] - int(r["rows"])
             rewritten += 1
+    return copied, rewritten, rows_dropped
 
-    delta_stats = compress_table(
-        delta_files, dst_out, resume=resume, batch_rows=batch_rows
+
+def delete_keys_table_store(
+    src_out: str,
+    dst_out: str,
+    keys,
+    key: str,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+    resume: bool = True,
+    fragments_per_round: int = 64,
+    stats_out: dict | None = None,
+    max_delete_keys: int = 16_000_000,
+) -> dict:
+    """Key-LIST delete (the GDPR / right-to-be-forgotten shape):
+    ``dst = src rows whose key ∉ keys``, written as a NEW committed
+    store. ``keys`` is a python list, a numpy array, OR a parquet
+    path/dir holding a ``key`` column (duplicates fine — the set is
+    deduplicated). Same physical plan as upsert minus the append:
+    int-zoned fragments that provably contain none of the keys COPY
+    verbatim; the rest rewrite through the negated compressed-domain
+    IN mask and self-verify. Complements filter_table_store, which
+    deletes by PREDICATE; this deletes by identity at ≤max_delete_keys
+    per run (split bigger lists into resumable passes)."""
+    done_src = Manifest(src_out).completed()
+    if not done_src:
+        raise FileNotFoundError(
+            f"delete_keys_table_store: no committed fragments in {src_out!r}"
+        )
+    if isinstance(keys, (str, os.PathLike)):
+        files = discover_fragments(str(keys))
+        if not files:
+            raise FileNotFoundError(
+                f"delete_keys_table_store: no parquet under {keys!r}"
+            )
+        ka = pa.concat_tables(
+            [pq.read_table(f, columns=[key]) for f in files]
+        )[key].combine_chunks()
+    elif isinstance(keys, np.ndarray):
+        ka = pa.array(keys)
+    else:
+        ka = pa.array(list(keys))
+    if ka.null_count:
+        raise ValueError("delete_keys_table_store: null key in delete set")
+    if len(ka) > max_delete_keys:
+        raise ValueError(
+            f"delete_keys_table_store: {len(ka)} keys > "
+            f"max_delete_keys={max_delete_keys}; split into multiple "
+            "passes (each is resumable)"
+        )
+    if pa.types.is_integer(ka.type) or pa.types.is_temporal(ka.type):
+        keys_sorted = np.unique(
+            ka.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        int_keys = True
+    elif pa.types.is_string(ka.type) or pa.types.is_large_string(ka.type):
+        keys_sorted = sorted(set(ka.to_pylist()))
+        int_keys = False
+    else:
+        raise ValueError(
+            f"delete_keys_table_store: unsupported key type {ka.type}"
+        )
+    copied, rewritten, rows_dropped = _drop_keys_rewrite(
+        src_out, dst_out, key, keys_sorted, int_keys,
+        batch_rows, resume, fragments_per_round,
     )
     if stats_out is not None:
         stats_out.update(
             fragments_copied=copied,
             fragments_rewritten=rewritten,
-            rows_replaced=rows_replaced,
-            delta_fragments=len(delta_files),
-            delta_rows=n_delta,
+            rows_deleted=rows_dropped,
+            delete_keys=len(keys_sorted),
         )
-    return delta_stats
+    return Manifest(dst_out).stats()
+
+
+def vacuum_table_store(
+    out_dir: str, dry_run: bool = False, stats_out: dict | None = None
+) -> dict:
+    """Garbage-collect crash leftovers from a store's data directory —
+    OFFLINE maintenance, same contract as compact (no concurrent
+    writer: an in-flight append's not-yet-committed fragment dir is
+    indistinguishable from an orphan).
+
+    Removes, manifest-first (readers walk the manifest, never the
+    directory, so none of this is ever visible to a query):
+
+    - ORPHAN fragment dirs: ``data/frag=K`` with no committed manifest
+      record — a task died between writing parts and the commit;
+    - STRAY files inside committed fragment dirs that don't match the
+      ``part-*.parquet`` reader glob (tmp files, editor droppings).
+
+    ``dry_run=True`` reports without deleting. Returns/``stats_out``:
+    orphan_dirs, stray_files, reclaimed_bytes, plus the lists when dry.
+    No Ray session needed — pure manifest+filesystem work, O(#dirs)."""
+    manifest = Manifest(out_dir)
+    committed = {r["frag_key"] for r in manifest.completed().values()}
+    data_dir = os.path.join(out_dir, "data")
+    orphans: list[str] = []
+    strays: list[str] = []
+    reclaimed = 0
+    if os.path.isdir(data_dir):
+        for name in sorted(os.listdir(data_dir)):
+            full = os.path.join(data_dir, name)
+            if not name.startswith("frag=") or not os.path.isdir(full):
+                continue
+            if name[len("frag="):] not in committed:
+                orphans.append(full)
+                for root, _dirs, files in os.walk(full):
+                    reclaimed += sum(
+                        os.path.getsize(os.path.join(root, f))
+                        for f in files
+                    )
+                continue
+            for f in sorted(os.listdir(full)):
+                fp = os.path.join(full, f)
+                if os.path.isfile(fp) and not (
+                    f.startswith("part-") and f.endswith(".parquet")
+                ):
+                    strays.append(fp)
+                    reclaimed += os.path.getsize(fp)
+    if not dry_run:
+        for d in orphans:
+            shutil.rmtree(d, ignore_errors=True)
+        for f in strays:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+    out = {
+        "orphan_dirs": len(orphans),
+        "stray_files": len(strays),
+        "reclaimed_bytes": reclaimed,
+        "dry_run": dry_run,
+    }
+    if dry_run:
+        out["orphan_paths"] = orphans
+        out["stray_paths"] = strays
+    if stats_out is not None:
+        stats_out.update(out)
+    return out
 
 
 def sort_table_store(

@@ -3405,3 +3405,125 @@ def test_upsert_table_store(ray_session, tmp_path):
         upsert_table_store(src, str(tmp_path / "x5"), parts[0], "id")
     with pytest.raises(ValueError, match="no column"):
         upsert_table_store(src, str(tmp_path / "x6"), delta, "nope")
+
+
+def test_delete_keys_table_store(ray_session, tmp_path):
+    """Key-list delete: zone-pruned copy vs rewrite, keys from a list /
+    numpy array / parquet path (dedup'd), and resume."""
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        delete_keys_table_store,
+        read_table_store,
+    )
+
+    parts = []
+    for k in range(3):
+        p = tmp_path / f"part-{k}.parquet"
+        ids = np.arange(k * 300, (k + 1) * 300, dtype=np.int64)
+        pq.write_table(
+            pa.table({"id": pa.array(ids), "v": pa.array(ids * 3)}), p
+        )
+        parts.append(str(p))
+    src = str(tmp_path / "src")
+    compress_table(parts, src)
+
+    doomed = [5, 5, 17, 250, 10_000]  # dup + missing key are fine
+    dst = str(tmp_path / "dst")
+    stats: dict = {}
+    delete_keys_table_store(src, dst, doomed, "id", stats_out=stats)
+    assert stats["fragments_copied"] == 2
+    assert stats["fragments_rewritten"] == 1
+    assert stats["rows_deleted"] == 3
+    assert stats["delete_keys"] == 4
+    got = read_table_store(dst).to_pandas()
+    assert len(got) == 897
+    assert not got["id"].isin([5, 17, 250]).any()
+
+    # keys from a parquet file; numpy array path too
+    kp = tmp_path / "doomed.parquet"
+    pq.write_table(
+        pa.table({"id": pa.array([300, 301], type=pa.int64())}), kp
+    )
+    dst2 = str(tmp_path / "dst2")
+    s2: dict = {}
+    delete_keys_table_store(src, dst2, str(kp), "id", stats_out=s2)
+    assert s2["rows_deleted"] == 2 and s2["fragments_copied"] == 2
+    dst3 = str(tmp_path / "dst3")
+    s3: dict = {}
+    delete_keys_table_store(
+        src, dst3, np.array([0, 899], dtype=np.int64), "id", stats_out=s3
+    )
+    assert s3["rows_deleted"] == 2 and s3["fragments_rewritten"] == 2
+
+    # resume: second run over a committed dst is a no-op
+    s4: dict = {}
+    delete_keys_table_store(src, dst, doomed, "id", stats_out=s4)
+    assert s4["fragments_copied"] == 0 and s4["fragments_rewritten"] == 0
+    assert read_table_store(dst).count() == 897
+
+    with pytest.raises(ValueError, match="null"):
+        delete_keys_table_store(
+            src, str(tmp_path / "x1"),
+            pa.array([1, None], type=pa.int64()).to_pylist(), "id",
+        )
+    with pytest.raises(ValueError, match="max_delete_keys"):
+        delete_keys_table_store(
+            src, str(tmp_path / "x2"), doomed, "id", max_delete_keys=2
+        )
+
+
+def test_vacuum_table_store(ray_session, tmp_path):
+    """GC: orphan fragment dirs (written, never committed) and stray
+    non-part files inside committed dirs go; committed data survives
+    byte-for-byte; dry_run only reports."""
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        read_table_store,
+        vacuum_table_store,
+    )
+
+    p = tmp_path / "in.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(np.arange(500, dtype=np.int64)),
+                "t": pa.array([f"r{i}" for i in range(500)]),
+            }
+        ),
+        p,
+    )
+    out = str(tmp_path / "store")
+    compress_table(str(p), out)
+    before = read_table_store(out).to_pandas()
+
+    import os
+
+    data = os.path.join(out, "data")
+    orphan = os.path.join(data, "frag=deadbeefdeadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-000000.parquet"), "wb") as f:
+        f.write(b"x" * 1024)
+    frag_dirs = [d for d in os.listdir(data) if d.startswith("frag=") and d != "frag=deadbeefdeadbeef"]
+    stray = os.path.join(data, frag_dirs[0], "part-000000.parquet.tmp")
+    with open(stray, "wb") as f:
+        f.write(b"y" * 100)
+
+    dry = vacuum_table_store(out, dry_run=True)
+    assert dry["orphan_dirs"] == 1 and dry["stray_files"] == 1
+    assert dry["reclaimed_bytes"] == 1124
+    assert os.path.isdir(orphan) and os.path.exists(stray)
+
+    res = vacuum_table_store(out)
+    assert res["orphan_dirs"] == 1 and res["stray_files"] == 1
+    assert not os.path.isdir(orphan) and not os.path.exists(stray)
+
+    after = read_table_store(out).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        before.sort_values("id").reset_index(drop=True),
+        after.sort_values("id").reset_index(drop=True),
+    )
+    # idempotent
+    res2 = vacuum_table_store(out)
+    assert res2["orphan_dirs"] == 0 and res2["stray_files"] == 0
