@@ -817,6 +817,51 @@ def cmd_table_vacuum(args) -> int:
     return 0
 
 
+def cmd_table_union(args) -> int:
+    """Consolidate N committed stores into one by byte-identical part
+    copy with lineage carry-over (tablestore.union_table_store)."""
+    ray = _ray()
+    from .pipelines.tablestore import union_table_store
+
+    t0 = time.time()
+    stats: dict = {}
+    st = union_table_store(args.srcs, args.dst, stats_out=stats)
+    print(
+        json.dumps(
+            {**stats, "rows": st.get("rows"),
+             "sec": round(time.time() - t0, 3)}
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def cmd_table_explain(args) -> int:
+    """Print the fragment planner's skip/scan decision per committed
+    fragment for a predicate, from the manifest alone (no Ray)."""
+    from .pipelines.tablestore import explain_table_store
+
+    preds = []
+    if args.lo is not None or args.hi is not None:
+        preds.append(("range", args.column, args.lo, args.hi))
+    if args.like:
+        preds.append(("like", args.column, args.like))
+    if not preds:
+        print("need --lo/--hi or --like")
+        return 2
+    plan = explain_table_store(args.store, preds)
+    for row in plan.to_pylist():
+        print(json.dumps(row))
+    n_skip = sum(1 for d in plan["decision"].to_pylist() if d == "skip")
+    print(
+        json.dumps(
+            {"fragments": plan.num_rows, "skip": n_skip,
+             "scan": plan.num_rows - n_skip}
+        )
+    )
+    return 0
+
+
 def cmd_table_join(args) -> int:
     """Equi-join two committed stores (tablestore.join_table_store):
     lineage key envelopes prune fragments on both sides before any part
@@ -1111,6 +1156,27 @@ def main(argv=None) -> int:
     tup.add_argument("key")
     tup.add_argument("--batch-rows", type=int, default=8192)
     tup.set_defaults(fn=cmd_table_upsert)
+
+    tun = sub.add_parser(
+        "table-union",
+        help="consolidate N stores into one (byte-identical part copy, "
+        "lineage carry-over, UNION ALL semantics)",
+    )
+    tun.add_argument("dst")
+    tun.add_argument("srcs", nargs="+")
+    tun.set_defaults(fn=cmd_table_union)
+
+    tex = sub.add_parser(
+        "table-explain",
+        help="per-fragment skip/scan plan for a predicate, from the "
+        "manifest alone (no Ray)",
+    )
+    tex.add_argument("store")
+    tex.add_argument("column")
+    tex.add_argument("--lo", type=int, default=None)
+    tex.add_argument("--hi", type=int, default=None)
+    tex.add_argument("--like", default=None)
+    tex.set_defaults(fn=cmd_table_explain)
 
     tdl = sub.add_parser(
         "table-delete",

@@ -1494,6 +1494,96 @@ def q_columnar_store_delete(sf_dir: str):
     return read_table_store(dst)
 
 
+def q_columnar_store_union(sf_dir: str):
+    """Shard consolidation: the events table arrives as TWO separately
+    encoded stores (parallel ingest jobs); union_table_store merges
+    them by byte-identical part copy under source-qualified fragment
+    ids, lineage verbatim — the merged read equals the whole table
+    (UNION ALL semantics, asserted fragment count)."""
+    import tempfile
+
+    from .tablestore import (
+        compress_table,
+        read_table_store,
+        union_table_store,
+    )
+
+    base = tempfile.mkdtemp(prefix="columnar_store_union_")
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    half = src.num_rows // 2
+    a = os.path.join(base, "a.parquet")
+    b = os.path.join(base, "b.parquet")
+    pq.write_table(src.slice(0, half), a)
+    pq.write_table(src.slice(half), b)
+    s1 = os.path.join(base, "s1")
+    s2 = os.path.join(base, "s2")
+    compress_table(a, s1)
+    compress_table(b, s2)
+    dst = os.path.join(base, "merged")
+    stats: dict = {}
+    union_table_store([s1, s2], dst, stats_out=stats)
+    if stats["fragments_copied"] != 2 or stats["sources"] != 2:
+        raise AssertionError(f"union lineage off: {stats}")
+    return read_table_store(dst)
+
+
+def q_columnar_store_explain(sf_dir: str):
+    """EXPLAIN gate: over a clustered events store, the manifest-only
+    fragment plan for a compound predicate must agree EXACTLY with the
+    executed scan's prune stats, skip ≥1 fragment by zone, and return
+    the same row count the survivors produce
+    (tablestore.explain_table_store)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from .tablestore import (
+        cluster_table_store,
+        explain_table_store,
+        predicate_scan_table_store,
+    )
+
+    base = tempfile.mkdtemp(prefix="columnar_store_explain_")
+    store = os.path.join(base, "store")
+    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    cluster_table_store(
+        f"{sf_dir}/events.parquet", store, "event_id",
+        rows_per_fragment=max(1, n // 6),
+    )
+    ids = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])[
+        "event_id"
+    ]
+    lo = pc.min(ids).as_py()
+    hi = pc.max(ids).as_py()
+    preds = [("range", "event_id", lo, lo + (hi - lo) // 4)]
+    plan = explain_table_store(store, preds).to_pandas()
+    n_skip = int((plan["decision"] == "skip").sum())
+    n_scan = int((plan["decision"] == "scan").sum())
+    st: dict = {}
+    got = predicate_scan_table_store(store, preds, stats_out=st)
+    rows = got.count()
+    ok_agree = (
+        n_skip == st["fragments_skipped"]
+        and n_scan == st["fragments_scanned"]
+    )
+    ok_reason = (
+        plan[plan["decision"] == "skip"]["pruned_by"]
+        == "range:event_id"
+    ).all()
+    return pa.table(
+        {
+            "plan_matches_scan": pa.array([bool(ok_agree)]),
+            "skipped_ge_1": pa.array([n_skip >= 1]),
+            "reasons_are_zone": pa.array([bool(ok_reason)]),
+            "rows_match_oracle": pa.array(
+                [rows == int(pc.sum(
+                    pc.less_equal(ids, lo + (hi - lo) // 4)
+                ).as_py())]
+            ),
+        }
+    )
+
+
 def q_columnar_store_ann(sf_dir: str):
     """Similarity search served FROM the compressed store: embeddings
     (list<float> column) compress into the manifest-backed store, then
@@ -7873,6 +7963,8 @@ def build_queries() -> dict:
     q["columnar_store_sort_merge"] = q_columnar_store_sort_merge
     q["columnar_store_upsert"] = q_columnar_store_upsert
     q["columnar_store_delete"] = q_columnar_store_delete
+    q["columnar_store_union"] = q_columnar_store_union
+    q["columnar_store_explain"] = q_columnar_store_explain
     q["columnar_store_topk_where"] = q_columnar_store_topk_where
     q["columnar_store_count_where"] = q_columnar_store_count_where
     q["columnar_store_group_topk"] = q_columnar_store_group_topk
@@ -8250,6 +8342,11 @@ def build_oracle_sql() -> dict:
                    AND event_id <= (SELECT min(event_id)
                                       + (max(event_id) - min(event_id)) // 2
                                     FROM events))
+    """
+    sql["columnar_store_union"] = "SELECT * FROM events"
+    sql["columnar_store_explain"] = """
+        SELECT (1=1) AS plan_matches_scan, (1=1) AS skipped_ge_1,
+               (1=1) AS reasons_are_zone, (1=1) AS rows_match_oracle
     """
     sql["columnar_store_sort_merge"] = """
         SELECT event_id, event_type, user_id,

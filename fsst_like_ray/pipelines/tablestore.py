@@ -2916,6 +2916,208 @@ def delete_keys_table_store(
     return Manifest(dst_out).stats()
 
 
+def explain_table_store(out_dir: str, preds) -> pa.Table:
+    """EXPLAIN for the store's fragment planner: the per-fragment
+    skip/scan decision the predicate scan would make, computed from the
+    lineage manifest ALONE (no Ray session, no file opens) — one row per
+    committed fragment with the first predicate that pruned it
+    (``<op>:<column>``: range → zone envelope, eq/like/in → trigram
+    bloom or id-zone bisect, isnull/notnull → lineage null counts).
+    The same ``_predicate_checks`` closures the scan uses decide here,
+    so EXPLAIN and execution can never disagree."""
+    done = Manifest(out_dir).completed()
+    if not done:
+        raise FileNotFoundError(
+            f"explain_table_store: no committed fragments under {out_dir!r}"
+        )
+    _cols, checks = _predicate_checks(preds)
+    labels = [f"{p[0]}:{p[1]}" for p in preds]
+    out = {
+        "frag_key": [], "fragment": [], "rows": [],
+        "encoded_bytes": [], "decision": [], "pruned_by": [],
+    }
+    for rec in sorted(done.values(), key=lambda r: r["frag_key"]):
+        pruned = ""
+        for chk, lab in zip(checks, labels):
+            if not chk(rec):
+                pruned = lab
+                break
+        out["frag_key"].append(rec["frag_key"])
+        out["fragment"].append(rec["fragment"])
+        out["rows"].append(int(rec.get("rows", 0)))
+        out["encoded_bytes"].append(int(rec.get("encoded_bytes", 0)))
+        out["decision"].append("skip" if pruned else "scan")
+        out["pruned_by"].append(pruned)
+    return pa.table(
+        {
+            "frag_key": pa.array(out["frag_key"]),
+            "fragment": pa.array(out["fragment"]),
+            "rows": pa.array(out["rows"], type=pa.int64()),
+            "encoded_bytes": pa.array(
+                out["encoded_bytes"], type=pa.int64()
+            ),
+            "decision": pa.array(out["decision"]),
+            "pruned_by": pa.array(out["pruned_by"]),
+        }
+    )
+
+
+class _UnionCopyTask:
+    """Per-round union copy tasks: each task byte-copies one source
+    fragment's parts into the destination fragment dir and verifies
+    size; the (src_data, entries) list ships once via ray.put."""
+
+    def __init__(self, entries_ref):
+        self.entries_ref = entries_ref
+
+    def __call__(self, ids: pa.Table) -> pa.Table:
+        import ray
+
+        entries = ray.get(self.entries_ref)
+        out = []
+        for i in ids["id"].to_pylist():
+            src_data, rec, dst_fdir = entries[i]
+            shutil.rmtree(dst_fdir, ignore_errors=True)
+            os.makedirs(dst_fdir, exist_ok=True)
+            copied = 0
+            for part in _fragment_parts(src_data, rec["frag_key"]):
+                dst = os.path.join(dst_fdir, os.path.basename(part))
+                shutil.copy2(part, dst)
+                if os.path.getsize(dst) != os.path.getsize(part):
+                    raise IOError(f"union copy size mismatch: {dst}")
+                copied += os.path.getsize(dst)
+            out.append({"id": int(i), "bytes": copied})
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema([("id", pa.int64()), ("bytes", pa.int64())]),
+        )
+
+
+def union_table_store(
+    src_outs: list[str],
+    dst_out: str,
+    resume: bool = True,
+    fragments_per_round: int = 256,
+    stats_out: dict | None = None,
+) -> dict:
+    """Consolidate N committed stores into ONE (the shard-merge shape
+    after parallel ingest jobs): every source fragment's encoded parts
+    copy byte-identically into the destination under a source-qualified
+    fragment id (``<src>::<fragment>`` — two stores that encoded the
+    SAME input path stay distinct rows, exactly like SQL UNION ALL),
+    and the lineage records carry over verbatim, so every zone / bloom
+    / null statistic keeps pruning in the merged store. Copies run as
+    Ray tasks (fragments_per_round at a time); each part verifies by
+    size before its fragment commits; resumable per fragment.
+
+    All sources must share the decoded schema (append's gate). Re-pack
+    small fragments afterwards with compact_table_store if the sources
+    were fine-grained; nothing re-encodes here."""
+    from .columnar import decode_columns_batch
+
+    import ray
+    import ray.data
+
+    if len(src_outs) < 1:
+        raise ValueError("union_table_store: need at least one source")
+    if len(set(src_outs)) != len(src_outs):
+        raise ValueError("union_table_store: duplicate source store")
+    srcs = []
+    schema0 = None
+    for s in src_outs:
+        done = Manifest(s).completed()
+        if not done:
+            raise FileNotFoundError(
+                f"union_table_store: no committed fragments in {s!r}"
+            )
+        data_dir = os.path.join(s, "data")
+        rec0 = next(
+            (
+                r
+                for r in sorted(done.values(), key=lambda r: r["frag_key"])
+                if int(r.get("rows", 0)) > 0
+            ),
+            None,
+        )
+        if rec0 is not None:
+            parts0 = _fragment_parts(data_dir, rec0["frag_key"])
+            fields = [
+                (f.name, f.type)
+                for f in decode_columns_batch(
+                    pq.read_schema(parts0[0]).empty_table()
+                ).schema
+            ]
+            if schema0 is None:
+                schema0 = fields
+            elif fields != schema0:
+                raise ValueError(
+                    f"union_table_store: {s!r} schema {fields} != "
+                    f"{schema0}"
+                )
+        srcs.append((s, data_dir, done))
+
+    dst_manifest = Manifest(dst_out)
+    done_dst = dst_manifest.completed() if resume else {}
+    dst_data = os.path.join(dst_out, "data")
+    entries = []  # (src_data, src_rec, dst_fdir, new_rec)
+    skipped_markers = 0
+    for s, data_dir, done in srcs:
+        for rec in sorted(done.values(), key=lambda r: r["frag_key"]):
+            if int(rec.get("rows", 0)) == 0:
+                skipped_markers += 1
+                continue
+            new_id = f"{s}::{rec['fragment']}"
+            if new_id in done_dst:
+                continue
+            new_key = fragment_key(new_id)
+            new_rec = {
+                **rec,
+                "fragment": new_id,
+                "frag_key": new_key,
+                "unioned_from": s,
+            }
+            entries.append(
+                (
+                    data_dir,
+                    rec,
+                    os.path.join(dst_data, f"frag={new_key}"),
+                    new_rec,
+                )
+            )
+    copied = 0
+    for start in range(0, len(entries), fragments_per_round):
+        batch = entries[start : start + fragments_per_round]
+        entries_ref = ray.put([(d, r, f) for d, r, f, _n in batch])
+        ncpu = (
+            int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized()
+            else (os.cpu_count() or 4)
+        )
+        n_groups = max(1, min(len(batch), max(4 * ncpu, 16)))
+        rows = (
+            ray.data.range(len(batch), override_num_blocks=n_groups)
+            .map_batches(
+                _UnionCopyTask(entries_ref),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+            .take_all()
+        )
+        ok_ids = {int(r["id"]) for r in rows}
+        for j, (_d, _r, _f, new_rec) in enumerate(batch):
+            if j in ok_ids:
+                dst_manifest.commit(new_rec)
+                copied += 1
+    if stats_out is not None:
+        stats_out.update(
+            fragments_copied=copied,
+            sources=len(src_outs),
+            zero_row_markers_elided=skipped_markers,
+        )
+    return dst_manifest.stats()
+
+
 def vacuum_table_store(
     out_dir: str, dry_run: bool = False, stats_out: dict | None = None
 ) -> dict:

@@ -3527,3 +3527,113 @@ def test_vacuum_table_store(ray_session, tmp_path):
     # idempotent
     res2 = vacuum_table_store(out)
     assert res2["orphan_dirs"] == 0 and res2["stray_files"] == 0
+
+
+def test_union_table_store(ray_session, tmp_path):
+    """Shard consolidation: two stores (one sharing an input PATH with
+    the other — must stay distinct rows, UNION ALL semantics) merge by
+    byte-identical part copy; zones keep pruning in the merged store;
+    resume is a no-op; schema drift rejected."""
+    import os
+
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        read_table_store,
+        scan_table_store,
+        union_table_store,
+    )
+
+    pa_ids = np.arange(0, 400, dtype=np.int64)
+    pb_ids = np.arange(1000, 1400, dtype=np.int64)
+    shared = tmp_path / "shared.parquet"
+    pq.write_table(
+        pa.table({"id": pa.array(pa_ids), "v": pa.array(pa_ids * 2)}),
+        shared,
+    )
+    only_b = tmp_path / "only-b.parquet"
+    pq.write_table(
+        pa.table({"id": pa.array(pb_ids), "v": pa.array(pb_ids * 2)}),
+        only_b,
+    )
+    s1 = str(tmp_path / "s1")
+    s2 = str(tmp_path / "s2")
+    compress_table(str(shared), s1)
+    compress_table([str(shared), str(only_b)], s2)
+
+    dst = str(tmp_path / "merged")
+    stats: dict = {}
+    union_table_store([s1, s2], dst, stats_out=stats)
+    assert stats["fragments_copied"] == 3 and stats["sources"] == 2
+    got = read_table_store(dst).to_pandas()
+    # UNION ALL: the shared input appears twice
+    assert len(got) == 1200
+    assert (got["id"] < 1000).sum() == 800
+
+    # zone pruning survives the merge
+    st: dict = {}
+    hits = scan_table_store(dst, "id", lo=1100, hi=1200, stats_out=st)
+    assert hits.count() == 101
+    assert st["fragments_skipped"] == 2 and st["fragments_scanned"] == 1
+
+    # resume no-op
+    stats2: dict = {}
+    union_table_store([s1, s2], dst, stats_out=stats2)
+    assert stats2["fragments_copied"] == 0
+    assert read_table_store(dst).count() == 1200
+
+    # schema drift
+    drift = tmp_path / "drift.parquet"
+    pq.write_table(pa.table({"id": pa.array([1], type=pa.int64())}), drift)
+    s3 = str(tmp_path / "s3")
+    compress_table(str(drift), s3)
+    with pytest.raises(ValueError, match="schema"):
+        union_table_store([s1, s3], str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="duplicate"):
+        union_table_store([s1, s1], str(tmp_path / "y"))
+
+
+def test_explain_table_store(ray_session, tmp_path):
+    """EXPLAIN from the manifest alone: decisions agree with the actual
+    scan's prune stats, and pruned_by names the first pruning
+    predicate."""
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        explain_table_store,
+        predicate_scan_table_store,
+    )
+
+    parts = []
+    for k in range(4):
+        ids = np.arange(k * 250, (k + 1) * 250, dtype=np.int64)
+        p = tmp_path / f"part-{k}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids),
+                    "tag": pa.array(
+                        ["alpha" if k == 0 else "beta"] * 250
+                    ),
+                }
+            ),
+            p,
+        )
+        parts.append(str(p))
+    store = str(tmp_path / "store")
+    compress_table(parts, store)
+
+    preds = [("range", "id", 0, 300), ("like", "tag", "%alpha%")]
+    plan = explain_table_store(store, preds).to_pandas()
+    assert len(plan) == 4
+    by_dec = plan.groupby("decision").size().to_dict()
+    assert by_dec.get("scan") == 1  # only fragment 0 passes both
+    assert by_dec.get("skip") == 3
+    reasons = set(plan[plan["decision"] == "skip"]["pruned_by"])
+    assert "range:id" in reasons  # fragments 2,3 zone-pruned
+    assert "like:tag" in reasons  # fragment 1 bloom-pruned
+    assert (plan[plan["decision"] == "scan"]["pruned_by"] == "").all()
+
+    # execution agrees with EXPLAIN
+    st: dict = {}
+    got = predicate_scan_table_store(store, preds, stats_out=st)
+    # frag 1 overlaps the range but its bloom lacks "alpha": 0 rows
+    assert got.count() == 250
