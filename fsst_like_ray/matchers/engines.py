@@ -759,8 +759,25 @@ def match_block(
         )
         if reqs is None:
             return result  # block pruned: no code/escape can spell a segment
-        adaptive = engine == "auto" and n_rows > 2 * _SKIP_SAMPLE_ROWS
-        declined = kmp_route = False
+        # with the C kernel, single-segment contains routes straight to
+        # the KMP walk: one C payload pass with per-row early exit beats
+        # BOTH the NumPy requirements pass (same bytes, interpreter-rate)
+        # and decode+find at every observed density (r4 engine_rank:
+        # kmp 1.8 ms vs skipping 5.7 / decoded 8.7 on a 77%-dense
+        # pattern; also fastest on sparse ones) — the reqs-None check
+        # above already handled the provably-empty block, which is the
+        # only case the prefilter wins outright
+        kmp_route = (
+            engine == "auto"
+            and shape == "contains"
+            and _native.lib is not None
+        )
+        adaptive = (
+            engine == "auto"
+            and not kmp_route
+            and n_rows > 2 * _SKIP_SAMPLE_ROWS
+        )
+        declined = False
         if adaptive and reqs:
             frac = _sampled_candidate_fraction(gpay, gpo, reqs)
             cutoff = (
@@ -768,11 +785,6 @@ def match_block(
                 else _SKIP_CUTOFF_NUMPY
             )
             declined = frac >= cutoff
-            kmp_route = (
-                shape == "contains"
-                and _native.lib is not None
-                and frac >= _KMP_ROUTE_CUTOFF
-            )
         if kmp_route:
             return kmp_code_match(gpay, gpo, table, pat.segments[0])
         if not declined and reqs:
