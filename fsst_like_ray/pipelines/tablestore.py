@@ -3022,6 +3022,11 @@ def union_table_store(
         raise ValueError("union_table_store: need at least one source")
     if len(set(src_outs)) != len(src_outs):
         raise ValueError("union_table_store: duplicate source store")
+    norm_dst = os.path.abspath(dst_out)
+    if any(os.path.abspath(s) == norm_dst for s in src_outs):
+        raise ValueError(
+            "union_table_store: destination must not be a source"
+        )
     srcs = []
     schema0 = None
     for s in src_outs:
