@@ -3590,6 +3590,8 @@ def test_union_table_store(ray_session, tmp_path):
         union_table_store([s1, s3], str(tmp_path / "x"))
     with pytest.raises(ValueError, match="duplicate"):
         union_table_store([s1, s1], str(tmp_path / "y"))
+    with pytest.raises(ValueError, match="destination"):
+        union_table_store([s1, dst], dst)
 
 
 def test_explain_table_store(ray_session, tmp_path):
