@@ -3639,3 +3639,100 @@ def test_explain_table_store(ray_session, tmp_path):
     got = predicate_scan_table_store(store, preds, stats_out=st)
     # frag 1 overlaps the range but its bloom lacks "alpha": 0 rows
     assert got.count() == 250
+
+
+def test_upsert_table_store_crash_resume(ray_session, tmp_path, monkeypatch):
+    """Driver dies mid-upsert (after the first rewrite commit): resume
+    finishes only the remaining fragments + the delta append, and the
+    merged read is exact."""
+    import fsst_like_ray.pipelines.tablestore as TS
+
+    n = 1200
+    frag = tmp_path / "src"
+    frag.mkdir()
+    step = n // 3
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"id": pa.array(ids), "v": pa.array(ids * 7)})
+    for i in range(3):
+        pq.write_table(t.slice(i * step, step), frag / f"f{i}.parquet")
+    src = str(tmp_path / "src_store")
+    TS.compress_table(str(frag), src)
+
+    # delta touches EVERY fragment (one key per zone) → 3 rewrites
+    delta = pa.table(
+        {
+            "id": pa.array([5, 450, 900], type=pa.int64()),
+            "v": pa.array([-1, -2, -3], type=pa.int64()),
+        }
+    )
+    dpath = tmp_path / "delta.parquet"
+    pq.write_table(delta, dpath)
+
+    calls = {"n": 0}
+    orig_commit = TS.Manifest.commit
+
+    def dying(self, record):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash")
+        return orig_commit(self, record)
+
+    dst = str(tmp_path / "dst")
+    monkeypatch.setattr(TS.Manifest, "commit", dying)
+    with pytest.raises(Exception, match="injected crash"):
+        TS.upsert_table_store(
+            src, dst, str(dpath), "id", fragments_per_round=1
+        )
+    assert len(TS.Manifest(dst).completed()) == 1
+    monkeypatch.setattr(TS.Manifest, "commit", orig_commit)
+
+    stats: dict = {}
+    TS.upsert_table_store(src, dst, str(dpath), "id", stats_out=stats)
+    assert stats["fragments_rewritten"] == 2  # resumed, not restarted
+    got = (
+        TS.read_table_store(dst)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    assert got.loc[got["id"] == 5, "v"].item() == -1
+    assert got.loc[got["id"] == 450, "v"].item() == -2
+    assert got.loc[got["id"] == 900, "v"].item() == -3
+    assert got.loc[got["id"] == 6, "v"].item() == 42
+
+
+def test_union_table_store_crash_resume(ray_session, tmp_path, monkeypatch):
+    """Driver dies mid-union: the uncommitted copy is invisible, resume
+    copies only what's missing, vacuum would have reclaimed the orphan."""
+    import fsst_like_ray.pipelines.tablestore as TS
+
+    stores = []
+    for k in range(2):
+        p = tmp_path / f"in{k}.parquet"
+        ids = np.arange(k * 500, (k + 1) * 500, dtype=np.int64)
+        pq.write_table(pa.table({"id": pa.array(ids)}), p)
+        s = str(tmp_path / f"s{k}")
+        TS.compress_table(str(p), s)
+        stores.append(s)
+
+    calls = {"n": 0}
+    orig_commit = TS.Manifest.commit
+
+    def dying(self, record):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash")
+        return orig_commit(self, record)
+
+    dst = str(tmp_path / "merged")
+    monkeypatch.setattr(TS.Manifest, "commit", dying)
+    with pytest.raises(Exception, match="injected crash"):
+        TS.union_table_store(stores, dst, fragments_per_round=1)
+    assert len(TS.Manifest(dst).completed()) == 1
+    monkeypatch.setattr(TS.Manifest, "commit", orig_commit)
+
+    stats: dict = {}
+    TS.union_table_store(stores, dst, stats_out=stats)
+    assert stats["fragments_copied"] == 1  # only the missing one
+    assert TS.read_table_store(dst).count() == 1000
