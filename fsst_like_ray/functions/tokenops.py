@@ -74,6 +74,62 @@ def truncate_pad_batch(
     )
 
 
+def sliding_windows(
+    values: np.ndarray, offsets: np.ndarray, window: int, stride: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Context-window slicing for LM pretraining: every document emits
+    windows at starts 0, stride, 2·stride, … while start < n_tok (the
+    tail window may be short). Pure flat-buffer arithmetic — one gather
+    over the values buffer, no per-row Python. Returns
+    (win_values, win_offsets, doc_index, win_idx): doc_index maps each
+    output window back to its input row, win_idx numbers windows within
+    a document."""
+    if window < 1 or stride < 1:
+        raise ValueError("sliding_windows: window and stride must be >= 1")
+    counts = np.diff(offsets)
+    n_wins = np.where(counts > 0, (counts - 1) // stride + 1, 0)
+    doc_index = np.repeat(np.arange(len(counts), dtype=np.int64), n_wins)
+    total = int(n_wins.sum())
+    # window index within each doc: global arange minus each doc's base
+    win_base = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(n_wins, out=win_base[1:])
+    win_idx = np.arange(total, dtype=np.int64) - win_base[doc_index]
+    starts = win_idx * stride
+    lens = np.minimum(window, counts[doc_index] - starts)
+    out_off = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    flat = np.arange(int(out_off[-1]), dtype=np.int64)
+    src = (
+        flat
+        - np.repeat(out_off[:-1], lens)
+        + np.repeat(offsets[:-1][doc_index] + starts, lens)
+    )
+    return values[src], out_off, doc_index, win_idx
+
+
+def sliding_windows_batch(
+    batch: pa.Table, window: int, stride: int
+) -> pa.Table:
+    """Row-expanding map_batches stage: one input document → its
+    stride-spaced context windows (columns doc_id, win_idx, tokens,
+    n_tok). Zero-length documents emit no windows."""
+    values, offsets = list_buffers(batch["tokens"])
+    wv, wo, doc_index, win_idx = sliding_windows(
+        values, offsets, window, stride
+    )
+    doc_id = batch["doc_id"]
+    if isinstance(doc_id, pa.ChunkedArray):
+        doc_id = doc_id.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": doc_id.take(pa.array(doc_index, type=pa.int64())),
+            "win_idx": pa.array(win_idx, type=pa.int64()),
+            "tokens": _list_array(wv, wo),
+            "n_tok": pa.array(np.diff(wo).astype(np.int32), type=pa.int32()),
+        }
+    )
+
+
 def shift_labels(
     values: np.ndarray, offsets: np.ndarray, ignore_id: int = -100
 ) -> np.ndarray:

@@ -7532,6 +7532,29 @@ def q_tokens_truncate_pad(sf_dir: str):
     return ds.map_batches(tok_str_batch, batch_format="pyarrow")
 
 
+WIN_LEN = 48
+WIN_STRIDE = 32
+
+
+def q_tokens_sliding_windows(sf_dir: str):
+    """LM context-window slicing: every document expands to windows at
+    starts 0, stride, 2·stride, … (tail window short) — the
+    fixed-context pretraining cut. Row-expanding map_batches, one
+    flat-buffer gather per batch, no per-row Python."""
+    from ..functions import tokenops as T
+
+    ds = _tokens_ds(sf_dir).map_batches(
+        lambda b: T.sliding_windows_batch(b, WIN_LEN, WIN_STRIDE),
+        batch_format="pyarrow",
+    )
+    return ds.map_batches(
+        lambda b: tok_str_batch(b).append_column(
+            "win_idx", b["win_idx"].cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_tokens_shift_labels(sf_dir: str):
     """Next-token labels (the LM loss target): labels[i] = tokens[i+1],
     final position masked with -100."""
@@ -8105,6 +8128,7 @@ def build_queries() -> dict:
     q["docs_compressibility_gate"] = q_docs_compressibility_gate
     q["tokens_truncate_pad"] = q_tokens_truncate_pad
     q["tokens_shift_labels"] = q_tokens_shift_labels
+    q["tokens_sliding_windows"] = q_tokens_sliding_windows
     q["tokens_vocab_remap"] = q_tokens_vocab_remap
     q["token_bigram_top20"] = q_token_bigram_top20
     return _window_first(q)
@@ -9837,6 +9861,20 @@ def build_oracle_sql() -> dict:
                                 FOR i IN range(1, {TRUNC_LEN} + 1)],
                                ',') AS tok_str
         FROM documents
+    """
+    sql["tokens_sliding_windows"] = f"""
+        SELECT d.doc_id,
+               CAST(w.s // {WIN_STRIDE} AS BIGINT) AS win_idx,
+               CAST(least({WIN_LEN}, length(d.text) - w.s) AS BIGINT)
+                   AS n_tok,
+               array_to_string(
+                   [CAST(unicode(substr(d.text, i, 1)) AS INT)
+                    FOR i IN range(w.s + 1,
+                                   least(w.s + {WIN_LEN},
+                                         length(d.text)) + 1)],
+                   ',') AS tok_str
+        FROM documents d,
+             UNNEST(range(0, length(d.text), {WIN_STRIDE})) AS w(s)
     """
     sql["tokens_shift_labels"] = """
         SELECT doc_id,

@@ -128,3 +128,42 @@ def test_vocab_topk_and_bigram_topk_distributed(tmp_path):
     )
     # (1,2):2 (1,1):1 (2,1):1 (1,3):1 → top2 by count desc, then key asc
     assert pairs == [(1, 2, 2), (1, 1, 1)]
+
+
+def test_sliding_windows_brute_force():
+    """Windows at 0, stride, 2·stride … while start < n; tail short;
+    empty docs emit nothing — checked against a per-row oracle across a
+    grid of (window, stride)."""
+    rng = np.random.default_rng(11)
+    rows = [list(rng.integers(0, 99, int(n))) for n in
+            [0, 1, 2, 3, 5, 8, 13, 21, 34, 64, 100]]
+    tbl = _tbl(rows)
+    for window, stride in [(4, 4), (4, 2), (5, 3), (1, 1), (64, 16), (3, 7)]:
+        got = T.sliding_windows_batch(tbl, window, stride)
+        exp = []
+        for i, r in enumerate(rows):
+            s = 0
+            w = 0
+            while s < len(r):
+                exp.append((f"d{i}", w, r[s : s + window]))
+                s += stride
+                w += 1
+        assert len(got) == len(exp), (window, stride)
+        assert got["doc_id"].to_pylist() == [e[0] for e in exp]
+        assert got["win_idx"].to_pylist() == [e[1] for e in exp]
+        assert _lists(got["tokens"]) == [e[2] for e in exp]
+        assert got["n_tok"].to_pylist() == [len(e[2]) for e in exp]
+
+
+def test_sliding_windows_rejects_bad_params():
+    tbl = _tbl([[1, 2, 3]])
+    with pytest.raises(ValueError):
+        T.sliding_windows_batch(tbl, 0, 1)
+    with pytest.raises(ValueError):
+        T.sliding_windows_batch(tbl, 4, 0)
+
+
+def test_sliding_windows_empty_batch():
+    got = T.sliding_windows_batch(_tbl([]), 8, 4)
+    assert len(got) == 0
+    assert got.column_names == ["doc_id", "win_idx", "tokens", "n_tok"]
