@@ -229,6 +229,192 @@ def remap_oov_batch(
     )
 
 
+def dispersion(
+    values: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row token-distribution stats, all exact integers (hash-stable
+    across engines, unlike float entropy): distinct token count, Σ count²
+    (the Simpson/collision numerator — low-diversity boilerplate scores
+    high), and the mode frequency. One composite-key ``np.unique`` over the
+    flat buffer; row id packs into the high 32 bits so any int32 token id
+    is collision-free. Returns (n_distinct, sum_sq, max_count)."""
+    counts = np.diff(offsets)
+    n_rows = len(counts)
+    n_distinct = np.zeros(n_rows, dtype=np.int64)
+    sum_sq = np.zeros(n_rows, dtype=np.int64)
+    max_count = np.zeros(n_rows, dtype=np.int64)
+    if len(values):
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        key = (rows << np.int64(32)) | (
+            values.astype(np.int64) & np.int64(0xFFFFFFFF)
+        )
+        uniq, cnt = np.unique(key, return_counts=True)
+        n_distinct = np.bincount(
+            (uniq >> np.int64(32)), minlength=n_rows
+        ).astype(np.int64)
+        starts = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(n_distinct, out=starts[1:])
+        nz = n_distinct > 0
+        cnt64 = cnt.astype(np.int64)
+        sum_sq[nz] = np.add.reduceat(cnt64 * cnt64, starts[:-1][nz])
+        max_count[nz] = np.maximum.reduceat(cnt64, starts[:-1][nz])
+    return n_distinct, sum_sq, max_count
+
+
+def dispersion_batch(batch: pa.Table) -> pa.Table:
+    values, offsets = list_buffers(batch["tokens"])
+    n_distinct, sum_sq, max_count = dispersion(values, offsets)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tok": batch["n_tok"].cast(pa.int64()),
+            "n_distinct": pa.array(n_distinct, type=pa.int64()),
+            "sum_sq": pa.array(sum_sq, type=pa.int64()),
+            "max_count": pa.array(max_count, type=pa.int64()),
+        }
+    )
+
+
+def dup_ngram_stats(
+    values: np.ndarray,
+    offsets: np.ndarray,
+    n: int,
+    span: int = CODEPOINT_SPAN,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Within-document n-gram repetition (the token-domain twin of the
+    text repetition filters used on web corpora): per row, the number of
+    n-gram occurrences and the number of DISTINCT n-grams — their gap is
+    the duplicated-gram mass a quality filter thresholds on. Exact, not
+    sketched: gram keys are base-``span`` packed ints (requires
+    0 ≤ token id < span and span**n < 2**63), deduped per row with one
+    lexsort. Returns (n_grams, n_distinct)."""
+    if n < 2 or span ** n >= 2 ** 63:
+        raise ValueError("dup_ngram_stats: need n >= 2 and span**n < 2**63")
+    counts = np.diff(offsets)
+    n_rows = len(counts)
+    n_grams = np.maximum(counts - (n - 1), 0).astype(np.int64)
+    n_distinct = np.zeros(n_rows, dtype=np.int64)
+    if len(values) >= n:
+        v = values.astype(np.int64)
+        if v.min() < 0 or v.max() >= span:
+            raise ValueError("dup_ngram_stats: token id outside [0, span)")
+        key_all = v[: len(v) - n + 1].copy()
+        for j in range(1, n):
+            key_all *= span
+            key_all += v[j : len(v) - n + 1 + j]
+        # a gram starting in row r is valid only while it fits inside r:
+        # drop the last n-1 start positions of every row
+        valid = np.ones(len(key_all), dtype=bool)
+        for j in range(1, n):
+            ends = offsets[1:] - j
+            ends = ends[(ends >= 0) & (ends < len(valid))]
+            valid[ends] = False
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), n_grams)
+        key = key_all[valid]
+        order = np.lexsort((key, rows))
+        ks, rs = key[order], rows[order]
+        if len(ks):
+            new = np.ones(len(ks), dtype=bool)
+            new[1:] = (ks[1:] != ks[:-1]) | (rs[1:] != rs[:-1])
+            n_distinct = np.bincount(rs[new], minlength=n_rows).astype(
+                np.int64
+            )
+    return n_grams, n_distinct
+
+
+def dup_ngram_batch(batch: pa.Table, n: int) -> pa.Table:
+    values, offsets = list_buffers(batch["tokens"])
+    n_grams, n_distinct = dup_ngram_stats(values, offsets, n)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_grams": pa.array(n_grams, type=pa.int64()),
+            "n_distinct_grams": pa.array(n_distinct, type=pa.int64()),
+        }
+    )
+
+
+# span-corruption mask parameters — shared with the SQL oracle, which
+# reproduces the mask arithmetic verbatim (hence no RNG: determinism IS
+# the contract)
+SC_MULT, SC_MOD, SC_K = 1000003, 11, 2
+
+
+def span_corrupt(
+    values: np.ndarray,
+    offsets: np.ndarray,
+    doc_ids: np.ndarray,
+    mult: int = SC_MULT,
+    mod: int = SC_MOD,
+    k: int = SC_K,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """T5-style span corruption with a DETERMINISTIC mask (seedless, so an
+    SQL oracle can reproduce it bit-for-bit): position p of document d is
+    masked iff (d·mult + p) mod ``mod`` < ``k`` (≈ k/mod corruption rate;
+    consecutive masked positions form one span). The encoder input keeps
+    unmasked tokens and replaces each masked span with a sentinel id
+    (-1, -2, … per document); the decoder target is, per span, the
+    sentinel followed by the span's original tokens. All flat-buffer
+    scatter/gather — no per-row Python. Returns (input_values,
+    input_offsets, target_values, target_offsets, n_spans)."""
+    counts = np.diff(offsets)
+    n_rows = len(counts)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    pos = np.arange(len(values), dtype=np.int64) - np.repeat(
+        offsets[:-1], counts
+    )
+    d = np.repeat(doc_ids.astype(np.int64), counts)
+    m = ((d * mult + pos) % mod) < k
+    prev_m = np.zeros(len(values), dtype=bool)
+    if len(values):
+        prev_m[1:] = m[:-1]
+    start = m & (~prev_m | (pos == 0))
+    n_spans = np.bincount(rows[start], minlength=n_rows).astype(np.int64)
+    span_base = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_spans, out=span_base[1:])
+    run_id = np.cumsum(start) - 1  # global span index (valid where m)
+    sentinel = -(run_id - span_base[rows] + 1)  # -1, -2, … within each doc
+
+    keep_in = ~m | start
+    in_values = np.where(start, sentinel, values.astype(np.int64))[
+        keep_in
+    ].astype(np.int32)
+    in_counts = np.bincount(rows[keep_in], minlength=n_rows)
+    in_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(in_counts, out=in_offsets[1:])
+
+    mk = np.flatnonzero(m)  # masked flat positions, original order
+    start_mk = start[mk]
+    # each span contributes its sentinel before its tokens: a masked token's
+    # output slot shifts right by the number of spans opened so far
+    out_idx = np.arange(len(mk), dtype=np.int64) + np.cumsum(start_mk)
+    tgt_values = np.empty(len(mk) + int(start.sum()), dtype=np.int32)
+    tgt_values[out_idx] = values[mk]
+    tgt_values[out_idx[start_mk] - 1] = sentinel[mk[start_mk]]
+    tgt_counts = np.bincount(rows[mk], minlength=n_rows) + n_spans
+    tgt_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(tgt_counts, out=tgt_offsets[1:])
+    return in_values, in_offsets, tgt_values, tgt_offsets, n_spans
+
+
+def span_corrupt_batch(batch: pa.Table) -> pa.Table:
+    values, offsets = list_buffers(batch["tokens"])
+    doc_id = batch["doc_id"]
+    if isinstance(doc_id, pa.ChunkedArray):
+        doc_id = doc_id.combine_chunks()
+    ids = doc_id.to_numpy(zero_copy_only=False)
+    iv, io, tv, to, n_spans = span_corrupt(values, offsets, ids)
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "n_tok": batch["n_tok"].cast(pa.int64()),
+            "n_spans": pa.array(n_spans, type=pa.int64()),
+            "inputs": _list_array(iv, io),
+            "targets": _list_array(tv, to),
+        }
+    )
+
+
 def pair_partials(batch: pa.Table, span: int) -> pa.Table:
     """Per-batch adjacent-pair counts keyed t1*span + t2; row boundaries
     masked out so pairs never straddle documents. ``span`` must exceed the

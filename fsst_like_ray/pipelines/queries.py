@@ -25,6 +25,7 @@ from ..functions import dedup as F_dedup
 from ..functions import events as F_events
 from ..functions import similarity as F_sim
 from ..functions import textstats as F_text
+from ..functions import tokenops as T_tok
 from ..functions.textstats import codepoints
 from ..stages.decode import decode_batch
 from .compress import encode_dataset, decode_dataset
@@ -7598,6 +7599,68 @@ def q_tokens_vocab_remap(sf_dir: str):
     return ds.map_batches(tok_str_batch, batch_format="pyarrow")
 
 
+DUP_NGRAM_N = 3
+
+
+def q_tokens_dispersion(sf_dir: str):
+    """Per-document token-distribution stats as exact integers (distinct
+    count, Σcount² Simpson numerator, mode frequency) — the diversity
+    signal quality filters threshold on, hash-stable unlike float
+    entropy. One streaming map_batches; composite-key np.unique per
+    batch, no per-row Python."""
+    from ..functions import tokenops as T
+
+    return _tokens_ds(sf_dir).map_batches(
+        T.dispersion_batch, batch_format="pyarrow"
+    )
+
+
+def q_tokens_dup_ngrams(sf_dir: str):
+    """Within-document n-gram repetition (token-domain repetition filter):
+    per doc, total vs DISTINCT 3-gram starts — the duplicated-gram mass.
+    Exact packed-int grams, one lexsort per batch."""
+    from ..functions import tokenops as T
+
+    return _tokens_ds(sf_dir).map_batches(
+        lambda b: T.dup_ngram_batch(b, DUP_NGRAM_N),
+        batch_format="pyarrow",
+    )
+
+
+def q_tokens_span_corrupt(sf_dir: str):
+    """T5-style span corruption with a deterministic (SQL-reproducible)
+    mask: encoder input with per-doc sentinels -1,-2,… over masked spans;
+    decoder target = sentinel + original span tokens. Flat-buffer
+    scatter/gather, streaming."""
+    from ..functions import tokenops as T
+    import pyarrow.compute as pc
+
+    ds = _tokens_ds(sf_dir).map_batches(
+        T.span_corrupt_batch, batch_format="pyarrow"
+    )
+
+    def fmt(b: pa.Table) -> pa.Table:
+        def joined(col: str):
+            c = b[col]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            return pc.binary_join(
+                c.cast(pa.list_(pa.string())), ","
+            ).cast(pa.string())
+
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tok": b["n_tok"],
+                "n_spans": b["n_spans"],
+                "input_str": joined("inputs"),
+                "target_str": joined("targets"),
+            }
+        )
+
+    return ds.map_batches(fmt, batch_format="pyarrow")
+
+
 def q_token_bigram_top20(sf_dir: str):
     """Corpus-wide adjacent token-pair counts (per-batch unique partials →
     one small shuffle keyed by pair), top 20 by (count desc, pair asc)."""
@@ -8131,6 +8194,9 @@ def build_queries() -> dict:
     q["tokens_sliding_windows"] = q_tokens_sliding_windows
     q["tokens_vocab_remap"] = q_tokens_vocab_remap
     q["token_bigram_top20"] = q_token_bigram_top20
+    q["tokens_dispersion"] = q_tokens_dispersion
+    q["tokens_dup_ngrams"] = q_tokens_dup_ngrams
+    q["tokens_span_corrupt"] = q_tokens_span_corrupt
     return _window_first(q)
 
 
@@ -9919,6 +9985,95 @@ def build_oracle_sql() -> dict:
                CAST(key % 1114112 AS BIGINT) AS t2,
                CAST(count(*) AS BIGINT) AS n
         FROM pairs GROUP BY key ORDER BY n DESC, key LIMIT 20
+    """
+    sql["tokens_dispersion"] = """
+        WITH pos AS (
+            SELECT doc_id, unnest([CAST(unicode(substr(text, i, 1)) AS BIGINT)
+                                   FOR i IN range(1, length(text) + 1)]) AS t
+            FROM documents
+        ), c AS (
+            SELECT doc_id, t, count(*) AS cnt FROM pos GROUP BY doc_id, t
+        ), agg AS (
+            SELECT doc_id, count(*) AS n_distinct, sum(cnt * cnt) AS sum_sq,
+                   max(cnt) AS max_count
+            FROM c GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_tok,
+               CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+               CAST(coalesce(a.sum_sq, 0) AS BIGINT) AS sum_sq,
+               CAST(coalesce(a.max_count, 0) AS BIGINT) AS max_count
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+    sql["tokens_dup_ngrams"] = f"""
+        WITH g AS (
+            SELECT doc_id,
+                   unnest([(CAST(unicode(substr(text, i, 1)) AS BIGINT)
+                              * {T_tok.CODEPOINT_SPAN}
+                            + CAST(unicode(substr(text, i + 1, 1)) AS BIGINT))
+                              * {T_tok.CODEPOINT_SPAN}
+                            + CAST(unicode(substr(text, i + 2, 1)) AS BIGINT)
+                           FOR i IN range(1, length(text) - 1)]) AS k
+            FROM documents
+        ), agg AS (
+            SELECT doc_id, count(*) AS n_grams,
+                   count(DISTINCT k) AS n_distinct
+            FROM g GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct_grams
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+    sql["tokens_span_corrupt"] = f"""
+        WITH pos AS (
+            SELECT doc_id,
+                   unnest(range(0, length(text))) AS p,
+                   unnest([CAST(unicode(substr(text, j, 1)) AS BIGINT)
+                           FOR j IN range(1, length(text) + 1)]) AS t
+            FROM documents
+        ), f AS (
+            SELECT doc_id, p, t,
+                   ((doc_id * {T_tok.SC_MULT} + p) % {T_tok.SC_MOD})
+                       < {T_tok.SC_K} AS m
+            FROM pos
+        ), r AS (
+            SELECT *, CASE WHEN m AND coalesce(
+                         NOT lag(m) OVER (PARTITION BY doc_id ORDER BY p),
+                         TRUE) THEN 1 ELSE 0 END AS st
+            FROM f
+        ), rid AS (
+            SELECT *, SUM(st) OVER (PARTITION BY doc_id ORDER BY p)
+                          AS run_num
+            FROM r
+        ), inp AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list(CASE WHEN m THEN CAST(-run_num AS VARCHAR)
+                                 ELSE CAST(t AS VARCHAR) END ORDER BY p)
+                           FILTER (WHERE NOT m OR st = 1),
+                       ',') AS input_str
+            FROM rid GROUP BY doc_id
+        ), ti AS (
+            SELECT doc_id, 2 * p AS o, t AS v FROM rid WHERE m
+            UNION ALL
+            SELECT doc_id, 2 * p - 1 AS o, -run_num AS v FROM rid
+            WHERE st = 1
+        ), tgt AS (
+            SELECT doc_id,
+                   array_to_string(list(CAST(v AS VARCHAR) ORDER BY o),
+                                   ',') AS target_str
+            FROM ti GROUP BY doc_id
+        ), ns AS (
+            SELECT doc_id, sum(st) AS n_spans FROM rid GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_tok,
+               CAST(coalesce(ns.n_spans, 0) AS BIGINT) AS n_spans,
+               coalesce(inp.input_str, '') AS input_str,
+               coalesce(tgt.target_str, '') AS target_str
+        FROM documents d
+        LEFT JOIN ns USING (doc_id)
+        LEFT JOIN inp USING (doc_id)
+        LEFT JOIN tgt USING (doc_id)
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # ann_ivf, kmeans_embeddings — each has an oracle-gated sibling

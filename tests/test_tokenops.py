@@ -167,3 +167,112 @@ def test_sliding_windows_empty_batch():
     got = T.sliding_windows_batch(_tbl([]), 8, 4)
     assert len(got) == 0
     assert got.column_names == ["doc_id", "win_idx", "tokens", "n_tok"]
+
+
+def _itbl(rows, ids=None):
+    """Like _tbl but with integer doc_ids (span_corrupt's mask needs them)."""
+    off = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in rows], out=off[1:])
+    vals = np.array([t for r in rows for t in r], dtype=np.int32)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                ids if ids is not None else list(range(len(rows))),
+                type=pa.int64(),
+            ),
+            "tokens": T._list_array(vals, off),
+            "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+        }
+    )
+
+
+def test_dispersion_brute_force():
+    rng = np.random.default_rng(23)
+    rows = [list(rng.integers(0, 7, int(n)))
+            for n in [0, 1, 2, 5, 13, 50, 200]]
+    got = T.dispersion_batch(_tbl(rows))
+    for i, r in enumerate(rows):
+        from collections import Counter
+        c = Counter(r)
+        assert got["n_distinct"][i].as_py() == len(c), i
+        assert got["sum_sq"][i].as_py() == sum(v * v for v in c.values()), i
+        assert got["max_count"][i].as_py() == (max(c.values()) if c else 0), i
+
+
+def test_dispersion_negative_ids_no_collision():
+    # -1 (OOV) and large positives must not collide across rows
+    got = T.dispersion_batch(_tbl([[-1, -1, 5], [5, -1]]))
+    assert got["n_distinct"].to_pylist() == [2, 2]
+    assert got["sum_sq"].to_pylist() == [5, 2]
+    assert got["max_count"].to_pylist() == [2, 1]
+
+
+def test_dup_ngram_brute_force():
+    rng = np.random.default_rng(31)
+    rows = [list(rng.integers(0, 4, int(n)))
+            for n in [0, 1, 2, 3, 4, 9, 40, 120]]
+    for n in (2, 3):
+        got = T.dup_ngram_batch(_tbl(rows), n)
+        for i, r in enumerate(rows):
+            grams = [tuple(r[j : j + n]) for j in range(len(r) - n + 1)]
+            assert got["n_grams"][i].as_py() == len(grams), (n, i)
+            assert got["n_distinct_grams"][i].as_py() == len(set(grams)), (
+                n,
+                i,
+            )
+
+
+def test_dup_ngram_rejects_bad_input():
+    with pytest.raises(ValueError):
+        T.dup_ngram_batch(_tbl([[1, 2, 3]]), 1)
+    with pytest.raises(ValueError):
+        T.dup_ngram_batch(_tbl([[-1, 2, 3]]), 2)
+
+
+def _span_corrupt_oracle(doc_id, toks, mult=1000003, mod=11, k=2):
+    masked = [((doc_id * mult + p) % mod) < k for p in range(len(toks))]
+    inp, tgt, n_spans = [], [], 0
+    for p, t in enumerate(toks):
+        if masked[p]:
+            if p == 0 or not masked[p - 1]:
+                n_spans += 1
+                inp.append(-n_spans)
+                tgt.append(-n_spans)
+            tgt.append(t)
+        else:
+            inp.append(t)
+    return inp, tgt, n_spans
+
+
+def test_span_corrupt_brute_force():
+    rng = np.random.default_rng(47)
+    rows = [list(rng.integers(0, 500, int(n)))
+            for n in [0, 1, 2, 3, 7, 11, 64, 300]]
+    ids = [0, 1, 5, 17, 100, 3, 8, 9999]
+    got = T.span_corrupt_batch(_itbl(rows, ids))
+    for i, (d, r) in enumerate(zip(ids, rows)):
+        inp, tgt, n_spans = _span_corrupt_oracle(d, r)
+        assert _lists(got["inputs"])[i] == inp, i
+        assert _lists(got["targets"])[i] == tgt, i
+        assert got["n_spans"][i].as_py() == n_spans, i
+
+
+def test_span_corrupt_roundtrip_reconstructs():
+    """Splicing each target span back over its sentinel restores the doc."""
+    rng = np.random.default_rng(53)
+    rows = [list(rng.integers(0, 500, 80)) for _ in range(6)]
+    got = T.span_corrupt_batch(_itbl(rows))
+    for i, r in enumerate(rows):
+        inp = _lists(got["inputs"])[i]
+        tgt = _lists(got["targets"])[i]
+        spans = {}
+        cur = None
+        for t in tgt:
+            if t < 0:
+                cur = spans.setdefault(t, [])
+            else:
+                cur.append(t)
+        rebuilt = []
+        for t in inp:
+            rebuilt.extend(spans[t] if t < 0 else [t])
+        assert rebuilt == r, i
