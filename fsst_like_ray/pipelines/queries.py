@@ -7661,6 +7661,120 @@ def q_tokens_span_corrupt(sf_dir: str):
     return ds.map_batches(fmt, batch_format="pyarrow")
 
 
+# quality-filter thresholds, all-integer (no floats to hash): keep
+# 5 ≤ n_tok ≤ 10000, an absolute distinct-token floor (a doc drawing on a
+# degenerate alphabet is boilerplate regardless of length), and
+# duplicated-3-gram mass ≤ 6/10 via cross-multiplication
+QF_MIN_TOK, QF_MAX_TOK = 5, 10000
+QF_MIN_DISTINCT = 18
+QF_DUP_NUM, QF_DUP_DEN = 6, 10
+
+
+def q_docs_quality_filter_tokens(sf_dir: str):
+    """Composite token-domain quality filter — the pass every web corpus
+    runs before training: length window + diversity floor (distinct/total
+    tokens) + repetition ceiling (duplicated 3-gram mass). Both signals
+    come from ONE map_batches over the same flat buffers (no join, no
+    second scan); thresholds compare via integer cross-multiplication so
+    the oracle hashes exactly."""
+    from ..functions import tokenops as T
+
+    def keep(b: pa.Table) -> pa.Table:
+        from ..stages.encode import list_buffers
+
+        values, offsets = list_buffers(b["tokens"])
+        n_tok = np.diff(offsets)
+        n_distinct, _, _ = T.dispersion(values, offsets)
+        n_grams, n_uniq_grams = T.dup_ngram_stats(values, offsets, DUP_NGRAM_N)
+        ok = (
+            (n_tok >= QF_MIN_TOK)
+            & (n_tok <= QF_MAX_TOK)
+            & (n_distinct >= QF_MIN_DISTINCT)
+            & (
+                (n_grams - n_uniq_grams) * QF_DUP_DEN
+                <= n_grams * QF_DUP_NUM
+            )
+        )
+        mask = pa.array(ok)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].filter(mask)
+                if not isinstance(b["doc_id"], pa.ChunkedArray)
+                else b["doc_id"].combine_chunks().filter(mask),
+                "n_tok": pa.array(n_tok[ok], type=pa.int64()),
+                "n_distinct": pa.array(n_distinct[ok], type=pa.int64()),
+                "n_dup_grams": pa.array(
+                    (n_grams - n_uniq_grams)[ok], type=pa.int64()
+                ),
+            }
+        )
+
+    return _tokens_ds(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+def q_ingest_text(sf_dir: str):
+    """Source-format coverage, raw-line twin of ``ingest_jsonl`` (the
+    reference ingests newline-delimited text corpora — sketch.cc's line
+    reader): newline-free documents exported as tab-framed lines across
+    4 .txt shards, re-ingested with ray.data.read_text, fields split
+    back vectorized (split_pattern max_splits=2 — document text may
+    itself contain tabs). Docs whose text embeds a newline can't live in
+    a line-oriented format and are excluded on BOTH sides."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    scratch = os.path.join(
+        "/tmp", f"fsst_text_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    clean = pc.invert(
+        pc.or_(
+            pc.match_substring(docs["text"], "\n"),
+            pc.match_substring(docs["text"], "\r"),
+        )
+    )
+    docs = docs.filter(clean)
+    files = []
+    for i in range(4):
+        part = docs.slice(i * len(docs) // 4).slice(
+            0, (i + 1) * len(docs) // 4 - i * len(docs) // 4
+        )
+        p = os.path.join(scratch, f"part{i}.txt")
+        lines = [
+            f"{d}\t{s}\t{t}"
+            for d, s, t in zip(
+                part["doc_id"].to_pylist(),
+                part["source"].to_pylist(),
+                part["text"].to_pylist(),
+            )
+        ]
+        with open(p, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + ("\n" if lines else ""))
+        files.append(p)
+    ds = ray.data.read_text(files, drop_empty_lines=True)
+
+    def parse(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["text"], "\t", max_splits=2)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": pc.list_element(parts, 0).cast(pa.int64()),
+                "source": pc.list_element(parts, 1),
+                "n_chars": pc.utf8_length(
+                    pc.list_element(parts, 2)
+                ).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
 def q_token_bigram_top20(sf_dir: str):
     """Corpus-wide adjacent token-pair counts (per-batch unique partials →
     one small shuffle keyed by pair), top 20 by (count desc, pair asc)."""
@@ -8197,6 +8311,8 @@ def build_queries() -> dict:
     q["tokens_dispersion"] = q_tokens_dispersion
     q["tokens_dup_ngrams"] = q_tokens_dup_ngrams
     q["tokens_span_corrupt"] = q_tokens_span_corrupt
+    q["docs_quality_filter_tokens"] = q_docs_quality_filter_tokens
+    q["ingest_text"] = q_ingest_text
     return _window_first(q)
 
 
@@ -10074,6 +10190,44 @@ def build_oracle_sql() -> dict:
         LEFT JOIN ns USING (doc_id)
         LEFT JOIN inp USING (doc_id)
         LEFT JOIN tgt USING (doc_id)
+    """
+    sql["docs_quality_filter_tokens"] = f"""
+        WITH pos AS (
+            SELECT doc_id, unnest([CAST(unicode(substr(text, i, 1)) AS BIGINT)
+                                   FOR i IN range(1, length(text) + 1)]) AS t
+            FROM documents
+        ), dv AS (
+            SELECT doc_id, count(DISTINCT t) AS n_distinct
+            FROM pos GROUP BY doc_id
+        ), g AS (
+            SELECT doc_id,
+                   unnest([(CAST(unicode(substr(text, i, 1)) AS BIGINT)
+                              * {T_tok.CODEPOINT_SPAN}
+                            + CAST(unicode(substr(text, i + 1, 1)) AS BIGINT))
+                              * {T_tok.CODEPOINT_SPAN}
+                            + CAST(unicode(substr(text, i + 2, 1)) AS BIGINT)
+                           FOR i IN range(1, length(text) - 1)]) AS k
+            FROM documents
+        ), gr AS (
+            SELECT doc_id, count(*) - count(DISTINCT k) AS n_dup,
+                   count(*) AS n_grams
+            FROM g GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_tok,
+               CAST(dv.n_distinct AS BIGINT) AS n_distinct,
+               CAST(coalesce(gr.n_dup, 0) AS BIGINT) AS n_dup_grams
+        FROM documents d
+        JOIN dv USING (doc_id) LEFT JOIN gr USING (doc_id)
+        WHERE length(d.text) BETWEEN {QF_MIN_TOK} AND {QF_MAX_TOK}
+          AND dv.n_distinct >= {QF_MIN_DISTINCT}
+          AND coalesce(gr.n_dup, 0) * {QF_DUP_DEN}
+                  <= coalesce(gr.n_grams, 0) * {QF_DUP_NUM}
+    """
+    sql["ingest_text"] = """
+        SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE text NOT LIKE '%' || chr(10) || '%'
+          AND text NOT LIKE '%' || chr(13) || '%'
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # ann_ivf, kmeans_embeddings — each has an oracle-gated sibling
