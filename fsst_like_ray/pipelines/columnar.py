@@ -1239,7 +1239,12 @@ def eq_scan_batch(
 
 
 def eq_scan_mask(batch: pa.Table, column: str, value) -> np.ndarray:
-    """Row mask of eq_scan_batch, decoding nothing (predicate composition)."""
+    """Row mask of eq_scan_batch, decoding nothing (predicate composition).
+    Int literals delegate to the degenerate range mask (lo == hi == value)
+    so ("eq", col, v) works uniformly across column kinds — the store's
+    fragment tier probes the int-key value bloom for the same predicate."""
+    if isinstance(value, (int, np.integer)) and not isinstance(value, bool):
+        return range_scan_mask(batch, column, int(value), int(value))
     n = batch.num_rows
     if isinstance(value, str):
         value = value.encode()

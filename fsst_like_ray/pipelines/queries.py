@@ -796,6 +796,43 @@ def q_columnar_store_count_where(sf_dir: str):
     return pa.table({"n": pa.array([total], type=pa.int64())})
 
 
+def q_columnar_store_eq_bloom(sf_dir: str):
+    """Point lookup pruned by per-fragment int-key value blooms: events
+    laid out by user_id % 4 make every fragment's zone envelope span the
+    whole key range (zones alone prune nothing), yet an equality on one
+    user_id must touch only the fragment of its residue class — the
+    lineage value bloom proves the other three lack the key. Pruning is
+    asserted; the rows themselves oracle against plain SQL."""
+    import tempfile
+
+    from .tablestore import compress_table, predicate_scan_table_store
+
+    base = tempfile.mkdtemp(prefix="columnar_store_eqbloom_")
+    src = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+    )
+    uid = src["user_id"].to_numpy(zero_copy_only=False)
+    frag_dir = os.path.join(base, "src")
+    os.makedirs(frag_dir)
+    for i in range(4):
+        part = src.filter(pa.array((uid % 4) == i))
+        pq.write_table(part, os.path.join(frag_dir, f"f{i}.parquet"))
+    store = os.path.join(base, "store")
+    compress_table(frag_dir, store)
+    target = int(uid.min())
+    stats: dict = {}
+    got = predicate_scan_table_store(
+        store,
+        [("eq", "user_id", target)],
+        columns=["event_id", "user_id", "event_type"],
+        stats_out=stats,
+    )
+    if stats["fragments_skipped"] < 2:
+        raise ValueError(f"value-bloom pruning did not engage: {stats}")
+    return got
+
+
 def q_columnar_store_topk_where(sf_dir: str):
     """Top-k WHERE on the store: the 20 highest event_ids among 'click'
     events — fragments process best-zone-first and the scan still stops
@@ -8167,6 +8204,7 @@ def build_queries() -> dict:
     q["columnar_store_explain"] = q_columnar_store_explain
     q["columnar_store_topk_where"] = q_columnar_store_topk_where
     q["columnar_store_count_where"] = q_columnar_store_count_where
+    q["columnar_store_eq_bloom"] = q_columnar_store_eq_bloom
     q["columnar_store_group_topk"] = q_columnar_store_group_topk
     q["columnar_store_heavy_hitters"] = q_columnar_store_heavy_hitters
     q["columnar_store_approx_distinct"] = q_columnar_store_approx_distinct
@@ -8489,6 +8527,10 @@ def build_oracle_sql() -> dict:
                  ) AS rn
           FROM events
         ) WHERE rn <= 3
+    """
+    sql["columnar_store_eq_bloom"] = """
+        SELECT event_id, user_id, event_type FROM events
+        WHERE user_id = (SELECT min(user_id) FROM events)
     """
     sql["columnar_store_count_where"] = """
         SELECT CAST(count(*) AS BIGINT) AS n FROM events

@@ -51,6 +51,60 @@ DEFAULT_BATCH_ROWS = 8192
 TRI_BLOOM_BYTES = 1 << 13
 _TRI_K = 4
 
+# Int-key value blooms share the lineage "trigrams" slot (same per-column
+# b64-OR merge plumbing rides every copy-through: compact, filter, upsert,
+# union) and the same soundness invariant: every part WITH ROWS carries a
+# bloom for every int column, so OR-merging parts can never lose keys
+# (zero-row parts contribute no keys and legitimately no bloom). A
+# different SIZE disambiguates kind — probes check the blob length so an
+# int literal is never tested against trigram bits on a same-named string
+# column from an older schema. 65536 bits keeps the false-positive rate
+# useful to ~12k distinct keys per fragment; a unique-per-row id column
+# saturates its bloom, which then keeps every fragment (no false
+# negatives) — worst case is the zones-only behavior, never a wrong prune.
+INT_BLOOM_BYTES = (1 << 13) + 8  # +8: never equal to TRI_BLOOM_BYTES
+_INT_K = 4
+
+
+def _intkey_accumulate(blooms: dict, t: pa.Table) -> None:
+    """OR each integer column's distinct values into its value bloom
+    (equality/IN fragment pruning — the zones twin for point lookups on
+    keys whose ranges interleave across fragments)."""
+    from ..functions.bloom import bloom_insert
+
+    for name in t.column_names:
+        f = t.schema.field(name)
+        if not pa.types.is_integer(f.type):
+            continue
+        col = t[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.drop_null().to_numpy(zero_copy_only=False)
+        if not len(v):
+            continue
+        keys = np.unique(v.astype(np.int64)).view(np.uint64)
+        bl = blooms.get(name)
+        if bl is None:
+            bl = blooms[name] = np.zeros(INT_BLOOM_BYTES, dtype=np.uint8)
+        bloom_insert(bl, keys, _INT_K)
+
+
+def _intkey_keeps(rec: dict, column: str, values) -> bool:
+    """Fragment-tier equality/IN test on an int column: False only when
+    the lineage value bloom PROVES none of ``values`` can be present.
+    Only INT_BLOOM_BYTES-sized blobs are probed — a trigram bloom on the
+    same name (different column kind) is never misread as value bits."""
+    from ..functions.bloom import bloom_contains
+
+    b64 = (rec.get("trigrams") or {}).get(column)
+    if b64 is None:
+        return True
+    bl = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+    if len(bl) != INT_BLOOM_BYTES:
+        return True
+    keys = np.array(list(values), dtype=np.int64).view(np.uint64)
+    return bool(bloom_contains(bl, keys, _INT_K).any())
+
 
 def _tri_accumulate(blooms: dict, t: pa.Table) -> None:
     """OR each string column's within-row trigram keys into its bloom."""
@@ -132,6 +186,7 @@ def _encode_fragment(
                 a[2].add(r["scheme"])
             _merge_zones(zones, columnar_zones_batch(enc))
             _tri_accumulate(tri, t)
+            _intkey_accumulate(tri, t)
             for c, nc in columnar_nulls_batch(enc).items():
                 nulls[c] = nulls.get(c, 0) + nc
         if writer is None:  # zero-row fragment: keep the (encoded) schema
@@ -436,6 +491,8 @@ def _bloom_keeps(rec: dict, column: str, tris) -> bool:
     if tris is None or b64 is None:
         return True
     bl = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+    if len(bl) != TRI_BLOOM_BYTES:  # int-key value bloom: wrong evidence kind
+        return True
     return bool(bloom_contains(bl, tris, _TRI_K).all())
 
 
@@ -558,11 +615,21 @@ def scan_table_store(
     fragments_skipped."""
     from .columnar import range_scan_batch
 
+    point = (
+        lo is not None
+        and lo == hi
+        and isinstance(lo, (int, np.integer))
+    )
+
     def keep(rec) -> bool:
         z = (rec.get("zones") or {}).get(column)
-        return z is None or not (
+        if z is not None and (
             (lo is not None and z[1] < lo) or (hi is not None and z[0] > hi)
-        )
+        ):
+            return False
+        # a point range additionally probes the int-key value bloom:
+        # interleaved keys share one zone envelope but not one key set
+        return not point or _intkey_keeps(rec, column, [int(lo)])
 
     paths, any_parts = _pruned_parts(
         out_dir, "scan_table_store", keep, stats_out
@@ -637,7 +704,34 @@ def _predicate_checks(preds):
                     or (_hi is not None and z[0] > _hi)
                 )
 
-            checks.append(zk)
+            if (
+                lo is not None
+                and hi is not None
+                and lo == hi
+                and isinstance(lo, (int, np.integer))
+            ):
+                # degenerate range IS an equality: the value bloom also
+                # prunes fragments whose zone envelope spans the point but
+                # whose key set provably lacks it (interleaved keys).
+                # ONE combined check — explain_table_store zips checks
+                # 1:1 with predicates for its pruned_by labels
+                checks.append(
+                    lambda rec, _zk=zk, _c=col, _v=int(lo): _zk(rec)
+                    and _intkey_keeps(rec, _c, [_v])
+                )
+            else:
+                checks.append(zk)
+        elif op == "eq" and isinstance(p[2], (int, np.integer)):
+            # int point lookup: zone containment + value-bloom membership
+            v = int(p[2])
+
+            def zk_eq(rec, _c=p[1], _v=v):
+                z = (rec.get("zones") or {}).get(_c)
+                return (
+                    z is None or (z[0] <= _v <= z[1])
+                ) and _intkey_keeps(rec, _c, [_v])
+
+            checks.append(zk_eq)
         elif op in ("eq", "like"):
             pat = p[2] if op == "like" else _as_exact_pattern(p[2])
             tris = None if pat is None else pattern_trigrams(pat)
@@ -655,12 +749,16 @@ def _predicate_checks(preds):
 
                 def zk_in(rec, _c=p[1], _iv=iv):
                     z = (rec.get("zones") or {}).get(_c)
-                    if z is None:
-                        return True
-                    import bisect
+                    if z is not None:
+                        import bisect
 
-                    j = bisect.bisect_left(_iv, z[0])
-                    return j < len(_iv) and _iv[j] <= z[1]
+                        j = bisect.bisect_left(_iv, z[0])
+                        if not (j < len(_iv) and _iv[j] <= z[1]):
+                            return False
+                    # and some value must pass the value bloom (one
+                    # vectorized k-probe over the whole list); capped so a
+                    # semi-join-sized list doesn't probe per fragment
+                    return len(_iv) > 4096 or _intkey_keeps(rec, _c, _iv)
 
                 checks.append(zk_in)
             elif len(p[2]) > 64:

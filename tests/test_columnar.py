@@ -3736,3 +3736,91 @@ def test_union_table_store_crash_resume(ray_session, tmp_path, monkeypatch):
     TS.union_table_store(stores, dst, stats_out=stats)
     assert stats["fragments_copied"] == 1  # only the missing one
     assert TS.read_table_store(dst).count() == 1000
+
+
+def test_store_intkey_bloom_pruned_eq(ray_session, tmp_path):
+    """Per-fragment int-key value blooms: fragments whose key sets
+    interleave (key % 4 == fragment) share one overlapping zone envelope,
+    so zones alone cannot prune an equality — the value bloom must skip
+    the 3 fragments that provably lack the key. IN lists and degenerate
+    ranges (lo == hi) ride the same evidence; legacy manifests without
+    blooms scan everything; results stay correct either way."""
+    import json
+    import os
+
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        count_where_table_store,
+        explain_table_store,
+        predicate_scan_table_store,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    n_keys = 4000
+    for f in range(4):  # fragment f holds keys ≡ f (mod 4): zones overlap
+        keys = np.arange(f, n_keys, 4, dtype=np.int64)
+        t = pa.table(
+            {
+                "user_id": pa.array(keys),
+                "kind": pa.array(["k%d" % (k % 5) for k in keys]),
+            }
+        )
+        pq.write_table(t, src / f"part-{f}.parquet", row_group_size=512)
+    compress_table(str(src), out, batch_rows=512)
+
+    target = 2501  # lives in fragment 1 only (2501 % 4 == 1)
+    stats: dict = {}
+    got = predicate_scan_table_store(
+        out, [("eq", "user_id", target)], columns=["user_id", "kind"],
+        stats_out=stats,
+    ).to_pandas()
+    assert stats == {"fragments_scanned": 1, "fragments_skipped": 3}
+    assert got["user_id"].tolist() == [target]
+
+    # IN over keys from two residue classes: exactly 2 fragments survive
+    stats_in: dict = {}
+    got_in = predicate_scan_table_store(
+        out, [("in", "user_id", [8, 2501])], columns=["user_id"],
+        stats_out=stats_in,
+    ).to_pandas()
+    assert stats_in == {"fragments_scanned": 2, "fragments_skipped": 2}
+    assert sorted(got_in["user_id"]) == [8, 2501]
+
+    # degenerate range lo == hi uses the bloom too (count_where path)
+    stats_rg: dict = {}
+    n = count_where_table_store(
+        out, [("range", "user_id", target, target)], stats_out=stats_rg
+    )
+    assert n == 1 and stats_rg["fragments_skipped"] == 3
+
+    # explain labels the bloom prune on the predicate, manifest-only
+    plan = explain_table_store(out, [("eq", "user_id", target)]).to_pandas()
+    assert (plan["decision"] == "skip").sum() == 3
+    assert set(plan.loc[plan["decision"] == "skip", "pruned_by"]) == {
+        "eq:user_id"
+    }
+
+    # an absent key in ALL residue classes' gaps: value 4001 % 4 == 1 but
+    # never generated past n_keys — bloom may or may not prune (no false
+    # negatives guaranteed only), result must be empty either way
+    got_absent = predicate_scan_table_store(
+        out, [("eq", "user_id", n_keys + 1)], columns=["user_id"]
+    ).to_pandas()
+    assert len(got_absent) == 0
+
+    # legacy manifests (no blooms) keep every fragment, same rows
+    mdir = os.path.join(out, "_manifest")
+    for fname in os.listdir(mdir):
+        p = os.path.join(mdir, fname)
+        r = json.load(open(p))
+        r.pop("trigrams", None)
+        json.dump(r, open(p, "w"))
+    stats_legacy: dict = {}
+    got_legacy = predicate_scan_table_store(
+        out, [("eq", "user_id", target)], columns=["user_id"],
+        stats_out=stats_legacy,
+    ).to_pandas()
+    assert stats_legacy["fragments_skipped"] == 0
+    assert got_legacy["user_id"].tolist() == [target]
