@@ -833,6 +833,37 @@ def q_columnar_store_eq_bloom(sf_dir: str):
     return got
 
 
+def q_columnar_store_ndv_gate(sf_dir: str):
+    """Gate: planner statistics from lineage alone. Encode-time HLL
+    registers per int/string column ride the manifest; ndv_table_store
+    merges them (elementwise max) and estimates COUNT(DISTINCT) with no
+    Ray session and no file opens. Each estimate must land within 5 % of
+    the exact distinct count (HLL P=12 sigma ≈ 1.6 %, so 5 % ≈ 3σ) —
+    exact counts computed with Arrow from the source, the
+    approx_distinct_text gate pattern."""
+    import tempfile
+
+    from .tablestore import compress_table, ndv_table_store
+
+    base = tempfile.mkdtemp(prefix="columnar_store_ndv_")
+    src_path = f"{sf_dir}/events.parquet"
+    store = os.path.join(base, "store")
+    compress_table(src_path, store)
+    ndv = ndv_table_store(store)
+    cols = ["user_id", "event_type"]
+    tbl = pq.read_table(src_path, columns=cols)
+    oks = []
+    for c in cols:
+        exact = len(pa.compute.unique(tbl[c].drop_null()))
+        oks.append(abs(ndv[c] - exact) <= 0.05 * exact)
+    return pa.table(
+        {
+            "column": pa.array(cols, type=pa.string()),
+            "err_le_5pct": pa.array(oks, type=pa.bool_()),
+        }
+    )
+
+
 def q_columnar_store_topk_where(sf_dir: str):
     """Top-k WHERE on the store: the 20 highest event_ids among 'click'
     events — fragments process best-zone-first and the scan still stops
@@ -8205,6 +8236,7 @@ def build_queries() -> dict:
     q["columnar_store_topk_where"] = q_columnar_store_topk_where
     q["columnar_store_count_where"] = q_columnar_store_count_where
     q["columnar_store_eq_bloom"] = q_columnar_store_eq_bloom
+    q["columnar_store_ndv_gate"] = q_columnar_store_ndv_gate
     q["columnar_store_group_topk"] = q_columnar_store_group_topk
     q["columnar_store_heavy_hitters"] = q_columnar_store_heavy_hitters
     q["columnar_store_approx_distinct"] = q_columnar_store_approx_distinct
@@ -8527,6 +8559,10 @@ def build_oracle_sql() -> dict:
                  ) AS rn
           FROM events
         ) WHERE rn <= 3
+    """
+    sql["columnar_store_ndv_gate"] = """
+        SELECT c AS column, (1=1) AS err_le_5pct
+        FROM (VALUES ('user_id'), ('event_type')) t(c)
     """
     sql["columnar_store_eq_bloom"] = """
         SELECT event_id, user_id, event_type FROM events

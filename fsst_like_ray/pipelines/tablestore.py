@@ -106,6 +106,80 @@ def _intkey_keeps(rec: dict, column: str, values) -> bool:
     return bool(bloom_contains(bl, keys, _INT_K).any())
 
 
+def _ndv_accumulate(regs: dict, t: pa.Table) -> None:
+    """Max-merge each int/string column's HLL registers into the lineage
+    NDV accumulator (functions/sketches.py HLL, P=12 → 4 KB/column,
+    ~1.6% standard error). Registers merge by elementwise MAX — across
+    batches here, across parts at commit, across fragments at query time
+    — so the store answers approx COUNT(DISTINCT col) from the manifest
+    alone, the planner-statistics twin of the zone/bloom evidence.
+    Advisory only: estimates never gate correctness."""
+    from ..functions.sketches import hll_batch
+
+    for name in t.column_names:
+        f = t.schema.field(name)
+        if not (
+            pa.types.is_integer(f.type)
+            or pa.types.is_string(f.type)
+            or pa.types.is_large_string(f.type)
+        ):
+            continue
+        col = t[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sub = pa.table({name: col.drop_null()})
+        if not sub.num_rows:
+            continue
+        blob = hll_batch(sub, name)["hll"][0].as_py()
+        new = np.frombuffer(blob, dtype=np.uint8)
+        cur = regs.get(name)
+        regs[name] = new.copy() if cur is None else np.maximum(cur, new)
+
+
+def _merge_ndv(dst: dict, src: dict) -> None:
+    """Elementwise-MAX per-column base64 HLL register blobs in place
+    (dst/src: col → b64) — HLL's canonical merge, NOT the blooms' OR."""
+    for c, b64 in src.items():
+        b = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+        cur = dst.get(c)
+        if cur is None:
+            dst[c] = b64
+        else:
+            merged = np.maximum(
+                np.frombuffer(base64.b64decode(cur), dtype=np.uint8), b
+            )
+            dst[c] = base64.b64encode(merged.tobytes()).decode()
+
+
+def ndv_table_store(out_dir: str, column: str | None = None) -> dict:
+    """Approximate distinct counts from the lineage manifest ALONE (no Ray
+    session, no file opens): max-merge every committed fragment's HLL
+    registers per column and estimate. Returns {column: ndv}; columns
+    with no NDV evidence (legacy manifests, unsupported types) are
+    absent. ``column`` restricts (and raises if that column has no
+    evidence)."""
+    from ..functions.sketches import hll_merge_estimate
+
+    done = Manifest(out_dir).completed()
+    if not done:
+        raise FileNotFoundError(
+            f"ndv_table_store: no committed fragments under {out_dir!r}"
+        )
+    merged: dict = {}
+    for rec in done.values():
+        _merge_ndv(merged, rec.get("ndv") or {})
+    out = {
+        c: hll_merge_estimate([base64.b64decode(b64)])
+        for c, b64 in sorted(merged.items())
+        if column is None or c == column
+    }
+    if column is not None and column not in out:
+        raise KeyError(
+            f"ndv_table_store: no NDV evidence for column {column!r}"
+        )
+    return out
+
+
 def _tri_accumulate(blooms: dict, t: pa.Table) -> None:
     """OR each string column's within-row trigram keys into its bloom."""
     from .trigram import _trigram_keys, _utf8_flat
@@ -162,6 +236,7 @@ def _encode_fragment(
     acc: dict[str, list] = {}  # column -> [plain, encoded, set(schemes)]
     zones: dict[str, list] = {}  # column -> [vmin, vmax] (int-logical only)
     tri: dict[str, np.ndarray] = {}  # string column -> trigram bloom
+    ndv: dict[str, np.ndarray] = {}  # int/string column -> HLL registers
     nulls: dict[str, int] = {}  # column -> null count
     n_rows = 0
     try:
@@ -187,6 +262,7 @@ def _encode_fragment(
             _merge_zones(zones, columnar_zones_batch(enc))
             _tri_accumulate(tri, t)
             _intkey_accumulate(tri, t)
+            _ndv_accumulate(ndv, t)
             for c, nc in columnar_nulls_batch(enc).items():
                 nulls[c] = nulls.get(c, 0) + nc
         if writer is None:  # zero-row fragment: keep the (encoded) schema
@@ -218,6 +294,10 @@ def _encode_fragment(
         "trigrams": {
             c: base64.b64encode(b.tobytes()).decode()
             for c, b in sorted(tri.items())
+        },
+        "ndv": {
+            c: base64.b64encode(b.tobytes()).decode()
+            for c, b in sorted(ndv.items())
         },
         "nulls": dict(sorted(nulls.items())),
     }
@@ -255,6 +335,7 @@ _STATS_SCHEMA = pa.schema(
         ("columns_json", pa.string()),
         ("zones_json", pa.string()),
         ("tri_json", pa.string()),
+        ("ndv_json", pa.string()),
         ("nulls_json", pa.string()),
     ]
 )
@@ -329,6 +410,7 @@ class _EncodeSpecsTask:
                     "columns_json": json.dumps(stats["columns"]),
                     "zones_json": json.dumps(stats["zones"]),
                     "tri_json": json.dumps(stats["trigrams"]),
+                    "ndv_json": json.dumps(stats["ndv"]),
                     "nulls_json": json.dumps(stats["nulls"]),
                 }
             )
@@ -428,6 +510,7 @@ def compress_table(
                     "columns": {},
                     "zones": {},
                     "trigrams": {},
+                    "ndv": {},
                     "nulls": {},
                     "n_specs": 0,
                 },
@@ -439,6 +522,7 @@ def compress_table(
             _merge_column_stats(m["columns"], json.loads(r["columns_json"]))
             _merge_zones(m["zones"], json.loads(r["zones_json"]))
             _merge_tri(m["trigrams"], json.loads(r["tri_json"]))
+            _merge_ndv(m["ndv"], json.loads(r["ndv_json"]))
             for c, nc in json.loads(r["nulls_json"]).items():
                 m["nulls"][c] = m["nulls"].get(c, 0) + int(nc)
         # a fragment commits only when EVERY one of its specs reported —
@@ -509,6 +593,7 @@ def store_lineage_rollup(out_dir: str) -> dict:
     cols: dict = {}
     zones: dict = {}
     nulls: dict = {}
+    ndv_regs: dict = {}
     rows = plain = enc = 0
     for rec in done.values():
         rows += int(rec.get("rows", 0))
@@ -516,8 +601,15 @@ def store_lineage_rollup(out_dir: str) -> dict:
         enc += int(rec.get("encoded_bytes", 0))
         _merge_column_stats(cols, rec.get("columns") or {})
         _merge_zones(zones, rec.get("zones") or {})
+        _merge_ndv(ndv_regs, rec.get("ndv") or {})
         for c, nc in (rec.get("nulls") or {}).items():
             nulls[c] = nulls.get(c, 0) + int(nc)
+    from ..functions.sketches import hll_merge_estimate
+
+    ndv = {
+        c: hll_merge_estimate([base64.b64decode(b64)])
+        for c, b64 in ndv_regs.items()
+    }
     return {
         "fragments": len(done),
         "rows": rows,
@@ -531,6 +623,7 @@ def store_lineage_rollup(out_dir: str) -> dict:
                 "ratio": round(m["plain"] / max(m["encoded"], 1), 3),
                 "schemes": sorted(m["schemes"]),
                 **({"zone": zones[c]} if c in zones else {}),
+                **({"ndv": ndv[c]} if c in ndv else {}),
                 "nulls": nulls.get(c, 0),
             }
             for c, m in sorted(cols.items())
@@ -1641,7 +1734,8 @@ def _transform_fragment(
     src_parts = _fragment_parts(src_data, frag_key)
     stats = {
         "rows": 0, "plain_bytes": 0, "encoded_bytes": 0,
-        "columns": {}, "zones": {}, "trigrams": {}, "nulls": {},
+        "columns": {}, "zones": {}, "trigrams": {}, "ndv": {},
+        "nulls": {},
     }
     written = []
     try:
@@ -1658,6 +1752,7 @@ def _transform_fragment(
             _merge_column_stats(stats["columns"], st["columns"])
             _merge_zones(stats["zones"], st["zones"])
             _merge_tri(stats["trigrams"], st["trigrams"])
+            _merge_ndv(stats["ndv"], st.get("ndv") or {})
             for c, nc in st["nulls"].items():
                 stats["nulls"][c] = stats["nulls"].get(c, 0) + int(nc)
         if stats["rows"] != expect_rows:
@@ -1719,6 +1814,7 @@ class _TranscodeTask:
                     "columns_json": json.dumps(stats["columns"]),
                     "zones_json": json.dumps(stats["zones"]),
                     "tri_json": json.dumps(stats["trigrams"]),
+                    "ndv_json": json.dumps(stats["ndv"]),
                     "nulls_json": json.dumps(stats["nulls"]),
                 }
             )
@@ -1933,7 +2029,8 @@ def compact_table_store(
         os.makedirs(fdir, exist_ok=True)
         stats = {
             "rows": 0, "plain_bytes": 0, "encoded_bytes": 0,
-            "columns": {}, "zones": {}, "trigrams": {}, "nulls": {},
+            "columns": {}, "zones": {}, "trigrams": {}, "ndv": {},
+            "nulls": {},
         }
         part_i = 0
         for rec in grp:
@@ -1951,6 +2048,7 @@ def compact_table_store(
             _merge_column_stats(stats["columns"], rec.get("columns") or {})
             _merge_zones(stats["zones"], rec.get("zones") or {})
             _merge_tri(stats["trigrams"], rec.get("trigrams") or {})
+            _merge_ndv(stats["ndv"], rec.get("ndv") or {})
             for c, nc in (rec.get("nulls") or {}).items():
                 stats["nulls"][c] = stats["nulls"].get(c, 0) + int(nc)
         dst_manifest.commit(
@@ -1997,7 +2095,8 @@ def _filter_fragment(
     src_parts = _fragment_parts(src_data, frag_key)
     stats = {
         "rows": 0, "plain_bytes": 0, "encoded_bytes": 0,
-        "columns": {}, "zones": {}, "trigrams": {}, "nulls": {},
+        "columns": {}, "zones": {}, "trigrams": {}, "ndv": {},
+        "nulls": {},
     }
     written = []
     try:
@@ -2014,6 +2113,7 @@ def _filter_fragment(
             _merge_column_stats(stats["columns"], st["columns"])
             _merge_zones(stats["zones"], st["zones"])
             _merge_tri(stats["trigrams"], st["trigrams"])
+            _merge_ndv(stats["ndv"], st.get("ndv") or {})
             for c, nc in st["nulls"].items():
                 stats["nulls"][c] = stats["nulls"].get(c, 0) + int(nc)
         src_filtered = (
@@ -2077,6 +2177,7 @@ class _FilterTask:
                     "columns_json": json.dumps(stats["columns"]),
                     "zones_json": json.dumps(stats["zones"]),
                     "tri_json": json.dumps(stats["trigrams"]),
+                    "ndv_json": json.dumps(stats["ndv"]),
                     "nulls_json": json.dumps(stats["nulls"]),
                 }
             )
@@ -2165,6 +2266,7 @@ def filter_table_store(
                     "columns": {},
                     "zones": {},
                     "trigrams": {},
+                    "ndv": {},
                     "nulls": {},
                     "filtered_from": src_out,
                     "filter_dropped": True,
@@ -2218,6 +2320,7 @@ def filter_table_store(
                     "columns": json.loads(r["columns_json"]),
                     "zones": json.loads(r["zones_json"]),
                     "trigrams": json.loads(r["tri_json"]),
+                    "ndv": json.loads(r["ndv_json"]),
                     "nulls": json.loads(r["nulls_json"]),
                     "filtered_from": src_out,
                 }
@@ -2303,6 +2406,7 @@ def transcode_table_store(
                     "columns": json.loads(r["columns_json"]),
                     "zones": json.loads(r["zones_json"]),
                     "trigrams": json.loads(r["tri_json"]),
+                    "ndv": json.loads(r["ndv_json"]),
                     "nulls": json.loads(r["nulls_json"]),
                     "transcoded_from": src_out,
                 }
@@ -2713,6 +2817,7 @@ class _UpsertTask:
                     "columns_json": json.dumps(stats["columns"]),
                     "zones_json": json.dumps(stats["zones"]),
                     "tri_json": json.dumps(stats["trigrams"]),
+                    "ndv_json": json.dumps(stats["ndv"]),
                     "nulls_json": json.dumps(stats["nulls"]),
                 }
             )
@@ -2932,6 +3037,7 @@ def _drop_keys_rewrite(
                     "columns": json.loads(r["columns_json"]),
                     "zones": json.loads(r["zones_json"]),
                     "trigrams": json.loads(r["tri_json"]),
+                    "ndv": json.loads(r["ndv_json"]),
                     "nulls": json.loads(r["nulls_json"]),
                     "upserted_from": src_out,
                 }

@@ -3824,3 +3824,63 @@ def test_store_intkey_bloom_pruned_eq(ray_session, tmp_path):
     ).to_pandas()
     assert stats_legacy["fragments_skipped"] == 0
     assert got_legacy["user_id"].tolist() == [target]
+
+
+def test_store_ndv_lineage(ray_session, tmp_path):
+    """Encode-time HLL registers per int/string column ride the lineage
+    manifest: ndv_table_store answers approx COUNT(DISTINCT) with no Ray
+    session and no file opens, within HLL tolerance; registers max-merge
+    across fragments (overlapping key sets must not double-count);
+    compaction's lineage merge carries them; legacy manifests raise for
+    the column and omit it from the rollup."""
+    import json
+    import os
+
+    from fsst_like_ray.pipelines.tablestore import (
+        compact_table_store,
+        compress_table,
+        ndv_table_store,
+        store_lineage_rollup,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    n = 3000
+    for f in range(3):  # user_id sets OVERLAP across fragments
+        ids = np.arange(f * 1000, f * 1000 + n, dtype=np.int64)
+        t = pa.table(
+            {
+                "user_id": pa.array(ids % 2000),  # 2000 distinct overall
+                "kind": pa.array(["k%d" % (i % 7) for i in range(n)]),
+                "value": pa.array(np.linspace(0.0, 1.0, n)),  # float: no NDV
+            }
+        )
+        pq.write_table(t, src / f"part-{f}.parquet", row_group_size=700)
+    compress_table(str(src), out, batch_rows=512)
+
+    ndv = ndv_table_store(out)
+    assert set(ndv) == {"user_id", "kind"}
+    assert abs(ndv["user_id"] - 2000) <= 2000 * 0.08  # ~1.6% sigma, 5x slack
+    assert ndv["kind"] == 7  # linear-counting regime is near-exact
+    assert ndv_table_store(out, "kind") == {"kind": 7}
+
+    roll = store_lineage_rollup(out)
+    assert roll["columns"]["user_id"]["ndv"] == ndv["user_id"]
+    assert "ndv" not in roll["columns"]["value"]
+
+    # compaction merges lineage; the packed store answers identically
+    packed = str(tmp_path / "packed")
+    compact_table_store(out, packed, target_rows=10_000)
+    assert ndv_table_store(packed) == ndv
+
+    # legacy manifests (no ndv field): column raises, rollup omits
+    mdir = os.path.join(out, "_manifest")
+    for fname in os.listdir(mdir):
+        p = os.path.join(mdir, fname)
+        r = json.load(open(p))
+        r.pop("ndv", None)
+        json.dump(r, open(p, "w"))
+    with pytest.raises(KeyError):
+        ndv_table_store(out, "user_id")
+    assert ndv_table_store(out) == {}
