@@ -116,7 +116,12 @@ def _alp_try(f: np.ndarray, e: int) -> tuple[np.ndarray, np.ndarray]:
     d = np.round(f * s)
     okf = np.isfinite(d) & (np.abs(d) <= 2.0**51)
     di = np.where(okf, d, 0.0)
-    exc = (di / s).view(np.int64) != f.view(np.int64)
+    # verify from the STORED int, exactly as decode reconstructs — checking
+    # di/s directly would miss -0.0, whose sign survives float division but
+    # not the int64 cast (int 0 decodes to +0.0: wrong bits)
+    exc = (
+        di.astype(np.int64).astype(np.float64) / s
+    ).view(np.int64) != f.view(np.int64)
     return di, exc
 
 

@@ -3884,3 +3884,26 @@ def test_store_ndv_lineage(ray_session, tmp_path):
     with pytest.raises(KeyError):
         ndv_table_store(out, "user_id")
     assert ndv_table_store(out) == {}
+
+
+def test_alp_negative_zero_bit_exact():
+    """-0.0 must survive the ALP decimal transform: its sign lives through
+    float division but not the int64 cast (round(-0.0 * 10^e) stores int
+    0, which decodes to +0.0). The exactness gate verifies from the
+    STORED int, so -0.0 rows become exceptions carrying raw bits."""
+    from fsst_like_ray.pipelines.columnar import (
+        decode_columns_batch,
+        encode_columns_batch,
+    )
+
+    for vals in ([-0.0], [-0.0] * 5, [1.5, -0.0, 2.5, -0.0] * 300):
+        t = pa.table({"f": pa.array(vals, type=pa.float64())})
+        dec = decode_columns_batch(encode_columns_batch(t))
+        a = t["f"].to_numpy(zero_copy_only=False).view(np.int64)
+        d = (
+            dec["f"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        )
+        assert np.array_equal(a, d), vals[:4]
