@@ -833,6 +833,46 @@ def q_columnar_store_eq_bloom(sf_dir: str):
     return got
 
 
+def _derive_event_cents(t: pa.Table) -> pa.Table:
+    """Backfill kernel for columnar_store_derive (module-level so Ray
+    workers import it by reference): integer cents + uppercased type."""
+    import pyarrow.compute as pc
+
+    v = t["value"].to_numpy(zero_copy_only=False)
+    t = t.append_column(
+        "value_cents",
+        pa.array(np.floor(v * 100 + 0.5).astype(np.int64), type=pa.int64()),
+    )
+    return t.append_column("etype_upper", pc.utf8_upper(t["event_type"]))
+
+
+def q_columnar_store_derive(sf_dir: str):
+    """Column backfill over a committed store WITHOUT its source
+    (derive_table_store): decode → append derived columns (integer cents,
+    uppercased type) → re-encode, source columns verified bit-exact
+    per fragment before commit, derived columns earning zones/blooms/NDV
+    lineage. The derived store's rows oracle against plain SQL."""
+    import tempfile
+
+    from .tablestore import (
+        compress_table,
+        derive_table_store,
+        read_table_store,
+    )
+
+    base = tempfile.mkdtemp(prefix="columnar_store_derive_")
+    store = os.path.join(base, "store")
+    compress_table(f"{sf_dir}/events.parquet", store)
+    derived = os.path.join(base, "derived")
+    derive_table_store(store, derived, _derive_event_cents)
+    ds = read_table_store(derived)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "value_cents", "etype_upper"])
+
+    return ds.map_batches(fmt, batch_format="pyarrow")
+
+
 def q_columnar_store_ndv_gate(sf_dir: str):
     """Gate: planner statistics from lineage alone. Encode-time HLL
     registers per int/string column ride the manifest; ndv_table_store
@@ -8237,6 +8277,7 @@ def build_queries() -> dict:
     q["columnar_store_count_where"] = q_columnar_store_count_where
     q["columnar_store_eq_bloom"] = q_columnar_store_eq_bloom
     q["columnar_store_ndv_gate"] = q_columnar_store_ndv_gate
+    q["columnar_store_derive"] = q_columnar_store_derive
     q["columnar_store_group_topk"] = q_columnar_store_group_topk
     q["columnar_store_heavy_hitters"] = q_columnar_store_heavy_hitters
     q["columnar_store_approx_distinct"] = q_columnar_store_approx_distinct
@@ -8559,6 +8600,12 @@ def build_oracle_sql() -> dict:
                  ) AS rn
           FROM events
         ) WHERE rn <= 3
+    """
+    sql["columnar_store_derive"] = """
+        SELECT event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+               upper(event_type) AS etype_upper
+        FROM events
     """
     sql["columnar_store_ndv_gate"] = """
         SELECT c AS column, (1=1) AS err_le_5pct

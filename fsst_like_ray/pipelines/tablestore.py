@@ -1721,6 +1721,7 @@ def _transform_fragment(
     spec,
     batch_rows: int,
     expect_rows: int,
+    derive=None,
 ) -> dict:
     """Transcode ONE committed fragment (all its part files, 1:1 part
     names preserved): stream-decode → re-encode via _encode_fragment
@@ -1728,9 +1729,21 @@ def _transform_fragment(
     fresh encode), then self-verify — lineage row count and a bit-exact
     stream-compare of decoded dst parts vs decoded src parts. ANY failure
     removes every written destination part before raising: no
-    valid-looking footer survives a refused fragment."""
+    valid-looking footer survives a refused fragment.
+
+    ``derive`` (optional, MUST be deterministic — a retried task must
+    produce identical columns): maps each decoded batch to itself plus
+    derived column(s) before re-encode (the backfill path). The verify
+    then projects the destination back to the SOURCE columns, so the
+    original data is still proven bit-exact; derived columns earn their
+    own zones/blooms/NDV lineage through the normal encode stats."""
     from .columnar import decode_columns_batch
 
+    transform = (
+        decode_columns_batch
+        if derive is None
+        else (lambda t: derive(decode_columns_batch(t)))
+    )
     src_parts = _fragment_parts(src_data, frag_key)
     stats = {
         "rows": 0, "plain_bytes": 0, "encoded_bytes": 0,
@@ -1743,7 +1756,7 @@ def _transform_fragment(
             name = os.path.basename(part)
             st = _encode_fragment(
                 part, fdir, codec_names, batch_rows, spec,
-                transform=decode_columns_batch, part_name=name,
+                transform=transform, part_name=name,
             )
             written.append(os.path.join(fdir, name))
             stats["rows"] += st["rows"]
@@ -1760,7 +1773,25 @@ def _transform_fragment(
                 f"transcode row mismatch: {stats['rows']} vs lineage "
                 f"{expect_rows}"
             )
-        n_v = _zip_compare_decoded(src_parts, written, batch_rows)
+        if derive is None:
+            n_v = _zip_compare_decoded(src_parts, written, batch_rows)
+        else:
+            src_cols = None
+            if src_parts:
+                from .columnar import decode_columns_batch as _dcb
+
+                src_cols = _dcb(
+                    pq.ParquetFile(src_parts[0]).schema_arrow.empty_table()
+                ).column_names
+            n_v = _zip_tables(
+                _decoded_iter(src_parts, batch_rows),
+                (
+                    t.select(src_cols)
+                    for t in _decoded_iter(written, batch_rows)
+                ),
+                fdir,
+                sides=("derive source", "derive destination"),
+            )
         if n_v != stats["rows"]:
             raise ValueError("transcode verify count mismatch")
     except BaseException:
@@ -1777,13 +1808,17 @@ class _TranscodeTask:
     once, ray.get ONCE per task, group count bounded by 4*ncpu with the
     16-wave floor)."""
 
-    def __init__(self, src_data, dst_data, recs_ref, codec_names, spec, batch_rows):
+    def __init__(
+        self, src_data, dst_data, recs_ref, codec_names, spec, batch_rows,
+        derive=None,
+    ):
         self.src_data = src_data
         self.dst_data = dst_data
         self.recs_ref = recs_ref
         self.codec_names = codec_names
         self.spec = spec
         self.batch_rows = batch_rows
+        self.derive = derive
 
     def __call__(self, ids: pa.Table) -> pa.Table:
         import json
@@ -1803,6 +1838,7 @@ class _TranscodeTask:
                 self.spec,
                 self.batch_rows,
                 int(rec["rows"]),
+                derive=self.derive,
             )
             out.append(
                 {
@@ -2343,6 +2379,8 @@ def transcode_table_store(
     batch_rows: int = DEFAULT_BATCH_ROWS,
     resume: bool = True,
     fragments_per_round: int = 64,
+    _derive=None,
+    _lineage_tag: str = "transcoded_from",
 ) -> dict:
     """Re-encode a committed store WITHOUT its source (codec upgrade /
     spec switch), fragment by fragment, with full per-column lineage in
@@ -2350,7 +2388,9 @@ def transcode_table_store(
     against its decoded source partition before committing
     (compress.transcode_encoded's contract on the whole-table layout).
     Resumable, rounds-bounded driver state — same 10^12-scale contract
-    as compress_table."""
+    as compress_table. ``_derive``/``_lineage_tag`` are
+    derive_table_store's internals — use that entry point for
+    backfills."""
     import json
 
     import ray
@@ -2387,7 +2427,8 @@ def transcode_table_store(
             ray.data.range(len(round_recs), override_num_blocks=n_groups)
             .map_batches(
                 _TranscodeTask(
-                    src_data, dst_data, recs_ref, codec_names, spec, batch_rows
+                    src_data, dst_data, recs_ref, codec_names, spec,
+                    batch_rows, derive=_derive,
                 ),
                 batch_format="pyarrow",
                 batch_size=None,
@@ -2408,10 +2449,42 @@ def transcode_table_store(
                     "trigrams": json.loads(r["tri_json"]),
                     "ndv": json.loads(r["ndv_json"]),
                     "nulls": json.loads(r["nulls_json"]),
-                    "transcoded_from": src_out,
+                    _lineage_tag: src_out,
                 }
             )
     return dst_manifest.stats()
+
+
+def derive_table_store(
+    src_out: str,
+    dst_out: str,
+    derive_fn,
+    codec_names=None,
+    spec: dict | None = None,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+    resume: bool = True,
+    fragments_per_round: int = 64,
+) -> dict:
+    """Column backfill over a committed store: stream-decode each
+    fragment, append derived column(s) via ``derive_fn(batch) -> batch``
+    (vectorized, DETERMINISTIC — a retried fragment must reproduce the
+    same bytes; it must keep every source column and handle zero-row
+    batches), and re-encode into a new store. The source columns verify
+    bit-exact against the destination before each fragment commits;
+    derived columns earn zones, blooms, and NDV lineage like any fresh
+    encode, so scans prune on them immediately. Resumable per fragment;
+    lineage records carry ``derived_from``."""
+    return transcode_table_store(
+        src_out,
+        dst_out,
+        codec_names=codec_names,
+        spec=spec,
+        batch_rows=batch_rows,
+        resume=resume,
+        fragments_per_round=fragments_per_round,
+        _derive=derive_fn,
+        _lineage_tag="derived_from",
+    )
 
 
 def _zip_tables(it_a, it_b, what: str, sides=("left", "right")) -> int:

@@ -3907,3 +3907,105 @@ def test_alp_negative_zero_bit_exact():
             .view(np.int64)
         )
         assert np.array_equal(a, d), vals[:4]
+
+
+def test_store_derive_backfill(ray_session, tmp_path):
+    """derive_table_store backfills a derived column without the source:
+    original columns verify bit-exact, the new column gets zones (a range
+    scan on it prunes), NDV lineage, and a second run is a resume no-op;
+    a derive_fn that corrupts row counts is refused with nothing
+    committed."""
+    import os
+
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        derive_table_store,
+        ndv_table_store,
+        read_table_store,
+        scan_table_store,
+    )
+    from fsst_like_ray.state.manifest import Manifest
+
+    # nested (not module-level) so cloudpickle ships them by VALUE into
+    # the Ray tasks — the tests package is not importable on workers
+    def _derive_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "value_cents",
+            pa.array(
+                np.floor(v * 100 + 0.5).astype(np.int64), type=pa.int64()
+            ),
+        )
+
+    def _derive_drops_rows(t: pa.Table) -> pa.Table:
+        return _derive_cents(t).slice(0, max(0, t.num_rows - 1))
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    n = 1200
+    for f in range(3):  # disjoint value ranges → derived zones disjoint
+        base = f * 1000.0
+        t = pa.table(
+            {
+                "event_id": pa.array(
+                    np.arange(f * n, f * n + n, dtype=np.int64)
+                ),
+                "value": pa.array(base + np.linspace(0.0, 999.0, n)),
+                "kind": pa.array(["k%d" % (i % 3) for i in range(n)]),
+            }
+        )
+        pq.write_table(t, src / f"p{f}.parquet", row_group_size=500)
+    compress_table(str(src), out, batch_rows=512)
+
+    dst = str(tmp_path / "derived")
+    st = derive_table_store(out, dst, _derive_cents, batch_rows=512)
+    assert st["fragments"] == 3 and st["rows"] == 3 * n
+
+    # source data still decodes bit-exact from the derived store (the
+    # per-fragment verify inside derive already proved it; spot-check by
+    # value here since verify_table_store compares FULL schemas)
+    got = read_table_store(dst).to_pandas().sort_values("event_id")
+    assert np.array_equal(
+        got["value"].to_numpy(),
+        np.concatenate(
+            [f * 1000.0 + np.linspace(0.0, 999.0, n) for f in range(3)]
+        ),
+    )
+    exp = np.floor(
+        np.concatenate(
+            [f * 1000.0 + np.linspace(0.0, 999.0, n) for f in range(3)]
+        )
+        * 100
+        + 0.5
+    ).astype(np.int64)
+    assert np.array_equal(got["value_cents"].to_numpy(), exp)
+
+    # derived column carries zones: a selective range prunes fragments
+    stats: dict = {}
+    hit = scan_table_store(
+        dst, "value_cents", lo=150_000, hi=160_000,
+        columns=["event_id", "value_cents"], stats_out=stats,
+    ).to_pandas()
+    assert stats["fragments_skipped"] == 2
+    assert (hit["value_cents"].between(150_000, 160_000)).all()
+    # and NDV lineage
+    assert "value_cents" in ndv_table_store(dst)
+
+    # resume: nothing rewrites on a second run
+    def mtimes():
+        return sorted(
+            os.path.getmtime(os.path.join(dst, "data", f"frag={r['frag_key']}", p))
+            for r in Manifest(dst).completed().values()
+            for p in os.listdir(os.path.join(dst, "data", f"frag={r['frag_key']}"))
+        )
+
+    m0 = mtimes()
+    derive_table_store(out, dst, _derive_cents, batch_rows=512)
+    assert mtimes() == m0
+
+    # a row-corrupting derive is refused, destination stays empty
+    bad = str(tmp_path / "bad")
+    with pytest.raises(Exception):
+        derive_table_store(out, bad, _derive_drops_rows, batch_rows=512)
+    assert not Manifest(bad).completed()
