@@ -222,3 +222,154 @@ def duplicated_span_pairs(
         .count()
         .select_columns(["doc_a", "doc_b"])
     )
+
+
+def _token_window_rows(batch: pa.Table, k: int):
+    """(window_hash, doc_id, pos, flat_start) for every k-TOKEN window of
+    a tokens table batch — the token-domain twin of _window_rows. Token
+    ids are the symbols directly (no word hashing); each id is mixed
+    through a 64-bit multiplicative finalizer before the rolling combine
+    so small consecutive ids don't produce correlated window hashes.
+    flat_start indexes the batch's flat values buffer (pass 2 re-derives
+    survivor window CONTENT from it)."""
+    from ..stages.encode import list_buffers
+
+    values, offsets = list_buffers(batch["tokens"])
+    counts = np.diff(offsets)
+    n = len(values)
+    if n < k:
+        z = np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.uint64), z, z, z, values
+    rr = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    pos_in_row = np.arange(n, dtype=np.int64) - np.repeat(
+        offsets[:-1], counts
+    )
+    with np.errstate(over="ignore"):
+        wh = values.astype(np.int64).view(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        wh ^= wh >> np.uint64(31)
+        acc = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _B + wh[j : n - k + 1 + j]
+    win_row = rr[: n - k + 1]
+    valid = rr[k - 1 :] == win_row  # window fully inside one document
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    flat = np.flatnonzero(valid)
+    return (
+        acc[valid],
+        ids[win_row[valid]].astype(np.int64),
+        pos_in_row[: n - k + 1][valid],
+        flat,
+        values,
+    )
+
+
+def duplicated_token_span_pairs(
+    tokens_ds,
+    k: int = 16,
+    sample_mod: int | None = None,
+):
+    """Verified (doc_a, doc_b) pairs sharing ≥ one exact k-TOKEN span
+    (doc_a < doc_b) — duplicated_span_pairs lifted onto the north-rule
+    tokens table. Same bounded two-pass shape: rolling window hashes →
+    hot-hash set (count ≥ 2, broadcast once) → survivor windows carry
+    their ACTUAL token ids into one shuffle, where exact comparison
+    inside each hash group kills collisions."""
+    from ray.data.aggregate import Count, Sum
+
+    def pass1(b: pa.Table) -> pa.Table:
+        h, _ids, _pos, _flat, _vals = _token_window_rows(b, k)
+        if sample_mod:
+            h = h[h % np.uint64(sample_mod) == 0]
+        u, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(u.view(np.int64), type=pa.int64()),
+                "c": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        tokens_ds.map_batches(pass1, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("c", alias_name="c"))
+        .filter(expr="c >= 2")
+        .select_columns(["h"])
+    )
+    hot_rows = [
+        b
+        for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+        }
+    )
+    if not hot_rows:
+        return ray.data.from_arrow(empty)
+    hot = np.sort(
+        pa.concat_tables(hot_rows)["h"].to_numpy(zero_copy_only=False)
+    )
+    ref = ray.put(hot) if ray.is_initialized() else hot
+
+    def pass2(b: pa.Table) -> pa.Table:
+        hs = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        h, ids, _pos, flat, values = _token_window_rows(b, k)
+        hi = h.view(np.int64)
+        ix = np.searchsorted(hs, hi)
+        np.minimum(ix, len(hs) - 1, out=ix)
+        m = hs[ix] == hi
+        sel = np.flatnonzero(m)
+        if not len(sel):
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "win": pa.array([], type=pa.string()),
+                }
+            )
+        # survivor window CONTENT: one (n_sel, k) gather + Arrow join —
+        # carried only for hot windows, never the full token stream
+        import pyarrow.compute as pc
+
+        mat = values[flat[sel][:, None] + np.arange(k, dtype=np.int64)]
+        off = np.arange(len(sel) + 1, dtype=np.int32) * k
+        la = pa.ListArray.from_arrays(
+            pa.array(off, type=pa.int32()),
+            pa.array(mat.reshape(-1), type=pa.int32()),
+        )
+        wins = pc.binary_join(la.cast(pa.list_(pa.string())), ",")
+        return pa.table(
+            {
+                "h": pa.array(hi[sel], type=pa.int64()),
+                "doc_id": pa.array(ids[sel], type=pa.int64()),
+                "win": wins.cast(pa.string()),
+            }
+        )
+
+    def pairs(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        out_a, out_b = [], []
+        for _w, sub in g.groupby("win"):
+            docs = np.unique(sub["doc_id"].to_numpy())
+            if len(docs) >= 2:
+                a = docs[0]
+                for bdoc in docs[1:]:
+                    out_a.append(int(a))
+                    out_b.append(int(bdoc))
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    raw = (
+        tokens_ds.map_batches(pass2, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return (
+        raw.groupby(["doc_a", "doc_b"])
+        .count()
+        .select_columns(["doc_a", "doc_b"])
+    )

@@ -3548,6 +3548,47 @@ def q_dedup_spans_planted(sf_dir: str):
     )
 
 
+def q_dedup_spans_tokens_planted(sf_dir: str):
+    """Token-domain span dedup gate (duplicated_token_span_pairs — the
+    'deduplicating training data' pass over the north-rule tokens table):
+    40 docs over per-doc-unique token-id ranges get 30-token spans of
+    docs 0–4 spliced into docs 20–24 — exactly those five pairs must
+    come back (unique id ranges make any other k-window collision-proof
+    at the verify stage)."""
+    from ..functions.spans import duplicated_token_span_pairs
+
+    rng = {d: list(range(d * 1000, d * 1000 + 100)) for d in range(40)}
+    for i in range(5):
+        span = rng[i][10:40]
+        base = rng[20 + i]
+        rng[20 + i] = base[:50] + span + base[50:]
+    off = np.zeros(41, dtype=np.int64)
+    np.cumsum([len(rng[d]) for d in sorted(rng)], out=off[1:])
+    flat = np.array(
+        [t for d in sorted(rng) for t in rng[d]], dtype=np.int32
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(rng), type=pa.int64()),
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(off.astype(np.int32), type=pa.int32()),
+                pa.array(flat, type=pa.int32()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = duplicated_token_span_pairs(ds, k=16)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_a": b["doc_a"].cast(pa.int64()),
+                "doc_b": b["doc_b"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_docs_global_ntile(sf_dir: str):
     """Global ROW_NUMBER + NTILE(4) over (n_chars, doc_id) WITHOUT a total
     sort (functions/globalrank.py): exact value histogram → broadcast
@@ -8333,6 +8374,7 @@ def build_queries() -> dict:
     q["events_max_concurrent"] = q_events_max_concurrent
     q["pipeline_pretrain_corpus"] = q_pipeline_pretrain_corpus
     q["dedup_spans_planted"] = q_dedup_spans_planted
+    q["dedup_spans_tokens_planted"] = q_dedup_spans_tokens_planted
     q["ingest_jsonl"] = q_ingest_jsonl
     q["ingest_csv"] = q_ingest_csv
     q["docs_sample2_per_source"] = q_docs_sample2_per_source
@@ -9049,6 +9091,10 @@ def build_oracle_sql() -> dict:
         FROM documents
     """
     sql["ingest_csv"] = sql["ingest_jsonl"]
+    sql["dedup_spans_tokens_planted"] = """
+        SELECT CAST(i AS BIGINT) AS doc_a, CAST(i + 20 AS BIGINT) AS doc_b
+        FROM range(5) t(i)
+    """
     sql["dedup_spans_planted"] = """
         SELECT CAST(i AS BIGINT) AS doc_a, CAST(i + 20 AS BIGINT) AS doc_b
         FROM range(5) t(i)

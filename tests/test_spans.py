@@ -69,3 +69,59 @@ def test_duplicated_spans_none(ray_session):
     )
     ds = ray.data.from_arrow(tbl)
     assert duplicated_span_pairs(ds, k=8).count() == 0
+
+
+def _tok_tbl(rows, ids=None):
+    import numpy as np
+
+    off = np.zeros(len(rows) + 1, dtype=np.int32)
+    np.cumsum([len(r) for r in rows], out=off[1:])
+    flat = np.array([t for r in rows for t in r], dtype=np.int32)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                ids if ids is not None else list(range(len(rows))),
+                type=pa.int64(),
+            ),
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(off, type=pa.int32()),
+                pa.array(flat, type=pa.int32()),
+            ),
+        }
+    )
+
+
+def test_duplicated_token_spans_planted(ray_session):
+    """A 30-token span of doc 0 spliced into docs 5 and 6 yields the star
+    pairs (0,5), (0,6) — smallest doc per span anchors, the same contract
+    as the text-domain duplicated_span_pairs."""
+    import numpy as np
+
+    from fsst_like_ray.functions.spans import duplicated_token_span_pairs
+
+    rows = [list(range(d * 1000, d * 1000 + 80)) for d in range(10)]
+    span = rows[0][20:50]
+    rows[5] = rows[5][:40] + span + rows[5][40:]
+    rows[6] = span + rows[6]
+    ds = ray.data.from_arrow(_tok_tbl(rows)).repartition(3)
+    got = duplicated_token_span_pairs(ds, k=16).to_pandas()
+    assert set(zip(got["doc_a"], got["doc_b"])) == {(0, 5), (0, 6)}
+
+
+def test_duplicated_token_spans_none_and_short(ray_session):
+    from fsst_like_ray.functions.spans import duplicated_token_span_pairs
+
+    # disjoint vocabularies + docs shorter than k emit nothing
+    rows = [[1, 2, 3], list(range(100, 130)), [], list(range(200, 230))]
+    ds = ray.data.from_arrow(_tok_tbl(rows))
+    assert duplicated_token_span_pairs(ds, k=16).count() == 0
+
+
+def test_duplicated_token_spans_within_doc_repeat_not_pair(ray_session):
+    """A span repeated INSIDE one document is not a cross-doc pair."""
+    from fsst_like_ray.functions.spans import duplicated_token_span_pairs
+
+    block = list(range(300, 320))
+    rows = [block + [1, 2, 3] + block, list(range(500, 560))]
+    ds = ray.data.from_arrow(_tok_tbl(rows))
+    assert duplicated_token_span_pairs(ds, k=16).count() == 0
