@@ -373,3 +373,218 @@ def duplicated_token_span_pairs(
         .count()
         .select_columns(["doc_a", "doc_b"])
     )
+
+
+def remove_duplicated_token_spans(
+    tokens_ds,
+    k: int = 16,
+    broadcast_cap: int = 2_000_000,
+):
+    """The REMOVAL half of span-level dedup (the 'deduplicating training
+    data' action): every exact k-token window whose content also appears
+    in a SMALLER doc_id is excised from the larger document — keepers
+    (the smallest doc holding each content) keep their text verbatim.
+    Overlapping removed windows merge into one cut (coverage union), so
+    a spliced 30-token span under k=16 disappears exactly.
+
+    Fully distributed: the hot-hash set is the only broadcast bounded by
+    duplication; keeper election AND removal emission happen inside the
+    one verify shuffle (groupby window hash, exact content compare); the
+    removal list applies via broadcast below ``broadcast_cap`` rows and
+    via the co-partitioned shuffle join above it — never a driver-bound
+    collect of unbounded size. Returns a tokens Dataset (doc_id, tokens,
+    n_tok)."""
+    from ray.data.aggregate import Sum
+
+    def pass1(b: pa.Table) -> pa.Table:
+        h, _ids, _pos, _flat, _vals = _token_window_rows(b, k)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(u.view(np.int64), type=pa.int64()),
+                "c": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        tokens_ds.map_batches(pass1, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("c", alias_name="c"))
+        .filter(expr="c >= 2")
+        .select_columns(["h"])
+    )
+    hot_rows = [
+        b
+        for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not hot_rows:
+        return tokens_ds
+    hot = np.sort(
+        pa.concat_tables(hot_rows)["h"].to_numpy(zero_copy_only=False)
+    )
+    ref = ray.put(hot) if ray.is_initialized() else hot
+
+    def pass2(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hs = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        h, ids, pos, flat, values = _token_window_rows(b, k)
+        hi = h.view(np.int64)
+        ix = np.searchsorted(hs, hi)
+        np.minimum(ix, len(hs) - 1, out=ix)
+        sel = np.flatnonzero(hs[ix] == hi)
+        if not len(sel):
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                    "win": pa.array([], type=pa.string()),
+                }
+            )
+        mat = values[flat[sel][:, None] + np.arange(k, dtype=np.int64)]
+        off = np.arange(len(sel) + 1, dtype=np.int32) * k
+        la = pa.ListArray.from_arrays(
+            pa.array(off, type=pa.int32()),
+            pa.array(mat.reshape(-1), type=pa.int32()),
+        )
+        return pa.table(
+            {
+                "h": pa.array(hi[sel], type=pa.int64()),
+                "doc_id": pa.array(ids[sel], type=pa.int64()),
+                "pos": pa.array(pos[sel], type=pa.int64()),
+                "win": pc.binary_join(
+                    la.cast(pa.list_(pa.string())), ","
+                ).cast(pa.string()),
+            }
+        )
+
+    def emit_removals(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        out_d, out_p = [], []
+        for _w, sub in g.groupby("win"):
+            docs = sub["doc_id"].to_numpy()
+            keeper = docs.min()
+            cut = docs != keeper
+            if cut.any():
+                out_d.extend(int(d) for d in docs[cut])
+                out_p.extend(int(p) for p in sub["pos"].to_numpy()[cut])
+        return pd.DataFrame({"doc_id": out_d, "pos": out_p})
+
+    removals = (
+        tokens_ds.map_batches(pass2, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(emit_removals, batch_format="pandas")
+    )
+
+    def cut_rows(b: pa.Table, starts_of) -> pa.Table:
+        """``starts_of(row_index, doc_id) -> sorted window starts or
+        None``; only rows WITH removals pay a Python iteration."""
+        from ..stages.encode import list_buffers
+
+        values, offsets = list_buffers(b["tokens"])
+        counts_ = np.diff(offsets)
+        keep = np.ones(len(values), dtype=bool)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        touched = False
+        for r, d in enumerate(ids):
+            ss = starts_of(r, int(d))
+            if ss is None or not len(ss):
+                continue
+            touched = True
+            n_r = int(counts_[r])
+            diff = np.zeros(n_r + 1, dtype=np.int64)
+            np.add.at(diff, np.minimum(ss, n_r), 1)
+            np.add.at(diff, np.minimum(ss + k, n_r), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            keep[offsets[r] : offsets[r] + n_r] = ~covered
+        if not touched:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "tokens": b["tokens"],
+                    "n_tok": pa.array(
+                        counts_.astype(np.int32), type=pa.int32()
+                    ),
+                }
+            )
+        rows_ = np.repeat(
+            np.arange(len(counts_), dtype=np.int64), counts_
+        )
+        new_counts = np.bincount(
+            rows_[keep], minlength=len(counts_)
+        ).astype(np.int64)
+        new_off = np.zeros(len(counts_) + 1, dtype=np.int64)
+        np.cumsum(new_counts, out=new_off[1:])
+        la = pa.ListArray.from_arrays(
+            pa.array(new_off.astype(np.int32), type=pa.int32()),
+            pa.array(values[keep], type=pa.int32()),
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "tokens": la,
+                "n_tok": pa.array(
+                    new_counts.astype(np.int32), type=pa.int32()
+                ),
+            }
+        )
+
+    n_removals = removals.count()
+    if n_removals == 0:
+        return tokens_ds
+    if n_removals <= broadcast_cap:
+        rows = removals.take_all()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(int(r["doc_id"]), []).append(int(r["pos"]))
+        m = {d: np.sort(np.array(p, dtype=np.int64)) for d, p in by_doc.items()}
+        mref = ray.put(m) if ray.is_initialized() else m
+
+        def apply_bcast(b: pa.Table) -> pa.Table:
+            mm = ray.get(mref) if isinstance(mref, ray.ObjectRef) else mref
+            return cut_rows(b, lambda _r, d: mm.get(d))
+
+        return tokens_ds.map_batches(apply_bcast, batch_format="pyarrow")
+
+    # removal list too big to broadcast: ship per-doc start lists through
+    # the co-partitioned shuffle join instead (doc_id is an int key)
+    from .join import shuffle_hash_join
+
+    def pack_doc(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        d = int(g["doc_id"].iloc[0])
+        ss = ",".join(str(int(p)) for p in np.sort(g["pos"].to_numpy()))
+        return pd.DataFrame({"doc_id": [d], "spans": [ss]})
+
+    per_doc = removals.groupby("doc_id").map_groups(
+        pack_doc, batch_format="pandas"
+    ).map_batches(
+        # normalize pandas blocks to Arrow so the join sees Arrow types
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "spans": t["spans"].cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = shuffle_hash_join(
+        tokens_ds, per_doc, "doc_id", "doc_id", how="left"
+    )
+
+    def apply_joined(b: pa.Table) -> pa.Table:
+        spans = b["spans_r"].to_pylist()
+        parsed = [
+            None
+            if s is None
+            else np.array([int(x) for x in s.split(",")], dtype=np.int64)
+            for s in spans
+        ]
+        core = b.select(["doc_id", "tokens"])
+        return cut_rows(core, lambda r, _d: parsed[r])
+
+    return joined.map_batches(apply_joined, batch_format="pyarrow")

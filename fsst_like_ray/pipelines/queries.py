@@ -3589,6 +3589,38 @@ def q_dedup_spans_tokens_planted(sf_dir: str):
     )
 
 
+def q_tokens_remove_spans_planted(sf_dir: str):
+    """Span REMOVAL gate (remove_duplicated_token_spans — the action half
+    of 'deduplicating training data'): the spliced 30-token spans must
+    vanish from docs 20–24 exactly (coverage union of matching
+    16-windows), restoring every document to its original 100 tokens —
+    the expected corpus is a SQL literal over range()."""
+    from ..functions.spans import remove_duplicated_token_spans
+
+    rng = {d: list(range(d * 1000, d * 1000 + 100)) for d in range(40)}
+    for i in range(5):
+        span = rng[i][10:40]
+        base = rng[20 + i]
+        rng[20 + i] = base[:50] + span + base[50:]
+    off = np.zeros(41, dtype=np.int64)
+    np.cumsum([len(rng[d]) for d in sorted(rng)], out=off[1:])
+    flat = np.array(
+        [t for d in sorted(rng) for t in rng[d]], dtype=np.int32
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(rng), type=pa.int64()),
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(off.astype(np.int32), type=pa.int32()),
+                pa.array(flat, type=pa.int32()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = remove_duplicated_token_spans(ds, k=16)
+    return out.map_batches(tok_str_batch, batch_format="pyarrow")
+
+
 def q_docs_global_ntile(sf_dir: str):
     """Global ROW_NUMBER + NTILE(4) over (n_chars, doc_id) WITHOUT a total
     sort (functions/globalrank.py): exact value histogram → broadcast
@@ -8375,6 +8407,7 @@ def build_queries() -> dict:
     q["pipeline_pretrain_corpus"] = q_pipeline_pretrain_corpus
     q["dedup_spans_planted"] = q_dedup_spans_planted
     q["dedup_spans_tokens_planted"] = q_dedup_spans_tokens_planted
+    q["tokens_remove_spans_planted"] = q_tokens_remove_spans_planted
     q["ingest_jsonl"] = q_ingest_jsonl
     q["ingest_csv"] = q_ingest_csv
     q["docs_sample2_per_source"] = q_docs_sample2_per_source
@@ -9091,6 +9124,13 @@ def build_oracle_sql() -> dict:
         FROM documents
     """
     sql["ingest_csv"] = sql["ingest_jsonl"]
+    sql["tokens_remove_spans_planted"] = """
+        SELECT CAST(d AS BIGINT) AS doc_id, CAST(100 AS BIGINT) AS n_tok,
+               array_to_string(
+                   [CAST(d * 1000 + j AS VARCHAR) FOR j IN range(0, 100)],
+                   ',') AS tok_str
+        FROM range(40) t(d)
+    """
     sql["dedup_spans_tokens_planted"] = """
         SELECT CAST(i AS BIGINT) AS doc_a, CAST(i + 20 AS BIGINT) AS doc_b
         FROM range(5) t(i)

@@ -125,3 +125,41 @@ def test_duplicated_token_spans_within_doc_repeat_not_pair(ray_session):
     rows = [block + [1, 2, 3] + block, list(range(500, 560))]
     ds = ray.data.from_arrow(_tok_tbl(rows))
     assert duplicated_token_span_pairs(ds, k=16).count() == 0
+
+
+def test_remove_duplicated_token_spans_both_paths(ray_session):
+    """Spliced 30-token spans vanish from the LARGER docs exactly (the
+    coverage union of matching k-windows), keepers stay verbatim, and the
+    broadcast and shuffle-join apply paths produce identical corpora."""
+    import numpy as np
+
+    from fsst_like_ray.functions.spans import remove_duplicated_token_spans
+
+    rows = {d: list(range(d * 1000, d * 1000 + 100)) for d in range(12)}
+    for i in range(3):  # docs 6..8 get doc i's tokens 10:40 spliced at 50
+        span = rows[i][10:40]
+        rows[6 + i] = rows[6 + i][:50] + span + rows[6 + i][50:]
+    tbl = _tok_tbl([rows[d] for d in sorted(rows)])
+    expect = {d: list(range(d * 1000, d * 1000 + 100)) for d in range(12)}
+
+    for cap in (2_000_000, 0):  # broadcast path, then forced join path
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        got = remove_duplicated_token_spans(
+            ds, k=16, broadcast_cap=cap
+        ).to_pandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        assert got["doc_id"].tolist() == sorted(expect)
+        for _, r in got.iterrows():
+            assert list(r["tokens"]) == expect[int(r["doc_id"])], (
+                cap,
+                r["doc_id"],
+            )
+            assert int(r["n_tok"]) == 100
+
+    # no duplication: the input comes back unchanged
+    clean = ray.data.from_arrow(
+        _tok_tbl([list(range(d * 500, d * 500 + 40)) for d in range(4)])
+    )
+    out = remove_duplicated_token_spans(clean, k=16).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2, 3]
+    assert all(len(t) == 40 for t in out["tokens"])
