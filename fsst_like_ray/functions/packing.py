@@ -90,8 +90,19 @@ def plan_bucket_bases(tokens_ds, bucket_shift: int) -> dict:
     return bases
 
 
-def pack_sequences(tokens_ds, seq_len: int, bucket_shift: int = 10):
-    """tokens table → packed sequences ``(source, seq_id, tokens, n_tok)``."""
+def pack_sequences(
+    tokens_ds,
+    seq_len: int,
+    bucket_shift: int = 10,
+    with_segments: bool = False,
+):
+    """tokens table → packed sequences ``(source, seq_id, tokens, n_tok)``.
+
+    ``with_segments=True`` adds ``seg_starts`` (list<int64>): the
+    within-sequence positions where a NEW document begins (zero-length
+    docs excluded) — what a trainer needs to build block-diagonal
+    attention masks over packed rows. Position 0 appears only when a
+    document truly starts there; otherwise the row opens mid-document."""
     bases_ref = ray.put(plan_bucket_bases(tokens_ds, bucket_shift))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -110,14 +121,15 @@ def pack_sequences(tokens_ds, seq_len: int, bucket_shift: int = 10):
         values, off = _tokens_np(tbl)
         total = int(off[-1])
         if total == 0:
-            return pa.table(
-                {
-                    "source": pa.array([], type=pa.string()),
-                    "seq_id": pa.array([], type=pa.int64()),
-                    "pos": pa.array([], type=pa.int64()),
-                    "part": pa.array([], type=pa.list_(pa.int32())),
-                }
-            )
+            cols0 = {
+                "source": pa.array([], type=pa.string()),
+                "seq_id": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.list_(pa.int32())),
+            }
+            if with_segments:
+                cols0["dstarts"] = pa.array([], type=pa.list_(pa.int64()))
+            return pa.table(cols0)
         base = bases[(src, bucket)]
         pos0 = base  # docs are consecutive → the flat stream is contiguous
         chunk = (pos0 + np.arange(total, dtype=np.int64)) // seq_len
@@ -129,14 +141,25 @@ def pack_sequences(tokens_ds, seq_len: int, bucket_shift: int = 10):
             else pa.array(po, type=pa.int64()),
             pa.array(values, type=pa.int32()),
         )
-        return pa.table(
-            {
-                "source": pa.array([src] * (len(po) - 1), type=pa.string()),
-                "seq_id": pa.array(chunk[po[:-1]], type=pa.int64()),
-                "pos": pa.array(pos0 + po[:-1], type=pa.int64()),
-                "part": part,
-            }
-        )
+        cols = {
+            "source": pa.array([src] * (len(po) - 1), type=pa.string()),
+            "seq_id": pa.array(chunk[po[:-1]], type=pa.int64()),
+            "pos": pa.array(pos0 + po[:-1], type=pa.int64()),
+            "part": part,
+        }
+        if with_segments:
+            # GLOBAL start position of each non-empty doc, grouped into
+            # the part (chunk slice) that contains it
+            dstarts = off[:-1][np.diff(off) > 0].astype(np.int64)
+            pi = np.searchsorted(po, dstarts, side="right") - 1
+            cnt = np.bincount(pi, minlength=len(po) - 1).astype(np.int64)
+            so = np.zeros(len(po), dtype=np.int64)
+            np.cumsum(cnt, out=so[1:])
+            cols["dstarts"] = pa.ListArray.from_arrays(
+                pa.array(so.astype(np.int32), type=pa.int32()),
+                pa.array(pos0 + dstarts, type=pa.int64()),
+            )
+        return pa.table(cols)
 
     def stitch_group(group: pa.Table) -> pa.Table:
         pos = group["pos"].to_numpy(zero_copy_only=False)
@@ -148,14 +171,23 @@ def pack_sequences(tokens_ds, seq_len: int, bucket_shift: int = 10):
             pa.array([0, n], type=pa.int32()),
             pa.array(values, type=pa.int32()),
         )
-        return pa.table(
-            {
-                "source": tbl["source"].slice(0, 1),
-                "seq_id": tbl["seq_id"].slice(0, 1),
-                "tokens": toks,
-                "n_tok": pa.array([n], type=pa.int64()),
-            }
-        )
+        out = {
+            "source": tbl["source"].slice(0, 1),
+            "seq_id": tbl["seq_id"].slice(0, 1),
+            "tokens": toks,
+            "n_tok": pa.array([n], type=pa.int64()),
+        }
+        if with_segments:
+            ds_col = tbl["dstarts"]
+            if isinstance(ds_col, pa.ChunkedArray):
+                ds_col = ds_col.combine_chunks()
+            g = ds_col.flatten().to_numpy(zero_copy_only=False)
+            rel = np.sort(g) - int(tbl["seq_id"][0].as_py()) * seq_len
+            out["seg_starts"] = pa.ListArray.from_arrays(
+                pa.array([0, len(rel)], type=pa.int32()),
+                pa.array(rel, type=pa.int64()),
+            )
+        return pa.table(out)
 
     parts = (
         tokens_ds.map_batches(add_bucket, batch_format="pyarrow")

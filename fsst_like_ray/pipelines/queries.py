@@ -2638,6 +2638,42 @@ def q_pack_sequences(sf_dir: str):
     return packed.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_pack_sequences_segments(sf_dir: str):
+    """pack_sequences with SEGMENT BOUNDARIES (with_segments=True): each
+    packed row also carries the within-sequence positions where a new
+    document begins — the block-diagonal-attention mask input. The oracle
+    recomputes every document's global start (running length sum per
+    source) and buckets them into sequences."""
+    import pyarrow.compute as pc
+
+    from ..functions.packing import pack_sequences
+
+    packed = pack_sequences(
+        _tokens_ds(sf_dir), PACK_SEQ_LEN, bucket_shift=6, with_segments=True
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        def joined(col):
+            c = batch[col]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            return pc.binary_join(
+                c.cast(pa.list_(pa.string())), ","
+            ).cast(pa.string())
+
+        return pa.table(
+            {
+                "source": batch["source"],
+                "seq_id": batch["seq_id"].cast(pa.int64()),
+                "n_tok": batch["n_tok"].cast(pa.int64()),
+                "tok_str": joined("tokens"),
+                "seg_str": joined("seg_starts"),
+            }
+        )
+
+    return packed.map_batches(fmt, batch_format="pyarrow")
+
+
 SAMPLE_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.0}
 SAMPLE_DEFAULT = 0.25
 
@@ -8381,6 +8417,7 @@ def build_queries() -> dict:
     q["vocab_topk"] = q_vocab_topk
     q["sample_stratified"] = q_sample_stratified
     q["pack_sequences"] = q_pack_sequences
+    q["pack_sequences_segments"] = q_pack_sequences_segments
     q["docs_longest20"] = q_docs_longest20
     q["ann_topk"] = q_ann_topk
     q["ann_ivf"] = q_ann_ivf
@@ -9037,6 +9074,46 @@ def build_oracle_sql() -> dict:
                                               - seq_id * {L}) AS INT) + 1)],
                  ',') AS tok_str
         FROM c
+    """
+    sql["pack_sequences_segments"] = f"""
+        WITH s AS (
+          SELECT source, string_agg(text, '' ORDER BY doc_id) AS all_text
+          FROM documents GROUP BY source
+        ),
+        c AS (
+          SELECT source, all_text,
+                 UNNEST(range(0, (length(all_text) + {L} - 1) // {L})) AS seq_id
+          FROM s
+        ),
+        d AS (
+          SELECT source,
+                 coalesce(sum(length(text)) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS g
+          FROM documents
+          WHERE length(text) > 0
+        ),
+        segs AS (
+          SELECT source, g // {L} AS seq_id,
+                 array_to_string(
+                     list(CAST(g % {L} AS VARCHAR) ORDER BY g), ','
+                 ) AS seg_str
+          FROM d GROUP BY source, g // {L}
+        )
+        SELECT c.source,
+               CAST(c.seq_id AS BIGINT) AS seq_id,
+               CAST(least({L}, length(all_text) - c.seq_id * {L}) AS BIGINT)
+                 AS n_tok,
+               array_to_string(
+                 [CAST(unicode(substr(all_text,
+                                      CAST(c.seq_id * {L} + i AS INT), 1)) AS INT)
+                  FOR i IN range(1, CAST(least({L}, length(all_text)
+                                              - c.seq_id * {L}) AS INT) + 1)],
+                 ',') AS tok_str,
+               coalesce(segs.seg_str, '') AS seg_str
+        FROM c LEFT JOIN segs
+          ON segs.source = c.source AND segs.seq_id = c.seq_id
     """
     sql["vocab_topk"] = """
         SELECT CAST(t AS BIGINT) AS token, CAST(COUNT(*) AS BIGINT) AS n
