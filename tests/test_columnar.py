@@ -4009,3 +4009,61 @@ def test_store_derive_backfill(ray_session, tmp_path):
     with pytest.raises(Exception):
         derive_table_store(out, bad, _derive_drops_rows, batch_rows=512)
     assert not Manifest(bad).completed()
+
+
+def test_derive_table_store_crash_resume(ray_session, tmp_path, monkeypatch):
+    """Driver dies between derive commits: only the fragment committed
+    BEFORE the crash is visible; the resumed run derives exactly the
+    remaining fragments (no rewrite of the committed one) and the final
+    corpus carries the derived column on every row."""
+    import fsst_like_ray.pipelines.tablestore as TS
+
+    n = 1800
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(np.arange(n, dtype=np.float64) / 8.0),
+        }
+    )
+    frag = tmp_path / "src"
+    frag.mkdir()
+    step = (n + 2) // 3
+    for i in range(3):
+        pq.write_table(t.slice(i * step, step), frag / f"f{i}.parquet")
+    src = str(tmp_path / "src_store")
+    TS.compress_table(str(frag), src)
+    dst = str(tmp_path / "dst")
+
+    def add_oct(b: pa.Table) -> pa.Table:
+        vv = b["v"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "v8", pa.array((vv * 8).astype(np.int64), type=pa.int64())
+        )
+
+    calls = {"n": 0}
+    orig_commit = TS.Manifest.commit
+
+    def dying(self, record):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash")
+        return orig_commit(self, record)
+
+    monkeypatch.setattr(TS.Manifest, "commit", dying)
+    with pytest.raises(Exception, match="injected crash"):
+        TS.derive_table_store(src, dst, add_oct, fragments_per_round=1)
+    assert len(TS.Manifest(dst).completed()) == 1
+    monkeypatch.setattr(TS.Manifest, "commit", orig_commit)
+
+    import os
+
+    done1 = TS.Manifest(dst).completed()
+    key1 = next(iter(done1.values()))["frag_key"]
+    part1 = os.path.join(dst, "data", f"frag={key1}", "part-000000.parquet")
+    m1 = os.path.getmtime(part1)
+    TS.derive_table_store(src, dst, add_oct)
+    assert os.path.getmtime(part1) == m1  # committed fragment untouched
+    got = TS.read_table_store(dst).to_pandas().sort_values("id")
+    assert got["v8"].tolist() == list(range(n))
+    for rec in TS.Manifest(dst).completed().values():
+        assert rec.get("derived_from") == src
