@@ -415,6 +415,75 @@ def span_corrupt_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# FIM split-point parameters — small multipliers so the arithmetic is
+# exact in both int64 numpy and the SQL oracle (no wraparound)
+FIM_A1, FIM_B1 = 37, 11
+FIM_A2, FIM_B2 = 53, 29
+
+
+def fim_transform(
+    values: np.ndarray, offsets: np.ndarray, doc_ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fill-in-the-middle rearrangement (the code-LM pretraining
+    transform) in PSM order with sentinels: each document splits at two
+    DETERMINISTIC points p1 ≤ p2 (derived from doc_id and length, so an
+    SQL oracle reproduces them) and emits
+    ``[-1] prefix [-2] suffix [-3] middle`` — the model learns to infill
+    the middle given both sides. Output length is n+3 per row. Pure
+    flat-buffer segment scatter: three (dst, src, len) gather segments
+    per row expanded with repeat/cumsum — no per-row Python."""
+    counts = np.diff(offsets)
+    n_rows = len(counts)
+    d = doc_ids.astype(np.int64)
+    p1 = (d * FIM_A1 + FIM_B1) % (counts + 1)
+    p2 = p1 + (d * FIM_A2 + FIM_B2) % (counts - p1 + 1)
+    out_counts = counts + 3
+    bo = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=bo[1:])
+    out = np.empty(int(bo[-1]), dtype=np.int32)
+    # sentinel slots
+    out[bo[:-1]] = -1
+    out[bo[:-1] + 1 + p1] = -2
+    out[bo[:-1] + 2 + p1 + (counts - p2)] = -3
+    # gather segments: (dst_start, src_start, len) × {prefix, suffix, middle}
+    seg_dst = np.concatenate(
+        [bo[:-1] + 1, bo[:-1] + 2 + p1, bo[:-1] + 3 + p1 + (counts - p2)]
+    )
+    seg_src = np.concatenate(
+        [offsets[:-1], offsets[:-1] + p2, offsets[:-1] + p1]
+    )
+    seg_len = np.concatenate([p1, counts - p2, p2 - p1])
+    nz = seg_len > 0
+    seg_dst, seg_src, seg_len = seg_dst[nz], seg_src[nz], seg_len[nz]
+    if len(seg_len):
+        total = int(seg_len.sum())
+        flat = np.arange(total, dtype=np.int64)
+        base = np.zeros(len(seg_len) + 1, dtype=np.int64)
+        np.cumsum(seg_len, out=base[1:])
+        within = flat - np.repeat(base[:-1], seg_len)
+        out[np.repeat(seg_dst, seg_len) + within] = values[
+            np.repeat(seg_src, seg_len) + within
+        ]
+    return out, bo
+
+
+def fim_batch(batch: pa.Table) -> pa.Table:
+    doc_id = batch["doc_id"]
+    if isinstance(doc_id, pa.ChunkedArray):
+        doc_id = doc_id.combine_chunks()
+    values, offsets = list_buffers(batch["tokens"])
+    out, bo = fim_transform(
+        values, offsets, doc_id.to_numpy(zero_copy_only=False)
+    )
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "n_tok": batch["n_tok"].cast(pa.int64()),
+            "fim": _list_array(out, bo),
+        }
+    )
+
+
 def pair_partials(batch: pa.Table, span: int) -> pa.Table:
     """Per-batch adjacent-pair counts keyed t1*span + t2; row boundaries
     masked out so pairs never straddle documents. ``span`` must exceed the

@@ -7992,6 +7992,33 @@ def q_ingest_text(sf_dir: str):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
+def q_tokens_fim(sf_dir: str):
+    """Fill-in-the-middle rearrangement (code-LM pretraining transform):
+    deterministic split points from (doc_id, length) so the SQL oracle
+    reproduces the PSM layout [-1] prefix [-2] suffix [-3] middle
+    bit-for-bit. One flat-buffer segment scatter per batch."""
+    from ..functions import tokenops as T
+    import pyarrow.compute as pc
+
+    ds = _tokens_ds(sf_dir).map_batches(T.fim_batch, batch_format="pyarrow")
+
+    def fmt(b: pa.Table) -> pa.Table:
+        c = b["fim"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tok": b["n_tok"],
+                "fim_str": pc.binary_join(
+                    c.cast(pa.list_(pa.string())), ","
+                ).cast(pa.string()),
+            }
+        )
+
+    return ds.map_batches(fmt, batch_format="pyarrow")
+
+
 def q_token_bigram_top20(sf_dir: str):
     """Corpus-wide adjacent token-pair counts (per-batch unique partials →
     one small shuffle keyed by pair), top 20 by (count desc, pair asc)."""
@@ -8534,6 +8561,7 @@ def build_queries() -> dict:
     q["tokens_dispersion"] = q_tokens_dispersion
     q["tokens_dup_ngrams"] = q_tokens_dup_ngrams
     q["tokens_span_corrupt"] = q_tokens_span_corrupt
+    q["tokens_fim"] = q_tokens_fim
     q["docs_quality_filter_tokens"] = q_docs_quality_filter_tokens
     q["ingest_text"] = q_ingest_text
     return _window_first(q)
@@ -10516,6 +10544,32 @@ def build_oracle_sql() -> dict:
         FROM documents
         WHERE text NOT LIKE '%' || chr(10) || '%'
           AND text NOT LIKE '%' || chr(13) || '%'
+    """
+    sql["tokens_fim"] = f"""
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS n,
+                   (doc_id * {T_tok.FIM_A1} + {T_tok.FIM_B1})
+                       % (length(text) + 1) AS p1
+            FROM documents
+        ), sp AS (
+            SELECT doc_id, text, n, p1,
+                   p1 + (doc_id * {T_tok.FIM_A2} + {T_tok.FIM_B2})
+                       % (n - p1 + 1) AS p2
+            FROM base
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+               array_to_string(
+                   ['-1']
+                   || [CAST(unicode(substr(text, i, 1)) AS VARCHAR)
+                       FOR i IN range(1, CAST(p1 AS INT) + 1)]
+                   || ['-2']
+                   || [CAST(unicode(substr(text, i, 1)) AS VARCHAR)
+                       FOR i IN range(CAST(p2 AS INT) + 1, CAST(n AS INT) + 1)]
+                   || ['-3']
+                   || [CAST(unicode(substr(text, i, 1)) AS VARCHAR)
+                       FOR i IN range(CAST(p1 AS INT) + 1, CAST(p2 AS INT) + 1)],
+                   ',') AS fim_str
+        FROM sp
     """
     # rows-only (non-SQL-expressible) queries intentionally omitted:
     # ann_ivf, kmeans_embeddings — each has an oracle-gated sibling

@@ -276,3 +276,31 @@ def test_span_corrupt_roundtrip_reconstructs():
         for t in inp:
             rebuilt.extend(spans[t] if t < 0 else [t])
         assert rebuilt == r, i
+
+
+def _fim_oracle(d, toks):
+    n = len(toks)
+    p1 = (d * 37 + 11) % (n + 1)
+    p2 = p1 + (d * 53 + 29) % (n - p1 + 1)
+    return [-1] + toks[:p1] + [-2] + toks[p2:] + [-3] + toks[p1:p2]
+
+
+def test_fim_brute_force():
+    rng = np.random.default_rng(61)
+    rows = [list(map(int, rng.integers(0, 900, int(n))))
+            for n in [0, 1, 2, 3, 5, 17, 120]]
+    ids = [0, 3, 7, 11, 42, 100, 12345]
+    got = T.fim_batch(_itbl(rows, ids))
+    for i, (d, r) in enumerate(zip(ids, rows)):
+        assert _lists(got["fim"])[i] == _fim_oracle(d, r), i
+
+
+def test_fim_reconstructs():
+    """prefix+middle+suffix from the PSM layout restore the document."""
+    rng = np.random.default_rng(67)
+    rows = [list(map(int, rng.integers(0, 900, 60))) for _ in range(8)]
+    got = T.fim_batch(_itbl(rows))
+    for i, r in enumerate(rows):
+        f = _lists(got["fim"])[i]
+        i2, i3 = f.index(-2), f.index(-3)
+        assert f[1:i2] + f[i3 + 1 :] + f[i2 + 1 : i3] == r, i
