@@ -72,3 +72,93 @@ def sample_predicate_sql(
     )
     thr = f"(CASE {strat_col} {cases} ELSE {rate_to_threshold(default_rate)} END)"
     return f"{h} < {thr}"
+
+
+def token_budget_sample(tokens_ds, budget: int, bucket_bits: int = 20):
+    """Per-source TOKEN-budget subsampling: walk each source's documents
+    in deterministic hash order (hash32(doc_id), doc_id) and keep a doc
+    iff the token total of the docs BEFORE it is still under ``budget``
+    — so each source contributes ≈budget tokens (the first overflowing
+    doc is kept), the mixture is weighted by TOKENS not documents, and
+    re-runs / retries / different cluster sizes select identical rows.
+
+    100-TB shape (no total sort): hash space splits into coarse buckets
+    (``hash >> bucket_bits``); pass 1 is a per-batch (source, bucket,
+    Σ n_tok) partial → tiny groupby → driver prefix-sums per source
+    (driver state = sources × 2^(32-bucket_bits) rows, broadcast once);
+    pass 2 is ONE bounded shuffle — groupby (source, bucket) sorts each
+    group locally, adds its bucket base, and filters. Mirrors
+    pack_sequences' plan/split machinery."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def key32(ids: np.ndarray) -> np.ndarray:
+        return sample_hash32(ids.astype(np.int64)).astype(np.int64)
+
+    def partials(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = b["n_tok"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bk = key32(ids) >> bucket_bits
+        src = b["source"]
+        t = pa.table(
+            {
+                "source": src,
+                "bucket": pa.array(bk, type=pa.int64()),
+                "tok": pa.array(n, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["source", "bucket"]).aggregate([("tok", "sum")])
+        return g.rename_columns(["source", "bucket", "tok"])
+
+    totals = (
+        tokens_ds.select_columns(["doc_id", "n_tok", "source"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "bucket"])
+        .aggregate(Sum("tok", alias_name="tok"))
+    )
+    rows = sorted(
+        (r["source"], int(r["bucket"]), int(r["tok"]))
+        for r in totals.take_all()
+    )
+    bases: dict = {}
+    run_src, acc = None, 0
+    for src, bucket, tok in rows:
+        if src != run_src:
+            run_src, acc = src, 0
+        bases[(src, bucket)] = acc
+        acc += tok
+    bases_ref = ray.put(bases) if ray.is_initialized() else bases
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__bk", pa.array(key32(ids) >> bucket_bits, type=pa.int64())
+        )
+
+    def keep_group(g: pa.Table) -> pa.Table:
+        bb = (
+            ray.get(bases_ref)
+            if isinstance(bases_ref, ray.ObjectRef)
+            else bases_ref
+        )
+        src = g["source"][0].as_py()
+        bucket = int(g["__bk"][0].as_py())
+        base = bb.get((src, bucket), 0)
+        if base >= budget:  # whole bucket past the budget: emit nothing
+            return g.slice(0, 0).drop_columns(["__bk"])
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        n = g["n_tok"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key32(ids)))
+        before = base + np.concatenate(
+            ([0], np.cumsum(n[order])[:-1])
+        )
+        keep_sorted = before < budget
+        keep = np.zeros(len(ids), dtype=bool)
+        keep[order] = keep_sorted
+        return g.filter(pa.array(keep)).drop_columns(["__bk"])
+
+    return (
+        tokens_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["source", "__bk"])
+        .map_groups(keep_group, batch_format="pyarrow")
+    )

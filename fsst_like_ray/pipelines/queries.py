@@ -2674,6 +2674,30 @@ def q_pack_sequences_segments(sf_dir: str):
     return packed.map_batches(fmt, batch_format="pyarrow")
 
 
+TOKEN_BUDGET = 3_000  # ≈40% of each source's mass: the cut must ENGAGE
+
+
+def q_docs_token_budget_sample(sf_dir: str):
+    """Per-source TOKEN-budget mixture sampling: each source contributes
+    ≈TOKEN_BUDGET tokens, docs chosen in deterministic hash order (the
+    scaling-law-sweep cut, weighted by tokens not documents). Bounded
+    plan/split shape — no total sort, one shuffle."""
+    from ..functions.sampling import token_budget_sample
+
+    ds = _tokens_ds(sf_dir)
+    out = token_budget_sample(ds, TOKEN_BUDGET, bucket_bits=24)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "n_tok": b["n_tok"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 SAMPLE_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.0}
 SAMPLE_DEFAULT = 0.25
 
@@ -8445,6 +8469,7 @@ def build_queries() -> dict:
     q["sample_stratified"] = q_sample_stratified
     q["pack_sequences"] = q_pack_sequences
     q["pack_sequences_segments"] = q_pack_sequences_segments
+    q["docs_token_budget_sample"] = q_docs_token_budget_sample
     q["docs_longest20"] = q_docs_longest20
     q["ann_topk"] = q_ann_topk
     q["ann_ivf"] = q_ann_ivf
@@ -9074,7 +9099,24 @@ def build_oracle_sql() -> dict:
         FROM documents WHERE doc_id < 120
     """
     )
-    from ..functions.sampling import sample_predicate_sql
+    from ..functions.sampling import HASH_MULT, sample_predicate_sql
+
+    sql["docs_token_budget_sample"] = f"""
+        WITH h AS (
+            SELECT doc_id, source, length(text) AS n,
+                   (doc_id * {HASH_MULT}) % 4294967296 AS hk
+            FROM documents
+        ), r AS (
+            SELECT doc_id, source, n,
+                   coalesce(sum(n) OVER (
+                       PARTITION BY source ORDER BY hk, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS bef
+            FROM h
+        )
+        SELECT doc_id, source, CAST(n AS BIGINT) AS n_tok
+        FROM r WHERE bef < {TOKEN_BUDGET}
+    """
 
     sql["sample_stratified"] = (
         "SELECT doc_id FROM documents WHERE "

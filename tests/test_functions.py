@@ -825,3 +825,60 @@ def test_token_sequence_dedup(ray_session):
     assert dropped == expect
     assert 11 in dropped and 7 not in dropped
     assert all(100 + k in dropped for k in range(20))
+
+
+def test_token_budget_sample(ray_session):
+    """Per-source token budget engages in deterministic hash order — the
+    brute-force oracle walks each source's docs sorted by
+    (hash32(doc_id), doc_id) keeping while the PRIOR total is under
+    budget. bucket_bits=28 forces many hash buckets so the plan's
+    per-bucket base offsets are exercised, and results must be identical
+    at any parallelism."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fsst_like_ray.functions.sampling import (
+        sample_hash32,
+        token_budget_sample,
+    )
+
+    rng = np.random.default_rng(71)
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    lens = rng.integers(5, 60, n).astype(np.int64)
+    srcs = [f"s{i % 3}" for i in range(n)]
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(off.astype(np.int32), type=pa.int32()),
+                pa.array(
+                    rng.integers(0, 100, int(off[-1])).astype(np.int32),
+                    type=pa.int32(),
+                ),
+            ),
+            "n_tok": pa.array(lens.astype(np.int32), type=pa.int32()),
+            "source": pa.array(srcs),
+        }
+    )
+    budget = 800
+    expect = set()
+    h = sample_hash32(ids).astype(np.int64)
+    for s in ("s0", "s1", "s2"):
+        rows = sorted(
+            (int(h[i]), int(ids[i]), int(lens[i]))
+            for i in range(n)
+            if srcs[i] == s
+        )
+        acc = 0
+        for _hk, d, ln in rows:
+            if acc < budget:
+                expect.add(d)
+            acc += ln
+    for nparts in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        got = token_budget_sample(ds, budget, bucket_bits=28).to_pandas()
+        assert set(got["doc_id"]) == expect, nparts
