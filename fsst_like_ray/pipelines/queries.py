@@ -2698,6 +2698,57 @@ def q_docs_token_budget_sample(sf_dir: str):
     )
 
 
+PIPE_TOKEN_BUDGET = 2_000
+
+
+def q_pipeline_tokens_prep(sf_dir: str):
+    """End-to-end token-domain training-prep composite, every stage an
+    already-oracled op, the WHOLE chain oracled as one SQL query:
+    quality filter (integer thresholds) → per-source token-budget cut
+    (deterministic hash order) → fixed-length packing with segment
+    boundaries. This is the pipeline a user runs to turn a raw tokens
+    table into trainer-ready packed shards; stage shapes (one filter
+    pass, one plan groupby + one bounded shuffle, two bounded shuffles)
+    are unchanged from the standalone ops."""
+    import pyarrow.compute as pc
+
+    from ..functions.packing import pack_sequences
+    from ..functions.sampling import token_budget_sample
+
+    def keep(b: pa.Table) -> pa.Table:
+        ok, _n, _d, _g = quality_keep_mask(b)
+        return b.filter(pa.array(ok))
+
+    filtered = _tokens_ds(sf_dir).map_batches(keep, batch_format="pyarrow")
+    sampled = token_budget_sample(
+        filtered, PIPE_TOKEN_BUDGET, bucket_bits=24
+    )
+    packed = pack_sequences(
+        sampled, PACK_SEQ_LEN, bucket_shift=6, with_segments=True
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        def joined(col):
+            c = batch[col]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            return pc.binary_join(
+                c.cast(pa.list_(pa.string())), ","
+            ).cast(pa.string())
+
+        return pa.table(
+            {
+                "source": batch["source"],
+                "seq_id": batch["seq_id"].cast(pa.int64()),
+                "n_tok": batch["n_tok"].cast(pa.int64()),
+                "tok_str": joined("tokens"),
+                "seg_str": joined("seg_starts"),
+            }
+        )
+
+    return packed.map_batches(fmt, batch_format="pyarrow")
+
+
 SAMPLE_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.0}
 SAMPLE_DEFAULT = 0.25
 
@@ -7911,6 +7962,27 @@ QF_MIN_DISTINCT = 18
 QF_DUP_NUM, QF_DUP_DEN = 6, 10
 
 
+def quality_keep_mask(b: pa.Table) -> tuple:
+    """The composite quality predicate over one tokens batch: length
+    window + distinct-token floor + duplicated-3-gram ceiling, all
+    integer comparisons. Returns (ok bool array, n_tok, n_distinct,
+    n_dup_grams) so callers either report the signals or just filter."""
+    from ..functions import tokenops as T
+    from ..stages.encode import list_buffers
+
+    values, offsets = list_buffers(b["tokens"])
+    n_tok = np.diff(offsets)
+    n_distinct, _, _ = T.dispersion(values, offsets)
+    n_grams, n_uniq_grams = T.dup_ngram_stats(values, offsets, DUP_NGRAM_N)
+    ok = (
+        (n_tok >= QF_MIN_TOK)
+        & (n_tok <= QF_MAX_TOK)
+        & (n_distinct >= QF_MIN_DISTINCT)
+        & ((n_grams - n_uniq_grams) * QF_DUP_DEN <= n_grams * QF_DUP_NUM)
+    )
+    return ok, n_tok, n_distinct, n_grams - n_uniq_grams
+
+
 def q_docs_quality_filter_tokens(sf_dir: str):
     """Composite token-domain quality filter — the pass every web corpus
     runs before training: length window + diversity floor (distinct/total
@@ -7918,24 +7990,9 @@ def q_docs_quality_filter_tokens(sf_dir: str):
     come from ONE map_batches over the same flat buffers (no join, no
     second scan); thresholds compare via integer cross-multiplication so
     the oracle hashes exactly."""
-    from ..functions import tokenops as T
 
     def keep(b: pa.Table) -> pa.Table:
-        from ..stages.encode import list_buffers
-
-        values, offsets = list_buffers(b["tokens"])
-        n_tok = np.diff(offsets)
-        n_distinct, _, _ = T.dispersion(values, offsets)
-        n_grams, n_uniq_grams = T.dup_ngram_stats(values, offsets, DUP_NGRAM_N)
-        ok = (
-            (n_tok >= QF_MIN_TOK)
-            & (n_tok <= QF_MAX_TOK)
-            & (n_distinct >= QF_MIN_DISTINCT)
-            & (
-                (n_grams - n_uniq_grams) * QF_DUP_DEN
-                <= n_grams * QF_DUP_NUM
-            )
-        )
+        ok, n_tok, n_distinct, n_dup = quality_keep_mask(b)
         mask = pa.array(ok)
         return pa.table(
             {
@@ -7944,9 +8001,7 @@ def q_docs_quality_filter_tokens(sf_dir: str):
                 else b["doc_id"].combine_chunks().filter(mask),
                 "n_tok": pa.array(n_tok[ok], type=pa.int64()),
                 "n_distinct": pa.array(n_distinct[ok], type=pa.int64()),
-                "n_dup_grams": pa.array(
-                    (n_grams - n_uniq_grams)[ok], type=pa.int64()
-                ),
+                "n_dup_grams": pa.array(n_dup[ok], type=pa.int64()),
             }
         )
 
@@ -8470,6 +8525,7 @@ def build_queries() -> dict:
     q["pack_sequences"] = q_pack_sequences
     q["pack_sequences_segments"] = q_pack_sequences_segments
     q["docs_token_budget_sample"] = q_docs_token_budget_sample
+    q["pipeline_tokens_prep"] = q_pipeline_tokens_prep
     q["docs_longest20"] = q_docs_longest20
     q["ann_topk"] = q_ann_topk
     q["ann_ivf"] = q_ann_ivf
@@ -9170,6 +9226,87 @@ def build_oracle_sql() -> dict:
                      list(CAST(g % {L} AS VARCHAR) ORDER BY g), ','
                  ) AS seg_str
           FROM d GROUP BY source, g // {L}
+        )
+        SELECT c.source,
+               CAST(c.seq_id AS BIGINT) AS seq_id,
+               CAST(least({L}, length(all_text) - c.seq_id * {L}) AS BIGINT)
+                 AS n_tok,
+               array_to_string(
+                 [CAST(unicode(substr(all_text,
+                                      CAST(c.seq_id * {L} + i AS INT), 1)) AS INT)
+                  FOR i IN range(1, CAST(least({L}, length(all_text)
+                                              - c.seq_id * {L}) AS INT) + 1)],
+                 ',') AS tok_str,
+               coalesce(segs.seg_str, '') AS seg_str
+        FROM c LEFT JOIN segs
+          ON segs.source = c.source AND segs.seq_id = c.seq_id
+    """
+    from ..functions.sampling import HASH_MULT as _HM
+
+    sql["pipeline_tokens_prep"] = f"""
+        WITH pos AS (
+            SELECT doc_id, unnest([CAST(unicode(substr(text, i, 1)) AS BIGINT)
+                                   FOR i IN range(1, length(text) + 1)]) AS t
+            FROM documents
+        ), dv AS (
+            SELECT doc_id, count(DISTINCT t) AS n_distinct
+            FROM pos GROUP BY doc_id
+        ), gg AS (
+            SELECT doc_id,
+                   unnest([(CAST(unicode(substr(text, i, 1)) AS BIGINT)
+                              * {T_tok.CODEPOINT_SPAN}
+                            + CAST(unicode(substr(text, i + 1, 1)) AS BIGINT))
+                              * {T_tok.CODEPOINT_SPAN}
+                            + CAST(unicode(substr(text, i + 2, 1)) AS BIGINT)
+                           FOR i IN range(1, length(text) - 1)]) AS k
+            FROM documents
+        ), gr AS (
+            SELECT doc_id, count(*) - count(DISTINCT k) AS n_dup,
+                   count(*) AS n_grams
+            FROM gg GROUP BY doc_id
+        ), kept AS (
+            SELECT d.doc_id, d.source, d.text
+            FROM documents d
+            JOIN dv USING (doc_id) LEFT JOIN gr USING (doc_id)
+            WHERE length(d.text) BETWEEN {QF_MIN_TOK} AND {QF_MAX_TOK}
+              AND dv.n_distinct >= {QF_MIN_DISTINCT}
+              AND coalesce(gr.n_dup, 0) * {QF_DUP_DEN}
+                      <= coalesce(gr.n_grams, 0) * {QF_DUP_NUM}
+        ), hsh AS (
+            SELECT doc_id, source, text, length(text) AS n,
+                   (doc_id * {_HM}) % 4294967296 AS hk
+            FROM kept
+        ), rr AS (
+            SELECT doc_id, source, text,
+                   coalesce(sum(n) OVER (
+                       PARTITION BY source ORDER BY hk, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS bef
+            FROM hsh
+        ), samp AS (
+            SELECT doc_id, source, text FROM rr
+            WHERE bef < {PIPE_TOKEN_BUDGET}
+        ), s AS (
+            SELECT source, string_agg(text, '' ORDER BY doc_id) AS all_text
+            FROM samp GROUP BY source
+        ), c AS (
+            SELECT source, all_text,
+                   UNNEST(range(0, (length(all_text) + {L} - 1) // {L}))
+                       AS seq_id
+            FROM s
+        ), d2 AS (
+            SELECT source,
+                   coalesce(sum(length(text)) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS g2
+            FROM samp WHERE length(text) > 0
+        ), segs AS (
+            SELECT source, g2 // {L} AS seq_id,
+                   array_to_string(
+                       list(CAST(g2 % {L} AS VARCHAR) ORDER BY g2), ','
+                   ) AS seg_str
+            FROM d2 GROUP BY source, g2 // {L}
         )
         SELECT c.source,
                CAST(c.seq_id AS BIGINT) AS seq_id,
