@@ -304,3 +304,68 @@ def test_fim_reconstructs():
         f = _lists(got["fim"])[i]
         i2, i3 = f.index(-2), f.index(-3)
         assert f[1:i2] + f[i3 + 1 :] + f[i2 + 1 : i3] == r, i
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _tok_rows(draw):
+    n_rows = draw(st.integers(min_value=0, max_value=12))
+    rows = [
+        draw(st.lists(st.integers(0, 1_000_000), min_size=0, max_size=80))
+        for _ in range(n_rows)
+    ]
+    ids = draw(
+        st.lists(
+            st.integers(0, 10**9),
+            min_size=n_rows,
+            max_size=n_rows,
+            unique=True,
+        )
+    )
+    return rows, ids
+
+
+@given(data=_tok_rows())
+@settings(max_examples=30, deadline=None)
+def test_fim_property(data):
+    rows, ids = data
+    got = T.fim_batch(_itbl(rows, ids))
+    for i, (d, r) in enumerate(zip(ids, rows)):
+        f = _lists(got["fim"])[i]
+        assert len(f) == len(r) + 3
+        assert f[0] == -1
+        i2, i3 = f.index(-2), f.index(-3)
+        assert f[1:i2] + f[i3 + 1 :] + f[i2 + 1 : i3] == r
+
+
+@given(data=_tok_rows())
+@settings(max_examples=30, deadline=None)
+def test_span_corrupt_property(data):
+    rows, ids = data
+    got = T.span_corrupt_batch(_itbl(rows, ids))
+    for i, (d, r) in enumerate(zip(ids, rows)):
+        inp, tgt, n_spans = _span_corrupt_oracle(d, r)
+        assert _lists(got["inputs"])[i] == inp
+        assert _lists(got["targets"])[i] == tgt
+        assert got["n_spans"][i].as_py() == n_spans
+
+
+@given(data=_tok_rows())
+@settings(max_examples=30, deadline=None)
+def test_dispersion_dupngrams_property(data):
+    from collections import Counter
+
+    rows, ids = data
+    # dup_ngram_stats requires ids < span: clamp the token domain
+    rows = [[t % 1_000_000 for t in r] for r in rows]
+    got_d = T.dispersion_batch(_itbl(rows, ids))
+    got_g = T.dup_ngram_batch(_itbl(rows, ids), 3)
+    for i, r in enumerate(rows):
+        c = Counter(r)
+        assert got_d["n_distinct"][i].as_py() == len(c)
+        assert got_d["sum_sq"][i].as_py() == sum(v * v for v in c.values())
+        grams = [tuple(r[j : j + 3]) for j in range(len(r) - 2)]
+        assert got_g["n_grams"][i].as_py() == len(grams)
+        assert got_g["n_distinct_grams"][i].as_py() == len(set(grams))
