@@ -873,6 +873,28 @@ def q_columnar_store_derive(sf_dir: str):
     return ds.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_columnar_store_drop_column(sf_dir: str):
+    """Column erasure over a committed store (drop_columns_table_store —
+    the GDPR whole-column complement to the row-level key delete): the
+    events store rewritten WITHOUT user_id; kept columns verified
+    bit-exact per fragment during the rewrite, and the result oracles
+    against SELECT * EXCLUDE (user_id)."""
+    import tempfile
+
+    from .tablestore import (
+        compress_table,
+        drop_columns_table_store,
+        read_table_store,
+    )
+
+    base = tempfile.mkdtemp(prefix="columnar_store_dropcol_")
+    store = os.path.join(base, "store")
+    compress_table(f"{sf_dir}/events.parquet", store)
+    dst = os.path.join(base, "erased")
+    drop_columns_table_store(store, dst, ["user_id"])
+    return read_table_store(dst)
+
+
 def q_columnar_store_ndv_gate(sf_dir: str):
     """Gate: planner statistics from lineage alone. Encode-time HLL
     registers per int/string column ride the manifest; ndv_table_store
@@ -8493,6 +8515,7 @@ def build_queries() -> dict:
     q["columnar_store_eq_bloom"] = q_columnar_store_eq_bloom
     q["columnar_store_ndv_gate"] = q_columnar_store_ndv_gate
     q["columnar_store_derive"] = q_columnar_store_derive
+    q["columnar_store_drop_column"] = q_columnar_store_drop_column
     q["columnar_store_group_topk"] = q_columnar_store_group_topk
     q["columnar_store_heavy_hitters"] = q_columnar_store_heavy_hitters
     q["columnar_store_approx_distinct"] = q_columnar_store_approx_distinct
@@ -8822,6 +8845,9 @@ def build_oracle_sql() -> dict:
           FROM events
         ) WHERE rn <= 3
     """
+    sql["columnar_store_drop_column"] = (
+        "SELECT * EXCLUDE (user_id) FROM events"
+    )
     sql["columnar_store_derive"] = """
         SELECT event_id,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,

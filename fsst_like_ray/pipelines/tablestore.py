@@ -1722,6 +1722,7 @@ def _transform_fragment(
     batch_rows: int,
     expect_rows: int,
     derive=None,
+    project=None,
 ) -> dict:
     """Transcode ONE committed fragment (all its part files, 1:1 part
     names preserved): stream-decode → re-encode via _encode_fragment
@@ -1736,14 +1737,23 @@ def _transform_fragment(
     derived column(s) before re-encode (the backfill path). The verify
     then projects the destination back to the SOURCE columns, so the
     original data is still proven bit-exact; derived columns earn their
-    own zones/blooms/NDV lineage through the normal encode stats."""
+    own zones/blooms/NDV lineage through the normal encode stats.
+
+    ``project`` (optional, mutually exclusive with ``derive``): keep only
+    these decoded columns (the column-DROP / GDPR-erasure path); the
+    verify compares the kept columns on both sides."""
     from .columnar import decode_columns_batch
 
-    transform = (
-        decode_columns_batch
-        if derive is None
-        else (lambda t: derive(decode_columns_batch(t)))
-    )
+    if derive is not None and project is not None:
+        raise ValueError("_transform_fragment: derive xor project")
+    if derive is not None:
+        transform = lambda t: derive(decode_columns_batch(t))  # noqa: E731
+    elif project is not None:
+        transform = lambda t: decode_columns_batch(t).select(  # noqa: E731
+            list(project)
+        )
+    else:
+        transform = decode_columns_batch
     src_parts = _fragment_parts(src_data, frag_key)
     stats = {
         "rows": 0, "plain_bytes": 0, "encoded_bytes": 0,
@@ -1773,24 +1783,29 @@ def _transform_fragment(
                 f"transcode row mismatch: {stats['rows']} vs lineage "
                 f"{expect_rows}"
             )
-        if derive is None:
+        if derive is None and project is None:
             n_v = _zip_compare_decoded(src_parts, written, batch_rows)
         else:
-            src_cols = None
-            if src_parts:
+            # compare on the PRESERVED columns: source schema for derive
+            # (destination has extras), the kept list for project
+            cmp_cols = list(project) if project is not None else None
+            if cmp_cols is None and src_parts:
                 from .columnar import decode_columns_batch as _dcb
 
-                src_cols = _dcb(
+                cmp_cols = _dcb(
                     pq.ParquetFile(src_parts[0]).schema_arrow.empty_table()
                 ).column_names
             n_v = _zip_tables(
-                _decoded_iter(src_parts, batch_rows),
                 (
-                    t.select(src_cols)
+                    t.select(cmp_cols)
+                    for t in _decoded_iter(src_parts, batch_rows)
+                ),
+                (
+                    t.select(cmp_cols)
                     for t in _decoded_iter(written, batch_rows)
                 ),
                 fdir,
-                sides=("derive source", "derive destination"),
+                sides=("transform source", "transform destination"),
             )
         if n_v != stats["rows"]:
             raise ValueError("transcode verify count mismatch")
@@ -1810,7 +1825,7 @@ class _TranscodeTask:
 
     def __init__(
         self, src_data, dst_data, recs_ref, codec_names, spec, batch_rows,
-        derive=None,
+        derive=None, project=None,
     ):
         self.src_data = src_data
         self.dst_data = dst_data
@@ -1819,6 +1834,7 @@ class _TranscodeTask:
         self.spec = spec
         self.batch_rows = batch_rows
         self.derive = derive
+        self.project = project
 
     def __call__(self, ids: pa.Table) -> pa.Table:
         import json
@@ -1839,6 +1855,7 @@ class _TranscodeTask:
                 self.batch_rows,
                 int(rec["rows"]),
                 derive=self.derive,
+                project=self.project,
             )
             out.append(
                 {
@@ -2380,6 +2397,7 @@ def transcode_table_store(
     resume: bool = True,
     fragments_per_round: int = 64,
     _derive=None,
+    _project=None,
     _lineage_tag: str = "transcoded_from",
 ) -> dict:
     """Re-encode a committed store WITHOUT its source (codec upgrade /
@@ -2428,7 +2446,7 @@ def transcode_table_store(
             .map_batches(
                 _TranscodeTask(
                     src_data, dst_data, recs_ref, codec_names, spec,
-                    batch_rows, derive=_derive,
+                    batch_rows, derive=_derive, project=_project,
                 ),
                 batch_format="pyarrow",
                 batch_size=None,
@@ -2453,6 +2471,67 @@ def transcode_table_store(
                 }
             )
     return dst_manifest.stats()
+
+
+def drop_columns_table_store(
+    src_out: str,
+    dst_out: str,
+    drop: list[str],
+    codec_names=None,
+    spec: dict | None = None,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+    resume: bool = True,
+    fragments_per_round: int = 64,
+) -> dict:
+    """Column ERASURE over a committed store (the GDPR/right-to-be-
+    forgotten shape for a whole sensitive column, complementing the
+    row-level key delete): rewrite every fragment keeping only the
+    surviving columns — the dropped column's bytes, zones, blooms, and
+    NDV registers all leave the destination. Kept columns verify
+    bit-exact per fragment before commit; resumable; lineage records
+    carry ``projected_from``."""
+    from .columnar import decode_columns_batch
+
+    done = Manifest(src_out).completed()
+    if not done:
+        raise FileNotFoundError(
+            f"drop_columns: no committed fragments in {src_out!r}"
+        )
+    parts = next(
+        (
+            p
+            for rec in sorted(done.values(), key=lambda r: r["frag_key"])
+            for p in [
+                _fragment_parts(os.path.join(src_out, "data"), rec["frag_key"])
+            ]
+            if p
+        ),
+        None,
+    )
+    if parts is None:
+        raise FileNotFoundError(
+            f"drop_columns: committed fragments have no parts in {src_out!r}"
+        )
+    src_cols = decode_columns_batch(
+        pq.ParquetFile(parts[0]).schema_arrow.empty_table()
+    ).column_names
+    missing = [c for c in drop if c not in src_cols]
+    if missing:
+        raise KeyError(f"drop_columns: not in store schema: {missing}")
+    kept = [c for c in src_cols if c not in set(drop)]
+    if not kept:
+        raise ValueError("drop_columns: cannot drop every column")
+    return transcode_table_store(
+        src_out,
+        dst_out,
+        codec_names=codec_names,
+        spec=spec,
+        batch_rows=batch_rows,
+        resume=resume,
+        fragments_per_round=fragments_per_round,
+        _project=kept,
+        _lineage_tag="projected_from",
+    )
 
 
 def derive_table_store(

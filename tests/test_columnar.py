@@ -4067,3 +4067,55 @@ def test_derive_table_store_crash_resume(ray_session, tmp_path, monkeypatch):
     assert got["v8"].tolist() == list(range(n))
     for rec in TS.Manifest(dst).completed().values():
         assert rec.get("derived_from") == src
+
+
+def test_drop_columns_table_store(ray_session, tmp_path):
+    """Column erasure: the dropped column's bytes AND lineage evidence
+    (zones/blooms/NDV) are absent from the destination; kept columns
+    verify bit-exact; unknown / all-column drops are refused."""
+    import json
+    import os
+
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        drop_columns_table_store,
+        ndv_table_store,
+        read_table_store,
+    )
+    from fsst_like_ray.state.manifest import Manifest
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    n = 1500
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array((np.arange(n) * 7 % 97).astype(np.int64)),
+            "kind": pa.array(["k%d" % (i % 3) for i in range(n)]),
+        }
+    )
+    for f in range(2):
+        pq.write_table(t.slice(f * 750, 750), src / f"p{f}.parquet")
+    compress_table(str(src), out)
+
+    dst = str(tmp_path / "dst")
+    st = drop_columns_table_store(out, dst, ["user_id"])
+    assert st["fragments"] == 2
+    got = read_table_store(dst).to_pandas().sort_values("event_id")
+    assert list(got.columns) == ["event_id", "kind"]
+    assert got["event_id"].tolist() == list(range(n))
+    assert got["kind"].tolist() == ["k%d" % (i % 3) for i in range(n)]
+    assert "user_id" not in ndv_table_store(dst)
+    for rec in Manifest(dst).completed().values():
+        assert rec.get("projected_from") == out
+        assert "user_id" not in (rec.get("zones") or {})
+        assert "user_id" not in (rec.get("trigrams") or {})
+        assert "user_id" not in (rec.get("columns") or {})
+
+    with pytest.raises(KeyError):
+        drop_columns_table_store(out, str(tmp_path / "x"), ["nope"])
+    with pytest.raises(ValueError):
+        drop_columns_table_store(
+            out, str(tmp_path / "y"), ["event_id", "user_id", "kind"]
+        )
