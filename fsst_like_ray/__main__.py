@@ -817,6 +817,35 @@ def cmd_table_vacuum(args) -> int:
     return 0
 
 
+def cmd_table_drop_columns(args) -> int:
+    """Column erasure: rewrite a store keeping every column except the
+    named ones (tablestore.drop_columns_table_store); kept columns
+    verify bit-exact per fragment before commit."""
+    ray = _ray()
+    from .pipelines.tablestore import drop_columns_table_store
+
+    try:
+        print(
+            json.dumps(
+                drop_columns_table_store(
+                    args.src, args.dst, args.columns.split(",")
+                )
+            )
+        )
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def cmd_table_ndv(args) -> int:
+    """Approximate distinct counts from the lineage manifest alone
+    (tablestore.ndv_table_store; no Ray session, no file opens)."""
+    from .pipelines.tablestore import ndv_table_store
+
+    print(json.dumps(ndv_table_store(args.store, args.column)))
+    return 0
+
+
 def cmd_table_union(args) -> int:
     """Consolidate N committed stores into one by byte-identical part
     copy with lineage carry-over (tablestore.union_table_store)."""
@@ -1190,6 +1219,23 @@ def main(argv=None) -> int:
     tdl.add_argument("--keys-parquet", default=None)
     tdl.add_argument("--batch-rows", type=int, default=8192)
     tdl.set_defaults(fn=cmd_table_delete)
+
+    tdc = sub.add_parser(
+        "table-drop-columns",
+        help="rewrite a store WITHOUT the named columns (GDPR erasure)",
+    )
+    tdc.add_argument("src")
+    tdc.add_argument("dst")
+    tdc.add_argument("columns", help="comma-separated columns to drop")
+    tdc.set_defaults(fn=cmd_table_drop_columns)
+
+    tnv = sub.add_parser(
+        "table-ndv",
+        help="manifest-only approx COUNT(DISTINCT) per column (no Ray)",
+    )
+    tnv.add_argument("store")
+    tnv.add_argument("column", nargs="?", default=None)
+    tnv.set_defaults(fn=cmd_table_ndv)
 
     tvc = sub.add_parser(
         "table-vacuum",
