@@ -895,6 +895,33 @@ def q_columnar_store_drop_column(sf_dir: str):
     return read_table_store(dst)
 
 
+def q_columnar_store_tokens_roundtrip(sf_dir: str):
+    """The whole-table store holding the NORTH-RULE tokens table itself
+    (doc_id, tokens list<int32>, n_tok, source) — list columns ride the
+    per-column auto codecs through the full compress_table lifecycle
+    (manifest, parts, resume) and decode bit-exact; oracled against the
+    same codepoint reconstruction every encode round-trip uses."""
+    import tempfile
+
+    from .tablestore import compress_table, read_table_store
+
+    base = tempfile.mkdtemp(prefix="columnar_store_tokens_")
+    src = os.path.join(base, "tokens.parquet")
+    tbl = pa.concat_tables(
+        b
+        for b in _tokens_ds(sf_dir).iter_batches(
+            batch_size=4096, batch_format="pyarrow"
+        )
+        if b.num_rows
+    )
+    pq.write_table(tbl, src)
+    store = os.path.join(base, "store")
+    compress_table(src, store)
+    return read_table_store(store).map_batches(
+        tok_str_batch, batch_format="pyarrow"
+    )
+
+
 def q_columnar_store_ndv_gate(sf_dir: str):
     """Gate: planner statistics from lineage alone. Encode-time HLL
     registers per int/string column ride the manifest; ndv_table_store
@@ -8516,6 +8543,7 @@ def build_queries() -> dict:
     q["columnar_store_ndv_gate"] = q_columnar_store_ndv_gate
     q["columnar_store_derive"] = q_columnar_store_derive
     q["columnar_store_drop_column"] = q_columnar_store_drop_column
+    q["columnar_store_tokens_roundtrip"] = q_columnar_store_tokens_roundtrip
     q["columnar_store_group_topk"] = q_columnar_store_group_topk
     q["columnar_store_heavy_hitters"] = q_columnar_store_heavy_hitters
     q["columnar_store_approx_distinct"] = q_columnar_store_approx_distinct
@@ -8848,6 +8876,7 @@ def build_oracle_sql() -> dict:
     sql["columnar_store_drop_column"] = (
         "SELECT * EXCLUDE (user_id) FROM events"
     )
+    sql["columnar_store_tokens_roundtrip"] = ROUNDTRIP_SQL
     sql["columnar_store_derive"] = """
         SELECT event_id,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
