@@ -3858,6 +3858,25 @@ def q_events_value_moments(sf_dir: str):
     )
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Grouped Pearson sufficient statistics (functions/corrstats.py):
+    per return flag the exact int64 (n, Σx, Σy, Σxy, Σx², Σy²) for
+    x = quantity, y = discount in basis points — the covariance family
+    as a partial-then-merge aggregate whose shuffle moves one tiny row
+    per (flag, block). Integer quantization before any sum makes every
+    statistic reduction-order-independent, hence hash-comparable."""
+    from ..functions.corrstats import grouped_corr_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    return grouped_corr_stats(
+        ds, key="l_returnflag", x="l_quantity", y="l_discount",
+        x_scale=1, y_scale=100,
+    )
+
+
 def q_events_latest_per_user(sf_dir: str):
     """Latest-version-per-key (the CDC/upsert merge shape): newest event
     per user via grouped_topk k=1 — per-batch pre-pruning means the
@@ -8696,6 +8715,7 @@ def build_queries() -> dict:
     q["tokens_fim"] = q_tokens_fim
     q["docs_quality_filter_tokens"] = q_docs_quality_filter_tokens
     q["ingest_text"] = q_ingest_text
+    q["lineitem_corr"] = q_lineitem_corr
     return _window_first(q)
 
 
@@ -10778,6 +10798,24 @@ def build_oracle_sql() -> dict:
         FROM documents
         WHERE text NOT LIKE '%' || chr(10) || '%'
           AND text NOT LIKE '%' || chr(13) || '%'
+    """
+    sql["lineitem_corr"] = """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS sum_x,
+               CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_y,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_xy,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS sum_xx,
+               CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_yy
+        FROM lineitem GROUP BY l_returnflag
     """
     sql["tokens_fim"] = f"""
         WITH base AS (

@@ -882,3 +882,54 @@ def test_token_budget_sample(ray_session):
         ds = ray.data.from_arrow(tbl).repartition(nparts)
         got = token_budget_sample(ds, budget, bucket_bits=28).to_pandas()
         assert set(got["doc_id"]) == expect, nparts
+
+
+def test_grouped_corr_stats(ray_session):
+    """Exact-integer corr partials: nulls drop pairwise, sums match a
+    NumPy fold, pearson_from_stats reproduces np.corrcoef, and the
+    result is invariant under repartitioning."""
+    import ray
+
+    from fsst_like_ray.functions.corrstats import (
+        grouped_corr_stats,
+        pearson_from_stats,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 500
+    key = rng.choice(["a", "b"], n)
+    x = rng.integers(0, 50, n).astype(float)
+    y = (x * 3 + rng.integers(0, 25, n)).astype(float) / 100.0
+    xv = x.copy()
+    xv[::17] = np.nan  # nulls must drop the PAIR
+    tbl = pa.table(
+        {
+            "k": pa.array(key),
+            "x": pa.array(xv, from_pandas=True),  # NaN → null
+            "y": pa.array(y),
+        }
+    )
+
+    base = {}
+    for g in ("a", "b"):
+        m = (key == g) & ~np.isnan(xv)
+        xi = np.rint(x[m]).astype(np.int64)
+        yi = np.rint(y[m] * 100).astype(np.int64)
+        base[g] = dict(
+            n=int(m.sum()), sum_x=int(xi.sum()), sum_y=int(yi.sum()),
+            sum_xy=int((xi * yi).sum()), sum_xx=int((xi * xi).sum()),
+            sum_yy=int((yi * yi).sum()),
+        )
+        r_np = np.corrcoef(xi, yi)[0, 1]
+        r_ours = pearson_from_stats(base[g])
+        assert abs(r_np - r_ours) < 1e-9
+
+    for nparts in (1, 5):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = grouped_corr_stats(
+            ds, key="k", x="x", y="y", x_scale=1, y_scale=100
+        ).to_pandas()
+        got = {r["k"]: r for _, r in out.iterrows()}
+        for g in ("a", "b"):
+            for c, v in base[g].items():
+                assert int(got[g][c]) == v, (nparts, g, c)
