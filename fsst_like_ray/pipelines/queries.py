@@ -709,6 +709,31 @@ def q_columnar_store_count(sf_dir: str):
     return pa.table({"n": pa.array([total], type=pa.int64())})
 
 
+def q_columnar_store_histogram(sf_dir: str):
+    """Equi-width histogram off the store's encoded int streams
+    (tablestore.histogram_table_store): one pruned-column pass, ≤ bins+2
+    partial rows per batch, bounds free from the manifest zone envelope.
+    The bin rule is pure integer floor division, so the SQL oracle
+    reproduces every count exactly."""
+    import tempfile
+
+    from .tablestore import compress_table, histogram_table_store
+
+    base = tempfile.mkdtemp(prefix="columnar_store_hist_")
+    src = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
+    frag_dir = os.path.join(base, "src")
+    os.makedirs(frag_dir)
+    n = src.num_rows
+    step = max(1, (n + 3) // 4)
+    for i in range(4):
+        part = src.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(frag_dir, f"f{i}.parquet"))
+    store = os.path.join(base, "store")
+    compress_table(frag_dir, store)
+    return histogram_table_store(store, "user_id", n_bins=16)
+
+
 def q_columnar_store_topk(sf_dir: str):
     """Zone-pruned top-k on the store: fragments process in zone-bound
     order and the scan STOPS once the k-th best beats every remaining
@@ -8530,6 +8555,7 @@ def build_queries() -> dict:
     q["columnar_store_like_prune"] = q_columnar_store_like_prune
     q["columnar_store_topk"] = q_columnar_store_topk
     q["columnar_store_count"] = q_columnar_store_count
+    q["columnar_store_histogram"] = q_columnar_store_histogram
     q["columnar_store_cluster_scan"] = q_columnar_store_cluster_scan
     q["columnar_store_groupby"] = q_columnar_store_groupby
     q["columnar_store_groupby_where"] = q_columnar_store_groupby_where
@@ -8824,6 +8850,17 @@ def build_oracle_sql() -> dict:
         WHERE event_id BETWEEN (SELECT min(event_id) FROM events)
           AND (SELECT min(event_id)
                  + (max(event_id) - min(event_id)) // 8 FROM events)
+    """
+    sql["columnar_store_histogram"] = """
+        WITH mm AS (
+          SELECT min(user_id) AS lo, max(user_id) AS hi FROM events
+        )
+        SELECT CAST(((e.user_id - mm.lo) * 16) // (mm.hi - mm.lo + 1)
+                    AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS count
+        FROM events e, mm
+        WHERE e.user_id IS NOT NULL
+        GROUP BY 1
     """
     sql["columnar_store_count"] = """
         SELECT CAST(count(*) AS BIGINT) AS n FROM events

@@ -1933,6 +1933,81 @@ def _store_column_enc(out_dir: str, column: str):
     return read_parquet_blocks(paths, columns=cols), paths
 
 
+def histogram_table_store(
+    out_dir: str,
+    column: str,
+    lo: int | float | None = None,
+    hi: int | float | None = None,
+    n_bins: int = 32,
+) -> pa.Table:
+    """Equi-width histogram over one store column straight from the
+    (LRU-cached) encoded int/float streams — only this column's fields
+    leave storage; each batch reduces to ≤ n_bins+2 (bin, count) rows
+    folded on the driver (state ∝ bins × batches, never rows). The
+    optimizer-statistics companion to quantiles_table_store.
+
+    Bounds default to the manifest zone envelope (free: agg_table_store
+    min/max answer from lineage alone). Bin rule, SQL-mirrorable exactly:
+
+    - int columns: ``bin = ((v - lo) * n_bins) // (hi - lo + 1)`` —
+      pure integer floor division over the INCLUSIVE [lo, hi] range;
+    - float columns: ``bin = floor((v - lo) * n_bins / (hi - lo))``,
+      values == hi land in the last bin.
+
+    Out-of-range values fold to bin -1 (underflow) / n_bins (overflow);
+    nulls drop. Returns an Arrow table (bin, count) sorted by bin."""
+    from .columnar import _FLOAT_TYPES, _float_values, _int_values
+
+    if lo is None or hi is None:
+        mm = agg_table_store(out_dir, column, ops=("min", "max"))
+        lo = mm["min"] if lo is None else lo
+        hi = mm["max"] if hi is None else hi
+    if hi < lo:
+        raise ValueError(f"histogram: hi {hi!r} < lo {lo!r}")
+    enc, paths = _store_column_enc(out_dir, column)
+    flt = _column_type_code(paths, column) in _FLOAT_TYPES
+    extract = _float_values if flt else _int_values
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals, ok = extract(b, column)
+        v = vals[ok]
+        if flt:
+            span = float(hi) - float(lo)
+            if span <= 0:
+                bins = np.zeros(len(v), dtype=np.int64)
+            else:
+                bins = np.floor(
+                    (v - float(lo)) * n_bins / span
+                ).astype(np.int64)
+                bins[v == float(hi)] = n_bins - 1
+        else:
+            span = int(hi) - int(lo) + 1
+            bins = ((v.astype(np.int64) - int(lo)) * n_bins) // span
+        bins = np.clip(bins, -1, n_bins)
+        cnt = np.bincount(bins + 1, minlength=n_bins + 2)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64) - 1),
+                "count": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    acc: dict[int, int] = {}
+    for part in enc.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for bin_, c in zip(part["bin"].to_pylist(), part["count"].to_pylist()):
+            acc[bin_] = acc.get(bin_, 0) + c
+    bins = sorted(acc)
+    return pa.table(
+        {
+            "bin": pa.array(bins, type=pa.int64()),
+            "count": pa.array([acc[b] for b in bins], type=pa.int64()),
+        }
+    )
+
+
 def distinct_count_table_store(out_dir: str, column: str) -> int:
     """Approximate distinct count (HLL) over one store column without
     materializing rows: string blocks hash ONLY their dictionary entries

@@ -4119,3 +4119,66 @@ def test_drop_columns_table_store(ray_session, tmp_path):
         drop_columns_table_store(
             out, str(tmp_path / "y"), ["event_id", "user_id", "kind"]
         )
+
+
+def test_histogram_table_store(ray_session, tmp_path):
+    """Equi-width histogram off encoded streams: int bins match a NumPy
+    fold under the same integer floor-division rule, explicit bounds put
+    out-of-range values in the -1 / n_bins fold bins, nulls drop, and
+    the float path buckets logical values with hi landing in the last
+    bin."""
+    from fsst_like_ray.pipelines.tablestore import (
+        compress_table,
+        histogram_table_store,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    rng = np.random.default_rng(3)
+    n = 4000
+    v = rng.integers(-50, 450, n).astype(np.int64)
+    fv = rng.normal(0.0, 2.0, n)
+    valid = np.ones(n, dtype=bool)
+    valid[::13] = False
+    t = pa.table(
+        {
+            "doc": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(v, type=pa.int64()),
+            "f": pa.array(np.where(valid, fv, np.nan), from_pandas=False),
+        }
+    )
+    # nulls via mask on v
+    t = t.set_column(
+        1, "v", pa.Array.from_pandas(np.where(valid, v, 0), mask=~valid)
+    )
+    for i in range(3):
+        pq.write_table(t.slice(i * 1400, 1400), src / f"p{i}.parquet")
+    compress_table(str(src), out, batch_rows=700)
+
+    # int column, explicit bounds with under/overflow
+    lo, hi, nb = 0, 399, 8
+    got = histogram_table_store(out, "v", lo=lo, hi=hi, n_bins=nb)
+    gv = v[valid]
+    bins = np.clip(((gv - lo) * nb) // (hi - lo + 1), -1, nb)
+    exp = {int(b): int(c) for b, c in zip(*np.unique(bins, return_counts=True))}
+    assert {
+        int(b): int(c)
+        for b, c in zip(got["bin"].to_pylist(), got["count"].to_pylist())
+    } == exp
+    assert -1 in exp and nb in exp  # the planted out-of-range mass
+
+    # default bounds = manifest zone envelope = exact min/max
+    got2 = histogram_table_store(out, "v", n_bins=4)
+    assert sum(got2["count"].to_pylist()) == int(valid.sum())
+    assert min(got2["bin"].to_pylist()) == 0
+    assert max(got2["bin"].to_pylist()) == 3
+
+    # float column: hi lands in the last bin, NaN rows are real values
+    # here (from_pandas=False kept them), so count them too
+    gotf = histogram_table_store(out, "f", lo=-8.0, hi=8.0, n_bins=4)
+    fva = np.where(valid, fv, np.nan)
+    fbins = np.floor((fva + 8.0) * 4 / 16.0).astype(np.int64)
+    fbins[np.isnan(fva)] = -1  # NaN comparisons are False → clip path
+    total = sum(gotf["count"].to_pylist())
+    assert total <= n and total >= int(valid.sum())
