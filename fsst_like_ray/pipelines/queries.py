@@ -3622,6 +3622,36 @@ def q_docs_mixture_sample(sf_dir: str):
     )
 
 
+EPOCH_SHUF_SEED, EPOCH_SHUF_EPOCH, EPOCH_SHUF_K = 7, 3, 256
+
+
+def q_docs_epoch_shuffle(sf_dir: str):
+    """Deterministic multi-epoch global shuffle (functions/shuffle.py):
+    every doc gets a (seed, epoch)-keyed order key, the dataset range-sorts
+    on it (one all-to-all — the minimum a true global shuffle pays), and
+    the query returns the first EPOCH_SHUF_K documents of epoch 3's order.
+    The oracle recomputes the identical two-round multiplicative key in SQL
+    and takes the same ORDER BY ... LIMIT prefix, so the driver verifies
+    the exact global permutation boundary, not just row counts."""
+    from ..functions.shuffle import epoch_shuffle
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    out = epoch_shuffle(
+        ds, seed=EPOCH_SHUF_SEED, epoch=EPOCH_SHUF_EPOCH
+    ).limit(EPOCH_SHUF_K)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "shuffle_key": b["shuffle_key"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_ingest_jsonl(sf_dir: str):
     """Source-format coverage: the documents table exported to JSONL
     scratch, re-ingested with ray.data.read_json, and reduced — result
@@ -8640,6 +8670,7 @@ def build_queries() -> dict:
     q["events_value_moments"] = q_events_value_moments
     q["docs_chunked"] = q_docs_chunked
     q["docs_mixture_sample"] = q_docs_mixture_sample
+    q["docs_epoch_shuffle"] = q_docs_epoch_shuffle
     q["docs_decontaminate"] = q_docs_decontaminate
     q["online_dedup_epochs"] = q_online_dedup_epochs
     q["quantile_sketch_gate"] = q_quantile_sketch_gate
@@ -9684,6 +9715,13 @@ def build_oracle_sql() -> dict:
                           WHEN 'src1' THEN 7500
                           WHEN 'src2' THEN 5000
                           ELSE {MIX_DEFAULT_BP} END
+    """
+    from ..functions.shuffle import epoch_key_sql
+
+    _shuf_key = epoch_key_sql(EPOCH_SHUF_SEED, EPOCH_SHUF_EPOCH)
+    sql["docs_epoch_shuffle"] = f"""
+        SELECT doc_id, {_shuf_key} AS shuffle_key FROM documents
+        ORDER BY shuffle_key, doc_id LIMIT {EPOCH_SHUF_K}
     """
     sql["docs_sample2_per_source"] = """
         SELECT source, doc_id FROM (
