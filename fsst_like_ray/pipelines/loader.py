@@ -1,0 +1,182 @@
+"""Committed store → deterministic, resumable training-batch loader.
+
+The final mile of the engine: a training job consumes the encoded store as
+a stream of token-budgeted batches of WHOLE sequences (fairseq-style
+``max_tokens`` dynamic batching — documents are never split; splitting to
+fixed length is :mod:`..functions.packing`'s job). Guarantees:
+
+- **Deterministic**: batch boundaries are a pure function of the store
+  (fragment order = input-path order from the lineage manifest; row order =
+  part/row order within a fragment) and ``batch_tokens``. Re-runs, resumes
+  and different readers always see identical batches.
+- **Fragment-aligned**: batches never cross fragment boundaries, so batch
+  counts are per-fragment-local and the global step index is a cumulative
+  sum over the manifest — a resume SEEKS: fragments wholly before
+  ``start_step`` are never opened, and the plan pass itself reads ONLY the
+  encoded token-count column (a few bytes per row), never the payloads.
+- **Data-parallel**: ``rank``/``world_size`` shard whole fragments
+  round-robin (deterministic by the same fragment order); each rank owns a
+  disjoint fragment subset and numbers its own steps 0..N_r. Shard balance
+  is fragment-granular — compact the store to even fragment sizes first if
+  ranks must match closely.
+- **Bounded memory**: one fragment's selected columns decode at a time
+  (a fragment is one ingest file — ~1 GB at production sizing), then slice
+  into batches; nothing global materializes.
+
+A batch whose single row exceeds ``batch_tokens`` is emitted alone (the
+caller chose the budget; dropping data silently would be worse) — the
+``oversized`` flag marks it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..state.manifest import Manifest
+from .columnar import _encoded_field_names, decode_columns_batch
+from .tablestore import _fragment_parts
+
+
+def greedy_boundaries(n_tok: np.ndarray, batch_tokens: int) -> np.ndarray:
+    """Row indices [0, b1, b2, ..., n] of greedy token-budget batches:
+    each batch takes the longest row-prefix whose token sum stays within
+    ``batch_tokens`` (at least one row). O(#batches) via searchsorted over
+    the cumulative sum — no per-row Python."""
+    if batch_tokens <= 0:
+        raise ValueError("batch_tokens must be positive")
+    n = len(n_tok)
+    cs = np.cumsum(n_tok, dtype=np.int64)
+    bounds = [0]
+    i = 0
+    base = 0
+    while i < n:
+        j = int(np.searchsorted(cs, base + batch_tokens, side="right"))
+        if j <= i:  # single row over budget: its own (oversized) batch
+            j = i + 1
+        bounds.append(j)
+        base = int(cs[j - 1])
+        i = j
+    return np.asarray(bounds, dtype=np.int64)
+
+
+def _ordered_fragments(store_dir: str, rank: int, world_size: int) -> list:
+    recs = Manifest(store_dir).completed()
+    if not recs:
+        raise FileNotFoundError(
+            f"loader: no committed fragments under {store_dir!r}"
+        )
+    ordered = sorted(recs.values(), key=lambda r: r["fragment"])
+    ordered = [r for r in ordered if int(r.get("rows", 0)) > 0]
+    return ordered[rank::world_size]
+
+
+def _read_fragment(store_dir: str, frag_key: str, columns) -> pa.Table:
+    """One fragment's selected columns, decoded, rows in store order."""
+    parts = _fragment_parts(os.path.join(store_dir, "data"), frag_key)
+    if not parts:
+        raise FileNotFoundError(f"loader: fragment {frag_key} has no parts")
+    keep = _encoded_field_names(list(pq.read_schema(parts[0]).names), columns)
+    dec = [
+        decode_columns_batch(pq.read_table(p, columns=keep)) for p in parts
+    ]
+    return pa.concat_tables(dec)
+
+
+def plan_training_batches(
+    store_dir: str,
+    batch_tokens: int,
+    n_tok_col: str = "n_tok",
+    rank: int = 0,
+    world_size: int = 1,
+) -> list[dict]:
+    """The seek index: per owned fragment (in order), the greedy batch
+    boundaries — computed from the encoded ``n_tok_col`` ALONE. Returns
+    [{"frag_key", "fragment", "first_step", "boundaries"}, ...]."""
+    if not 0 <= rank < world_size:
+        raise ValueError(f"rank {rank} not in [0, {world_size})")
+    plan = []
+    step = 0
+    for rec in _ordered_fragments(store_dir, rank, world_size):
+        nt = (
+            _read_fragment(store_dir, rec["frag_key"], [n_tok_col])[n_tok_col]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        bounds = greedy_boundaries(nt, batch_tokens)
+        plan.append(
+            {
+                "frag_key": rec["frag_key"],
+                "fragment": rec["fragment"],
+                "first_step": step,
+                "boundaries": bounds,
+            }
+        )
+        step += len(bounds) - 1
+    return plan
+
+
+def iter_training_batches(
+    store_dir: str,
+    batch_tokens: int,
+    columns=("doc_id", "tokens"),
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    start_step: int = 0,
+    rank: int = 0,
+    world_size: int = 1,
+    plan: list[dict] | None = None,
+):
+    """Yield training batches from a committed store.
+
+    Each batch is ``{"step", "n_rows", "n_tokens", "oversized",
+    "tokens" (flat int32), "row_offsets" (int64, len n_rows+1),
+    <id column arrays>}``. ``start_step`` resumes mid-stream: fragments
+    whose batches all precede it are skipped via the plan (their payloads
+    never decode). Pass a precomputed ``plan`` to skip even the n_tok
+    planning pass on restart."""
+    if plan is None:
+        plan = plan_training_batches(
+            store_dir, batch_tokens, n_tok_col, rank, world_size
+        )
+    cols = list(columns)
+    if tokens_col not in cols:
+        cols.append(tokens_col)
+    for ent in plan:
+        bounds = ent["boundaries"]
+        n_batches = len(bounds) - 1
+        if ent["first_step"] + n_batches <= start_step:
+            continue
+        tbl = _read_fragment(store_dir, ent["frag_key"], cols)
+        toks = tbl[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int32, copy=False
+        )
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        id_arrays = {
+            c: tbl[c].to_numpy(zero_copy_only=False)
+            for c in cols
+            if c != tokens_col
+        }
+        for b in range(n_batches):
+            step = ent["first_step"] + b
+            if step < start_step:
+                continue
+            r0, r1 = int(bounds[b]), int(bounds[b + 1])
+            t0, t1 = int(offs[r0]), int(offs[r1])
+            yield {
+                "step": step,
+                "n_rows": r1 - r0,
+                "n_tokens": t1 - t0,
+                "oversized": bool(
+                    r1 - r0 == 1 and t1 - t0 > batch_tokens
+                ),
+                "tokens": flat[t0:t1],
+                "row_offsets": offs[r0 : r1 + 1] - t0,
+                **{c: a[r0:r1] for c, a in id_arrays.items()},
+            }

@@ -3624,6 +3624,86 @@ def q_docs_mixture_sample(sf_dir: str):
 
 EPOCH_SHUF_SEED, EPOCH_SHUF_EPOCH, EPOCH_SHUF_K = 7, 3, 256
 
+LOADER_BUDGET = 8192
+
+
+def q_training_loader_gate(sf_dir: str):
+    """Training-batch loader over a committed store (pipelines/loader.py):
+    the tokens table splits into 3 source files → a 3-fragment store →
+    token-budgeted batches of whole sequences. Value-bound to SQL
+    (n_rows, total_tokens, tok_value_sum recomputed from documents) plus
+    gate booleans for the non-SQL semantics: budget respected per batch,
+    batch stream == store row order, resume-from-mid-step yields the exact
+    suffix, and rank shards partition the store."""
+    import tempfile
+
+    from .loader import iter_training_batches, plan_training_batches
+    from .tablestore import compress_table
+
+    base = tempfile.mkdtemp(prefix="training_loader_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    tbl = pa.concat_tables(
+        b
+        for b in _tokens_ds(sf_dir).iter_batches(
+            batch_size=4096, batch_format="pyarrow"
+        )
+        if b.num_rows
+    )
+    n = tbl.num_rows
+    step = max(1, (n + 2) // 3)
+    for i in range(3):
+        part = tbl.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(src, f"f{i}.parquet"))
+    store = os.path.join(base, "store")
+    compress_table(src, store)
+
+    batches = list(iter_training_batches(store, LOADER_BUDGET))
+    n_rows = sum(b["n_rows"] for b in batches)
+    total_tokens = sum(b["n_tokens"] for b in batches)
+    tok_value_sum = int(
+        sum(int(b["tokens"].sum(dtype=np.int64)) for b in batches)
+    )
+    budget_ok = all(
+        b["n_tokens"] <= LOADER_BUDGET or (b["n_rows"] == 1 and b["oversized"])
+        for b in batches
+    )
+    got_ids = [d for b in batches for d in b["doc_id"].tolist()]
+    order_ok = got_ids == tbl["doc_id"].to_pylist()
+
+    mid = len(batches) // 2
+    plan = plan_training_batches(store, LOADER_BUDGET)
+    resumed = list(
+        iter_training_batches(store, LOADER_BUDGET, start_step=mid, plan=plan)
+    )
+    resume_ok = len(resumed) == len(batches) - mid and all(
+        a["step"] == b["step"]
+        and np.array_equal(a["tokens"], b["tokens"])
+        and a["doc_id"].tolist() == b["doc_id"].tolist()
+        for a, b in zip(batches[mid:], resumed)
+    )
+    shard_ids = [
+        d
+        for r in range(2)
+        for b in iter_training_batches(
+            store, LOADER_BUDGET, rank=r, world_size=2
+        )
+        for d in b["doc_id"].tolist()
+    ]
+    shards_ok = sorted(shard_ids) == sorted(got_ids)
+    return pa.table(
+        {
+            "n_rows": pa.array([n_rows], type=pa.int64()),
+            "total_tokens": pa.array([total_tokens], type=pa.int64()),
+            "tok_value_sum": pa.array([tok_value_sum], type=pa.int64()),
+            "budget_respected": pa.array([budget_ok]),
+            "order_is_store_order": pa.array([order_ok]),
+            "resume_matches": pa.array([resume_ok]),
+            "shards_partition": pa.array([shards_ok]),
+        }
+    )
+
 
 def q_docs_epoch_shuffle(sf_dir: str):
     """Deterministic multi-epoch global shuffle (functions/shuffle.py):
@@ -8671,6 +8751,7 @@ def build_queries() -> dict:
     q["docs_chunked"] = q_docs_chunked
     q["docs_mixture_sample"] = q_docs_mixture_sample
     q["docs_epoch_shuffle"] = q_docs_epoch_shuffle
+    q["training_loader_gate"] = q_training_loader_gate
     q["docs_decontaminate"] = q_docs_decontaminate
     q["online_dedup_epochs"] = q_online_dedup_epochs
     q["quantile_sketch_gate"] = q_quantile_sketch_gate
@@ -9722,6 +9803,19 @@ def build_oracle_sql() -> dict:
     sql["docs_epoch_shuffle"] = f"""
         SELECT doc_id, {_shuf_key} AS shuffle_key FROM documents
         ORDER BY shuffle_key, doc_id LIMIT {EPOCH_SHUF_K}
+    """
+    sql["training_loader_gate"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(length(text)) AS BIGINT) AS total_tokens,
+               (SELECT CAST(sum(cp) AS BIGINT) FROM (
+                  SELECT unnest([CAST(unicode(substr(text, i, 1)) AS INT)
+                                 FOR i IN range(1, length(text) + 1)]) AS cp
+                  FROM documents)) AS tok_value_sum,
+               (1=1) AS budget_respected,
+               (1=1) AS order_is_store_order,
+               (1=1) AS resume_matches,
+               (1=1) AS shards_partition
+        FROM documents
     """
     sql["docs_sample2_per_source"] = """
         SELECT source, doc_id FROM (

@@ -1,0 +1,154 @@
+"""Store → training-batch loader (pipelines/loader.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fsst_like_ray.pipelines.loader import (
+    greedy_boundaries,
+    iter_training_batches,
+    plan_training_batches,
+)
+from fsst_like_ray.pipelines.tablestore import compress_table, read_table_store
+
+BUDGET = 4096
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory, ray_session):
+    from fsst_like_ray.sources.tokens import write_tokens_parquet
+
+    base = tmp_path_factory.mktemp("loader_store")
+    src = str(base / "tokens")
+    # 3 source files → 3 fragments (the resume/shard granularity)
+    write_tokens_parquet(src, n_rows=1536, seed=7, rows_per_file=512)
+    out = str(base / "store")
+    compress_table(src, out)
+    return out
+
+
+def _store_rows(store):
+    tbl = pa.concat_tables(
+        b
+        for b in read_table_store(store).iter_batches(
+            batch_size=4096, batch_format="pyarrow"
+        )
+        if b.num_rows
+    )
+    return tbl
+
+
+def test_greedy_boundaries_semantics():
+    nt = np.array([10, 20, 5, 100, 1, 1, 50], dtype=np.int64)
+    b = greedy_boundaries(nt, 35)
+    # [10,20,5]=35 | [100] oversized alone | [1,1]... wait 100>35 so alone
+    assert b.tolist() == [0, 3, 4, 6, 7]
+    sums = [nt[i:j].sum() for i, j in zip(b[:-1], b[1:])]
+    for i, j, s in zip(b[:-1], b[1:], sums):
+        assert s <= 35 or j - i == 1
+    # degenerate: every row oversized
+    assert greedy_boundaries(np.array([9, 9]), 1).tolist() == [0, 1, 2]
+    with pytest.raises(ValueError):
+        greedy_boundaries(nt, 0)
+
+
+def test_full_iteration_covers_store_in_order(store):
+    tbl = _store_rows(store)
+    batches = list(iter_training_batches(store, BUDGET))
+    assert [b["step"] for b in batches] == list(range(len(batches)))
+    got_ids = np.concatenate([b["doc_id"] for b in batches])
+    # loader fragment order is input-path order == doc_id order here
+    assert sorted(got_ids.tolist()) == sorted(
+        tbl["doc_id"].to_numpy(zero_copy_only=False).tolist()
+    )
+    for b in batches:
+        assert b["n_tokens"] == len(b["tokens"])
+        assert b["n_rows"] == len(b["doc_id"])
+        assert b["n_tokens"] <= BUDGET or b["oversized"]
+        assert b["row_offsets"][0] == 0
+        assert b["row_offsets"][-1] == b["n_tokens"]
+
+
+def test_token_payloads_match_store(store):
+    tbl = _store_rows(store)
+    toks = tbl["tokens"].combine_chunks()
+    by_id = dict(zip(tbl["doc_id"].to_pylist(), toks.to_pylist()))
+    for b in iter_training_batches(store, BUDGET):
+        ro = b["row_offsets"]
+        for k, did in enumerate(b["doc_id"]):
+            row = b["tokens"][ro[k] : ro[k + 1]].tolist()
+            assert row == by_id[did]
+
+
+def test_resume_yields_exact_suffix(store):
+    full = list(iter_training_batches(store, BUDGET))
+    mid = len(full) // 2
+    resumed = list(iter_training_batches(store, BUDGET, start_step=mid))
+    assert len(resumed) == len(full) - mid
+    for a, b in zip(full[mid:], resumed):
+        assert a["step"] == b["step"]
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert np.array_equal(a["tokens"], b["tokens"])
+
+
+def test_plan_reuse_and_seek_skips_fragments(store):
+    plan = plan_training_batches(store, BUDGET)
+    assert len(plan) == 3  # one per source file
+    # resume landing inside the LAST fragment must not open earlier ones:
+    # equivalent batches either way, and the plan short-circuits by step
+    last_first = plan[-1]["first_step"]
+    a = list(iter_training_batches(store, BUDGET, start_step=last_first))
+    b = list(
+        iter_training_batches(
+            store, BUDGET, start_step=last_first, plan=plan
+        )
+    )
+    assert len(a) == len(b) == len(plan[-1]["boundaries"]) - 1
+    for x, y in zip(a, b):
+        assert x["step"] == y["step"]
+        assert np.array_equal(x["tokens"], y["tokens"])
+
+
+def test_rank_sharding_partitions_fragments(store):
+    ids0 = np.concatenate(
+        [
+            b["doc_id"]
+            for b in iter_training_batches(store, BUDGET, rank=0, world_size=2)
+        ]
+    )
+    ids1 = np.concatenate(
+        [
+            b["doc_id"]
+            for b in iter_training_batches(store, BUDGET, rank=1, world_size=2)
+        ]
+    )
+    assert set(ids0.tolist()).isdisjoint(ids1.tolist())
+    tbl = _store_rows(store)
+    assert sorted(ids0.tolist() + ids1.tolist()) == sorted(
+        tbl["doc_id"].to_numpy(zero_copy_only=False).tolist()
+    )
+    with pytest.raises(ValueError):
+        plan_training_batches(store, BUDGET, rank=2, world_size=2)
+
+
+def test_oversized_row_flagged(store, tmp_path):
+    src = tmp_path / "big.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "tokens": pa.array(
+                    [list(range(100)), [5, 6]], type=pa.list_(pa.int32())
+                ),
+                "n_tok": pa.array([100, 2], type=pa.int32()),
+                "source": pa.array(["s", "s"]),
+            }
+        ),
+        src,
+    )
+    out = str(tmp_path / "store")
+    compress_table(str(src), out)
+    batches = list(iter_training_batches(out, 10))
+    assert [b["oversized"] for b in batches] == [True, False]
+    assert batches[0]["n_tokens"] == 100
