@@ -102,6 +102,7 @@ from .forpack import ForCodec  # noqa: E402
 from .rle import RleCodec  # noqa: E402
 from .rlebp import RleBitpackCodec  # noqa: E402
 from .delta import DeltaCodec  # noqa: E402
+from .delta2 import Delta2Codec  # noqa: E402
 from .dictionary import DictCodec  # noqa: E402
 from .fsst import FsstCodec  # noqa: E402
 from .pfor import PforCodec  # noqa: E402
@@ -117,6 +118,7 @@ CODECS: dict[str, Codec] = {
         RleCodec(),
         RleBitpackCodec(),
         DeltaCodec(),
+        Delta2Codec(),
         DictCodec(),
         FsstCodec(),
         PforCodec(),

@@ -328,3 +328,39 @@ def test_dvint_wins_on_skewed_delta_postings():
     s_delta = CODECS["delta"].estimate_size(v2, o2)
     s_dvint = CODECS["dvint"].estimate_size(v2, o2)
     assert s_delta < s_dvint
+
+
+def test_delta2_wins_on_arithmetic_progressions():
+    """The codec's reason to exist: constant-stride rows pack the second
+    differences at width 0, beating delta whose zigzag deltas carry the
+    stride's full width."""
+    rows = [list(range(1000, 1000 + 97 * k, k)) for k in (7, 1000, 65536)]
+    values, offsets = _lists_to_buffers(rows)
+    d2 = CODECS["delta2"].estimate_size(values, offsets)
+    d1 = CODECS["delta"].estimate_size(values, offsets)
+    assert d2 < d1 // 4
+    _roundtrip(CODECS["delta2"], rows)
+    name, est, _ = select_codec(values, offsets)
+    assert name == "delta2"
+
+
+def test_delta2_overflow_guard_matches_delta_contract():
+    """A sample-trained width narrower than a block's true second
+    differences must fail loudly (same contract as delta/rlebp), never
+    truncate."""
+    import pytest
+
+    small = [[0, 1, 2, 3]]
+    big = [[0, 1, 2, 3, 2**30]]
+    sv, so = _lists_to_buffers(small)
+    state = CODECS["delta2"].train(sv, so)
+    bv, bo = _lists_to_buffers(big)
+    with pytest.raises(ValueError):
+        CODECS["delta2"].encode(bv, bo, state)
+
+
+def test_delta2_edge_rows():
+    _roundtrip(
+        CODECS["delta2"],
+        [[], [5], [5, 5], [-(2**31), 2**31 - 1, 0], [], [1, 2**31 - 1, -5]],
+    )
