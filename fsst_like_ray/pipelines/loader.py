@@ -19,6 +19,14 @@ fixed length is :mod:`..functions.packing`'s job). Guarantees:
   disjoint fragment subset and numbers its own steps 0..N_r. Shard balance
   is fragment-granular — compact the store to even fragment sizes first if
   ranks must match closely.
+- **Epoch shuffle**: ``epoch=(seed, epoch)`` permutes the FRAGMENT order by
+  the deterministic epoch key (functions/shuffle.py) before rank sharding —
+  the shard-level shuffle every large-scale loader uses (a true row-level
+  epoch reshuffle is :func:`..functions.shuffle.epoch_shuffle`'s full
+  range-sort; at the loader we keep within-fragment locality and reshuffle
+  which shard comes when, and which rank owns it, per epoch). All
+  guarantees above (determinism, seekable resume, disjoint ranks) hold
+  per (seed, epoch).
 - **Bounded memory**: one fragment's selected columns decode at a time
   (a fragment is one ingest file — ~1 GB at production sizing), then slice
   into batches; nothing global materializes.
@@ -63,7 +71,9 @@ def greedy_boundaries(n_tok: np.ndarray, batch_tokens: int) -> np.ndarray:
     return np.asarray(bounds, dtype=np.int64)
 
 
-def _ordered_fragments(store_dir: str, rank: int, world_size: int) -> list:
+def _ordered_fragments(
+    store_dir: str, rank: int, world_size: int, epoch=None
+) -> list:
     recs = Manifest(store_dir).completed()
     if not recs:
         raise FileNotFoundError(
@@ -71,6 +81,18 @@ def _ordered_fragments(store_dir: str, rank: int, world_size: int) -> list:
         )
     ordered = sorted(recs.values(), key=lambda r: r["fragment"])
     ordered = [r for r in ordered if int(r.get("rows", 0)) > 0]
+    if epoch is not None:
+        from ..functions.shuffle import epoch_key
+
+        seed, ep = epoch
+        # frag_key is 16 hex chars; its low 60 bits make a stable int id
+        ids = np.array(
+            [int(r["frag_key"], 16) & ((1 << 60) - 1) for r in ordered],
+            dtype=np.int64,
+        )
+        keys = epoch_key(ids, seed, ep)
+        order = np.lexsort((np.arange(len(ordered)), keys))
+        ordered = [ordered[i] for i in order]
     return ordered[rank::world_size]
 
 
@@ -92,6 +114,7 @@ def plan_training_batches(
     n_tok_col: str = "n_tok",
     rank: int = 0,
     world_size: int = 1,
+    epoch: tuple[int, int] | None = None,
 ) -> list[dict]:
     """The seek index: per owned fragment (in order), the greedy batch
     boundaries — computed from the encoded ``n_tok_col`` ALONE. Returns
@@ -100,7 +123,7 @@ def plan_training_batches(
         raise ValueError(f"rank {rank} not in [0, {world_size})")
     plan = []
     step = 0
-    for rec in _ordered_fragments(store_dir, rank, world_size):
+    for rec in _ordered_fragments(store_dir, rank, world_size, epoch):
         nt = (
             _read_fragment(store_dir, rec["frag_key"], [n_tok_col])[n_tok_col]
             .to_numpy(zero_copy_only=False)
@@ -128,6 +151,7 @@ def iter_training_batches(
     start_step: int = 0,
     rank: int = 0,
     world_size: int = 1,
+    epoch: tuple[int, int] | None = None,
     plan: list[dict] | None = None,
 ):
     """Yield training batches from a committed store.
@@ -140,7 +164,7 @@ def iter_training_batches(
     planning pass on restart."""
     if plan is None:
         plan = plan_training_batches(
-            store_dir, batch_tokens, n_tok_col, rank, world_size
+            store_dir, batch_tokens, n_tok_col, rank, world_size, epoch
         )
     cols = list(columns)
     if tokens_col not in cols:

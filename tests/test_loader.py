@@ -42,7 +42,7 @@ def _store_rows(store):
 def test_greedy_boundaries_semantics():
     nt = np.array([10, 20, 5, 100, 1, 1, 50], dtype=np.int64)
     b = greedy_boundaries(nt, 35)
-    # [10,20,5]=35 | [100] oversized alone | [1,1]... wait 100>35 so alone
+    # [10,20,5]=35 | [100] oversized alone | [1,1] | [50] over budget alone
     assert b.tolist() == [0, 3, 4, 6, 7]
     sums = [nt[i:j].sum() for i, j in zip(b[:-1], b[1:])]
     for i, j, s in zip(b[:-1], b[1:], sums):
@@ -152,3 +152,46 @@ def test_oversized_row_flagged(store, tmp_path):
     batches = list(iter_training_batches(out, 10))
     assert [b["oversized"] for b in batches] == [True, False]
     assert batches[0]["n_tokens"] == 100
+
+
+def test_epoch_shuffles_fragment_order(store):
+    base = [
+        tuple(b["doc_id"].tolist())
+        for b in iter_training_batches(store, BUDGET)
+    ]
+    e1 = [
+        tuple(b["doc_id"].tolist())
+        for b in iter_training_batches(store, BUDGET, epoch=(7, 1))
+    ]
+    e1_again = [
+        tuple(b["doc_id"].tolist())
+        for b in iter_training_batches(store, BUDGET, epoch=(7, 1))
+    ]
+    e2 = [
+        tuple(b["doc_id"].tolist())
+        for b in iter_training_batches(store, BUDGET, epoch=(7, 2))
+    ]
+    assert e1 == e1_again  # deterministic
+    # same batches as some fragment-order permutation of the base stream
+    assert sorted(e1) == sorted(base)
+    assert sorted(e2) == sorted(base)
+    assert e1 != e2 or e1 != base  # epochs reshuffle
+    # rank sharding still partitions under a shuffled epoch
+    ids = [
+        d
+        for r in range(2)
+        for b in iter_training_batches(
+            store, BUDGET, rank=r, world_size=2, epoch=(7, 1)
+        )
+        for d in b["doc_id"].tolist()
+    ]
+    assert sorted(ids) == sorted(d for t in base for d in t)
+    # resume under an epoch yields the exact suffix of that epoch's stream
+    full = list(iter_training_batches(store, BUDGET, epoch=(7, 2)))
+    mid = len(full) // 2
+    resumed = list(
+        iter_training_batches(store, BUDGET, epoch=(7, 2), start_step=mid)
+    )
+    assert [b["step"] for b in resumed] == [b["step"] for b in full[mid:]]
+    for a, b in zip(full[mid:], resumed):
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
