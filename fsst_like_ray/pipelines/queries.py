@@ -3732,6 +3732,68 @@ def q_docs_epoch_shuffle(sf_dir: str):
     )
 
 
+def q_store_time_travel(sf_dir: str):
+    """Versioned catalog over the store (state/catalog.py): the tokens
+    table loads as version 1, a GDPR key-list delete of the even doc_ids
+    ships version 2; the catalog then serves BOTH — HEAD reads the
+    filtered table while AS OF 1 still reads every deleted row. Each
+    version's (rows, token count, token value sum) is recomputed by the
+    oracle from documents with/without the delete predicate, so time
+    travel is value-bound, not just row-counted."""
+    import tempfile
+
+    from ..state.catalog import (
+        commit_version,
+        managed_store_path,
+        read_version,
+    )
+    from .tablestore import compress_table, delete_keys_table_store
+
+    base = tempfile.mkdtemp(prefix="store_time_travel_")
+    src = os.path.join(base, "tokens.parquet")
+    tbl = pa.concat_tables(
+        b
+        for b in _tokens_ds(sf_dir).iter_batches(
+            batch_size=4096, batch_format="pyarrow"
+        )
+        if b.num_rows
+    )
+    pq.write_table(tbl, src)
+    cat = os.path.join(base, "cat")
+    v1_store = managed_store_path(cat, "v1")
+    compress_table(src, v1_store)
+    commit_version(cat, v1_store, op="compress", note="initial load")
+    even = [
+        int(i) for i in tbl["doc_id"].to_pylist() if int(i) % 2 == 0
+    ]
+    v2_store = managed_store_path(cat, "v2")
+    delete_keys_table_store(v1_store, v2_store, keys=even, key="doc_id")
+    commit_version(cat, v2_store, op="delete", note="GDPR: even doc_ids")
+
+    out = {"version": [], "n_rows": [], "total_tokens": [], "tok_value_sum": []}
+    for v in (1, 2):
+        n_rows = total = vsum = 0
+        for b in read_version(cat, v).iter_batches(batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            n_rows += b.num_rows
+            total += int(
+                pa.compute.sum(b["n_tok"].cast(pa.int64())).as_py() or 0
+            )
+            toks = b["tokens"]
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = toks.flatten().to_numpy(zero_copy_only=False)
+            vsum += int(flat.astype(np.int64).sum()) if len(flat) else 0
+        out["version"].append(v)
+        out["n_rows"].append(n_rows)
+        out["total_tokens"].append(total)
+        out["tok_value_sum"].append(vsum)
+    return pa.table(
+        {k: pa.array(v, type=pa.int64()) for k, v in out.items()}
+    )
+
+
 def q_ingest_jsonl(sf_dir: str):
     """Source-format coverage: the documents table exported to JSONL
     scratch, re-ingested with ray.data.read_json, and reduced — result
@@ -8752,6 +8814,7 @@ def build_queries() -> dict:
     q["docs_mixture_sample"] = q_docs_mixture_sample
     q["docs_epoch_shuffle"] = q_docs_epoch_shuffle
     q["training_loader_gate"] = q_training_loader_gate
+    q["store_time_travel"] = q_store_time_travel
     q["docs_decontaminate"] = q_docs_decontaminate
     q["online_dedup_epochs"] = q_online_dedup_epochs
     q["quantile_sketch_gate"] = q_quantile_sketch_gate
@@ -9816,6 +9879,21 @@ def build_oracle_sql() -> dict:
                (1=1) AS resume_matches,
                (1=1) AS shards_partition
         FROM documents
+    """
+    sql["store_time_travel"] = """
+        WITH cp AS (
+          SELECT doc_id,
+                 length(text) AS n_tok,
+                 (SELECT sum(u) FROM unnest([CAST(unicode(substr(text, i, 1))
+                      AS INT) FOR i IN range(1, length(text) + 1)]) t(u))
+                 AS vsum
+          FROM documents)
+        SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(vsum) AS BIGINT) AS tok_value_sum FROM cp
+        UNION ALL
+        SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT),
+               CAST(sum(vsum) AS BIGINT) FROM cp WHERE doc_id % 2 = 1
     """
     sql["docs_sample2_per_source"] = """
         SELECT source, doc_id FROM (
