@@ -846,6 +846,66 @@ def cmd_table_ndv(args) -> int:
     return 0
 
 
+def cmd_catalog_commit(args) -> int:
+    """Register a committed store as the next catalog version
+    (state/catalog.commit_version; no Ray — manifest rollup only)."""
+    from .state.catalog import commit_version, resolve
+
+    v = commit_version(
+        args.catalog, args.store, op=args.op, note=args.note,
+        parent=args.parent,
+    )
+    print(json.dumps(resolve(args.catalog, v)))
+    return 0
+
+
+def cmd_catalog_log(args) -> int:
+    """Version history, oldest first (state/catalog.history; no Ray)."""
+    from .state.catalog import head_version, history
+
+    head = head_version(args.catalog)
+    for rec in history(args.catalog):
+        print(json.dumps({**rec, "head": rec["version"] == head}))
+    return 0
+
+
+def cmd_catalog_read(args) -> int:
+    """Time-travel row count + head rows AS OF a version (HEAD default)."""
+    ray = _ray()
+    from .state.catalog import read_version, resolve
+
+    rec = resolve(args.catalog, args.version)
+    ds = read_version(args.catalog, args.version)
+    n = 0
+    shown = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        n += b.num_rows
+        for row in b.to_pylist():
+            if shown < args.head:
+                print(json.dumps(row, default=str))
+                shown += 1
+    print(
+        json.dumps(
+            {"version": rec["version"], "op": rec["op"], "rows": n}
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def cmd_catalog_prune(args) -> int:
+    """Retention GC: drop versions older than the newest N, reclaim
+    managed unreferenced stores (state/catalog.prune_catalog; no Ray)."""
+    from .state.catalog import prune_catalog
+
+    print(
+        json.dumps(
+            prune_catalog(args.catalog, args.keep_last, dry_run=args.dry_run)
+        )
+    )
+    return 0
+
+
 def cmd_table_union(args) -> int:
     """Consolidate N committed stores into one by byte-identical part
     copy with lineage carry-over (tablestore.union_table_store)."""
@@ -1236,6 +1296,41 @@ def main(argv=None) -> int:
     tnv.add_argument("store")
     tnv.add_argument("column", nargs="?", default=None)
     tnv.set_defaults(fn=cmd_table_ndv)
+
+    cc = sub.add_parser(
+        "catalog-commit",
+        help="register a committed store as the next table version (no Ray)",
+    )
+    cc.add_argument("catalog")
+    cc.add_argument("store")
+    cc.add_argument("--op", default="compress")
+    cc.add_argument("--note", default="")
+    cc.add_argument("--parent", type=int, default=None)
+    cc.set_defaults(fn=cmd_catalog_commit)
+
+    cl = sub.add_parser(
+        "catalog-log", help="version history with HEAD marker (no Ray)"
+    )
+    cl.add_argument("catalog")
+    cl.set_defaults(fn=cmd_catalog_log)
+
+    cr = sub.add_parser(
+        "catalog-read",
+        help="time-travel read AS OF a version (HEAD when omitted)",
+    )
+    cr.add_argument("catalog")
+    cr.add_argument("version", nargs="?", type=int, default=None)
+    cr.add_argument("--head", type=int, default=5)
+    cr.set_defaults(fn=cmd_catalog_read)
+
+    cp = sub.add_parser(
+        "catalog-prune",
+        help="retention GC: keep newest N versions, reclaim managed stores",
+    )
+    cp.add_argument("catalog")
+    cp.add_argument("--keep-last", type=int, default=2)
+    cp.add_argument("--dry-run", action="store_true")
+    cp.set_defaults(fn=cmd_catalog_prune)
 
     tvc = sub.add_parser(
         "table-vacuum",
