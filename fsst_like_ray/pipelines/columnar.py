@@ -70,7 +70,14 @@ ENV_VERSION = 4
 # exception sidecar (position + raw bits), so the transform is bit-exact
 # for ANY input. The int stream then compresses ~4x better than the
 # near-random mantissa bits (17-bit bitpack vs 8-byte raw on the fixture).
-F64_BITS, F64_ALP = 0, 1
+# F64_XOR is the Gorilla float scheme (Pelkonen et al., VLDB'15 §4.1.2) in
+# this layout: x[0]=bits[0], x[i]=bits[i]^bits[i-1] — adjacent values
+# sharing sign/exponent/high mantissa zero the high bits, narrowing the
+# base-shifted hi/lo streams where the RAW bit view jumps across sign or
+# exponent boundaries (sensor walks that straddle 0 or powers of two).
+# Chosen over BITS when the xor stream's 64-bit span is strictly narrower;
+# exact for ANY doubles (XOR is an involution — NaN/inf need no sidecar).
+F64_BITS, F64_ALP, F64_XOR = 0, 1, 2
 _ALP_MAX_E = 14  # 10^14 < 2^51: round-trip stays exact in float64
 _ALP_EXC_FRAC = 0.05  # accept a decimal exponent only below this rate
 
@@ -85,6 +92,42 @@ _ALP_EXC_FRAC = 0.05  # accept a decimal exponent only below this rate
 # exact for ANY int64 input, sorted or not; the zone map keeps LOGICAL
 # min/max (stored beside the first value) so range pruning is unaffected.
 I64_RAW, I64_DELTA = 0, 2
+
+
+def _est64_cost(v: np.ndarray) -> int:
+    """Sampled encoded-size estimate for an int64 stream through the
+    base-shift + lo/hi-split path — the SAME estimator the real encode
+    runs, so transform choices (bits vs xor) optimize the actual target.
+    fsst is excluded from the candidates exactly like _encode_stream's
+    cheap stage (its estimate trains a table; the cheap best is the
+    decision signal either way)."""
+    n = len(v)
+    if n == 0:
+        return 0
+    base = int(v.min())
+    u = v.view(np.uint64) - np.uint64(base & 0xFFFFFFFFFFFFFFFF)
+    lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+    hi = (u >> np.uint64(32)).astype(np.uint32).view(np.int32)
+    seg = np.arange(0, n + _SEL_SEG, _SEL_SEG, dtype=np.int64)
+    seg = seg[seg < n]
+    seg = np.append(seg, n)
+    cheap = [c for c in CODECS if c != "fsst"]
+    total = 0
+    for s in (lo, hi):
+        _, est, _ = select_codec(s, seg, cheap, sample_rows=_SEL_ROWS)
+        total += min(est.values())
+    return total
+
+
+def _xor64_fwd(bits: np.ndarray) -> np.ndarray:
+    """float64 bit views → xor-with-previous stream (slot 0 = bits[0]).
+    Inverse is one ``np.bitwise_xor.accumulate`` — both directions are
+    single vectorized passes."""
+    u = bits.view(np.uint64)
+    x = np.empty_like(u)
+    x[0] = u[0]
+    np.bitwise_xor(u[1:], u[:-1], out=x[1:])
+    return x.view(np.int64)
 
 
 def _delta64_fwd(v: np.ndarray) -> tuple[np.ndarray, int]:
@@ -556,7 +599,7 @@ def _encode_column(
             spec_f64 = col_spec.get("f64") if col_spec else None
             alp = (
                 None
-                if spec_f64 == "bits"
+                if spec_f64 in ("bits", "xor")
                 else _alp_split(
                     f,
                     col_spec.get("alp_e") if spec_f64 == "alp" else None,
@@ -570,8 +613,21 @@ def _encode_column(
                     + _pb32(excbits.tobytes())
                 )
             else:
-                v = f.view(np.int64)
-                pre = bytes([F64_BITS])
+                bits = f.view(np.int64)
+                use_xor = spec_f64 == "xor"
+                if spec_f64 is None and n >= 8:
+                    # estimator-backed choice: the winner is whichever
+                    # transform's lo/hi streams the codec selector prices
+                    # cheaper (a 64-bit span proxy misses XOR's shape —
+                    # mostly-tiny values with sign-flip outliers)
+                    xs = _xor64_fwd(bits)
+                    use_xor = _est64_cost(xs) < _est64_cost(bits)
+                if use_xor:
+                    v = _xor64_fwd(bits)
+                    pre = bytes([F64_XOR])
+                else:
+                    v = bits
+                    pre = bytes([F64_BITS])
             pre += struct.pack("<dd", *_float_zone(arr))
         else:
             v = np.ascontiguousarray(v, dtype=np.int64)
@@ -722,12 +778,13 @@ def _read_choices(r: _Reader, tc: int) -> tuple[str, dict]:
     if tc in _I64_FAMILY:
         d: dict = {}
         if tc == T_FLOAT64:
-            if r.u8() == F64_ALP:
+            tag = r.u8()
+            if tag == F64_ALP:
                 d["f64"], d["alp_e"] = "alp", r.u8()
                 r.b32()  # exception positions
                 r.b32()  # exception bits
             else:
-                d["f64"] = "bits"
+                d["f64"] = "xor" if tag == F64_XOR else "bits"
             r.take(16)  # logical float zone
         elif r.u8() == I64_DELTA:
             d["i64"] = "delta"
@@ -742,6 +799,8 @@ def _read_choices(r: _Reader, tc: int) -> tuple[str, dict]:
         label = f"{a}+{b}"
         if d.get("f64") == "alp":
             label = f"alp{d['alp_e']}({label})"
+        elif d.get("f64") == "xor":
+            label = f"x64({label})"
         elif d.get("i64") == "delta":
             label = f"d64({label})"
         return label, d
@@ -924,7 +983,8 @@ def _int_block_reader(r: _Reader, tc: int, n_block: int):
     post = None
     zone = None
     if tc == T_FLOAT64:
-        if r.u8() == F64_ALP:
+        tag = r.u8()
+        if tag == F64_ALP:
             e_dec = r.u8()
             pos = np.frombuffer(r.b32(), dtype=np.uint32)
             excbits = np.frombuffer(r.b32(), dtype=np.int64)
@@ -937,6 +997,14 @@ def _int_block_reader(r: _Reader, tc: int, n_block: int):
                 if len(pos):
                     bits[pos] = excbits
                 return bits
+
+        elif tag == F64_XOR:
+
+            def post(x):
+                # exact inverse of _xor64_fwd: cumulative xor scan
+                return np.bitwise_xor.accumulate(
+                    x.view(np.uint64)
+                ).view(np.int64)
 
         zone = struct.unpack("<dd", r.take(16))  # logical float zone
     elif r.u8() == I64_DELTA:

@@ -4182,3 +4182,59 @@ def test_histogram_table_store(ray_session, tmp_path):
     fbins[np.isnan(fva)] = -1  # NaN comparisons are False → clip path
     total = sum(gotf["count"].to_pylist())
     assert total <= n and total >= int(valid.sum())
+
+
+def test_float64_xor_transform():
+    """F64_XOR (Gorilla float xor, VLDB'15 s4.1.2) as a spec-forcible
+    transform. Honest finding, pinned here: in this 32-bit-word layout the
+    estimator prices base-shifted BITS below XOR on every distribution we
+    probed (XOR's shared-prefix win needs bit-granular windows), so the
+    AUTO path picks bits — the estimator-backed choice, not a span proxy —
+    while a forced spec still round-trips bit-exact."""
+    from fsst_like_ray.pipelines.columnar import (
+        _est64_cost,
+        _xor64_fwd,
+        encode_columns_batch,
+        train_columnar_spec,
+    )
+
+    rng = np.random.default_rng(5)
+    walk = np.cumsum(rng.normal(0, 1e-6, 4000)) * np.pi
+    specials = np.concatenate(
+        [walk[:100], [np.nan, np.inf, -np.inf, -0.0, 0.0], walk[100:200]]
+    )
+    t = pa.table({"v": pa.array(specials, type=pa.float64())})
+
+    # forced spec: xor encodes, spec label survives, decode is bit-exact
+    # (XOR needs no NaN/inf sidecar — it is an involution on raw bits)
+    spec = train_columnar_spec(t)
+    spec["v"]["f64"] = "xor"
+    spec["v"].pop("alp_e", None)
+    dec = decode_columns_batch(encode_columns_batch(t, spec=spec))
+    assert dec["v"].to_numpy(zero_copy_only=False).tobytes() == \
+        specials.tobytes()
+    from fsst_like_ray.pipelines.columnar import columnar_stats_batch
+
+    st = columnar_stats_batch(encode_columns_batch(t, spec=spec)).to_pandas()
+    assert st[st["column"] == "v"]["scheme"].iloc[0].startswith("x64(")
+
+    # auto path: estimator-backed (bits wins here) and still bit-exact
+    auto_spec = train_columnar_spec(t)
+    assert auto_spec["v"]["f64"] == "bits"
+    assert _est64_cost(specials.view(np.int64)) <= _est64_cost(
+        _xor64_fwd(specials.view(np.int64))
+    )
+    dec2 = decode_columns_batch(encode_columns_batch(t))
+    assert dec2["v"].to_numpy(zero_copy_only=False).tobytes() == \
+        specials.tobytes()
+
+    # decimal data still routes to ALP, never xor
+    dec_vals = np.round(rng.uniform(0, 1000, 2000), 2)
+    t3 = pa.table({"v": pa.array(dec_vals, type=pa.float64())})
+    assert train_columnar_spec(t3)["v"]["f64"] == "alp"
+
+    # the transform itself: involution via accumulate
+    bits = walk[:257].view(np.int64)
+    x = _xor64_fwd(bits)
+    back = np.bitwise_xor.accumulate(x.view(np.uint64)).view(np.int64)
+    assert np.array_equal(back, bits)
