@@ -3,7 +3,10 @@
 The final mile of the engine: a training job consumes the encoded store as
 a stream of token-budgeted batches of WHOLE sequences (fairseq-style
 ``max_tokens`` dynamic batching — documents are never split; splitting to
-fixed length is :mod:`..functions.packing`'s job). Guarantees:
+fixed length is :mod:`..functions.packing`'s job). Serves BOTH store
+formats through one API: the per-column table store (compress_table) and
+the flagship encoded-token corpus (compress_dataset), whose plain n_tok
+column makes the planning pass a bare parquet column read. Guarantees:
 
 - **Deterministic**: batch boundaries are a pure function of the store
   (fragment order = input-path order from the lineage manifest; row order =
@@ -47,6 +50,24 @@ import pyarrow.parquet as pq
 from ..state.manifest import Manifest
 from .columnar import _encoded_field_names, decode_columns_batch
 from .tablestore import _fragment_parts
+
+
+def _parts_in_order(store_dir: str, frag_key: str, fmt: str) -> list[str]:
+    """A fragment's part files in deterministic row order: numeric
+    row-group index for the table store; lexicographic content-hash tag
+    for the corpus store (arbitrary but stable — the loader's contract is
+    determinism, and every consumer sees the same order)."""
+    data_dir = os.path.join(store_dir, "data")
+    if fmt == "table":
+        return _fragment_parts(data_dir, frag_key)
+    d = os.path.join(data_dir, f"frag={frag_key}")
+    if not os.path.isdir(d):
+        return []
+    return [
+        os.path.join(d, f)
+        for f in sorted(os.listdir(d))
+        if f.startswith("part-") and f.endswith(".parquet")
+    ]
 
 
 def greedy_boundaries(n_tok: np.ndarray, batch_tokens: int) -> np.ndarray:
@@ -96,11 +117,43 @@ def _ordered_fragments(
     return ordered[rank::world_size]
 
 
-def _read_fragment(store_dir: str, frag_key: str, columns) -> pa.Table:
-    """One fragment's selected columns, decoded, rows in store order."""
-    parts = _fragment_parts(os.path.join(store_dir, "data"), frag_key)
+def _store_format(store_dir: str) -> str:
+    """'table' (compress_table per-column store) or 'corpus' (the flagship
+    compress_dataset encoded-token store, whose rows carry their own
+    codec/state/payload and keep n_tok as a PLAIN column — so planning
+    reads it without touching payloads). Detected once from any part's
+    schema."""
+    for rec in Manifest(store_dir).completed().values():
+        parts = _parts_in_order(store_dir, rec["frag_key"], "corpus")
+        if parts:
+            names = pq.read_schema(parts[0]).names
+            return "corpus" if "payload" in names else "table"
+    raise FileNotFoundError(
+        f"loader: no committed fragment parts under {store_dir!r}"
+    )
+
+
+def _read_fragment(
+    store_dir: str, frag_key: str, columns, fmt: str = "table"
+) -> pa.Table:
+    """One fragment's selected columns, decoded, rows in store order
+    (within a corpus fragment: part-name order — deterministic, since
+    part names are content hashes)."""
+    parts = _parts_in_order(store_dir, frag_key, fmt)
     if not parts:
         raise FileNotFoundError(f"loader: fragment {frag_key} has no parts")
+    if fmt == "corpus":
+        want = set(columns)
+        if want <= {"doc_id", "n_tok", "source"}:  # plain columns: no decode
+            return pa.concat_tables(
+                pq.read_table(p, columns=list(columns)) for p in parts
+            )
+        from ..stages.decode import decode_batch
+
+        return pa.concat_tables(
+            decode_batch(pq.read_table(p)).select(list(columns))
+            for p in parts
+        )
     keep = _encoded_field_names(list(pq.read_schema(parts[0]).names), columns)
     dec = [
         decode_columns_batch(pq.read_table(p, columns=keep)) for p in parts
@@ -121,11 +174,14 @@ def plan_training_batches(
     [{"frag_key", "fragment", "first_step", "boundaries"}, ...]."""
     if not 0 <= rank < world_size:
         raise ValueError(f"rank {rank} not in [0, {world_size})")
+    fmt = _store_format(store_dir)
     plan = []
     step = 0
     for rec in _ordered_fragments(store_dir, rank, world_size, epoch):
         nt = (
-            _read_fragment(store_dir, rec["frag_key"], [n_tok_col])[n_tok_col]
+            _read_fragment(store_dir, rec["frag_key"], [n_tok_col], fmt)[
+                n_tok_col
+            ]
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
@@ -169,12 +225,13 @@ def iter_training_batches(
     cols = list(columns)
     if tokens_col not in cols:
         cols.append(tokens_col)
+    fmt = _store_format(store_dir)
     for ent in plan:
         bounds = ent["boundaries"]
         n_batches = len(bounds) - 1
         if ent["first_step"] + n_batches <= start_step:
             continue
-        tbl = _read_fragment(store_dir, ent["frag_key"], cols)
+        tbl = _read_fragment(store_dir, ent["frag_key"], cols, fmt)
         toks = tbl[tokens_col]
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
