@@ -846,6 +846,63 @@ def cmd_table_ndv(args) -> int:
     return 0
 
 
+def cmd_table_batches(args) -> int:
+    """Stream token-budgeted training batches from a committed store
+    (pipelines/loader.py — table OR flagship corpus format; no Ray:
+    the loader is a sequential consumer). Prints one JSON line per
+    batch head, then a summary."""
+    from .pipelines.loader import (
+        iter_training_batches,
+        plan_training_batches,
+    )
+
+    epoch = (
+        (args.seed, args.epoch) if args.epoch is not None else None
+    )
+    t0 = time.time()
+    plan = plan_training_batches(
+        args.store, args.budget, rank=args.rank,
+        world_size=args.world_size, epoch=epoch,
+    )
+    plan_sec = time.time() - t0
+    tokens = batches = rows = 0
+    t0 = time.time()
+    for b in iter_training_batches(
+        args.store, args.budget, start_step=args.start_step,
+        rank=args.rank, world_size=args.world_size, epoch=epoch,
+        plan=plan,
+    ):
+        if batches < args.head:
+            print(
+                json.dumps(
+                    {
+                        "step": b["step"],
+                        "n_rows": b["n_rows"],
+                        "n_tokens": b["n_tokens"],
+                        "oversized": b["oversized"],
+                        "first_doc": str(b["doc_id"][0]),
+                    }
+                )
+            )
+        tokens += b["n_tokens"]
+        rows += b["n_rows"]
+        batches += 1
+    sec = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "batches": batches,
+                "rows": rows,
+                "tokens": tokens,
+                "plan_sec": round(plan_sec, 3),
+                "sec": round(sec, 3),
+                "tokens_per_sec": round(tokens / sec, 1) if sec else 0.0,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_catalog_commit(args) -> int:
     """Register a committed store as the next catalog version
     (state/catalog.commit_version; no Ray — manifest rollup only)."""
@@ -1296,6 +1353,20 @@ def main(argv=None) -> int:
     tnv.add_argument("store")
     tnv.add_argument("column", nargs="?", default=None)
     tnv.set_defaults(fn=cmd_table_ndv)
+
+    tb = sub.add_parser(
+        "table-batches",
+        help="stream token-budgeted training batches from a store (no Ray)",
+    )
+    tb.add_argument("store")
+    tb.add_argument("--budget", type=int, default=262144)
+    tb.add_argument("--start-step", type=int, default=0)
+    tb.add_argument("--rank", type=int, default=0)
+    tb.add_argument("--world-size", type=int, default=1)
+    tb.add_argument("--seed", type=int, default=0)
+    tb.add_argument("--epoch", type=int, default=None)
+    tb.add_argument("--head", type=int, default=3)
+    tb.set_defaults(fn=cmd_table_batches)
 
     cc = sub.add_parser(
         "catalog-commit",
