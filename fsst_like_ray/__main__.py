@@ -937,8 +937,8 @@ def cmd_catalog_read(args) -> int:
     shown = 0
     for b in ds.iter_batches(batch_format="pyarrow"):
         n += b.num_rows
-        for row in b.to_pylist():
-            if shown < args.head:
+        if shown < args.head and b.num_rows:
+            for row in b.slice(0, args.head - shown).to_pylist():
                 print(json.dumps(row, default=str))
                 shown += 1
     print(

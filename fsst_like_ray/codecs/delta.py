@@ -49,6 +49,101 @@ def _delta_stream(values: np.ndarray, offsets: np.ndarray):
     return zz, doff, counts, nz
 
 
+def unzigzag32(zz: np.ndarray) -> np.ndarray:
+    """Inverse zigzag → wrapped uint32 differences."""
+    return (zz >> np.uint32(1)) ^ (np.uint32(0) - (zz & np.uint32(1)))
+
+
+def scatter_with_firsts(
+    firsts_u32: np.ndarray,
+    inner_buf: np.ndarray,
+    inner_po: np.ndarray,
+    nz: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Assemble per-row payloads ``[first:4B][inner row bytes]`` (empty rows
+    take 0 bytes) — the one layout delta-family codecs share."""
+    inner_nbytes = np.diff(inner_po)
+    n_rows = len(inner_nbytes)
+    nbytes = np.where(nz, inner_nbytes + 4, 0).astype(np.int64)
+    out_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=out_offsets[1:])
+    buf = np.zeros(int(out_offsets[-1]), dtype=np.uint8)
+    if firsts_u32.size:
+        ref_pos = (
+            out_offsets[:-1][nz, None] + np.arange(4, dtype=np.int64)[None, :]
+        )
+        buf[ref_pos.ravel()] = (
+            firsts_u32.view(np.uint8).reshape(-1, 4).ravel()
+        )
+    total = int(inner_nbytes.sum())
+    if total:
+        row_of_byte = np.repeat(np.arange(n_rows), inner_nbytes)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            inner_po[:-1], inner_nbytes
+        )
+        dst = out_offsets[:-1][row_of_byte] + 4 + within
+        buf[dst] = inner_buf
+    return buf, out_offsets
+
+
+def gather_after_firsts(
+    buf: np.ndarray, payload_offsets: np.ndarray, nz: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact inverse of :func:`scatter_with_firsts`: → (firsts as uint32,
+    contiguous inner bytes, inner per-row offsets)."""
+    n_rows = len(payload_offsets) - 1
+    firsts = np.zeros(int(nz.sum()), dtype=np.uint32)
+    if firsts.size:
+        ref_pos = (
+            payload_offsets[:-1][nz, None]
+            + np.arange(4, dtype=np.int64)[None, :]
+        )
+        firsts = (
+            np.ascontiguousarray(buf[ref_pos.ravel()]).view(np.uint32).copy()
+        )
+    inner_nbytes = np.where(
+        nz, np.diff(payload_offsets) - 4, 0
+    ).astype(np.int64)
+    inner_po = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(inner_nbytes, out=inner_po[1:])
+    total = int(inner_po[-1])
+    inner = np.zeros(total, dtype=np.uint8)
+    if total:
+        row_of_byte = np.repeat(np.arange(n_rows), inner_nbytes)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            inner_po[:-1], inner_nbytes
+        )
+        src = payload_offsets[:-1][row_of_byte] + 4 + within
+        inner = np.ascontiguousarray(buf[src])
+    return firsts, inner, inner_po
+
+
+def cumsum_rows(
+    firsts_u32: np.ndarray,
+    deltas_u32: np.ndarray,
+    counts: np.ndarray,
+    nz: np.ndarray,
+) -> np.ndarray:
+    """Reconstruct int32 values from per-row firsts + wrapped differences
+    via ONE global cumsum: place firsts at row starts and deltas elsewhere,
+    cumulative-sum in uint64, subtract each row's pre-start sum; the uint32
+    cast applies the mod-2^32 wrap — exact for any int32 input."""
+    n_rows = len(counts)
+    n = int(counts.sum())
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    starts_nz = offsets[:-1][nz]
+    full = np.empty(n, dtype=np.uint64)
+    mask = np.ones(n, dtype=bool)
+    mask[starts_nz] = False
+    full[starts_nz] = firsts_u32
+    full[mask] = deltas_u32
+    g = np.cumsum(full)
+    base = g[starts_nz] - firsts_u32
+    vals = (g - np.repeat(base, counts[nz])).astype(np.uint32)
+    return vals.view(np.int32)
+
+
 class DeltaCodec(Codec):
     name = "delta"
 
@@ -67,72 +162,17 @@ class DeltaCodec(Codec):
         if width < 32 and zz.size and int(zz.max()) >> width:
             raise ValueError("delta codec: block exceeds trained width")
         packed, po = pack_rows(zz, doff, width)
-
-        nbytes = np.where(nz, np.diff(po) + 4, 0).astype(np.int64)
-        out_offsets = np.zeros(len(counts) + 1, dtype=np.int64)
-        np.cumsum(nbytes, out=out_offsets[1:])
-        buf = np.zeros(int(out_offsets[-1]), dtype=np.uint8)
-
-        # scatter 4-byte first values at the start of each non-empty payload
         firsts = _as_u32(values)[offsets[:-1][nz]]
-        ref_pos = out_offsets[:-1][nz, None] + np.arange(4, dtype=np.int64)[None, :]
-        buf[ref_pos.ravel()] = firsts.view(np.uint8).reshape(-1, 4).ravel()
-        # scatter packed delta bytes after the firsts
-        pack_nbytes = np.diff(po)
-        total = int(pack_nbytes.sum())
-        if total:
-            row_of_byte = np.repeat(np.arange(len(counts)), pack_nbytes)
-            within = np.arange(total, dtype=np.int64) - np.repeat(po[:-1], pack_nbytes)
-            dst = out_offsets[:-1][row_of_byte] + 4 + within
-            buf[dst] = packed
-        return buf, out_offsets
+        return scatter_with_firsts(firsts, packed, po, nz)
 
     def decode(self, buf, payload_offsets, counts, state):
         width = state[0]
-        n_rows = len(counts)
         counts = np.asarray(counts, dtype=np.int64)
         nz = counts > 0
-        n = int(counts.sum())
-
-        firsts = np.zeros(int(nz.sum()), dtype=np.uint32)
-        if firsts.size:
-            ref_pos = (
-                payload_offsets[:-1][nz, None] + np.arange(4, dtype=np.int64)[None, :]
-            )
-            firsts = (
-                np.ascontiguousarray(buf[ref_pos.ravel()]).view(np.uint32).copy()
-            )
-        # packed-delta region (strip the 4-byte firsts)
-        pack_nbytes = np.where(nz, np.diff(payload_offsets) - 4, 0).astype(np.int64)
-        po = np.zeros(n_rows + 1, dtype=np.int64)
-        np.cumsum(pack_nbytes, out=po[1:])
-        total = int(po[-1])
-        packed = np.zeros(total, dtype=np.uint8)
-        if total:
-            row_of_byte = np.repeat(np.arange(n_rows), pack_nbytes)
-            within = np.arange(total, dtype=np.int64) - np.repeat(po[:-1], pack_nbytes)
-            src = payload_offsets[:-1][row_of_byte] + 4 + within
-            packed = np.ascontiguousarray(buf[src])
+        firsts, packed, po = gather_after_firsts(buf, payload_offsets, nz)
         dcounts = np.maximum(counts - 1, 0)
         zz = unpack_rows(packed, po, dcounts, width)
-        # invert zigzag → wrapped uint32 deltas
-        du = (zz >> np.uint32(1)) ^ (np.uint32(0) - (zz & np.uint32(1)))
-
-        # reconstruct via a within-row wrapped cumulative sum: place firsts at
-        # row starts and deltas elsewhere, global cumsum (uint64), subtract
-        # each row's pre-start sum; the uint32 cast applies the mod 2^32 wrap
-        offsets = np.zeros(n_rows + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        starts_nz = offsets[:-1][nz]
-        full = np.empty(n, dtype=np.uint64)
-        mask = np.ones(n, dtype=bool)
-        mask[starts_nz] = False
-        full[starts_nz] = firsts
-        full[mask] = du
-        g = np.cumsum(full)
-        base = g[starts_nz] - firsts  # g at start includes the first itself
-        vals = (g - np.repeat(base, counts[nz])).astype(np.uint32)
-        return vals.view(np.int32)
+        return cumsum_rows(firsts, unzigzag32(zz), counts, nz)
 
     def estimate_size(self, values, offsets):
         zz, _, counts, nz = _delta_stream(values, offsets)

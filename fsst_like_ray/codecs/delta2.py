@@ -15,8 +15,9 @@ identical contract to delta, including the loud overflow guard when a
 sample-trained width is narrower than a block's true second differences.
 
 All arithmetic mod 2^32 (uint32 wraparound), so decode is exact for any
-int32 input; composition keeps the proof local — each layer is the already
-pinned delta inverse.
+int32 input; the composition is literal — every layer (header scatter,
+zigzag, per-row cumsum) is delta.py's own shared helper, so the two codecs
+cannot drift apart.
 """
 
 from __future__ import annotations
@@ -25,11 +26,14 @@ import numpy as np
 
 from . import Codec, _as_u32
 from .bitutil import bit_width_for, packed_row_nbytes
-from .delta import DeltaCodec, _delta_stream
-
-
-def _unzigzag(zz: np.ndarray) -> np.ndarray:
-    return (zz >> np.uint32(1)) ^ (np.uint32(0) - (zz & np.uint32(1)))
+from .delta import (
+    DeltaCodec,
+    _delta_stream,
+    cumsum_rows,
+    gather_after_firsts,
+    scatter_with_firsts,
+    unzigzag32,
+)
 
 
 class Delta2Codec(Codec):
@@ -39,88 +43,31 @@ class Delta2Codec(Codec):
 
     def train(self, values, offsets):
         zz, doff, _, _ = _delta_stream(values, offsets)
-        return self._inner.train(_unzigzag(zz).view(np.int32), doff)
+        return self._inner.train(unzigzag32(zz).view(np.int32), doff)
 
     def encode(self, values, offsets, state):
         zz, doff, counts, nz = _delta_stream(values, offsets)
         inner_buf, inner_po = self._inner.encode(
-            _unzigzag(zz).view(np.int32), doff, state
+            unzigzag32(zz).view(np.int32), doff, state
         )
-        inner_nbytes = np.diff(inner_po)
-        nbytes = np.where(nz, inner_nbytes + 4, 0).astype(np.int64)
-        out_offsets = np.zeros(len(counts) + 1, dtype=np.int64)
-        np.cumsum(nbytes, out=out_offsets[1:])
-        buf = np.zeros(int(out_offsets[-1]), dtype=np.uint8)
-
         firsts = _as_u32(values)[offsets[:-1][nz]]
-        ref_pos = (
-            out_offsets[:-1][nz, None] + np.arange(4, dtype=np.int64)[None, :]
-        )
-        buf[ref_pos.ravel()] = firsts.view(np.uint8).reshape(-1, 4).ravel()
-        total = int(inner_nbytes.sum())
-        if total:
-            row_of_byte = np.repeat(np.arange(len(counts)), inner_nbytes)
-            within = np.arange(total, dtype=np.int64) - np.repeat(
-                inner_po[:-1], inner_nbytes
-            )
-            dst = out_offsets[:-1][row_of_byte] + 4 + within
-            buf[dst] = inner_buf
-        return buf, out_offsets
+        return scatter_with_firsts(firsts, inner_buf, inner_po, nz)
 
     def decode(self, buf, payload_offsets, counts, state):
-        n_rows = len(counts)
         counts = np.asarray(counts, dtype=np.int64)
         nz = counts > 0
-        n = int(counts.sum())
-
-        firsts = np.zeros(int(nz.sum()), dtype=np.uint32)
-        if firsts.size:
-            ref_pos = (
-                payload_offsets[:-1][nz, None]
-                + np.arange(4, dtype=np.int64)[None, :]
-            )
-            firsts = (
-                np.ascontiguousarray(buf[ref_pos.ravel()])
-                .view(np.uint32)
-                .copy()
-            )
-        inner_nbytes = np.where(
-            nz, np.diff(payload_offsets) - 4, 0
-        ).astype(np.int64)
-        inner_po = np.zeros(n_rows + 1, dtype=np.int64)
-        np.cumsum(inner_nbytes, out=inner_po[1:])
-        total = int(inner_po[-1])
-        inner_buf = np.zeros(total, dtype=np.uint8)
-        if total:
-            row_of_byte = np.repeat(np.arange(n_rows), inner_nbytes)
-            within = np.arange(total, dtype=np.int64) - np.repeat(
-                inner_po[:-1], inner_nbytes
-            )
-            src = payload_offsets[:-1][row_of_byte] + 4 + within
-            inner_buf = np.ascontiguousarray(buf[src])
+        firsts, inner_buf, inner_po = gather_after_firsts(
+            buf, payload_offsets, nz
+        )
         dcounts = np.maximum(counts - 1, 0)
         du = _as_u32(
             self._inner.decode(inner_buf, inner_po, dcounts, state)
         )
-
-        # firsts at row starts + wrapped deltas elsewhere → cumsum per row
-        # (the same exact-inverse reconstruction delta.decode pins)
-        offsets = np.zeros(n_rows + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        starts_nz = offsets[:-1][nz]
-        full = np.empty(n, dtype=np.uint64)
-        mask = np.ones(n, dtype=bool)
-        mask[starts_nz] = False
-        full[starts_nz] = firsts
-        full[mask] = du
-        g = np.cumsum(full)
-        base = g[starts_nz] - firsts
-        vals = (g - np.repeat(base, counts[nz])).astype(np.uint32)
-        return vals.view(np.int32)
+        return cumsum_rows(firsts, du, counts, nz)
 
     def estimate_size(self, values, offsets):
         zz, doff, counts, nz = _delta_stream(values, offsets)
-        zz2, _, _, _ = _delta_stream(_unzigzag(zz).view(np.int32), doff)
+        zz2, _, _, _ = _delta_stream(unzigzag32(zz).view(np.int32), doff)
         width = bit_width_for(zz2)
         ddcounts = np.maximum(counts - 2, 0)
         return int(

@@ -59,6 +59,8 @@ from ..stages.text import string_buffers
 # purpose: v1 existed for one session with no persisted artifacts beyond
 # /tmp scratch; decode hard-rejects the version byte rather than guessing.
 ENV_VERSION = 4
+# envelopes carrying the F64_XOR tag stamp this instead (see _parse_head)
+ENV_VERSION_XOR = 5
 
 # float64 stream transforms (envelope tag, T_FLOAT64 only). F64_BITS stores
 # the raw IEEE bit view (the only exact option for arbitrary doubles);
@@ -94,16 +96,19 @@ _ALP_EXC_FRAC = 0.05  # accept a decimal exponent only below this rate
 I64_RAW, I64_DELTA = 0, 2
 
 
-def _est64_cost(v: np.ndarray) -> int:
-    """Sampled encoded-size estimate for an int64 stream through the
-    base-shift + lo/hi-split path — the SAME estimator the real encode
-    runs, so transform choices (bits vs xor) optimize the actual target.
-    fsst is excluded from the candidates exactly like _encode_stream's
-    cheap stage (its estimate trains a table; the cheap best is the
-    decision signal either way)."""
+def _est64_cost(v: np.ndarray) -> tuple[int, str | None, str | None]:
+    """(sampled encoded-size estimate, lo winner, hi winner) for an int64
+    stream through the base-shift + lo/hi-split path — the SAME estimator
+    the real encode runs, so transform choices (bits vs xor) optimize the
+    actual target, and the chosen transform's per-stream winners are
+    PINNED downstream (the estimate is paid once). fsst is excluded from
+    the candidates exactly like _encode_stream's cheap stage (its
+    estimate trains a table; a pinned stream still fully retrains its
+    state on the real block, so a sample-biased pick costs ratio only,
+    never correctness)."""
     n = len(v)
     if n == 0:
-        return 0
+        return 0, None, None
     base = int(v.min())
     u = v.view(np.uint64) - np.uint64(base & 0xFFFFFFFFFFFFFFFF)
     lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
@@ -113,10 +118,12 @@ def _est64_cost(v: np.ndarray) -> int:
     seg = np.append(seg, n)
     cheap = [c for c in CODECS if c != "fsst"]
     total = 0
+    names: list[str] = []
     for s in (lo, hi):
-        _, est, _ = select_codec(s, seg, cheap, sample_rows=_SEL_ROWS)
+        name, est, _ = select_codec(s, seg, cheap, sample_rows=_SEL_ROWS)
         total += min(est.values())
-    return total
+        names.append(name)
+    return total, names[0], names[1]
 
 
 def _xor64_fwd(bits: np.ndarray) -> np.ndarray:
@@ -125,8 +132,9 @@ def _xor64_fwd(bits: np.ndarray) -> np.ndarray:
     single vectorized passes."""
     u = bits.view(np.uint64)
     x = np.empty_like(u)
-    x[0] = u[0]
-    np.bitwise_xor(u[1:], u[:-1], out=x[1:])
+    if len(u):  # empty block: nothing to difference (forced-spec path)
+        x[0] = u[0]
+        np.bitwise_xor(u[1:], u[:-1], out=x[1:])
     return x.view(np.int64)
 
 
@@ -458,10 +466,13 @@ def _empty_payload(n: int) -> pa.Array:
     )
 
 
-def _head(tc: int, unit: int, tz: str, n: int, valid, plain_nbytes: int) -> bytes:
+def _head(
+    tc: int, unit: int, tz: str, n: int, valid, plain_nbytes: int,
+    ver: int = ENV_VERSION,
+) -> bytes:
     vb = b"" if valid is None else np.packbits(valid, bitorder="little").tobytes()
     return (
-        bytes([ENV_VERSION, tc, unit])
+        bytes([ver, tc, unit])
         + struct.pack("<H", len(tz.encode()))
         + tz.encode()
         + struct.pack("<I", n)
@@ -594,6 +605,8 @@ def _encode_column(
             a = pc.fill_null(a, 0)
         v = a.to_numpy(zero_copy_only=False)
         pre = b""
+        head_ver = ENV_VERSION
+        pin_lo = pin_hi = None
         if tc == T_FLOAT64:
             f = np.ascontiguousarray(v, dtype=np.float64)
             spec_f64 = col_spec.get("f64") if col_spec else None
@@ -619,12 +632,21 @@ def _encode_column(
                     # estimator-backed choice: the winner is whichever
                     # transform's lo/hi streams the codec selector prices
                     # cheaper (a 64-bit span proxy misses XOR's shape —
-                    # mostly-tiny values with sign-flip outliers)
+                    # mostly-tiny values with sign-flip outliers). The
+                    # winner's per-stream codec picks are PINNED into the
+                    # encode below, so the estimate is paid once, not
+                    # re-run by _encode_stream's own selection.
                     xs = _xor64_fwd(bits)
-                    use_xor = _est64_cost(xs) < _est64_cost(bits)
+                    cx, xlo, xhi = _est64_cost(xs)
+                    cb, blo, bhi = _est64_cost(bits)
+                    use_xor = cx < cb
+                    pin_lo, pin_hi = (xlo, xhi) if use_xor else (blo, bhi)
                 if use_xor:
                     v = _xor64_fwd(bits)
                     pre = bytes([F64_XOR])
+                    # a v4 reader would misdecode this tag as raw bits —
+                    # stamp the xor version so old readers fail loudly
+                    head_ver = ENV_VERSION_XOR
                 else:
                     v = bits
                     pre = bytes([F64_BITS])
@@ -662,13 +684,13 @@ def _encode_column(
         lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
         hi = (u >> np.uint64(32)).astype(np.uint32).view(np.int32)
         lname, lstate, lpay = _encode_stream(
-            lo, codec_names, col_spec["lo"] if col_spec else None
+            lo, codec_names, (col_spec["lo"] if col_spec else None) or pin_lo
         )
         hname, hstate, hpay = _encode_stream(
-            hi, codec_names, col_spec["hi"] if col_spec else None
+            hi, codec_names, (col_spec["hi"] if col_spec else None) or pin_hi
         )
         env = (
-            _head(tc, unit, tz, n, valid, plain)
+            _head(tc, unit, tz, n, valid, plain, ver=head_ver)
             + pre
             + struct.pack("<qq", base, vmax)
             + _pack_codec(lname, lstate)
@@ -911,7 +933,11 @@ def _cached_block(env: bytes, fn):
 
 def _parse_head(r: _Reader):
     ver = r.u8()
-    if ver != ENV_VERSION:
+    # 4 = base format; 5 = identical layout but the block uses a transform
+    # tag (F64_XOR) a v4 reader would silently misdecode as raw bits —
+    # stamped per-envelope so only blocks that NEED the new tag demand the
+    # newer reader, and every pre-existing store stays readable
+    if ver not in (ENV_VERSION, ENV_VERSION_XOR):
         raise ValueError(f"columnar envelope version {ver} unsupported")
     tc = r.u8()
     unit = r.u8()

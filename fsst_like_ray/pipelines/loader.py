@@ -175,6 +175,13 @@ def plan_training_batches(
     if not 0 <= rank < world_size:
         raise ValueError(f"rank {rank} not in [0, {world_size})")
     fmt = _store_format(store_dir)
+    params = {
+        "batch_tokens": batch_tokens,
+        "n_tok_col": n_tok_col,
+        "rank": rank,
+        "world_size": world_size,
+        "epoch": tuple(epoch) if epoch is not None else None,
+    }
     plan = []
     step = 0
     for rec in _ordered_fragments(store_dir, rank, world_size, epoch):
@@ -192,6 +199,7 @@ def plan_training_batches(
                 "fragment": rec["fragment"],
                 "first_step": step,
                 "boundaries": bounds,
+                "params": params,
             }
         )
         step += len(bounds) - 1
@@ -222,6 +230,26 @@ def iter_training_batches(
         plan = plan_training_batches(
             store_dir, batch_tokens, n_tok_col, rank, world_size, epoch
         )
+    elif plan:
+        # a plan is a pure function of (store, these params): a reused plan
+        # built for a DIFFERENT epoch/rank/budget would silently serve the
+        # wrong order or the wrong shard — refuse instead
+        want = {
+            "batch_tokens": batch_tokens,
+            "n_tok_col": n_tok_col,
+            "rank": rank,
+            "world_size": world_size,
+            "epoch": tuple(epoch) if epoch is not None else None,
+        }
+        have = plan[0].get("params")
+        have = dict(
+            have, epoch=tuple(have["epoch"]) if have.get("epoch") else None
+        ) if have else None
+        if have != want:
+            raise ValueError(
+                f"loader: plan was built with {have}, called with {want} — "
+                "recompute the plan for these parameters"
+            )
     cols = list(columns)
     if tokens_col not in cols:
         cols.append(tokens_col)

@@ -4238,3 +4238,33 @@ def test_float64_xor_transform():
     x = _xor64_fwd(bits)
     back = np.bitwise_xor.accumulate(x.view(np.uint64)).view(np.int64)
     assert np.array_equal(back, bits)
+
+
+def test_float64_xor_empty_block_and_version_stamp():
+    """Review regressions: a forced-xor spec must survive a 0-row batch
+    (Ray map_batches emits them), and xor envelopes stamp ENV_VERSION_XOR
+    so a pre-xor reader fails loudly instead of returning garbage."""
+    from fsst_like_ray.pipelines.columnar import (
+        ENV_VERSION,
+        ENV_VERSION_XOR,
+        encode_columns_batch,
+        train_columnar_spec,
+    )
+
+    t = pa.table({"v": pa.array(np.linspace(0.1, 9.9, 64) * np.pi)})
+    spec = train_columnar_spec(t)
+    spec["v"]["f64"] = "xor"
+    spec["v"].pop("alp_e", None)
+    empty = decode_columns_batch(
+        encode_columns_batch(t.slice(0, 0), spec=spec)
+    )
+    assert empty.num_rows == 0
+    def first_env(enc):
+        col = enc["v__blk"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return bytes(col[0].as_py())
+
+    assert first_env(encode_columns_batch(t, spec=spec))[0] == \
+        ENV_VERSION_XOR
+    assert first_env(encode_columns_batch(t))[0] == ENV_VERSION

@@ -225,3 +225,19 @@ def test_corpus_store_format(store, tmp_path_factory, ray_session):
         )
     )
     assert len(resumed) == len(plan[-1]["boundaries"]) - 1
+
+
+def test_plan_param_mismatch_refused(store):
+    plan = plan_training_batches(store, BUDGET)
+    with pytest.raises(ValueError, match="recompute the plan"):
+        next(iter_training_batches(store, BUDGET, epoch=(7, 1), plan=plan))
+    with pytest.raises(ValueError, match="recompute the plan"):
+        next(
+            iter_training_batches(
+                store, BUDGET, rank=1, world_size=2, plan=plan
+            )
+        )
+    with pytest.raises(ValueError, match="recompute the plan"):
+        next(iter_training_batches(store, BUDGET * 2, plan=plan))
+    # matching params still served
+    assert next(iter_training_batches(store, BUDGET, plan=plan))["step"] == 0

@@ -273,3 +273,30 @@ def test_sample_mask_matches_reference(seed):
         < np.uint64(rate * _SAMPLE_MOD)
     ]]
     assert sl == exp_sl
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=3000), max_size=200),
+    st.integers(min_value=1, max_value=2048),
+)
+def test_greedy_boundaries_properties(n_tok, budget):
+    """Loader packer invariants for ANY token-count sequence and budget:
+    boundaries partition the rows exactly once in order; every batch is
+    within budget or a single oversized row; packing is greedy-maximal
+    (the next row would not have fit)."""
+    from fsst_like_ray.pipelines.loader import greedy_boundaries
+
+    nt = np.asarray(n_tok, dtype=np.int64)
+    b = greedy_boundaries(nt, budget)
+    assert b[0] == 0 and b[-1] == len(nt)
+    assert (np.diff(b) >= 1).all() or len(nt) == 0
+    for i, j in zip(b[:-1], b[1:]):
+        s = int(nt[i:j].sum())
+        assert s <= budget or j - i == 1
+        if j < len(nt) and s <= budget:  # greedy-maximal
+            assert s + int(nt[j]) > budget
