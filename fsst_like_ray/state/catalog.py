@@ -159,7 +159,11 @@ def prune_catalog(
     catalog's managed ``stores/`` space that no retained version still
     references (several versions may share a store; unmanaged paths are
     never touched). HEAD always survives. Returns {pruned_versions,
-    deleted_stores, kept, reclaimed_bytes}."""
+    deleted_stores, kept, reclaimed_bytes}. Also reclaims managed store
+    dirs NO version references at all — the leftovers of a prune that
+    crashed between deleting records and deleting stores (records go
+    first, so a crash can only ever strand data, never leave a dangling
+    record)."""
     if keep_last < 1:
         raise ValueError("prune_catalog: keep_last must be >= 1")
     recs = _records(catalog_dir)
@@ -171,12 +175,21 @@ def prune_catalog(
     drop = [v for v in ordered if v not in keep]
     kept_stores = {os.path.realpath(recs[v]["store"]) for v in keep}
     managed_root = os.path.realpath(os.path.join(catalog_dir, "stores"))
+    candidates = [os.path.realpath(recs[v]["store"]) for v in drop]
+    if os.path.isdir(managed_root):
+        all_refs = {os.path.realpath(recs[v]["store"]) for v in ordered}
+        candidates += [
+            p
+            for name in sorted(os.listdir(managed_root))
+            if (p := os.path.realpath(os.path.join(managed_root, name)))
+            not in all_refs  # referenced by NO record: crashed-prune stray
+        ]
     doomed: list[str] = []
-    for v in drop:
-        s = os.path.realpath(recs[v]["store"])
+    for s in candidates:
         if (
             s not in kept_stores
             and os.path.commonpath([s, managed_root]) == managed_root
+            and s != managed_root
             and os.path.isdir(s)
             and s not in doomed
         ):

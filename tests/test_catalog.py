@@ -123,3 +123,29 @@ def test_prune_reclaims_only_managed_unreferenced_stores(
     assert _ids(read_version(cat)) == list(range(10))
     with pytest.raises(ValueError):
         prune_catalog(cat, keep_last=0)
+
+
+def test_prune_reclaims_crashed_prune_strays(tmp_path_factory, ray_session):
+    """A prune that died between record deletion and store deletion leaves
+    a managed dir no record references; the next prune reclaims it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("prune_stray")
+    src = str(base / "s.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(5), type=pa.int64())}), src
+    )
+    cat = str(base / "cat")
+    m1 = managed_store_path(cat, "v1")
+    compress_table(src, m1)
+    commit_version(cat, m1, op="compress")
+    # simulate the crash artifact: a managed dir with no version record
+    stray = managed_store_path(cat, "stray_from_crashed_prune")
+    compress_table(src, stray)
+    out = prune_catalog(cat, keep_last=5, dry_run=True)
+    assert out["deleted_stores"] == [os.path.realpath(stray)]
+    prune_catalog(cat, keep_last=5)
+    assert not os.path.isdir(stray)
+    assert os.path.isdir(m1)  # referenced store untouched
+    assert _ids(read_version(cat)) == list(range(5))
