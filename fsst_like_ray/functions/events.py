@@ -539,3 +539,93 @@ def hourly_ohlc(
         .groupby([key_col, "hour"])
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def resample_locf(
+    events: "ray.data.Dataset",
+    step_s: int = 3600,
+    key_col: str = "event_type",
+    fill_cents: int = -1,
+):
+    """Fixed-grid resample with last-observation-carried-forward gap fill:
+    per key, every ``step_s`` bucket on the GLOBAL [min, max] time grid
+    gets the bucket's last value (by (ts, event_id) — deterministic under
+    any repartitioning), and empty buckets carry the previous bucket's
+    value forward (``fill_cents`` before the first observation).
+
+    Scale shape: phase 1 is a vectorized per-batch partial (one row per
+    (key, bucket, block) — the bucket's last observation in that block);
+    phase 2 is ONE groupby(key) whose per-key group is partial rows
+    (∝ occupied buckets, never events), merged with a vectorized
+    lexsort + unique last-per-bucket + running-maximum LOCF index fill.
+    The grid bounds ride a tiny driver-side aggregate. Per-key output is
+    #grid buckets — bound step_s so (span / step_s) fits a worker."""
+    from ray.data.aggregate import Max, Min
+
+    def to_parts(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = ts // (step_s * 1_000_000)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(val * 100 + 0.5).astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        key = b[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        enc = key.dictionary_encode()
+        ki = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # last (ts, event_id) per (key, bucket) in THIS block: stable
+        # lexsort then take each group's final element
+        order = np.lexsort((eid, ts, bucket, ki))
+        kb = np.stack([ki[order], bucket[order]], axis=1)
+        changed = np.empty(len(order), dtype=bool)
+        if len(order):
+            changed[:-1] = (kb[1:] != kb[:-1]).any(axis=1)
+            changed[-1] = True
+        last = order[changed] if len(order) else order
+        return pa.table(
+            {
+                key_col: key.take(pa.array(last)),
+                "bucket": pa.array(bucket[last], type=pa.int64()),
+                "cents": pa.array(cents[last], type=pa.int64()),
+                "ts_us": pa.array(ts[last], type=pa.int64()),
+                "event_id": pa.array(eid[last], type=pa.int64()),
+            }
+        )
+
+    parts = events.map_batches(to_parts, batch_format="pyarrow")
+    bounds = parts.aggregate(Min("bucket"), Max("bucket"))
+    b0, b1 = int(bounds["min(bucket)"]), int(bounds["max(bucket)"])
+    n_grid = b1 - b0 + 1
+
+    def fill(g: pa.Table) -> pa.Table:
+        bucket = g["bucket"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, bucket))
+        changed = np.empty(len(order), dtype=bool)
+        changed[:-1] = bucket[order][1:] != bucket[order][:-1]
+        changed[-1] = True
+        last = order[changed]
+        # LOCF over the grid: scatter positions of observed buckets, then
+        # running max carries each forward until the next observation
+        slot = np.full(n_grid, -1, dtype=np.int64)
+        slot[bucket[last] - b0] = np.arange(len(last))
+        np.maximum.accumulate(slot, out=slot)
+        out = np.full(n_grid, fill_cents, dtype=np.int64)
+        seen = slot >= 0
+        out[seen] = cents[last][slot[seen]]
+        key = g[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        return pa.table(
+            {
+                key_col: pa.array([key[0].as_py()] * n_grid, type=key.type),
+                "bucket": pa.array(
+                    np.arange(b0, b1 + 1, dtype=np.int64), type=pa.int64()
+                ),
+                "cents": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    return parts.groupby(key_col).map_groups(fill, batch_format="pyarrow")

@@ -3087,6 +3087,30 @@ def q_events_hourly_ohlc(sf_dir: str):
     ).sort(["event_type", "hour"])
 
 
+def q_events_resample(sf_dir: str):
+    """Fixed-grid hourly resample with LOCF gap fill (functions/events.py
+    resample_locf): per event_type, every hour on the global grid carries
+    the bucket's last value (by (ts, event_id)) or the previous bucket's
+    forward-filled value (-1 before the first observation). One partial
+    pass + one groupby(key) of partial rows; the oracle rebuilds the grid
+    with generate_series + last_value(IGNORE NULLS)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    out = F_events.resample_locf(ds, step_s=3600)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "bucket": b["bucket"].cast(pa.int64()),
+                "cents": b["cents"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 CHUNK_LEN = 100
 CHUNK_STRIDE = 80
 
@@ -8815,6 +8839,7 @@ def build_queries() -> dict:
     q["docs_epoch_shuffle"] = q_docs_epoch_shuffle
     q["training_loader_gate"] = q_training_loader_gate
     q["store_time_travel"] = q_store_time_travel
+    q["events_resample"] = q_events_resample
     q["docs_decontaminate"] = q_docs_decontaminate
     q["online_dedup_epochs"] = q_online_dedup_epochs
     q["quantile_sketch_gate"] = q_quantile_sketch_gate
@@ -9894,6 +9919,35 @@ def build_oracle_sql() -> dict:
         UNION ALL
         SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT),
                CAST(sum(vsum) AS BIGINT) FROM cp WHERE doc_id % 2 = 1
+    """
+    sql["events_resample"] = """
+        WITH src AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                 ts, event_id
+          FROM events),
+        lastv AS (
+          SELECT event_type, bucket, cents FROM (
+            SELECT event_type, bucket, cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM src) WHERE rn = 1),
+        bounds AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM src),
+        grid AS (
+          SELECT t.event_type, g.bucket
+          FROM (SELECT DISTINCT event_type FROM src) t,
+               (SELECT unnest(range((SELECT b0 FROM bounds),
+                                    (SELECT b1 FROM bounds) + 1))
+                       AS bucket) g),
+        filled AS (
+          SELECT grid.event_type, grid.bucket,
+                 last_value(lastv.cents IGNORE NULLS) OVER (
+                   PARTITION BY grid.event_type ORDER BY grid.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cents
+          FROM grid LEFT JOIN lastv USING (event_type, bucket))
+        SELECT event_type, bucket, COALESCE(cents, -1) AS cents FROM filled
     """
     sql["docs_sample2_per_source"] = """
         SELECT source, doc_id FROM (

@@ -790,3 +790,47 @@ def test_hourly_ohlc_deterministic_across_blocks(ray_session):
         assert out.loc[0, "n"] == 3
         # type b: open id 10, close id 11
         assert (out.loc[1, ["open_cents", "close_cents"]] == [500, 600]).all()
+
+
+def test_resample_locf_semantics(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fsst_like_ray.functions.events import resample_locf
+
+    us = 1_000_000
+    # key 'a': hours 0 and 3 observed (hour 0 has two rows — last by
+    # (ts,event_id) wins); key 'b': only hour 2 observed
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "ts": pa.array(
+                [10 * us, 20 * us, 3 * 3600 * us, 2 * 3600 * us],
+                type=pa.timestamp("us"),
+            ),
+            "event_type": pa.array(["a", "a", "a", "b"]),
+            "value": pa.array([1.0, 2.0, 3.0, 9.0]),
+        }
+    )
+    for parts in (1, 3):  # determinism under repartitioning
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = (
+            resample_locf(ds, step_s=3600)
+            .to_pandas()
+            .sort_values(["event_type", "bucket"])
+            .reset_index(drop=True)
+        )
+        got = list(
+            zip(out["event_type"], out["bucket"], out["cents"])
+        )
+        assert got == [
+            ("a", 0, 200),   # last of the two hour-0 rows
+            ("a", 1, 200),   # gap: carried forward
+            ("a", 2, 200),
+            ("a", 3, 300),
+            ("b", 0, -1),    # before first observation: fill
+            ("b", 1, -1),
+            ("b", 2, 900),
+            ("b", 3, 900),   # carried to the end of the global grid
+        ]
