@@ -3605,6 +3605,40 @@ def q_docs_decontaminate(sf_dir: str):
     return contamination_report(train, bench, k=5)
 
 
+SPLIT_VAL_PCT, SPLIT_TEST_PCT = 5, 5  # of 10_000 hash buckets ×100
+
+
+def q_docs_split(sf_dir: str):
+    """Deterministic train/val/test assignment: split = a pure function of
+    hash32(doc_id) mod 10000 (same multiplicative hash as the samplers), so
+    membership is reproducible across runs, clusters and downstream jobs,
+    and documents never leak between splits when the corpus grows (a doc's
+    split never changes). Shuffle-free single pass; oracle restates the
+    hash + CASE thresholds."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    val_hi = SPLIT_VAL_PCT * 100
+    test_hi = val_hi + SPLIT_TEST_PCT * 100
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            10_000
+        )
+        split = np.where(
+            h < val_hi, "val", np.where(h < test_hi, "test", "train")
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "split": pa.array(split.astype(object), type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def q_docs_mixture_sample(sf_dir: str):
     """Data-mixture sampling: per-SOURCE keep rates (basis points) applied
     via the seeded multiplicative doc_id hash — the deterministic
@@ -8840,6 +8874,7 @@ def build_queries() -> dict:
     q["training_loader_gate"] = q_training_loader_gate
     q["store_time_travel"] = q_store_time_travel
     q["events_resample"] = q_events_resample
+    q["docs_split"] = q_docs_split
     q["docs_decontaminate"] = q_docs_decontaminate
     q["online_dedup_epochs"] = q_online_dedup_epochs
     q["quantile_sketch_gate"] = q_quantile_sketch_gate
@@ -9948,6 +9983,16 @@ def build_oracle_sql() -> dict:
                  AS cents
           FROM grid LEFT JOIN lastv USING (event_type, bucket))
         SELECT event_type, bucket, COALESCE(cents, -1) AS cents FROM filled
+    """
+    sql["docs_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN (doc_id * 2654435761) % 10000
+                         < {SPLIT_VAL_PCT * 100} THEN 'val'
+                    WHEN (doc_id * 2654435761) % 10000
+                         < {(SPLIT_VAL_PCT + SPLIT_TEST_PCT) * 100}
+                         THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
     """
     sql["docs_sample2_per_source"] = """
         SELECT source, doc_id FROM (
