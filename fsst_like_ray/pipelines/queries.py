@@ -8692,20 +8692,23 @@ DRIVER_WINDOW = [
     "like_multi_kmp",
     "columnar_like_scan",
     "engine_rank_counts",
-    # text analysis
+    # text analysis (fingerprint/token_count_bpe verified outside the
+    # window — slots traded to the training-consumption family below)
     "token_count",
     "quality_score",
     "lang_id",
-    "fingerprint",
-    "token_count_bpe",
     "docs_redact_pii",
-    # corpus preparation
-    "docs_normalize",
-    "docs_chunked",
+    # corpus preparation (normalize/chunked verified outside the window)
     "pack_sequences",
     "docs_mixture_sample",
     "docs_decontaminate",
     "pipeline_pretrain_corpus",
+    # training consumption (session 10): epoch ordering, store→batch
+    # loader, versioned time travel, time-series gap fill
+    "docs_epoch_shuffle",
+    "training_loader_gate",
+    "store_time_travel",
+    "events_resample",
     # deduplication families
     "dedup_exact",
     "dedup_cc_exact",
