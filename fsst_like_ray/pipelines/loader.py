@@ -70,13 +70,19 @@ def _parts_in_order(store_dir: str, frag_key: str, fmt: str) -> list[str]:
     ]
 
 
-def greedy_boundaries(n_tok: np.ndarray, batch_tokens: int) -> np.ndarray:
+def greedy_boundaries(
+    n_tok: np.ndarray, batch_tokens: int, batch_rows: int | None = None
+) -> np.ndarray:
     """Row indices [0, b1, b2, ..., n] of greedy token-budget batches:
     each batch takes the longest row-prefix whose token sum stays within
-    ``batch_tokens`` (at least one row). O(#batches) via searchsorted over
-    the cumulative sum — no per-row Python."""
+    ``batch_tokens`` (at least one row) AND, when ``batch_rows`` is set,
+    at most that many rows (trainers cap sequences per batch alongside
+    tokens). O(#batches) via searchsorted over the cumulative sum — no
+    per-row Python."""
     if batch_tokens <= 0:
         raise ValueError("batch_tokens must be positive")
+    if batch_rows is not None and batch_rows < 1:
+        raise ValueError("batch_rows must be >= 1")
     n = len(n_tok)
     cs = np.cumsum(n_tok, dtype=np.int64)
     bounds = [0]
@@ -86,6 +92,8 @@ def greedy_boundaries(n_tok: np.ndarray, batch_tokens: int) -> np.ndarray:
         j = int(np.searchsorted(cs, base + batch_tokens, side="right"))
         if j <= i:  # single row over budget: its own (oversized) batch
             j = i + 1
+        if batch_rows is not None:
+            j = min(j, i + batch_rows)
         bounds.append(j)
         base = int(cs[j - 1])
         i = j
@@ -168,6 +176,7 @@ def plan_training_batches(
     rank: int = 0,
     world_size: int = 1,
     epoch: tuple[int, int] | None = None,
+    batch_rows: int | None = None,
 ) -> list[dict]:
     """The seek index: per owned fragment (in order), the greedy batch
     boundaries — computed from the encoded ``n_tok_col`` ALONE. Returns
@@ -181,6 +190,7 @@ def plan_training_batches(
         "rank": rank,
         "world_size": world_size,
         "epoch": tuple(epoch) if epoch is not None else None,
+        "batch_rows": batch_rows,
     }
     plan = []
     step = 0
@@ -192,7 +202,7 @@ def plan_training_batches(
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        bounds = greedy_boundaries(nt, batch_tokens)
+        bounds = greedy_boundaries(nt, batch_tokens, batch_rows)
         plan.append(
             {
                 "frag_key": rec["frag_key"],
@@ -216,6 +226,7 @@ def iter_training_batches(
     rank: int = 0,
     world_size: int = 1,
     epoch: tuple[int, int] | None = None,
+    batch_rows: int | None = None,
     plan: list[dict] | None = None,
 ):
     """Yield training batches from a committed store.
@@ -228,7 +239,8 @@ def iter_training_batches(
     planning pass on restart."""
     if plan is None:
         plan = plan_training_batches(
-            store_dir, batch_tokens, n_tok_col, rank, world_size, epoch
+            store_dir, batch_tokens, n_tok_col, rank, world_size, epoch,
+            batch_rows,
         )
     elif plan:
         # a plan is a pure function of (store, these params): a reused plan
@@ -240,6 +252,7 @@ def iter_training_batches(
             "rank": rank,
             "world_size": world_size,
             "epoch": tuple(epoch) if epoch is not None else None,
+            "batch_rows": batch_rows,
         }
         have = plan[0].get("params")
         have = dict(

@@ -241,3 +241,22 @@ def test_plan_param_mismatch_refused(store):
         next(iter_training_batches(store, BUDGET * 2, plan=plan))
     # matching params still served
     assert next(iter_training_batches(store, BUDGET, plan=plan))["step"] == 0
+
+
+def test_batch_rows_cap(store):
+    capped = list(iter_training_batches(store, BUDGET, batch_rows=3))
+    uncapped = list(iter_training_batches(store, BUDGET))
+    assert all(b["n_rows"] <= 3 for b in capped)
+    assert len(capped) >= len(uncapped)
+    # same rows, same order — only the boundaries move
+    assert [d for b in capped for d in b["doc_id"].tolist()] == [
+        d for b in uncapped for d in b["doc_id"].tolist()
+    ]
+    # a plan built without the cap is refused with it
+    plan = plan_training_batches(store, BUDGET)
+    with pytest.raises(ValueError, match="recompute the plan"):
+        next(iter_training_batches(store, BUDGET, batch_rows=3, plan=plan))
+    from fsst_like_ray.pipelines.loader import greedy_boundaries
+
+    with pytest.raises(ValueError):
+        greedy_boundaries(np.array([1, 2]), 10, batch_rows=0)
