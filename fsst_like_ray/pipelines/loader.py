@@ -177,10 +177,19 @@ def plan_training_batches(
     world_size: int = 1,
     epoch: tuple[int, int] | None = None,
     batch_rows: int | None = None,
+    parallel: bool | None = None,
 ) -> list[dict]:
     """The seek index: per owned fragment (in order), the greedy batch
     boundaries — computed from the encoded ``n_tok_col`` ALONE. Returns
-    [{"frag_key", "fragment", "first_step", "boundaries"}, ...]."""
+    [{"frag_key", "fragment", "first_step", "boundaries"}, ...].
+
+    ``parallel``: fan the per-fragment n_tok reads out as Ray tasks (the
+    boundaries are per-fragment-local, so the plan parallelizes perfectly;
+    only (frag_key, boundaries) rows return to the driver). Default None =
+    auto: parallel when a Ray session is live and the rank owns more than
+    32 fragments — at 100 TB the plan is otherwise an O(#fragments)
+    sequential scan standing between a restart and its first batch.
+    Results are bit-identical either way."""
     if not 0 <= rank < world_size:
         raise ValueError(f"rank {rank} not in [0, {world_size})")
     fmt = _store_format(store_dir)
@@ -192,17 +201,50 @@ def plan_training_batches(
         "epoch": tuple(epoch) if epoch is not None else None,
         "batch_rows": batch_rows,
     }
-    plan = []
-    step = 0
-    for rec in _ordered_fragments(store_dir, rank, world_size, epoch):
+    recs = _ordered_fragments(store_dir, rank, world_size, epoch)
+
+    def frag_bounds(frag_key: str) -> np.ndarray:
         nt = (
-            _read_fragment(store_dir, rec["frag_key"], [n_tok_col], fmt)[
-                n_tok_col
-            ]
+            _read_fragment(store_dir, frag_key, [n_tok_col], fmt)[n_tok_col]
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        bounds = greedy_boundaries(nt, batch_tokens, batch_rows)
+        return greedy_boundaries(nt, batch_tokens, batch_rows)
+
+    if parallel is None or parallel:
+        try:
+            import ray
+
+            ray_ok = ray.is_initialized()
+        except ImportError:
+            ray_ok = False
+        if parallel and not ray_ok:
+            raise RuntimeError(
+                "plan_training_batches(parallel=True) needs a live Ray "
+                "session"
+            )
+        parallel = ray_ok and (parallel or len(recs) > 32)
+    all_bounds: list[np.ndarray]
+    if parallel:
+        import ray
+
+        @ray.remote
+        def chunk_bounds(keys: list[str]) -> list[np.ndarray]:
+            return [frag_bounds(k) for k in keys]
+
+        keys = [r["frag_key"] for r in recs]
+        step_n = max(1, (len(keys) + 127) // 128)  # ≤128 tasks per plan
+        refs = [
+            chunk_bounds.remote(keys[i : i + step_n])
+            for i in range(0, len(keys), step_n)
+        ]
+        all_bounds = [b for chunk in ray.get(refs) for b in chunk]
+    else:
+        all_bounds = [frag_bounds(r["frag_key"]) for r in recs]
+
+    plan = []
+    step = 0
+    for rec, bounds in zip(recs, all_bounds):
         plan.append(
             {
                 "frag_key": rec["frag_key"],

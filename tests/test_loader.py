@@ -260,3 +260,19 @@ def test_batch_rows_cap(store):
 
     with pytest.raises(ValueError):
         greedy_boundaries(np.array([1, 2]), 10, batch_rows=0)
+
+
+def test_parallel_plan_identical(store, ray_session):
+    seq = plan_training_batches(store, BUDGET, parallel=False)
+    par = plan_training_batches(store, BUDGET, parallel=True)
+    assert len(seq) == len(par)
+    for a, b in zip(seq, par):
+        assert a["frag_key"] == b["frag_key"]
+        assert a["first_step"] == b["first_step"]
+        assert np.array_equal(a["boundaries"], b["boundaries"])
+    # a parallel-built plan serves batches interchangeably
+    x = list(iter_training_batches(store, BUDGET, plan=par))
+    y = list(iter_training_batches(store, BUDGET, plan=seq))
+    assert [b["step"] for b in x] == [b["step"] for b in y]
+    for a, b in zip(x, y):
+        assert np.array_equal(a["tokens"], b["tokens"])
