@@ -178,6 +178,7 @@ def plan_training_batches(
     epoch: tuple[int, int] | None = None,
     batch_rows: int | None = None,
     parallel: bool | None = None,
+    order: str = "store",
 ) -> list[dict]:
     """The seek index: per owned fragment (in order), the greedy batch
     boundaries — computed from the encoded ``n_tok_col`` ALONE. Returns
@@ -189,7 +190,16 @@ def plan_training_batches(
     auto: parallel when a Ray session is live and the rank owns more than
     32 fragments — at 100 TB the plan is otherwise an O(#fragments)
     sequential scan standing between a restart and its first batch.
-    Results are bit-identical either way."""
+    Results are bit-identical either way.
+
+    ``order``: "store" (default) packs rows in store order; "length"
+    stably sorts each fragment's rows by n_tok first, so batches hold
+    similar-length sequences — for fixed-shape trainers that pad to the
+    batch max, this cuts padding waste while staying deterministic and
+    fragment-local (no shuffle; document locality within a batch is
+    traded away)."""
+    if order not in ("store", "length"):
+        raise ValueError(f"order must be 'store' or 'length', got {order!r}")
     if not 0 <= rank < world_size:
         raise ValueError(f"rank {rank} not in [0, {world_size})")
     fmt = _store_format(store_dir)
@@ -200,16 +210,21 @@ def plan_training_batches(
         "world_size": world_size,
         "epoch": tuple(epoch) if epoch is not None else None,
         "batch_rows": batch_rows,
+        "order": order,
     }
     recs = _ordered_fragments(store_dir, rank, world_size, epoch)
 
-    def frag_bounds(frag_key: str) -> np.ndarray:
+    def frag_bounds(frag_key: str):
         nt = (
             _read_fragment(store_dir, frag_key, [n_tok_col], fmt)[n_tok_col]
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        return greedy_boundaries(nt, batch_tokens, batch_rows)
+        row_order = None
+        if order == "length":
+            row_order = np.argsort(nt, kind="stable").astype(np.int64)
+            nt = nt[row_order]
+        return greedy_boundaries(nt, batch_tokens, batch_rows), row_order
 
     if parallel is None or parallel:
         try:
@@ -229,7 +244,7 @@ def plan_training_batches(
         import ray
 
         @ray.remote
-        def chunk_bounds(keys: list[str]) -> list[np.ndarray]:
+        def chunk_bounds(keys: list[str]):
             return [frag_bounds(k) for k in keys]
 
         keys = [r["frag_key"] for r in recs]
@@ -244,16 +259,17 @@ def plan_training_batches(
 
     plan = []
     step = 0
-    for rec, bounds in zip(recs, all_bounds):
-        plan.append(
-            {
-                "frag_key": rec["frag_key"],
-                "fragment": rec["fragment"],
-                "first_step": step,
-                "boundaries": bounds,
-                "params": params,
-            }
-        )
+    for rec, (bounds, row_order) in zip(recs, all_bounds):
+        ent = {
+            "frag_key": rec["frag_key"],
+            "fragment": rec["fragment"],
+            "first_step": step,
+            "boundaries": bounds,
+            "params": params,
+        }
+        if row_order is not None:
+            ent["row_order"] = row_order
+        plan.append(ent)
         step += len(bounds) - 1
     return plan
 
@@ -269,6 +285,7 @@ def iter_training_batches(
     world_size: int = 1,
     epoch: tuple[int, int] | None = None,
     batch_rows: int | None = None,
+    order: str = "store",
     plan: list[dict] | None = None,
 ):
     """Yield training batches from a committed store.
@@ -282,7 +299,7 @@ def iter_training_batches(
     if plan is None:
         plan = plan_training_batches(
             store_dir, batch_tokens, n_tok_col, rank, world_size, epoch,
-            batch_rows,
+            batch_rows, order=order,
         )
     elif plan:
         # a plan is a pure function of (store, these params): a reused plan
@@ -295,6 +312,7 @@ def iter_training_batches(
             "world_size": world_size,
             "epoch": tuple(epoch) if epoch is not None else None,
             "batch_rows": batch_rows,
+            "order": order,
         }
         have = plan[0].get("params")
         have = dict(
@@ -315,6 +333,8 @@ def iter_training_batches(
         if ent["first_step"] + n_batches <= start_step:
             continue
         tbl = _read_fragment(store_dir, ent["frag_key"], cols, fmt)
+        if "row_order" in ent:  # order="length": the plan's permutation
+            tbl = tbl.take(pa.array(ent["row_order"]))
         toks = tbl[tokens_col]
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()

@@ -276,3 +276,46 @@ def test_parallel_plan_identical(store, ray_session):
     assert [b["step"] for b in x] == [b["step"] for b in y]
     for a, b in zip(x, y):
         assert np.array_equal(a["tokens"], b["tokens"])
+
+
+def test_length_order_reduces_padding(store):
+    base = list(iter_training_batches(store, BUDGET))
+    bylen = list(iter_training_batches(store, BUDGET, order="length"))
+    # same rows served exactly once, just re-batched
+    assert sorted(d for b in bylen for d in b["doc_id"].tolist()) == sorted(
+        d for b in base for d in b["doc_id"].tolist()
+    )
+    # token payloads still correct per row under the permutation
+    tbl = _store_rows(store)
+    by_id = dict(
+        zip(tbl["doc_id"].to_pylist(), tbl["tokens"].combine_chunks().to_pylist())
+    )
+    for b in bylen[:5]:
+        ro = b["row_offsets"]
+        for k, did in enumerate(b["doc_id"]):
+            assert b["tokens"][ro[k] : ro[k + 1]].tolist() == by_id[did]
+    # rows within a batch are length-sorted, and padded waste shrinks
+    def waste(batches):
+        pad = tok = 0
+        for b in batches:
+            lens = np.diff(b["row_offsets"])
+            pad += int(b["n_rows"] * lens.max() - lens.sum())
+            tok += int(lens.sum())
+        return pad / tok
+
+    for b in bylen:
+        lens = np.diff(b["row_offsets"])
+        assert (np.diff(lens) >= 0).all()
+    assert waste(bylen) < waste(base)
+    # resume inside a length-ordered stream is exact
+    mid = len(bylen) // 2
+    resumed = list(
+        iter_training_batches(store, BUDGET, order="length", start_step=mid)
+    )
+    for a, b in zip(bylen[mid:], resumed):
+        assert a["step"] == b["step"]
+        assert np.array_equal(a["tokens"], b["tokens"])
+    # plan param guard covers order too
+    plan = plan_training_batches(store, BUDGET)
+    with pytest.raises(ValueError, match="recompute the plan"):
+        next(iter_training_batches(store, BUDGET, order="length", plan=plan))
