@@ -863,6 +863,7 @@ def cmd_table_batches(args) -> int:
     plan = plan_training_batches(
         args.store, args.budget, rank=args.rank,
         world_size=args.world_size, epoch=epoch,
+        batch_rows=args.batch_rows, order=args.order,
     )
     plan_sec = time.time() - t0
     tokens = batches = rows = 0
@@ -870,7 +871,7 @@ def cmd_table_batches(args) -> int:
     for b in iter_training_batches(
         args.store, args.budget, start_step=args.start_step,
         rank=args.rank, world_size=args.world_size, epoch=epoch,
-        plan=plan,
+        batch_rows=args.batch_rows, order=args.order, plan=plan,
     ):
         if batches < args.head:
             print(
@@ -1366,6 +1367,8 @@ def main(argv=None) -> int:
     tb.add_argument("--seed", type=int, default=0)
     tb.add_argument("--epoch", type=int, default=None)
     tb.add_argument("--head", type=int, default=3)
+    tb.add_argument("--batch-rows", type=int, default=None)
+    tb.add_argument("--order", choices=["store", "length"], default="store")
     tb.set_defaults(fn=cmd_table_batches)
 
     cc = sub.add_parser(
