@@ -3610,11 +3610,13 @@ SPLIT_VAL_PCT, SPLIT_TEST_PCT = 5, 5  # of 10_000 hash buckets ×100
 
 def q_docs_split(sf_dir: str):
     """Deterministic train/val/test assignment: split = a pure function of
-    hash32(doc_id) mod 10000 (same multiplicative hash as the samplers), so
-    membership is reproducible across runs, clusters and downstream jobs,
-    and documents never leak between splits when the corpus grows (a doc's
-    split never changes). Shuffle-free single pass; oracle restates the
-    hash + CASE thresholds."""
+    hash32(doc_id) mod 10000 (same multiplicative hash as the samplers,
+    including the mod-2^32 reduction, so the value is identical however
+    wide the intermediate product is), so membership is reproducible
+    across runs, clusters and downstream jobs, and documents never leak
+    between splits when the corpus grows (a doc's split never changes).
+    Shuffle-free single pass; oracle restates the hash + CASE thresholds
+    in HUGEINT so DuckDB cannot overflow at any doc_id."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     )
@@ -3623,9 +3625,10 @@ def q_docs_split(sf_dir: str):
 
     def assign(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
-            10_000
-        )
+        h = (
+            (ids.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(4294967296)
+        ) % np.uint64(10_000)
         split = np.where(
             h < val_hi, "val", np.where(h < test_hi, "test", "train")
         )
@@ -3653,9 +3656,10 @@ def q_docs_mixture_sample(sf_dir: str):
 
     def keep(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
-            10_000
-        )
+        h = (
+            (ids.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(4294967296)
+        ) % np.uint64(10_000)
         src = b["source"]
         if isinstance(src, pa.ChunkedArray):
             src = src.combine_chunks()
@@ -8673,7 +8677,7 @@ def q_dedup_keep_best(sf_dir: str):
 DRIVER_WINDOW = [
     # codec / encode / decode core
     "roundtrip_auto",
-    "roundtrip_fsst",
+    "docs_split",
     "roundtrip_fsst_shared",
     "compression_stats",
     "compression_ratio_gate",
@@ -8683,18 +8687,18 @@ DRIVER_WINDOW = [
     "columnar_roundtrip_docs",
     "columnar_store_roundtrip",
     "columnar_range_scan",
+    "columnar_store_groupby_dist",
     # compressed-domain LIKE engines (like_skipping stays oracle-verified
     # outside the window via engine_rank_counts, which asserts EVERY
     # engine's match counts; columnar_like_scan is the flagship fusion —
     # the LIKE engine stack running on the whole-table per-column layout)
-    "like_contains",
     "like_kmp",
     "like_multi_kmp",
     "columnar_like_scan",
     "engine_rank_counts",
     # text analysis (fingerprint/token_count_bpe verified outside the
     # window — slots traded to the training-consumption family below)
-    "token_count",
+    "docs_quality_filter_tokens",
     "quality_score",
     "lang_id",
     "docs_redact_pii",
@@ -8713,7 +8717,7 @@ DRIVER_WINDOW = [
     "dedup_exact",
     "dedup_cc_exact",
     "dedup_minhash",
-    "dedup_simhash",
+    "bpe_train_gate",
     "dedup_ngram_jaccard",
     "dedup_embedding",
     "dedup_spans_planted",
@@ -8733,7 +8737,7 @@ DRIVER_WINDOW = [
     "events_range_join",
     # relational joins / TPC-H shapes
     "tpch_q1",
-    "tpch_q10",
+    "tpch_q3",
     # persisted index, ingestion, multimodal
     "docs_word_search_indexed",
     "ingest_jsonl",
@@ -9304,7 +9308,7 @@ def build_oracle_sql() -> dict:
     """
     sql["columnar_store_sample"] = """
         SELECT event_id, event_type, user_id FROM events
-        WHERE ((event_id + 7) * 2654435761) % 4294967296
+        WHERE (CAST(event_id + 7 AS HUGEINT) * 2654435761) % 4294967296
               < CAST(0.25 * 4294967296 AS BIGINT)
     """
     sql["columnar_store_semijoin"] = """
@@ -9792,10 +9796,10 @@ def build_oracle_sql() -> dict:
             AND strlen(text) <= 10000
         ), bench AS (
           SELECT * FROM qual
-          WHERE (doc_id * 2654435761) % 4294967296 % 5 = 0
+          WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 5 = 0
         ), corp AS (
           SELECT * FROM qual
-          WHERE (doc_id * 2654435761) % 4294967296 % 5 <> 0
+          WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 5 <> 0
         ), dedup AS (
           SELECT * FROM corp
           QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
@@ -9908,16 +9912,17 @@ def build_oracle_sql() -> dict:
           QUALIFY lead(w, 4) OVER win IS NOT NULL
         ), b AS (
           SELECT DISTINCT gram FROM g
-          WHERE (doc_id * 2654435761) % 4294967296 % 5 = 0
+          WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 5 = 0
         )
         SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
         FROM g JOIN b USING (gram)
-        WHERE (g.doc_id * 2654435761) % 4294967296 % 5 <> 0
+        WHERE (CAST(g.doc_id AS HUGEINT) * 2654435761) % 4294967296 % 5 <> 0
         GROUP BY 1 ORDER BY 1
     """
     sql["docs_mixture_sample"] = f"""
         SELECT doc_id, source FROM documents
-        WHERE (doc_id * 2654435761) % 10000 <
+        WHERE (CAST(doc_id AS HUGEINT) * 2654435761)
+              % 4294967296 % 10000 <
               CASE source WHEN 'src0' THEN 10000
                           WHEN 'src1' THEN 7500
                           WHEN 'src2' THEN 5000
@@ -9989,9 +9994,11 @@ def build_oracle_sql() -> dict:
     """
     sql["docs_split"] = f"""
         SELECT doc_id,
-               CASE WHEN (doc_id * 2654435761) % 10000
+               CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761)
+                         % 4294967296 % 10000
                          < {SPLIT_VAL_PCT * 100} THEN 'val'
-                    WHEN (doc_id * 2654435761) % 10000
+                    WHEN (CAST(doc_id AS HUGEINT) * 2654435761)
+                         % 4294967296 % 10000
                          < {(SPLIT_VAL_PCT + SPLIT_TEST_PCT) * 100}
                          THEN 'test'
                     ELSE 'train' END AS split
@@ -10002,7 +10009,7 @@ def build_oracle_sql() -> dict:
           SELECT source, doc_id,
                  ROW_NUMBER() OVER (
                    PARTITION BY source
-                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id
                  ) AS rn
           FROM documents
         ) WHERE rn <= 2
@@ -10922,7 +10929,7 @@ def build_oracle_sql() -> dict:
     """
     sql["docs_shuffled_head"] = """
         SELECT doc_id,
-               CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h
+               CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h
         FROM documents
         ORDER BY h, doc_id LIMIT 25
     """
