@@ -958,7 +958,12 @@ def cmd_catalog_prune(args) -> int:
 
     print(
         json.dumps(
-            prune_catalog(args.catalog, args.keep_last, dry_run=args.dry_run)
+            prune_catalog(
+                args.catalog,
+                args.keep_last,
+                dry_run=args.dry_run,
+                stray_grace_s=args.stray_grace_s,
+            )
         )
     )
     return 0
@@ -1404,6 +1409,13 @@ def main(argv=None) -> int:
     cp.add_argument("catalog")
     cp.add_argument("--keep-last", type=int, default=2)
     cp.add_argument("--dry-run", action="store_true")
+    cp.add_argument(
+        "--stray-grace-s",
+        type=float,
+        default=3600.0,
+        help="reclaim unreferenced managed dirs only after this many "
+        "seconds of quiet (0 = immediate; offline janitor only)",
+    )
     cp.set_defaults(fn=cmd_catalog_prune)
 
     tvc = sub.add_parser(

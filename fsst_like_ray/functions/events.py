@@ -592,8 +592,21 @@ def resample_locf(
             }
         )
 
-    parts = events.map_batches(to_parts, batch_format="pyarrow")
+    # materialize so the driver-side bounds aggregate and the groupby below
+    # share ONE execution of the per-block partial pass
+    parts = events.map_batches(to_parts, batch_format="pyarrow").materialize()
     bounds = parts.aggregate(Min("bucket"), Max("bucket"))
+    if bounds is None or bounds.get("min(bucket)") is None:
+        # empty input: no buckets, no grid — return an empty, typed table
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    key_col: pa.array([], type=pa.string()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "cents": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     b0, b1 = int(bounds["min(bucket)"]), int(bounds["max(bucket)"])
     n_grid = b1 - b0 + 1
 

@@ -84,7 +84,16 @@ def commit_version(
     ``parent`` defaults to the current HEAD (None on the first commit).
     The store must already be fully committed — its lineage rollup is
     snapshotted into the record (rows / encoded bytes / fragment count),
-    which also VALIDATES the store before it becomes visible."""
+    which also VALIDATES the store before it becomes visible.
+
+    Concurrency contract: the version number is claimed FIRST-WRITER-WINS
+    — the record is staged to a per-pid tmp file then published with
+    ``os.link`` (atomic, fails EEXIST if the number is taken), so two
+    concurrent committers can never clobber each other's record; the
+    loser retries with the next free number. HEAD then only ever moves
+    FORWARD (re-checked right before the rename), so a slow committer
+    publishing version 4 after a faster one published 5 cannot rewind
+    readers."""
     from ..pipelines.tablestore import store_lineage_rollup
 
     roll = store_lineage_rollup(store_dir)
@@ -95,20 +104,31 @@ def commit_version(
     elif parent not in existing:
         raise ValueError(f"catalog: parent version {parent} does not exist")
     version = max(existing, default=0) + 1
-    rec = {
-        "version": version,
-        "store": os.path.abspath(store_dir),
-        "parent": parent,
-        "op": op,
-        "note": note,
-        "rows": roll["rows"],
-        "encoded_bytes": roll["encoded_bytes"],
-        "fragments": roll["fragments"],
-    }
-    _atomic_write(
-        os.path.join(_vdir(catalog_dir), f"{version}.json"), json.dumps(rec)
-    )
-    _atomic_write(_head_path(catalog_dir), str(version))
+    while True:
+        rec = {
+            "version": version,
+            "store": os.path.abspath(store_dir),
+            "parent": parent,
+            "op": op,
+            "note": note,
+            "rows": roll["rows"],
+            "encoded_bytes": roll["encoded_bytes"],
+            "fragments": roll["fragments"],
+        }
+        final = os.path.join(_vdir(catalog_dir), f"{version}.json")
+        tmp = f"{final}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(rec))
+        try:
+            os.link(tmp, final)  # atomic claim; EEXIST = number taken
+            break
+        except FileExistsError:
+            version += 1
+        finally:
+            os.unlink(tmp)
+    # move HEAD forward only — never rewind past a concurrent committer
+    if (head_version(catalog_dir) or 0) < version:
+        _atomic_write(_head_path(catalog_dir), str(version))
     return version
 
 
@@ -152,7 +172,10 @@ def history(catalog_dir: str) -> list[dict]:
 
 
 def prune_catalog(
-    catalog_dir: str, keep_last: int, dry_run: bool = False
+    catalog_dir: str,
+    keep_last: int,
+    dry_run: bool = False,
+    stray_grace_s: float = 3600.0,
 ) -> dict:
     """Retention GC: drop version records older than the newest
     ``keep_last`` and reclaim their store dirs — but ONLY dirs under the
@@ -163,9 +186,17 @@ def prune_catalog(
     dirs NO version references at all — the leftovers of a prune that
     crashed between deleting records and deleting stores (records go
     first, so a crash can only ever strand data, never leave a dangling
-    record)."""
+    record) — but only once the dir has been quiet for ``stray_grace_s``
+    seconds (newest mtime anywhere under it): a store mid-write via
+    ``compress_table`` into ``managed_store_path`` whose commit_version
+    hasn't run yet looks exactly like a stray, and the grace period keeps
+    a concurrent routine prune from rmtree-ing it out from under the
+    writer. Pass ``stray_grace_s=0`` to force immediate stray reclaim
+    (offline janitor, no writers possible)."""
     if keep_last < 1:
         raise ValueError("prune_catalog: keep_last must be >= 1")
+    import time
+
     recs = _records(catalog_dir)
     ordered = sorted(recs)
     head = head_version(catalog_dir)
@@ -178,11 +209,26 @@ def prune_catalog(
     candidates = [os.path.realpath(recs[v]["store"]) for v in drop]
     if os.path.isdir(managed_root):
         all_refs = {os.path.realpath(recs[v]["store"]) for v in ordered}
+        now = time.time()
+
+        def _quiet(p: str) -> bool:
+            newest = os.path.getmtime(p)
+            for root, dirs, files in os.walk(p):
+                for n in dirs + files:
+                    try:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(root, n))
+                        )
+                    except OSError:
+                        return False  # vanished mid-walk: someone's writing
+            return (now - newest) >= stray_grace_s
+
         candidates += [
             p
             for name in sorted(os.listdir(managed_root))
             if (p := os.path.realpath(os.path.join(managed_root, name)))
             not in all_refs  # referenced by NO record: crashed-prune stray
+            and _quiet(p)
         ]
     doomed: list[str] = []
     for s in candidates:

@@ -93,6 +93,26 @@ def test_crash_between_record_and_head_is_invisible(catalog):
     assert resolve(catalog)["version"] == v4
 
 
+def test_concurrent_committers_never_clobber(catalog):
+    """First-writer-wins on the version number: a record that lands
+    between our scan and our publish bumps us to the next free number
+    instead of silently overwriting (the ADVICE race)."""
+    import json
+
+    store1 = resolve(catalog, 1)["store"]
+    head = head_version(catalog)
+    nxt = max(r["version"] for r in history(catalog)) + 1
+    # simulate the concurrent winner claiming `nxt` right before us
+    rival = dict(resolve(catalog, 1), version=nxt, op="rival", note="theirs")
+    with open(os.path.join(catalog, "v", f"{nxt}.json"), "w") as f:
+        f.write(json.dumps(rival))
+    v = commit_version(catalog, store1, op="ours", parent=head)
+    assert v == nxt + 1  # retried past the rival, never clobbered it
+    assert resolve(catalog, nxt)["note"] == "theirs"  # rival intact
+    assert resolve(catalog, v)["op"] == "ours"
+    assert head_version(catalog) == v  # HEAD moved forward to the max
+
+
 def test_prune_reclaims_only_managed_unreferenced_stores(
     catalog, tmp_path_factory
 ):
@@ -143,9 +163,13 @@ def test_prune_reclaims_crashed_prune_strays(tmp_path_factory, ray_session):
     # simulate the crash artifact: a managed dir with no version record
     stray = managed_store_path(cat, "stray_from_crashed_prune")
     compress_table(src, stray)
-    out = prune_catalog(cat, keep_last=5, dry_run=True)
+    # a freshly-written managed dir could be a commit mid-flight — the
+    # default grace period must protect it from routine prunes
+    fresh = prune_catalog(cat, keep_last=5, dry_run=True)
+    assert fresh["deleted_stores"] == []
+    out = prune_catalog(cat, keep_last=5, dry_run=True, stray_grace_s=0)
     assert out["deleted_stores"] == [os.path.realpath(stray)]
-    prune_catalog(cat, keep_last=5)
+    prune_catalog(cat, keep_last=5, stray_grace_s=0)
     assert not os.path.isdir(stray)
     assert os.path.isdir(m1)  # referenced store untouched
     assert _ids(read_version(cat)) == list(range(5))
