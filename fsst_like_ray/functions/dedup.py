@@ -166,6 +166,232 @@ def _unique_id_dataset(ids, id_type, col: str):
     return ray.data.from_arrow(pa.table({col: pa.array(u, type=id_type)}))
 
 
+# duplicate buckets with at least this many members get salted join
+# buckets in the distributed resolve (keeper row replicated per salt,
+# members spread round-robin) so one monster key parallelizes instead of
+# serializing on a single worker
+SALT_MIN_MEMBERS = 65_536
+
+
+def _resolve_distributed(
+    survivors,
+    key_cols: list[str],
+    id_col: str,
+    resolve_fn,
+    resolve_block,
+    fold_fn,
+):
+    """Skew-proof distributed resolve of hot-bucket members (the path that
+    runs when candidates exceed the driver caps). The old formulation —
+    ``groupby(key).map_groups(resolve_fn)`` — moves EVERY member of a key
+    into one task and pays per-group Python: a single key with millions of
+    members serializes on one worker. This formulation never groups:
+
+    1. keeper id per bucket = ONE vectorized hash aggregate
+       (``groupby(fold).aggregate(Min(id))`` — per-block partials, no
+       per-group Python); folds where Min≠Max of any exact key column are
+       COLLIDED (two exact keys folded together, ~2^-64 likely) and route
+       through the exact per-group path as a tiny remnant, so fold
+       collisions still never merge buckets.
+    2. keeper ROWS (payload) = members filtered to id == keeper_id[fold] —
+       a broadcast lookup under ``HOT_KEY_BROADCAST_CAP`` folds, else one
+       co-partitioned join that attaches keeper ids first.
+    3. each member meets exactly its keeper's payload through ONE
+       co-partitioned ``shuffle_hash_join`` (build side = 1 row/key); keys
+       with ≥ ``SALT_MIN_MEMBERS`` members are SALTED — the keeper row is
+       replicated per salt bucket and members spread round-robin, so the
+       shuffle moves each member once and no task ever holds a whole
+       monster group.
+    4. the verify kernel is ``resolve_block`` per OUTPUT BATCH (member row
+       beside its keeper payload) — vectorized, memory ∝ batch size.
+
+    Falls back to the per-group path when the caller has no vectorized
+    ``resolve_block``."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    from .join import get_broadcast, put_broadcast, shuffle_hash_join
+
+    if resolve_block is None:
+        return survivors.groupby(key_cols).map_groups(
+            resolve_fn, batch_format="pandas"
+        )
+
+    FOLD = "__fold__"
+    KP = "_kp"
+
+    def add_fold(b: pa.Table) -> pa.Table:
+        f = fold_fn(
+            [b[k].to_numpy(zero_copy_only=False) for k in key_cols]
+        ).view(np.int64)
+        return b.append_column(FOLD, pa.array(f, type=pa.int64()))
+
+    # consumed by the aggregate, the keeper extraction and the join probe —
+    # pin the (duplicate-bucket members only) rows once instead of
+    # recomputing the upstream pipeline three times
+    folded = survivors.map_batches(
+        add_fold, batch_format="pyarrow"
+    ).materialize()
+    schema = folded.schema()
+    orig_cols = [n for n in schema.names if n != FOLD]
+    id_type = dict(zip(schema.names, schema.types))[id_col] or pa.int64()
+    empty_out = pa.table({id_col: pa.array([], type=id_type)})
+
+    aggs = [Min(id_col, alias_name="__kid__"), Count(alias_name="__cnt__")]
+    for i, k in enumerate(key_cols):
+        aggs.append(Min(k, alias_name=f"__kmin{i}__"))
+        aggs.append(Max(k, alias_name=f"__kmax{i}__"))
+    agg = folded.groupby(FOLD).aggregate(*aggs).materialize()
+
+    def _fold_subset(predicate) -> np.ndarray:
+        """Distributed filter of the per-fold aggregate → SMALL driver-side
+        sorted fold array (the filter runs in tasks; only survivors land)."""
+        sub = agg.map_batches(
+            lambda b: b.filter(pa.array(predicate(b))).select([FOLD]),
+            batch_format="pyarrow",
+        )
+        vals = [r[FOLD] for r in sub.take_all()]
+        return np.sort(np.array(vals, dtype=np.int64))
+
+    def _is_collided(b: pa.Table) -> np.ndarray:
+        m = np.zeros(b.num_rows, dtype=bool)
+        for i in range(len(key_cols)):
+            m |= b[f"__kmin{i}__"].to_numpy(
+                zero_copy_only=False
+            ) != b[f"__kmax{i}__"].to_numpy(zero_copy_only=False)
+        return m
+
+    collided = _fold_subset(_is_collided)
+    salt_folds = _fold_subset(
+        lambda b: (
+            b["__cnt__"].to_numpy(zero_copy_only=False) >= SALT_MIN_MEMBERS
+        )
+        & ~_is_collided(b)
+    )
+
+    def _member_of(folds_sorted: np.ndarray):
+        def mask(b: pa.Table) -> np.ndarray:
+            if folds_sorted.size == 0 or b.num_rows == 0:
+                return np.zeros(b.num_rows, dtype=bool)
+            f = b[FOLD].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(folds_sorted, f)
+            np.minimum(idx, folds_sorted.size - 1, out=idx)
+            return folds_sorted[idx] == f
+
+        return mask
+
+    in_coll = _member_of(collided)
+    probe = folded
+    if collided.size:
+        probe = probe.map_batches(
+            lambda b: b.filter(pa.array(~in_coll(b))),
+            batch_format="pyarrow",
+        )
+
+    # keeper rows: the ONE member per (non-collided) fold whose id is the
+    # fold's Min(id)
+    n_folds = agg.count()
+    if n_folds <= HOT_KEY_BROADCAST_CAP:
+        parts_f, parts_k = [], []
+        for b in agg.select_columns([FOLD, "__kid__"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            if b.num_rows:
+                parts_f.append(b[FOLD].to_numpy(zero_copy_only=False))
+                parts_k.append(b["__kid__"].to_numpy(zero_copy_only=False))
+        folds_arr = (
+            np.concatenate(parts_f)
+            if parts_f
+            else np.zeros(0, dtype=np.int64)
+        )
+        kids_arr = (
+            np.concatenate(parts_k) if parts_k else np.zeros(0, dtype=np.int64)
+        )
+        order = np.argsort(folds_arr, kind="stable")
+        kref = put_broadcast((folds_arr[order], kids_arr[order]))
+
+        def is_keeper(b: pa.Table) -> pa.Table:
+            fs, ks = get_broadcast(kref)
+            if fs.size == 0 or b.num_rows == 0:
+                return b.slice(0, 0)
+            f = b[FOLD].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(fs, f)
+            np.minimum(idx, fs.size - 1, out=idx)
+            m = (fs[idx] == f) & (
+                ks[idx] == b[id_col].to_numpy(zero_copy_only=False)
+            )
+            if collided.size:
+                m &= ~in_coll(b)
+            return b.filter(pa.array(m))
+
+        keeper_rows = folded.map_batches(is_keeper, batch_format="pyarrow")
+    else:
+        # the fold→keeper map itself is too large to broadcast: attach the
+        # keeper id to every member through the co-partitioned join, then
+        # filter — stays distributed at any duplication rate
+        kid_ds = agg.map_batches(
+            lambda b: b.select([FOLD, "__kid__"]), batch_format="pyarrow"
+        )
+        tagged = shuffle_hash_join(
+            probe, kid_ds, FOLD, FOLD, how="inner", right_suffix="_m"
+        )
+
+        def pick_keeper(b: pa.Table) -> pa.Table:
+            m = b[id_col].to_numpy(zero_copy_only=False) == b[
+                "__kid___m"
+            ].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(m)).drop_columns(["__kid___m"])
+
+        keeper_rows = tagged.map_batches(pick_keeper, batch_format="pyarrow")
+
+    joined = shuffle_hash_join(
+        probe,
+        keeper_rows,
+        FOLD,
+        FOLD,
+        how="inner",
+        right_suffix=KP,
+        hot_keys=salt_folds if salt_folds.size else None,
+    )
+
+    def resolve_batch(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_out
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        kids = b[id_col + KP].to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids != kids))  # keepers never report
+        if sub.num_rows == 0:
+            return empty_out
+        mpart = sub.select(orig_cols)
+        kpart = sub.select([c + KP for c in orig_cols]).rename_columns(
+            orig_cols
+        )
+        tbl = pa.concat_tables([mpart, kpart])
+        n = mpart.num_rows
+        out = resolve_block(tbl, np.arange(n), np.arange(n) + n)
+        return pa.table({id_col: pa.array(np.asarray(out), type=id_type)})
+
+    result = joined.map_batches(resolve_batch, batch_format="pyarrow")
+
+    if collided.size:
+        coll_members = folded.map_batches(
+            lambda b: b.filter(pa.array(in_coll(b))).drop_columns([FOLD]),
+            batch_format="pyarrow",
+        )
+        coll_out = (
+            coll_members.groupby(key_cols)
+            .map_groups(resolve_fn, batch_format="pandas")
+            .map_batches(
+                lambda b: pa.table(
+                    {id_col: b[id_col].cast(id_type)}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        result = result.union(coll_out)
+    return result
+
+
 def _members_keepers(
     order: np.ndarray, bounds: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -199,7 +425,11 @@ def resolve_hot_buckets(
     DRIVER_CAP_BYTES — survivors are hot-bucket members only, bounded by the
     duplicate rate, not by data size), groups are resolved on the driver
     with one argsort instead of paying a full groupby shuffle; above the
-    caps the distributed ``groupby(key).map_groups`` path runs unchanged.
+    caps :func:`_resolve_distributed` runs — keeper via one vectorized
+    Min-per-fold aggregate, keeper payload attached through a salted
+    co-partitioned join, verification per output batch — so no task ever
+    holds a whole duplicate group (a monster key parallelizes across its
+    salt buckets).
 
     ``unique_col``: when set, the output is deduplicated to unique values of
     that column (a doc caught in several buckets reports once) — driver-side
@@ -312,8 +542,13 @@ def resolve_hot_buckets(
                 how="inner",
             ).drop_columns([FOLD])
             return _maybe_unique(
-                members.groupby(key_cols).map_groups(
-                    resolve_fn, batch_format="pandas"
+                _resolve_distributed(
+                    members,
+                    key_cols,
+                    unique_col or "doc_id",
+                    resolve_fn,
+                    resolve_block,
+                    fold,
                 )
             )
         hot_tbl = hot.take_all()
@@ -420,7 +655,9 @@ def resolve_hot_buckets(
             )
 
     return _maybe_unique(
-        survivors.groupby(key_cols).map_groups(resolve_fn, batch_format="pandas")
+        _resolve_distributed(
+            survivors, key_cols, id_col, resolve_fn, resolve_block, fold
+        )
     )
 
 

@@ -312,6 +312,92 @@ def test_resolve_paths_agree(ray_session, monkeypatch, docs):
     assert fast == dist and {900001, 900002} <= fast
 
 
+def test_distributed_resolve_monster_key(ray_session, monkeypatch):
+    """One duplicate key with members far beyond the salting threshold must
+    pass through the distributed resolve (driver caps forced off) without a
+    whole-group-on-one-worker shuffle: result identical to the exact-dedup
+    contract (smallest id survives, uniques untouched)."""
+    import ray.data
+    from fsst_like_ray.functions import dedup as D
+
+    monkeypatch.setattr(D, "DRIVER_CAP_ROWS", 0)
+    monkeypatch.setattr(D, "DRIVER_CAP_BYTES", 0)
+    # make the planted key ≥10× the salt (per-task) row budget
+    monkeypatch.setattr(D, "SALT_MIN_MEMBERS", 500)
+    N = 5000
+    texts = ["the same monster document"] * N + [
+        f"unique filler {i}" for i in range(50)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(N + 50), type=pa.int64()),
+                "text": texts,
+            }
+        )
+    ).repartition(16)
+    got = sorted(r["doc_id"] for r in D.exact_duplicates(ds).take_all())
+    assert got == list(range(1, N))
+
+
+def test_distributed_resolve_fold_collision(ray_session, monkeypatch):
+    """Two exact keys engineered to share one 64-bit fold must still resolve
+    per EXACT key in the distributed path (the collided-fold remnant): a
+    fold collision may never merge buckets or change keepers."""
+    import ray.data
+    from fsst_like_ray.functions import dedup as D
+
+    P = D._PRIME
+    # foldA((2, 0)) == foldB((3, (3P)^(2P))) == 2P
+    with np.errstate(over="ignore"):
+        b2 = np.int64(
+            ((np.uint64(3) * P) ^ (np.uint64(2) * P)).view(np.int64)
+        )
+    k1 = [2, 2, 2, 3, 3, 4, 4, 9]
+    k2 = [0, 0, 0, int(b2), int(b2), 4, 4, 9]
+    ids = [0, 1, 2, 10, 11, 20, 21, 30]
+    vals = [7, 7, 9, 5, 5, 3, 3, 1]
+    exploded = ray.data.from_arrow(
+        pa.table(
+            {
+                "k1": pa.array(k1, type=pa.int64()),
+                "k2": pa.array(k2, type=pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "val": pa.array(vals, type=pa.int64()),
+            }
+        )
+    )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        keeper = g["val"].iloc[0]
+        dups = g.iloc[1:]
+        return pd.DataFrame(
+            {"doc_id": dups["doc_id"][dups["val"] == keeper].to_numpy()}
+        )
+
+    def resolve_block(t, members, keepers):
+        v = t["val"].to_numpy(zero_copy_only=False)
+        ids_ = t["doc_id"].to_numpy(zero_copy_only=False)
+        return ids_[members[v[members] == v[keepers]]]
+
+    monkeypatch.setattr(D, "DRIVER_CAP_ROWS", 0)
+    monkeypatch.setattr(D, "DRIVER_CAP_BYTES", 0)
+    got = set(
+        r["doc_id"]
+        for r in D.resolve_hot_buckets(
+            exploded,
+            ["k1", "k2"],
+            resolve,
+            resolve_block=resolve_block,
+        ).take_all()
+    )
+    # key (2,0): keeper 0, dup 1 (val match), 2 excluded (val 9)
+    # key (3,b2): keeper 10, dup 11 — MUST not merge with (2,0)
+    # key (4,4): keeper 20, dup 21; (9,9) singleton never reaches resolve
+    assert got == {1, 11, 21}
+
+
 def test_hll_accuracy_and_merge():
     """HLL estimate within 5% across cardinalities; merging per-batch
     sketches equals sketching the concatenation."""
