@@ -740,6 +740,9 @@ def cmd_table_sort(args) -> int:
     ds = sort_table_store(
         args.store, by, columns=cols, descending=args.desc,
         stats_out=stats,
+        # head-print mode: push the limit into the plan so zonemerge
+        # prunes whole fragments instead of decoding the full store
+        limit_rows=None if args.dest else args.limit,
     )
     if args.dest:
         ds.write_parquet(args.dest)

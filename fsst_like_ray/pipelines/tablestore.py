@@ -3628,6 +3628,7 @@ def sort_table_store(
     descending: bool = False,
     rownum: str = "rownum",
     stats_out: dict | None = None,
+    limit_rows: int | None = None,
 ):
     """Total-order export of a committed store: ORDER BY ``by`` (one
     column or a list — pass a key set that is actually total, e.g.
@@ -3650,6 +3651,14 @@ def sort_table_store(
       back as tiny ints, prefix sums stamp per-block offsets, and the
       blocks re-enter a Dataset by reference (never pulled to the
       driver).
+
+    ``limit_rows``: only rows with ``rownum < limit_rows`` are produced.
+    On the zonemerge path this PRUNES whole fragments before any read —
+    rownum is dense and fragment offsets come from lineage row-count
+    prefix sums, so a head-20 over a thousand-fragment store opens one
+    or two fragments (``stats_out['fragments_pruned']`` records the
+    skips). On the shuffle path the sort still runs (a global order
+    needs it) but only the head blocks materialize.
     """
     import ray
     import ray.data
@@ -3713,6 +3722,13 @@ def sort_table_store(
             }
             for r, off in zip(ordered, offsets)
         ]
+        n_total = len(units)
+        if limit_rows is not None:
+            # rownum is dense: a fragment whose offset is past the limit
+            # can contribute nothing — skip it before any read
+            units = [u for u in units if u["offset"] < limit_rows]
+        if stats_out is not None:
+            stats_out["fragments_pruned"] = n_total - len(units)
         units_ref = ray.put(units)
 
         def sort_frag(ids: pa.Table) -> pa.Table:
@@ -3748,6 +3764,10 @@ def sort_table_store(
                 )
                 if out_cols is not None:
                     t = t.select([*out_cols, rownum])
+                if limit_rows is not None and u["offset"] + t.num_rows > (
+                    limit_rows
+                ):
+                    t = t.slice(0, max(0, limit_rows - u["offset"]))
                 outs.append(t)
             return pa.concat_tables(outs)
 
@@ -3799,4 +3819,8 @@ def sort_table_store(
     if stats_out is not None:
         stats_out["path"] = "sort"
         stats_out["fragments"] = len(recs)
-    return ray.data.from_arrow_refs(stamped)
+        stats_out["fragments_pruned"] = 0
+    out = ray.data.from_arrow_refs(stamped)
+    # stamped refs are in global sort order, so the first limit_rows rows
+    # ARE the rownum head — only the head blocks ever materialize further
+    return out.limit(limit_rows) if limit_rows is not None else out

@@ -3281,6 +3281,47 @@ def test_sort_table_store(ray_session, tmp_path):
     assert list(got.columns) == ["v", "rownum"]
     assert got["v"].tolist() == vals.tolist()
 
+    # head-limit pruning: a rownum head over a multi-fragment zonemerge
+    # store must open only the fragment(s) covering the head, not decode
+    # the whole store (the table-sort CLI --limit path)
+    stats = {}
+    got = (
+        sort_table_store(store, "id", stats_out=stats, limit_rows=20)
+        .to_pandas()
+        .sort_values("rownum")
+        .reset_index(drop=True)
+    )
+    assert stats["path"] == "zonemerge"
+    assert stats["fragments_pruned"] == 2  # 3 fragments, head fits in one
+    assert got["id"].tolist() == ids[:20].tolist()
+    assert got["rownum"].tolist() == list(range(20))
+
+    # descending head prunes from the other end
+    stats = {}
+    got = (
+        sort_table_store(
+            store, "id", descending=True, stats_out=stats, limit_rows=20
+        )
+        .to_pandas()
+        .sort_values("rownum")
+        .reset_index(drop=True)
+    )
+    assert stats["fragments_pruned"] == 2
+    assert got["id"].tolist() == ids[::-1][:20].tolist()
+
+    # shuffle path: the sort still runs, but only the head rows surface
+    stats = {}
+    got = (
+        sort_table_store(
+            store, ["v", "id"], stats_out=stats, limit_rows=20
+        )
+        .to_pandas()
+        .sort_values("rownum")
+        .reset_index(drop=True)
+    )
+    assert stats["path"] == "sort"
+    assert got["id"].tolist() == ids[order][:20].tolist()
+
     with pytest.raises(ValueError, match="rownum"):
         sort_table_store(store, "rownum")
     with pytest.raises(ValueError, match="empty"):
