@@ -274,6 +274,28 @@ def plan_training_batches(
     return plan
 
 
+def _materialize_fragment(store_dir, ent, cols, fmt, tokens_col):
+    """Read + decode one plan fragment into the serving arrays: flat int32
+    token values, int64 row offsets, and the id-column arrays. Pure
+    function of its arguments — safe to run ahead on a prefetch thread."""
+    tbl = _read_fragment(store_dir, ent["frag_key"], cols, fmt)
+    if "row_order" in ent:  # order="length": the plan's permutation
+        tbl = tbl.take(pa.array(ent["row_order"]))
+    toks = tbl[tokens_col]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(
+        np.int32, copy=False
+    )
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    id_arrays = {
+        c: tbl[c].to_numpy(zero_copy_only=False)
+        for c in cols
+        if c != tokens_col
+    }
+    return flat, offs, id_arrays
+
+
 def iter_training_batches(
     store_dir: str,
     batch_tokens: int,
@@ -287,6 +309,7 @@ def iter_training_batches(
     batch_rows: int | None = None,
     order: str = "store",
     plan: list[dict] | None = None,
+    prefetch: bool = True,
 ):
     """Yield training batches from a committed store.
 
@@ -295,7 +318,13 @@ def iter_training_batches(
     <id column arrays>}``. ``start_step`` resumes mid-stream: fragments
     whose batches all precede it are skipped via the plan (their payloads
     never decode). Pass a precomputed ``plan`` to skip even the n_tok
-    planning pass on restart."""
+    planning pass on restart.
+
+    ``prefetch`` (default on): fragment k+1's read+decode runs on ONE
+    background thread while k's batches serve, bounded at one in-flight
+    fragment — the decode-next stall overlaps the consumer's step time
+    (parquet reads and the C decode kernels release the GIL). Results
+    are bit-identical with it off."""
     if plan is None:
         plan = plan_training_batches(
             store_dir, batch_tokens, n_tok_col, rank, world_size, epoch,
@@ -327,27 +356,15 @@ def iter_training_batches(
     if tokens_col not in cols:
         cols.append(tokens_col)
     fmt = _store_format(store_dir)
-    for ent in plan:
+    ents = [
+        ent
+        for ent in plan
+        if ent["first_step"] + len(ent["boundaries"]) - 1 > start_step
+    ]
+
+    def serve(ent, flat, offs, id_arrays):
         bounds = ent["boundaries"]
-        n_batches = len(bounds) - 1
-        if ent["first_step"] + n_batches <= start_step:
-            continue
-        tbl = _read_fragment(store_dir, ent["frag_key"], cols, fmt)
-        if "row_order" in ent:  # order="length": the plan's permutation
-            tbl = tbl.take(pa.array(ent["row_order"]))
-        toks = tbl[tokens_col]
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(
-            np.int32, copy=False
-        )
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        id_arrays = {
-            c: tbl[c].to_numpy(zero_copy_only=False)
-            for c in cols
-            if c != tokens_col
-        }
-        for b in range(n_batches):
+        for b in range(len(bounds) - 1):
             step = ent["first_step"] + b
             if step < start_step:
                 continue
@@ -364,3 +381,29 @@ def iter_training_batches(
                 "row_offsets": offs[r0 : r1 + 1] - t0,
                 **{c: a[r0:r1] for c, a in id_arrays.items()},
             }
+
+    if prefetch and len(ents) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            fut = pool.submit(
+                _materialize_fragment,
+                store_dir, ents[0], cols, fmt, tokens_col,
+            )
+            for i, ent in enumerate(ents):
+                flat, offs, id_arrays = fut.result()
+                if i + 1 < len(ents):
+                    fut = pool.submit(
+                        _materialize_fragment,
+                        store_dir, ents[i + 1], cols, fmt, tokens_col,
+                    )
+                yield from serve(ent, flat, offs, id_arrays)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+    else:
+        for ent in ents:
+            flat, offs, id_arrays = _materialize_fragment(
+                store_dir, ent, cols, fmt, tokens_col
+            )
+            yield from serve(ent, flat, offs, id_arrays)

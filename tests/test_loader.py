@@ -319,3 +319,17 @@ def test_length_order_reduces_padding(store):
     plan = plan_training_batches(store, BUDGET)
     with pytest.raises(ValueError, match="recompute the plan"):
         next(iter_training_batches(store, BUDGET, order="length", plan=plan))
+
+
+def test_prefetch_bitwise_identical(store):
+    """The one-fragment-ahead prefetch thread must not change a single
+    byte or the step numbering vs the synchronous path."""
+    a = list(iter_training_batches(store, BUDGET, prefetch=True))
+    b = list(iter_training_batches(store, BUDGET, prefetch=False))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x["step"] == y["step"]
+        assert x["oversized"] == y["oversized"]
+        np.testing.assert_array_equal(x["tokens"], y["tokens"])
+        np.testing.assert_array_equal(x["row_offsets"], y["row_offsets"])
+        np.testing.assert_array_equal(x["doc_id"], y["doc_id"])
