@@ -3896,6 +3896,67 @@ def q_ingest_jsonl(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def _ingest_jsonl_compressed(sf_dir: str, codec: str, ext: str):
+    """Compressed-shard ingestion: real pretraining corpora arrive as
+    .jsonl.gz / .jsonl.zst shards. Shards are written through
+    ``pa.CompressedOutputStream`` (no external lib; pyarrow bundles gzip
+    and zstd codecs) and re-ingested with ``ray.data.read_json`` passing
+    ``arrow_open_stream_args={"compression": codec}`` — decompression
+    happens inside each read task, streaming per shard, so the pattern
+    holds at 100 TB exactly like the plain-JSONL read."""
+    import shutil
+
+    if not pa.Codec.is_available(codec):  # honest gate, Pillow pattern
+        raise NotImplementedError(
+            f"pyarrow built without the {codec!r} codec"
+        )
+    scratch = os.path.join(
+        "/tmp",
+        f"fsst_jsonl_{codec}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    df = docs.to_pandas()
+    files = []
+    for i in range(4):
+        p = os.path.join(scratch, f"part{i}.jsonl{ext}")
+        payload = df.iloc[i::4].to_json(orient="records", lines=True)
+        with pa.CompressedOutputStream(p, codec) as f:
+            f.write(payload.encode("utf-8"))
+        files.append(p)
+    ds = ray.data.read_json(
+        files, arrow_open_stream_args={"compression": codec}
+    )
+
+    def stats(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+                "source": b["source"],
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_ingest_jsonl_gz(sf_dir: str):
+    """.jsonl.gz shard ingestion (gzip = the universal corpus-shard
+    format); oracle identical to ``ingest_jsonl``."""
+    return _ingest_jsonl_compressed(sf_dir, "gzip", ".gz")
+
+
+def q_ingest_jsonl_zst(sf_dir: str):
+    """.jsonl.zst shard ingestion (zstd = the modern corpus-shard
+    format); raises NotImplementedError when pyarrow lacks the codec."""
+    return _ingest_jsonl_compressed(sf_dir, "zstd", ".zst")
+
+
 def q_ingest_csv(sf_dir: str):
     """Source-format coverage, CSV twin of ``ingest_jsonl``: documents
     exported to 4 CSV shards, re-ingested with ray.data.read_csv, and
@@ -8732,7 +8793,7 @@ DRIVER_WINDOW = [
     "quantile_sketch_gate",
     # event windows / time-ordered joins
     "events_sessionize",
-    "events_hourly_ohlc",
+    "ingest_jsonl_gz",
     "events_asof",
     "events_range_join",
     # relational joins / TPC-H shapes
@@ -8892,6 +8953,8 @@ def build_queries() -> dict:
     q["dedup_spans_tokens_planted"] = q_dedup_spans_tokens_planted
     q["tokens_remove_spans_planted"] = q_tokens_remove_spans_planted
     q["ingest_jsonl"] = q_ingest_jsonl
+    q["ingest_jsonl_gz"] = q_ingest_jsonl_gz
+    q["ingest_jsonl_zst"] = q_ingest_jsonl_zst
     q["ingest_csv"] = q_ingest_csv
     q["docs_sample2_per_source"] = q_docs_sample2_per_source
     q["docs_normalize"] = q_docs_normalize
@@ -9762,6 +9825,8 @@ def build_oracle_sql() -> dict:
         FROM documents
     """
     sql["ingest_csv"] = sql["ingest_jsonl"]
+    sql["ingest_jsonl_gz"] = sql["ingest_jsonl"]
+    sql["ingest_jsonl_zst"] = sql["ingest_jsonl"]
     sql["tokens_remove_spans_planted"] = """
         SELECT CAST(d AS BIGINT) AS doc_id, CAST(100 AS BIGINT) AS n_tok,
                array_to_string(
