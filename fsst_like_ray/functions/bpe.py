@@ -112,6 +112,33 @@ def apply_merge_batch(
     return pa.table(cols)
 
 
+def bpe_apply(ds, rules):
+    """Tokenize NEW token streams with a TRAINED merge table — the missing
+    half of the tokenizer lifecycle: train once, then apply the frozen
+    rules to any corpus. ONE ``map_batches`` stage running the K rules in
+    training order through the same vectorized greedy rewrite the trainer
+    uses (:func:`apply_merge_batch`), so:
+
+    - on the training corpus the output is BIT-FOR-BIT the trained
+      stream (merging a pair deletes tokens and introduces only its new
+      symbol, so it can never create a fresh adjacency of an
+      earlier-ranked pair — one pass per rule in rank order is exact);
+    - on unseen text the result is deterministic and row-local, and
+      :func:`expand_with_offsets` reverses it exactly (round-trip
+      invariant holds for ANY input stream over the base vocabulary).
+
+    The rule table is tiny (K × 4 ints) and ships in the task closure —
+    broadcast once per worker process, applied per batch."""
+    rs = [(int(a), int(b), int(n)) for a, b, n, *_ in rules]
+
+    def apply_all(batch: pa.Table) -> pa.Table:
+        for a, b, n in rs:
+            batch = apply_merge_batch(batch, a, b, n)
+        return batch
+
+    return ds.map_batches(apply_all, batch_format="pyarrow")
+
+
 def bpe_train(tokens_ds, n_merges: int, sample_rate: float | None = None):
     """Train ``n_merges`` BPE rules over a tokens Dataset.
 
@@ -147,15 +174,7 @@ def bpe_train(tokens_ds, n_merges: int, sample_rate: float | None = None):
             keep, batch_format="pyarrow"
         ).materialize()
         rules, _sampled_final, stats = bpe_train(sample, n_merges)
-        final = tokens_ds
-        for a, b, new_id, _c in rules:
-            final = final.map_batches(
-                lambda t, _a=a, _b=b, _n=new_id: apply_merge_batch(
-                    t, _a, _b, _n
-                ),
-                batch_format="pyarrow",
-            )
-        return rules, final, stats
+        return rules, bpe_apply(tokens_ds, rules), stats
 
     # round 0 consumes the input three times (token total, pair counts,
     # rewrite); checkpoint it once so an expensive upstream lineage

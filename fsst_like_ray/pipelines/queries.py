@@ -8686,6 +8686,105 @@ def q_bpe_train_gate(sf_dir: str):
     )
 
 
+def q_bpe_apply_gate(sf_dir: str):
+    """BPE APPLY as an all-true gate — the tokenize-new-text half of the
+    tokenizer lifecycle (functions/bpe.bpe_apply: ONE map_batches stage
+    running the trained K rules in rank order through the trainer's own
+    vectorized greedy rewrite). Three invariants, each computed
+    distributed (permutation-invariant per-doc polynomial hash sums +
+    exact row/token totals, no shuffle):
+
+    - train_parity: apply(train_corpus, rules) reproduces the training
+      output stream bit-for-bit;
+    - unseen_roundtrip: expand(apply(unseen)) == unseen for a
+      deterministic unseen stream (per-row reversed token order — same
+      vocabulary, adjacencies the trainer never saw);
+    - unseen_deterministic: two independent applications to the unseen
+      stream agree exactly."""
+    from ..functions import bpe as F_bpe
+    from ..functions.tokenops import _list_array, list_buffers
+    from ..stages.verify import _poly_rowhash
+    from ray.data.aggregate import Sum
+
+    def stream_stats(ds):
+        """(sum-of-row-hashes, rows, tokens) — equal iff the two streams
+        hold the same multiset of rows (order-free, join-free)."""
+
+        def p(b: pa.Table) -> pa.Table:
+            values, offsets = list_buffers(b["tokens"])
+            h = _poly_rowhash(values.astype(np.uint64), offsets)
+            s = np.zeros(1, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                s[0] = h.sum(dtype=np.uint64)
+            return pa.table(
+                {
+                    "hsum": pa.array(s.view(np.int64)),
+                    "rows": pa.array([b.num_rows], type=pa.int64()),
+                    "toks": pa.array(
+                        [int(len(values))], type=pa.int64()
+                    ),
+                }
+            )
+
+        row = ds.map_batches(p, batch_format="pyarrow").aggregate(
+            Sum("hsum", alias_name="h"),
+            Sum("rows", alias_name="r"),
+            Sum("toks", alias_name="t"),
+        )
+        return (int(row["h"] or 0), int(row["r"] or 0), int(row["t"] or 0))
+
+    ds = _tokens_ds(sf_dir).materialize()
+    rules, final, _stats = F_bpe.bpe_train(ds, BPE_MERGES)
+    train_parity = stream_stats(final) == stream_stats(
+        F_bpe.bpe_apply(ds, rules)
+    )
+
+    def reverse_rows(b: pa.Table) -> pa.Table:
+        values, offsets = list_buffers(b["tokens"])
+        idx = np.arange(len(values), dtype=np.int64)
+        starts = offsets[:-1]
+        ends = offsets[1:]
+        row = np.searchsorted(ends, idx, side="right")
+        rev = starts[row] + (ends[row] - 1 - idx)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "tokens": _list_array(values[rev], offsets),
+                "n_tok": b["n_tok"],
+            }
+        )
+
+    unseen = ds.map_batches(reverse_rows, batch_format="pyarrow")
+
+    def expand_back(b: pa.Table) -> pa.Table:
+        values, offsets = list_buffers(b["tokens"])
+        ev, eo = F_bpe.expand_with_offsets(values, offsets, rules)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "tokens": _list_array(ev.astype(np.int64), eo),
+                "n_tok": pa.array(
+                    np.diff(eo).astype(np.int32), type=pa.int32()
+                ),
+            }
+        )
+
+    applied = F_bpe.bpe_apply(unseen, rules).materialize()
+    unseen_roundtrip = stream_stats(
+        applied.map_batches(expand_back, batch_format="pyarrow")
+    ) == stream_stats(unseen)
+    unseen_deterministic = stream_stats(applied) == stream_stats(
+        F_bpe.bpe_apply(unseen, rules)
+    )
+    return pa.table(
+        {
+            "train_parity": pa.array([train_parity]),
+            "unseen_roundtrip": pa.array([unseen_roundtrip]),
+            "unseen_deterministic": pa.array([unseen_deterministic]),
+        }
+    )
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Quality-aware dedup: normalized-whitespace near-dup groups keep the
     BEST member (shortest raw text, then smallest doc_id) instead of the
@@ -8784,7 +8883,7 @@ DRIVER_WINDOW = [
     "dedup_spans_planted",
     "online_dedup_epochs",
     # similarity / clustering
-    "ann_topk",
+    "bpe_apply_gate",
     "ann_ivf_recall",
     "kmeans_planted",
     # sketches
@@ -9034,6 +9133,7 @@ def build_queries() -> dict:
     q["kmeans_planted"] = q_kmeans_planted
     q["dedup_keep_best"] = q_dedup_keep_best
     q["bpe_train_gate"] = q_bpe_train_gate
+    q["bpe_apply_gate"] = q_bpe_apply_gate
     q["docs_compressibility_gate"] = q_docs_compressibility_gate
     q["tokens_truncate_pad"] = q_tokens_truncate_pad
     q["tokens_shift_labels"] = q_tokens_shift_labels
@@ -11011,6 +11111,10 @@ def build_oracle_sql() -> dict:
         SELECT CAST(i AS BIGINT) AS round, true AS merged_some,
                true AS shrank, true AS no_pair_left, true AS roundtrip_ok
         FROM range({BPE_MERGES}) t(i)
+    """
+    sql["bpe_apply_gate"] = """
+        SELECT true AS train_parity, true AS unseen_roundtrip,
+               true AS unseen_deterministic
     """
     sql["dedup_keep_best"] = f"""
         WITH planted AS (

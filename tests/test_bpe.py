@@ -182,3 +182,52 @@ def test_expand_reverses_any_merge_chain(rows, pairs):
         rules.append((a, b, nid, 0))
     ev, eo = B.expand_with_offsets(cur_v, cur_o, rules)
     assert _rows(ev, eo) == rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_apply_matches_training_and_handles_unseen():
+    """bpe_apply(train_corpus) reproduces the trained stream bit-for-bit;
+    on unseen text the K-rule rank-order rewrite is deterministic and
+    expand() reverses it exactly."""
+    import ray.data
+    from fsst_like_ray.functions.tokenops import list_buffers
+
+    rows = [[1, 2, 1, 2, 5], [1, 2, 9], [5, 1, 2], [2, 1, 1, 2, 2, 1]]
+    v, o = _flat(rows)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "tokens": _list_array(v, o),
+            "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+        }
+    )
+    rules, final, _ = B.bpe_train(ray.data.from_arrow(t), 2)
+
+    def collect(ds):
+        out = pa.concat_tables(
+            [b for b in ds.iter_batches(batch_format="pyarrow")]
+        ).sort_by("doc_id")
+        fv, fo = list_buffers(out["tokens"])
+        return _rows(fv, fo)
+
+    applied = B.bpe_apply(ray.data.from_arrow(t), rules)
+    assert collect(applied) == collect(final)
+
+    # unseen stream: same vocab, adjacencies the trainer never counted
+    unseen_rows = [[9, 1, 2, 1], [2, 2, 1, 2, 1, 2], [7]]
+    uv, uo = _flat(unseen_rows)
+    u = pa.table(
+        {
+            "doc_id": pa.array(range(3), type=pa.int64()),
+            "tokens": _list_array(uv, uo),
+            "n_tok": pa.array(
+                [len(r) for r in unseen_rows], type=pa.int32()
+            ),
+        }
+    )
+    once = collect(B.bpe_apply(ray.data.from_arrow(u), rules))
+    twice = collect(B.bpe_apply(ray.data.from_arrow(u), rules))
+    assert once == twice  # deterministic
+    fv, fo = _flat(once)
+    ev, eo = B.expand_with_offsets(fv, fo, rules)
+    assert _rows(ev, eo) == unseen_rows  # exact round-trip
