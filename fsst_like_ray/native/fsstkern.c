@@ -311,17 +311,46 @@ void like_prefilter(
     const uint8_t *pay, const int64_t *po, int64_t n_rows,
     const uint8_t *comb, const uint8_t *esc_comb, int need, uint8_t *out)
 {
+    /* word-parallel fast path (the reference's 8-byte-word intent,
+     * src/FsstWrapper.hpp:89-110 / Memory.hpp:31-71): chunks with no
+     * ESCAPE byte — detected by one SWAR has-0xFF test — take the tight
+     * branch-free 8-lookup OR; any chunk containing an escape marker
+     * falls to the scalar step for exactly that byte, then re-enters the
+     * word loop. Every byte still feeds comb[] exactly once and every
+     * 255 credits esc_comb[] of its successor, so the accumulated mask
+     * (and therefore out[]) is bit-identical to the scalar loop. */
+    const uint64_t LO8 = 0x0101010101010101ULL;
+    const uint64_t HI8 = 0x8080808080808080ULL;
     const int64_t total = po[n_rows];
     for (int64_t r = 0; r < n_rows; r++) {
         unsigned acc = 0;
         const int64_t end = po[r + 1];
-        for (int64_t p = po[r]; p < end; p++) {
+        int64_t p = po[r];
+        while (p < end) {
+            while (p + 8 <= end) {
+                const uint64_t w = load8(pay + p);
+                const uint64_t y = ~w;
+                if ((y - LO8) & ~y & HI8)
+                    break; /* chunk holds a 0xFF: scalar handles it */
+                acc |= comb[(uint8_t)w] | comb[(uint8_t)(w >> 8)] |
+                       comb[(uint8_t)(w >> 16)] | comb[(uint8_t)(w >> 24)] |
+                       comb[(uint8_t)(w >> 32)] | comb[(uint8_t)(w >> 40)] |
+                       comb[(uint8_t)(w >> 48)] | comb[(uint8_t)(w >> 56)];
+                p += 8;
+                if ((int)acc == need) {
+                    p = end;
+                    break;
+                }
+            }
+            if (p >= end)
+                break;
             const uint8_t b = pay[p];
             acc |= comb[b];
             if (b == ESCAPE && p + 1 < total)
                 acc |= esc_comb[pay[p + 1]];
             if ((int)acc == need)
                 break;
+            p++;
         }
         out[r] = ((int)acc == need);
     }
@@ -337,11 +366,33 @@ void kmp_scan(
     const int32_t *code_delta, const int32_t *char_delta, int32_t m,
     uint8_t *out)
 {
+    /* state-0 skip LUT (word-parallel intent of Skipping.hpp:114-254):
+     * z[b] = 1 when byte b keeps the automaton in state 0 and is not the
+     * escape marker. While in state 0, 8 such bytes advance the scan in
+     * one branch — eight INDEPENDENT table loads instead of the serially
+     * dependent automaton chain. State, pend and accept are untouched by
+     * skipped bytes, so the walk is bit-identical. */
+    uint8_t z[256];
+    for (int i = 0; i < 256; i++)
+        z[i] = (uint8_t)((code_delta[i] == 0) && (i != ESCAPE));
     for (int64_t r = 0; r < n_rows; r++) {
         int32_t s = 0;
         int pend = 0;
         const int64_t end = po[r + 1];
-        for (int64_t p = po[r]; p < end; p++) {
+        int64_t p = po[r];
+        while (p < end) {
+            if (m > 0 && s == 0 && !pend) {
+                while (p + 8 <= end) {
+                    const uint8_t *q = pay + p;
+                    if (z[q[0]] & z[q[1]] & z[q[2]] & z[q[3]] & z[q[4]] &
+                        z[q[5]] & z[q[6]] & z[q[7]])
+                        p += 8;
+                    else
+                        break;
+                }
+                if (p >= end)
+                    break;
+            }
             const uint8_t b = pay[p];
             if (pend) {
                 s = char_delta[((int64_t)s << 8) + b];
@@ -353,6 +404,7 @@ void kmp_scan(
             }
             if (s == m)
                 break;
+            p++;
         }
         out[r] = (s == m);
     }
@@ -371,12 +423,32 @@ void meta_kmp_scan(
     const int64_t *tab_off, const int32_t *m_of, int K,
     const uint8_t *sym_bytes, const uint8_t *sym_len, uint8_t *out)
 {
+    /* machine-0 state-0 skip LUT (same trick as kmp_scan): bytes that
+     * neither accept, advance machine 0, nor open an escape pair can be
+     * consumed 8 at a time while the walk sits at (k=0, s=0). */
+    uint8_t z[256];
+    const int64_t b0 = tab_off[0] << 8;
+    for (int i = 0; i < 256; i++)
+        z[i] = (uint8_t)((i != ESCAPE) && (acc[b0 + i] < 0) &&
+                         (code_d[b0 + i] == 0));
     for (int64_t r = 0; r < n_rows; r++) {
         int k = 0;
         int32_t s = 0;
         int pend = 0, done = 0;
         const int64_t end = po[r + 1];
         for (int64_t p = po[r]; p < end && !done; p++) {
+            if (k == 0 && s == 0 && !pend && K > 0 && m_of[0] > 0) {
+                while (p + 8 <= end) {
+                    const uint8_t *q = pay + p;
+                    if (z[q[0]] & z[q[1]] & z[q[2]] & z[q[3]] & z[q[4]] &
+                        z[q[5]] & z[q[6]] & z[q[7]])
+                        p += 8;
+                    else
+                        break;
+                }
+                if (p >= end)
+                    break;
+            }
             const uint8_t b = pay[p];
             if (pend) {
                 pend = 0;
