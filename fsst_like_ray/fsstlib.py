@@ -63,38 +63,68 @@ class SymbolTable:
     def __init__(self, symbols: list[bytes]):
         assert len(symbols) <= MAX_SYMBOLS
         self.symbols = symbols
+        n = len(symbols)
+        # vectorized construction: tables are rebuilt per training
+        # generation and per estimated block, so the Python-loop version
+        # (≤255 × 4 passes) was a measurable slice of auto-selection CPU
+        lens = np.fromiter(
+            (len(s) for s in symbols), dtype=np.int64, count=n
+        )
         # decode tables: (256, 8) byte matrix + lengths (code 255 unused)
         self.sym_bytes = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)
         self.sym_lens = np.zeros(256, dtype=np.int64)
-        for code, s in enumerate(symbols):
-            self.sym_bytes[code, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-            self.sym_lens[code] = len(s)
+        if n:
+            joined = np.frombuffer(b"".join(symbols), dtype=np.uint8)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            cols = np.arange(len(joined), dtype=np.int64) - np.repeat(
+                starts, lens
+            )
+            self.sym_bytes[rows, cols] = joined
+            self.sym_lens[:n] = lens
         self.sym_lens_u8 = self.sym_lens.astype(np.uint8)
+        # little-endian gram of each symbol from the padded byte matrix
+        shifts = (np.arange(MAX_SYMBOL_LEN, dtype=np.uint64) * np.uint64(8))
+        grams = (
+            (self.sym_bytes[:n].astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            if n
+            else np.zeros(0, dtype=np.uint64)
+        )
         # encode tables: per symbol length, sorted little-endian gram keys
         self.keys_by_len: dict[int, np.ndarray] = {}
         self.codes_by_len: dict[int, np.ndarray] = {}
-        by_len: dict[int, list[tuple[int, int]]] = {}
-        for code, s in enumerate(symbols):
-            g = int.from_bytes(s, "little")
-            by_len.setdefault(len(s), []).append((g, code))
-        for l, pairs in by_len.items():
-            pairs.sort()
-            self.keys_by_len[l] = np.array([p[0] for p in pairs], dtype=np.uint64)
-            self.codes_by_len[l] = np.array([p[1] for p in pairs], dtype=np.uint8)
+        if n:
+            order = np.lexsort((grams, lens))
+            sl, sgr = lens[order], grams[order]
+            bnd = np.flatnonzero(np.diff(sl)) + 1
+            for seg0, seg1 in zip(
+                np.concatenate(([0], bnd)), np.concatenate((bnd, [n]))
+            ):
+                l = int(sl[seg0])
+                self.keys_by_len[l] = sgr[seg0:seg1]
+                self.codes_by_len[l] = order[seg0:seg1].astype(np.uint8)
         # O(1) short-symbol lookup on the first 2 bytes (g2 = b0 + 256*b1):
         # len-1 symbols fill their whole [*, b0] column, len-2 overwrite exact
         # cells → one gather resolves the longest 1-2 byte match
         self.short_code = np.full((256, 256), ESCAPE, dtype=np.uint8)
         self.short_len = np.zeros((256, 256), dtype=np.uint8)
-        for code, s in enumerate(symbols):
-            if len(s) == 1:
-                col = self.short_len[:, s[0]] < 1
-                self.short_code[col, s[0]] = code
-                self.short_len[col, s[0]] = 1
-        for code, s in enumerate(symbols):
-            if len(s) == 2:
-                self.short_code[s[1], s[0]] = code
-                self.short_len[s[1], s[0]] = 2
+        if n:
+            one = np.flatnonzero(lens == 1)
+            if one.size:  # distinct symbols → distinct single bytes
+                b0 = self.sym_bytes[one, 0]
+                self.short_code[:, b0] = one.astype(np.uint8)[None, :]
+                self.short_len[:, b0] = 1
+            two = np.flatnonzero(lens == 2)
+            if two.size:
+                self.short_code[
+                    self.sym_bytes[two, 1], self.sym_bytes[two, 0]
+                ] = two.astype(np.uint8)
+                self.short_len[
+                    self.sym_bytes[two, 1], self.sym_bytes[two, 0]
+                ] = 2
         self.short_code = self.short_code.reshape(-1)
         self.short_len = self.short_len.reshape(-1)
         # distinct 3-byte prefixes of symbols of length ≥3 — the candidate
@@ -102,15 +132,15 @@ class SymbolTable:
         # (prefix → prefix id + 1, 0 = no long symbol): one gather replaces a
         # binary search over every position. prefix_has_len[l][pid] marks
         # which symbol lengths exist under each prefix.
-        p3 = sorted(
-            {int.from_bytes(s[:3], "little") for s in symbols if len(s) >= 3}
+        lng = np.flatnonzero(lens >= 3)
+        pref = grams[lng] & np.uint64(0xFFFFFF)
+        p3, pidx_of = np.unique(pref, return_inverse=True)
+        self.long_prefixes = p3
+        self.prefix_has_len = np.zeros(
+            (MAX_SYMBOL_LEN + 1, len(p3)), dtype=bool
         )
-        self.long_prefixes = np.array(p3, dtype=np.uint64)
-        self.prefix_has_len = np.zeros((MAX_SYMBOL_LEN + 1, len(p3)), dtype=bool)
-        pidx = {v: i for i, v in enumerate(p3)}
-        for s in symbols:
-            if len(s) >= 3:
-                self.prefix_has_len[len(s), pidx[int.from_bytes(s[:3], "little")]] = True
+        if lng.size:
+            self.prefix_has_len[lens[lng], pidx_of] = True
         # lut3 itself is process-level scratch, claimed lazily on first use —
         # a fresh 16 MB allocation per table (tables are built per training
         # generation and per batch) would thrash the allocator

@@ -91,6 +91,9 @@ def _build():
                                 ctypes.c_void_p, ctypes.c_void_p,
                                 ctypes.c_int, ctypes.c_void_p,
                                 ctypes.c_void_p]
+    l.poly_rowhash_u32.restype = None
+    l.poly_rowhash_u32.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_int64, ctypes.c_void_p]
     return l
 
 
@@ -233,6 +236,17 @@ def varint_encode(values_u32, offsets, payload_offsets, total_bytes):
     out = np.zeros(int(total_bytes), dtype=np.uint8)
     lib.varint_encode(_ptr(vals), _ptr(off), len(off) - 1, _ptr(po),
                       _ptr(out))
+    return out
+
+
+def poly_rowhash_u32(values_u32, offsets):
+    """Native per-row polynomial hash (bit-identical to the NumPy
+    _poly_rowhash on zero-extended uint32 values): 4 bytes read per token
+    instead of the vectorized path's ~60 bytes of intermediates."""
+    vals = np.ascontiguousarray(values_u32, dtype=np.uint32)
+    off = np.ascontiguousarray(offsets, dtype=np.int64)
+    out = np.empty(len(off) - 1, dtype=np.uint64)
+    lib.poly_rowhash_u32(_ptr(vals), _ptr(off), len(off) - 1, _ptr(out))
     return out
 
 

@@ -484,6 +484,26 @@ void meta_kmp_scan(
     }
 }
 
+/* Per-row polynomial hash over uint32 values (stages/verify._poly_rowhash
+ * hot leg): h_row = sum_j (v_j + 1) * P^(j - row_start) mod 2^64, P the
+ * FNV-ish odd multiplier. Bit-identical to the NumPy path, but touches
+ * 4 bytes per token instead of the ~60 the vectorized formulation
+ * materializes (uint64 upcast + position array + power gather + terms) —
+ * the encode path's hash leg is bandwidth-bound at 32 cores. */
+void poly_rowhash_u32(const uint32_t *v, const int64_t *off, int64_t n_rows,
+                      uint64_t *out) {
+    const uint64_t P = 0x100000001B3ULL;
+    for (int64_t r = 0; r < n_rows; r++) {
+        uint64_t h = 0, pw = 1;
+        const int64_t end = off[r + 1];
+        for (int64_t j = off[r]; j < end; j++) {
+            h += ((uint64_t)v[j] + 1) * pw;
+            pw *= P;
+        }
+        out[r] = h;
+    }
+}
+
 /* Hash-based unique+inverse for the dict codec: one O(n) pass replaces
  * NumPy's O(n log n) full sort with permutation arrays (np.unique
  * return_inverse was ~94% of dict train_encode). Open addressing,

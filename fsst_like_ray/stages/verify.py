@@ -61,9 +61,19 @@ def _poly_rowhash(values_u64: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         return sums
 
 
+def _rowhash_u32(values_u32: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Token-values row hash: C kernel when available (4 B/token traffic),
+    NumPy otherwise — bit-identical either way (tests/test_native.py)."""
+    from .. import native
+
+    if native.lib is not None:
+        return native.poly_rowhash_u32(values_u32, offsets)
+    return _poly_rowhash(values_u32.astype(np.uint64), offsets)
+
+
 def row_hashes(batch: pa.Table) -> np.ndarray:
     values, offsets = list_buffers(batch["tokens"])
-    tok_h = _poly_rowhash(values.view(np.uint32).astype(np.uint64), offsets)
+    tok_h = _rowhash_u32(values.view(np.uint32), offsets)
     # doc_id bytes hashed the same way (integer ids hash their 64-bit value)
     ids = batch["doc_id"].combine_chunks() if isinstance(
         batch["doc_id"], pa.ChunkedArray

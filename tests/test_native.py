@@ -225,3 +225,28 @@ def test_numpy_codec_fallback_matches_native(name, monkeypatch):
     np.testing.assert_array_equal(po_np, po_c)
     np.testing.assert_array_equal(dec_np, values)
     np.testing.assert_array_equal(dec_c, values)
+
+
+def test_poly_rowhash_native_matches_numpy():
+    """C per-row polynomial hash bit-identical to the NumPy formulation
+    (zero-extended uint32 values, including empty rows and extremes)."""
+    if native.lib is None:
+        pytest.skip("no C compiler")
+    from fsst_like_ray.stages.verify import _poly_rowhash
+
+    rng = np.random.default_rng(5)
+    rows = [
+        list(rng.integers(0, 1 << 32, rng.integers(0, 120), dtype=np.uint64))
+        for _ in range(300)
+    ] + [[], [0], [2**32 - 1] * 700]
+    off = np.zeros(len(rows) + 1, dtype=np.int64)
+    off[1:] = np.cumsum([len(r) for r in rows])
+    values = (
+        np.concatenate([np.asarray(r, dtype=np.uint64) for r in rows if r])
+        .astype(np.uint32)
+        if off[-1]
+        else np.zeros(0, dtype=np.uint32)
+    )
+    got = native.poly_rowhash_u32(values, off)
+    want = _poly_rowhash(values.astype(np.uint64), off)
+    np.testing.assert_array_equal(got, want)
