@@ -180,6 +180,8 @@ def _resolve_distributed(
     resolve_fn,
     resolve_block,
     fold_fn,
+    emit_block=None,
+    out_schema: "pa.Schema | None" = None,
 ):
     """Skew-proof distributed resolve of hot-bucket members (the path that
     runs when candidates exceed the driver caps). The old formulation —
@@ -205,14 +207,20 @@ def _resolve_distributed(
     4. the verify kernel is ``resolve_block`` per OUTPUT BATCH (member row
        beside its keeper payload) — vectorized, memory ∝ batch size.
 
+    ``emit_block`` generalizes the output shape: called as
+    ``emit_block(tbl, members, keepers) -> pa.Table`` with ``out_schema``
+    naming the result columns (e.g. (u, v) star pairs for the
+    cluster-dedup edge stream); the collided remnant then uses
+    ``resolve_fn``'s own output schema unchanged.
+
     Falls back to the per-group path when the caller has no vectorized
-    ``resolve_block``."""
+    ``resolve_block``/``emit_block``."""
     import ray.data
     from ray.data.aggregate import Count, Max, Min
 
     from .join import get_broadcast, put_broadcast, shuffle_hash_join
 
-    if resolve_block is None:
+    if resolve_block is None and emit_block is None:
         return survivors.groupby(key_cols).map_groups(
             resolve_fn, batch_format="pandas"
         )
@@ -235,7 +243,23 @@ def _resolve_distributed(
     schema = folded.schema()
     orig_cols = [n for n in schema.names if n != FOLD]
     id_type = dict(zip(schema.names, schema.types))[id_col] or pa.int64()
-    empty_out = pa.table({id_col: pa.array([], type=id_type)})
+    if emit_block is None:
+        out_schema = pa.schema([(id_col, id_type)])
+
+        def emit_block(tbl, members, keepers):
+            return pa.table(
+                {
+                    id_col: pa.array(
+                        np.asarray(resolve_block(tbl, members, keepers)),
+                        type=id_type,
+                    )
+                }
+            )
+
+        recast_collided = True
+    else:
+        recast_collided = False
+    empty_out = out_schema.empty_table()
 
     aggs = [Min(id_col, alias_name="__kid__"), Count(alias_name="__cnt__")]
     for i, k in enumerate(key_cols):
@@ -368,8 +392,7 @@ def _resolve_distributed(
         )
         tbl = pa.concat_tables([mpart, kpart])
         n = mpart.num_rows
-        out = resolve_block(tbl, np.arange(n), np.arange(n) + n)
-        return pa.table({id_col: pa.array(np.asarray(out), type=id_type)})
+        return emit_block(tbl, np.arange(n), np.arange(n) + n)
 
     result = joined.map_batches(resolve_batch, batch_format="pyarrow")
 
@@ -378,16 +401,14 @@ def _resolve_distributed(
             lambda b: b.filter(pa.array(in_coll(b))).drop_columns([FOLD]),
             batch_format="pyarrow",
         )
-        coll_out = (
-            coll_members.groupby(key_cols)
-            .map_groups(resolve_fn, batch_format="pandas")
-            .map_batches(
-                lambda b: pa.table(
-                    {id_col: b[id_col].cast(id_type)}
-                ),
+        coll_out = coll_members.groupby(key_cols).map_groups(
+            resolve_fn, batch_format="pandas"
+        )
+        if recast_collided:
+            coll_out = coll_out.map_batches(
+                lambda b: pa.table({id_col: b[id_col].cast(id_type)}),
                 batch_format="pyarrow",
             )
-        )
         result = result.union(coll_out)
     return result
 
@@ -1126,48 +1147,117 @@ def exact_duplicate_pairs(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Edge stream for CLUSTER-building dedup: Dataset (u, v) of
     (member → identical-text-group keeper) star pairs — feed into
     ``functions.concomp.connected_components`` to get transitive duplicate
-    clusters. Same shape as ``exact_duplicates`` (hot-bucket prefilter:
-    only content hashes with ≥2 members pay the groupby shuffle; the hot
-    key set is bounded by the duplicate rate, not the data size), but the
-    output keeps the PAIRING instead of collapsing to a drop list."""
+    clusters. Rides the same protected machinery as ``exact_duplicates``
+    (hot-bucket prefilter; above ``HOT_KEY_BROADCAST_CAP`` the hot set is
+    never collected; the resolve is the skew-proof keeper-join — a
+    monster duplicate group spreads across salt buckets instead of
+    serializing in one ``map_groups`` task) via the ``emit_block`` hook:
+    each member row meets its hash-keeper's payload, text equality is one
+    vectorized compare, and the pair (member, keeper) is emitted per
+    batch. The pairing key is (content_hash, content_hash2) — the second
+    an independent polynomial over the per-row REVERSED bytes — so
+    distinct texts sharing one 64-bit hash still land in distinct exact
+    groups (each pairs within itself: exactly the old per-TEXT grouping
+    unless BOTH hashes collide simultaneously, ~2^-128); fold collisions
+    fall to the exact per-text remnant."""
     import ray
     import ray.data
     from ray.data.aggregate import Count
+
+    from ..stages.verify import _poly_rowhash
+    from .join import shuffle_hash_join
 
     hashed = ds.map_batches(
         lambda b: content_hash_batch(b, text_col), batch_format="pyarrow"
     )
     counts = hashed.groupby("content_hash").aggregate(Count(alias_name="cnt"))
-    hot_tbl = counts.filter(expr="cnt >= 2").select_columns(
-        ["content_hash"]
-    ).take_all()
-    if not hot_tbl:
-        empty = pa.table(
-            {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
-        )
-        return ray.data.from_arrow(empty)
-    hot_sorted = np.sort(
-        np.array([r["content_hash"] for r in hot_tbl], dtype=np.int64)
-    )
-    hot_ref = ray.put(hot_sorted)
+    hot = counts.filter(expr="cnt >= 2").select_columns(["content_hash"])
 
-    def member_filter(b: pa.Table) -> pa.Table:
-        hs = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
-        keys = b["content_hash"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(hs, keys)
-        np.minimum(idx, len(hs) - 1, out=idx)
-        return b.filter(pa.array(hs[idx] == keys))
+    def add_hash2(b: pa.Table) -> pa.Table:
+        data, offsets = string_buffers(b[text_col])
+        if len(data):
+            idx = np.arange(len(data), dtype=np.int64)
+            starts, ends = offsets[:-1], offsets[1:]
+            row = np.searchsorted(ends, idx, side="right")
+            rev = starts[row] + (ends[row] - 1 - idx)
+            h2 = _poly_rowhash(data[rev].astype(np.uint64), offsets)
+        else:
+            h2 = np.zeros(b.num_rows, dtype=np.uint64)
+        return b.append_column("content_hash2", pa.array(h2.view(np.int64)))
+
+    def fold(cols) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (cols[0].astype(np.uint64) * _PRIME) ^ cols[1].astype(
+                np.uint64
+            )
+
+    if hot.count() > HOT_KEY_BROADCAST_CAP:
+        members = shuffle_hash_join(
+            hashed, hot, "content_hash", "content_hash", how="inner"
+        )
+    else:
+        hot_tbl = hot.take_all()
+        if not hot_tbl:
+            empty = pa.table(
+                {
+                    "u": pa.array([], type=pa.int64()),
+                    "v": pa.array([], type=pa.int64()),
+                }
+            )
+            return ray.data.from_arrow(empty)
+        hot_sorted = np.sort(
+            np.array([r["content_hash"] for r in hot_tbl], dtype=np.int64)
+        )
+        hot_ref = ray.put(hot_sorted)
+
+        def member_filter(b: pa.Table) -> pa.Table:
+            hs = (
+                ray.get(hot_ref)
+                if isinstance(hot_ref, ray.ObjectRef)
+                else hot_ref
+            )
+            keys = b["content_hash"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(hs, keys)
+            np.minimum(idx, len(hs) - 1, out=idx)
+            return b.filter(pa.array(hs[idx] == keys))
+
+        members = hashed.map_batches(member_filter, batch_format="pyarrow")
+
+    # the second hash is computed AFTER the hot filter — only duplicate-
+    # bucket members (bounded by the dup rate, not data size) pay the pass
+    members = members.map_batches(add_hash2, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # group by exact TEXT inside the hash bucket (a collision may mix
-        # distinct texts); each doc pairs with its text group's min id
+        # collided remnant: group by exact TEXT inside the bucket (a
+        # double-hash collision may mix distinct texts); each doc pairs
+        # with its text group's min id
         m = g.groupby(text_col)[id_col].transform("min").to_numpy()
         ids = g[id_col].to_numpy()
         keep = ids != m
         return pd.DataFrame({"u": ids[keep], "v": m[keep]})
 
-    return (
-        hashed.map_batches(member_filter, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(pairs, batch_format="pandas")
+    def emit_pairs(tbl: pa.Table, mem: np.ndarray, kee: np.ndarray):
+        import pyarrow.compute as pc
+
+        same = pc.equal(
+            tbl[text_col].take(pa.array(mem)),
+            tbl[text_col].take(pa.array(kee)),
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(ids[mem[same]], type=pa.int64()),
+                "v": pa.array(ids[kee[same]], type=pa.int64()),
+            }
+        )
+
+    return _resolve_distributed(
+        members,
+        ["content_hash", "content_hash2"],
+        id_col,
+        pairs,
+        None,
+        fold,
+        emit_block=emit_pairs,
+        out_schema=pa.schema([("u", pa.int64()), ("v", pa.int64())]),
     )
