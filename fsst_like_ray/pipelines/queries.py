@@ -8785,6 +8785,88 @@ def q_bpe_apply_gate(sf_dir: str):
     )
 
 
+def q_pipeline_tokenize_corpus(sf_dir: str):
+    """The COMPLETE tokenizer lifecycle as one composed pipeline — the
+    shape a pretraining data job actually runs: raw corpus → base token
+    stream → BPE rules trained on a deterministic hash SAMPLE of docs →
+    ``bpe_apply`` over the FULL stream (one stage, frozen rules) →
+    auto-codec encode → decode → invariants, all distributed:
+
+    - ``roundtrip_ok``: the encoded+decoded applied stream is
+      bit-identical to the applied stream (per-doc polynomial hash sums);
+    - ``expand_restores``: reversing the merge table restores the ORIGINAL
+      base token stream exactly — nothing the tokenizer did is lossy;
+    - ``tokens_shrank``: the applied stream holds strictly fewer tokens
+      (the rules actually fired corpus-wide, not just on the sample)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import bpe as F_bpe
+    from ..functions.tokenops import _list_array, list_buffers
+    from ..stages.verify import _poly_rowhash
+
+    def stream_sig(ds):
+        def p(b: pa.Table) -> pa.Table:
+            values, offsets = list_buffers(b["tokens"])
+            h = _poly_rowhash(values.astype(np.uint64), offsets)
+            s = np.zeros(1, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                s[0] = h.sum(dtype=np.uint64)
+            return pa.table(
+                {
+                    "hsum": pa.array(s.view(np.int64)),
+                    "rows": pa.array([b.num_rows], type=pa.int64()),
+                    "toks": pa.array([int(len(values))], type=pa.int64()),
+                }
+            )
+
+        row = ds.map_batches(p, batch_format="pyarrow").aggregate(
+            Sum("hsum", alias_name="h"),
+            Sum("rows", alias_name="r"),
+            Sum("toks", alias_name="t"),
+        )
+        return (int(row["h"] or 0), int(row["r"] or 0), int(row["t"] or 0))
+
+    base = _tokens_ds(sf_dir).materialize()
+    base_sig = stream_sig(base)
+    rules, applied, _stats = F_bpe.bpe_train(
+        base, BPE_MERGES, sample_rate=0.5
+    )
+    applied = applied.materialize()
+    applied_sig = stream_sig(applied)
+
+    enc = encode_dataset(applied, codec="auto")
+    dec = decode_dataset(enc)
+    roundtrip_ok = stream_sig(dec) == applied_sig
+
+    def expand_back(b: pa.Table) -> pa.Table:
+        values, offsets = list_buffers(b["tokens"])
+        ev, eo = F_bpe.expand_with_offsets(values, offsets, rules)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "tokens": _list_array(ev.astype(np.int64), eo),
+                "n_tok": pa.array(
+                    np.diff(eo).astype(np.int32), type=pa.int32()
+                ),
+            }
+        )
+
+    expand_restores = (
+        stream_sig(applied.map_batches(expand_back, batch_format="pyarrow"))
+        == base_sig
+    )
+    tokens_shrank = applied_sig[2] < base_sig[2] and (
+        applied_sig[1] == base_sig[1]
+    )
+    return pa.table(
+        {
+            "roundtrip_ok": pa.array([roundtrip_ok]),
+            "expand_restores": pa.array([expand_restores]),
+            "tokens_shrank": pa.array([tokens_shrank]),
+        }
+    )
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Quality-aware dedup: normalized-whitespace near-dup groups keep the
     BEST member (shortest raw text, then smallest doc_id) instead of the
@@ -9134,6 +9216,7 @@ def build_queries() -> dict:
     q["dedup_keep_best"] = q_dedup_keep_best
     q["bpe_train_gate"] = q_bpe_train_gate
     q["bpe_apply_gate"] = q_bpe_apply_gate
+    q["pipeline_tokenize_corpus"] = q_pipeline_tokenize_corpus
     q["docs_compressibility_gate"] = q_docs_compressibility_gate
     q["tokens_truncate_pad"] = q_tokens_truncate_pad
     q["tokens_shift_labels"] = q_tokens_shift_labels
@@ -11115,6 +11198,10 @@ def build_oracle_sql() -> dict:
     sql["bpe_apply_gate"] = """
         SELECT true AS train_parity, true AS unseen_roundtrip,
                true AS unseen_deterministic
+    """
+    sql["pipeline_tokenize_corpus"] = """
+        SELECT true AS roundtrip_ok, true AS expand_restores,
+               true AS tokens_shrank
     """
     sql["dedup_keep_best"] = f"""
         WITH planted AS (

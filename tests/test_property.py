@@ -300,3 +300,62 @@ def test_greedy_boundaries_properties(n_tok, budget):
         assert s <= budget or j - i == 1
         if j < len(nt) and s <= budget:  # greedy-maximal
             assert s + int(nt[j]) > budget
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    layout=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),  # group size
+            st.integers(min_value=0, max_value=3),  # text family
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_distributed_resolve_equals_driver_fast_path(
+    ray_session, layout, seed
+):
+    """Property: for ANY duplicate-group layout, exact_duplicates through
+    the forced distributed keeper-join path returns exactly the driver
+    fast path's drop set (smallest id per exact text survives)."""
+    import ray.data
+    from fsst_like_ray.functions import dedup as D
+
+    rng = np.random.default_rng(seed)
+    ids, texts = [], []
+    next_id = 0
+    for gi, (size, fam) in enumerate(layout):
+        t = f"group-{gi}-family-{fam}-" + "x" * int(rng.integers(0, 30))
+        for _ in range(size):
+            ids.append(next_id)
+            texts.append(t)
+            next_id += 1
+    perm = rng.permutation(len(ids))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.array(ids)[perm], type=pa.int64()),
+            "text": pa.array([texts[i] for i in perm]),
+        }
+    )
+    ds = lambda: ray.data.from_arrow(tbl).repartition(3)
+    fast = sorted(r["doc_id"] for r in D.exact_duplicates(ds()).take_all())
+    orig_rows, orig_bytes = D.DRIVER_CAP_ROWS, D.DRIVER_CAP_BYTES
+    orig_salt = D.SALT_MIN_MEMBERS
+    try:
+        D.DRIVER_CAP_ROWS, D.DRIVER_CAP_BYTES = 0, 0
+        D.SALT_MIN_MEMBERS = 4  # exercise salting on small groups too
+        dist = sorted(
+            r["doc_id"] for r in D.exact_duplicates(ds()).take_all()
+        )
+    finally:
+        D.DRIVER_CAP_ROWS, D.DRIVER_CAP_BYTES = orig_rows, orig_bytes
+        D.SALT_MIN_MEMBERS = orig_salt
+    # oracle: everything but the min id of each text group
+    expect = sorted(
+        i
+        for i, t in zip(ids, texts)
+        if i != min(j for j, u in zip(ids, texts) if u == t)
+    )
+    assert fast == expect and dist == expect
