@@ -8726,12 +8726,16 @@ def q_bpe_apply_gate(sf_dir: str):
                 }
             )
 
-        row = ds.map_batches(p, batch_format="pyarrow").aggregate(
-            Sum("hsum", alias_name="h"),
-            Sum("rows", alias_name="r"),
-            Sum("toks", alias_name="t"),
+        # driver-side mod-2^64 fold of the tiny per-batch partials: a Ray
+        # Sum over int64 hash views can exceed int64 in the reduce
+        # (ArrowConversionError) — one partial row per batch is cheap
+        parts = ds.map_batches(p, batch_format="pyarrow").take_all()
+        h = sum(int(r["hsum"]) & ((1 << 64) - 1) for r in parts) % (1 << 64)
+        return (
+            h,
+            sum(int(r["rows"]) for r in parts),
+            sum(int(r["toks"]) for r in parts),
         )
-        return (int(row["h"] or 0), int(row["r"] or 0), int(row["t"] or 0))
 
     ds = _tokens_ds(sf_dir).materialize()
     rules, final, _stats = F_bpe.bpe_train(ds, BPE_MERGES)
@@ -8819,12 +8823,15 @@ def q_pipeline_tokenize_corpus(sf_dir: str):
                 }
             )
 
-        row = ds.map_batches(p, batch_format="pyarrow").aggregate(
-            Sum("hsum", alias_name="h"),
-            Sum("rows", alias_name="r"),
-            Sum("toks", alias_name="t"),
+        # driver-side mod-2^64 fold (same reason as bpe_apply_gate: a Ray
+        # Sum over int64 hash views can overflow int64 in the reduce)
+        parts = ds.map_batches(p, batch_format="pyarrow").take_all()
+        h = sum(int(r["hsum"]) & ((1 << 64) - 1) for r in parts) % (1 << 64)
+        return (
+            h,
+            sum(int(r["rows"]) for r in parts),
+            sum(int(r["toks"]) for r in parts),
         )
-        return (int(row["h"] or 0), int(row["r"] or 0), int(row["t"] or 0))
 
     base = _tokens_ds(sf_dir).materialize()
     base_sig = stream_sig(base)
