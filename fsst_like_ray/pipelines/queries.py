@@ -8704,7 +8704,6 @@ def q_bpe_apply_gate(sf_dir: str):
     from ..functions import bpe as F_bpe
     from ..functions.tokenops import _list_array, list_buffers
     from ..stages.verify import _poly_rowhash
-    from ray.data.aggregate import Sum
 
     def stream_stats(ds):
         """(sum-of-row-hashes, rows, tokens) — equal iff the two streams
@@ -8802,7 +8801,6 @@ def q_pipeline_tokenize_corpus(sf_dir: str):
       base token stream exactly — nothing the tokenizer did is lossy;
     - ``tokens_shrank``: the applied stream holds strictly fewer tokens
       (the rules actually fired corpus-wide, not just on the sample)."""
-    from ray.data.aggregate import Sum
 
     from ..functions import bpe as F_bpe
     from ..functions.tokenops import _list_array, list_buffers
