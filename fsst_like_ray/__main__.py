@@ -323,6 +323,46 @@ def cmd_bpe_train(args) -> int:
     return 0
 
 
+def cmd_bpe_apply(args) -> int:
+    """Tokenize a NEW corpus with a previously trained merge table
+    (functions/bpe.bpe_apply — one map_batches stage, rules in rank
+    order; --rules-out from bpe-train is the input contract)."""
+    ray = _ray()
+    import ray.data as rd
+
+    from .functions.bpe import bpe_apply
+
+    t0 = time.time()
+    with open(args.rules) as f:
+        blob = json.load(f)
+    rules = [
+        (r["a"], r["b"], r["new_id"], r.get("count", 0))
+        for r in blob["rules"]
+    ]
+    ds = rd.read_parquet(args.corpus)
+    if "tokens" not in ds.schema().names:
+        from .pipelines.queries import to_tokens_batch
+
+        ds = ds.map_batches(to_tokens_batch, batch_format="pyarrow")
+    applied = bpe_apply(ds, rules)
+    applied.write_parquet(args.out)
+    from ray.data.aggregate import Sum
+
+    row = applied.aggregate(Sum("n_tok", alias_name="t"))
+    print(
+        json.dumps(
+            {
+                "rules": len(rules),
+                "out": args.out,
+                "tokens_out": int(row["t"] or 0),
+                "sec": round(time.time() - t0, 3),
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Pack a corpus into fixed-length training sequences and write them
     as partitioned parquet — the last step before a trainer consumes the
@@ -1223,6 +1263,16 @@ def main(argv=None) -> int:
     bp.add_argument("--rules-out", default=None)
     bp.add_argument("--apply-out", default=None)
     bp.set_defaults(fn=cmd_bpe_train)
+
+    ba = sub.add_parser(
+        "bpe-apply",
+        help="tokenize a new corpus with trained merge rules (JSON from "
+        "bpe-train --rules-out)",
+    )
+    ba.add_argument("corpus")
+    ba.add_argument("rules")
+    ba.add_argument("out")
+    ba.set_defaults(fn=cmd_bpe_apply)
 
     pk = sub.add_parser(
         "pack",
