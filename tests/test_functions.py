@@ -1019,3 +1019,44 @@ def test_grouped_corr_stats(ray_session):
         for g in ("a", "b"):
             for c, v in base[g].items():
                 assert int(got[g][c]) == v, (nparts, g, c)
+
+
+def test_grouped_topk_many_keys_bucketed_merge(ray_session):
+    """The coarse-bucket merge must equal the analytic per-key top-k on a
+    key count far above n_buckets (per-group Python is O(buckets), but
+    correctness is per KEY), across int and string key types."""
+    import ray.data
+    from fsst_like_ray.functions.grouped_topk import grouped_topk
+
+    rng = np.random.default_rng(11)
+    n, n_keys = 20_000, 1_500
+    keys = rng.integers(0, n_keys, n)
+    scores = rng.integers(0, 1_000, n)
+    ids = np.arange(n)
+    t = pa.table(
+        {
+            "k": pa.array(keys, type=pa.int64()),
+            "ks": pa.array([f"key-{v}" for v in keys]),
+            "s": pa.array(scores, type=pa.int64()),
+            "id": pa.array(ids, type=pa.int64()),
+        }
+    )
+    df = t.to_pandas()
+    expect = (
+        df.sort_values(["k", "s", "id"], ascending=[True, False, True])
+        .groupby("k")
+        .head(2)
+        .sort_values(["k", "s", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    for key in ("k", "ks"):
+        got = (
+            grouped_topk(
+                ray.data.from_arrow(t).repartition(8),
+                key=key, score="s", k=2, tiebreak="id", n_buckets=16,
+            )
+            .to_pandas()
+            .sort_values(["k", "s", "id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        assert got["id"].tolist() == expect["id"].tolist(), key
