@@ -45,28 +45,6 @@ def _topk_table(t: pa.Table, key: str, score: str, tiebreak: str, k: int):
     return t.take(pa.array(keep))
 
 
-_GOLD = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _key_hash(col) -> np.ndarray:
-    """Stable uint64 content hash of a key column (int or string) —
-    consistent across batches (a per-batch dictionary encode is NOT),
-    so it can drive a cross-batch co-partitioning bucket."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    if pa.types.is_integer(col.type):
-        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            return v.view(np.uint64) * _GOLD
-    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-        from ..stages.text import string_buffers
-        from ..stages.verify import _poly_rowhash
-
-        data, offsets = string_buffers(col)
-        return _poly_rowhash(data.astype(np.uint64), offsets)
-    raise TypeError(f"grouped_topk: unhashable key type {col.type}")
-
-
 def grouped_topk(
     ds: "ray.data.Dataset",
     key: str,
@@ -78,31 +56,25 @@ def grouped_topk(
     """Top-k rows per key by (score desc, tiebreak asc). ``score`` and
     ``tiebreak`` must be numeric; all columns ride through.
 
-    Scale shape: the per-batch partial prunes to ≤k rows per key, then ONE
-    shuffle co-partitions by a COARSE key-hash bucket (``n_buckets``
-    groups, not #keys groups) and the in-bucket merge is the same
-    vectorized multi-key kernel as the partial — per-group Python cost is
-    O(n_buckets), never O(#keys), so a million-key top-k (latest event
-    per user) pays a million vectorized rows, not a million Python calls.
-    No monster groups either: a key's pruned rows are ≤ k × #blocks and
-    buckets hold hash-balanced key sets."""
-    BUCKET = "__tk_bucket__"
+    Scale shape: the per-batch partial prunes to ≤k rows per key, then
+    the merge runs through :func:`..bucketed.bucketed_group_kernel` —
+    ONE shuffle into ``n_buckets`` coarse key-hash buckets, the in-bucket
+    merge is the same vectorized multi-key kernel as the partial, so
+    per-group Python cost is O(n_buckets), never O(#keys): a million-key
+    top-k (latest event per user) pays a million vectorized rows, not a
+    million Python calls. No monster groups either: a key's pruned rows
+    are ≤ k × #blocks and buckets hold hash-balanced key sets."""
+    from .bucketed import bucketed_group_kernel
 
     def partial(b: pa.Table) -> pa.Table:
-        t = _topk_table(b, key, score, tiebreak, k)
-        h = _key_hash(t[key])
-        bucket = ((h >> np.uint64(32)) % np.uint64(n_buckets)).astype(
-            np.int64
-        )
-        return t.append_column(BUCKET, pa.array(bucket))
+        return _topk_table(b, key, score, tiebreak, k)
 
-    def final(g: pa.Table) -> pa.Table:
-        return _topk_table(
-            g.drop_columns([BUCKET]), key, score, tiebreak, k
-        )
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(BUCKET)
-        .map_groups(final, batch_format="pyarrow")
+    pruned = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucketed_group_kernel(
+        pruned,
+        key,
+        lambda g: _topk_table(g, key, score, tiebreak, k),
+        n_buckets=n_buckets,
     )

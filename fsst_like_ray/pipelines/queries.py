@@ -5568,25 +5568,39 @@ def q_user_event_seq(sf_dir: str):
     import pyarrow.compute as pc
 
     def seq(g: pa.Table) -> pa.Table:
+        # vectorized across ALL users in the coarse bucket: one lexsort
+        # keyed (user, ts, event_id), run segmentation gives each user's
+        # slice, ONE ListArray + binary_join builds every sequence
         ts = g["ts_us"].to_numpy(zero_copy_only=False)
         eid = g["event_id"].to_numpy(zero_copy_only=False)
-        idx = np.lexsort((eid, ts))
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        starts = (
+            np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+            if len(u)
+            else np.zeros(0, dtype=np.int64)
+        )
+        bounds = np.concatenate((starts, [len(u)])).astype(np.int32)
         et = g["event_type"].combine_chunks().take(
-            pa.array(idx, type=pa.int64())
+            pa.array(order, type=pa.int64())
         )
-        lst = pa.ListArray.from_arrays(
-            pa.array([0, len(et)], type=pa.int32()), et
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(bounds), et), ","
         )
-        joined = pc.binary_join(lst, ",")
         return pa.table(
             {
-                "user_id": g["user_id"].slice(0, 1),
+                "user_id": g["user_id"].combine_chunks().take(
+                    pa.array(order[starts], type=pa.int64())
+                ),
                 "seq": joined,
-                "n_events": pa.array([g.num_rows], type=pa.int64()),
+                "n_events": pa.array(
+                    np.diff(bounds).astype(np.int64), type=pa.int64()
+                ),
             }
         )
 
-    return (
+    prepped = (
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["event_id", "ts", "user_id", "event_type"],
@@ -5602,9 +5616,10 @@ def q_user_event_seq(sf_dir: str):
             ),
             batch_format="pyarrow",
         )
-        .groupby("user_id")
-        .map_groups(seq, batch_format="pyarrow")
     )
+    from ..functions.bucketed import bucketed_group_kernel
+
+    return bucketed_group_kernel(prepped, "user_id", seq)
 
 
 def q_docs_words_exploded(sf_dir: str):
@@ -7877,16 +7892,28 @@ def q_events_user_mode(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
     )
 
-    def top1(g: pa.Table) -> pa.Table:
+    def top1_multi(g: pa.Table) -> pa.Table:
+        # vectorized across ALL users in the bucket: one sort, then each
+        # user run's first row (count desc, type asc within user)
         idx = pa.compute.sort_indices(
             g,
-            sort_keys=[("n", "descending"), ("event_type", "ascending")],
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("n", "descending"),
+                ("event_type", "ascending"),
+            ],
         )
-        return g.take(idx[:1])
+        t = g.take(idx)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        first = np.concatenate(
+            ([0], np.flatnonzero(u[1:] != u[:-1]) + 1)
+        ) if len(u) else np.zeros(0, dtype=np.int64)
+        return t.take(pa.array(first))
+
+    from ..functions.bucketed import bucketed_group_kernel
 
     return (
-        counts.groupby("user_id")
-        .map_groups(top1, batch_format="pyarrow")
+        bucketed_group_kernel(counts, "user_id", top1_multi)
         .sort("user_id")
         .map_batches(
             lambda b: pa.table(
