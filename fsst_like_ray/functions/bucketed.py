@@ -35,11 +35,16 @@ def key_hash(col) -> np.ndarray:
         v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
         with np.errstate(over="ignore"):
             return v.view(np.uint64) * _GOLD
-    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+    if (
+        pa.types.is_string(col.type)
+        or pa.types.is_large_string(col.type)
+        or pa.types.is_binary(col.type)
+        or pa.types.is_large_binary(col.type)
+    ):
         from ..stages.text import string_buffers
         from ..stages.verify import _poly_rowhash
 
-        data, offsets = string_buffers(col)
+        data, offsets = string_buffers(col)  # casts to large_binary
         return _poly_rowhash(data.astype(np.uint64), offsets)
     raise TypeError(f"bucketed: unhashable key type {col.type}")
 

@@ -2925,44 +2925,67 @@ def columnar_group_agg_ds(
         else ("ivalue" if "ivalue" in parts.schema().names else "value")
     )
 
-    def merge(g: pa.Table) -> pa.Table:
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        """Vectorized multi-key merge of ONE coarse bucket's partials —
+        Arrow's C++ hash aggregate folds every key at once (decimal128
+        sums stay exact; 38 digits of headroom over int64 partials), so
+        per-group Python cost is O(buckets), never O(#keys)."""
         flt = "fsum" in g.column_names
-        n_rows = n_vals = 0
-        vsum = 0.0 if flt else 0
-        vmin = vmax = None
-        for r in g.to_pylist():
-            n_rows += int(r["n_rows"])
-            n_vals += int(r["n_vals"])
-            vsum += r["fsum"] if flt else int(r["vsum"])
-            rmin = r["fmin"] if flt else r["vmin"]
-            rmax = r["fmax"] if flt else r["vmax"]
-            if rmin is not None:
-                vmin = rmin if vmin is None else min(vmin, rmin)
-                vmax = rmax if vmax is None else max(vmax, rmax)
-        k = g[key][0]
+        scol = "fsum" if flt else "vsum"
+        mincol = "fmin" if flt else "vmin"
+        maxcol = "fmax" if flt else "vmax"
+        keys = [key] if key == "ivalue" else [key, "is_text"]
+        gb = g.group_by(keys).aggregate(
+            [
+                ("n_rows", "sum"),
+                (scol, "sum"),
+                (mincol, "min"),
+                (maxcol, "max"),
+            ]
+        )
         if key == "ivalue":
-            val = pa.array([k.as_py()], type=pa.int64())
-        elif g["is_text"][0].as_py():
-            val = pa.array([k.as_py().decode()], type=pa.string())
+            val = gb["ivalue"].cast(pa.int64())
         else:
-            val = pa.array([k.as_py()], type=pa.large_binary())
+            txt = gb["is_text"]
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            bv = gb["value"]
+            if isinstance(bv, pa.ChunkedArray):
+                bv = bv.combine_chunks()
+            # a partial stream is all-text or all-binary for one column
+            val = (
+                bv.cast(pa.string())
+                if txt.to_numpy(zero_copy_only=False).all()
+                else bv
+            )
         cols: dict = {"value": val}
         agg_t = pa.float64() if flt else pa.int64()
         if "count" in ops:
-            cols["n_rows"] = pa.array([n_rows], type=pa.int64())
+            cols["n_rows"] = gb["n_rows_sum"].cast(pa.int64())
         if agg_col is not None and "sum" in ops:
-            if not flt and not -(1 << 63) <= vsum < (1 << 63):
-                raise OverflowError(
-                    f"group sum of {agg_col!r} exceeds int64 for key {k!r}"
+            s = gb[f"{scol}_sum"]
+            if not flt:
+                # exact decimal128 totals; the int64 contract still holds
+                lo, hi = pa.scalar(-(1 << 63), s.type), pa.scalar(
+                    (1 << 63) - 1, s.type
                 )
-            cols["vsum"] = pa.array([vsum], type=agg_t)
+                import pyarrow.compute as pc
+
+                bad = pc.or_(pc.less(s, lo), pc.greater(s, hi))
+                if pc.any(bad).as_py():
+                    raise OverflowError(
+                        f"group sum of {agg_col!r} exceeds int64"
+                    )
+            cols["vsum"] = s.cast(agg_t)
         if agg_col is not None and "min" in ops:
-            cols["vmin"] = pa.array([vmin], type=agg_t)
+            cols["vmin"] = gb[f"{mincol}_min"].cast(agg_t)
         if agg_col is not None and "max" in ops:
-            cols["vmax"] = pa.array([vmax], type=agg_t)
+            cols["vmax"] = gb[f"{maxcol}_max"].cast(agg_t)
         return pa.table(cols)
 
-    return parts.groupby(key).map_groups(merge, batch_format="pyarrow")
+    from ..functions.bucketed import bucketed_group_kernel
+
+    return bucketed_group_kernel(parts, key, merge_bucket)
 
 
 def distinct_scan_batch(batch: pa.Table, column: str) -> pa.Table:
