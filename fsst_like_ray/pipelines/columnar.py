@@ -3024,15 +3024,26 @@ def columnar_distinct_ds(enc_ds, column: str, int_keys: bool | None = None):
     single ``value`` column (utf-8 for text, large_binary for binary,
     int64 for ints)."""
 
-    def first(g: pa.Table) -> pa.Table:
+    def first_bucket(g: pa.Table) -> pa.Table:
+        """Vectorized multi-key dedupe of one coarse bucket — Arrow's
+        hash-distinct, not one Python call per distinct value."""
         if "ivalue" in g.column_names:
+            iv = g["ivalue"]
+            if isinstance(iv, pa.ChunkedArray):
+                iv = iv.combine_chunks()
             return pa.table(
-                {"value": pa.array([g["ivalue"][0].as_py()], type=pa.int64())}
+                {"value": iv.unique().cast(pa.int64())}
             )
-        k = g["value"][0].as_py()
-        if g["is_text"][0].as_py():
-            return pa.table({"value": pa.array([k.decode()], type=pa.string())})
-        return pa.table({"value": pa.array([k], type=pa.large_binary())})
+        gb = g.group_by(["value", "is_text"]).aggregate([])
+        bv = gb["value"]
+        if isinstance(bv, pa.ChunkedArray):
+            bv = bv.combine_chunks()
+        txt = gb["is_text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        if len(txt) and txt.to_numpy(zero_copy_only=False).all():
+            return pa.table({"value": bv.cast(pa.string())})
+        return pa.table({"value": bv})
 
     parts = enc_ds.map_batches(
         lambda t: distinct_scan_batch(t, column), batch_format="pyarrow"
@@ -3042,7 +3053,9 @@ def columnar_distinct_ds(enc_ds, column: str, int_keys: bool | None = None):
         if int_keys is not None
         else ("ivalue" if "ivalue" in parts.schema().names else "value")
     )
-    return parts.groupby(key).map_groups(first, batch_format="pyarrow")
+    from ..functions.bucketed import bucketed_group_kernel
+
+    return bucketed_group_kernel(parts, key, first_bucket)
 
 
 def columnar_distinct(enc_ds, column: str) -> pa.Table:
