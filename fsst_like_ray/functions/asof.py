@@ -1,8 +1,11 @@
 """As-of and range joins — time-ordered join operators Ray Data has no
 built-in for, composed per SURVEY.md §2 "custom operators" guidance:
 both sides are projected onto one unified schema, unioned, and
-hash-partitioned by the key in ONE shuffle; the per-key sort-merge is a
-vectorized ``np.searchsorted`` inside ``groupby(by).map_groups``.
+hash-partitioned in ONE shuffle into coarse key buckets
+(functions/bucketed.py); the merge kernel is vectorized across EVERY key
+in a bucket — a union sort by (key, on, side) plus run-segmented
+maximum-accumulate (as-of) or probe-event prefix counts (range agg), so
+per-group Python cost is O(buckets), never O(#keys).
 
 ``asof_join``: for every left row, the right row with the greatest
 ``on`` value that is ``<=`` the left's ``on`` (optionally within
@@ -68,6 +71,18 @@ def _project(fields, have: dict, side: int):
     return fn
 
 
+def _col_np(g: pa.Table, name: str) -> np.ndarray:
+    """Null-safe numpy view of a union-schema column: the OTHER side's
+    rows are null here (never read), but a raw to_numpy would upcast the
+    whole column to float NaN — fill first, keep the integer dtype."""
+    c = g[name]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    if c.null_count:
+        c = c.fill_null(0)
+    return c.to_numpy(zero_copy_only=False)
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -125,48 +140,84 @@ def asof_join(
     )
 
     def merge(g: pa.Table) -> pa.Table:
-        side = g[_SIDE].to_numpy(zero_copy_only=False)
-        lt = g.filter(pa.array(side == 0)).select(out_schema.names)
-        rt = g.filter(pa.array(side == 1)).select(out_schema.names)
-        if lt.num_rows == 0:
+        """Vectorized across EVERY key in one coarse bucket: sort the
+        UNION of both sides by (key, on, side, right-tiebreak) with
+        rights preceding lefts at equal ``on``, then the backward as-of
+        match is a run-segmented maximum-accumulate over right-row
+        positions (the forward-fill pattern) — no per-key Python, no
+        per-key searchsorted."""
+        n = g.num_rows
+        if n == 0:
             return out_schema.empty_table()
-        l_on = lt[on].to_numpy(zero_copy_only=False)
-        r_on = rt[on_r].to_numpy(zero_copy_only=False)
+        side = g[_SIDE].to_numpy(zero_copy_only=False)
+        kcol = g[by]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = (
+            kcol
+            if pa.types.is_dictionary(kcol.type)
+            else kcol.dictionary_encode()
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        is_r = side == 1
+        onv = np.where(
+            is_r,
+            _col_np(g, on_r),
+            _col_np(g, on),
+        )
+        # rights sort BEFORE lefts at equal on (<= is inclusive); within
+        # equal (key, on) rights, ascending tiebreak puts the winner last
+        side_sort = (~is_r).astype(np.int8)
         if tb_r is not None:
-            order = np.lexsort(
-                (rt[tb_r].to_numpy(zero_copy_only=False), r_on)
-            )
+            tb = np.where(is_r, _col_np(g, tb_r), 0)
+            order = np.lexsort((tb, side_sort, onv, codes))
         else:
-            order = np.argsort(r_on, kind="stable")
-        r_sorted = r_on[order]
-        # side="right": index past all equal values, so idx-1 lands on the
-        # LAST (max-tiebreak) right row with on <= left on
-        idx = np.searchsorted(r_sorted, l_on, side="right") - 1
-        valid = idx >= 0
-        take = order[np.maximum(idx, 0)]
+            order = np.lexsort(
+                (np.arange(n, dtype=np.int64), side_sort, onv, codes)
+            )
+        ks = codes[order]
+        starts = np.concatenate(([0], np.flatnonzero(ks[1:] != ks[:-1]) + 1))
+        sizes = np.diff(np.concatenate((starts, [n])))
+        start_rep = np.repeat(starts, sizes)
+        r_sorted_mask = is_r[order]
+        pos = np.where(r_sorted_mask, np.arange(n, dtype=np.int64), -1)
+        last = np.maximum.accumulate(pos)
+        miss = last < start_rep  # carried from a previous key's run
+        lpos = np.flatnonzero(~r_sorted_mask)  # left rows, sorted order
+        match_sorted = last[lpos]
+        valid = ~miss[lpos]
+        take = order[np.maximum(match_sorted, 0)]  # original g row index
+        lt_idx = order[lpos]
         if tolerance is not None:
-            valid &= (l_on - r_sorted[np.maximum(idx, 0)]) <= tolerance
+            l_onv = onv[lt_idx]
+            r_onv = onv[take]
+            valid &= (l_onv - r_onv) <= tolerance
+        lt = g.take(pa.array(lt_idx, type=pa.int64()))
         if how == "inner":
-            lt = lt.filter(pa.array(valid))
-            take = take[valid]
-            if lt.num_rows == 0:
+            keep = np.flatnonzero(valid)
+            if keep.size == 0:
                 return out_schema.empty_table()
-            matched = rt.take(take)
-            cols = {n: lt[n] for n in lnames}
-            cols.update({n: matched[n] for n in r_out})
+            lt = lt.take(pa.array(keep, type=pa.int64()))
+            matched = g.take(pa.array(take[keep], type=pa.int64()))
+            cols = {name: lt[name] for name in lnames}
+            cols.update({name: matched[name] for name in r_out})
         else:
             take_arr = pa.array(
-                np.where(valid, take, -1), type=pa.int64()
+                take.astype(np.int64), type=pa.int64(), mask=~valid
             )
-            take_arr = pc.if_else(
-                pc.greater_equal(take_arr, 0), take_arr, pa.nulls(len(valid), pa.int64())
-            )
-            cols = {n: lt[n] for n in lnames}
-            for n in r_out:
-                cols[n] = rt[n].take(take_arr)
+            cols = {name: lt[name] for name in lnames}
+            for name in r_out:
+                cols[name] = pc.take(
+                    g[name].combine_chunks()
+                    if isinstance(g[name], pa.ChunkedArray)
+                    else g[name],
+                    take_arr,
+                )
         return pa.table(cols, schema=out_schema)
 
-    return both.groupby(by).map_groups(merge, batch_format="pyarrow")
+    from .bucketed import bucketed_group_kernel
+
+    return bucketed_group_kernel(both, by, merge)
 
 
 def range_agg_join(
@@ -209,22 +260,67 @@ def range_agg_join(
     )
 
     def merge(g: pa.Table) -> pa.Table:
-        side = g[_SIDE].to_numpy(zero_copy_only=False)
-        lt = g.filter(pa.array(side == 0))
-        rt = g.filter(pa.array(side == 1))
-        if lt.num_rows == 0:
+        """Vectorized across EVERY key in one coarse bucket: the two
+        searchsorted probes become PROBE EVENTS at ``l.on+lo`` / ``l.on+hi``
+        merged into one (key, value, probe-before-right) sort with the
+        right rows; a run-segmented exclusive prefix count/sum at each
+        probe position gives count(on < bound) and sum(on < bound) per
+        key, and the window aggregate is the B−A difference — no per-key
+        Python, no per-key searchsorted."""
+        n = g.num_rows
+        if n == 0:
             return out_schema.empty_table()
-        l_on = lt[on].to_numpy(zero_copy_only=False)
-        r_on = rt[on_r].to_numpy(zero_copy_only=False)
-        order = np.argsort(r_on, kind="stable")
-        r_sorted = r_on[order]
-        vals = rt[val_r].to_numpy(zero_copy_only=False)[order]
-        csum = np.concatenate(([0], np.cumsum(vals, dtype=np.int64)))
-        a = np.searchsorted(r_sorted, l_on + lo, side="left")
-        b = np.searchsorted(r_sorted, l_on + hi, side="left")
-        cols = {n: lt[n] for n in lnames}
-        cols[n_out] = pa.array((b - a).astype(np.int64))
-        cols[s_out] = pa.array(csum[b] - csum[a])
+        side = g[_SIDE].to_numpy(zero_copy_only=False)
+        is_r = side == 1
+        kcol = g[by]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = (
+            kcol
+            if pa.types.is_dictionary(kcol.type)
+            else kcol.dictionary_encode()
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        onv = np.where(is_r, _col_np(g, on_r), _col_np(g, on))
+        vals = np.where(is_r, _col_np(g, val_r), 0).astype(np.int64)
+        r_idx = np.flatnonzero(is_r)
+        l_idx = np.flatnonzero(~is_r)
+        nl, nr = len(l_idx), len(r_idx)
+        if nl == 0:
+            return out_schema.empty_table()
+        ev_key = np.concatenate((codes[r_idx], codes[l_idx], codes[l_idx]))
+        ev_val = np.concatenate(
+            (onv[r_idx], onv[l_idx] + lo, onv[l_idx] + hi)
+        )
+        # probes sort BEFORE rights at equal value: bound semantics match
+        # searchsorted side="left" (on == l+lo counts, on == l+hi doesn't)
+        ev_isr = np.concatenate(
+            (np.ones(nr, dtype=np.int8), np.zeros(2 * nl, dtype=np.int8))
+        )
+        ev_w = np.concatenate((vals[r_idx], np.zeros(2 * nl, np.int64)))
+        order = np.lexsort((ev_isr, ev_val, ev_key))
+        k = ev_key[order]
+        isr = ev_isr[order].astype(np.int64)
+        w = ev_w[order]
+        m = len(order)
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        sizes = np.diff(np.concatenate((starts, [m])))
+        before_n = np.cumsum(isr) - isr
+        before_s = np.cumsum(w) - w
+        base_n = np.repeat(before_n[starts], sizes)
+        base_s = np.repeat(before_s[starts], sizes)
+        cnt = before_n - base_n
+        ssum = before_s - base_s
+        ev_pos = np.empty(m, dtype=np.int64)
+        ev_pos[order] = np.arange(m, dtype=np.int64)
+        pa_pos = ev_pos[nr : nr + nl]
+        pb_pos = ev_pos[nr + nl :]
+        lt = g.take(pa.array(l_idx, type=pa.int64()))
+        cols = {name: lt[name] for name in lnames}
+        cols[n_out] = pa.array(cnt[pb_pos] - cnt[pa_pos])
+        cols[s_out] = pa.array(ssum[pb_pos] - ssum[pa_pos])
         return pa.table(cols, schema=out_schema)
 
-    return both.groupby(by).map_groups(merge, batch_format="pyarrow")
+    from .bucketed import bucketed_group_kernel
+
+    return bucketed_group_kernel(both, by, merge)
