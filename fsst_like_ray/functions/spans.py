@@ -198,29 +198,72 @@ def duplicated_span_pairs(
             }
         )
 
-    def pairs(g) -> "pa.Table":
-        import pandas as pd
+    from .bucketed import bucketed_group_kernel
 
-        out_a, out_b = [], []
-        for _w, sub in g.groupby("win"):
-            docs = np.unique(sub["doc_id"].to_numpy())
-            if len(docs) >= 2:
-                a = docs[0]
-                for bdoc in docs[1:]:
-                    out_a.append(int(a))
-                    out_b.append(int(bdoc))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
-
-    raw = (
-        ds.map_batches(pass2, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(pairs, batch_format="pandas")
+    raw = bucketed_group_kernel(
+        ds.map_batches(pass2, batch_format="pyarrow"),
+        "h",
+        _star_pairs_bucket,
     )
     # a pair found via many spans reports once
     return (
         raw.groupby(["doc_a", "doc_b"])
         .count()
         .select_columns(["doc_a", "doc_b"])
+    )
+
+
+
+def _win_runs(g: "pa.Table", extra_sort=None):
+    """Run segmentation of a bucket table over the (h, win) group key:
+    returns (sorted row order, run starts, run sizes) with rows inside a
+    run ordered by doc_id (then ``extra_sort``). Vectorized across every
+    window group in the bucket — the per-key Python loop this replaces
+    paid one pandas groupby iteration per distinct window."""
+    h = g["h"].to_numpy(zero_copy_only=False)
+    did = g["doc_id"].to_numpy(zero_copy_only=False)
+    win = g["win"]
+    if isinstance(win, pa.ChunkedArray):
+        win = win.combine_chunks()
+    wc = win.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    keys = (did,) if extra_sort is None else (extra_sort, did)
+    order = np.lexsort(keys + (wc, h))
+    hh, ww = h[order], wc[order]
+    n = len(order)
+    starts = (
+        np.concatenate(
+            ([0],
+             np.flatnonzero((hh[1:] != hh[:-1]) | (ww[1:] != ww[:-1])) + 1)
+        )
+        if n
+        else np.zeros(0, dtype=np.int64)
+    )
+    sizes = np.diff(np.concatenate((starts, [n])))
+    return order, starts, sizes
+
+
+def _star_pairs_bucket(g: "pa.Table") -> "pa.Table":
+    """(doc_a=min doc, doc_b=other doc) per (h, win) group, vectorized:
+    distinct docs per group via Arrow hash-distinct, then run-segmented
+    keeper broadcast."""
+    if g.num_rows == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+            }
+        )
+    gb = g.group_by(["h", "win", "doc_id"]).aggregate([])
+    order, starts, sizes = _win_runs(gb)
+    dd = gb["doc_id"].to_numpy(zero_copy_only=False)[order]
+    keeper = np.repeat(dd[starts], sizes)
+    memb = np.ones(len(dd), dtype=bool)
+    memb[starts] = False
+    return pa.table(
+        {
+            "doc_a": pa.array(keeper[memb], type=pa.int64()),
+            "doc_b": pa.array(dd[memb], type=pa.int64()),
+        }
     )
 
 
@@ -350,23 +393,12 @@ def duplicated_token_span_pairs(
             }
         )
 
-    def pairs(g) -> "pd.DataFrame":
-        import pandas as pd
+    from .bucketed import bucketed_group_kernel
 
-        out_a, out_b = [], []
-        for _w, sub in g.groupby("win"):
-            docs = np.unique(sub["doc_id"].to_numpy())
-            if len(docs) >= 2:
-                a = docs[0]
-                for bdoc in docs[1:]:
-                    out_a.append(int(a))
-                    out_b.append(int(bdoc))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
-
-    raw = (
-        tokens_ds.map_batches(pass2, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(pairs, batch_format="pandas")
+    raw = bucketed_group_kernel(
+        tokens_ds.map_batches(pass2, batch_format="pyarrow"),
+        "h",
+        _star_pairs_bucket,
     )
     return (
         raw.groupby(["doc_a", "doc_b"])
@@ -460,23 +492,34 @@ def remove_duplicated_token_spans(
             }
         )
 
-    def emit_removals(g) -> "pd.DataFrame":
-        import pandas as pd
+    def emit_removals_bucket(g: "pa.Table") -> "pa.Table":
+        # vectorized across every window group in the bucket: rows whose
+        # doc is not the group's min doc emit their (doc, pos) removal
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                }
+            )
+        order, starts, sizes = _win_runs(g)
+        dd = g["doc_id"].to_numpy(zero_copy_only=False)[order]
+        pp = g["pos"].to_numpy(zero_copy_only=False)[order]
+        keeper = np.repeat(dd[starts], sizes)
+        cut = dd != keeper
+        return pa.table(
+            {
+                "doc_id": pa.array(dd[cut], type=pa.int64()),
+                "pos": pa.array(pp[cut], type=pa.int64()),
+            }
+        )
 
-        out_d, out_p = [], []
-        for _w, sub in g.groupby("win"):
-            docs = sub["doc_id"].to_numpy()
-            keeper = docs.min()
-            cut = docs != keeper
-            if cut.any():
-                out_d.extend(int(d) for d in docs[cut])
-                out_p.extend(int(p) for p in sub["pos"].to_numpy()[cut])
-        return pd.DataFrame({"doc_id": out_d, "pos": out_p})
+    from .bucketed import bucketed_group_kernel
 
-    removals = (
-        tokens_ds.map_batches(pass2, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(emit_removals, batch_format="pandas")
+    removals = bucketed_group_kernel(
+        tokens_ds.map_batches(pass2, batch_format="pyarrow"),
+        "h",
+        emit_removals_bucket,
     )
 
     def cut_rows(b: pa.Table, starts_of) -> pa.Table:
@@ -553,25 +596,40 @@ def remove_duplicated_token_spans(
     # the co-partitioned shuffle join instead (doc_id is an int key)
     from .join import shuffle_hash_join
 
-    def pack_doc(g) -> "pd.DataFrame":
-        import pandas as pd
+    def pack_docs_bucket(g: "pa.Table") -> "pa.Table":
+        # vectorized across every doc in the bucket: lexsort (doc, pos),
+        # run-segment, one ListArray + binary_join builds every span list
+        import pyarrow.compute as pc
 
-        d = int(g["doc_id"].iloc[0])
-        ss = ",".join(str(int(p)) for p in np.sort(g["pos"].to_numpy()))
-        return pd.DataFrame({"doc_id": [d], "spans": [ss]})
-
-    per_doc = removals.groupby("doc_id").map_groups(
-        pack_doc, batch_format="pandas"
-    ).map_batches(
-        # normalize pandas blocks to Arrow so the join sees Arrow types
-        lambda t: pa.table(
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "spans": pa.array([], type=pa.string()),
+                }
+            )
+        dd = g["doc_id"].to_numpy(zero_copy_only=False)
+        pp = g["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pp, dd))
+        d = dd[order]
+        p = pp[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(d[1:] != d[:-1]) + 1)
+        )
+        bounds = np.concatenate((starts, [len(d)])).astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(bounds),
+            pa.array(p.astype(np.int64), type=pa.int64()),
+        )
+        joined = pc.binary_join(la.cast(pa.list_(pa.string())), ",")
+        return pa.table(
             {
-                "doc_id": t["doc_id"].cast(pa.int64()),
-                "spans": t["spans"].cast(pa.string()),
+                "doc_id": pa.array(d[starts], type=pa.int64()),
+                "spans": joined.cast(pa.string()),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    per_doc = bucketed_group_kernel(removals, "doc_id", pack_docs_bucket)
     joined = shuffle_hash_join(
         tokens_ds, per_doc, "doc_id", "doc_id", how="left"
     )
