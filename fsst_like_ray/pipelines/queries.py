@@ -4311,13 +4311,31 @@ def q_events_top_type_per_window(sf_dir: str):
     the ranking runs per window group (windows ≪ events)."""
     agg = F_events.tumbling_window_agg(_events_ds(sf_dir), window_s=3600)
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["n_events", "event_type"], ascending=[False, True]
+    def pick_bucket(g: pa.Table) -> pa.Table:
+        # vectorized across every window in the bucket: one sort, each
+        # window run's first row (count desc, type asc within window)
+        idx = pa.compute.sort_indices(
+            g,
+            sort_keys=[
+                ("window_start_s", "ascending"),
+                ("n_events", "descending"),
+                ("event_type", "ascending"),
+            ],
         )
-        return g.iloc[:1][["window_start_s", "event_type", "n_events"]]
+        t = g.take(idx)
+        w = t["window_start_s"].to_numpy(zero_copy_only=False)
+        first = (
+            np.concatenate(([0], np.flatnonzero(w[1:] != w[:-1]) + 1))
+            if len(w)
+            else np.zeros(0, dtype=np.int64)
+        )
+        return t.take(pa.array(first, type=pa.int64())).select(
+            ["window_start_s", "event_type", "n_events"]
+        )
 
-    out = agg.groupby("window_start_s").map_groups(pick, batch_format="pandas")
+    from ..functions.bucketed import bucketed_group_kernel
+
+    out = bucketed_group_kernel(agg, "window_start_s", pick_bucket)
     return out.map_batches(
         lambda b: pa.table(
             {
