@@ -834,3 +834,48 @@ def test_resample_locf_semantics(ray_session):
             ("b", 2, 900),
             ("b", 3, 900),   # carried to the end of the global grid
         ]
+
+
+def test_bucketed_kernels_empty_and_single_key(ray_session):
+    """The coarse-bucket kernels must survive empty inputs and all-rows-
+    one-key inputs (every row lands in one bucket) across the rewritten
+    operators."""
+    import ray.data
+    from fsst_like_ray.functions.asof import asof_join, range_agg_join
+    from fsst_like_ray.functions.grouped_topk import grouped_topk
+    from fsst_like_ray.functions.window_fn import keyed_window
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([], type=pa.int64()),
+                "on": pa.array([], type=pa.int64()),
+                "v": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    one = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([7] * 50, type=pa.int64()),
+                "on": pa.array(range(50), type=pa.int64()),
+                "v": pa.array(range(50), type=pa.int64()),
+            }
+        )
+    ).repartition(4)
+
+    assert grouped_topk(empty, key="k", score="v", k=2, tiebreak="on").count() == 0
+    t = grouped_topk(one, key="k", score="v", k=2, tiebreak="on").take_all()
+    assert sorted(r["v"] for r in t) == [48, 49]
+
+    w = keyed_window(one, key="k", order="on", sum_col="v").to_pandas()
+    w = w.sort_values("rn")
+    assert w["v_run"].tolist() == np.cumsum(np.arange(50)).tolist()
+
+    j = asof_join(one, one, by="k", on="on", right_suffix="_r").count()
+    assert j == 50  # every row matches itself (on <= on)
+    r = range_agg_join(
+        one, one, by="k", on="on", lo=0, hi=1, value="v"
+    ).to_pandas()
+    assert sorted(r["n_r"].tolist()) == [1] * 50  # exactly self in [on, on+1)
+    assert sorted(r["sum_r"].tolist()) == sorted(r["v"].tolist())
