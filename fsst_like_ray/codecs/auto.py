@@ -72,12 +72,21 @@ def select_codec(
     offsets: np.ndarray,
     codec_names: list[str] | None = None,
     sample_rows: int = 1024,
+    screen_cache: dict | None = None,
 ) -> tuple[str, dict[str, int], bytes | None]:
     """Returns (winning codec name, {codec: estimated FULL-BLOCK bytes}, and
     the winner's sample-trained state when reusable — saves the auto path a
     second training pass for expensive codecs like fsst). Deterministic:
     the sample, the screen and every tie-break are pure functions of the
-    block content."""
+    block content.
+
+    ``screen_cache``: a caller-owned dict carried across the sibling
+    state windows of ONE batch — a screened codec's trained state from an
+    earlier window screens later windows with a train-free
+    ``estimate_with_state`` pass (training cost is ~independent of sample
+    size, so this is most of the per-window selector time). Only the
+    SCREEN rides the cache: any codec that looks competitive still pays
+    the full fresh-trained estimate, so the choice never degrades."""
     from . import CODECS
 
     names = codec_names or list(CODECS)
@@ -106,7 +115,22 @@ def select_codec(
         if name in estimates:
             continue
         pv, po = _sample(sv, so, sample_rows, max_tokens=SCREEN_TOKENS)
-        run(name, pv, po)
+        cached = (
+            screen_cache.get(name) if screen_cache is not None else None
+        )
+        ewstate = getattr(CODECS[name], "estimate_with_state", None)
+        if cached is not None and ewstate is not None:
+            try:
+                estimates[name], states[name] = ewstate(
+                    pv, po, cached,
+                    full_tokens=full_tokens, full_rows=full_rows,
+                )
+            except Exception:
+                cached = None
+        if cached is None or ewstate is None:
+            run(name, pv, po)
+            if screen_cache is not None and states.get(name):
+                screen_cache[name] = states[name]
         if estimates[name] <= SCREEN_SLACK * best_cheap and (
             len(po) - 1 < len(so) - 1 or po[-1] < so[-1]
         ):

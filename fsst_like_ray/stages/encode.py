@@ -108,6 +108,10 @@ def encode_table(
     bufs, pos, states, names = [], [], [], []
     row_chunk = np.empty(n, dtype=np.int32)
     base_bytes = 0
+    # sibling state windows share screen states: a screened codec trains
+    # once per BATCH instead of once per window (choice fidelity intact —
+    # contenders always get a fresh full estimate)
+    screen_cache: dict = {}
     for ci in range(len(bounds) - 1):
         lo, hi = int(bounds[ci]), int(bounds[ci + 1])
         v = values[offsets[lo] : offsets[hi]]
@@ -116,7 +120,9 @@ def encode_table(
         if shared_state is not None:
             name, state = codec, shared_state
         elif codec == "auto":
-            name, _est, state = select_codec(v, o, codec_names)
+            name, _est, state = select_codec(
+                v, o, codec_names, screen_cache=screen_cache
+            )
         else:
             name = codec
         c = CODECS[name]
