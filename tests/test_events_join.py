@@ -879,3 +879,74 @@ def test_bucketed_kernels_empty_and_single_key(ray_session):
     ).to_pandas()
     assert sorted(r["n_r"].tolist()) == [1] * 50  # exactly self in [on, on+1)
     assert sorted(r["sum_r"].tolist()) == sorted(r["v"].tolist())
+
+
+def test_asof_and_range_random_vs_bruteforce(ray_session):
+    """Randomized equivalence: the union-sort multi-key as-of and the
+    probe-event range aggregate must match a brute-force per-row oracle
+    across keys, ties, empty-right keys and tolerance."""
+    import ray.data
+    from fsst_like_ray.functions.asof import asof_join, range_agg_join
+
+    rng = np.random.default_rng(23)
+    for trial in range(4):
+        nl, nr = 300, 250
+        lk = rng.integers(0, 12, nl)
+        rk = rng.integers(0, 14, nr)  # some right-only / left-only keys
+        lon = rng.integers(0, 100, nl)
+        ron = rng.integers(0, 100, nr)
+        rid = np.arange(nr)
+        rv = rng.integers(-50, 50, nr)
+        left = pa.table(
+            {
+                "k": pa.array(lk, type=pa.int64()),
+                "on": pa.array(lon, type=pa.int64()),
+                "lid": pa.array(np.arange(nl), type=pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array(rk, type=pa.int64()),
+                "on": pa.array(ron, type=pa.int64()),
+                "rid": pa.array(rid, type=pa.int64()),
+                "val": pa.array(rv, type=pa.int64()),
+            }
+        )
+        lds = ray.data.from_arrow(left).repartition(3)
+        rds = ray.data.from_arrow(right).repartition(2)
+        tol = [None, 7][trial % 2]
+        got = (
+            asof_join(
+                lds, rds, by="k", on="on", how="left",
+                tolerance=tol, right_tiebreak="rid",
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        for _, row in got.iterrows():
+            m = (rk == row["k"]) & (ron <= row["on"])
+            if tol is not None:
+                m &= (row["on"] - ron) <= tol
+            if not m.any():
+                assert pd.isna(row["rid_r"]), row
+            else:
+                cand = np.flatnonzero(m)
+                best = cand[np.lexsort((rid[cand], ron[cand]))][-1]
+                assert row["rid_r"] == rid[best], row
+        ra = (
+            range_agg_join(
+                lds, rds, by="k", on="on", lo=-3, hi=4, value="val"
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        for _, row in ra.iterrows():
+            m = (
+                (rk == row["k"])
+                & (ron >= row["on"] - 3)
+                & (ron < row["on"] + 4)
+            )
+            assert row["n_r"] == int(m.sum()), row
+            assert row["sum_r"] == int(rv[m].sum()), row
