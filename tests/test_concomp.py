@@ -136,3 +136,42 @@ def test_connected_components_property(ray_session, edges):
     assert set(gm) == real
     for n_ in real:
         assert gm[n_] == want[n_]
+
+
+def test_exact_pairs_no_broadcast_and_forced_distributed(
+    ray_session, monkeypatch
+):
+    """The pair emitter must produce identical star edges when the hot set
+    may not broadcast AND the driver caps are off (the full distributed
+    keeper-join path with the emit_block hook)."""
+    import ray.data
+    from fsst_like_ray.functions import dedup as D
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(30), type=pa.int64()),
+            "text": pa.array(
+                [f"dup-{i % 7}" if i < 21 else f"uniq-{i}" for i in range(30)]
+            ),
+        }
+    )
+    expect = sorted(
+        (i, i % 7) for i in range(7, 21)
+    )  # members 7..20 point at keepers 0..6
+    base = sorted(
+        (int(r["u"]), int(r["v"]))
+        for r in D.exact_duplicate_pairs(
+            ray.data.from_arrow(t).repartition(4)
+        ).take_all()
+    )
+    assert base == expect
+    monkeypatch.setattr(D, "HOT_KEY_BROADCAST_CAP", 0)
+    monkeypatch.setattr(D, "DRIVER_CAP_ROWS", 0)
+    monkeypatch.setattr(D, "SALT_MIN_MEMBERS", 2)
+    forced = sorted(
+        (int(r["u"]), int(r["v"]))
+        for r in D.exact_duplicate_pairs(
+            ray.data.from_arrow(t).repartition(4)
+        ).take_all()
+    )
+    assert forced == expect
