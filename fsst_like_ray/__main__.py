@@ -1426,7 +1426,9 @@ def main(argv=None) -> int:
     tb.add_argument("--epoch", type=int, default=None)
     tb.add_argument("--head", type=int, default=3)
     tb.add_argument("--batch-rows", type=int, default=None)
-    tb.add_argument("--order", choices=["store", "length"], default="store")
+    tb.add_argument(
+        "--order", choices=["store", "length", "shuffle"], default="store"
+    )
     tb.set_defaults(fn=cmd_table_batches)
 
     cc = sub.add_parser(

@@ -197,9 +197,16 @@ def plan_training_batches(
     similar-length sequences — for fixed-shape trainers that pad to the
     batch max, this cuts padding waste while staying deterministic and
     fragment-local (no shuffle; document locality within a batch is
-    traded away)."""
-    if order not in ("store", "length"):
-        raise ValueError(f"order must be 'store' or 'length', got {order!r}")
+    traded away); "shuffle" permutes each fragment's rows with a
+    deterministic per-(seed, epoch, fragment) key — combined with the
+    ``epoch`` fragment-order shuffle this is the standard approximate
+    GLOBAL shuffle a pretraining run wants (local randomness inside each
+    fragment, global randomness across fragments) with zero data
+    movement: the permutation exists only in the plan."""
+    if order not in ("store", "length", "shuffle"):
+        raise ValueError(
+            f"order must be 'store', 'length' or 'shuffle', got {order!r}"
+        )
     if not 0 <= rank < world_size:
         raise ValueError(f"rank {rank} not in [0, {world_size})")
     fmt = _store_format(store_dir)
@@ -223,6 +230,20 @@ def plan_training_batches(
         row_order = None
         if order == "length":
             row_order = np.argsort(nt, kind="stable").astype(np.int64)
+            nt = nt[row_order]
+        elif order == "shuffle":
+            from ..functions.shuffle import epoch_key
+
+            seed, ep = epoch if epoch is not None else (0, 0)
+            # mix the fragment id into the seed so every fragment gets an
+            # independent (but reproducible) permutation
+            fid = int(frag_key, 16) & ((1 << 31) - 1)
+            keys = epoch_key(
+                np.arange(len(nt), dtype=np.int64), seed ^ fid, ep
+            )
+            row_order = np.lexsort(
+                (np.arange(len(nt), dtype=np.int64), keys)
+            ).astype(np.int64)
             nt = nt[row_order]
         return greedy_boundaries(nt, batch_tokens, batch_rows), row_order
 

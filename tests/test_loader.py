@@ -333,3 +333,40 @@ def test_prefetch_bitwise_identical(store):
         np.testing.assert_array_equal(x["tokens"], y["tokens"])
         np.testing.assert_array_equal(x["row_offsets"], y["row_offsets"])
         np.testing.assert_array_equal(x["doc_id"], y["doc_id"])
+
+
+def test_shuffle_order_deterministic_covers_all(store):
+    """order='shuffle': each fragment serves a deterministic per-(seed,
+    epoch, fragment) permutation of its rows — full coverage, stable
+    across re-runs, different across epochs, bit-identical payloads."""
+    a = list(
+        iter_training_batches(
+            store, BUDGET, order="shuffle", epoch=(5, 0)
+        )
+    )
+    b = list(
+        iter_training_batches(
+            store, BUDGET, order="shuffle", epoch=(5, 0)
+        )
+    )
+    c = list(
+        iter_training_batches(
+            store, BUDGET, order="shuffle", epoch=(5, 1)
+        )
+    )
+    plain = list(iter_training_batches(store, BUDGET))
+    ids = lambda bs: np.concatenate([x["doc_id"] for x in bs])
+    assert ids(a).tolist() == ids(b).tolist()  # deterministic
+    assert sorted(ids(a).tolist()) == sorted(ids(plain).tolist())  # coverage
+    assert ids(a).tolist() != ids(plain).tolist()  # actually shuffled
+    assert ids(c).tolist() != ids(a).tolist()  # epoch changes the perm
+    # per-row payloads intact under the permutation
+    by_id = {}
+    for x in plain:
+        offs = x["row_offsets"]
+        for i, d in enumerate(x["doc_id"]):
+            by_id[str(d)] = x["tokens"][offs[i]:offs[i + 1]].tolist()
+    for x in a:
+        offs = x["row_offsets"]
+        for i, d in enumerate(x["doc_id"]):
+            assert x["tokens"][offs[i]:offs[i + 1]].tolist() == by_id[str(d)]
