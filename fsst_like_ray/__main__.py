@@ -906,7 +906,9 @@ def cmd_table_batches(args) -> int:
     plan = plan_training_batches(
         args.store, args.budget, rank=args.rank,
         world_size=args.world_size, epoch=epoch,
-        batch_rows=args.batch_rows, order=args.order,
+        batch_rows=args.batch_rows, order=args.order, keep_sources=(
+            args.sources.split(",") if args.sources else None
+        ),
     )
     plan_sec = time.time() - t0
     tokens = batches = rows = 0
@@ -914,7 +916,9 @@ def cmd_table_batches(args) -> int:
     for b in iter_training_batches(
         args.store, args.budget, start_step=args.start_step,
         rank=args.rank, world_size=args.world_size, epoch=epoch,
-        batch_rows=args.batch_rows, order=args.order, plan=plan,
+        batch_rows=args.batch_rows, order=args.order, keep_sources=(
+            args.sources.split(",") if args.sources else None
+        ), plan=plan,
     ):
         if batches < args.head:
             print(
@@ -1428,6 +1432,12 @@ def main(argv=None) -> int:
     tb.add_argument("--batch-rows", type=int, default=None)
     tb.add_argument(
         "--order", choices=["store", "length", "shuffle"], default="store"
+    )
+    tb.add_argument(
+        "--sources",
+        default=None,
+        help="serve only these comma-separated source domains "
+        "(plan-level filter; dropped rows never decode)",
     )
     tb.set_defaults(fn=cmd_table_batches)
 

@@ -179,10 +179,19 @@ def plan_training_batches(
     batch_rows: int | None = None,
     parallel: bool | None = None,
     order: str = "store",
+    keep_sources: "list[str] | None" = None,
 ) -> list[dict]:
     """The seek index: per owned fragment (in order), the greedy batch
-    boundaries — computed from the encoded ``n_tok_col`` ALONE. Returns
+    boundaries — computed from the encoded ``n_tok_col`` ALONE (plus the
+    plain ``source`` column when ``keep_sources`` filters). Returns
     [{"frag_key", "fragment", "first_step", "boundaries"}, ...].
+
+    ``keep_sources``: serve only rows whose ``source`` is in the list —
+    the domain-ablation shape (train without one source) WITHOUT
+    rewriting the store: filtering happens in the plan (a row-index
+    subset per fragment), payloads of dropped rows never decode, and it
+    composes with every ``order`` mode (length/shuffle act on the kept
+    subset).
 
     ``parallel``: fan the per-fragment n_tok reads out as Ray tasks (the
     boundaries are per-fragment-local, so the plan parallelizes perfectly;
@@ -218,19 +227,30 @@ def plan_training_batches(
         "epoch": tuple(epoch) if epoch is not None else None,
         "batch_rows": batch_rows,
         "order": order,
+        "keep_sources": (
+            tuple(sorted(keep_sources)) if keep_sources is not None else None
+        ),
     }
     recs = _ordered_fragments(store_dir, rank, world_size, epoch)
 
     def frag_bounds(frag_key: str):
-        nt = (
-            _read_fragment(store_dir, frag_key, [n_tok_col], fmt)[n_tok_col]
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
+        cols = [n_tok_col] + (["source"] if keep_sources is not None else [])
+        frag = _read_fragment(store_dir, frag_key, cols, fmt)
+        nt = frag[n_tok_col].to_numpy(zero_copy_only=False).astype(np.int64)
         row_order = None
-        if order == "length":
-            row_order = np.argsort(nt, kind="stable").astype(np.int64)
+        if keep_sources is not None:
+            src = frag["source"]
+            if isinstance(src, pa.ChunkedArray):
+                src = src.combine_chunks()
+            m = pa.compute.is_in(
+                src, value_set=pa.array(sorted(keep_sources))
+            ).to_numpy(zero_copy_only=False)
+            row_order = np.flatnonzero(m).astype(np.int64)
             nt = nt[row_order]
+        if order == "length":
+            sub = np.argsort(nt, kind="stable").astype(np.int64)
+            row_order = sub if row_order is None else row_order[sub]
+            nt = nt[sub]
         elif order == "shuffle":
             from ..functions.shuffle import epoch_key
 
@@ -241,10 +261,11 @@ def plan_training_batches(
             keys = epoch_key(
                 np.arange(len(nt), dtype=np.int64), seed ^ fid, ep
             )
-            row_order = np.lexsort(
+            sub = np.lexsort(
                 (np.arange(len(nt), dtype=np.int64), keys)
             ).astype(np.int64)
-            nt = nt[row_order]
+            row_order = sub if row_order is None else row_order[sub]
+            nt = nt[sub]
         return greedy_boundaries(nt, batch_tokens, batch_rows), row_order
 
     if parallel is None or parallel:
@@ -331,6 +352,7 @@ def iter_training_batches(
     order: str = "store",
     plan: list[dict] | None = None,
     prefetch: bool = True,
+    keep_sources: "list[str] | None" = None,
 ):
     """Yield training batches from a committed store.
 
@@ -349,7 +371,7 @@ def iter_training_batches(
     if plan is None:
         plan = plan_training_batches(
             store_dir, batch_tokens, n_tok_col, rank, world_size, epoch,
-            batch_rows, order=order,
+            batch_rows, order=order, keep_sources=keep_sources,
         )
     elif plan:
         # a plan is a pure function of (store, these params): a reused plan
@@ -363,10 +385,21 @@ def iter_training_batches(
             "epoch": tuple(epoch) if epoch is not None else None,
             "batch_rows": batch_rows,
             "order": order,
+            "keep_sources": (
+                tuple(sorted(keep_sources))
+                if keep_sources is not None
+                else None
+            ),
         }
         have = plan[0].get("params")
         have = dict(
-            have, epoch=tuple(have["epoch"]) if have.get("epoch") else None
+            have,
+            epoch=tuple(have["epoch"]) if have.get("epoch") else None,
+            keep_sources=(
+                tuple(have["keep_sources"])
+                if have.get("keep_sources")
+                else None
+            ),
         ) if have else None
         if have != want:
             raise ValueError(

@@ -3767,6 +3767,73 @@ def q_training_loader_gate(sf_dir: str):
     )
 
 
+def q_training_loader_source_filter(sf_dir: str):
+    """Domain-filtered serving (loader keep_sources): the same 3-fragment
+    store as ``training_loader_gate``, served with only source='src1' —
+    row/token/value totals are SQL-verifiable against documents WHERE
+    source='src1', plus gates that the filter composes with
+    order='shuffle' (same kept set, permuted) and that no dropped-source
+    row ever surfaces. The filter lives in the PLAN (payloads of dropped
+    rows never decode) — the ablate-one-domain shape without rewriting
+    the store."""
+    import tempfile
+
+    from .loader import iter_training_batches
+    from .tablestore import compress_table
+
+    base = tempfile.mkdtemp(prefix="loader_srcfilter_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    tbl = pa.concat_tables(
+        b
+        for b in _tokens_ds(sf_dir).iter_batches(
+            batch_size=4096, batch_format="pyarrow"
+        )
+        if b.num_rows
+    )
+    n = tbl.num_rows
+    step = max(1, (n + 2) // 3)
+    for i in range(3):
+        part = tbl.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(src, f"f{i}.parquet"))
+    store = os.path.join(base, "store")
+    compress_table(src, store)
+
+    batches = list(
+        iter_training_batches(
+            store, LOADER_BUDGET, columns=("doc_id", "source", "tokens"),
+            keep_sources=["src1"],
+        )
+    )
+    n_rows = sum(b["n_rows"] for b in batches)
+    total_tokens = sum(b["n_tokens"] for b in batches)
+    tok_value_sum = int(
+        sum(int(b["tokens"].sum(dtype=np.int64)) for b in batches)
+    )
+    only_kept = all(
+        s == "src1" for b in batches for s in b["source"].tolist()
+    )
+    ids = sorted(d for b in batches for d in b["doc_id"].tolist())
+    shuf_ids = sorted(
+        d
+        for b in iter_training_batches(
+            store, LOADER_BUDGET, keep_sources=["src1"],
+            order="shuffle", epoch=(7, 2),
+        )
+        for d in b["doc_id"].tolist()
+    )
+    return pa.table(
+        {
+            "n_rows": pa.array([n_rows], type=pa.int64()),
+            "total_tokens": pa.array([total_tokens], type=pa.int64()),
+            "tok_value_sum": pa.array([tok_value_sum], type=pa.int64()),
+            "only_kept_source": pa.array([only_kept]),
+            "shuffle_same_set": pa.array([shuf_ids == ids]),
+        }
+    )
+
+
 def q_docs_epoch_shuffle(sf_dir: str):
     """Deterministic multi-epoch global shuffle (functions/shuffle.py):
     every doc gets a (seed, epoch)-keyed order key, the dataset range-sorts
@@ -9171,6 +9238,7 @@ def build_queries() -> dict:
     q["docs_mixture_sample"] = q_docs_mixture_sample
     q["docs_epoch_shuffle"] = q_docs_epoch_shuffle
     q["training_loader_gate"] = q_training_loader_gate
+    q["training_loader_source_filter"] = q_training_loader_source_filter
     q["store_time_travel"] = q_store_time_travel
     q["events_resample"] = q_events_resample
     q["docs_split"] = q_docs_split
@@ -10245,6 +10313,17 @@ def build_oracle_sql() -> dict:
                (1=1) AS resume_matches,
                (1=1) AS shards_partition
         FROM documents
+    """
+    sql["training_loader_source_filter"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(length(text)) AS BIGINT) AS total_tokens,
+               (SELECT CAST(sum(cp) AS BIGINT) FROM (
+                  SELECT unnest([CAST(unicode(substr(text, i, 1)) AS INT)
+                                 FOR i IN range(1, length(text) + 1)]) AS cp
+                  FROM documents WHERE source = 'src1')) AS tok_value_sum,
+               (1=1) AS only_kept_source,
+               (1=1) AS shuffle_same_set
+        FROM documents WHERE source = 'src1'
     """
     sql["store_time_travel"] = """
         WITH cp AS (

@@ -370,3 +370,49 @@ def test_shuffle_order_deterministic_covers_all(store):
         offs = x["row_offsets"]
         for i, d in enumerate(x["doc_id"]):
             assert x["tokens"][offs[i]:offs[i + 1]].tolist() == by_id[str(d)]
+
+
+def test_keep_sources_filters_without_rewrite(store):
+    """keep_sources serves only the chosen domains — full coverage of the
+    kept rows, none of the dropped, composing with order='shuffle'."""
+    import pyarrow.parquet as pq
+    import glob
+
+    all_batches = list(iter_training_batches(store, BUDGET))
+    srcs = {}
+    tbl = _store_rows(store)
+    for d, s in zip(
+        tbl["doc_id"].to_pylist(), tbl["source"].to_pylist()
+    ):
+        srcs[d] = s
+    keep = sorted(set(srcs.values()))[:1]  # one domain
+    kept_ids = sorted(d for d, s in srcs.items() if s in keep)
+    got = list(
+        iter_training_batches(store, BUDGET, keep_sources=keep)
+    )
+    got_ids = sorted(
+        str(d) for b in got for d in b["doc_id"]
+    )
+    assert got_ids == sorted(str(d) for d in kept_ids)
+    # composes with shuffle (coverage identical, order differs)
+    shuf = list(
+        iter_training_batches(
+            store, BUDGET, keep_sources=keep, order="shuffle",
+            epoch=(3, 1),
+        )
+    )
+    shuf_ids = [str(d) for b in shuf for d in b["doc_id"]]
+    assert sorted(shuf_ids) == got_ids
+    flat = [str(d) for b in got for d in b["doc_id"]]
+    if len(flat) > 2:
+        assert shuf_ids != flat
+    # a plan built WITHOUT the filter must be refused for a filtered read
+    plan = plan_training_batches(store, BUDGET)
+    with pytest.raises(ValueError, match="recompute the plan"):
+        next(
+            iter(
+                iter_training_batches(
+                    store, BUDGET, plan=plan, keep_sources=keep
+                )
+            )
+        )
