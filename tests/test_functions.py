@@ -156,7 +156,9 @@ def test_simhash_giant_single_word_bounded(ray_session):
     )
     t0 = time.time()
     out = simhash_batch(t)
-    assert time.time() - t0 < 5.0  # uncapped loop would run 2^20 iterations
+    # generous bound for noisy shared hosts; the uncapped loop would run
+    # 2^20 iterations (minutes), so 20 s still discriminates sharply
+    assert time.time() - t0 < 20.0
     fp = out["simhash"].to_pylist()
     assert fp[0] == fp[1]
     assert fp[0] != fp[2]
