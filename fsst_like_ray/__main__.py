@@ -323,6 +323,67 @@ def cmd_bpe_train(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Raw corpus shards → the north-rule tokens parquet: JSONL
+    (optionally .gz/.zst — decompress-on-read inside each read task) or
+    CSV with (doc_id, text, source) columns, tokenized per batch into
+    (doc_id, tokens:list<int32>, n_tok, source) and written partitioned.
+    The output feeds `compress` / `table-store` / `bpe-train` directly —
+    the missing first mile of the raw-data→store path."""
+    ray = _ray()
+    import ray.data as rd
+
+    from .pipelines.queries import to_tokens_batch
+
+    t0 = time.time()
+    paths = args.inputs
+    if args.format == "csv":
+        ds = rd.read_csv(paths)
+    else:
+        codec = (
+            "gzip"
+            if any(p.endswith(".gz") for p in paths)
+            else "zstd"
+            if any(p.endswith(".zst") for p in paths)
+            else None
+        )
+        kw = (
+            {"arrow_open_stream_args": {"compression": codec}}
+            if codec
+            else {}
+        )
+        ds = rd.read_json(paths, **kw)
+    import pyarrow as pa
+
+    def norm(b: pa.Table) -> pa.Table:
+        cols = {"doc_id": b[args.id_col], "text": b[args.text_col]}
+        cols["source"] = (
+            b[args.source_col]
+            if args.source_col in b.column_names
+            else pa.nulls(b.num_rows, type=pa.string())
+        )
+        return pa.table(cols)
+
+    out = ds.map_batches(norm, batch_format="pyarrow").map_batches(
+        to_tokens_batch, batch_format="pyarrow"
+    )
+    out.write_parquet(args.out)
+    from ray.data.aggregate import Sum
+
+    row = out.aggregate(Sum("n_tok", alias_name="t"))
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "tokens": int(row["t"] or 0),
+                "sec": round(time.time() - t0, 3),
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_bpe_apply(args) -> int:
     """Tokenize a NEW corpus with a previously trained merge table
     (functions/bpe.bpe_apply — one map_batches stage, rules in rank
@@ -1267,6 +1328,18 @@ def main(argv=None) -> int:
     bp.add_argument("--rules-out", default=None)
     bp.add_argument("--apply-out", default=None)
     bp.set_defaults(fn=cmd_bpe_train)
+
+    ing = sub.add_parser(
+        "ingest",
+        help="raw JSONL[.gz/.zst]/CSV shards -> north-rule tokens parquet",
+    )
+    ing.add_argument("inputs", nargs="+")
+    ing.add_argument("out")
+    ing.add_argument("--format", choices=["jsonl", "csv"], default="jsonl")
+    ing.add_argument("--id-col", default="doc_id")
+    ing.add_argument("--text-col", default="text")
+    ing.add_argument("--source-col", default="source")
+    ing.set_defaults(fn=cmd_ingest)
 
     ba = sub.add_parser(
         "bpe-apply",
