@@ -950,3 +950,79 @@ def test_asof_and_range_random_vs_bruteforce(ray_session):
             )
             assert row["n_r"] == int(m.sum()), row
             assert row["sum_r"] == int(rv[m].sum()), row
+
+
+def test_keyed_window_random_vs_pandas(ray_session):
+    """Randomized equivalence of the run-segmented multi-key window
+    kernel vs a pandas per-group oracle: running sum, rolling sum, lag,
+    ffill and NTILE across many keys and blocks."""
+    import ray.data
+    from fsst_like_ray.functions.window_fn import keyed_window
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    k = rng.integers(0, 37, n)
+    order = rng.integers(0, 500, n)
+    tb = np.arange(n)
+    v = rng.integers(-20, 20, n)
+    fill = [None if x % 5 == 0 else int(x) for x in rng.integers(0, 99, n)]
+    t = pa.table(
+        {
+            "k": pa.array(k, type=pa.int64()),
+            "o": pa.array(order, type=pa.int64()),
+            "tb": pa.array(tb, type=pa.int64()),
+            "v": pa.array(v, type=pa.int64()),
+            "f": pa.array(fill, type=pa.int64()),
+        }
+    )
+    got = (
+        keyed_window(
+            ray.data.from_arrow(t).repartition(5),
+            key="k", order="o", tiebreak="tb",
+            sum_col="v", lag_col="v", roll=("v", 3), ntile=4,
+            fill_col="f",
+        )
+        .to_pandas()
+        .sort_values(["k", "o", "tb"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["k", "o", "tb"]).reset_index(drop=True)
+    g = df.groupby("k")
+    df["rn"] = g.cumcount() + 1
+    df["v_run"] = g["v"].cumsum()
+    df["v_roll3"] = (
+        g["v"].rolling(3, min_periods=1).sum().reset_index(drop=True)
+    )
+    df["v_lag"] = g["v"].shift(1)
+    df["f_ffill"] = g["f"].ffill()
+    sizes = g["k"].transform("size")
+    df["q4"] = (
+        g.cumcount()
+        .to_frame("rn0")
+        .join(sizes.rename("sz"))
+        .apply(
+            lambda r: (
+                int(r["rn0"] // (r["sz"] // 4 + 1) + 1)
+                if r["rn0"] < (r["sz"] % 4) * (r["sz"] // 4 + 1)
+                else int(
+                    r["sz"] % 4
+                    + (r["rn0"] - (r["sz"] % 4) * (r["sz"] // 4 + 1))
+                    // (r["sz"] // 4)
+                    + 1
+                )
+            ),
+            axis=1,
+        )
+    )
+    assert got["rn"].tolist() == df["rn"].tolist()
+    assert got["v_run"].tolist() == df["v_run"].tolist()
+    assert got["v_roll3"].tolist() == df["v_roll3"].astype(int).tolist()
+    assert (
+        got["v_lag"].fillna(-999).tolist()
+        == df["v_lag"].fillna(-999).tolist()
+    )
+    assert (
+        got["f_ffill"].fillna(-999).tolist()
+        == df["f_ffill"].fillna(-999).tolist()
+    )
+    assert got["q4"].tolist() == df["q4"].tolist()
